@@ -1,0 +1,124 @@
+"""Generic MapReduce programming surface — the reference's client API.
+
+Reference contract (``include/MapReduceMaster.h:75-112``): subclass
+``MapReduceInterface``, implement
+
+- ``map_fn(k1, v1)`` emitting 0..n ``(k2, v2)`` pairs (via
+  ``emitIntermediate``),
+- ``reduce_fn(k2, [v2, ...])`` emitting one output per key (via
+  ``emit(k, vector<v>)``),
+
+register it in a factory (``MapReduceMaster.h:27-72``), and call
+``MapReduceMaster(...).process()``. The reference hardcodes one program
+per process (lookup name ``"MapReduce"``, quirk Q5); here the registry
+holds any number of named programs.
+
+Spark mapping (SURVEY.md §2a rows 3–6): map = ``flatMap``, shuffle =
+Spark's shuffle, group = ``groupByKey``, reduce = ``flatMap`` over
+groups. Two execution paths:
+
+- ``run``: honest per-record Python adapter (RDD). Exists for API
+  parity; arbitrary Python closures can't go through Catalyst.
+- ``run_with_combiner``: when the user declares the reduction
+  associative+commutative (``combine_fn``), uses ``aggregateByKey`` so
+  partial aggregation happens map-side — the combiner the reference
+  never implemented (SURVEY.md §4): at 100 TB this is the difference
+  between shuffling every emitted pair and shuffling one pre-aggregated
+  value per (partition, key).
+
+Known-shape programs (word count, inverted index) should instead use the
+declarative queries in ``queries/corpus.py`` — built-ins beat any UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MapFn = Callable[[Any, Any], Iterable[tuple[Any, Any]]]
+ReduceFn = Callable[[Any, list], Iterable[tuple[Any, Any]]]
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("values", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+class MapReduce:
+    """A named (map_fn, reduce_fn) program, runnable over any DataFrame."""
+
+    def __init__(
+        self,
+        map_fn: MapFn,
+        reduce_fn: ReduceFn,
+        name: str = "MapReduce",
+        num_partitions: int | None = None,
+    ):
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+        self.name = name
+        self.num_partitions = num_partitions
+
+    def run(self, df: DataFrame, key_col: str, value_col: str, out_schema=OUT_SCHEMA) -> DataFrame:
+        """map → shuffle → group → reduce, reference semantics.
+
+        ``reduce_fn`` receives the full (unordered) value list per key,
+        exactly like the reference's ``vector<string>`` — and with the
+        same flaw: a skewed key's values must fit in one task's memory.
+        Prefer ``run_with_combiner`` when the reduction allows it.
+        """
+        spark = df.sparkSession
+        map_fn, reduce_fn = self.map_fn, self.reduce_fn
+        rdd = df.select(key_col, value_col).rdd.flatMap(lambda r: map_fn(r[0], r[1]))
+        grouped = rdd.groupByKey(self.num_partitions)
+        out = grouped.flatMap(lambda kv: reduce_fn(kv[0], list(kv[1])))
+        return spark.createDataFrame(out, out_schema)
+
+    def run_with_combiner(
+        self,
+        df: DataFrame,
+        key_col: str,
+        value_col: str,
+        zero: Any,
+        combine_fn: Callable[[Any, Any], Any],
+        merge_fn: Callable[[Any, Any], Any] | None = None,
+        finish_fn: Callable[[Any, Any], Iterable[tuple[Any, Any]]] | None = None,
+        out_schema=OUT_SCHEMA,
+    ) -> DataFrame:
+        """Same pipeline with map-side partial aggregation.
+
+        ``combine_fn(acc, v2)`` folds one emitted value into the
+        accumulator; ``merge_fn(acc, acc)`` merges partials (defaults to
+        ``combine_fn``); ``finish_fn(key, acc)`` shapes the output rows
+        (defaults to ``reduce_fn(key, acc)`` if acc is a list, else
+        one ``(key, acc)`` row).
+        """
+        spark = df.sparkSession
+        map_fn = self.map_fn
+        merge = merge_fn or combine_fn
+        rdd = df.select(key_col, value_col).rdd.flatMap(lambda r: map_fn(r[0], r[1]))
+        agg = rdd.aggregateByKey(zero, combine_fn, merge, self.num_partitions)
+        if finish_fn is None:
+            out = agg.map(lambda kv: (kv[0], kv[1]))
+        else:
+            out = agg.flatMap(lambda kv: finish_fn(kv[0], kv[1]))
+        return spark.createDataFrame(out, out_schema)
+
+
+# Registry — generalizes the reference's single-slot factory
+# (``MapReduceMaster.h:27-72`` + hardcoded "MapReduce" lookups, quirk Q5).
+PROGRAMS: dict[str, MapReduce] = {}
+
+
+def register_program(program: MapReduce) -> MapReduce:
+    PROGRAMS[program.name] = program
+    return program
+
+
+def get_program(name: str) -> MapReduce:
+    return PROGRAMS[name]

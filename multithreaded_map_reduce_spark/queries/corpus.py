@@ -1,0 +1,91 @@
+"""The reference's two shipped applications, Spark-first.
+
+- word_count     ← ``src/WordCounter.cpp:19-41``  (map: emit (word,"1")
+  per token; reduce: sum) — here a single declarative plan:
+  scan → split/explode → groupBy(word).count(). Catalyst inserts the
+  map-side partial count the reference lacks (SURVEY.md §4 "combiners:
+  none"), so the shuffle carries one row per (partition, word), not one
+  per token occurrence — the difference between shuffling ~100 TB and
+  shuffling a vocabulary.
+- inverted_index ← ``src/InvertedIndex.cpp:20-39`` (map: emit
+  (word, position); reduce: sort+unique). Positions here are document
+  ids over the ``documents`` corpus table, numerically sorted
+  (normalized semantics; the reference's lexicographic string sort is
+  quirk Q1, covered by a compat test instead).
+
+Output discipline: the harness hash-compares unordered row sets, so the
+position list is emitted as a comma-joined string — identical text in
+both engines, no array-hashing ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_tokens
+from ..functions.text import tokenize
+from ..sources.catalog import load_table
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token → occurrence count across the corpus."""
+    return _tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token → comma-joined ascending distinct doc ids."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids")
+        )
+    )
+
+
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 words by count — deterministic tiebreak on the word itself."""
+    wc = word_count(spark, sf_dir)
+    return wc.orderBy(F.desc("cnt"), F.asc("word")).limit(20)
+
+
+TOKENS_SQL = f"SELECT doc_id, unnest({sql_tokens('text')}) AS word FROM documents"
+
+QUERIES = {
+    "word_count": word_count,
+    "inverted_index": inverted_index,
+    "top_words": top_words,
+}
+
+ORACLES = {
+    "word_count": f"""
+        SELECT word, count(*) AS cnt
+        FROM ({TOKENS_SQL})
+        GROUP BY word
+    """,
+    "inverted_index": f"""
+        SELECT word, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT DISTINCT word, doc_id FROM ({TOKENS_SQL}))
+        GROUP BY word
+    """,
+    "top_words": f"""
+        SELECT word, cnt FROM (
+            SELECT word, count(*) AS cnt FROM ({TOKENS_SQL}) GROUP BY word
+        )
+        ORDER BY cnt DESC, word ASC
+        LIMIT 20
+    """,
+}

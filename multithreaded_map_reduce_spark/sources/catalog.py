@@ -1,0 +1,43 @@
+"""Table catalog over the driver-provided parquet fixtures.
+
+The reference's only source is a single line-oriented text file scanned
+whole by every worker (``include/MapReduceMaster.h:442-478`` — an
+O(mappers × filesize) read). Here sources are columnar parquet scans with
+predicate pushdown, column pruning, and HDFS-style input splits for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables materialized by the driver at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — their
+# cardinality is fixed (regions=5, nations=25) or grows sub-linearly.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain parquet scan — keep it lazy so
+    Catalyst can push filters/projections into the scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for the SQL surface."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
