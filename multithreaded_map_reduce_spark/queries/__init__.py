@@ -26,6 +26,7 @@ def _register(module) -> None:
     ALL_ORACLES.update(getattr(module, "ORACLES", {}))
 
 
-from . import corpus  # noqa: E402
+from . import corpus, mapreduce_api  # noqa: E402
 
 _register(corpus)
+_register(mapreduce_api)

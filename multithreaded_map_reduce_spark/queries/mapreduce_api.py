@@ -1,0 +1,34 @@
+"""Driver-gate entries for the generic MapReduce API path.
+
+Same semantics as the declarative corpus queries, executed through the
+``map_fn``/``reduce_fn`` adapter — so the correctness gate covers BOTH
+the reference's client API (this module) and the Spark-first fast path
+(``corpus.py``) against one oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.programs import run_inverted_index, run_word_counter
+from ..sources.catalog import load_table
+from .corpus import ORACLES as CORPUS_ORACLES
+
+
+def mr_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_word_counter(load_table(spark, sf_dir, "documents"), combiner=True)
+
+
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "mr_word_count": mr_word_count,
+    "mr_inverted_index": mr_inverted_index,
+}
+
+ORACLES = {
+    "mr_word_count": CORPUS_ORACLES["word_count"],
+    "mr_inverted_index": CORPUS_ORACLES["inverted_index"],
+}
