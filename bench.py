@@ -26,6 +26,11 @@ HEADLINE = [
     "word_count",
     "inverted_index",
     "top_words",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_running_total",
+    "topk_customers",
 ]
 
 

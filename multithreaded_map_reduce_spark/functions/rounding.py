@@ -1,0 +1,26 @@
+"""Portable rounding — identical bit behavior in Spark and DuckDB.
+
+Native ``round(double, n)`` differs across engines at ties (Spark
+rounds the shortest decimal repr HALF_UP via BigDecimal; DuckDB rounds
+the scaled binary value), so a value whose shortest repr ends in ``..5``
+rounds differently. Every float this engine emits goes through
+``pround`` instead: ``floor(x * 10^n + 0.5) / 10^n`` — one formula, one
+answer in any engine.
+
+(Half-up toward +inf for negatives, applied consistently on both sides.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pround(col: Column, n: int = 2) -> Column:
+    scale = float(10**n)
+    return (F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).cast("double")
+
+
+def sql_pround(expr: str, n: int = 2) -> str:
+    scale = float(10**n)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"

@@ -1,0 +1,439 @@
+"""Relational surface over the TPC-H-ish fixtures — SURVEY.md §2c.
+
+The reference has NO joins, filters, aggregates-beyond-reduce, sorts, or
+set operations (SURVEY.md §2c); this module supplies that whole surface
+as declarative DataFrame plans so Catalyst provides pushdown, pruning,
+join selection, and partial aggregation.
+
+Scale discipline applied throughout:
+- dimension tables get explicit ``F.broadcast`` hints (their cardinality
+  is bounded — SURVEY.md catalog notes), so fact-table joins never
+  shuffle the big side;
+- aggregates are expressed so Spark's partial (map-side) aggregation
+  applies — no ``collect_list``-then-reduce anti-patterns;
+- every float output goes through the portable ``pround`` (sums of
+  doubles to 2 decimals, ratios/avgs to 6) — reproducible across
+  partition counts AND hash-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import (
+    SQL_CHARGE,
+    SQL_REVENUE,
+    charge,
+    davg,
+    dsum,
+    money,
+    revenue,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+)
+from ..functions.rounding import pround, sql_pround
+from ..sources.catalog import load_table
+
+
+# --------------------------------------------------------------- aggregates
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    At 100 TB this is the partial-aggregation showcase: 6 groups total,
+    so the shuffle carries ~6 rows per input partition regardless of
+    input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(dsum(money("l_extendedprice")), 2).alias("sum_base_price"),
+            pround(dsum(revenue()), 2).alias("sum_disc_price"),
+            pround(dsum(charge()), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            pround(davg(money("l_extendedprice")), 6).alias("avg_price"),
+            pround(davg(money("l_discount")), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + HAVING per order priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            pround(davg(money("o_totalprice")), 6).alias("avg_price"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        pround(dsum(money("o_totalprice")), 2).alias("sum_total"),
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (CASE-WHEN inside agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        pround(
+            dsum(F.when(F.col("o_orderstatus") == "F", money("o_totalprice")).otherwise(F.lit(0.0).cast("decimal(18,2)"))),
+            2,
+        ).alias("finished_total"),
+    )
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per return flag; min/max bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        pround(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        pround(F.min("l_quantity"), 2).alias("min_qty"),
+        pround(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+# -------------------------------------------------------------------- joins
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim⋈fact⋈fact with selective filters + top-10.
+
+    customer is broadcast (bounded dim); orders⋈lineitem shuffles on
+    the join key with filters pushed below the join on both sides.
+    """
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(pround(dsum(revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, revenue per nation for one region,
+    customer and supplier in the same nation. All dims broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(pround(dsum(revenue()), 2).alias("revenue"))
+    )
+
+
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero matching orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_urgent"),
+            pround(dsum(F.coalesce(money("o_totalprice"), F.lit(0.0).cast("decimal(18,2)"))), 2).alias("urgent_total"),
+        )
+    )
+
+
+def join_semi_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): parts that ship after 2001-01-01."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no URGENT order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 customers by lifetime order value (global top-k: partial
+    agg → shuffle ~1 row per customer → TakeOrdered, no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(pround(dsum(money("o_totalprice")), 2).alias("total_spend"), F.count("*").alias("n_orders"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------- set ops
+def _cust_in_year(spark, sf_dir, year: int):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select(F.col("o_custkey").alias("custkey"))
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1995 and 1996 (INTERSECT = distinct)."""
+    return _cust_in_year(spark, sf_dir, 1995).intersect(_cust_in_year(spark, sf_dir, 1996))
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in 1995 but never in 1996 (EXCEPT DISTINCT)."""
+    return _cust_in_year(spark, sf_dir, 1995).subtract(_cust_in_year(spark, sf_dir, 1996))
+
+
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of 1995 and 1996 customer sets."""
+    return _cust_in_year(spark, sf_dir, 1995).union(_cust_in_year(spark, sf_dir, 1996)).distinct()
+
+
+# ---------------------------------------------------------- scalar functions
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar library over orders — all JVM
+    built-ins, zero UDFs (SURVEY.md §2c 'scalar function library')."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        pround(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        pround(F.log("o_totalprice"), 6).alias("price_ln"),
+        pround(F.abs(F.col("o_totalprice") - F.lit(1000.0)), 2).alias("price_dev"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus → columns (quantity sums per return flag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(pround(F.sum("l_quantity"), 2))
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "agg_distinct": agg_distinct,
+    "rollup_pricing": rollup_pricing,
+    "cube_orders": cube_orders,
+    "conditional_agg": conditional_agg,
+    "percentiles_by_flag": percentiles_by_flag,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_left_counts": join_left_counts,
+    "join_semi_parts": join_semi_parts,
+    "join_anti_customers": join_anti_customers,
+    "topk_customers": topk_customers,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "setop_union": setop_union,
+    "scalar_functions": scalar_functions,
+    "pivot_linestatus": pivot_linestatus,
+}
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_pround('sum(l_quantity)', 2)} AS sum_qty,
+               {sql_pround(sql_dsum(sql_money('l_extendedprice')), 2)} AS sum_base_price,
+               {sql_pround(sql_dsum(SQL_REVENUE), 2)} AS sum_disc_price,
+               {sql_pround(sql_dsum(SQL_CHARGE), 2)} AS sum_charge,
+               {sql_pround('avg(l_quantity)', 6)} AS avg_qty,
+               {sql_pround(sql_davg(sql_money('l_extendedprice')), 6)} AS avg_price,
+               {sql_pround(sql_davg(sql_money('l_discount')), 6)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct": f"""
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               count(*) AS n_orders,
+               {sql_pround(sql_davg(sql_money('o_totalprice')), 6)} AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+    """,
+    "rollup_pricing": f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_pround('sum(l_quantity)', 2)} AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_orders": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               {sql_pround(sql_dsum(sql_money('o_totalprice')), 2)} AS sum_total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "conditional_agg": f"""
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               {sql_pround(sql_dsum("CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END"), 2)}
+                   AS finished_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "percentiles_by_flag": f"""
+        SELECT l_returnflag,
+               {sql_pround('quantile_cont(l_quantity, 0.5)', 6)} AS median_qty,
+               {sql_pround('quantile_cont(l_extendedprice, 0.9)', 6)} AS p90_price,
+               {sql_pround('min(l_quantity)', 2)} AS min_qty,
+               {sql_pround('max(l_quantity)', 2)} AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, {sql_pround(sql_dsum(SQL_REVENUE), 2)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name, {sql_pround(sql_dsum(SQL_REVENUE), 2)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "join_left_counts": f"""
+        SELECT c_custkey,
+               count(o_orderkey) AS n_urgent,
+               {sql_pround(sql_dsum("coalesce(CAST(o_totalprice AS DECIMAL(18,2)), CAST(0.0 AS DECIMAL(18,2)))"), 2)} AS urgent_total
+        FROM customer
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "join_semi_parts": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01'
+        )
+    """,
+    "join_anti_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    "topk_customers": f"""
+        SELECT c_custkey, c_name, total_spend, n_orders
+        FROM (
+            SELECT o_custkey, {sql_pround(sql_dsum(sql_money('o_totalprice')), 2)} AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spend DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "setop_intersect": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "setop_except": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "setop_union": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        UNION
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "scalar_functions": f"""
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS status_upper,
+               CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               o_orderstatus || '#' || o_orderpriority AS status_prio,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               {sql_pround('sqrt(o_totalprice)', 6)} AS price_sqrt,
+               {sql_pround('ln(o_totalprice)', 6)} AS price_ln,
+               {sql_pround('abs(o_totalprice - 1000.0)', 2)} AS price_dev,
+               o_orderkey % 7 AS key_mod7
+        FROM orders
+    """,
+    "pivot_linestatus": f"""
+        SELECT l_returnflag,
+               {sql_pround("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)", 2)} AS "O",
+               {sql_pround("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)", 2)} AS "F"
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

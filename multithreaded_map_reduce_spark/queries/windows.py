@@ -1,0 +1,161 @@
+"""Window functions — ranking, frames, lag/lead, windowed aggregates
+(SURVEY.md §2c 'window functions: absent in reference').
+
+Determinism rule: every window ORDER BY ends in a unique key so frame
+contents — and therefore running double-sums — are bit-identical across
+engines and partition counts. Floats go through the portable ``pround``.
+
+Scale note: a window over ``partitionBy(k)`` shuffles once on k and
+sorts within partitions; skewed k (one giant partition) is the hazard.
+These queries partition on naturally-bounded keys (suppkey, custkey,
+brand).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.money import SQL_REVENUE, money, revenue, sql_money
+from ..functions.rounding import pround, sql_pround
+from ..sources.catalog import load_table
+
+
+def window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand; row_number/rank/dense_rank."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            pround(F.col("p_retailprice"), 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier over ship order (cumulative frame)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.sum(revenue()).over(w).cast("double"), 2).alias("running_revenue"),
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: previous/next totals + day gaps."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        pround(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5-row frame: moving average of order totals per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        pround(
+            F.sum(money("o_totalprice")).over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("moving_avg_5"),
+        F.count("*").over(w).alias("frame_rows"),
+    )
+
+
+def brand_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand average (windowed agg as a
+    decorrelated subquery — Catalyst computes one window, no self-join)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            pround(F.col("p_retailprice"), 2).alias("price"),
+            pround(
+                F.sum(money("p_retailprice")).over(w).cast("double") / F.count("*").over(w), 6
+            ).alias("brand_avg"),
+        )
+        .filter(F.col("price") > F.col("brand_avg"))
+    )
+
+
+QUERIES = {
+    "window_topk_parts": window_topk_parts,
+    "window_running_total": window_running_total,
+    "window_lag_lead": window_lag_lead,
+    "window_moving_avg": window_moving_avg,
+    "brand_above_avg": brand_above_avg,
+}
+
+ORACLES = {
+    "window_topk_parts": f"""
+        SELECT p_brand, p_partkey, price, rn, rnk, drnk FROM (
+            SELECT p_brand, p_partkey,
+                   {sql_pround('p_retailprice', 2)} AS price,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   CAST(rank() OVER w AS INTEGER) AS rnk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drnk
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+        ) WHERE rn <= 3
+    """,
+    "window_running_total": f"""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               {sql_pround(f'''CAST(sum({SQL_REVENUE}) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''', 2)} AS running_revenue
+        FROM lineitem
+    """,
+    "window_lag_lead": f"""
+        SELECT o_custkey, o_orderkey,
+               {sql_pround('lag(o_totalprice) OVER w', 2)} AS prev_total,
+               {sql_pround('lead(o_totalprice) OVER w', 2)} AS next_total,
+               CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window_moving_avg": f"""
+        SELECT o_custkey, o_orderkey,
+               {sql_pround(f"CAST(sum({sql_money('o_totalprice')}) OVER w AS DOUBLE) / (count(*) OVER w)", 6)} AS moving_avg_5,
+               count(*) OVER w AS frame_rows
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "brand_above_avg": f"""
+        SELECT p_partkey, p_brand, price, brand_avg FROM (
+            SELECT p_partkey, p_brand,
+                   {sql_pround('p_retailprice', 2)} AS price,
+                   {sql_pround(f"CAST(sum({sql_money('p_retailprice')}) OVER (PARTITION BY p_brand) AS DOUBLE) / (count(*) OVER (PARTITION BY p_brand))", 6)} AS brand_avg
+            FROM part
+        ) WHERE price > brand_avg
+    """,
+}
