@@ -24,3 +24,25 @@ def pround(col: Column, n: int = 2) -> Column:
 def sql_pround(expr: str, n: int = 2) -> str:
     scale = float(10**n)
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def iunits(col: Column, n: int = 6) -> Column:
+    """Arbitrary double → exact integer units of 10^-n (portable floor
+    formula). Summing these BIGINTs is exact and order-independent —
+    the non-cents analog of the DECIMAL money path (double→decimal casts
+    are NOT portable across engines; this formula is)."""
+    scale = float(10**n)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def sql_iunits(expr: str, n: int = 6) -> str:
+    scale = float(10**n)
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
+def from_iunits(col: Column, n: int = 6) -> Column:
+    return (col / F.lit(float(10**n))).cast("double")
+
+
+def sql_from_iunits(expr: str, n: int = 6) -> str:
+    return f"(CAST({expr} AS DOUBLE) / {float(10 ** n)})"

@@ -1,0 +1,135 @@
+"""Generic as-of join — an operator Spark lacks natively (SURVEY.md §2c
+'joins: absent in reference'; the prompt's custom-operator tier (a)/(b)).
+
+Two implementations with identical semantics:
+
+- ``asof_join`` (default, tier a): union-window composition of built-in
+  ops. One shuffle on the key, one sort, a running ``last(ignorenulls)``
+  — fully codegen'd, no Python in the hot path, scales to any volume
+  and is the 100 TB path.
+- ``asof_join_pandas`` (tier b): ``applyInPandas`` + ``pd.merge_asof``
+  per key group — the reference implementation used to cross-check the
+  native one in tests, and the template for operators that genuinely
+  need per-group imperative logic.
+
+Semantics: for each left row, the latest right row with
+``right_time <= left_time`` (backward direction), per key; ties on time
+break toward the right row existing (right sorts before left at equal
+timestamps). Optional ``tolerance`` drops matches older than the given
+number of microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_micros: int | None = None,
+) -> DataFrame:
+    """Backward as-of join, DataFrame-native.
+
+    Returns all left columns plus ``value_cols`` from the matched right
+    row (null when no match), plus ``_matched_time``.
+    """
+    left_cols = left.columns
+    l_side = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    r_side = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_time).cast("timestamp").alias("_rt"),
+    )
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = l_side.unionByName(r_side)
+    for c in value_cols:
+        filled = filled.withColumn(f"_f_{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w))
+    filled = filled.withColumn("_matched_time", F.last("_rt", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_micros is not None:
+        within = (
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_matched_time"))
+        ) <= F.lit(tolerance_micros)
+        for c in value_cols:
+            out = out.withColumn(f"_f_{c}", F.when(within, F.col(f"_f_{c}")))
+        out = out.withColumn("_matched_time", F.when(within, F.col("_matched_time")))
+    return out.select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        F.col("_matched_time"),
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Cross-check implementation via pd.merge_asof per key group.
+
+    Arrow-batched; each key group must fit in one task's memory (same
+    contract as any applyInPandas) — use the native version for skewed
+    or unbounded keys.
+    """
+    import pandas as pd
+
+    left_cols = left.columns
+    out_fields = (
+        [(c, left.schema[c].dataType.simpleString()) for c in left_cols]
+        + [(c, right.schema[c].dataType.simpleString()) for c in value_cols]
+        + [("_matched_time", "timestamp")]
+    )
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+
+    l_full = left.select(
+        F.lit(True).alias("_is_left"),
+        F.col(by).alias("_k"),
+        F.col(left_time).alias("_t"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r_full = right.select(
+        F.lit(False).alias("_is_left"),
+        F.col(by).alias("_k"),
+        F.col(right_time).alias("_t"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lf = pdf[pdf["_is_left"]].sort_values("_t", kind="mergesort")
+        rf = pdf[~pdf["_is_left"]].sort_values("_t", kind="mergesort")
+        if lf.empty:
+            return pd.DataFrame(columns=[n for n, _ in out_fields])
+        rf = rf[["_t"] + [f"_rv_{c}" for c in value_cols]].rename(
+            columns={f"_rv_{c}": c for c in value_cols}
+        )
+        rf["_matched_time"] = rf["_t"]
+        merged = pd.merge_asof(lf[left_cols + ["_t"]], rf, on="_t", direction="backward")
+        return merged[[n for n, _ in out_fields]]
+
+    return l_full.unionByName(r_full).groupBy("_k").applyInPandas(per_group, out_schema)

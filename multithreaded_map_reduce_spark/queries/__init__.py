@@ -26,9 +26,10 @@ def _register(module) -> None:
     ALL_ORACLES.update(getattr(module, "ORACLES", {}))
 
 
-from . import corpus, mapreduce_api, relational, windows  # noqa: E402
+from . import corpus, events, mapreduce_api, relational, windows  # noqa: E402
 
 _register(corpus)
 _register(mapreduce_api)
 _register(relational)
 _register(windows)
+_register(events)

@@ -1,0 +1,240 @@
+"""Event-time processing over the ``events`` fixture — batch versions of
+the streaming surface (SURVEY.md §2c 'streaming: absent in reference';
+the Structured Streaming wrappers in ``streaming/`` reuse these shapes).
+
+Techniques:
+- tumbling / sliding windows via ``F.window`` (epoch-aligned in both
+  engines, so the oracle's ``time_bucket`` agrees exactly);
+- session windows via ``F.session_window`` with a gaps-and-islands SQL
+  oracle (identical semantics: session end = last event + gap);
+- as-of join expressed as a union-window plan — no per-key loops, one
+  shuffle on user_id, scales to any event volume;
+- JSON prop extraction with ``get_json_object`` (JVM-side).
+
+The ``value`` column is an arbitrary double, so sums go through exact
+integer micro-units (``iunits``) — order-independent at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import (
+    from_iunits,
+    iunits,
+    pround,
+    sql_from_iunits,
+    sql_iunits,
+    sql_pround,
+)
+from ..sources.catalog import load_table
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type: count + exact value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            pround(from_iunits(F.sum(iunits(F.col("value")))), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding by 15 minutes (each event lands in 4)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute-gap session windows per user (batch ``session_window``).
+
+    Scale note: state per user is one open session — in streaming this
+    is the watermark-bounded stateful op; in batch Catalyst turns it
+    into a sort-based aggregation over user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "10 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "n_types",
+        )
+    )
+
+
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (order: ts, then event_id for ties).
+
+    Union-window formulation: one shuffle on user_id, a sort, and a
+    running ``last(ignorenulls)`` — the classic way to do as-of joins
+    declaratively without a range-join explosion. The generic operator
+    lives in ``operators/asof.py``; this is its query-surface instance.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        both.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("micros_since_click"),
+        )
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + aggregation (props = {"k": int})."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        pround(F.sum(k).cast("double") / F.count("*"), 6).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: spans, distinct types, exact totals."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        pround(from_iunits(F.sum(iunits(F.col("value")))), 2).alias("total_value"),
+    )
+
+
+_SLIDE_OFFSETS = "[0, 1, 2, 3]"
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_session": events_session,
+    "asof_join_clicks": asof_join_clicks,
+    "events_json_props": events_json_props,
+    "user_activity": user_activity,
+}
+
+ORACLES = {
+    "events_tumbling": f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+               event_type,
+               count(*) AS n,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "events_sliding": f"""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+               time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                   + INTERVAL '1 hour' AS win_end,
+               event_type,
+               count(*) AS n
+        FROM events, (SELECT unnest({_SLIDE_OFFSETS}) AS k)
+        GROUP BY 1, 2, 3
+    """,
+    "events_session": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   event_type,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '10 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, ts, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '10 minutes' AS session_end,
+               count(*) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM islands
+        GROUP BY user_id, session_id
+    """,
+    "asof_join_clicks": """
+        WITH both_types AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), filled AS (
+            SELECT *,
+                   last_value(click_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM both_types
+        )
+        SELECT event_id, user_id, ts, last_click_ts,
+               epoch_us(ts) - epoch_us(last_click_ts) AS micros_since_click
+        FROM filled WHERE event_type = 'purchase'
+    """,
+    "events_json_props": f"""
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               {sql_pround("CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*)", 6)} AS avg_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "user_activity": f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+}

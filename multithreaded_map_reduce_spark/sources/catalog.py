@@ -9,6 +9,7 @@ predicate pushdown, column pruning, and HDFS-style input splits for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Tables materialized by the driver at /root/testdata/sf*/ (TESTDATA.md).
 TABLES = (
@@ -31,9 +32,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan — keep it lazy so
-    Catalyst can push filters/projections into the scan."""
+    Catalyst can push filters/projections into the scan.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; read it as raw nanos
+    (``nanosAsLong``, set at runtime so any caller-provided session
+    works) and surface a proper microsecond timestamp column.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,98 @@
+"""Structured Streaming surface over the events fixture.
+
+The reference is strictly batch (SURVEY.md §2c); this module provides
+the streaming layer a production pipeline needs: file-source streams,
+watermarked event-time windows, and session windows — the same shapes
+as the batch queries in ``queries/events.py``, so batch results serve
+as the streaming oracle in tests.
+
+Scale notes:
+- watermarks bound state: an unwatermarked event-time agg grows without
+  limit on an unbounded stream;
+- ``session_window`` + watermark is the stateful-op showcase (state =
+  one open session per user, closed when the watermark passes);
+- tests drive these with the file source + ``processAllAvailable()``
+  into a memory sink — in production the source/sink swap for
+  Kafka/Delta without touching the transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import from_iunits, iunits, pround
+
+# schema of the raw parquet (ts is TIMESTAMP(NANOS) → read as long)
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (nanos → micros ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            pround(from_iunits(F.sum(iunits(F.col("value")))), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Watermarked session windows per user (stateful aggregation)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to completion into an in-memory table;
+    returns the stopped query. Caller reads ``spark.sql(SELECT * FROM
+    name)``."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
