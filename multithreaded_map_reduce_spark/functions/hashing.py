@@ -69,12 +69,15 @@ def hash_array(strings: Column) -> Column:
     )
 
 
+def _perm(a: int, b: int):
+    # closure factory: keeps the lambda unary (PySpark infers higher-order
+    # function arity from the Python signature)
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)
+
+
 def minhash_signature(hashes: Column, num: int = NUM_MINHASH) -> Column:
     """ARRAY<BIGINT> of element hashes → ARRAY<BIGINT> minhash signature."""
-    sig = [
-        F.array_min(F.transform(hashes, lambda h, a=a, b=b: (h * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)))
-        for a, b in MINHASH_COEFFS[:num]
-    ]
+    sig = [F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_COEFFS[:num]]
     return F.array(*sig)
 
 
@@ -100,15 +103,15 @@ def simhash32(hashes: Column) -> Column:
     Bit b is set iff the majority of elements have bit b set (weight 1
     per distinct element; sum of ±1 >= 0).
     """
+    def _vote_fn(lo: int, hi: int):
+        return lambda acc, h: acc + F.when(
+            (h % F.lit(hi)) >= F.lit(lo), F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bit_cols = []
     for b in range(SIMHASH_BITS):
         lo, hi = 1 << b, 1 << (b + 1)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, lo=lo, hi=hi: acc
-            + F.when((h % F.lit(hi)) >= F.lit(lo), F.lit(1)).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(lo, hi))
         bit_cols.append(F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
     return reduce(add, bit_cols)
 
@@ -164,6 +167,14 @@ def sql_simhash32(hashes_expr: str) -> str:
         )
         terms.append(f"CASE WHEN {vote} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     return "(" + " + ".join(terms) + ")"
+
+
+def sql_char_shingles(expr: str, k: int = 8) -> str:
+    """DuckDB twin of functions.text.char_shingles (distinct k-grams)."""
+    full = f"list_transform(range(1, length({expr}) - {k - 2}), i -> {expr}[i:i+{k - 1}])"
+    return (
+        f"list_distinct(CASE WHEN length({expr}) < {k} THEN [{expr}] ELSE {full} END)"
+    )
 
 
 def sql_word_shingles(tokens_expr: str, n: int = 3) -> str:

@@ -26,10 +26,11 @@ def _register(module) -> None:
     ALL_ORACLES.update(getattr(module, "ORACLES", {}))
 
 
-from . import corpus, events, mapreduce_api, relational, windows  # noqa: E402
+from . import corpus, dedup, events, mapreduce_api, relational, windows  # noqa: E402
 
 _register(corpus)
 _register(mapreduce_api)
 _register(relational)
 _register(windows)
 _register(events)
+_register(dedup)

@@ -1,0 +1,148 @@
+"""Dedup queries over the documents/embeddings fixtures (§2d tier).
+
+Every query has an exact DuckDB oracle because all hashing/similarity
+math is the portable kind (functions/hashing.py, functions/vectors.py):
+
+- minhash: the oracle replicates the SAME LSH pipeline (signatures →
+  bands → candidates → exact verify), so candidate-set recall is part
+  of the contract, not hidden;
+- simhash: Spark side uses the lossless 4-byte banding, the oracle
+  brute-forces all pairs — equality PROVES the banding loses nothing
+  (hamming ≤ 2 < 4-block pigeonhole bound);
+- blocked jaccard / embedding cosine: exact within blocks on both
+  sides.
+
+Thresholds are tuned to the fixture (probed distributions): word-bigram
+jaccard ≥ 0.1, hamming ≤ 2, char-8-gram jaccard ≥ 0.5 (the fixture
+plants true near-dups at ≥ 0.98), cosine ≥ 0.35.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    sql_band_hashes,
+    sql_char_shingles,
+    sql_hash_array,
+    sql_minhash_signature,
+    sql_simhash32,
+    sql_tokens,
+    sql_word_shingles,
+)
+from ..functions.rounding import sql_pround
+from ..functions.vectors import sql_as_double, sql_cosine
+from ..operators.dedup import (
+    blocked_jaccard_pairs,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from ..sources.catalog import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, deterministic survivor = min(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("keep_id", "n_copies")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=16, rows=2, threshold=0.1)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(docs, "doc_id", "text", "lang", k=8, threshold=0.5)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", "label", min_cosine=0.35)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "embedding_neardup": embedding_neardup,
+}
+
+_HASHES = (
+    f"list_distinct({sql_hash_array(sql_word_shingles(sql_tokens('text'), 2))})"
+)
+_JACCARD = (
+    "len(list_intersect(a.hashes, b.hashes))::DOUBLE"
+    " / (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes)))"
+)
+_CHAR_JACCARD = (
+    "len(list_intersect(a.sh, b.sh))::DOUBLE"
+    " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH hashed AS (
+            SELECT doc_id AS id, {_HASHES} AS hashes
+            FROM documents WHERE length(text) > 0
+        ), sigs AS (
+            SELECT id, hashes, {sql_minhash_signature('hashes')} AS sig FROM hashed
+        ), bands AS (
+            SELECT id, unnest({sql_band_hashes('sig', 16, 2)}) AS bh FROM sigs
+        ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b ON a.bh = b.bh AND a.id < b.id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b, {sql_pround(_JACCARD, 6)} AS jaccard
+            FROM cand
+            JOIN sigs a ON cand.id_a = a.id
+            JOIN sigs b ON cand.id_b = b.id
+        ) WHERE jaccard >= 0.1
+    """,
+    "dedup_simhash": f"""
+        WITH fp AS (
+            SELECT doc_id AS id,
+                   {sql_simhash32(sql_hash_array(sql_tokens('text')))} AS simhash
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id AS id, lang AS blk, {sql_char_shingles('text', 8)} AS sh
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.id AS id_a, b.id AS id_b, {sql_pround(_CHAR_JACCARD, 6)} AS jaccard
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+        ) WHERE jaccard >= 0.5
+    """,
+    "embedding_neardup": f"""
+        WITH e AS (
+            SELECT vec_id AS id, label AS blk, {sql_as_double('embedding')} AS v
+            FROM embeddings
+        )
+        SELECT id_a, id_b, blk, cos_sim FROM (
+            SELECT a.id AS id_a, b.id AS id_b, a.blk AS blk,
+                   {sql_pround(sql_cosine('a.v', 'b.v'), 6)} AS cos_sim
+            FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+        ) WHERE cos_sim >= 0.35
+    """,
+}

@@ -1,0 +1,64 @@
+"""Dedup suite vs DuckDB oracles + semantic sanity checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+DEDUP_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+]
+
+
+@pytest.mark.parametrize("name", DEDUP_QUERIES)
+def test_oracle_parity(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_near_dups_found(spark):
+    """The fixture plants true near-duplicates; the char-ngram query
+    must surface at least one pair at very high similarity."""
+    from multithreaded_map_reduce_spark.queries.dedup import dedup_ngram_jaccard
+
+    rows = dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    assert rows, "expected planted near-dup pairs"
+    assert any(r["jaccard"] >= 0.9 for r in rows)
+
+
+def test_dedup_idempotent(spark):
+    """Dedup of an already-deduped set is the identity (property test)."""
+    from multithreaded_map_reduce_spark.operators.dedup import exact_dedup
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    once = exact_dedup(docs, ["text"], "doc_id")
+    # copies are conserved
+    total = once.groupBy().sum("n_copies").collect()[0][0]
+    assert total == docs.count()
+    # re-dedup over survivors yields all-singleton groups
+    kept = docs.join(once, docs.doc_id == once.keep_id, "left_semi")
+    again = exact_dedup(kept, ["text"], "doc_id")
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_simhash_banding_lossless(spark):
+    """Band-join candidates ≡ brute force for hamming ≤ 2 (pigeonhole).
+
+    The oracle parity test already proves this against DuckDB brute
+    force; here we additionally check pair symmetry/ordering invariants.
+    """
+    from multithreaded_map_reduce_spark.queries.dedup import dedup_simhash
+
+    rows = dedup_simhash(spark, SF_SMOKE).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert len({(r["id_a"], r["id_b"]) for r in rows}) == len(rows)
