@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (§2d tier).
+
+- ``brute_force_topk``: exact baseline. Queries are broadcast (the
+  small side by construction), candidates stream through one scan —
+  O(N·Q·dim) codegen'd work, no shuffle of the candidate set; top-k via
+  a per-query window. This is the correctness reference at any scale
+  where Q is small.
+- ``lsh_topk``: the scale path. Sign-of-hyperplane LSH buckets both
+  sides; search only same-bucket candidates. Planes are generated from
+  the portable integer-hash formula — NOT runtime randomness — so (a)
+  results are reproducible run-to-run, and (b) the DuckDB oracle can
+  replay the exact algorithm, making even the *approximate* operator
+  differentially testable. At 100 TB: bucket count scales with data
+  (16 here for a 500-vector fixture), multi-probe (flipping the
+  lowest-|margin| bits) recovers recall without rescanning.
+
+Both return (query_id, neighbor_id, cos_sim, rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import POLY_MOD
+from ..functions.rounding import pround, sql_pround
+from ..functions.vectors import as_double, cosine, sql_as_double, sql_cosine
+
+# Deterministic pseudo-random hyperplanes: component d of plane j is
+# ((A*(j*dim+d) + B) % POLY_MOD) / POLY_MOD - 0.5  ∈ [-0.5, 0.5)
+PLANE_A = 1_103_515_245
+PLANE_B = 12_345
+
+
+def plane_dot(vec: Column, j: int, dim: int) -> Column:
+    """Dot product of a double-array vector with deterministic plane j."""
+    def term(d: Column) -> Column:
+        idx = (F.lit(j * dim) + d).cast("long")
+        comp = ((F.lit(PLANE_A).cast("long") * idx + F.lit(PLANE_B)) % F.lit(POLY_MOD)) / F.lit(
+            float(POLY_MOD)
+        ) - F.lit(0.5)
+        return F.element_at(vec, (d + F.lit(1)).cast("int")) * comp
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0.0),
+        lambda acc, d: acc + term(d),
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Bucket id = sign bits of ``n_planes`` hyperplane dots."""
+    bits = [
+        F.when(plane_dot(vec, j, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def sql_plane_dot(vec: str, j: int, dim: int) -> str:
+    comp = (
+        f"(CAST(({PLANE_A} * ({j * dim} + d) + {PLANE_B}) % {POLY_MOD} AS DOUBLE)"
+        f" / {float(POLY_MOD)} - 0.5)"
+    )
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(0, {dim}), d -> {vec}[d + 1] * {comp})), "
+        "(x, y) -> x + y)"
+    )
+
+
+def sql_lsh_bucket(vec: str, n_planes: int, dim: int) -> str:
+    terms = [
+        f"CASE WHEN {sql_plane_dot(vec, j, dim)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of candidates for each (broadcast) query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates only, then exact rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dim))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

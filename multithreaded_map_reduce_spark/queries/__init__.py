@@ -26,7 +26,7 @@ def _register(module) -> None:
     ALL_ORACLES.update(getattr(module, "ORACLES", {}))
 
 
-from . import corpus, dedup, events, mapreduce_api, relational, windows  # noqa: E402
+from . import corpus, dedup, events, mapreduce_api, relational, similarity, windows  # noqa: E402
 
 _register(corpus)
 _register(mapreduce_api)
@@ -34,3 +34,4 @@ _register(relational)
 _register(windows)
 _register(events)
 _register(dedup)
+_register(similarity)

@@ -1,0 +1,50 @@
+"""Similarity search: oracle parity + recall sanity."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize("name", ["sim_topk_bruteforce", "sim_topk_lsh"])
+def test_oracle_parity(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_bruteforce_shape(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        K,
+        N_QUERIES,
+        sim_topk_bruteforce,
+    )
+
+    rows = sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERIES * K
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_results_subset_of_candidates(spark):
+    """LSH top-k similarities can never exceed the exact top-1."""
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        sim_topk_bruteforce,
+        sim_topk_lsh,
+    )
+
+    exact = {
+        (r["query_id"], r["rank"]): r["cos_sim"]
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    best = {}
+    for (q, _), s in exact.items():
+        best[q] = max(best.get(q, -2.0), s)
+    for r in sim_topk_lsh(spark, SF_SMOKE).collect():
+        assert r["cos_sim"] <= best[r["query_id"]] + 1e-9
