@@ -26,7 +26,17 @@ def _register(module) -> None:
     ALL_ORACLES.update(getattr(module, "ORACLES", {}))
 
 
-from . import corpus, dedup, events, mapreduce_api, relational, similarity, windows  # noqa: E402
+from . import (  # noqa: E402
+    corpus,
+    dedup,
+    events,
+    mapreduce_api,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    windows,
+)
 
 _register(corpus)
 _register(mapreduce_api)
@@ -35,3 +45,5 @@ _register(windows)
 _register(events)
 _register(dedup)
 _register(similarity)
+_register(textstats)
+_register(multimodal)

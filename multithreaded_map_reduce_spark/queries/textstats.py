@@ -1,0 +1,239 @@
+"""Text-analysis operators over the documents fixture (§2d tier):
+language-ID heuristic, quality scoring, token counting, fingerprinting,
+tf-idf. All pure Column expressions (codegen'd; no Python in the hot
+path) with exact DuckDB oracles.
+
+Scale notes:
+- every per-document metric is embarrassingly parallel scan work;
+- tf-idf is the only shuffling query: one groupBy (doc, term), one
+  term-level doc-frequency aggregate joined back (broadcast: vocabulary
+  ≪ corpus), one per-doc window for top-k;
+- ln() is the one libm call — last-ulp engine differences are possible
+  but vanish under pround(6) except on measure-zero boundaries.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_tokens
+from ..functions.hashing import hash_array, poly_hash
+from ..functions.rounding import pround, sql_pround
+from ..functions.text import char_shingles, tokenize
+from ..sources.catalog import load_table
+
+# tiny per-language stopword signatures (order = tiebreak priority)
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ein"],
+    "en": ["the", "a", "is", "of", "and"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+_LANGS = list(STOPWORDS)
+
+_PUNCT_RE = "[.,;:!?]"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _stop_count(tokens, words: list[str]):
+    in_set = F.filter(tokens, lambda t: t.isin(*words))
+    return F.size(in_set)
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-signature language ID (argmax, alphabetical tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stop_count(toks, STOPWORDS[lang]).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    pred = None
+    for i, lang in enumerate(_LANGS):
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"s_{lang}") >= F.col(f"s_{other}") for other in _LANGS[i + 1 :]],
+            F.lit(True),
+        )
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    scored = scored.withColumn("predicted_lang", pred.otherwise(F.lit(_LANGS[-1])))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "predicted_lang",
+        F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS]).alias("top_score"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token stats + punctuation/stopword ratios and
+    a deterministic composite score in [0, 1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    stop_all = [w for ws in STOPWORDS.values() for w in ws]
+    stop_n = _stop_count(toks, stop_all)
+    punct_n = F.regexp_count("text", F.lit(_PUNCT_RE))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_n.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_n.cast("double") / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        pround(avg_tok, 6).alias("avg_chars_per_token"),
+        pround(stop_ratio, 6).alias("stopword_ratio"),
+        pround(punct_ratio, 6).alias("punct_ratio"),
+        pround(quality, 6).alias("quality"),
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish regex tokens vs chars, per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-text rolling hash + winnowing-style
+    min/max char-8-gram hashes (order-insensitive content signature)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    gram_hashes = hash_array(char_shingles(F.col("text"), 8))
+    return docs.select(
+        "doc_id",
+        poly_hash(F.col("text")).alias("fp_full"),
+        F.array_min(gram_hashes).alias("fp_min_gram"),
+        F.array_max(gram_hashes).alias("fp_max_gram"),
+    )
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (idf = ln(N/df))."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            pround(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+}
+
+
+def _sql_stop_count(words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({sql_tokens('text')}, t -> t IN ({in_list})))"
+
+
+def _sql_lang_case() -> str:
+    branches = []
+    for i, lang in enumerate(_LANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in _LANGS[i + 1 :]] or ["TRUE"]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{_LANGS[-1]}' END"
+
+
+_ALL_STOPS = [w for ws in STOPWORDS.values() for w in ws]
+
+ORACLES = {
+    "text_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {", ".join(f'CAST({_sql_stop_count(STOPWORDS[lang])} AS INTEGER) AS s_{lang}' for lang in _LANGS)}
+            FROM documents
+        )
+        SELECT doc_id, lang, {_sql_lang_case()} AS predicted_lang,
+               greatest({", ".join(f's_{lang}' for lang in _LANGS)}) AS top_score
+        FROM scored
+    """,
+    "text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({sql_tokens('text')}) AS INTEGER) AS n_tokens,
+                   CAST({_sql_stop_count(_ALL_STOPS)} AS INTEGER) AS stop_n,
+                   CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS INTEGER) AS punct_n,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_tok,
+                   CASE WHEN n_tokens > 0 THEN CAST(stop_n AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN n_chars > 0 THEN CAST(punct_n AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio
+            FROM base
+        )
+        SELECT doc_id, n_tokens,
+               {sql_pround('avg_tok', 6)} AS avg_chars_per_token,
+               {sql_pround('stop_ratio', 6)} AS stopword_ratio,
+               {sql_pround('punct_ratio', 6)} AS punct_ratio,
+               {sql_pround('0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio) + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)', 6)} AS quality
+        FROM ratios
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+               CAST(len({sql_tokens('text')}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               {sql_poly_hash('text')} AS fp_full,
+               list_min({sql_hash_array(sql_char_shingles('text', 8))}) AS fp_min_gram,
+               list_max({sql_hash_array(sql_char_shingles('text', 8))}) AS fp_max_gram
+        FROM documents WHERE length(text) > 0
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+            GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tfidf, rank FROM (
+            SELECT tf.doc_id, tf.term,
+                   {sql_pround('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)', 6)} AS tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY {sql_pround('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)', 6)} DESC,
+                                tf.term ASC
+                   ) AS INTEGER) AS rank
+            FROM tf JOIN df ON tf.term = df.term, n
+        ) WHERE rank <= 3
+    """,
+}

@@ -1,0 +1,48 @@
+"""Text-analysis queries vs DuckDB oracles + invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+TEXT_QUERIES = [
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+]
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_oracle_parity(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_token_counts_consistent(spark):
+    """BPE-ish tokens ≥ whitespace tokens (punct splits add tokens)."""
+    from multithreaded_map_reduce_spark.queries.textstats import text_token_count
+
+    for r in text_token_count(spark, SF_SMOKE).collect():
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"] >= 0
+        assert r["n_chars"] > 0
+
+
+def test_fingerprint_detects_planted_neardups(spark):
+    """Exact-duplicate fingerprints only for identical texts (none in
+    fixture), but min-gram fingerprints collide for the planted
+    near-dups found by the char-ngram dedup query."""
+    from multithreaded_map_reduce_spark.queries.dedup import dedup_ngram_jaccard
+    from multithreaded_map_reduce_spark.queries.textstats import text_fingerprint
+
+    fp = {r["doc_id"]: r for r in text_fingerprint(spark, SF_SMOKE).collect()}
+    assert len({r["fp_full"] for r in fp.values()}) == len(fp)  # all texts unique
+    pairs = dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    near = [p for p in pairs if p["jaccard"] >= 0.9]
+    assert near
+    same_min = sum(fp[p["id_a"]]["fp_min_gram"] == fp[p["id_b"]]["fp_min_gram"] for p in near)
+    assert same_min >= len(near) // 2  # most near-dups share the min-gram sketch
