@@ -31,6 +31,13 @@ HEADLINE = [
     "q5_local_supplier",
     "window_running_total",
     "topk_customers",
+    "events_session",
+    "asof_join_clicks",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_tfidf_top_terms",
+    "multimodal_features",
 ]
 
 

@@ -36,10 +36,11 @@ from ..functions.hashing import (
     band_hashes,
     hash_array,
     minhash_signature,
+    shingle_hashes_from_token_hashes,
     simhash32,
 )
 from ..functions.rounding import pround
-from ..functions.text import char_shingles, tokenize, word_shingles
+from ..functions.text import char_shingles, tokenize
 from ..functions.vectors import as_double, cosine
 
 
@@ -53,19 +54,50 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 def with_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
-    """(id, hashes): distinct word-n-gram shingle hashes per document."""
-    toks = tokenize(F.col(text_col))
-    return df.filter(F.length(text_col) > 0).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(hash_array(word_shingles(toks, n))).alias("hashes"),
+    """(id, hashes): distinct word-n-gram shingle hashes per document.
+
+    Tokens are char-hashed once, shingle hashes composed from token
+    hashes (see shingle_hashes_from_token_hashes) — O(chars + tokens·n)
+    per document, the 100 TB-viable formulation."""
+    token_hashes = hash_array(tokenize(F.col(text_col)))
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), token_hashes.alias("th"))
+        .select(
+            "id", shingle_hashes_from_token_hashes(F.col("th"), n).alias("hashes")
+        )
+    )
+
+
+def minhash_signatures_agg(hashed: DataFrame, num: int | None = None) -> DataFrame:
+    """(id, sig): minhash signatures via explode + 32 min() aggregates.
+
+    The Column-expression form (functions.hashing.minhash_signature)
+    evaluates higher-order-function lambdas INTERPRETED, per element —
+    at sf0.1 that was ~40 s of pure permutation math. Exploding the
+    hash sets and computing 32 codegen'd ``min((h*a+b) % M)`` aggregates
+    keeps everything in whole-stage codegen with map-side partial mins:
+    the shuffle carries one 32-long row per (partition, id). ~10× faster
+    locally and the right shape at 100 TB."""
+    from ..functions.hashing import MINHASH_COEFFS, NUM_MINHASH, POLY_MOD
+
+    coeffs = MINHASH_COEFFS[: (num or NUM_MINHASH)]
+    ex = hashed.select("id", F.explode("hashes").alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(len(coeffs))]).alias("sig")
     )
 
 
 def minhash_candidates(hashed: DataFrame, bands: int = 16, rows: int = 2) -> DataFrame:
     """LSH band join → distinct candidate pairs (id_a < id_b)."""
-    sig = minhash_signature(F.col("hashes"))
-    banded = hashed.select(
-        "id", F.explode(band_hashes(sig, bands, rows)).alias("bh")
+    sigs = minhash_signatures_agg(hashed, num=bands * rows)
+    banded = sigs.select(
+        "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -89,8 +121,17 @@ def minhash_dedup_pairs(
     rows: int = 2,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Candidates via LSH, then exact shingle-set Jaccard ≥ threshold."""
-    hashed = with_shingle_hashes(df, id_col, text_col, n)
+    """Candidates via LSH, then exact shingle-set Jaccard ≥ threshold.
+
+    The shingle-hash relation feeds four plan branches (two candidate
+    sides, two verify sides); persist it so the interpreted-lambda
+    shingle construction runs once, spilling to disk if it outgrows
+    memory (MEMORY_AND_DISK is the 100 TB-safe level)."""
+    from pyspark import StorageLevel
+
+    hashed = with_shingle_hashes(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = minhash_candidates(hashed, bands, rows)
     ha = hashed.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
@@ -108,10 +149,16 @@ def minhash_dedup_pairs(
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 32-bit weighted fingerprint (token multiplicity =
-    weight, because the token array is NOT deduped before voting)."""
-    return df.filter(F.length(text_col) > 0).select(
-        F.col(id_col).alias("id"),
-        simhash32(hash_array(tokenize(F.col(text_col)))).alias("simhash"),
+    weight, because the token array is NOT deduped before voting).
+
+    Token hashes are materialized as a column first: the 32 per-bit
+    vote expressions then reference one attribute instead of inlining
+    (and recomputing) the char-level hashing 32×."""
+    token_hashes = hash_array(tokenize(F.col(text_col)))
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), token_hashes.alias("th"))
+        .select("id", simhash32(F.col("th")).alias("simhash"))
     )
 
 

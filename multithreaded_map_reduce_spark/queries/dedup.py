@@ -27,9 +27,9 @@ from ..functions.hashing import (
     sql_char_shingles,
     sql_hash_array,
     sql_minhash_signature,
+    sql_shingle_hashes_from_token_hashes,
     sql_simhash32,
     sql_tokens,
-    sql_word_shingles,
 )
 from ..functions.rounding import sql_pround
 from ..functions.vectors import sql_as_double, sql_cosine
@@ -77,9 +77,8 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
 }
 
-_HASHES = (
-    f"list_distinct({sql_hash_array(sql_word_shingles(sql_tokens('text'), 2))})"
-)
+_TOKEN_HASHES = sql_hash_array(sql_tokens("text"))
+_HASHES = sql_shingle_hashes_from_token_hashes("th", 2)
 _JACCARD = (
     "len(list_intersect(a.hashes, b.hashes))::DOUBLE"
     " / (len(a.hashes) + len(b.hashes) - len(list_intersect(a.hashes, b.hashes)))"
@@ -95,9 +94,11 @@ ORACLES = {
         FROM documents GROUP BY text
     """,
     "dedup_minhash_lsh": f"""
-        WITH hashed AS (
-            SELECT doc_id AS id, {_HASHES} AS hashes
+        WITH th AS (
+            SELECT doc_id AS id, {_TOKEN_HASHES} AS th
             FROM documents WHERE length(text) > 0
+        ), hashed AS (
+            SELECT id, {_HASHES} AS hashes FROM th
         ), sigs AS (
             SELECT id, hashes, {sql_minhash_signature('hashes')} AS sig FROM hashed
         ), bands AS (
