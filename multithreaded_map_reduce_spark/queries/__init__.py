@@ -34,6 +34,7 @@ from . import (  # noqa: E402
     multimodal,
     relational,
     similarity,
+    sql_surface,
     textstats,
     windows,
 )
@@ -47,3 +48,4 @@ _register(dedup)
 _register(similarity)
 _register(textstats)
 _register(multimodal)
+_register(sql_surface)

@@ -149,6 +149,23 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join: clicks within the hour before each
+    purchase, per user (operators/rangejoin.py — equi-join on
+    (user, time-bucket), never an O(n·m) per-key filter)."""
+    from ..operators.rangejoin import count_in_window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return count_in_window(
+        purchases, clicks, by="user_id", left_time="ts", right_time="ts",
+        window_micros=3600 * 1_000_000,
+    )
+
+
 _SLIDE_OFFSETS = "[0, 1, 2, 3]"
 
 QUERIES = {
@@ -158,6 +175,7 @@ QUERIES = {
     "asof_join_clicks": asof_join_clicks,
     "events_json_props": events_json_props,
     "user_activity": user_activity,
+    "range_join_recent_clicks": range_join_recent_clicks,
 }
 
 ORACLES = {
@@ -226,6 +244,15 @@ ORACLES = {
                count(*) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "range_join_recent_clicks": """
+        SELECT p.event_id, p.user_id, p.ts, count(c.ts) AS n_in_window
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+        GROUP BY p.event_id, p.user_id, p.ts
     """,
     "user_activity": f"""
         SELECT user_id,

@@ -1,0 +1,187 @@
+"""SQL-interface surface: the same engine driven through ``spark.sql``
+over registered views — Catalyst produces identical plans either way
+(SURVEY.md §3 'SQL / query language: absent in reference'); this module
+proves the SQL entry point plus the constructs most naturally written
+in SQL: GROUPING SETS, correlated EXISTS/IN, scalar subqueries.
+
+Money math follows the same DECIMAL discipline as the DataFrame queries
+(functions/money.py), written inline in the SQL dialect of each engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.rounding import sql_pround
+from ..sources.catalog import register_views
+
+_DEC = "DECIMAL(18,2)"
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, the pushdown showcase."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC}))
+                     AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        """,
+    )
+
+
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with an order over 400000."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+        """,
+    )
+
+
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery): orders from BUILDING-segment customers in 1995."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+    )
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT o_orderkey,
+               floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*) FROM orders
+        )
+        """,
+    )
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library over tokenized documents (SQL dialect)."""
+    return _sql(
+        spark,
+        sf_dir,
+        r"""
+        SELECT doc_id,
+               size(toks) AS n_tokens,
+               array_join(slice(toks, 1, 3), ',') AS first3,
+               CAST(array_contains(toks, 'the') AS INT) AS has_the,
+               array_join(slice(reverse(toks), 1, 2), ',') AS last2_reversed,
+               size(array_distinct(toks)) AS n_distinct
+        FROM (
+            SELECT doc_id, filter(split(text, '\\s+'), x -> x != '') AS toks
+            FROM documents
+        )
+        """,
+    )
+
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "grouping_sets_pricing": grouping_sets_pricing,
+    "exists_correlated": exists_correlated,
+    "in_subquery": in_subquery,
+    "scalar_subquery": scalar_subquery,
+    "array_functions": array_functions,
+}
+
+ORACLES = {
+    "q6_forecast_revenue": f"""
+        SELECT {sql_pround(f"CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE)", 2)} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "grouping_sets_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+    """,
+    "exists_correlated": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+    """,
+    "in_subquery": """
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    "scalar_subquery": f"""
+        SELECT o_orderkey,
+               {sql_pround('CAST(o_totalprice AS DOUBLE)', 2)} AS total
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*) FROM orders
+        )
+    """,
+    "array_functions": r"""
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               array_to_string(toks[1:3], ',') AS first3,
+               CAST(list_contains(toks, 'the') AS INT) AS has_the,
+               array_to_string(list_reverse(toks)[1:2], ',') AS last2_reversed,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+        FROM (
+            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+            FROM documents
+        )
+    """,
+}

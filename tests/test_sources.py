@@ -1,0 +1,77 @@
+"""Source/sink coverage: text lines with dense numbering, corpus
+mapping, csv/json round-trips, stateful streaming."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_read_text_lines_dense(spark, tmp_path):
+    """Reference input relation: 0-based dense global line numbers
+    (SURVEY.md §1), independent of partitioning."""
+    from multithreaded_map_reduce_spark.sources.text import read_text_lines
+
+    p = tmp_path / "input.txt"
+    lines = [f"line number {i} content" for i in range(257)]
+    p.write_text("\n".join(lines))
+    df = read_text_lines(spark, str(p))
+    rows = sorted((r["line_no"], r["line"]) for r in df.collect())
+    assert [r[0] for r in rows] == list(range(257))
+    assert rows[42][1] == "line number 42 content"
+
+
+def test_corpus_lines_shape(spark):
+    from multithreaded_map_reduce_spark.sources.text import corpus_lines
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cl = corpus_lines(docs)
+    assert cl.columns == ["doc_id", "line_no", "line"]
+    assert cl.filter(F.col("line_no") == 0).count() == docs.count()
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """Connector coverage: parquet fixture → csv and json → read back
+    with explicit schemas (never inferSchema in prod paths)."""
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    want = sorted(map(tuple, nation.collect()))
+
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    back_csv = spark.read.schema(nation.schema).option("header", True).csv(csv_path)
+    assert sorted(map(tuple, back_csv.collect())) == want
+
+    json_path = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").json(json_path)
+    back_json = spark.read.schema(nation.schema).json(json_path)
+    assert sorted(map(tuple, back_json.collect())) == want
+
+
+def test_stateful_streaming_totals(spark):
+    """applyInPandasWithState running totals == batch aggregation after
+    the single file-source micro-batch."""
+    from multithreaded_map_reduce_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from multithreaded_map_reduce_spark.streaming.stateful import running_user_totals
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    stream = stream_events(spark, SF_SMOKE)
+    run_stream_to_memory(running_user_totals(stream), "stateful_out", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM stateful_out").collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    want = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
