@@ -56,6 +56,27 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's grouped relation (SURVEY.md §2a row 5): key →
+    ordered value list, as one shuffle + collect_list. Emitted as a
+    joined string for portable hashing; the reference's ordered
+    ``map<key, vector<value>>`` is the same bag, key-sorted per
+    reducer (ordering is physical, not semantic — quirk Q4)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids_all"),
+            F.count("*").alias("n_values"),
+        )
+    )
+
+
 def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 words by count — deterministic tiebreak on the word itself."""
     wc = word_count(spark, sf_dir)
@@ -68,6 +89,7 @@ QUERIES = {
     "word_count": word_count,
     "inverted_index": inverted_index,
     "top_words": top_words,
+    "grouped_values": grouped_values,
 }
 
 ORACLES = {
@@ -79,6 +101,13 @@ ORACLES = {
     "inverted_index": f"""
         SELECT word, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
         FROM (SELECT DISTINCT word, doc_id FROM ({TOKENS_SQL}))
+        GROUP BY word
+    """,
+    "grouped_values": f"""
+        SELECT word,
+               string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids_all,
+               count(*) AS n_values
+        FROM ({TOKENS_SQL})
         GROUP BY word
     """,
     "top_words": f"""

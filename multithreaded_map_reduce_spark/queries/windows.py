@@ -105,8 +105,46 @@ def brand_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per event, count + exact value sum
+    of the same user's events in the trailing hour (the window-function
+    twin of the bucketed range join)."""
+    from ..functions.rounding import from_iunits, iunits
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        pround(from_iunits(F.sum(iunits(F.col("value"))).over(w)), 2).alias(
+            "value_last_hour"
+        ),
+    )
+
+
+def unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide per-flag aggregates → long (metric, val)."""
+    from ..functions.money import dsum, money
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        pround(F.sum("l_quantity"), 2).alias("qty"),
+        pround(dsum(money("l_extendedprice")), 2).alias("price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag", "stack(2, 'qty', qty, 'price', price) AS (metric, val)"
+    )
+
+
 QUERIES = {
     "window_topk_parts": window_topk_parts,
+    "window_range_frame": window_range_frame,
+    "unpivot_pricing": unpivot_pricing,
     "window_running_total": window_running_total,
     "window_lag_lead": window_lag_lead,
     "window_moving_avg": window_moving_avg,
@@ -114,6 +152,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_range_frame": f"""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               {sql_pround("CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0", 2)} AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "unpivot_pricing": f"""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   {sql_pround('sum(l_quantity)', 2)} AS qty,
+                   {sql_pround(f"CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'price' AS metric, price AS val FROM agg
+    """,
     "window_topk_parts": f"""
         SELECT p_brand, p_partkey, price, rn, rnk, drnk FROM (
             SELECT p_brand, p_partkey,

@@ -13,9 +13,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from multithreaded_map_reduce_spark.session import get_spark
 
-    s = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        app_name="tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()

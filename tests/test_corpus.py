@@ -12,7 +12,9 @@ from tests.conftest import SF_SMOKE
 from tests.oracle import compare, duck_con
 
 
-@pytest.mark.parametrize("name", ["word_count", "inverted_index", "top_words"])
+@pytest.mark.parametrize(
+    "name", ["word_count", "inverted_index", "top_words", "grouped_values"]
+)
 def test_oracle_parity(spark, name):
     from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
 

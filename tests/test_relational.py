@@ -28,6 +28,8 @@ RELATIONAL = [
     "scalar_functions",
     "pivot_linestatus",
     "window_topk_parts",
+    "window_range_frame",
+    "unpivot_pricing",
     "window_running_total",
     "window_lag_lead",
     "window_moving_avg",
