@@ -80,6 +80,20 @@ def sql_lsh_bucket(vec: str, n_planes: int, dim: int) -> str:
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
+def sql_plane_dots(vec: str, n_planes: int, dim: int) -> str:
+    """DuckDB: list of all plane dot products for a vector expr."""
+    return "[" + ", ".join(sql_plane_dot(vec, j, dim) for j in range(n_planes)) + "]"
+
+
+def sql_home_bucket(dots: str, n_planes: int) -> str:
+    """DuckDB: home bucket from a dots-list expr."""
+    terms = " + ".join(
+        f"CASE WHEN {dots}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -103,6 +117,30 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def query_probe_buckets(vec: Column, n_planes: int, dim: int, probes: int) -> Column:
+    """Multi-probe bucket list for a query vector: the home bucket plus
+    (probes-1) buckets reached by flipping the sign bit with the
+    smallest |margin| — the classic recall-recovery trick that re-gains
+    neighbors near a hyperplane without rescanning candidates."""
+    dots = F.array(*[plane_dot(vec, j, dim) for j in range(n_planes)])
+    bits = [
+        F.when(F.element_at(dots, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    home = bits[0]
+    for b in bits[1:]:
+        home = home + b
+    home = home.cast("long")
+    if probes <= 1:
+        return F.array(home)
+    margins = F.transform(dots, lambda d: F.abs(d))
+    minpos = F.array_position(margins, F.array_min(margins))  # 1-based
+    # shiftleft() needs a literal bit count; 2^(minpos-1) is exact here
+    flip_bit = F.pow(F.lit(2.0), (minpos - F.lit(1)).cast("double")).cast("long")
+    flipped = home.bitwiseXOR(flip_bit)
+    return F.array(home, flipped)
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -111,11 +149,16 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: same-bucket candidates only, then exact rank."""
+    """Approximate top-k: same-bucket candidates only (multi-probe on
+    the query side when probes > 1), then exact rank within matches."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dim))
+    ).withColumn(
+        "bucket",
+        F.explode(query_probe_buckets(F.col("qv"), n_planes, dim, probes)),
+    )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim))

@@ -1,0 +1,88 @@
+"""Deterministic distinct-count sketch: KMV (k minimum values).
+
+``approx_count_distinct`` (HLL++) is engine-internal and can't be
+differentially tested. KMV gives the same O(k) memory / one-pass
+sketching story with a fully portable definition: hash every value with
+the portable polynomial family, keep the k smallest DISTINCT hashes,
+estimate distinct = (k-1) / normalized k-th minimum. Deterministic in
+any engine ⇒ exact oracle parity even though the COUNT is approximate.
+
+Scale: the per-group state is k longs; the plan is
+distinct-hash → per-group bottom-k (window) → one aggregate. Mergeable
+across partitions the same way HLL is (union = k smallest of the
+union), which is what the shuffle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import POLY_MOD
+from ..functions.rounding import pround, sql_pround
+
+# one fixed permutation from the family (a, b) — shared with the oracle
+KMV_A = 906_260_429
+KMV_B = 558_787_261
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimate + exact count for reference."""
+    hashed = df.select(
+        group_col,
+        ((F.col(value_col).cast("long") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(POLY_MOD)).alias(
+            "_h"
+        ),
+        F.col(value_col).alias("_v"),
+    )
+    distinct_h = hashed.select(group_col, "_h").distinct()
+    w = W.partitionBy(group_col).orderBy("_h")
+    kth = (
+        distinct_h.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.max("_h").alias("_hk"), F.count("*").alias("_nk"))
+    )
+    exact = hashed.groupBy(group_col).agg(F.countDistinct("_v").alias("exact_distinct"))
+    est = F.when(
+        F.col("_nk") < k, F.col("_nk").cast("double")  # fewer than k distinct: exact
+    ).otherwise(
+        (F.lit(float(k - 1))) / (F.col("_hk").cast("double") / F.lit(float(POLY_MOD)))
+    )
+    return kth.join(exact, group_col).select(
+        group_col,
+        pround(est, 4).alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
+def sql_kmv_distinct(
+    table: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB twin of kmv_distinct."""
+    return f"""
+        WITH hashed AS (
+            SELECT {group_col},
+                   (CAST({value_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {POLY_MOD} AS _h,
+                   {value_col} AS _v
+            FROM {table}
+        ), dh AS (
+            SELECT DISTINCT {group_col}, _h FROM hashed
+        ), kth AS (
+            SELECT {group_col}, max(_h) AS _hk, count(*) AS _nk FROM (
+                SELECT {group_col}, _h,
+                       row_number() OVER (PARTITION BY {group_col} ORDER BY _h) AS _rn
+                FROM dh
+            ) WHERE _rn <= {k}
+            GROUP BY {group_col}
+        ), exact AS (
+            SELECT {group_col}, CAST(count(DISTINCT _v) AS BIGINT) AS exact_distinct
+            FROM hashed GROUP BY {group_col}
+        )
+        SELECT kth.{group_col},
+               {sql_pround(f"CASE WHEN _nk < {k} THEN CAST(_nk AS DOUBLE) ELSE {float(k - 1)} / (CAST(_hk AS DOUBLE) / {float(POLY_MOD)}) END", 4)} AS kmv_estimate,
+               exact_distinct
+        FROM kth JOIN exact ON kth.{group_col} = exact.{group_col}
+    """

@@ -34,6 +34,7 @@ from . import (  # noqa: E402
     multimodal,
     relational,
     similarity,
+    sketches,
     sql_surface,
     textstats,
     windows,
@@ -49,3 +50,4 @@ _register(similarity)
 _register(textstats)
 _register(multimodal)
 _register(sql_surface)
+_register(sketches)

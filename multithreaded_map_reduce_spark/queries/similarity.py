@@ -13,13 +13,20 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_pround
 from ..functions.vectors import sql_as_double, sql_cosine
-from ..operators.similarity import brute_force_topk, lsh_topk, sql_lsh_bucket
+from ..operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    sql_home_bucket,
+    sql_lsh_bucket,
+    sql_plane_dots,
+)
 from ..sources.catalog import load_table
 
 N_QUERIES = 5
 K = 5
 N_PLANES = 4
 DIM = 64
+PROBES = 2
 
 
 def _split(spark, sf_dir):
@@ -36,8 +43,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe (2) hyperplane LSH — recall recovery with one extra
+    probed bucket per query, still oracle-exact."""
     q, c = _split(spark, sf_dir)
-    return lsh_topk(q, c, "vec_id", "embedding", k=K, n_planes=N_PLANES, dim=DIM)
+    return lsh_topk(
+        q, c, "vec_id", "embedding", k=K, n_planes=N_PLANES, dim=DIM, probes=PROBES
+    )
 
 
 QUERIES = {
@@ -66,10 +77,21 @@ ORACLES = {
         ) WHERE rank <= {K}
     """,
     "sim_topk_lsh": f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, qv, {sql_lsh_bucket('qv', N_PLANES, DIM)} AS bucket
-            FROM (SELECT vec_id, {sql_as_double('embedding')} AS qv
-                  FROM embeddings WHERE vec_id < {N_QUERIES})
+        WITH q0 AS (
+            SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), qd AS (
+            SELECT query_id, qv, {sql_plane_dots('qv', N_PLANES, DIM)} AS dots FROM q0
+        ), qh AS (
+            SELECT query_id, qv, dots, {sql_home_bucket('dots', N_PLANES)} AS home FROM qd
+        ), q AS (
+            SELECT query_id, qv, unnest([
+                home,
+                xor(home, CAST(1 << (list_position(
+                    list_transform(dots, d -> abs(d)),
+                    list_min(list_transform(dots, d -> abs(d)))) - 1) AS BIGINT))
+            ]) AS bucket
+            FROM qh
         ), c AS (
             SELECT vec_id AS neighbor_id, cv, {sql_lsh_bucket('cv', N_PLANES, DIM)} AS bucket
             FROM (SELECT vec_id, {sql_as_double('embedding')} AS cv

@@ -1,0 +1,58 @@
+"""KMV sketch: oracle parity + estimation quality + multi-probe LSH."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+
+def test_kmv_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark, ALL_QUERIES["kmv_distinct_parts"], ALL_ORACLES["kmv_distinct_parts"], SF_SMOKE
+    )
+
+
+def test_kmv_estimate_quality(spark):
+    """KMV with k=64 should land within ~35% of exact on this data
+    (standard error ≈ 1/sqrt(k-1) ≈ 12.7%; 3σ bound)."""
+    from multithreaded_map_reduce_spark.queries.sketches import kmv_distinct_parts
+
+    for r in kmv_distinct_parts(spark, SF_SMOKE).collect():
+        exact, est = r["exact_distinct"], r["kmv_estimate"]
+        assert abs(est - exact) / exact < 0.4, (r["l_returnflag"], est, exact)
+
+
+def test_multiprobe_recall_not_worse(spark):
+    """probes=2 recall >= probes=1 recall against the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.similarity import lsh_topk
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        DIM,
+        K,
+        N_PLANES,
+        N_QUERIES,
+        sim_topk_bruteforce,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                q, c, "vec_id", "embedding", k=K, n_planes=N_PLANES, dim=DIM, probes=probes
+            ).collect()
+        }
+        return len(got & exact)
+
+    assert recall(2) >= recall(1)
