@@ -37,6 +37,7 @@ from . import (  # noqa: E402
     sketches,
     sql_surface,
     textstats,
+    tpch_more,
     windows,
 )
 
@@ -51,3 +52,4 @@ _register(textstats)
 _register(multimodal)
 _register(sql_surface)
 _register(sketches)
+_register(tpch_more)

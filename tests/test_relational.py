@@ -42,3 +42,20 @@ def test_oracle_parity(spark, name):
     from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+TPCH_MORE = [
+    "q10_returned_revenue",
+    "q12_priority_by_status",
+    "q14_promo_share",
+    "q16_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_MORE)
+def test_tpch_more_oracle_parity(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
