@@ -38,6 +38,9 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_tfidf_top_terms",
     "multimodal_features",
+    "q14_promo_share",
+    "q19_disjunctive",
+    "kmv_distinct_parts",
 ]
 
 
