@@ -48,16 +48,28 @@ def plane_dot(vec: Column, j: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Bucket id = sign bits of ``n_planes`` hyperplane dots."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """Bucket id = sign bits of ``n_planes`` hyperplane dots.
+    ``plane_offset`` selects an independent plane set from the same
+    deterministic family (table t → offset t*n_planes)."""
     bits = [
-        F.when(plane_dot(vec, j, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        F.when(plane_dot(vec, plane_offset + j, dim) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(n_planes)
     ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def _shifted_bucket(vec: Column, t: int, n_planes: int, dim: int) -> Column:
+    return lsh_bucket(vec, n_planes, dim, plane_offset=t * n_planes)
+
+
+def _shifted_probe_buckets(
+    vec: Column, t: int, n_planes: int, dim: int, probes: int
+) -> Column:
+    return query_probe_buckets(vec, n_planes, dim, probes, plane_offset=t * n_planes)
 
 
 def sql_plane_dot(vec: str, j: int, dim: int) -> str:
@@ -117,12 +129,14 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def query_probe_buckets(vec: Column, n_planes: int, dim: int, probes: int) -> Column:
+def query_probe_buckets(
+    vec: Column, n_planes: int, dim: int, probes: int, plane_offset: int = 0
+) -> Column:
     """Multi-probe bucket list for a query vector: the home bucket plus
     (probes-1) buckets reached by flipping the sign bit with the
     smallest |margin| — the classic recall-recovery trick that re-gains
     neighbors near a hyperplane without rescanning candidates."""
-    dots = F.array(*[plane_dot(vec, j, dim) for j in range(n_planes)])
+    dots = F.array(*[plane_dot(vec, plane_offset + j, dim) for j in range(n_planes)])
     bits = [
         F.when(F.element_at(dots, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(n_planes)
@@ -150,22 +164,64 @@ def lsh_topk(
     n_planes: int = 4,
     dim: int = 64,
     probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates only (multi-probe on
-    the query side when probes > 1), then exact rank within matches."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn(
-        "bucket",
-        F.explode(query_probe_buckets(F.col("qv"), n_planes, dim, probes)),
-    )
-    c = candidates.select(
+    the query side when probes > 1; ``n_tables`` independent hash
+    tables when > 1 — the classic recall lever: a true neighbor is
+    missed only if it separates from the query in EVERY table), then
+    exact rank within the deduplicated matches."""
+    q0 = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c0 = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim))
-    scored = c.join(F.broadcast(q), "bucket").select(
-        "query_id",
-        "neighbor_id",
-        pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+
+    def _tag(t: int):
+        # unary closure (HOF lambda arity is inferred from the signature)
+        return lambda b: F.concat_ws("#", F.lit(str(t)), b.cast("string"))
+
+    # table t uses plane indices offset by t*n_planes in the same
+    # deterministic family — independent planes, no extra constants
+    q = q0.withColumn(
+        "tbk",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            _shifted_probe_buckets(F.col("qv"), t, n_planes, dim, probes),
+                            _tag(t),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+        ),
+    )
+    c = c0.withColumn(
+        "tbk",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(t)),
+                        _shifted_bucket(F.col("cv"), t, n_planes, dim).cast("string"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "tbk")
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -58,6 +58,20 @@ def test_bruteforce_topk_broadcasts_queries(spark):
     assert rep.broadcast_joins >= 1 or rep.cartesian is False
 
 
+def test_no_cartesian_anywhere(spark):
+    """Plan lint over the ENTIRE registry: no query may plan a
+    CartesianProduct (the brute-force similarity crossJoin must resolve
+    to a broadcast nested-loop, never a shuffle cartesian)."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    offenders = []
+    for name, fn in sorted(ALL_QUERIES.items()):
+        if plan_report(fn(spark, SF_SMOKE)).cartesian:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
 def test_scan_pruning_scalar_functions(spark):
     """Full-projection query still prunes to referenced columns only."""
     from multithreaded_map_reduce_spark.plans import plan_report

@@ -56,3 +56,39 @@ def test_multiprobe_recall_not_worse(spark):
         return len(got & exact)
 
     assert recall(2) >= recall(1)
+
+
+def test_multitable_recall_not_worse(spark):
+    """n_tables=3 recall >= n_tables=1 (union of independent tables)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.similarity import lsh_topk
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        DIM,
+        K,
+        N_PLANES,
+        N_QUERIES,
+        sim_topk_bruteforce,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                q, c, "vec_id", "embedding",
+                k=K, n_planes=N_PLANES, dim=DIM, n_tables=n_tables,
+            ).collect()
+        }
+        return len(got & exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
