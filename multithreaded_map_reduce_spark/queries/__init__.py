@@ -38,6 +38,7 @@ from . import (  # noqa: E402
     sql_surface,
     textstats,
     tpch_more,
+    udfs,
     windows,
 )
 
@@ -53,3 +54,4 @@ _register(multimodal)
 _register(sql_surface)
 _register(sketches)
 _register(tpch_more)
+_register(udfs)

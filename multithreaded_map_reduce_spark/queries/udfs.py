@@ -1,0 +1,88 @@
+"""Explicit UDF/UDAF surface (SURVEY.md §2c 'UDF/UDAF/UDTF'):
+
+- scalar Pandas UDF (Arrow-vectorized) — the sanctioned slow path when
+  built-ins can't express a function;
+- grouped-aggregate Pandas UDF (a real UDAF) — per-group custom
+  aggregation without collect_list;
+- (the UDTF analog — 1 row → n rows — is the MapReduce adapter's
+  ``map_fn``, covered by ``mr_*``; ``mapInPandas`` is covered by
+  ``multimodal_features``.)
+
+Both queries stay deterministic (and thus oracle-checkable) by doing
+their float math in exact integer micro-units inside the UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import sql_pround
+from ..sources.catalog import load_table
+
+
+@F.pandas_udf(T.LongType())
+def _value_micros(v: pd.Series) -> pd.Series:
+    """Scalar Pandas UDF: double → exact micro-units (portable floor)."""
+    import numpy as np
+
+    return pd.Series(np.floor(v.to_numpy() * 1e6 + 0.5).astype("int64"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _udaf_mean_micros(v: pd.Series) -> float:
+    """Grouped-agg Pandas UDF (UDAF): mean over exact micro-units —
+    integer summation makes the result order-independent."""
+    import numpy as np
+
+    units = np.floor(v.to_numpy() * 1e6 + 0.5).astype("int64")
+    return float(units.sum()) / 1e6 / len(units) if len(units) else float("nan")
+
+
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF over events.value."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        _value_micros(F.col("value")).alias("value_micros"),
+    )
+
+
+def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF: per-type exact mean of event values.
+
+    (A grouped-agg Pandas UDF cannot share an ``agg()`` with JVM
+    aggregates — the plain count comes from a second aggregation
+    joined back on the group key.)"""
+    ev = load_table(spark, sf_dir, "events")
+    means = ev.groupBy("event_type").agg(
+        F.floor(_udaf_mean_micros(F.col("value")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("mean_value_micros")
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return means.join(counts, "event_type")
+
+
+QUERIES = {
+    "pandas_udf_scalar": pandas_udf_scalar,
+    "pandas_udaf_mean": pandas_udaf_mean,
+}
+
+ORACLES = {
+    "pandas_udf_scalar": """
+        SELECT event_id,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micros
+        FROM events
+    """,
+    "pandas_udaf_mean": """
+        SELECT event_type,
+               CAST(floor((CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / 1000000.0 / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS mean_value_micros,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+}

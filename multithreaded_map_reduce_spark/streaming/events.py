@@ -83,6 +83,37 @@ def streaming_session_counts(events: DataFrame, gap: str = "10 minutes") -> Data
     )
 
 
+def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with a watermarked time-range condition:
+    purchases joined to the same user's clicks in the preceding hour —
+    the streaming twin of the batch bucketed range join.
+
+    Both sides carry watermarks so Spark can bound the join state: a
+    buffered click is dropped once the purchase-side watermark passes
+    click_ts + 1h.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "click_ts")
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion into an in-memory table;
     returns the stopped query. Caller reads ``spark.sql(SELECT * FROM
