@@ -85,11 +85,32 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKENS_SQL = f"SELECT doc_id, unnest({sql_tokens('text')}) AS word FROM documents"
 
+def reverse_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PLANNED-but-dead third application,
+    ReverseWeblinkGraph (commented out at ``CMakeLists.txt:35-37``):
+    edges (source → target) inverted to target → sorted source list.
+    Realized over the lineitem edge set (supplier ships part):
+    part → ascending distinct suppliers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("target"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("l_suppkey")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("sources")
+        )
+    )
+
+
 QUERIES = {
     "word_count": word_count,
     "inverted_index": inverted_index,
     "top_words": top_words,
     "grouped_values": grouped_values,
+    "reverse_graph": reverse_graph,
 }
 
 ORACLES = {
@@ -102,6 +123,12 @@ ORACLES = {
         SELECT word, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
         FROM (SELECT DISTINCT word, doc_id FROM ({TOKENS_SQL}))
         GROUP BY word
+    """,
+    "reverse_graph": """
+        SELECT l_partkey AS target,
+               string_agg(l_suppkey, ',' ORDER BY l_suppkey) AS sources
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        GROUP BY l_partkey
     """,
     "grouped_values": f"""
         SELECT word,
