@@ -151,15 +151,34 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """(id, simhash): 32-bit weighted fingerprint (token multiplicity =
     weight, because the token array is NOT deduped before voting).
 
-    Token hashes are materialized as a column first: the 32 per-bit
-    vote expressions then reference one attribute instead of inlining
-    (and recomputing) the char-level hashing 32×."""
+    Computed as explode + 32 codegen'd conditional-sum aggregates (the
+    Column-expression ``simhash32`` evaluates its per-bit votes through
+    interpreted higher-order lambdas — same hotspot as minhash; the
+    exploded form was ~4× faster at sf0.1 and shuffles one 32-vote row
+    per (partition, id) thanks to partial aggregation)."""
+    from functools import reduce
+    from operator import add
+
     token_hashes = hash_array(tokenize(F.col(text_col)))
-    return (
-        df.filter(F.length(text_col) > 0)
-        .select(F.col(id_col).alias("id"), token_hashes.alias("th"))
-        .select("id", simhash32(F.col("th")).alias("simhash"))
+    ex = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), F.explode(token_hashes).alias("h")
     )
+    votes = [
+        F.sum(
+            F.when((F.col("h") % F.lit(1 << (b + 1))) >= F.lit(1 << b), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"_v{b}")
+        for b in range(32)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"_v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(32)
+    ]
+    return agg.select("id", reduce(add, bits).alias("simhash"))
 
 
 def simhash_pairs(

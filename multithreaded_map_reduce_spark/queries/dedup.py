@@ -116,9 +116,12 @@ ORACLES = {
     """,
     "dedup_simhash": f"""
         WITH fp AS (
+            -- zero-token docs are excluded on both sides (the Spark
+            -- implementation aggregates exploded token hashes)
             SELECT doc_id AS id,
                    {sql_simhash32(sql_hash_array(sql_tokens('text')))} AS simhash
-            FROM documents WHERE length(text) > 0
+            FROM documents
+            WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
         )
         SELECT a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
