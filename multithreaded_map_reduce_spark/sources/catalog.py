@@ -41,6 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Driver-proofing: callers may hand in a session with a non-UTC
+    # timezone; events.ts is session-TZ-sensitive (TIMESTAMP_LTZ) and
+    # F.window()/session_window bucket in session time. Pin UTC at
+    # runtime so results match the (UTC-naive) DuckDB oracle under any
+    # caller session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
