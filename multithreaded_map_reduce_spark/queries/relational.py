@@ -252,6 +252,23 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string function library over part names (regexp
+    extraction, padding, replace, repeat, reverse, trim, position)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.repeat(F.col("p_type"), 2).alias("type_doubled"),
+        F.reverse(F.col("p_name")).alias("name_reversed"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.instr(F.col("p_name"), " ").alias("space_pos"),
+        F.left(F.col("p_name"), F.lit(3)).alias("prefix3"),
+    )
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT linestatus → columns (quantity sums per return flag)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -279,6 +296,7 @@ QUERIES = {
     "setop_except": setop_except,
     "setop_union": setop_union,
     "scalar_functions": scalar_functions,
+    "scalar_strings": scalar_strings,
     "pivot_linestatus": pivot_linestatus,
 }
 
@@ -428,6 +446,19 @@ ORACLES = {
                {sql_pround('abs(o_totalprice - 1000.0)', 2)} AS price_dev,
                o_orderkey % 7 AS key_mod7
         FROM orders
+    """,
+    "scalar_strings": r"""
+        SELECT p_partkey,
+               regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+               lpad(p_brand, 12, '*') AS brand_padded,
+               replace(p_name, ' ', '_') AS snake_name,
+               repeat(p_type, 2) AS type_doubled,
+               reverse(p_name) AS name_reversed,
+               trim('  ' || p_name || '  ') AS trimmed,
+               CAST(CASE WHEN position(' ' IN p_name) IS NULL THEN 0
+                         ELSE position(' ' IN p_name) END AS INTEGER) AS space_pos,
+               left(p_name, 3) AS prefix3
+        FROM part
     """,
     "pivot_linestatus": f"""
         SELECT l_returnflag,

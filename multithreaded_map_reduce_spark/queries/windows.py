@@ -141,10 +141,29 @@ def unpivot_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist,
+    first/last/nth value over per-brand price ordering."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("p_partkey").over(wf).alias("cheapest_part"),
+        F.last("p_partkey").over(wf).alias("priciest_part"),
+        F.nth_value("p_partkey", 2).over(wf).alias("second_cheapest"),
+    )
+
+
 QUERIES = {
     "window_topk_parts": window_topk_parts,
     "window_range_frame": window_range_frame,
     "unpivot_pricing": unpivot_pricing,
+    "window_distribution": window_distribution,
     "window_running_total": window_running_total,
     "window_lag_lead": window_lag_lead,
     "window_moving_avg": window_moving_avg,
@@ -152,6 +171,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_distribution": f"""
+        SELECT p_brand, p_partkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               {sql_pround('percent_rank() OVER w', 6)} AS pct_rank,
+               {sql_pround('cume_dist() OVER w', 6)} AS cume,
+               first_value(p_partkey) OVER wf AS cheapest_part,
+               last_value(p_partkey) OVER wf AS priciest_part,
+               nth_value(p_partkey, 2) OVER wf AS second_cheapest
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC),
+               wf AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
     "window_range_frame": f"""
         SELECT event_id, user_id,
                count(*) OVER w AS n_last_hour,

@@ -26,9 +26,11 @@ RELATIONAL = [
     "setop_except",
     "setop_union",
     "scalar_functions",
+    "scalar_strings",
     "pivot_linestatus",
     "window_topk_parts",
     "window_range_frame",
+    "window_distribution",
     "unpivot_pricing",
     "window_running_total",
     "window_lag_lead",
