@@ -269,6 +269,39 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval function library (quarter, ISO week, day-of-week,
+    month boundaries, month arithmetic, age in days)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce, nullif, null-safe equality,
+    least/greatest null behavior, conditional defaults."""
+    o = load_table(spark, sf_dir, "orders")
+    # make some NULLs deterministically: price for 'P' status treated unknown
+    price_or_null = F.when(F.col("o_orderstatus") != "P", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        pround(F.coalesce(price_or_null, F.lit(-1.0)), 2).alias("price_defaulted"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_nullable"),
+        price_or_null.eqNullSafe(F.col("o_totalprice")).cast("int").alias("nullsafe_eq"),
+        (price_or_null.isNull()).cast("int").alias("is_unknown"),
+        pround(F.greatest(price_or_null, F.lit(100000.0)), 2).alias("floor_100k"),
+    )
+
+
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT linestatus → columns (quantity sums per return flag)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -297,6 +330,8 @@ QUERIES = {
     "setop_union": setop_union,
     "scalar_functions": scalar_functions,
     "scalar_strings": scalar_strings,
+    "scalar_dates": scalar_dates,
+    "null_semantics": null_semantics,
     "pivot_linestatus": pivot_linestatus,
 }
 
@@ -459,6 +494,31 @@ ORACLES = {
                          ELSE position(' ' IN p_name) END AS INTEGER) AS space_pos,
                left(p_name, 3) AS prefix3
         FROM part
+    """,
+    "scalar_dates": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER)
+                   AS days_to_2002,
+               strftime(o_orderdate, '%Y-%m') AS year_month
+        FROM orders
+    """,
+    "null_semantics": f"""
+        SELECT o_orderkey,
+               {sql_pround("coalesce(CASE WHEN o_orderstatus != 'P' THEN o_totalprice END, -1.0)", 2)}
+                   AS price_defaulted,
+               nullif(o_orderstatus, 'P') AS status_nullable,
+               CAST((CASE WHEN o_orderstatus != 'P' THEN o_totalprice END
+                     IS NOT DISTINCT FROM o_totalprice) AS INT) AS nullsafe_eq,
+               CAST((CASE WHEN o_orderstatus != 'P' THEN o_totalprice END IS NULL) AS INT)
+                   AS is_unknown,
+               {sql_pround("greatest(CASE WHEN o_orderstatus != 'P' THEN o_totalprice END, 100000.0)", 2)}
+                   AS floor_100k
+        FROM orders
     """,
     "pivot_linestatus": f"""
         SELECT l_returnflag,

@@ -27,6 +27,8 @@ RELATIONAL = [
     "setop_union",
     "scalar_functions",
     "scalar_strings",
+    "scalar_dates",
+    "null_semantics",
     "pivot_linestatus",
     "window_topk_parts",
     "window_range_frame",
