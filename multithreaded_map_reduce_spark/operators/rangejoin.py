@@ -32,17 +32,20 @@ def count_in_window(
     so a probe spans at most 2 buckets.
     """
     bw = window_micros
+    # Floor division, not cast-to-long (which truncates toward zero):
+    # truncation collapses both probe buckets to 0 for 0 <= _lt < bw
+    # (double-counting every match) and mis-buckets negative timestamps.
     l = left.select(
         "*",
         F.unix_micros(F.col(left_time)).alias("_lt"),
-    ).withColumn("_bucket", F.explode(F.array(
-        (F.col("_lt") / F.lit(bw)).cast("long"),
-        ((F.col("_lt") - F.lit(bw)) / F.lit(bw)).cast("long"),
-    )))
+    ).withColumn("_bucket", F.explode(F.array_distinct(F.array(
+        F.floor(F.col("_lt") / F.lit(bw)).cast("long"),
+        F.floor((F.col("_lt") - F.lit(bw)) / F.lit(bw)).cast("long"),
+    ))))
     r = right.select(
         F.col(by).alias("_rk"),
         F.unix_micros(F.col(right_time)).alias("_rt"),
-    ).withColumn("_bucket", (F.col("_rt") / F.lit(bw)).cast("long"))
+    ).withColumn("_bucket", F.floor(F.col("_rt") / F.lit(bw)).cast("long"))
     joined = l.join(
         r,
         (F.col(by) == F.col("_rk"))

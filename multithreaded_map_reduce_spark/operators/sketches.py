@@ -30,11 +30,18 @@ def kmv_distinct(
     df: DataFrame, group_col: str, value_col: str, k: int = 64
 ) -> DataFrame:
     """Per-group KMV distinct estimate + exact count for reference."""
+    # Reduce the value mod POLY_MOD (positively) BEFORE multiplying:
+    # raw v * KMV_A overflows int64 for v >= ~1e10, and Spark's % keeps
+    # the sign of negative values, breaking the [0, POLY_MOD) ordering
+    # the k-th-minimum estimate depends on. pmod(v, M) < 2^31 and
+    # KMV_A < 2^30, so the product stays within int64.
     hashed = df.select(
         group_col,
-        ((F.col(value_col).cast("long") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(POLY_MOD)).alias(
-            "_h"
-        ),
+        F.pmod(
+            F.pmod(F.col(value_col).cast("long"), F.lit(POLY_MOD)) * F.lit(KMV_A)
+            + F.lit(KMV_B),
+            F.lit(POLY_MOD),
+        ).alias("_h"),
         F.col(value_col).alias("_v"),
     )
     distinct_h = hashed.select(group_col, "_h").distinct()
@@ -64,8 +71,10 @@ def sql_kmv_distinct(
     """DuckDB twin of kmv_distinct."""
     return f"""
         WITH hashed AS (
+            -- positive mod before multiply, mirroring kmv_distinct
             SELECT {group_col},
-                   (CAST({value_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {POLY_MOD} AS _h,
+                   (((CAST({value_col} AS BIGINT) % {POLY_MOD} + {POLY_MOD}) % {POLY_MOD})
+                        * {KMV_A} + {KMV_B}) % {POLY_MOD} AS _h,
                    {value_col} AS _v
             FROM {table}
         ), dh AS (

@@ -199,7 +199,7 @@ ORACLES = {
     """,
     "events_session": """
         WITH ordered AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    event_type,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '10 minutes'
@@ -207,8 +207,10 @@ ORACLES = {
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ), islands AS (
+            -- event_id tie-break must match the new_session window's
+            -- ordering, or same-ts events land in sessions nondeterministically
             SELECT user_id, ts, event_type,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS session_id
             FROM ordered

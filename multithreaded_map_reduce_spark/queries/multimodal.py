@@ -2,10 +2,11 @@
 
 ``multimodal_features`` runs the Arrow-batched binary pipeline
 (mapInPandas) and STILL has an exact DuckDB oracle: the media blobs are
-the documents' UTF-8 bytes, so byte length = ASCII length and the
-additive checksum = sum of codepoints — computable in SQL. This
-differentially tests the Python/Arrow path itself against the JVM-free
-oracle, not just JVM expressions.
+the documents' UTF-8 bytes, and the oracle recomputes byte length and
+the additive byte checksum over the actual UTF-8 encoding
+(``hex(encode(text))`` → per-byte values), so non-ASCII documents hash
+identically on both sides. This differentially tests the Python/Arrow
+path itself against the JVM-free oracle, not just JVM expressions.
 """
 
 from __future__ import annotations
@@ -23,20 +24,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"multimodal_features": multimodal_features}
 
+# Additive checksum over the UTF-8 BYTES (not codepoints): decode each
+# 2-hex-digit byte of hex(encode(text)) — exact for non-ASCII text too.
+_HEXDIG = "'0123456789ABCDEF'"
+_BYTE_AT = (
+    f"CAST((strpos({_HEXDIG}, substring(_hx, (i-1)*2+1, 1)) - 1) * 16"
+    f" + (strpos({_HEXDIG}, substring(_hx, (i-1)*2+2, 1)) - 1) AS BIGINT)"
+)
 _CHECKSUM = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT))), "
+    f"list_transform(range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1), "
+    f"i -> {_BYTE_AT})), "
     "(x, y) -> x + y) % 2147483647"
 )
 
 ORACLES = {
     "multimodal_features": f"""
+        WITH hexed AS (
+            SELECT doc_id, text, hex(encode(text)) AS _hx FROM documents
+        )
         SELECT doc_id AS media_id,
                'text' AS modality,
-               CAST(length(text) AS BIGINT) AS byte_len,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                CAST({_CHECKSUM} AS BIGINT) AS checksum,
                CAST(({_CHECKSUM}) % 640 + 1 AS INTEGER) AS fake_width,
                CAST(({_CHECKSUM}) % 480 + 1 AS INTEGER) AS fake_height
-        FROM documents
+        FROM hexed
     """,
 }

@@ -90,3 +90,37 @@ def test_foreach_batch_sink(spark, tmp_path):
     from multithreaded_map_reduce_spark.sources.catalog import load_table
 
     assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_upsert_duplicate_update_keys(spark):
+    """Regression: duplicate-key update rows must collapse to one winner,
+    not fan the target row out into duplicates (ADVICE r1)."""
+    from multithreaded_map_reduce_spark.operators.merge import upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(1, "x"), (1, "z"), (3, "c")], "k long, v string"
+    )
+    out = upsert(target, updates, "k").collect()
+    assert len(out) == 3
+    rows = {r["k"]: r["v"] for r in out}
+    assert rows == {1: "z", 2: "b", 3: "c"}  # deterministic winner: max tiebreak
+
+
+def test_scd2_duplicate_change_keys(spark):
+    """Two change rows for one key: only the latest valid_from applies."""
+    from multithreaded_map_reduce_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "seg-A", "2024-01-01", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    changes = spark.createDataFrame(
+        [(1, "seg-A2", "2024-03-01"), (1, "seg-A3", "2024-06-01")],
+        "k long, attr string, valid_from string",
+    )
+    out = scd2_apply(dim, changes, "k").collect()
+    rows = {(r["k"], r["attr"]): (r["valid_from"], r["valid_to"]) for r in out}
+    assert len(out) == 2  # one closed + one new current, no fan-out
+    assert rows[(1, "seg-A")] == ("2024-01-01", "2024-06-01")
+    assert rows[(1, "seg-A3")] == ("2024-06-01", None)

@@ -92,3 +92,20 @@ def test_multitable_recall_not_worse(spark):
 
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
+
+
+def test_kmv_negative_and_large_values(spark):
+    """Regression: raw v*A overflowed int64 for v >= ~1e10 and negative
+    values hashed negative, breaking the k-th-minimum ordering (ADVICE r1)."""
+    from multithreaded_map_reduce_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", -(10**12) + i * 7_919_471_003) for i in range(200)],
+        "grp string, v long",
+    )
+    out = kmv_distinct(df, "grp", "v", k=32).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_distinct"] == 200
+    # estimate is positive, finite, and in a sane band around the truth
+    assert 0 < r["kmv_estimate"] < 10_000

@@ -61,3 +61,25 @@ def test_range_join_preserves_left(spark):
     rows = out.collect()
     assert len(rows) == n_purchases
     assert any(r["n_in_window"] == 0 for r in rows) or all(r["n_in_window"] >= 0 for r in rows)
+
+
+def test_range_join_epoch_boundary(spark):
+    """Regression: timestamps inside [0, window) used to land in the same
+    truncated bucket twice, double-counting every match (ADVICE r1)."""
+    from multithreaded_map_reduce_spark.operators.rangejoin import count_in_window
+
+    left = spark.createDataFrame(
+        [(1, 100, "1970-01-01 00:30:00"), (2, 100, "1970-01-01 01:30:00")],
+        "id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, "1970-01-01 00:10:00"), (100, "1970-01-01 00:50:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = count_in_window(
+        left, right, by="user_id", left_time="ts", right_time="ts",
+        window_micros=3600 * 1_000_000,
+    )
+    got = {r["id"]: r["n_in_window"] for r in out.collect()}
+    # id=1 at 00:30 sees only the 00:10 click; id=2 at 01:30 sees only 00:50
+    assert got == {1: 1, 2: 1}
