@@ -69,6 +69,21 @@ def hash_array(strings: Column) -> Column:
     )
 
 
+def token_hash(col: Column | str) -> Column:
+    """Codegen'd portable token hash: first 48 bits of md5, mod POLY_MOD.
+
+    Unlike ``poly_hash`` (a per-character higher-order-function fold,
+    which Catalyst evaluates INTERPRETED per element), this is a single
+    chain of codegen'd built-ins — md5 → substring → conv → % — so it
+    stays inside whole-stage codegen. DuckDB computes the identical
+    value (``sql_token_hash``); both engines emit lowercase hex md5.
+    This is the hash for the high-volume dedup paths (minhash/simhash);
+    ``poly_hash`` remains for rolling-hash fingerprints.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long") % F.lit(POLY_MOD)
+
+
 def _perm(a: int, b: int):
     # closure factory: keeps the lambda unary (PySpark infers higher-order
     # function arity from the Python signature)
@@ -154,6 +169,16 @@ def sql_poly_hash(expr: str) -> str:
         f"list_transform(string_split({expr}, ''), ch -> CAST(ord(ch) AS BIGINT))), "
         f"(acc, ch) -> (acc * {POLY_BASE} + ch) % {POLY_MOD})"
     )
+
+
+def sql_token_hash(expr: str) -> str:
+    """DuckDB twin of ``token_hash``."""
+    return f"(CAST(('0x' || substring(md5({expr}), 1, 12)) AS BIGINT) % {POLY_MOD})"
+
+
+def sql_token_hash_array(list_expr: str) -> str:
+    """DuckDB: ARRAY<STRING> → ARRAY<BIGINT> of token_hash values."""
+    return f"list_transform({list_expr}, s -> {sql_token_hash('s')})"
 
 
 def sql_hash_array(list_expr: str) -> str:

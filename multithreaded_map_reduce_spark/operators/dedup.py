@@ -13,8 +13,9 @@ and embedding-cosine near-dup.
   Candidate generation is a self-equi-join on band hash — shuffle is
   O(docs × bands), never O(docs²); only band-colliding pairs get the
   exact Jaccard verify. Skewed buckets (boilerplate docs) are the
-  hazard → AQE skew-join handles moderate skew, and a bucket-size cap
-  (drop buckets > N) is the industrial fix for degenerate ones.
+  hazard → AQE skew-join handles moderate skew, and the implemented
+  ``max_bucket`` cap drops degenerate buckets before the self-join
+  (see ``minhash_candidates``).
 - **simhash**: 32-bit weighted fingerprint, banded into 4 bytes.
   Pigeonhole: hamming ≤ 3 ⇒ at least one intact byte ⇒ the band join
   is LOSSLESS for ≤ 3 — brute-force-equivalent results at
@@ -33,14 +34,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    POLY_BASE,
+    POLY_MOD,
     band_hashes,
-    hash_array,
-    minhash_signature,
-    shingle_hashes_from_token_hashes,
-    simhash32,
+    token_hash,
 )
 from ..functions.rounding import pround
-from ..functions.text import char_shingles, tokenize
+from ..functions.text import char_shingles
 from ..functions.vectors import as_double, cosine
 
 
@@ -51,58 +51,142 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """(id, h) rows: word-n-gram shingle hashes per document, computed
+    END-TO-END in whole-stage codegen (no interpreted HOF lambdas):
+
+    posexplode(split) → codegen'd md5 token hash → window ``lead`` fold
+    over the n-token shingle. One shuffle (the id-partitioned window);
+    downstream per-id aggregations reuse that partitioning shuffle-free.
+    Documents with fewer than ``n`` tokens contribute the fold of all
+    their tokens; documents with zero tokens drop out. Duplicate shingle
+    hashes may repeat — consumers take ``min`` (dup-insensitive) or
+    ``collect_set``."""
+    # Tokenize without a HOF filter: trim outer whitespace first, then
+    # split on runs — no empty tokens can appear (quirk Q2 semantics:
+    # empties dropped, order kept), and every expression is codegen'd.
+    cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    base = (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), F.split(cleaned, r"\s+").alias("_toks"))
+        .filter((F.size("_toks") > 1) | (F.element_at("_toks", 1) != ""))
+    )
+    # The n-token window at position i is zipped in at EXPLODE time:
+    # arrays_zip(toks, toks[2:], …, toks[n:]) — no id-partitioned window,
+    # no sort, no shuffle; shingle adjacency comes from the zip itself.
+    shifted = [
+        F.slice(
+            "_toks", i + 1, F.greatest(F.size("_toks") - i, F.lit(0))
+        ).alias(f"t{i}")
+        for i in range(1, n)
+    ]
+    ex = base.select(
+        "id",
+        F.size("_toks").alias("_k"),
+        F.posexplode(F.arrays_zip(F.col("_toks").alias("t0"), *shifted)).alias(
+            "pos", "z"
+        ),
+    )
+    # Fold the zipped tokens, stopping at the null padding — for full
+    # windows that's the n-token shingle fold; for a document with k < n
+    # tokens, row 0 folds all k of them.
+    h: Column = token_hash(F.col("z.t0"))
+    for i in range(1, n):
+        nxt = F.col(f"z.t{i}")
+        h = F.when(nxt.isNull(), h).otherwise(
+            (h * F.lit(POLY_BASE) + token_hash(nxt)) % F.lit(POLY_MOD)
+        )
+    keep = (F.col("pos") + n <= F.col("_k")) | (
+        (F.col("_k") < n) & (F.col("pos") == 0)
+    )
+    return ex.filter(keep).select("id", h.alias("h"))
+
+
 def with_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
-    """(id, hashes): distinct word-n-gram shingle hashes per document.
-
-    Tokens are char-hashed once, shingle hashes composed from token
-    hashes (see shingle_hashes_from_token_hashes) — O(chars + tokens·n)
-    per document, the 100 TB-viable formulation."""
-    token_hashes = hash_array(tokenize(F.col(text_col)))
+    """(id, hashes): distinct shingle-hash set per document (the exact
+    Jaccard-verify relation), built from ``shingle_hash_rows``."""
     return (
-        df.filter(F.length(text_col) > 0)
-        .select(F.col(id_col).alias("id"), token_hashes.alias("th"))
-        .select(
-            "id", shingle_hashes_from_token_hashes(F.col("th"), n).alias("hashes")
-        )
+        shingle_hash_rows(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hashes"))
     )
 
 
-def minhash_signatures_agg(hashed: DataFrame, num: int | None = None) -> DataFrame:
-    """(id, sig): minhash signatures via explode + 32 min() aggregates.
+
+
+def minhash_signatures_agg(rows: DataFrame, num: int | None = None) -> DataFrame:
+    """(id, sig): minhash signatures via 32 codegen'd min() aggregates
+    over (id, h) shingle-hash rows.
 
     The Column-expression form (functions.hashing.minhash_signature)
     evaluates higher-order-function lambdas INTERPRETED, per element —
-    at sf0.1 that was ~40 s of pure permutation math. Exploding the
-    hash sets and computing 32 codegen'd ``min((h*a+b) % M)`` aggregates
-    keeps everything in whole-stage codegen with map-side partial mins:
-    the shuffle carries one 32-long row per (partition, id). ~10× faster
-    locally and the right shape at 100 TB."""
-    from ..functions.hashing import MINHASH_COEFFS, NUM_MINHASH, POLY_MOD
+    at sf0.1 that was ~40 s of pure permutation math. Aggregating the
+    exploded rows with ``min((h*a+b) % M)`` keeps everything in
+    whole-stage codegen with map-side partial mins: the shuffle carries
+    one 32-long row per (partition, id). ~10× faster locally and the
+    right shape at 100 TB."""
+    from ..functions.hashing import MINHASH_COEFFS, NUM_MINHASH
 
     coeffs = MINHASH_COEFFS[: (num or NUM_MINHASH)]
-    ex = hashed.select("id", F.explode("hashes").alias("h"))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(POLY_MOD)).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    agg = ex.groupBy("id").agg(*mins)
+    agg = rows.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(len(coeffs))]).alias("sig")
     )
 
 
-def minhash_candidates(hashed: DataFrame, bands: int = 16, rows: int = 2) -> DataFrame:
-    """LSH band join → distinct candidate pairs (id_a < id_b)."""
-    sigs = minhash_signatures_agg(hashed, num=bands * rows)
+def minhash_candidates(
+    rows: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 100,
+) -> DataFrame:
+    """LSH band join → distinct candidate pairs (id_a < id_b).
+
+    ``max_bucket`` is the degenerate-bucket cap: a band bucket holding
+    B docs yields B² candidate pairs, so one boilerplate bucket (every
+    page sharing a banner) can go quadratic at 100 TB. Buckets larger
+    than the cap are dropped BEFORE pair expansion — identical documents
+    are the exact-dedup pass's job, not LSH's. The oracle applies the
+    same cap, so recall stays part of the differential contract.
+
+    Pair generation is ONE shuffle: groupBy(bh) → collect_set(id) →
+    in-bucket pair expansion (two explodes). The classic banded
+    self-equi-join computes the banded relation twice and adds a second
+    shuffle + join stage; with the cap bounding every bucket at
+    ``max_bucket`` ids, in-bucket expansion is strictly cheaper and
+    Σ|bucket|² stays linear in docs × bands."""
+    sigs = minhash_signatures_agg(rows, num=bands * rows_per_band)
+    return candidates_from_signatures(sigs, bands, rows_per_band, max_bucket)
+
+
+def candidates_from_signatures(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Band → bucket → in-bucket pair expansion over an (id, sig) relation."""
     banded = sigs.select(
-        "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
+        "id", F.explode(band_hashes(F.col("sig"), bands, rows_per_band)).alias("bh")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = banded.groupBy("bh").agg(F.collect_set("id").alias("ids"))
+    buckets = buckets.filter(F.size("ids") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     return (
-        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -117,22 +201,41 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     n: int = 2,
-    bands: int = 16,
-    rows: int = 2,
-    threshold: float = 0.1,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 100,
 ) -> DataFrame:
     """Candidates via LSH, then exact shingle-set Jaccard ≥ threshold.
 
-    The shingle-hash relation feeds four plan branches (two candidate
-    sides, two verify sides); persist it so the interpreted-lambda
-    shingle construction runs once, spilling to disk if it outgrows
-    memory (MEMORY_AND_DISK is the 100 TB-safe level)."""
+    Banding must MATCH the threshold: b bands × r rows puts the
+    s-curve midpoint at (1/b)^(1/r). 8×4 → 0.59, right for a 0.5
+    near-dup threshold — planted ~0.98-jaccard dups collide with
+    probability 1-(1-0.98⁴)^8 ≈ 1, while j≈0.05 background pairs almost
+    never do. (16 bands × 2 rows — midpoint 0.25 — floods the verify
+    join with tens of thousands of low-jaccard candidates per 5k docs:
+    measured 174k candidates at sf0.1, the round-1 bottleneck.)
+
+    The persisted shingle rows feed two per-id aggregations, both
+    shuffle-free (the rows come out of an id-partitioned window): the
+    signature aggregation — 32 codegen'd ``min`` exprs in a hash
+    aggregate — and the ``collect_set`` verify relation. Keeping them
+    SEPARATE matters: collect_set is a typed-imperative aggregate, so a
+    merged agg runs on ObjectHashAggregateExec where the 32 min exprs
+    evaluate interpreted per row (~25 s of CPU at sf0.1 measured vs ~1 s
+    codegen'd)."""
     from pyspark import StorageLevel
 
-    hashed = with_shingle_hashes(df, id_col, text_col, n).persist(
+    rows_rel = shingle_hash_rows(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pairs = minhash_candidates(hashed, bands, rows)
+    sigs = minhash_signatures_agg(rows_rel, num=bands * rows)
+    pairs = candidates_from_signatures(sigs, bands, rows, max_bucket)
+    hashed = (
+        rows_rel.groupBy("id")
+        .agg(F.collect_set("h").alias("hashes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # read by both verify sides
+    )
     ha = hashed.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
     return (
@@ -155,13 +258,20 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     Column-expression ``simhash32`` evaluates its per-bit votes through
     interpreted higher-order lambdas — same hotspot as minhash; the
     exploded form was ~4× faster at sf0.1 and shuffles one 32-vote row
-    per (partition, id) thanks to partial aggregation)."""
+    per (partition, id) thanks to partial aggregation). Token hashing
+    is the codegen'd md5 ``token_hash`` applied AFTER the explode, so
+    no per-character interpreted fold runs anywhere."""
     from functools import reduce
     from operator import add
 
-    token_hashes = hash_array(tokenize(F.col(text_col)))
-    ex = df.filter(F.length(text_col) > 0).select(
-        F.col(id_col).alias("id"), F.explode(token_hashes).alias("h")
+    ex = (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("id", token_hash(F.col("tok")).alias("h"))
     )
     votes = [
         F.sum(

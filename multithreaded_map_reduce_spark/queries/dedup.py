@@ -13,8 +13,9 @@ math is the portable kind (functions/hashing.py, functions/vectors.py):
   sides.
 
 Thresholds are tuned to the fixture (probed distributions): word-bigram
-jaccard ≥ 0.1, hamming ≤ 2, char-8-gram jaccard ≥ 0.5 (the fixture
-plants true near-dups at ≥ 0.98), cosine ≥ 0.35.
+jaccard ≥ 0.5 with matched 8-band × 4-row LSH (the fixture plants true
+near-dups at ≥ 0.98 — see minhash_dedup_pairs on banding-vs-threshold),
+hamming ≤ 2, char-8-gram jaccard ≥ 0.5, cosine ≥ 0.35.
 """
 
 from __future__ import annotations
@@ -25,10 +26,10 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     sql_band_hashes,
     sql_char_shingles,
-    sql_hash_array,
     sql_minhash_signature,
     sql_shingle_hashes_from_token_hashes,
     sql_simhash32,
+    sql_token_hash_array,
     sql_tokens,
 )
 from ..functions.rounding import sql_pround
@@ -51,7 +52,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=16, rows=2, threshold=0.1)
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +78,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
 }
 
-_TOKEN_HASHES = sql_hash_array(sql_tokens("text"))
+_TOKEN_HASHES = sql_token_hash_array(sql_tokens("text"))
 _HASHES = sql_shingle_hashes_from_token_hashes("th", 2)
 _JACCARD = (
     "len(list_intersect(a.hashes, b.hashes))::DOUBLE"
@@ -95,31 +96,40 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": f"""
         WITH th AS (
+            -- zero-token docs drop out (mirrors the exploded Spark path)
             SELECT doc_id AS id, {_TOKEN_HASHES} AS th
-            FROM documents WHERE length(text) > 0
+            FROM documents
+            WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
         ), hashed AS (
             SELECT id, {_HASHES} AS hashes FROM th
         ), sigs AS (
             SELECT id, hashes, {sql_minhash_signature('hashes')} AS sig FROM hashed
-        ), bands AS (
-            SELECT id, unnest({sql_band_hashes('sig', 16, 2)}) AS bh FROM sigs
+        ), bands_all AS (
+            SELECT id, unnest({sql_band_hashes('sig', 8, 4)}) AS bh FROM sigs
+        ), buckets AS (
+            -- degenerate-bucket cap, mirroring minhash_candidates(max_bucket=100)
+            SELECT bh, list_distinct(list(id)) AS ids
+            FROM bands_all GROUP BY bh
         ), cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bands a JOIN bands b ON a.bh = b.bh AND a.id < b.id
+            SELECT DISTINCT p['a'] AS id_a, p['b'] AS id_b FROM (
+                SELECT unnest(flatten(list_transform(ids, x ->
+                    list_transform(list_filter(ids, y -> y > x),
+                                   y -> {{'a': x, 'b': y}})))) AS p
+                FROM buckets WHERE len(ids) BETWEEN 2 AND 100)
         )
         SELECT id_a, id_b, jaccard FROM (
             SELECT id_a, id_b, {sql_pround(_JACCARD, 6)} AS jaccard
             FROM cand
             JOIN sigs a ON cand.id_a = a.id
             JOIN sigs b ON cand.id_b = b.id
-        ) WHERE jaccard >= 0.1
+        ) WHERE jaccard >= 0.5
     """,
     "dedup_simhash": f"""
         WITH fp AS (
             -- zero-token docs are excluded on both sides (the Spark
             -- implementation aggregates exploded token hashes)
             SELECT doc_id AS id,
-                   {sql_simhash32(sql_hash_array(sql_tokens('text')))} AS simhash
+                   {sql_simhash32(sql_token_hash_array(sql_tokens('text')))} AS simhash
             FROM documents
             WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
         )

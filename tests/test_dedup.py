@@ -62,3 +62,56 @@ def test_simhash_banding_lossless(spark):
     rows = dedup_simhash(spark, SF_SMOKE).collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert len({(r["id_a"], r["id_b"]) for r in rows}) == len(rows)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """500 identical docs would make every band bucket hold 500 ids and
+    the candidate join go quadratic (~2M pairs); the max_bucket cap must
+    drop those buckets before the self-join."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        minhash_candidates,
+        shingle_hash_rows,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate banner text repeated everywhere").alias("text"),
+    )
+    rows = shingle_hash_rows(docs, "doc_id", "text", n=2)
+    capped = minhash_candidates(rows, bands=16, rows_per_band=2, max_bucket=100)
+    assert capped.count() == 0  # every bucket is degenerate -> dropped
+    uncapped = minhash_candidates(rows, bands=16, rows_per_band=2, max_bucket=None)
+    assert uncapped.count() == 500 * 499 // 2  # what the cap prevents
+
+
+def test_shingle_rows_match_short_docs(spark):
+    """Documents with fewer than n tokens fold all tokens into one
+    shingle; zero-token documents drop out."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.functions.hashing import (
+        POLY_BASE,
+        POLY_MOD,
+        token_hash,
+    )
+    from multithreaded_map_reduce_spark.operators.dedup import shingle_hash_rows
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, "   "), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["h"]
+        for r in shingle_hash_rows(docs, "doc_id", "text", n=2).collect()
+    }
+    th = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame(
+            [("solo",), ("two",), ("tokens",), ("a",), ("b",), ("c",)], "t string"
+        ).select("t", token_hash(F.col("t")).alias("h")).collect()
+    }
+    assert got[1] == th["solo"]  # 1 token: fold = the token hash itself
+    assert got[2] == (th["two"] * POLY_BASE + th["tokens"]) % POLY_MOD
+    assert 3 not in got  # whitespace-only: no tokens, no rows
