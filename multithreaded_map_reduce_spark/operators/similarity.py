@@ -213,15 +213,19 @@ def lsh_topk(
             )
         ),
     )
+    # Score BEFORE deduplicating: a pair matched in several tables would
+    # otherwise drag both full vectors (2·dim·8 bytes) through the
+    # distinct's shuffle — recomputing one deterministic cosine per
+    # duplicate is far cheaper than shuffling vectors at scale. The
+    # distinct therefore operates on (ids, cos_sim) only.
     scored = (
         c.join(F.broadcast(q), "tbk")
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .distinct()
         .select(
             "query_id",
             "neighbor_id",
             pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -124,15 +124,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 tf-idf terms per document (idf = ln(N/df))."""
+    """Top-3 tf-idf terms per document (idf = ln(N/df)).
+
+    The doc-frequency relation joins on ``term`` WITHOUT a broadcast
+    hint: web-scale vocabulary is unbounded, so an unconditional
+    broadcast would eventually OOM the driver. A plain equi-join
+    co-partitions tf and df on term, and AQE still converts to a
+    runtime broadcast when the measured vocabulary is small — the
+    size-gated behavior, decided by stats instead of a hardcoded hint
+    (plan-asserted in tests/test_plans.py). The single-row n_docs
+    relation needs no hint either: a 1-row nested-loop side is
+    broadcast automatically."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.join(df_, "term")
+        .crossJoin(n_docs)
         .select(
             "doc_id",
             "term",

@@ -80,3 +80,25 @@ def test_scan_pruning_scalar_functions(spark):
     assert rep.read_schemas
     # orders has 6 columns; query touches 4
     assert all("o_totalprice" in rs for rs in rep.read_schemas)
+
+
+def test_tfidf_no_vocabulary_broadcast_hint(spark):
+    """The term-frequency x doc-frequency join must NOT carry a static
+    broadcast hint: vocabulary is unbounded at web scale. AQE may still
+    broadcast at runtime when measured stats are small — that's the
+    point (size-gated, not hardcoded)."""
+    df = _q("text_tfidf_top_terms")(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical.lower()
+
+
+def test_lsh_topk_distinct_excludes_vectors(spark):
+    """The candidate dedup must group on (ids, cos_sim), never drag the
+    full query/candidate vectors through its shuffle."""
+    df = _q("sim_topk_lsh")(spark, SF_SMOKE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [l for l in optimized.splitlines() if "Aggregate [" in l]
+    assert agg_lines, "no Aggregate (distinct) node found"
+    # the distinct is the only Aggregate in this plan
+    assert "cos_sim" in agg_lines[0]
+    assert "qv" not in agg_lines[0] and "cv" not in agg_lines[0]
