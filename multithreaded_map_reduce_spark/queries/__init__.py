@@ -36,6 +36,7 @@ from . import (  # noqa: E402
     similarity,
     sketches,
     sql_surface,
+    streaming_gate,
     textstats,
     tpch_more,
     udfs,
@@ -55,6 +56,7 @@ _register(sql_surface)
 _register(sketches)
 _register(tpch_more)
 _register(udfs)
+_register(streaming_gate)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the

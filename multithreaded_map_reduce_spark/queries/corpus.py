@@ -56,6 +56,22 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quirk-Q1 compat mode: the reference sorts positions as STRINGS
+    ("10" < "2", ``src/InvertedIndex.cpp:35`` — positions are stringified
+    line numbers, `std::sort` over strings). Same inverted index as
+    ``inverted_index`` but with byte-lexicographic position order."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_ids")
+        )
+    )
+
+
 def grouped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's grouped relation (SURVEY.md §2a row 5): key →
     ordered value list, as one shuffle + collect_list. Emitted as a
@@ -108,6 +124,7 @@ def reverse_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "word_count": word_count,
     "inverted_index": inverted_index,
+    "inverted_index_lexicographic": inverted_index_lexicographic,
     "top_words": top_words,
     "grouped_values": grouped_values,
     "reverse_graph": reverse_graph,
@@ -121,6 +138,13 @@ ORACLES = {
     """,
     "inverted_index": f"""
         SELECT word, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT DISTINCT word, doc_id FROM ({TOKENS_SQL}))
+        GROUP BY word
+    """,
+    "inverted_index_lexicographic": f"""
+        SELECT word,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
         FROM (SELECT DISTINCT word, doc_id FROM ({TOKENS_SQL}))
         GROUP BY word
     """,

@@ -1,0 +1,151 @@
+"""Streaming queries promoted into the driver correctness gate.
+
+Each entry drives a REAL Structured Streaming query (file source →
+watermarked transformation → memory sink, `processAllAvailable`) and
+returns the sink contents as a batch DataFrame — so watermark, session
+and stateful logic earn differential CORRECTNESS rows against batch SQL
+oracles, not just pytest assertions. The reference is strictly batch
+(SURVEY.md §2c); this is the rebuild's streaming tier under the same
+gate as everything else.
+
+With the whole fixture in one micro-batch the watermark drops nothing,
+so the batch-twin oracles are EXACT (same shapes as queries/events.py).
+The stateful entry sums in integer micro-units (streaming/stateful.py)
+so its output is order-independent and hashable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import (
+    from_iunits,
+    pround,
+    sql_from_iunits,
+    sql_iunits,
+    sql_pround,
+)
+from ..streaming.events import (
+    run_stream_to_memory,
+    stream_events,
+    stream_stream_click_purchase_join,
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+from ..streaming.stateful import running_user_totals
+
+
+def _sink(prefix: str) -> str:
+    # memory-sink table names must be unique per run within a session
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sink("st_tumbling")
+    run_stream_to_memory(
+        streaming_tumbling_counts(stream_events(spark, sf_dir)), name
+    )
+    return spark.table(name)
+
+
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sink("st_session")
+    run_stream_to_memory(
+        streaming_session_counts(stream_events(spark, sf_dir)), name
+    )
+    return spark.table(name)
+
+
+def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sink("st_join")
+    run_stream_to_memory(
+        stream_stream_click_purchase_join(stream_events(spark, sf_dir)),
+        name,
+        output_mode="append",  # stream-stream joins only support append
+    )
+    return spark.table(name)
+
+
+def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sink("st_stateful")
+    run_stream_to_memory(
+        running_user_totals(stream_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+    # update mode appends one row per (user, batch); keep each user's
+    # final state (n_events grows monotonically per batch)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            pround(from_iunits(F.col("total_micros")), 2).alias("total_value"),
+        )
+    )
+
+
+QUERIES = {
+    "streaming_tumbling": streaming_tumbling,
+    "streaming_session": streaming_session,
+    "streaming_join": streaming_join,
+    "streaming_stateful": streaming_stateful,
+}
+
+ORACLES = {
+    # identical to the batch events_tumbling contract
+    "streaming_tumbling": f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+               event_type,
+               count(*) AS n,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # gaps-and-islands twin of session_window (end = last event + gap)
+    "streaming_session": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '10 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '10 minutes' AS session_end,
+               count(*) AS n_events
+        FROM islands
+        GROUP BY user_id, session_id
+    """,
+    "streaming_join": """
+        SELECT p.event_id, p.user_id,
+               p.ts AS purchase_ts, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    """,
+    "streaming_stateful": f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+}

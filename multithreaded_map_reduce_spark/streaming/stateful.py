@@ -16,27 +16,43 @@ from pyspark.sql import DataFrame
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (event count, value sum) maintained as explicit
-    state across micro-batches; emits the updated totals each batch."""
+    state across micro-batches; emits the updated totals each batch.
+
+    The value sum is carried as exact integer MICRO-UNITS (each value
+    rounded to 1e-6 once via the portable floor(x*1e6 + 0.5) formula —
+    the same ``iunits`` definition the batch queries and the DuckDB
+    oracle use — then integer-summed): float accumulation order varies
+    with batch/partition order, integer sums don't, so the operator is
+    deterministic enough to differential-test against a SQL oracle."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            n, total = state.get
+            n, total_micros = state.get
         else:
-            n, total = 0, 0.0
+            n, total_micros = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_micros += int(
+                np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5)
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, total_micros))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_micros": [total_micros],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        outputStructType="user_id long, n_events long, total_micros long",
+        stateStructType="n long, total_micros long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

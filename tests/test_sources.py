@@ -61,17 +61,16 @@ def test_stateful_streaming_totals(spark):
     from multithreaded_map_reduce_spark.streaming.stateful import running_user_totals
     from multithreaded_map_reduce_spark.sources.catalog import load_table
 
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+
     stream = stream_events(spark, SF_SMOKE)
     run_stream_to_memory(running_user_totals(stream), "stateful_out", output_mode="update")
     got = {
-        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        r["user_id"]: (r["n_events"], r["total_micros"])
         for r in spark.sql("SELECT * FROM stateful_out").collect()
     }
     batch = load_table(spark, SF_SMOKE, "events").groupBy("user_id").agg(
-        F.count("*").alias("n"), F.sum("value").alias("v")
+        F.count("*").alias("n"), F.sum(iunits(F.col("value"))).alias("v")
     )
-    want = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
-    assert set(got) == set(want)
-    for u in want:
-        assert got[u][0] == want[u][0]
-        assert abs(got[u][1] - want[u][1]) < 1e-6
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want  # exact: integer micro-unit state
