@@ -2,13 +2,13 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 pipelines.
 
-The container has no image/audio libraries, so the actual codec step is
-STUBBED (clearly marked below): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless PIL/soundfile import, and the pipeline
-falls back to a deterministic fake decode. Everything around the stub —
-schemas, binary handling, Arrow batch iteration, partitioning, UDF
-signatures — is real and tested; swapping the fake for a real codec is
-a one-function change.
+The image path is REAL: ``documents_as_ppm_images`` synthesizes binary
+PPM containers and ``extract_image_features`` parses them with the
+pure-Python strict decoder in ``operators/codecs.py`` (the container
+ships no PIL; PPM is trivial but genuine — wrong magic / truncated
+raster raise). Exotic formats still route through PIL when importable
+and otherwise raise ``NotImplementedError``; ``_fake_decode`` remains
+only for the text-bytes pipeline, whose blobs are not images at all.
 
 Scale notes:
 - media bytes travel Spark→Python via Arrow in columnar batches, not
@@ -66,14 +66,23 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):  # pragma: no cover - exercised only with PIL
-    """STUB: real image decode. Returns (width, height, mode)."""
+def decode_image(blob: bytes):
+    """Real image decode: PPM (P6) via the built-in pure-Python parser
+    (operators/codecs.py); other formats via PIL when importable.
+    Returns (width, height, mode)."""
+    from .codecs import decode_ppm
+
+    if blob[:2] == b"P6":
+        w, h, _maxval, _pixels = decode_ppm(blob)
+        return w, h, "RGB"
     try:
         import io
 
         from PIL import Image  # type: ignore
-    except ImportError as exc:  # the v1 container has no PIL
-        raise NotImplementedError("image codec not available in this environment") from exc
+    except ImportError as exc:  # this container has no PIL
+        raise NotImplementedError(
+            "non-PPM image codec not available in this environment"
+        ) from exc
     img = Image.open(io.BytesIO(blob))
     return img.width, img.height, img.mode
 
@@ -113,6 +122,72 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, maxval int, "
+    "pix_checksum long"
+)
+
+
+def documents_as_ppm_images(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary PPM blob per document: dimensions derive
+    from doc_id, the raster is the document's UTF-8 bytes cycled to
+    width*height*3 bytes. Arrow-batched builder — this is the ingest
+    side of the codec round-trip (the oracle recomputes every decoded
+    feature arithmetically from doc_id + text, so encoder and decoder
+    are both under the differential gate)."""
+    import pandas as pd
+
+    from .codecs import encode_ppm
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 12 + 1
+                need = w * h * 3
+                tb = text.encode("utf-8")
+                raster = (tb * (need // len(tb) + 1))[:need]
+                blobs.append(encode_ppm(w, h, raster))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "media": pd.Series(blobs, dtype=object)}
+            )
+
+    return docs.filter(F.length("text") > 0).mapInPandas(
+        build, "media_id long, media binary"
+    )
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parse each PPM container and emit its
+    geometry + an additive raster checksum."""
+    import pandas as pd
+
+    from .codecs import decode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "byte_len": [], "width": [], "height": [],
+                "maxval": [], "pix_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, maxval, pixels = decode_ppm(bytes(blob))
+                out["media_id"].append(mid)
+                out["byte_len"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(maxval)
+                out["pix_checksum"].append(
+                    int(np.frombuffer(pixels, dtype=np.uint8).sum()) % 2_147_483_647
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
 def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:

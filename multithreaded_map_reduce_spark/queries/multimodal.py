@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import documents_as_media, extract_media_features
+from ..operators.multimodal import (
+    documents_as_media,
+    documents_as_ppm_images,
+    extract_image_features,
+    extract_media_features,
+)
 from ..sources.catalog import load_table
 
 
@@ -22,7 +27,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(documents_as_media(docs))
 
 
-QUERIES = {"multimodal_features": multimodal_features}
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip under the gate: synthesize binary PPM blobs
+    (dims from doc_id, raster = UTF-8 text bytes cycled), parse them
+    with the strict pure-Python decoder, and emit decoded geometry +
+    raster checksum. The oracle recomputes every feature arithmetically
+    from doc_id and the text bytes — if either the encoder or the
+    parser mishandles one byte, the hash comparison fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(documents_as_ppm_images(docs))
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_decode": multimodal_decode,
+}
 
 # Additive checksum over the UTF-8 BYTES (not codepoints): decode each
 # 2-hex-digit byte of hex(encode(text)) — exact for non-ASCII text too.
@@ -38,7 +57,48 @@ _CHECKSUM = (
     "(x, y) -> x + y) % 2147483647"
 )
 
+# Raster checksum of the PPM round-trip: the raster is the text's UTF-8
+# bytes cycled to w*h*3 bytes, so its sum = full_cycles * (total byte
+# sum) + (prefix sum of the first npix % tb bytes) — pure arithmetic.
+_BYTESUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(range(1, CAST(_tb AS INTEGER) + 1), "
+    f"i -> {_BYTE_AT})), "
+    "(x, y) -> x + y)"
+)
+_PREFIXSUM_R = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(range(1, CAST(_r AS INTEGER) + 1), "
+    f"i -> {_BYTE_AT})), "
+    "(x, y) -> x + y)"
+)
+
 ORACLES = {
+    "multimodal_decode": f"""
+        WITH geom AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS _hx,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+                   CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 12 + 1 AS INTEGER) AS height
+            FROM documents WHERE length(text) > 0
+        ), sized AS (
+            SELECT *,
+                   CAST(width AS BIGINT) * height * 3 AS _npix,
+                   (CAST(width AS BIGINT) * height * 3) % _tb AS _r
+            FROM geom
+        )
+        SELECT doc_id AS media_id,
+               -- 'P6\\n' + 'w h\\n' + '255\\n' + raster
+               3 + length(CAST(width AS VARCHAR)) + 1
+                 + length(CAST(height AS VARCHAR)) + 1 + 4 + _npix AS byte_len,
+               width,
+               height,
+               255 AS maxval,
+               ((_npix // _tb) * {_BYTESUM} + {_PREFIXSUM_R}) % 2147483647
+                   AS pix_checksum
+        FROM sized
+    """,
     "multimodal_features": f"""
         WITH hexed AS (
             SELECT doc_id, text, hex(encode(text)) AS _hx FROM documents

@@ -58,3 +58,45 @@ def test_resize_stub(spark):
     out = resize_stub(media, 64, 64)
     rows = out.collect()
     assert all(r["width"] == 64 and r["height"] == 64 and r["est_bytes"] >= 0 for r in rows)
+
+
+def test_ppm_codec_roundtrip():
+    from multithreaded_map_reduce_spark.operators.codecs import decode_ppm, encode_ppm
+
+    pixels = bytes(range(2 * 3 * 3)) * 1
+    blob = encode_ppm(2, 3, pixels)
+    assert decode_ppm(blob) == (2, 3, 255, pixels)
+
+
+def test_ppm_decoder_handles_comments_and_whitespace():
+    from multithreaded_map_reduce_spark.operators.codecs import decode_ppm
+
+    pixels = b"\x01\x02\x03"
+    blob = b"P6 # a comment\n # another\n\t1\r\n1 \n255\n" + pixels
+    assert decode_ppm(blob) == (1, 1, 255, pixels)
+
+
+def test_ppm_decoder_rejects_malformed():
+    import pytest
+
+    from multithreaded_map_reduce_spark.operators.codecs import decode_ppm, encode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00\x00\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\nx 1\n255\n\x00\x00\x00")  # non-numeric token
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(2, 2, bytes(12))[:-3])  # truncated raster
+
+
+def test_multimodal_decode_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["multimodal_decode"],
+        ALL_ORACLES["multimodal_decode"],
+        SF_SMOKE,
+    ) > 0
