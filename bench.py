@@ -41,7 +41,28 @@ HEADLINE = [
     "q14_promo_share",
     "q19_disjunctive",
     "kmv_distinct_parts",
+    "multimodal_decode",
+    "skew_salted_join",
 ]
+
+# flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring
+# sub-300ms queries where scheduler noise dominates
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.3
+
+
+def _previous_bench() -> tuple[str, dict[str, float]] | None:
+    """Newest recorded BENCH_r{N}.json → (filename, per-query seconds)."""
+    here = Path(__file__).resolve().parent
+    recs = sorted(here.glob("BENCH_r*.json"))
+    if not recs:
+        return None
+    try:
+        data = json.loads(recs[-1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    queries = (data.get("parsed") or data).get("queries")
+    return (recs[-1].name, queries) if isinstance(queries, dict) else None
 
 
 def main() -> None:
@@ -59,18 +80,33 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    regressions: dict[str, float] = {}
+    prev = _previous_bench()
+    if prev is not None:
+        prev_name, prev_queries = prev
+        for name, sec in timings.items():
+            base = prev_queries.get(name)
+            if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
+                regressions[name] = round(sec / base, 2)
+        for name, ratio in sorted(regressions.items(), key=lambda kv: -kv[1]):
+            print(
+                f"REGRESSION: {name} {ratio}x slower than {prev_name} "
+                f"({prev_queries[name]}s -> {timings[name]}s)",
+                file=sys.stderr,
+            )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    if prev is not None:
+        out["prev"] = prev[0]
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -35,6 +35,7 @@ from . import (  # noqa: E402
     relational,
     similarity,
     sketches,
+    skewproof,
     sql_surface,
     streaming_gate,
     textstats,
@@ -57,6 +58,7 @@ _register(sketches)
 _register(tpch_more)
 _register(udfs)
 _register(streaming_gate)
+_register(skewproof)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the
