@@ -48,3 +48,25 @@ def test_lsh_results_subset_of_candidates(spark):
         best[q] = max(best.get(q, -2.0), s)
     for r in sim_topk_lsh(spark, SF_SMOKE).collect():
         assert r["cos_sim"] <= best[r["query_id"]] + 1e-9
+
+
+def test_ivf_oracle_and_recall(spark):
+    """IVF-Flat matches its DuckDB oracle exactly, and its recall vs
+    brute force stays above the measured floor for (4 cells, nprobe 2)
+    on this fixture (deterministic centroids -> deterministic recall)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["sim_topk_ivf"], ALL_ORACLES["sim_topk_ivf"], SF_SMOKE
+    ) > 0
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_ivf"](spark, SF_SMOKE).collect()
+    }
+    assert len(bf & ivf) >= len(bf) // 2  # >= 50% recall while probing half
