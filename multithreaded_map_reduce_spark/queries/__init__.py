@@ -40,6 +40,7 @@ from . import (  # noqa: E402
     streaming_gate,
     textstats,
     tpch_more,
+    tpch_rest,
     udfs,
     windows,
 )
@@ -59,6 +60,7 @@ _register(tpch_more)
 _register(udfs)
 _register(streaming_gate)
 _register(skewproof)
+_register(tpch_rest)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the
