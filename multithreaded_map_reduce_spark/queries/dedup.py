@@ -70,12 +70,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, "vec_id", "embedding", "label", min_cosine=0.35)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    minhash-LSH pair relation (pairs are edges; min doc_id per
+    component is the canonical survivor). The oracle replays the same
+    closure with a recursive CTE — the full pairs→clusters pipeline is
+    differentially verified, not just the pair stage."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("root").alias("canonical_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_neardup": embedding_neardup,
+    "dedup_clusters": dedup_clusters,
 }
 
 _TOKEN_HASHES = sql_token_hash_array(sql_tokens("text"))
@@ -89,13 +105,9 @@ _CHAR_JACCARD = (
     " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 )
 
-ORACLES = {
-    "dedup_exact": """
-        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY text
-    """,
-    "dedup_minhash_lsh": f"""
-        WITH th AS (
+# The full minhash pipeline as CTEs, shared by the pair query and the
+# cluster query (which runs a recursive closure on top of mh_pairs).
+_MH_CTES = f"""th AS (
             -- zero-token docs drop out (mirrors the exploded Spark path)
             SELECT doc_id AS id, {_TOKEN_HASHES} AS th
             FROM documents
@@ -116,13 +128,23 @@ ORACLES = {
                     list_transform(list_filter(ids, y -> y > x),
                                    y -> {{'a': x, 'b': y}})))) AS p
                 FROM buckets WHERE len(ids) BETWEEN 2 AND 100)
-        )
-        SELECT id_a, id_b, jaccard FROM (
+        ), mh_scored AS (
             SELECT id_a, id_b, {sql_pround(_JACCARD, 6)} AS jaccard
             FROM cand
             JOIN sigs a ON cand.id_a = a.id
             JOIN sigs b ON cand.id_b = b.id
-        ) WHERE jaccard >= 0.5
+        ), mh_pairs AS (
+            SELECT id_a, id_b FROM mh_scored WHERE jaccard >= 0.5
+        )"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_MH_CTES}
+        SELECT id_a, id_b, jaccard FROM mh_scored WHERE jaccard >= 0.5
     """,
     "dedup_simhash": f"""
         WITH fp AS (
@@ -147,6 +169,19 @@ ORACLES = {
             SELECT a.id AS id_a, b.id AS id_b, {sql_pround(_CHAR_JACCARD, 6)} AS jaccard
             FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
         ) WHERE jaccard >= 0.5
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MH_CTES}, nodes AS (
+            SELECT id_a AS id FROM mh_pairs UNION SELECT id_b FROM mh_pairs
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh_pairs
+            UNION SELECT id_b, id_a FROM mh_pairs
+        ), reach(a, b) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
     """,
     "embedding_neardup": f"""
         WITH e AS (

@@ -115,3 +115,26 @@ def test_shingle_rows_match_short_docs(spark):
     assert got[1] == th["solo"]  # 1 token: fold = the token hash itself
     assert got[2] == (th["two"] * POLY_BASE + th["tokens"]) % POLY_MOD
     assert 3 not in got  # whitespace-only: no tokens, no rows
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation must close transitive chains (diameter 3
+    needs several rounds), not just direct neighbors."""
+    from multithreaded_map_reduce_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["root"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["dedup_clusters"], ALL_ORACLES["dedup_clusters"], SF_SMOKE
+    ) > 0
