@@ -28,6 +28,7 @@ def _register(module) -> None:
 
 from . import (  # noqa: E402
     corpus,
+    curation,
     dedup,
     events,
     mapreduce_api,
@@ -61,6 +62,7 @@ _register(udfs)
 _register(streaming_gate)
 _register(skewproof)
 _register(tpch_rest)
+_register(curation)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the
