@@ -1,10 +1,11 @@
 """Pure-Python media codecs for the multimodal tier.
 
-The container ships no image libraries (no PIL), so the "real codec"
-obligation is met with a trivial-but-genuine container: binary PPM
-(P6). ``decode_ppm`` is a strict parser — magic, whitespace/comment
-tokenizer, maxval, raster-length check — not a lookup of metadata we
-stashed elsewhere; feeding it corrupted headers raises.
+The container ships no image/audio libraries (no PIL, no soundfile), so
+the "real codec" obligation is met with trivial-but-genuine containers:
+binary PPM (P6) for images and RIFF/WAV (PCM u8 mono) for audio. Both
+decoders are strict parsers — magic checks, chunk/header walks, length
+validation — not lookups of metadata stashed elsewhere; feeding them
+corrupted bytes raises.
 
 These run INSIDE Arrow-batched ``mapInPandas`` functions
 (operators/multimodal.py), never per-row Python UDFs.
@@ -12,7 +13,7 @@ These run INSIDE Arrow-batched ``mapInPandas`` functions
 
 from __future__ import annotations
 
-_WS = b" \t\r\n"
+import struct
 
 
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
@@ -58,3 +59,52 @@ def decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
     if len(pixels) != width * height * 3:
         raise ValueError("truncated PPM raster")
     return width, height, maxval, pixels
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """RIFF/WAV container around unsigned-8-bit mono PCM."""
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAV file: returns (sample_rate, channels,
+    bits_per_sample, pcm_bytes).
+
+    Walks the real chunk grammar — RIFF/WAVE magic, then arbitrary
+    chunks until ``fmt `` and ``data`` are both seen (unknown chunks are
+    skipped by their declared size, including the odd-size pad byte).
+    Raises ``ValueError`` on bad magic, missing chunks, or truncation."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file (bad magic)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob) and (fmt is None or data is None):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too small")
+            _audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return fmt[0], fmt[1], fmt[2], data

@@ -190,6 +190,69 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, byte_len long, sample_rate int, channels int, "
+    "bits int, n_samples long, sample_checksum long"
+)
+
+
+def documents_as_wav_audio(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL RIFF/WAV blob per document: sample rate and
+    length derive from doc_id, PCM samples are the UTF-8 bytes cycled —
+    the audio twin of ``documents_as_ppm_images``."""
+    import pandas as pd
+
+    from .codecs import encode_wav
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000 + (int(doc_id) % 8) * 1000
+                need = int(doc_id) % 500 + 100
+                tb = text.encode("utf-8")
+                samples = (tb * (need // len(tb) + 1))[:need]
+                blobs.append(encode_wav(rate, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "media": pd.Series(blobs, dtype=object)}
+            )
+
+    return docs.filter(F.length("text") > 0).mapInPandas(
+        build, "media_id long, media binary"
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: walk each RIFF container's chunks and
+    emit format geometry + an additive PCM checksum."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "byte_len": [], "sample_rate": [], "channels": [],
+                "bits": [], "n_samples": [], "sample_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                rate, channels, bits, pcm = decode_wav(bytes(blob))
+                out["media_id"].append(mid)
+                out["byte_len"].append(len(blob))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["bits"].append(bits)
+                out["n_samples"].append(len(pcm))
+                out["sample_checksum"].append(
+                    int(np.frombuffer(pcm, dtype=np.uint8).sum()) % 2_147_483_647
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """STUB: resize plumbing — emits target geometry + size estimate;
     the pixel work would live inside the mapInPandas batch fn."""

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.multimodal import (
     documents_as_media,
     documents_as_ppm_images,
+    documents_as_wav_audio,
+    extract_audio_features,
     extract_image_features,
     extract_media_features,
 )
@@ -38,9 +40,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(documents_as_ppm_images(docs))
 
 
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_decode: RIFF/WAV chunk-walk parse of
+    synthesized PCM blobs, with the same arithmetic oracle discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(documents_as_wav_audio(docs))
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
+    "multimodal_audio": multimodal_audio,
 }
 
 # Additive checksum over the UTF-8 BYTES (not codepoints): decode each
@@ -74,6 +84,27 @@ _PREFIXSUM_R = (
 )
 
 ORACLES = {
+    "multimodal_audio": f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS _hx,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+                   CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+                   CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples,
+                   (CAST(doc_id % 500 + 100 AS BIGINT))
+                       % CAST(octet_length(encode(text)) AS BIGINT) AS _r
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id AS media_id,
+               44 + n_samples AS byte_len,  -- RIFF(12) + fmt(24) + data hdr(8)
+               sample_rate,
+               1 AS channels,
+               8 AS bits,
+               n_samples,
+               ((n_samples // _tb) * {_BYTESUM} + {_PREFIXSUM_R}) % 2147483647
+                   AS sample_checksum
+        FROM sized
+    """,
     "multimodal_decode": f"""
         WITH geom AS (
             SELECT doc_id,

@@ -100,3 +100,42 @@ def test_multimodal_decode_oracle(spark):
         ALL_ORACLES["multimodal_decode"],
         SF_SMOKE,
     ) > 0
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    from multithreaded_map_reduce_spark.operators.codecs import decode_wav, encode_wav
+
+    pcm = bytes(range(101))  # odd length: exercises word-align padding math
+    blob = encode_wav(16000, pcm)
+    assert decode_wav(blob) == (16000, 1, 8, pcm)
+    # unknown chunk before fmt/data must be skipped by declared size
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (16000, 1, 8, pcm)
+
+
+def test_wav_decoder_rejects_malformed():
+    import pytest
+
+    from multithreaded_map_reduce_spark.operators.codecs import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(40))  # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(8000, bytes(10))[:-4])  # truncated data
+
+
+def test_multimodal_audio_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["multimodal_audio"],
+        ALL_ORACLES["multimodal_audio"],
+        SF_SMOKE,
+    ) > 0
