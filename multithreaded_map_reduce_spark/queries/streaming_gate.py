@@ -32,6 +32,7 @@ from ..streaming.events import (
     run_stream_to_memory,
     stream_events,
     stream_stream_click_purchase_join,
+    streaming_distinct_keys,
     streaming_session_counts,
     streaming_tumbling_counts,
 )
@@ -91,14 +92,29 @@ def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state stream dedup: with the fixture in one micro-batch
+    nothing is evicted mid-stream, so the output is EXACTLY the
+    distinct key set — the differential contract below."""
+    name = _sink("st_dedup")
+    run_stream_to_memory(
+        streaming_distinct_keys(stream_events(spark, sf_dir)),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
+    "streaming_dedup": streaming_dedup,
     "streaming_session": streaming_session,
     "streaming_join": streaming_join,
     "streaming_stateful": streaming_stateful,
 }
 
 ORACLES = {
+    "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
     # identical to the batch events_tumbling contract
     "streaming_tumbling": f"""
         SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

@@ -83,7 +83,30 @@ def streaming_session_counts(events: DataFrame, gap: str = "10 minutes") -> Data
     )
 
 
-def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
+def streaming_distinct_keys(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked streaming deduplication: one row per (user_id,
+    event_type) via ``dropDuplicatesWithinWatermark`` — the
+    bounded-state dedup a production ingest pipeline runs (state for a
+    key is evicted once the watermark passes its event time + delay,
+    so the store never grows beyond the watermark horizon; plain
+    ``dropDuplicates`` on a stream keeps every key forever).
+
+    Only the keys are projected out, so the result is deterministic
+    (which physical row "survives" within a micro-batch is not).
+    """
+    dedup = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    return dedup.select("user_id", "event_type")
+
+
+def stream_stream_click_purchase_join(
+    events: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Stream-stream inner join with a watermarked time-range condition:
     purchases joined to the same user's clicks in the preceding hour —
     the streaming twin of the batch bucketed range join.
@@ -91,6 +114,12 @@ def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
     Both sides carry watermarks so Spark can bound the join state: a
     buffered click is dropped once the purchase-side watermark passes
     click_ts + 1h.
+
+    ``how="leftOuter"`` keeps purchases with no preceding click —
+    Spark emits the null-padded row only once the watermark passes the
+    purchase's join window (so a late click can no longer match), the
+    state-eviction semantics ``tests`` exercise with a two-batch file
+    source.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -110,7 +139,7 @@ def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
         (F.col("c_user") == F.col("user_id"))
         & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
+        how,
     ).select("event_id", "user_id", "purchase_ts", "click_ts")
 
 
