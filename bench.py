@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion via the noop sink (full plan runs,
 nothing is collected to the driver — measures engine throughput, not
 result serialization).
+
+Each query runs twice: "queries" records the COLD first run (plan build
++ execution — comparable with every earlier BENCH_r{N}), "queries_warm"
+the immediate second run, where the JVM is hot and parquet footers are
+cached. cold − warm ≈ driver/plan overhead, which shrinks relative to
+execution as data scales; warm is the closer proxy for steady-state
+cluster throughput.
 """
 
 from __future__ import annotations
@@ -72,6 +79,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         if name not in ALL_QUERIES:
             continue
@@ -79,6 +87,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     regressions: dict[str, float] = {}
     prev = _previous_bench()
@@ -101,6 +112,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": float(sf) if sf else sf_dir,
     }
     if prev is not None:

@@ -12,9 +12,16 @@ flag (a count of changed labels — a scalar per round, not data).
 Deterministic: labels are ids, min is order-free.
 
 At 100 TB: rounds × (shuffle on id) — the standard map-reduce CC
-formulation (cf. the large-star/small-star refinement for deep graphs,
-unnecessary at dedup diameters). The edge relation is persisted once
-and reused every round.
+formulation. Min-label propagation needs O(component diameter) rounds,
+fine for shallow near-dup clusters; for DEEP components (long chains —
+e.g. transitive URL-redirect graphs) ``connected_components_star``
+implements the alternating large-star/small-star algorithm (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC'14), which converges in O(log n) rounds
+regardless of diameter. Both are deterministic (labels are ids, min is
+order-free) and expose the same (id, root) contract, so either can
+back the cluster-assignment queries. The edge relation is persisted
+once and reused every round.
 """
 
 from __future__ import annotations
@@ -30,18 +37,26 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(id, root): every node appearing in ``edges``, labeled with the
-    min id reachable from it (the component's canonical id)."""
-    from pyspark import StorageLevel
+    min id reachable from it (the component's canonical id).
 
+    Every round truncates lineage with ``localCheckpoint`` — an
+    iterative plan that references the previous labels twice would
+    otherwise DOUBLE in size per round (2^rounds plan nodes: at round
+    ~30 the plan string alone exceeds 2 GB). On a multi-executor
+    cluster, swap in ``checkpoint()`` against a reliable store if
+    executor loss during the loop must be survivable."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
-    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
-        "root", F.col("id")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("root", F.col("id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         # candidate label per node: min over (own label, neighbors' labels)
         neighbor_labels = (
@@ -53,7 +68,7 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("root").alias("root"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -61,9 +76,107 @@ def connected_components(
             .filter(F.col("n.root") != F.col("o.root"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("id", "root")
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    """Order-free digest of an edge set, for convergence detection.
+
+    Internal only (never oracle-facing), so Spark's native hash() is
+    fine. ONE scalar row crosses to the driver per round."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.hash("a", "b").cast("long")).alias("h"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+    ).collect()[0]
+    return tuple(row)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, root) via alternating large-star/small-star — O(log n)
+    rounds even on path graphs, where plain label propagation needs
+    O(diameter) rounds.
+
+    Per round, with Γ(v) = current neighbors of v:
+    - large-star: every neighbor u > v is re-attached to
+      m = min(Γ(v) ∪ {v});
+    - small-star: v and every neighbor u < v are attached to
+      m = min of that smaller-neighborhood.
+
+    Each phase is one groupBy (per-node min) + one join, both keyed on
+    the node id — the same shuffle key, so AQE coalesces them; no data
+    ever moves except (node, node) pairs. Converged when the edge-set
+    fingerprint is stable; the result is a star per component rooted at
+    its min id. Lineage is truncated per round with ``localCheckpoint``
+    (see ``connected_components``)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        sym.select(F.col("a").alias("id"))
+        .unionByName(sym.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    cur = sym
+    prev_fp = None
+    for _ in range(max_iter):
+        both = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star(v): neighbors u > v → (u, min(Γ(v) ∪ {v}))
+        mins = both.groupBy("a").agg(F.min("b").alias("_mb"))
+        mins = mins.select("a", F.least("_mb", F.col("a")).alias("m"))
+        large = (
+            both.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star(v): v and neighbors u < v → min of that set
+        both_l = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        smaller = both_l.filter(F.col("b") < F.col("a"))
+        smins = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            smaller.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = _fingerprint(small)
+        cur = small
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged stars: non-root nodes carry an edge to their root;
+    # roots (and singletons filtered out up front) label themselves.
+    labels = (
+        nodes.join(cur.withColumnRenamed("a", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.min("b"), F.first("id")).alias("root"))
+        .select("id", F.least("id", "root").alias("root"))
+    )
+    return labels

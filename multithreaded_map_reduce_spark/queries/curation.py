@@ -1,14 +1,17 @@
 """Data-curation operators (§2d tier): the selection steps an LLM
 training-data pipeline runs after cleaning/dedup — deterministic
-train/holdout splitting, uniform hash sampling, and quality-ranked
-per-language selection. All deterministic (hash-based, no rand()), so
-every one has an exact DuckDB oracle.
+train/holdout splitting, uniform hash sampling, weighted and stratified
+sampling, quality-ranked per-language selection, and benchmark
+decontamination. All deterministic (hash-based, no rand()), so every
+one has an exact DuckDB oracle.
 
 Scale notes: splitting and sampling are stateless scan work — the hash
 IS the assignment, so the split is stable under reruns, retries, and
 cluster resizes (the property rand()-based splits lack). Bottom-k
 sampling uses orderBy+limit, which Spark executes as per-partition
-top-k + merge, never a global sort of the corpus.
+top-k + merge, never a global sort of the corpus. Decontamination
+broadcasts the benchmark shingle set (a benchmark is small by
+definition) so the corpus-side scan never shuffles.
 """
 
 from __future__ import annotations
@@ -16,11 +19,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sql_token_hash, token_hash
+from ..functions.hashing import (
+    sql_shingle_hashes_from_token_hashes,
+    sql_token_hash,
+    sql_token_hash_array,
+    sql_tokens,
+    token_hash,
+)
+from ..operators.dedup import shingle_hash_rows
 from ..sources.catalog import load_table
 from .textstats import text_quality
 
 SAMPLE_K = 100
+WEIGHT_MOD = 1000  # weighted Bernoulli: P(keep) = n_chars / WEIGHT_MOD
+STRATUM_K = 5  # stratified sample size per language
+DECON_N = 5  # word-n-gram length for benchmark-overlap decontamination
+BENCH_MOD = 10  # docs with doc_id-hash % BENCH_MOD == 0 form the benchmark
 _SPLIT = "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END"
 
 
@@ -68,10 +82,84 @@ def curation_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: keep a doc with probability
+    proportional to its length (``n_chars / WEIGHT_MOD``), decided by
+    the doc's own hash — the distributed form of importance-weighted
+    corpus sampling. No rand(): the draw is ``hash(doc_id) %
+    WEIGHT_MOD``, so the sample is reproducible under retries and
+    mergeable across shards (pure scan work, zero shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = token_hash(F.col("doc_id").cast("string")) % F.lit(WEIGHT_MOD)
+    return (
+        docs.select("doc_id", "lang", "n_chars", draw.alias("draw"))
+        .filter(F.col("draw") < F.col("n_chars"))
+    )
+
+
+def curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly ``STRATUM_K`` docs per language —
+    the per-stratum bottom-k of a uniform hash (deterministic doc_id
+    tiebreak). One shuffle on the stratum key; per-partition top-k
+    keeps the sort local."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = token_hash(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(F.asc("sample_hash"), F.asc("doc_id"))
+    return (
+        docs.withColumn("sample_hash", h)
+        .withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= STRATUM_K)
+        .select("lang", "strat_rank", "doc_id", "sample_hash")
+    )
+
+
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``DECON_N``-gram with a held-out benchmark set (docs whose id-hash
+    lands in bucket 0) — the n-gram-overlap check LLM pipelines run
+    before training. Per corpus doc: distinct shingle count, how many
+    of those shingles appear anywhere in the benchmark, and the 0/1
+    contamination flag.
+
+    Scale: the benchmark shingle set is broadcast (benchmarks are tiny
+    vs the corpus), so the corpus side is a single scan + broadcast
+    hash join + per-doc aggregation — no shuffle of corpus text. The
+    shingle stage is the same fully-codegen'd zip-at-explode pipeline
+    minhash uses (operators/dedup.py shingle_hash_rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = token_hash(F.col("doc_id").cast("string")) % F.lit(BENCH_MOD)
+    bench_sh = (
+        shingle_hash_rows(docs.filter(bucket == 0), "doc_id", "text", n=DECON_N)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    corpus_sh = shingle_hash_rows(
+        docs.filter(bucket != 0), "doc_id", "text", n=DECON_N
+    ).distinct()
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0).cast("long"))).alias("n_overlap"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 QUERIES = {
     "curation_split": curation_split,
     "curation_sample_bottomk": curation_sample_bottomk,
     "curation_topk_quality": curation_topk_quality,
+    "curation_sample_weighted": curation_sample_weighted,
+    "curation_stratified": curation_stratified,
+    "curation_decontaminate": curation_decontaminate,
 }
 
 _H = sql_token_hash("CAST(doc_id AS VARCHAR)")
@@ -92,6 +180,45 @@ ORACLES = {
     """,
     # reuses the text_quality oracle pipeline, joined back to lang
     "curation_topk_quality": None,  # filled below from textstats
+    "curation_sample_weighted": f"""
+        SELECT doc_id, lang, n_chars, draw FROM (
+            SELECT doc_id, lang, n_chars, ({_H}) % {WEIGHT_MOD} AS draw
+            FROM documents
+        ) WHERE draw < n_chars
+    """,
+    "curation_stratified": f"""
+        SELECT lang, strat_rank, doc_id, sample_hash FROM (
+            SELECT lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY sample_hash ASC, doc_id ASC
+                   ) AS INTEGER) AS strat_rank,
+                   doc_id, sample_hash
+            FROM (SELECT doc_id, lang, {_H} AS sample_hash FROM documents)
+        ) WHERE strat_rank <= {STRATUM_K}
+    """,
+    "curation_decontaminate": f"""
+        WITH th AS (
+            SELECT doc_id AS id, ({_H}) % {BENCH_MOD} AS bucket,
+                   {sql_token_hash_array(sql_tokens('text'))} AS th
+            FROM documents
+            WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
+        ), sh AS (
+            SELECT id, bucket,
+                   unnest({sql_shingle_hashes_from_token_hashes('th', DECON_N)}) AS h
+            FROM th
+        ), bench AS (
+            SELECT DISTINCT h FROM sh WHERE bucket = 0
+        )
+        SELECT c.id AS doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap,
+               CAST(CASE WHEN sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+        FROM (SELECT id, h FROM sh WHERE bucket != 0) c
+        LEFT JOIN bench b ON c.h = b.h
+        GROUP BY c.id
+    """,
 }
 
 from .textstats import ORACLES as _TS_ORACLES  # noqa: E402

@@ -85,6 +85,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as ``dedup_clusters``, computed with the
+    alternating large-star/small-star algorithm instead of label
+    propagation — the O(log n)-round formulation that stays fast when
+    components are DEEP (chains), not just wide. Shares the
+    ``dedup_clusters`` recursive-CTE oracle: both must produce the
+    identical (doc_id, canonical_id) labeling."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    return connected_components_star(pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("root").alias("canonical_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -92,6 +108,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "embedding_neardup": embedding_neardup,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_bigstar": dedup_clusters_bigstar,
 }
 
 _TOKEN_HASHES = sql_token_hash_array(sql_tokens("text"))
@@ -183,6 +200,8 @@ ORACLES = {
         )
         SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
     """,
+    # same contract, different distributed algorithm — identical oracle
+    "dedup_clusters_bigstar": None,  # filled below (= dedup_clusters)
     "embedding_neardup": f"""
         WITH e AS (
             SELECT vec_id AS id, label AS blk, {sql_as_double('embedding')} AS v
@@ -195,3 +214,5 @@ ORACLES = {
         ) WHERE cos_sim >= 0.35
     """,
 }
+
+ORACLES["dedup_clusters_bigstar"] = ORACLES["dedup_clusters"]

@@ -193,6 +193,26 @@ def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-customer 1995 vs 1996 spend — preserves
+    customers active in only one of the two years (null on the other
+    side), completing the join-type matrix. Both inputs are
+    pre-aggregated (partial agg before the join ⇒ the outer join
+    shuffles ~1 row per customer, not raw orders)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_spend(year: int, alias: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(pround(dsum(money("o_totalprice")), 2).alias(alias))
+        )
+
+    return year_spend(1995, "total_1995").join(
+        year_spend(1996, "total_1996"), ["custkey"], "full"
+    )
+
+
 def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 10 customers by lifetime order value (global top-k: partial
     agg → shuffle ~1 row per customer → TakeOrdered, no global sort)."""
@@ -322,6 +342,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "join_left_counts": join_left_counts,
+    "join_full_outer": join_full_outer,
     "join_semi_parts": join_semi_parts,
     "join_anti_customers": join_anti_customers,
     "topk_customers": topk_customers,
@@ -422,6 +443,20 @@ ORACLES = {
         LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
           ON c_custkey = o_custkey
         GROUP BY c_custkey
+    """,
+    "join_full_outer": f"""
+        SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+               a.total_1995, b.total_1996
+        FROM (
+            SELECT o_custkey AS custkey,
+                   {sql_pround(sql_dsum("CAST(o_totalprice AS DECIMAL(18,2))"), 2)} AS total_1995
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+        ) a
+        FULL JOIN (
+            SELECT o_custkey AS custkey,
+                   {sql_pround(sql_dsum("CAST(o_totalprice AS DECIMAL(18,2))"), 2)} AS total_1996
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+        ) b ON a.custkey = b.custkey
     """,
     "join_semi_parts": """
         SELECT p_partkey, p_name, p_brand

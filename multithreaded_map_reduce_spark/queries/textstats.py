@@ -155,12 +155,46 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats — the within-doc analogue of
+    corpus dedup (pipelines drop or down-weight self-repetitive docs):
+    token count, distinct-token count, the most-frequent token's count,
+    repeated-token ratio, and top-token share. One explode + two
+    aggregations, both partitioned by doc_id (the second reuses the
+    first's partitioning — a single shuffle end to end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_tok_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "max_tok_count",
+        pround(
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("repetition"),
+        pround(
+            F.col("max_tok_count").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_share"),
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_repetition": text_repetition,
 }
 
 
@@ -245,5 +279,24 @@ ORACLES = {
                    ) AS INTEGER) AS rank
             FROM tf JOIN df ON tf.term = df.term, n
         ) WHERE rank <= 3
+    """,
+    "text_repetition": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+        ), per_tok AS (
+            SELECT doc_id, tok, count(*) AS c FROM terms GROUP BY doc_id, tok
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_tok_count
+            FROM per_tok GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct, max_tok_count,
+               {sql_pround('CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens', 6)}
+                   AS repetition,
+               {sql_pround('CAST(max_tok_count AS DOUBLE) / n_tokens', 6)}
+                   AS top_share
+        FROM agg
     """,
 }

@@ -9,7 +9,15 @@ from tests.oracle import compare
 
 
 @pytest.mark.parametrize(
-    "name", ["curation_split", "curation_sample_bottomk", "curation_topk_quality"]
+    "name",
+    [
+        "curation_split",
+        "curation_sample_bottomk",
+        "curation_topk_quality",
+        "curation_sample_weighted",
+        "curation_stratified",
+        "curation_decontaminate",
+    ],
 )
 def test_oracle_match(spark, name):
     from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
@@ -54,3 +62,63 @@ def test_bottomk_sample_merges_across_shards(spark):
         r["doc_id"] for r in sh1.unionByName(sh2).orderBy("h", "doc_id").limit(k).collect()
     ]
     assert full == merged
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    """P(keep) ∝ n_chars, so the sampled mean length must exceed the
+    corpus mean, and every draw must actually satisfy draw < n_chars."""
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = ALL_QUERIES["curation_sample_weighted"](spark, SF_SMOKE).collect()
+    assert rows and all(r["draw"] < r["n_chars"] for r in rows)
+    sampled_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus = load_table(spark, SF_SMOKE, "documents").select("n_chars").collect()
+    corpus_mean = sum(r["n_chars"] for r in corpus) / len(corpus)
+    assert sampled_mean > corpus_mean
+
+
+def test_stratified_exact_k_per_language(spark):
+    """Each language with ≥ K docs yields exactly K rows, ranked 1..K."""
+    from collections import Counter
+
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.curation import STRATUM_K
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = ALL_QUERIES["curation_stratified"](spark, SF_SMOKE).collect()
+    per_lang = Counter(r["lang"] for r in rows)
+    avail = Counter(
+        r["lang"] for r in load_table(spark, SF_SMOKE, "documents").select("lang").collect()
+    )
+    for lang, n_avail in avail.items():
+        assert per_lang[lang] == min(STRATUM_K, n_avail)
+    for lang in per_lang:
+        ranks = sorted(r["strat_rank"] for r in rows if r["lang"] == lang)
+        assert ranks == list(range(1, per_lang[lang] + 1))
+
+
+def test_decontaminate_excludes_benchmark_and_flags_consistently(spark):
+    """Benchmark docs never appear in the output; the contaminated flag
+    is exactly (n_overlap > 0); overlap never exceeds shingle count."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.functions.hashing import token_hash
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.curation import BENCH_MOD
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = ALL_QUERIES["curation_decontaminate"](spark, SF_SMOKE).collect()
+    assert rows
+    bench_ids = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .filter(token_hash(F.col("doc_id").cast("string")) % BENCH_MOD == 0)
+        .collect()
+    }
+    assert bench_ids  # the split actually selects a benchmark
+    for r in rows:
+        assert r["doc_id"] not in bench_ids
+        assert r["contaminated"] == int(r["n_overlap"] > 0)
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]

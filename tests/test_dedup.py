@@ -138,3 +138,44 @@ def test_dedup_clusters_oracle(spark):
     assert compare(
         spark, ALL_QUERIES["dedup_clusters"], ALL_ORACLES["dedup_clusters"], SF_SMOKE
     ) > 0
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star must produce the identical (id, root)
+    labeling as min-label propagation — on a DEEP path graph (the case
+    star-CC exists for: O(log n) rounds vs O(diameter)), a seeded
+    random graph, and cliques bridged by a chain."""
+    import random
+
+    from multithreaded_map_reduce_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(100, 160))
+    cases = [
+        [(i, i + 1) for i in range(40)],  # path: diameter 40
+        [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)],
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (12, 10), (2, 10), (50, 51)],
+    ]
+    for es in cases:
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in es if a != b], "id_a long, id_b long"
+        )
+        lp = {(r.id, r.root) for r in connected_components(edges, max_iter=50).collect()}
+        st = {(r.id, r.root) for r in connected_components_star(edges).collect()}
+        assert lp == st
+
+
+def test_dedup_clusters_bigstar_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["dedup_clusters_bigstar"],
+        ALL_ORACLES["dedup_clusters_bigstar"],
+        SF_SMOKE,
+    ) > 0

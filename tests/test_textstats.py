@@ -13,6 +13,7 @@ TEXT_QUERIES = [
     "text_token_count",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_repetition",
 ]
 
 
