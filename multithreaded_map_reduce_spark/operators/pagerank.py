@@ -1,0 +1,91 @@
+"""Weighted PageRank in exact fixed-point integer arithmetic — the
+canonical iterative MapReduce algorithm (the reference engine's README
+cites PageRank as the motivating MapReduce workload class; its own apps
+stop at WordCounter/InvertedIndex, cf. /root/reference/README.md), here
+as a Spark iterative dataflow.
+
+Why fixed-point: float PageRank sums contributions in nondeterministic
+order, so no exact differential oracle is possible. With ranks held as
+BIGINT units of 1/SCALE and every step using truncating integer
+division, each iteration is order-free and bit-identical in any engine
+— DuckDB replays the exact iteration chain as unrolled CTEs
+(queries/graphrank.py) and the driver hash-compares the result.
+
+Per-iteration dataflow (all keyed on node id):
+  contrib  = edges ⋈ ranks ⋈ out_weight   → (rank·w) div ow   per edge
+  in_sum   = groupBy(dst) Σ contrib       (one shuffle)
+  dangling = Σ rank over nodes with no out-edge, div N — computed as a
+             1-row aggregate crossJoin-broadcast back (NO driver-side
+             collect in the loop)
+  rank'    = base + damping·(in_sum + dangling) div 100
+
+Scale: each iteration shuffles O(edges) contribution rows + O(nodes)
+rank rows; lineage is truncated per round with localCheckpoint (an
+iterative plan would otherwise grow exponentially — see
+operators/graph.py). num_iter is fixed (no convergence collect), so the
+whole loop is a static 10-stage DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12  # rank units: 1/SCALE of total probability mass
+DAMPING_NUM = 85  # damping factor 0.85 as an exact rational 85/100
+DAMPING_DEN = 100
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    num_iter: int = 10,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """(id, rank_units): weighted PageRank after ``num_iter`` rounds.
+
+    ``rank_units`` are BIGINTs in 1/SCALE units; ranks sum to ≈ SCALE
+    (truncation loses < num_iter·N units). ``n_nodes`` may be passed
+    when the caller knows |nodes| statically (keeps the operator free
+    of driver-side counts); otherwise one count() runs up front.
+    """
+    n = n_nodes if n_nodes is not None else nodes.count()
+    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * n)
+
+    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(SCALE // n).cast("long"))
+    for _ in range(num_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_w, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank * w div ow").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("cin"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks.id == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dsum"))
+            .select(F.expr(f"dsum div {n}").alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                F.expr(
+                    f"{base} + {DAMPING_NUM} * (coalesce(cin, 0) + dm) "
+                    f"div {DAMPING_DEN}"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").alias("rank_units"))

@@ -31,6 +31,7 @@ from . import (  # noqa: E402
     curation,
     dedup,
     events,
+    graphrank,
     mapreduce_api,
     multimodal,
     relational,
@@ -63,6 +64,7 @@ _register(streaming_gate)
 _register(skewproof)
 _register(tpch_rest)
 _register(curation)
+_register(graphrank)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the

@@ -1,0 +1,113 @@
+"""Iterative-algorithm tier: weighted PageRank over the nation-level
+trade graph (supplier nation → customer nation, edge weight = shipped
+lineitems), run for a fixed 10 damped iterations in exact fixed-point
+integer arithmetic (operators/pagerank.py).
+
+The oracle UNROLLS the identical iteration chain as DuckDB CTEs — ten
+(dangling, contribution, rank) stages generated from the same
+constants — so even an iterative algorithm gets an exact differential
+check instead of the weaker rows-only gate. This is the workload class
+the reference's MapReduce design targets beyond its two bundled apps
+(cf. /root/reference/README.md); a Spark rebuild should demonstrate it
+as a first-class dataflow.
+
+Scale: the edge build is the heavy part (join + aggregate over the fact
+table — one shuffle keyed on the join key, then one on the 625-edge
+graph); each PageRank round then shuffles O(edges) rows. Node count is
+static (25 nations) but nothing in the operator assumes it: the same
+code runs a billion-node graph, where localCheckpoint-per-round and the
+broadcast dangling scalar are what keep the loop viable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pagerank import DAMPING_DEN, DAMPING_NUM, SCALE, pagerank
+from ..sources.catalog import load_table
+
+N_NATIONS = 25
+NUM_ITER = 10
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    pr = pagerank(
+        nodes,
+        _trade_edges(spark, sf_dir),
+        num_iter=NUM_ITER,
+        n_nodes=N_NATIONS,
+    )
+    return pr.join(F.broadcast(nation), pr.id == nation.n_nationkey).select(
+        F.col("id").alias("nationkey"), "n_name", "rank_units"
+    )
+
+
+QUERIES = {"pagerank_nations": pagerank_nations}
+
+
+def _pagerank_sql(num_iter: int = NUM_ITER, n: int = N_NATIONS) -> str:
+    """Unrolled-CTE twin of the fixed-point iteration (same constants)."""
+    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * n)
+    ctes = [
+        f"""nodes AS (SELECT n_nationkey AS id FROM nation),
+        edges AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT id, CAST({SCALE // n} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT COALESCE(sum(rank), 0) // {n} AS dm FROM r{p}
+            WHERE id NOT IN (SELECT src FROM outw)
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS id, sum((r.rank * e.w) // o.ow) AS cin
+            FROM edges e
+            JOIN r{p} r ON e.src = r.id
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT nodes.id,
+                   {base} + ({DAMPING_NUM} * (COALESCE(c.cin, 0) + d.dm))
+                       // {DAMPING_DEN} AS rank
+            FROM nodes LEFT JOIN c{i} c ON nodes.id = c.id CROSS JOIN d{i} d
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT r.id AS nationkey, n.n_name, CAST(r.rank AS BIGINT) AS rank_units
+        FROM r{num_iter} r JOIN nation n ON r.id = n.n_nationkey"""
+    )
+
+
+ORACLES = {"pagerank_nations": _pagerank_sql()}
