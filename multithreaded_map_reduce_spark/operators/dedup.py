@@ -250,6 +250,116 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """``minhash_dedup_pairs`` as ONE generated Spark-SQL string — the
+    identical pipeline (same constants, same shapes, differentially
+    equal: tests/test_dedup.py asserts set-equality with the DataFrame
+    builder), built for driver-side latency.
+
+    Why: the DataFrame builder materializes hundreds of Column objects
+    (32 permutation aggregates, 8 band folds), each a py4j round-trip —
+    measured ~2.5 s of plan CONSTRUCTION cold / ~0.8 s warm at any SF,
+    before Spark executes anything. String generation is Python-side
+    (~1 ms) plus one ``spark.sql`` parse (~0.15 s). Trade-off: Catalyst
+    inlines CTEs, so the shingle relation is computed once per
+    consumer instead of persisted — a few hundred ms of extra executor
+    CPU at sf0.1 (linear, distributed) for ~2 s less driver latency;
+    the verify join's two ``hashed`` sides dedupe via ReusedExchange.
+    At cluster scale with huge corpora, prefer ``minhash_dedup_pairs``
+    (persisted shingles); for interactive/driver-bound use, this one.
+
+    Float note: SQL literals like ``1000000.0`` parse as DECIMAL in
+    Spark SQL — the rounding uses int * double (``+ 0.5d``) literals so
+    the jaccard stays a DOUBLE, bit-equal with the DataFrame pround.
+    """
+    from ..functions.hashing import MINHASH_COEFFS
+
+    M = POLY_MOD
+    num = bands * rows
+
+    def th(x: str) -> str:
+        return f"CAST(conv(substring(md5({x}), 1, 12), 16, 10) AS BIGINT) % {M}"
+
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {M}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num])
+    )
+
+    def band_expr(j: int) -> str:
+        h = f"CAST({j} AS BIGINT)"
+        for r in range(rows):
+            h = f"(({h}) * {POLY_BASE} + (m{j * rows + r} % {M})) % {M}"
+        return h
+
+    bands_arr = "array(" + ", ".join(band_expr(j) for j in range(bands)) + ")"
+
+    slices = ", ".join(
+        f"slice(toks, {i + 1}, greatest(size(toks) - {i}, 0)) AS t{i}"
+        for i in range(1, n)
+    )
+    zip_args = ", ".join(["toks"] + [f"t{i}" for i in range(1, n)])
+    z_cols = ", ".join(
+        ["z.toks AS t0"] + [f"z.t{i} AS t{i}" for i in range(1, n)]
+    )
+    h_expr = th("t0")
+    for i in range(1, n):
+        h_expr = (
+            f"CASE WHEN t{i} IS NULL THEN {h_expr} "
+            f"ELSE (({h_expr}) * {POLY_BASE} + ({th(f't{i}')})) % {M} END"
+        )
+
+    view = "__minhash_src"
+    df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    sql = f"""
+WITH base AS (
+    SELECT id, split(regexp_replace(text, '^\\\\s+|\\\\s+$', ''), '\\\\s+') AS toks
+    FROM {view} WHERE length(text) > 0
+), base2 AS (
+    SELECT id, toks, size(toks) AS k, {slices}
+    FROM base WHERE size(toks) > 1 OR element_at(toks, 1) != ''
+), ex AS (
+    SELECT id, k, pos, {z_cols}
+    FROM base2 LATERAL VIEW posexplode(arrays_zip({zip_args})) t AS pos, z
+), rows_rel AS (
+    SELECT id, {h_expr} AS h
+    FROM ex WHERE pos + {n} <= k OR (k < {n} AND pos = 0)
+), sigs AS (
+    SELECT id, {mins} FROM rows_rel GROUP BY id
+), banded AS (
+    SELECT id, bh FROM sigs LATERAL VIEW explode({bands_arr}) t AS bh
+), buckets AS (
+    SELECT bh, ids FROM (SELECT bh, collect_set(id) AS ids FROM banded GROUP BY bh)
+    WHERE size(ids) BETWEEN 2 AND {max_bucket}
+), pairs AS (
+    SELECT DISTINCT id_a, id_b FROM buckets
+    LATERAL VIEW explode(ids) ta AS id_a
+    LATERAL VIEW explode(filter(ids, y -> y > id_a)) tb AS id_b
+), hashed AS (
+    SELECT id, collect_set(h) AS hashes FROM rows_rel GROUP BY id
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT p.id_a, p.id_b,
+           floor((size(array_intersect(a.hashes, b.hashes))
+                  / (size(a.hashes) + size(b.hashes)
+                     - size(array_intersect(a.hashes, b.hashes)))) * 1000000 + 0.5d)
+               / 1000000 AS jaccard
+    FROM pairs p JOIN hashed a ON p.id_a = a.id JOIN hashed b ON p.id_b = b.id
+) WHERE jaccard >= {threshold}
+"""
+    return df.sparkSession.sql(sql)
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 32-bit weighted fingerprint (token multiplicity =
     weight, because the token array is NOT deduped before voting).

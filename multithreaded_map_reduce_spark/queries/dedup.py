@@ -39,6 +39,7 @@ from ..operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_dedup_pairs,
+    minhash_dedup_pairs_sql,
     simhash_pairs,
 )
 from ..sources.catalog import load_table
@@ -51,8 +52,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-SQL-string pipeline (minhash_dedup_pairs_sql): ~2 s less
+    driver plan-build latency than the Column-builder twin; identical
+    results (equivalence-tested + same oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    return minhash_dedup_pairs_sql(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +83,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    pairs = minhash_dedup_pairs_sql(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
     return connected_components(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("doc_id"), F.col("root").alias("canonical_id")
     )
@@ -95,7 +99,7 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    pairs = minhash_dedup_pairs_sql(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
     return connected_components_star(pairs.select("id_a", "id_b")).select(
         F.col("id").alias("doc_id"), F.col("root").alias("canonical_id")
     )

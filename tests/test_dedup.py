@@ -140,6 +140,29 @@ def test_dedup_clusters_oracle(spark):
     ) > 0
 
 
+def test_minhash_sql_twin_matches_dataframe_builder(spark):
+    """The single-SQL-string minhash pipeline must produce the exact
+    pair set (ids AND rounded jaccard) of the Column-builder pipeline —
+    they are two codegen paths of one algorithm."""
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_sql,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kw = dict(n=2, bands=8, rows=4, threshold=0.5)
+    df_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    sql_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs_sql(docs, "doc_id", "text", **kw).collect()
+    }
+    assert df_pairs == sql_pairs and df_pairs
+
+
 def test_star_cc_matches_label_propagation(spark):
     """large-star/small-star must produce the identical (id, root)
     labeling as min-label propagation — on a DEEP path graph (the case

@@ -102,3 +102,18 @@ def test_lsh_topk_distinct_excludes_vectors(spark):
     # the distinct is the only Aggregate in this plan
     assert "cos_sim" in agg_lines[0]
     assert "qv" not in agg_lines[0] and "cv" not in agg_lines[0]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must join broadcast-side: the corpus
+    scan never shuffles on the shingle hash."""
+    from multithreaded_map_reduce_spark.plans import assert_plan
+
+    assert_plan(_q("curation_decontaminate")(spark, SF_SMOKE), min_broadcast_joins=1)
+
+
+def test_pagerank_broadcasts_dangling_scalar(spark):
+    """The dangling-mass scalar enters via broadcast (BroadcastNestedLoop
+    over a 1-row relation), never a shuffled cross product."""
+    plan = _q("pagerank_nations")(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
