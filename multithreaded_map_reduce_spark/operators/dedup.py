@@ -434,6 +434,57 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_sql(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """``simhash_pairs`` as one generated Spark-SQL string — same
+    rationale and same equivalence contract as
+    ``minhash_dedup_pairs_sql``: the 32 vote aggregates + 32 bit
+    recombinations are ~130 py4j Column constructions in the DataFrame
+    form (~1 s of driver latency); one SQL parse replaces them. Results
+    are set-equal (tested) and share the brute-force oracle."""
+    if max_hamming > 3:
+        raise ValueError("4-byte banding is only lossless for hamming <= 3")
+    M = POLY_MOD
+    votes = ", ".join(
+        f"sum(CASE WHEN (h % {1 << (b + 1)}) >= {1 << b} THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
+    )
+    blocks_arr = ", ".join(f"shiftright(simhash, {8 * i}) % 256" for i in range(4))
+
+    view = "__simhash_src"
+    df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    sql = f"""
+WITH ex AS (
+    SELECT id, CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) % {M} AS h
+    FROM (
+        SELECT id, tok
+        FROM {view} LATERAL VIEW explode(split(text, '\\\\s+')) t AS tok
+        WHERE length(text) > 0 AND tok != ''
+    )
+), votes AS (
+    SELECT id, {votes} FROM ex GROUP BY id
+), fp AS (
+    SELECT id, ({bits}) AS simhash FROM votes
+), blocks AS (
+    SELECT id, simhash, block_idx, block_val
+    FROM fp LATERAL VIEW posexplode(array({blocks_arr})) t AS block_idx, block_val
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(a.simhash ^ b.simhash) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.id < b.id
+WHERE bit_count(a.simhash ^ b.simhash) <= {max_hamming}
+"""
+    return df.sparkSession.sql(sql)
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -41,6 +41,7 @@ from ..operators.dedup import (
     minhash_dedup_pairs,
     minhash_dedup_pairs_sql,
     simhash_pairs,
+    simhash_pairs_sql,
 )
 from ..sources.catalog import load_table
 
@@ -60,8 +61,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-SQL-string pipeline (simhash_pairs_sql): same results as
+    the Column builder (equivalence-tested), less driver latency."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=2)
+    return simhash_pairs_sql(docs, "doc_id", "text", max_hamming=2)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

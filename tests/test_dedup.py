@@ -163,6 +163,27 @@ def test_minhash_sql_twin_matches_dataframe_builder(spark):
     assert df_pairs == sql_pairs and df_pairs
 
 
+def test_simhash_sql_twin_matches_dataframe_builder(spark):
+    """Same contract as the minhash twin: identical (id_a, id_b,
+    hamming) sets from the SQL-string and Column-builder pipelines."""
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_sql,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text", 2).collect()
+    }
+    new = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_sql(docs, "doc_id", "text", 2).collect()
+    }
+    assert old == new and old
+
+
 def test_star_cc_matches_label_propagation(spark):
     """large-star/small-star must produce the identical (id, root)
     labeling as min-label propagation — on a DEEP path graph (the case
