@@ -168,6 +168,50 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDE_OFFSETS = "[0, 1, 2, 3]"
 
+FUNNEL_WINDOW_US = 3600 * 1_000_000  # each step must follow within 1h
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel (view → click → purchase), each
+    step strictly after the previous and within 1 hour of it; per user,
+    the earliest qualifying timestamp of each stage (NULL = dropped
+    off). All time math in integer microseconds (portable, exact).
+
+    Scale: three per-user min-aggregations chained by joins — every
+    stage keys on user_id, so AQE reuses one partitioning; no windows,
+    no per-event state. The classic sessionized-funnel alternative
+    (sort per user, scan) is what the streaming stateful operator
+    covers; this is the batch set-algebra form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+
+    def stage(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", prev_col), "user_id")
+            .filter(
+                (F.col("tus") > F.col(prev_col))
+                & (F.col("tus") <= F.col(prev_col) + F.lit(FUNNEL_WINDOW_US))
+            )
+            .groupBy("user_id")
+            .agg(F.min("tus").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("view_us"))
+    )
+    c = stage(v, "view_us", "click", "click_us")
+    p = stage(c, "click_us", "purchase", "purchase_us")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_us", "click_us", "purchase_us")
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
@@ -176,6 +220,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "user_activity": user_activity,
     "range_join_recent_clicks": range_join_recent_clicks,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -265,5 +310,29 @@ ORACLES = {
                {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS total_value
         FROM events
         GROUP BY user_id
+    """,
+    "events_funnel": f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        ), v AS (
+            SELECT user_id, min(tus) AS view_us
+            FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.tus) AS click_us
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.tus > v.view_us AND e.tus <= v.view_us + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.tus) AS purchase_us
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.tus > c.click_us AND e.tus <= c.click_us + {FUNNEL_WINDOW_US}
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
     """,
 }

@@ -20,7 +20,7 @@ from operator import add
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_tokens
+from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_token_hash, sql_tokens
 from ..functions.hashing import hash_array, poly_hash
 from ..functions.rounding import pround, sql_pround
 from ..functions.text import char_shingles, tokenize
@@ -188,6 +188,28 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning — the normalization pass that precedes
+    exact dedup in a pipeline (so trivially-different copies collapse):
+    lowercase, punctuation → space, whitespace collapse, trim. Pure
+    codegen'd Column expressions; output includes a portable hash of
+    the normalized form so the downstream dedup key is right here."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _PUNCT_RE, " "), r"\s+", " "
+        )
+    )
+    from ..functions.hashing import token_hash
+
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+        token_hash(norm).alias("norm_hash"),
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -195,6 +217,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_repetition": text_repetition,
+    "text_normalize": text_normalize,
 }
 
 
@@ -298,5 +321,16 @@ ORACLES = {
                {sql_pround('CAST(max_tok_count AS DOUBLE) / n_tokens', 6)}
                    AS top_share
         FROM agg
+    """,
+    "text_normalize": f"""
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS INTEGER) AS norm_chars,
+               {sql_token_hash('norm_text')} AS norm_hash
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '{_PUNCT_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        )
     """,
 }

@@ -14,6 +14,7 @@ EVENT_QUERIES = [
     "asof_join_clicks",
     "events_json_props",
     "user_activity",
+    "events_funnel",
 ]
 
 
@@ -33,3 +34,24 @@ def test_session_window_semantics(spark):
     for r in rows:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_funnel_stage_ordering(spark):
+    """Stages are strictly increasing in time and monotone in coverage:
+    click implies view, purchase implies click; each step within 1h."""
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.events import FUNNEL_WINDOW_US
+
+    rows = ALL_QUERIES["events_funnel"](spark, SF_SMOKE).collect()
+    assert rows
+    n_click = n_buy = 0
+    for r in rows:
+        assert r["view_us"] is not None
+        if r["click_us"] is not None:
+            n_click += 1
+            assert r["view_us"] < r["click_us"] <= r["view_us"] + FUNNEL_WINDOW_US
+        if r["purchase_us"] is not None:
+            n_buy += 1
+            assert r["click_us"] is not None
+            assert r["click_us"] < r["purchase_us"] <= r["click_us"] + FUNNEL_WINDOW_US
+    assert n_click >= n_buy

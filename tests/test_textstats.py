@@ -14,6 +14,7 @@ TEXT_QUERIES = [
     "text_fingerprint",
     "text_tfidf_top_terms",
     "text_repetition",
+    "text_normalize",
 ]
 
 
