@@ -34,6 +34,7 @@ from . import (  # noqa: E402
     graphrank,
     mapreduce_api,
     multimodal,
+    profiling,
     relational,
     similarity,
     sketches,
@@ -65,6 +66,7 @@ _register(skewproof)
 _register(tpch_rest)
 _register(curation)
 _register(graphrank)
+_register(profiling)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (round 1 covered exactly the

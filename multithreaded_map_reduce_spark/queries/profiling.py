@@ -1,0 +1,179 @@
+"""Data-profiling and exact-statistics queries — the inspection pass a
+pipeline runs before/after transformations: per-column profiles,
+distribution histograms, and covariance/correlation.
+
+Cross-engine exactness strategy (the hard part for statistics):
+``covar``/``corr`` over doubles are order-dependent when summed as
+floats, so both moments are accumulated as EXACT integers — quantities
+as BIGINT, prices as DECIMAL cents, squares/products in DECIMAL(38,0)
+(Spark) vs HUGEINT (DuckDB), all order-free — and only the final
+ratio touches doubles, via single identical IEEE ops (cast, multiply,
+sqrt, divide) + portable rounding. Same engineering as the money/
+iunits toolkit, extended to second moments.
+
+Scale: every query here is one scan + one aggregate (map-side partial,
+codegen'd). The histogram's bin key is computed, so it partitions
+uniformly; the profile is a single multi-aggregate pass, not one scan
+per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import money
+from ..functions.rounding import (
+    from_iunits,
+    iunits,
+    pround,
+    sql_from_iunits,
+    sql_iunits,
+    sql_pround,
+)
+from ..sources.catalog import load_table
+
+HIST_BIN_WIDTH = 5.0  # events.value in [0, ~560] → ~113 bins
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem's numeric measures: one row per
+    column with count / nulls / distinct / min / max — computed in a
+    SINGLE aggregate pass over the table (then pivoted to rows
+    driver-free via stack), not a scan per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column, n, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value: bin index, count, exact
+    sum (integer micro-units) and rounded mean per bin. floor(x/width)
+    is one IEEE division + floor — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("int")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(iunits(F.col("value"))).alias("sum_units"),
+        )
+        .select(
+            "bin",
+            "n",
+            "sum_units",
+            pround(from_iunits(F.col("sum_units")) / F.col("n"), 6).alias("mean_value"),
+        )
+    )
+
+
+def stats_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance + correlation of (l_quantity, l_extendedprice).
+
+    Moments are exact integers: x = quantity as BIGINT (integral in
+    TPC-H), y = price in DECIMAL cents; Σx, Σy, Σxy, Σx², Σy² in
+    DECIMAL(38,0) — order-free, deterministic at any parallelism. The
+    closed forms
+        covar_pop = (n·Σxy − Σx·Σy) / n²
+        corr      = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))
+    are evaluated with one double conversion per exact factor and
+    identical IEEE multiply/sqrt/divide, then portable rounding.
+    covar is in quantity·cents units (documented, exact-checkable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = (money("l_extendedprice") * 100).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+    )
+    n = d(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nn = (n * n).cast("double")
+    return agg.select(
+        "n",
+        F.col("sx").cast("long").alias("sum_qty"),
+        F.col("sy").cast("long").alias("sum_cents"),
+        pround(num / nn, 6).alias("covar_pop"),
+        pround(num / F.sqrt(varx * vary), 6).alias("corr"),
+    )
+
+
+QUERIES = {
+    "profile_lineitem": profile_lineitem,
+    "value_histogram": value_histogram,
+    "stats_covar": stats_covar,
+}
+
+_PROFILE_SELECTS = " UNION ALL ".join(
+    f"""SELECT '{c}' AS "column", count({c}) AS n,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct,
+        min({c}) AS min_val, max({c}) AS max_val
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+_COVAR_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_COVAR = sql_pround(f"{_COVAR_NUM} / CAST(n * n AS DOUBLE)", 6)
+_CORR = sql_pround(
+    f"{_COVAR_NUM} / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE))",
+    6,
+)
+
+ORACLES = {
+    "profile_lineitem": _PROFILE_SELECTS,
+    "value_histogram": f"""
+        SELECT bin, n, sum_units,
+               {sql_pround(f"({sql_from_iunits('sum_units')}) / n", 6)} AS mean_value
+        FROM (
+            SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER) AS bin,
+                   count(*) AS n,
+                   CAST(sum({sql_iunits('value')}) AS BIGINT) AS sum_units
+            FROM events GROUP BY 1
+        )
+    """,
+    "stats_covar": f"""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+                FROM lineitem
+            )
+        )
+        SELECT n,
+               CAST(sx AS BIGINT) AS sum_qty,
+               CAST(sy AS BIGINT) AS sum_cents,
+               {_COVAR} AS covar_pop,
+               {_CORR} AS corr
+        FROM m
+    """,
+}
