@@ -97,6 +97,31 @@ _ROUND1_MISSING = [
 ]
 
 
+# Among driver-unverified entries, verify NEW CAPABILITY CLASSES before
+# variants of already-verified shapes (a bigstar CC row adds less signal
+# than a pagerank row while dedup_clusters holds the shared oracle).
+_PRIORITY_NEW = [
+    "pagerank_nations",
+    "stats_covar",
+    "value_histogram",
+    "profile_lineitem",
+    "curation_decontaminate",
+    "curation_stratified",
+    "curation_sample_weighted",
+    "curation_split",
+    "curation_sample_bottomk",
+    "curation_topk_quality",
+    "events_funnel",
+    "text_normalize",
+    "text_repetition",
+    "dedup_clusters",
+    "streaming_tumbling",
+    "streaming_session",
+    "streaming_join",
+    "streaming_stateful",
+]
+
+
 def _rerank() -> None:
     global ALL_QUERIES, ALL_ORACLES
     verified_r1 = [n for n in ALL_QUERIES if n not in _ROUND1_MISSING]
@@ -104,9 +129,12 @@ def _rerank() -> None:
         n for n in ALL_QUERIES
         if n not in _ROUND1_MISSING and n not in _R1_VERIFIED
     ]
+    new_ordered = [n for n in _PRIORITY_NEW if n in new_this_round] + [
+        n for n in new_this_round if n not in _PRIORITY_NEW
+    ]
     order = (
         [n for n in _ROUND1_MISSING if n in ALL_QUERIES]
-        + new_this_round
+        + new_ordered
         + [n for n in verified_r1 if n not in new_this_round]
     )
     ALL_QUERIES = {n: ALL_QUERIES[n] for n in order}
