@@ -108,3 +108,60 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     return fmt[0], fmt[1], fmt[2], data
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Windows BMP (BITMAPINFOHEADER, 24-bit BI_RGB). ``pixels`` is the
+    TOP-DOWN unpadded raster (width*height*3); the encoder writes the
+    real on-disk layout — rows bottom-up, each padded to a 4-byte
+    stride — so the decoder has genuine work to undo."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(pixels)} bytes, need {width * height * 3}"
+        )
+    row = 3 * width
+    stride = (row + 3) & ~3
+    pad = b"\x00" * (stride - row)
+    body = b"".join(
+        pixels[y * row : (y + 1) * row] + pad for y in range(height - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height,
+    row_stride, pixels) with pixels re-assembled TOP-DOWN and unpadded.
+
+    Strict about the real format: 'BM' magic, pixel-array offset from
+    the file header, 40-byte BITMAPINFOHEADER, bpp 24, BI_RGB only,
+    bottom-up (positive height), full-stride rows present. Raises
+    ``ValueError`` otherwise."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    (_file_size, _r1, _r2, offset) = struct.unpack_from("<IHHI", blob, 2)
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if hdr_size != 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if width <= 0 or height <= 0:
+        raise ValueError("top-down or degenerate BMP not supported")
+    row = 3 * width
+    stride = (row + 3) & ~3
+    need = offset + stride * height
+    if len(blob) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = [
+        blob[offset + y * stride : offset + y * stride + row]
+        for y in range(height - 1, -1, -1)
+    ]
+    return width, height, stride, b"".join(rows)

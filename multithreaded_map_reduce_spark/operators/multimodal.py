@@ -263,3 +263,67 @@ def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         (F.col("byte_len") * F.lit(target_w) * F.lit(target_h)
          / (F.col("fake_width") * F.col("fake_height"))).cast("long").alias("est_bytes"),
     )
+
+
+BMP_FEATURES_SCHEMA = (
+    "media_id long, byte_len long, width int, height int, row_stride int, "
+    "pix_checksum long"
+)
+
+
+def documents_as_bmp_images(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL 24-bit BMP per document (dims from doc_id,
+    raster = UTF-8 bytes cycled) — the third codec: unlike PPM, BMP has
+    genuine layout grammar (4-byte row stride padding, bottom-up rows)
+    that the decoder must undo byte-exactly for the oracle to match."""
+    import pandas as pd
+
+    from .codecs import encode_bmp
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 13 + 1
+                h = int(doc_id) % 9 + 1
+                need = w * h * 3
+                tb = text.encode("utf-8")
+                raster = (tb * (need // len(tb) + 1))[:need]
+                blobs.append(encode_bmp(w, h, raster))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "media": pd.Series(blobs, dtype=object)}
+            )
+
+    return docs.filter(F.length("text") > 0).mapInPandas(
+        build, "media_id long, media binary"
+    )
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched strict BMP decode → geometry + raster checksum of
+    the reassembled top-down unpadded raster."""
+    import pandas as pd
+
+    from .codecs import decode_bmp
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "byte_len": [], "width": [], "height": [],
+                "row_stride": [], "pix_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, stride, pixels = decode_bmp(bytes(blob))
+                out["media_id"].append(mid)
+                out["byte_len"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["row_stride"].append(stride)
+                out["pix_checksum"].append(
+                    int(np.frombuffer(pixels, dtype=np.uint8).sum()) % 2_147_483_647
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, BMP_FEATURES_SCHEMA)

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
+    documents_as_bmp_images,
+    extract_bmp_features,
     documents_as_media,
     documents_as_ppm_images,
     documents_as_wav_audio,
@@ -47,10 +49,21 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(documents_as_wav_audio(docs))
 
 
+def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third codec round-trip: 24-bit BMP with real layout grammar —
+    4-byte row-stride padding and bottom-up row order that the strict
+    decoder must undo byte-exactly. The oracle recomputes geometry,
+    the padded on-disk size, and the top-down raster checksum purely
+    arithmetically from doc_id + text bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_bmp_features(documents_as_bmp_images(docs))
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
+    "multimodal_bmp": multimodal_bmp,
 }
 
 # Additive checksum over the UTF-8 BYTES (not codepoints): decode each
@@ -141,5 +154,30 @@ ORACLES = {
                CAST(({_CHECKSUM}) % 640 + 1 AS INTEGER) AS fake_width,
                CAST(({_CHECKSUM}) % 480 + 1 AS INTEGER) AS fake_height
         FROM hexed
+    """,
+    "multimodal_bmp": f"""
+        WITH geom AS (
+            SELECT doc_id,
+                   hex(encode(text)) AS _hx,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+                   CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+                   CAST(doc_id % 9 + 1 AS INTEGER) AS height
+            FROM documents WHERE length(text) > 0
+        ), sized AS (
+            SELECT *,
+                   CAST(width AS BIGINT) * height * 3 AS _npix,
+                   (CAST(width AS BIGINT) * height * 3) % _tb AS _r,
+                   -- 4-byte-aligned row stride: (3w + 3) & ~3
+                   CAST(((3 * width + 3) // 4) * 4 AS INTEGER) AS row_stride
+            FROM geom
+        )
+        SELECT doc_id AS media_id,
+               54 + CAST(row_stride AS BIGINT) * height AS byte_len,
+               width,
+               height,
+               row_stride,
+               ((_npix // _tb) * {_BYTESUM} + {_PREFIXSUM_R}) % 2147483647
+                   AS pix_checksum
+        FROM sized
     """,
 }

@@ -139,3 +139,40 @@ def test_multimodal_audio_oracle(spark):
         ALL_ORACLES["multimodal_audio"],
         SF_SMOKE,
     ) > 0
+
+
+def test_bmp_codec_roundtrip_stride_and_flip():
+    """Encode writes bottom-up padded rows; decode must restore the
+    exact top-down unpadded raster and report the real stride."""
+    from multithreaded_map_reduce_spark.operators.codecs import decode_bmp, encode_bmp
+
+    px = bytes((i * 7) % 256 for i in range(5 * 3 * 3))  # 5x3, stride 16 != 15
+    blob = encode_bmp(5, 3, px)
+    w, h, stride, out = decode_bmp(blob)
+    assert (w, h, stride) == (5, 3, 16)
+    assert out == px
+    assert len(blob) == 54 + stride * 3
+    # width divisible by 4 → no padding
+    px4 = bytes(4 * 2 * 3)
+    assert decode_bmp(encode_bmp(4, 2, px4))[2] == 12
+
+
+def test_bmp_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_spark.operators.codecs import decode_bmp, encode_bmp
+
+    blob = encode_bmp(2, 2, bytes(12))
+    for bad in [b"XX" + blob[2:], blob[:40], blob[:-1]]:
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_multimodal_bmp_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["multimodal_bmp"], ALL_ORACLES["multimodal_bmp"], SF_SMOKE
+    ) > 0
