@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_token_hash, sql_tokens
 from ..functions.hashing import hash_array, poly_hash
-from ..functions.rounding import pround, sql_pround
+from ..functions.rounding import pround, sql_from_iunits, sql_iunits, sql_pround
 from ..functions.text import char_shingles, tokenize
 from ..sources.catalog import load_table
 
@@ -210,6 +210,37 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality
+    filter (CCNet lineage): P(tok) is the corpus-wide unigram relative
+    frequency; each doc gets avg negative log-likelihood (low = fluent/
+    typical, high = outlier). Two aggregations + one term-keyed join
+    (AQE broadcasts the vocabulary when small; unbounded vocabularies
+    shuffle-join — same reasoning as tf-idf). ln under pround(6) is
+    engine-stable off measure-zero boundaries."""
+    from ..functions.rounding import from_iunits, iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    freq = terms.groupBy("tok").agg(F.count("*").alias("c"))
+    total = terms.select(F.count("*").alias("total"))
+    # per-token nll → integer nano-units BEFORE summing: double sums are
+    # order-dependent across engines; integer sums are exact (the iunits
+    # discipline — ln itself is the only libm call, same as tf-idf)
+    scored = (
+        terms.join(freq, "tok")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            iunits(-F.log(F.col("c").cast("double") / F.col("total")), 9).alias("nllu"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        pround(from_iunits(F.sum("nllu"), 9) / F.count("*"), 6).alias("avg_nll"),
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -218,6 +249,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_repetition": text_repetition,
     "text_normalize": text_normalize,
+    "text_lm_score": text_lm_score,
 }
 
 
@@ -332,5 +364,20 @@ ORACLES = {
                         '{_PUNCT_RE}', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
             FROM documents
         )
+    """,
+    "text_lm_score": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, count(*) AS c FROM terms GROUP BY tok
+        ), total AS (SELECT count(*) AS total FROM terms)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               {sql_pround(
+                   f"({sql_from_iunits('sum(' + sql_iunits('-ln(CAST(c AS DOUBLE) / total)', 9) + ')', 9)}) / count(*)",
+                   6,
+               )} AS avg_nll
+        FROM terms JOIN freq USING (tok), total
+        GROUP BY doc_id
     """,
 }

@@ -15,6 +15,7 @@ TEXT_QUERIES = [
     "text_tfidf_top_terms",
     "text_repetition",
     "text_normalize",
+    "text_lm_score",
 ]
 
 
