@@ -103,6 +103,11 @@ _ROUND1_MISSING = [
 _PRIORITY_NEW = [
     "pagerank_nations",
     "stats_covar",
+    "text_lm_score",
+    "curation_pack",
+    "events_retention",
+    "events_funnel",
+    "multimodal_bmp",
     "value_histogram",
     "profile_lineitem",
     "curation_decontaminate",
@@ -111,7 +116,6 @@ _PRIORITY_NEW = [
     "curation_split",
     "curation_sample_bottomk",
     "curation_topk_quality",
-    "events_funnel",
     "text_normalize",
     "text_repetition",
     "dedup_clusters",

@@ -153,6 +153,47 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per packed sequence bin
+
+
+def curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign docs to fixed-token-budget bins for
+    pretraining batch construction. Deterministic streaming form: docs
+    in doc_id order, each bin is the docs whose running-token-total
+    starts in the same ``PACK_BUDGET`` window (docs may straddle a
+    boundary — the tokenizer's BOS/EOS handling truncates, as in
+    packed-sequence pipelines). Pure integer math: one token-count
+    scan + one running-sum window.
+
+    Scale: a single global ordering window is a scale anti-pattern; at
+    100 TB the same construction runs per shard/partition (pack within
+    partitions, one partial bin per partition boundary) — packing needs
+    no global order, only determinism, so partition-local windows with
+    the partition id in the bin key scale linearly. The query keeps the
+    global form because the gate compares totals exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        # integer division, NOT double-div + cast: Spark casts truncate
+        # but DuckDB CAST rounds-to-nearest — div/" // " agree exactly
+        F.expr(f"(cum - n_tokens) div {PACK_BUDGET}").alias("bin"),
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
     "curation_split": curation_split,
     "curation_sample_bottomk": curation_sample_bottomk,
@@ -160,6 +201,7 @@ QUERIES = {
     "curation_sample_weighted": curation_sample_weighted,
     "curation_stratified": curation_stratified,
     "curation_decontaminate": curation_decontaminate,
+    "curation_pack": curation_pack,
 }
 
 _H = sql_token_hash("CAST(doc_id AS VARCHAR)")
@@ -218,6 +260,24 @@ ORACLES = {
         FROM (SELECT id, h FROM sh WHERE bucket != 0) c
         LEFT JOIN bench b ON c.h = b.h
         GROUP BY c.id
+    """,
+    "curation_pack": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t != '')) AS INTEGER) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, n_tokens,
+                   (CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - n_tokens) // {PACK_BUDGET} AS bin
+            FROM toks
+        )
+        SELECT bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY bin
     """,
 }
 

@@ -212,6 +212,26 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort_date, day_offset) the count of cohort members active that
+    day — the table behind every retention curve. Date math only
+    (UTC-pinned by load_table), so it is engine-exact. Two aggregations
+    keyed on user_id then (cohort, offset); the per-user cohort
+    relation joins back partial-agg'd (one row per user)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = ev.distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        days.join(cohort, "user_id")
+        .select("cohort_date", F.datediff("d", "cohort_date").alias("day_offset"), "user_id")
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
@@ -221,6 +241,7 @@ QUERIES = {
     "user_activity": user_activity,
     "range_join_recent_clicks": range_join_recent_clicks,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLES = {
@@ -334,5 +355,17 @@ ORACLES = {
         FROM v
         LEFT JOIN c ON v.user_id = c.user_id
         LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "events_retention": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), cohort AS (
+            SELECT user_id, min(d) AS cohort_date FROM days GROUP BY user_id
+        )
+        SELECT c.cohort_date,
+               CAST(date_diff('day', c.cohort_date, days.d) AS INTEGER) AS day_offset,
+               count(*) AS n_users
+        FROM days JOIN cohort c ON days.user_id = c.user_id
+        GROUP BY 1, 2
     """,
 }

@@ -17,6 +17,7 @@ from tests.oracle import compare
         "curation_sample_weighted",
         "curation_stratified",
         "curation_decontaminate",
+        "curation_pack",
     ],
 )
 def test_oracle_match(spark, name):

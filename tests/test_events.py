@@ -15,6 +15,7 @@ EVENT_QUERIES = [
     "events_json_props",
     "user_activity",
     "events_funnel",
+    "events_retention",
 ]
 
 
