@@ -106,6 +106,7 @@ _PRIORITY_NEW = [
     "text_lm_score",
     "curation_pack",
     "events_retention",
+    "events_transitions",
     "events_funnel",
     "multimodal_bmp",
     "value_histogram",

@@ -232,6 +232,21 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix: per user, consecutive event-type
+    pairs (ordered by ts then event_id for tie determinism), counted
+    corpus-wide — the Markov-chain view of user behavior. One
+    user-partitioned lead() window + one aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
@@ -242,6 +257,7 @@ QUERIES = {
     "range_join_recent_clicks": range_join_recent_clicks,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_transitions": events_transitions,
 }
 
 ORACLES = {
@@ -366,6 +382,18 @@ ORACLES = {
                CAST(date_diff('day', c.cohort_date, days.d) AS INTEGER) AS day_offset,
                count(*) AS n_users
         FROM days JOIN cohort c ON days.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "events_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
         GROUP BY 1, 2
     """,
 }

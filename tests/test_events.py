@@ -16,6 +16,7 @@ EVENT_QUERIES = [
     "user_activity",
     "events_funnel",
     "events_retention",
+    "events_transitions",
 ]
 
 
