@@ -26,6 +26,19 @@ def sql_pround(expr: str, n: int = 2) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+def sql_pround_spark(expr: str, n: int = 2) -> str:
+    """Spark-SQL dialect of :func:`sql_pround`.
+
+    In Spark SQL a bare literal like ``100.0`` parses as DECIMAL(4,1),
+    so ``floor(x)/100.0`` is *decimal* division and the query emits
+    DECIMAL — which hash-mismatches a DuckDB oracle emitting DOUBLE
+    even when the values are equal (VERDICT r2 items 1–2). The ``d``
+    suffix forces DOUBLE literals so the whole expression stays DOUBLE.
+    """
+    scale = float(10**n)
+    return f"(floor(({expr}) * {scale}d + 0.5d) / {scale}d)"
+
+
 def iunits(col: Column, n: int = 6) -> Column:
     """Arbitrary double → exact integer units of 10^-n (portable floor
     formula). Summing these BIGINTs is exact and order-independent —

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.rounding import sql_pround
+from ..functions.rounding import sql_pround, sql_pround_spark
 from ..sources.catalog import register_views
 
 _DEC = "DECIMAL(18,2)"
@@ -29,8 +29,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         f"""
-        SELECT floor(CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC}))
-                     AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+        SELECT {sql_pround_spark(f"CAST(sum(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE)", 2)} AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -94,7 +93,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         f"""
         SELECT o_orderkey,
-               floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0 AS total
+               {sql_pround_spark("CAST(o_totalprice AS DOUBLE)", 2)} AS total
         FROM orders
         WHERE o_totalprice > (
             SELECT CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) / count(*) FROM orders

@@ -43,7 +43,10 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # Exact repr, no rounding: the driver's gate hashes exact values,
+        # so any ulp-level divergence must fail HERE, not there (VERDICT
+        # r2 item 3 — round(v, 9) masked two DECIMAL-vs-DOUBLE bugs).
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):
@@ -62,7 +65,11 @@ def _canon(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return _canon(float(v))
+        # Decimal stays DISTINCT from float — a Spark DECIMAL result vs a
+        # DuckDB DOUBLE oracle is a type bug the driver's hash catches, so
+        # the local gate must too. Normalized fixed-point form so equal
+        # values at different scales (DECIMAL(18,2) vs (18,6)) still match.
+        return "DEC:" + format(v.normalize(), "f")
     return str(v)
 
 

@@ -96,3 +96,22 @@ def test_pround_parity_random_doubles(spark):
     want = [r[0] for r in con.execute(f"SELECT {sql_pround('v', 2)} FROM t ORDER BY v").fetchall()]
     con.close()
     assert got == want
+
+
+def test_canon_distinguishes_decimal_from_float():
+    """The local gate must be as strict as the driver's exact value hash:
+    a Spark DECIMAL result vs a DuckDB DOUBLE oracle is a type bug even
+    when numerically equal (VERDICT r2: q6_forecast_revenue shipped red
+    because the old _canon coerced Decimal->float and rounded to 9
+    digits)."""
+    import decimal
+
+    from tests.oracle import _canon
+
+    assert _canon(decimal.Decimal("5615626.680000")) != _canon(5615626.68)
+    # equal decimals at different scales still match each other
+    assert _canon(decimal.Decimal("123.4500")) == _canon(decimal.Decimal("123.45"))
+    assert _canon(decimal.Decimal("120")) == _canon(decimal.Decimal("120.000"))
+    # floats canonicalize by exact repr -- no rounding window
+    assert _canon(0.1 + 0.2) != _canon(0.3)
+    assert _canon(5615626.68) == "5615626.68"
