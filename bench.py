@@ -7,18 +7,26 @@ Each query is executed to completion via the noop sink (full plan runs,
 nothing is collected to the driver — measures engine throughput, not
 result serialization).
 
-Each query runs twice: "queries" records the COLD first run (plan build
-+ execution — comparable with every earlier BENCH_r{N}), "queries_warm"
-the immediate second run, where the JVM is hot and parquet footers are
-cached. cold − warm ≈ driver/plan overhead, which shrinks relative to
-execution as data scales; warm is the closer proxy for steady-state
-cluster throughput.
+Each query runs 1 cold + 3 warm iterations: "queries" records the COLD
+first run (plan build + execution — comparable with every earlier
+BENCH_r{N}), "queries_warm" the MEDIAN of the 3 subsequent runs, where
+the JVM is hot and parquet footers are cached. cold − warm ≈ driver/plan
+overhead, which shrinks relative to execution as data scales; warm is
+the closer proxy for steady-state cluster throughput.
+
+Regression detection (VERDICT r2 item 7) keys on the warm MEDIAN, not
+the cold single-shot — a single cold run carries ±40% scheduler/JIT
+jitter (r2's events_session "+42%" was exactly that), while a median of
+3 warm runs is stable to a few percent. The cold number is still
+recorded for cross-round history. Baselines whose recorded "sf" differs
+from this run's scale factor are skipped (ADVICE r2).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -58,18 +66,25 @@ REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.3
 
 
-def _previous_bench() -> tuple[str, dict[str, float]] | None:
-    """Newest recorded BENCH_r{N}.json → (filename, per-query seconds)."""
+def _previous_bench(sf: float | str) -> tuple[str, dict[str, float], dict[str, float]] | None:
+    """Newest BENCH_r{N}.json recorded at the SAME scale factor →
+    (filename, cold per-query seconds, warm per-query seconds).
+
+    Records at a different sf are skipped — comparing a 0.1 run against
+    a 0.01 baseline emits spurious REGRESSION lines (ADVICE r2)."""
     here = Path(__file__).resolve().parent
-    recs = sorted(here.glob("BENCH_r*.json"))
-    if not recs:
-        return None
-    try:
-        data = json.loads(recs[-1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return None
-    queries = (data.get("parsed") or data).get("queries")
-    return (recs[-1].name, queries) if isinstance(queries, dict) else None
+    for rec in sorted(here.glob("BENCH_r*.json"), reverse=True):
+        try:
+            data = json.loads(rec.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed") or data
+        if parsed.get("sf") != sf:
+            continue
+        queries = parsed.get("queries")
+        if isinstance(queries, dict):
+            return rec.name, queries, parsed.get("queries_warm") or {}
+    return None
 
 
 def main() -> None:
@@ -87,26 +102,34 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        warm[name] = round(statistics.median(reps), 3)
+
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw else sf_dir
 
     regressions: dict[str, float] = {}
-    prev = _previous_bench()
+    prev = _previous_bench(sf)
     if prev is not None:
-        prev_name, prev_queries = prev
-        for name, sec in timings.items():
-            base = prev_queries.get(name)
+        prev_name, prev_cold, prev_warm = prev
+        # warm median vs warm median is the trustworthy signal; fall back
+        # to cold-vs-cold only for baselines that never recorded warm.
+        cur_base = warm if prev_warm else timings
+        prev_base = prev_warm or prev_cold
+        for name, sec in cur_base.items():
+            base = prev_base.get(name)
             if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
                 regressions[name] = round(sec / base, 2)
         for name, ratio in sorted(regressions.items(), key=lambda kv: -kv[1]):
             print(
                 f"REGRESSION: {name} {ratio}x slower than {prev_name} "
-                f"({prev_queries[name]}s -> {timings[name]}s)",
+                f"(warm median {prev_base[name]}s -> {cur_base[name]}s)",
                 file=sys.stderr,
             )
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -114,7 +137,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "sf": float(sf) if sf else sf_dir,
+        "warm_n_reps": 3,
+        "sf": sf,
     }
     if prev is not None:
         out["prev"] = prev[0]

@@ -51,15 +51,36 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _unique_view(df: DataFrame, id_col: str, text_col: str) -> str:
+    """Register ``(id, text)`` under a per-call unique temp view name.
+
+    A fixed name ('__minhash_src') is shared session state: two calls
+    racing from different threads cross-wire inputs, and the view leaks
+    into the caller's session (ADVICE r2). The uuid suffix makes each
+    call self-contained; callers drop the view after ``spark.sql``
+    returns — safe because view resolution happens at analysis time, so
+    the returned DataFrame's plan no longer references the name."""
+    import uuid
+
+    view = f"__dedup_src_{uuid.uuid4().hex}"
+    df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    return view
+
+
 def shingle_hash_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
     """(id, h) rows: word-n-gram shingle hashes per document, computed
     END-TO-END in whole-stage codegen (no interpreted HOF lambdas):
 
-    posexplode(split) → codegen'd md5 token hash → window ``lead`` fold
-    over the n-token shingle. One shuffle (the id-partitioned window);
-    downstream per-id aggregations reuse that partitioning shuffle-free.
+    split → zip-at-explode (``arrays_zip`` of the shifted token array)
+    → codegen'd md5 token hash fold. NO shuffle and no window in this
+    relation itself — shingle adjacency comes from the zip; each
+    downstream per-id aggregation (signature min()s, collect_set)
+    shuffles on id once, and AQE may share the exchange (ReusedExchange)
+    when both consume the same persisted rows.
     Documents with fewer than ``n`` tokens contribute the fold of all
     their tokens; documents with zero tokens drop out. Duplicate shingle
     hashes may repeat — consumers take ``min`` (dup-insensitive) or
@@ -216,10 +237,11 @@ def minhash_dedup_pairs(
     join with tens of thousands of low-jaccard candidates per 5k docs:
     measured 174k candidates at sf0.1, the round-1 bottleneck.)
 
-    The persisted shingle rows feed two per-id aggregations, both
-    shuffle-free (the rows come out of an id-partitioned window): the
-    signature aggregation — 32 codegen'd ``min`` exprs in a hash
-    aggregate — and the ``collect_set`` verify relation. Keeping them
+    The persisted shingle rows feed two per-id aggregations, each with
+    its own id-keyed shuffle (partial map-side aggregation first, so the
+    exchanges carry one row per (partition, id)): the signature
+    aggregation — 32 codegen'd ``min`` exprs in a hash aggregate — and
+    the ``collect_set`` verify relation. Keeping them
     SEPARATE matters: collect_set is a typed-imperative aggregate, so a
     merged agg runs on ObjectHashAggregateExec where the 32 min exprs
     evaluate interpreted per row (~25 s of CPU at sf0.1 measured vs ~1 s
@@ -317,10 +339,7 @@ def minhash_dedup_pairs_sql(
             f"ELSE (({h_expr}) * {POLY_BASE} + ({th(f't{i}')})) % {M} END"
         )
 
-    view = "__minhash_src"
-    df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).createOrReplaceTempView(view)
+    view = _unique_view(df, id_col, text_col)
     sql = f"""
 WITH base AS (
     SELECT id, split(regexp_replace(text, '^\\\\s+|\\\\s+$', ''), '\\\\s+') AS toks
@@ -357,7 +376,9 @@ SELECT id_a, id_b, jaccard FROM (
     FROM pairs p JOIN hashed a ON p.id_a = a.id JOIN hashed b ON p.id_b = b.id
 ) WHERE jaccard >= {threshold}
 """
-    return df.sparkSession.sql(sql)
+    out = df.sparkSession.sql(sql)
+    df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -401,28 +422,123 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return agg.select("id", reduce(add, bits).alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+def simhash_fingerprints_wide(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 3
-    for losslessness of the 4-byte banding)."""
-    if max_hamming > 3:
-        raise ValueError("4-byte banding is only lossless for hamming <= 3")
-    fp = simhash_fingerprints(df, id_col, text_col)
-    blocks = fp.select(
+    """(id, simhash): 64-bit weighted fingerprint — the 100 TB
+    configuration (SCALE.md). Two independent 32-bit md5 slices drive
+    bits 0–31 and 32–63 (the 48-bit ``token_hash`` can't feed 64
+    unbiased votes); bit recombination is bitwise-OR of disjoint
+    shifted bits, so bit 63 never overflows a signed BIGINT the way a
+    ``+`` fold would under ANSI mode."""
+    from functools import reduce
+
+    ex = (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h0"),
+            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h1"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                (F.col("h0" if b < 32 else "h1") % F.lit(1 << ((b % 32) + 1)))
+                >= F.lit(1 << (b % 32)),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    bits = [
+        F.when(
+            F.col(f"_v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    return agg.select("id", reduce(lambda x, y: x.bitwiseOR(y), bits).alias("simhash"))
+
+
+def simhash_blocks(fp: DataFrame, bits: int = 32) -> DataFrame:
+    """Explode a fingerprint into its 4 pigeonhole bands of bits/4 bits
+    (8-bit bands for the 32-bit fixture config, 16-bit for the 64-bit
+    scale config — 4 × 65,536 buckets, so one band bucket holds a
+    ~2^-18 fraction of the corpus instead of 32-bit banding's ~2^-10)."""
+    block_bits = bits // 4
+    mask = (1 << block_bits) - 1
+    return fp.select(
         "id",
         "simhash",
         F.posexplode(
-            F.array(*[(F.shiftright(F.col("simhash"), 8 * i) % 256) for i in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), block_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(4)
+                ]
+            )
         ).alias("block_idx", "block_val"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = 10_000,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 3
+    for losslessness of the 4-band pigeonhole).
+
+    Pair generation mirrors ``candidates_from_signatures``: ONE shuffle
+    — groupBy band bucket → collect_set(struct(id, simhash)) →
+    in-bucket pair expansion — instead of the banded self-equi-join
+    (which computes the banded relation twice and shuffles both sides).
+
+    ``max_bucket`` is the degenerate-bucket cap (VERDICT r2 item 4): a
+    band value shared by B docs yields B²/2 candidate pairs, and with
+    32-bit banding there are at most 4 × 256 buckets TOTAL, so one
+    boilerplate-heavy corpus slice goes quadratic without a rail.
+    Buckets above the cap are dropped whole before expansion — the
+    deterministic rule the differential oracle can replay. A pair lost
+    this way is only truly lost if ALL of its ≥ 1 shared bands are
+    oversized; identical documents are exact-dedup's job, not
+    SimHash's. The fixture's largest bucket is 1,495 ids (sf0.1), so
+    the 10k default is a no-op there and the brute-force oracle still
+    proves the banding lossless; shrink it (or move to ``bits=64``,
+    whose 16-bit bands are 256× finer) at real scale."""
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole is only lossless for hamming <= 3")
+    if bits == 32:
+        fp = simhash_fingerprints(df, id_col, text_col)
+    elif bits == 64:
+        fp = simhash_fingerprints_wide(df, id_col, text_col)
+    else:
+        raise ValueError("bits must be 32 or 64")
+    blocks = simhash_blocks(fp, bits)
+    buckets = blocks.groupBy("block_idx", "block_val").agg(
+        F.collect_set(F.struct("id", "simhash")).alias("items")
+    )
+    buckets = buckets.filter(F.size("items") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("items") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(F.explode("items").alias("a"), F.col("items"))
+        .select(
+            "a",
+            F.explode(
+                F.filter("items", lambda y: y["id"] > F.col("a.id"))
+            ).alias("b"),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -435,16 +551,24 @@ def simhash_pairs(
 
 
 def simhash_pairs_sql(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """``simhash_pairs`` as one generated Spark-SQL string — same
     rationale and same equivalence contract as
     ``minhash_dedup_pairs_sql``: the 32 vote aggregates + 32 bit
     recombinations are ~130 py4j Column constructions in the DataFrame
     form (~1 s of driver latency); one SQL parse replaces them. Results
-    are set-equal (tested) and share the brute-force oracle."""
+    are set-equal (tested) and share the brute-force oracle.
+
+    Same one-shuffle bucketed pair expansion and ``max_bucket``
+    degenerate-bucket cap as the DataFrame twin (see ``simhash_pairs``
+    on why the cap exists and why 10k is a fixture no-op)."""
     if max_hamming > 3:
-        raise ValueError("4-byte banding is only lossless for hamming <= 3")
+        raise ValueError("4-band pigeonhole is only lossless for hamming <= 3")
     M = POLY_MOD
     votes = ", ".join(
         f"sum(CASE WHEN (h % {1 << (b + 1)}) >= {1 << b} THEN 1 ELSE -1 END) AS v{b}"
@@ -455,11 +579,9 @@ def simhash_pairs_sql(
         for b in range(32)
     )
     blocks_arr = ", ".join(f"shiftright(simhash, {8 * i}) % 256" for i in range(4))
+    cap = "" if max_bucket is None else f" AND size(items) <= {max_bucket}"
 
-    view = "__simhash_src"
-    df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).createOrReplaceTempView(view)
+    view = _unique_view(df, id_col, text_col)
     sql = f"""
 WITH ex AS (
     SELECT id, CAST(conv(substring(md5(tok), 1, 12), 16, 10) AS BIGINT) % {M} AS h
@@ -475,14 +597,53 @@ WITH ex AS (
 ), blocks AS (
     SELECT id, simhash, block_idx, block_val
     FROM fp LATERAL VIEW posexplode(array({blocks_arr})) t AS block_idx, block_val
+), buckets AS (
+    SELECT items FROM (
+        SELECT collect_set(struct(id, simhash)) AS items
+        FROM blocks GROUP BY block_idx, block_val
+    ) WHERE size(items) >= 2{cap}
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        bit_count(a.simhash ^ b.simhash) AS hamming
-FROM blocks a JOIN blocks b
-  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.id < b.id
+FROM buckets
+LATERAL VIEW explode(items) ta AS a
+LATERAL VIEW explode(filter(items, y -> y.id > a.id)) tb AS b
 WHERE bit_count(a.simhash ^ b.simhash) <= {max_hamming}
 """
-    return df.sparkSession.sql(sql)
+    out = df.sparkSession.sql(sql)
+    df.sparkSession.catalog.dropTempView(view)
+    return out
+
+
+def _block_size_rail(rel: DataFrame, max_block: int | None) -> DataFrame:
+    """Fail-fast rail on blocking-key cardinality (VERDICT r2 item 6).
+
+    The blocked pair operators are exact O(B²) *within* a block — their
+    contract is that a natural key (lang, label, IVF cell) bounds B. A
+    hot key silently breaks that contract at scale, so rather than cap
+    (which would silently change results for a semantic blocking key),
+    oversized blocks RAISE at execution time: a window count over blk
+    piggybacks on the same hash partitioning the self-join needs anyway,
+    and ``raise_error`` fires inside a filter predicate so the check
+    cannot be pruned as an unused column."""
+    if max_block is None:
+        return rel
+    from pyspark.sql.window import Window
+
+    sized = rel.withColumn("_bn", F.count("*").over(Window.partitionBy("blk")))
+    guard = F.when(
+        F.col("_bn") > F.lit(max_block),
+        F.raise_error(
+            F.concat(
+                F.lit("blocked pair operator: block '"),
+                F.col("blk").cast("string"),
+                F.lit(f"' exceeds max_block={max_block} (got "),
+                F.col("_bn").cast("string"),
+                F.lit(" rows) — use LSH/minhash for unbounded blocks"),
+            )
+        ),
+    )
+    return sized.filter(guard.isNull()).drop("_bn")
 
 
 def blocked_jaccard_pairs(
@@ -492,13 +653,19 @@ def blocked_jaccard_pairs(
     block_col: str,
     k: int = 8,
     threshold: float = 0.5,
+    max_block: int | None = 100_000,
 ) -> DataFrame:
-    """Exact char-k-gram Jaccard over pairs within a blocking key."""
+    """Exact char-k-gram Jaccard over pairs within a blocking key.
+
+    ``max_block`` bounds the quadratic: a 100k-row block is ~5·10⁹
+    candidate pairs — beyond that the right tool is LSH, and this
+    operator raises instead of silently melting the cluster."""
     sh = df.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         char_shingles(F.col(text_col), k).alias("sh"),
     )
+    sh = _block_size_rail(sh, max_block)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -517,13 +684,18 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     min_cosine: float = 0.35,
+    max_block: int | None = 100_000,
 ) -> DataFrame:
-    """Cosine near-dup pairs within a blocking key (label / IVF cell)."""
+    """Cosine near-dup pairs within a blocking key (label / IVF cell).
+
+    ``max_block`` raises on hot blocks before the O(B²) self-join —
+    see ``_block_size_rail``; re-cluster (finer IVF cells) instead."""
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         as_double(vec_col).alias("v"),
     )
+    e = _block_size_rail(e, max_block)
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))

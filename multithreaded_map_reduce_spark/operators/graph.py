@@ -79,6 +79,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would return labels that diverge from
+        # the recursive-CTE oracle with no signal (ADVICE r2): a
+        # component with diameter > max_iter must surface as an error.
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter or use "
+            "connected_components_star (O(log n) rounds)"
+        )
     return labels.select("id", "root")
 
 
@@ -170,6 +179,12 @@ def connected_components_star(
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star: edge-set fingerprint still moving "
+            f"after {max_iter} rounds — non-convergence must not silently "
+            "return partial labels (ADVICE r2)"
+        )
 
     # Converged stars: non-root nodes carry an edge to their root;
     # roots (and singletons filtered out up front) label themselves.

@@ -69,101 +69,55 @@ _register(graphrank)
 _register(profiling)
 
 # The driver's correctness gate verifies the registry in registration order
-# and caps the number of queries per round (round 1 covered exactly the
-# first 50 of 70).  Re-rank so queries WITHOUT a driver CORRECTNESS row yet
-# come first: the 20 names round 1 missed, then any entry new this round
-# (not in either list below), then the 50 already verified in round 1.
-_ROUND1_MISSING = [
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "multimodal_features",
-    "q6_forecast_revenue",
-    "grouping_sets_pricing",
-    "exists_correlated",
-    "in_subquery",
-    "scalar_subquery",
-    "array_functions",
-    "kmv_distinct_parts",
-    "q10_returned_revenue",
-    "q12_priority_by_status",
-    "q14_promo_share",
-    "q16_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "pandas_udf_scalar",
-    "pandas_udaf_mean",
+# and caps the number of queries per round (~50 of 111 in rounds 1-2).
+# Re-rank so the highest-signal rows come first:
+#   1. queries that have NEVER had a driver CORRECTNESS row (r1 ∪ r2);
+#   2. queries whose implementation or oracle CHANGED since their last
+#      green row (ADVICE r2: a green row describing code that no longer
+#      exists is not verification);
+#   3. everything verified-and-unchanged, registration order.
+
+# Never sampled by the driver in r1 or r2 (VERDICT r2 'What's missing' #1).
+_NEVER_SAMPLED = [
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    "q22_prospective_customers",
+    "skew_salted_join",
 ]
 
-
-# Among driver-unverified entries, verify NEW CAPABILITY CLASSES before
-# variants of already-verified shapes (a bigstar CC row adds less signal
-# than a pagerank row while dedup_clusters holds the shared oracle).
-_PRIORITY_NEW = [
-    "pagerank_nations",
-    "stats_covar",
-    "text_lm_score",
-    "curation_pack",
-    "events_retention",
-    "events_transitions",
-    "events_funnel",
-    "multimodal_bmp",
-    "value_histogram",
-    "profile_lineitem",
-    "curation_decontaminate",
-    "curation_stratified",
-    "curation_sample_weighted",
-    "curation_split",
-    "curation_sample_bottomk",
-    "curation_topk_quality",
-    "text_normalize",
-    "text_repetition",
+# Changed since their last green driver row — round 3 edits:
+# q6/scalar_subquery: DECIMAL→DOUBLE cast fix (were the two r2 FAILs);
+# dedup_simhash: bucketed pair expansion + max_bucket cap rewrite;
+# dedup_minhash_lsh: per-call unique temp view;
+# dedup_ngram_jaccard / embedding_neardup: block-size rail added;
+# dedup_clusters / dedup_clusters_bigstar: non-convergence now raises.
+_CHANGED_THIS_ROUND = [
+    "q6_forecast_revenue",
+    "scalar_subquery",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
     "dedup_clusters",
-    "streaming_tumbling",
-    "streaming_session",
-    "streaming_join",
-    "streaming_stateful",
+    "dedup_clusters_bigstar",
 ]
 
 
 def _rerank() -> None:
     global ALL_QUERIES, ALL_ORACLES
-    verified_r1 = [n for n in ALL_QUERIES if n not in _ROUND1_MISSING]
-    new_this_round = [
-        n for n in ALL_QUERIES
-        if n not in _ROUND1_MISSING and n not in _R1_VERIFIED
+    head = [n for n in _NEVER_SAMPLED if n in ALL_QUERIES] + [
+        n for n in _CHANGED_THIS_ROUND if n in ALL_QUERIES
     ]
-    new_ordered = [n for n in _PRIORITY_NEW if n in new_this_round] + [
-        n for n in new_this_round if n not in _PRIORITY_NEW
-    ]
-    order = (
-        [n for n in _ROUND1_MISSING if n in ALL_QUERIES]
-        + new_ordered
-        + [n for n in verified_r1 if n not in new_this_round]
-    )
+    order = head + [n for n in ALL_QUERIES if n not in head]
     ALL_QUERIES = {n: ALL_QUERIES[n] for n in order}
     ALL_ORACLES = {n: ALL_ORACLES[n] for n in order if n in ALL_ORACLES}
 
-
-# Names that already have a green row in CORRECTNESS_r01.json.
-_R1_VERIFIED = frozenset({
-    "word_count", "inverted_index", "top_words", "grouped_values",
-    "reverse_graph", "mr_word_count", "mr_inverted_index",
-    "q1_pricing_summary", "agg_distinct", "rollup_pricing", "cube_orders",
-    "conditional_agg", "percentiles_by_flag", "q3_shipping_priority",
-    "q5_local_supplier", "join_left_counts", "join_semi_parts",
-    "join_anti_customers", "topk_customers", "setop_intersect",
-    "setop_except", "setop_union", "scalar_functions", "scalar_strings",
-    "scalar_dates", "null_semantics", "pivot_linestatus",
-    "window_topk_parts", "window_range_frame", "unpivot_pricing",
-    "window_distribution", "window_running_total", "window_lag_lead",
-    "window_moving_avg", "brand_above_avg", "events_tumbling",
-    "events_sliding", "events_session", "asof_join_clicks",
-    "events_json_props", "user_activity", "range_join_recent_clicks",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "embedding_neardup", "sim_topk_bruteforce",
-    "sim_topk_lsh", "text_lang_id",
-})
 
 _rerank()

@@ -261,7 +261,7 @@ ORACLES = {
         LEFT JOIN bench b ON c.h = b.h
         GROUP BY c.id
     """,
-    "curation_pack": f"""
+    "curation_pack": rf"""
         WITH toks AS (
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

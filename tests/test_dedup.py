@@ -223,3 +223,111 @@ def test_dedup_clusters_bigstar_oracle(spark):
         ALL_ORACLES["dedup_clusters_bigstar"],
         SF_SMOKE,
     ) > 0
+
+
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """VERDICT r2 item 4: with 32-bit banding there are ≤ 4×256 buckets
+    TOTAL, so a near-identical corpus slice concentrates into a handful
+    of buckets and pair expansion goes quadratic. The max_bucket cap
+    must bound candidates BEFORE expansion — 5k near-identical docs
+    complete with zero surviving (degenerate) buckets, while a small
+    uncapped control on the same corpus shape confirms what is being
+    prevented."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.dedup import simhash_pairs
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the same boilerplate banner text repeated on every page v"),
+            (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    capped = simhash_pairs(docs, "doc_id", "text", max_hamming=2, max_bucket=50)
+    assert capped.count() == 0  # every bucket oversized -> dropped whole
+
+    small = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the same boilerplate banner text repeated on every page v"),
+            (F.col("id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    uncapped = simhash_pairs(small, "doc_id", "text", max_hamming=2, max_bucket=None)
+    # 3 identical-text groups of ~67 docs: every within-group pair is
+    # hamming 0, so the uncapped pair count is at least sum C(|g|,2).
+    assert uncapped.count() >= 3 * (66 * 65 // 2)
+
+
+def test_simhash_wide_64bit_matches_bruteforce(spark):
+    """The 64-bit/16-bit-band scale configuration must still be
+    pigeonhole-lossless: banded pairs == brute-force pairs for
+    hamming <= 3 on a small corpus."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        simhash_fingerprints_wide,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta token{i % 7} eta theta")
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, max_bucket=None, bits=64
+        ).collect()
+    }
+    fp = {r["id"]: r["simhash"] for r in simhash_fingerprints_wide(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert banded == brute
+    assert brute  # the corpus must actually produce near-dup pairs
+
+
+def test_blocked_pairs_raise_on_oversized_block(spark):
+    """VERDICT r2 item 6: a hot blocking key must fail fast, not melt
+    the cluster with an O(B^2) self-join."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+        embedding_neardup_pairs,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("document text number "), F.col("id").cast("string")).alias("text"),
+    )
+    with pytest.raises(SparkRuntimeException, match="max_block"):
+        blocked_jaccard_pairs(
+            docs, "doc_id", "text", "lang", max_block=100
+        ).count()
+    # under the cap: runs fine
+    assert (
+        blocked_jaccard_pairs(docs, "doc_id", "text", "lang", max_block=1000).count()
+        >= 0
+    )
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(SparkRuntimeException, match="max_block"):
+        embedding_neardup_pairs(
+            emb, "vec_id", "embedding", "label", max_block=100
+        ).count()
