@@ -46,7 +46,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_rt"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
     )
     r_side = right.select(
         F.col(by).alias("_k"),
@@ -54,7 +54,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_time).cast("timestamp").alias("_rt"),
+        F.col(right_time).alias("_rt"),
     )
     w = (
         W.partitionBy("_k")
@@ -67,9 +67,10 @@ def asof_join(
     filled = filled.withColumn("_matched_time", F.last("_rt", ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1)
     if tolerance_micros is not None:
+        from ..functions.time import epoch_micros
+
         within = (
-            F.unix_micros(F.col("_t").cast("timestamp"))
-            - F.unix_micros(F.col("_matched_time"))
+            epoch_micros(F.col("_t")) - epoch_micros(F.col("_matched_time"))
         ) <= F.lit(tolerance_micros)
         for c in value_cols:
             out = out.withColumn(f"_f_{c}", F.when(within, F.col(f"_f_{c}")))
@@ -101,7 +102,7 @@ def asof_join_pandas(
     out_fields = (
         [(c, left.schema[c].dataType.simpleString()) for c in left_cols]
         + [(c, right.schema[c].dataType.simpleString()) for c in value_cols]
-        + [("_matched_time", "timestamp")]
+        + [("_matched_time", right.schema[right_time].dataType.simpleString())]
     )
     out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
 

@@ -500,16 +500,23 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 3
     for losslessness of the 4-band pigeonhole).
 
-    Pair generation mirrors ``candidates_from_signatures``: ONE shuffle
-    — groupBy band bucket → collect_set(struct(id, simhash)) →
-    in-bucket pair expansion — instead of the banded self-equi-join
-    (which computes the banded relation twice and shuffles both sides).
+    Pair generation is a banded self-equi-join whose two sides are the
+    IDENTICAL plan (blocks → window bucket-count → cap filter), so
+    Spark's ReuseExchange computes the fingerprint pipeline and its
+    shuffle ONCE and feeds both join sides from the same exchange. The
+    r3 alternative (collect_set per bucket → in-bucket expansion via an
+    interpreted ``filter(items, ...)`` lambda) was measured 2.1× slower
+    at sf0.1: with 8-bit bands there are ≤ 1,024 buckets total, the
+    largest holds ~1,495 ids, and the per-bucket O(B²) lambda expansion
+    runs single-row with no codegen. The window count piggybacks on the
+    same (block_idx, block_val) hash partitioning the join needs, so
+    the cap costs one sort, not an extra shuffle.
 
     ``max_bucket`` is the degenerate-bucket cap (VERDICT r2 item 4): a
     band value shared by B docs yields B²/2 candidate pairs, and with
     32-bit banding there are at most 4 × 256 buckets TOTAL, so one
     boilerplate-heavy corpus slice goes quadratic without a rail.
-    Buckets above the cap are dropped whole before expansion — the
+    Buckets above the cap are dropped whole before the join — the
     deterministic rule the differential oracle can replay. A pair lost
     this way is only truly lost if ALL of its ≥ 1 shared bands are
     oversized; identical documents are exact-dedup's job, not
@@ -517,6 +524,8 @@ def simhash_pairs(
     the 10k default is a no-op there and the brute-force oracle still
     proves the banding lossless; shrink it (or move to ``bits=64``,
     whose 16-bit bands are 256× finer) at real scale."""
+    from pyspark.sql.window import Window
+
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole is only lossless for hamming <= 3")
     if bits == 32:
@@ -526,27 +535,30 @@ def simhash_pairs(
     else:
         raise ValueError("bits must be 32 or 64")
     blocks = simhash_blocks(fp, bits)
-    buckets = blocks.groupBy("block_idx", "block_val").agg(
-        F.collect_set(F.struct("id", "simhash")).alias("items")
+    sized = blocks.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("block_idx", "block_val"))
     )
-    buckets = buckets.filter(F.size("items") >= 2)
+    pruned = sized.filter(F.col("_bn") >= 2)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("items") <= max_bucket)
+        pruned = pruned.filter(F.col("_bn") <= max_bucket)
+    pruned = pruned.drop("_bn")
+    a, b = pruned.alias("a"), pruned.alias("b")
     return (
-        buckets.select(F.explode("items").alias("a"), F.col("items"))
-        .select(
-            "a",
-            F.explode(
-                F.filter("items", lambda y: y["id"] > F.col("a.id"))
-            ).alias("b"),
+        a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -564,9 +576,12 @@ def simhash_pairs_sql(
     form (~1 s of driver latency); one SQL parse replaces them. Results
     are set-equal (tested) and share the brute-force oracle.
 
-    Same one-shuffle bucketed pair expansion and ``max_bucket``
-    degenerate-bucket cap as the DataFrame twin (see ``simhash_pairs``
-    on why the cap exists and why 10k is a fixture no-op)."""
+    Same ReuseExchange-friendly banded self-join with a window-count
+    ``max_bucket`` degenerate-bucket cap as the DataFrame twin (see
+    ``simhash_pairs`` for why this beats per-bucket collect_set
+    expansion and why 10k is a fixture no-op). Measured warm medians at
+    sf0.1, local[32]: collect_set+lambda 2.8 s, plain sized-CTE join
+    1.9 s, this identical-sides window form 1.3 s."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole is only lossless for hamming <= 3")
     M = POLY_MOD
@@ -579,7 +594,7 @@ def simhash_pairs_sql(
         for b in range(32)
     )
     blocks_arr = ", ".join(f"shiftright(simhash, {8 * i}) % 256" for i in range(4))
-    cap = "" if max_bucket is None else f" AND size(items) <= {max_bucket}"
+    cap = 1 << 62 if max_bucket is None else max_bucket
 
     view = _unique_view(df, id_col, text_col)
     sql = f"""
@@ -597,17 +612,17 @@ WITH ex AS (
 ), blocks AS (
     SELECT id, simhash, block_idx, block_val
     FROM fp LATERAL VIEW posexplode(array({blocks_arr})) t AS block_idx, block_val
-), buckets AS (
-    SELECT items FROM (
-        SELECT collect_set(struct(id, simhash)) AS items
-        FROM blocks GROUP BY block_idx, block_val
-    ) WHERE size(items) >= 2{cap}
+), pruned AS (
+    SELECT id, simhash, block_idx, block_val FROM (
+        SELECT id, simhash, block_idx, block_val,
+               count(*) OVER (PARTITION BY block_idx, block_val) AS bn
+        FROM blocks
+    ) WHERE bn BETWEEN 2 AND {cap}
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        bit_count(a.simhash ^ b.simhash) AS hamming
-FROM buckets
-LATERAL VIEW explode(items) ta AS a
-LATERAL VIEW explode(filter(items, y -> y.id > a.id)) tb AS b
+FROM pruned a JOIN pruned b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.id < b.id
 WHERE bit_count(a.simhash ^ b.simhash) <= {max_hamming}
 """
     out = df.sparkSession.sql(sql)

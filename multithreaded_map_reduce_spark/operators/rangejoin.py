@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_micros
+
 
 def count_in_window(
     left: DataFrame,
@@ -37,14 +39,14 @@ def count_in_window(
     # (double-counting every match) and mis-buckets negative timestamps.
     l = left.select(
         "*",
-        F.unix_micros(F.col(left_time)).alias("_lt"),
+        epoch_micros(F.col(left_time)).alias("_lt"),
     ).withColumn("_bucket", F.explode(F.array_distinct(F.array(
         F.floor(F.col("_lt") / F.lit(bw)).cast("long"),
         F.floor((F.col("_lt") - F.lit(bw)) / F.lit(bw)).cast("long"),
     ))))
     r = right.select(
         F.col(by).alias("_rk"),
-        F.unix_micros(F.col(right_time)).alias("_rt"),
+        epoch_micros(F.col(right_time)).alias("_rt"),
     ).withColumn("_bucket", F.floor(F.col("_rt") / F.lit(bw)).cast("long"))
     joined = l.join(
         r,

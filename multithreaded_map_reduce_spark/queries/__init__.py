@@ -77,36 +77,37 @@ _register(profiling)
 #      exists is not verification);
 #   3. everything verified-and-unchanged, registration order.
 
-# Never sampled by the driver in r1 or r2 (VERDICT r2 'What's missing' #1).
-_NEVER_SAMPLED = [
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "q22_prospective_customers",
-    "skew_salted_join",
-]
+# Never sampled by the driver: empty as of r3 — every registry query
+# has at least one green CORRECTNESS row across r1 ∪ r2 ∪ r3.
+_NEVER_SAMPLED: list[str] = []
 
-# Changed since their last green driver row — round 3 edits:
-# q6/scalar_subquery: DECIMAL→DOUBLE cast fix (were the two r2 FAILs);
-# dedup_simhash: bucketed pair expansion + max_bucket cap rewrite;
-# dedup_minhash_lsh: per-call unique temp view;
-# dedup_ngram_jaccard / embedding_neardup: block-size rail added;
-# dedup_clusters / dedup_clusters_bigstar: non-convergence now raises.
+# Changed since their last green driver row — round 4 edits:
+# the driver regenerated /root/testdata with naive-us timestamps, so the
+# engine went NTZ-native (catalog normalization, epoch_micros replacing
+# unix_micros, streaming LTZ↔NTZ boundary) — every query that computes
+# with or outputs timestamps is re-ranked for verification, plus
+# dedup_simhash whose pair generation was rewritten (ReuseExchange
+# banded self-join with window bucket cap).
 _CHANGED_THIS_ROUND = [
-    "q6_forecast_revenue",
-    "scalar_subquery",
     "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "embedding_neardup",
-    "dedup_clusters",
-    "dedup_clusters_bigstar",
+    "streaming_tumbling",
+    "streaming_dedup",
+    "streaming_session",
+    "streaming_join",
+    "streaming_stateful",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "asof_join_clicks",
+    "user_activity",
+    "range_join_recent_clicks",
+    "events_funnel",
+    "events_retention",
+    "events_transitions",
+    "window_range_frame",
+    "window_lag_lead",
+    "q3_shipping_priority",
+    "scalar_dates",
 ]
 
 

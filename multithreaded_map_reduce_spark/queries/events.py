@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_micros
 from ..functions.rounding import (
     from_iunits,
     iunits,
@@ -121,7 +122,7 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "last_click_ts",
-            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("micros_since_click"),
+            (epoch_micros("ts") - epoch_micros("last_click_ts")).alias("micros_since_click"),
         )
     )
 
@@ -183,7 +184,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort per user, scan) is what the streaming stateful operator
     covers; this is the batch set-algebra form."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+        "user_id", "event_type", epoch_micros("ts").alias("tus")
     )
 
     def stage(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:

@@ -44,12 +44,25 @@ def _sink(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+def _ntz(df: DataFrame) -> DataFrame:
+    """Cast LTZ timestamp columns back to NTZ (naive, UTC wall-clock).
+
+    The streaming source runs on LTZ because watermarks demand it
+    (streaming/events.py); everything oracle-facing in this engine is
+    naive TIMESTAMP_NTZ — the exact values DuckDB reads."""
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp_ntz"))
+    return df
+
+
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink("st_tumbling")
     run_stream_to_memory(
         streaming_tumbling_counts(stream_events(spark, sf_dir)), name
     )
-    return spark.table(name)
+    return _ntz(spark.table(name))
 
 
 def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +70,7 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(
         streaming_session_counts(stream_events(spark, sf_dir)), name
     )
-    return spark.table(name)
+    return _ntz(spark.table(name))
 
 
 def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +80,7 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="append",  # stream-stream joins only support append
     )
-    return spark.table(name)
+    return _ntz(spark.table(name))
 
 
 def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +94,7 @@ def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final state (n_events grows monotonically per batch)
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        _ntz(spark.table(name))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -102,7 +115,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="append",
     )
-    return spark.table(name)
+    return _ntz(spark.table(name))
 
 
 QUERIES = {

@@ -276,6 +276,67 @@ def q22_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (group-agg filtered by a scalar subquery of the total):
+    per-part "stock value" = exact revenue supplied from NATION_9
+    (partsupp.ps_supplycost × ps_availqty is absent — supplied revenue
+    stands in); keep parts holding more than 1/1000 of the total.
+
+    The threshold compare stays in DECIMAL on BOTH engines
+    (``val * 1000 > total`` — integer scaling, no double rounding at
+    the filter boundary). The scalar total is one broadcast row; the
+    nation-filtered supplier side broadcasts into the fact scan, so the
+    only shuffle is the partkey aggregation — Q11's natural floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 9)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue()).alias("val"))
+    )
+    total = val.agg(F.sum("val").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.lit(1000) > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            pround(F.col("val").cast("double"), 2).alias("stock_value"),
+        )
+    )
+
+
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (nested semi-join chain): EUROPE suppliers that shipped
+    more than 300 units of 'small *' parts in 1997 (partsupp.availqty is
+    absent — shipped quantity stands in).
+
+    Plan: part name filter broadcasts as a LEFT SEMI into the fact scan
+    (no fact-side row widening), one suppkey aggregation, then
+    broadcast dims for names — the same no-extra-shuffle shape the real
+    Q20 wants. ``l_quantity`` is integer-valued, so the double sum is
+    exact and surfaced as BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    eu_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+    return (
+        qty.join(F.broadcast(s), qty.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(eu_n), s.s_nationkey == eu_n.n_nationkey)
+        .select("s_name", "n_name", "total_qty")
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_priority_exists": q4_priority_exists,
@@ -287,9 +348,36 @@ QUERIES = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_prospective_customers": q22_prospective_customers,
+    "q11_important_parts": q11_important_parts,
+    "q20_promotable_suppliers": q20_promotable_suppliers,
 }
 
 ORACLES = {
+    "q11_important_parts": f"""
+        WITH v AS (
+            SELECT l_partkey AS partkey, sum({SQL_REVENUE}) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = 9
+            GROUP BY 1
+        )
+        SELECT partkey, {sql_pround('CAST(val AS DOUBLE)', 2)} AS stock_value
+        FROM v WHERE val * 1000 > (SELECT sum(val) FROM v)
+    """,
+    "q20_promotable_suppliers": """
+        SELECT s_name, n_name, total_qty
+        FROM (
+            SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small %'
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+        )
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        WHERE total_qty > 300
+    """,
     "q2_min_cost_supplier": f"""
         WITH per_supp AS (
             SELECT p_partkey, p_name, s_suppkey, s_name, n_name,

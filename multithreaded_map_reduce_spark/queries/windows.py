@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_micros
 from ..functions.money import SQL_REVENUE, money, revenue, sql_money
 from ..functions.rounding import pround, sql_pround
 from ..sources.catalog import load_table
@@ -114,7 +115,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(

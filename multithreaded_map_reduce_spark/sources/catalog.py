@@ -34,26 +34,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan — keep it lazy so
     Catalyst can push filters/projections into the scan.
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; read it as raw nanos
-    (``nanosAsLong``, set at runtime so any caller-provided session
-    works) and surface a proper microsecond timestamp column.
+    Timestamp normalization: the fixture stores NAIVE microsecond
+    timestamps, and every timestamp in this engine is TIMESTAMP_NTZ —
+    the exact naive values DuckDB reads, with no session-timezone
+    coupling (functions/time.py). Two legacy/defensive paths fold into
+    that: parquet TIMESTAMP(NANOS) read as raw nanos (``nanosAsLong``),
+    and LTZ columns from a caller session running with
+    ``inferTimestampNTZ=false`` (cast back to naive wall-clock in the
+    UTC session timezone pinned below).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Driver-proofing: callers may hand in a session with a non-UTC
-    # timezone; events.ts is session-TZ-sensitive (TIMESTAMP_LTZ) and
-    # F.window()/session_window bucket in session time. Pin UTC at
-    # runtime so results match the (UTC-naive) DuckDB oracle under any
-    # caller session.
+    # Pin UTC so any LTZ→NTZ normalization below is the identity on the
+    # stored naive values, under any caller-provided session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp_ntz"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

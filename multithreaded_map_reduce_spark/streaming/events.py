@@ -20,33 +20,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.rounding import from_iunits, iunits, pround
 
-# schema of the raw parquet (ts is TIMESTAMP(NANOS) → read as long)
-RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (nanos → micros ts)."""
+    """File-source stream of the events table.
+
+    A file-source stream needs a declared schema, and the fixture's
+    ``ts`` physical type has varied across driver regenerations
+    (TIMESTAMP(NANOS) → naive TIMESTAMP(MICROS)) — so the schema is
+    taken from a one-off batch read of the same file.
+
+    Unlike the batch catalog (NTZ-native, sources/catalog.py), ``ts``
+    here is surfaced as TIMESTAMP_LTZ: watermarks only accept LTZ event
+    time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is
+    pinned to UTC so the NTZ→LTZ cast is the identity on the stored
+    naive values, and the gate layer casts sink outputs back to NTZ
+    (queries/streaming_gate.py) so oracle-facing results stay naive.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtypes = dict(raw.dtypes)
+    if dtypes.get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
