@@ -43,6 +43,7 @@ from . import (  # noqa: E402
     streaming_gate,
     textstats,
     tpch_more,
+    timeseries,
     tpch_rest,
     udfs,
     windows,
@@ -67,6 +68,7 @@ _register(tpch_rest)
 _register(curation)
 _register(graphrank)
 _register(profiling)
+_register(timeseries)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 111 in rounds 1-2).
@@ -77,9 +79,12 @@ _register(profiling)
 #      exists is not verification);
 #   3. everything verified-and-unchanged, registration order.
 
-# Never sampled by the driver: empty as of r3 — every registry query
-# has at least one green CORRECTNESS row across r1 ∪ r2 ∪ r3.
-_NEVER_SAMPLED: list[str] = []
+# Never had a driver CORRECTNESS row: queries NEW in round 4.
+_NEVER_SAMPLED: list[str] = [
+    "q11_important_parts",
+    "q20_promotable_suppliers",
+    "timeseries_gapfill",
+]
 
 # Changed since their last green driver row — round 4 edits:
 # the driver regenerated /root/testdata with naive-us timestamps, so the
