@@ -15,7 +15,7 @@ union), which is what the shuffle computes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import POLY_MOD
@@ -94,4 +94,91 @@ def sql_kmv_distinct(
                {sql_pround(f"CASE WHEN _nk < {k} THEN CAST(_nk AS DOUBLE) ELSE {float(k - 1)} / (CAST(_hk AS DOUBLE) / {float(POLY_MOD)}) END", 4)} AS kmv_estimate,
                exact_distinct
         FROM kth JOIN exact ON kth.{group_col} = exact.{group_col}
+    """
+
+
+# ---------------------------------------------------------------- Count-Min
+# Depth × width Count-Min sketch with the portable md5 hash family.
+# Like KMV above: the sketch CONTENTS are deterministic (salted md5 →
+# bucket), so the whole structure — counters, per-key min estimate,
+# top-k — is differentially testable even though estimates may
+# overcount on collisions.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(i: int, col: Column, width: int) -> Column:
+    """Row i's bucket for a token: md5("i:" || token) folded mod width."""
+    salted = F.concat(F.lit(f"{i}:"), col)
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 12), 16, 10).cast("long") % F.lit(width)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k values by Count-Min estimate (min over depth counters).
+
+    Plan: one pass builds the depth×width counter table (a hash
+    aggregate of at most depth·width rows — broadcastable anywhere);
+    the distinct-value relation probes it with a broadcast join and
+    takes the min across rows. The counter table IS the mergeable
+    sketch: at 100 TB the partial aggregates combine counters cell-wise
+    exactly like CMS merge, for free in Spark's partial/final agg.
+    Ties break on the value itself so top-k is deterministic.
+    """
+    vals = df.select(F.col(value_col).alias("val")).filter(F.col("val").isNotNull())
+    rows = vals.select(
+        "val",
+        F.posexplode(F.array(*[_cms_bucket(i, F.col("val"), width) for i in range(depth)]))
+        .alias("i", "bkt"),
+    )
+    counters = rows.groupBy("i", "bkt").agg(F.count("*").alias("c"))
+    probes = vals.distinct().select(
+        "val",
+        F.posexplode(F.array(*[_cms_bucket(i, F.col("val"), width) for i in range(depth)]))
+        .alias("i", "bkt"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bkt"])
+        .groupBy("val")
+        .agg(F.min("c").alias("cms_count"))
+    )
+    return est.orderBy(F.desc("cms_count"), F.asc("val")).limit(k)
+
+
+def sql_cms_heavy_hitters(
+    values_sql: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = 20,
+) -> str:
+    """DuckDB twin: ``values_sql`` must select one column named ``val``."""
+    buckets = ", ".join(
+        f"(CAST(('0x' || substring(md5('{i}:' || val), 1, 12)) AS BIGINT) % {width})"
+        for i in range(depth)
+    )
+    return f"""
+        WITH vals AS (
+            SELECT val FROM ({values_sql}) WHERE val IS NOT NULL
+        ), rows_ AS (
+            SELECT val, i - 1 AS i, b[i] AS bkt FROM (
+                SELECT val, [{buckets}] AS b FROM vals
+            ), LATERAL (SELECT unnest(generate_series(1, {depth})) AS i)
+        ), counters AS (
+            SELECT i, bkt, count(*) AS c FROM rows_ GROUP BY 1, 2
+        ), probes AS (
+            SELECT DISTINCT val, i, bkt FROM rows_
+        )
+        SELECT val, min(c) AS cms_count
+        FROM probes JOIN counters USING (i, bkt)
+        GROUP BY val
+        ORDER BY cms_count DESC, val ASC
+        LIMIT {k}
     """

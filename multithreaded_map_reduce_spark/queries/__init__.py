@@ -46,6 +46,7 @@ from . import (  # noqa: E402
     timeseries,
     tpch_rest,
     udfs,
+    udtf,
     windows,
 )
 
@@ -69,6 +70,7 @@ _register(curation)
 _register(graphrank)
 _register(profiling)
 _register(timeseries)
+_register(udtf)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 111 in rounds 1-2).
@@ -84,6 +86,10 @@ _NEVER_SAMPLED: list[str] = [
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
+    "udtf_token_offsets",
+    "cms_top_words",
+    "triangle_suppliers",
+    "streaming_sliding",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -111,3 +111,46 @@ def _pagerank_sql(num_iter: int = NUM_ITER, n: int = N_NATIONS) -> str:
 
 
 ORACLES = {"pagerank_nations": _pagerank_sql()}
+
+
+def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the supplier co-shipment graph (edge =
+    two suppliers shipped lineitems of the same order's customer).
+
+    The graph build is itself a scale-conscious operator: the bipartite
+    (supplier, customer) relation is deduped BEFORE the per-customer
+    pair expansion, so a customer with k suppliers contributes C(k,2)
+    edges from k rows, not from its raw lineitem count."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    x, y = sc.alias("x"), sc.alias("y")
+    edges = (
+        x.join(y, (F.col("x.c") == F.col("y.c")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+QUERIES["triangle_suppliers"] = triangle_suppliers
+
+ORACLES["triangle_suppliers"] = """
+    WITH sc AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT DISTINCT x.s AS a, y.s AS b
+        FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+"""

@@ -23,3 +23,30 @@ QUERIES = {"kmv_distinct_parts": kmv_distinct_parts}
 ORACLES = {
     "kmv_distinct_parts": sql_kmv_distinct("lineitem", "l_returnflag", "l_partkey", K)
 }
+
+
+def cms_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min top-20 tokens over the documents corpus — the sketch
+    answer to ``top_words`` (exact); comparing the two quantifies CMS
+    overcount on this corpus."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize as _tokens
+    from ..operators.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+    return cms_heavy_hitters(toks, "word").withColumnRenamed("val", "word")
+
+
+QUERIES["cms_top_words"] = cms_top_words
+
+from ..functions.hashing import sql_tokens as _sql_tokens  # noqa: E402
+from ..operators.sketches import sql_cms_heavy_hitters as _sql_cms  # noqa: E402
+
+ORACLES["cms_top_words"] = _sql_cms(
+    f"SELECT unnest({_sql_tokens('text')}) AS val FROM documents"
+).replace("SELECT val, min(c) AS cms_count", "SELECT val AS word, min(c) AS cms_count").replace(
+    "GROUP BY val\n        ORDER BY cms_count DESC, val ASC",
+    "GROUP BY val\n        ORDER BY cms_count DESC, word ASC",
+)

@@ -34,6 +34,7 @@ from ..streaming.events import (
     stream_stream_click_purchase_join,
     streaming_distinct_keys,
     streaming_session_counts,
+    streaming_sliding_counts,
     streaming_tumbling_counts,
 )
 from ..streaming.stateful import running_user_totals
@@ -61,6 +62,14 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink("st_tumbling")
     run_stream_to_memory(
         streaming_tumbling_counts(stream_events(spark, sf_dir)), name
+    )
+    return _ntz(spark.table(name))
+
+
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _sink("st_sliding")
+    run_stream_to_memory(
+        streaming_sliding_counts(stream_events(spark, sf_dir)), name
     )
     return _ntz(spark.table(name))
 
@@ -121,6 +130,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_dedup": streaming_dedup,
+    "streaming_sliding": streaming_sliding,
     "streaming_session": streaming_session,
     "streaming_join": streaming_join,
     "streaming_stateful": streaming_stateful,
@@ -136,6 +146,16 @@ ORACLES = {
                count(*) AS n,
                {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS sum_value
         FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # identical to the batch events_sliding contract
+    "streaming_sliding": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+               time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                   + INTERVAL '1 hour' AS win_end,
+               event_type,
+               count(*) AS n
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
         GROUP BY 1, 2, 3
     """,
     # gaps-and-islands twin of session_window (end = last event + gap)

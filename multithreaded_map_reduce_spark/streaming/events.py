@@ -75,6 +75,23 @@ def streaming_tumbling_counts(events: DataFrame, watermark: str = "30 minutes") 
     )
 
 
+def streaming_sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked 1-hour windows sliding by 15 minutes (each event
+    lands in 4 overlapping windows) per event type — the streaming twin
+    of the batch ``events_sliding`` shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def streaming_session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Watermarked session windows per user (stateful aggregation)."""
     return (

@@ -1,0 +1,77 @@
+"""Round-4 additions: Python UDTF, Count-Min heavy hitters, triangle
+counting, streaming sliding windows — semantics + gate compares."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+
+def test_udtf_eval_semantics():
+    from multithreaded_map_reduce_spark.queries.udtf import TokenOffsets
+
+    # the decorated class exposes the wrapped UDTF; instantiate the
+    # underlying implementation for a pure-Python check
+    rows = list(TokenOffsets.func().eval("ab  cd\n e"))
+    assert rows == [(0, "ab", 0), (1, "cd", 2), (2, "e", 4)]
+    assert list(TokenOffsets.func().eval("")) == []
+    assert list(TokenOffsets.func().eval("   ")) == []
+
+
+def test_udtf_gate(spark):
+    from multithreaded_map_reduce_spark.queries.udtf import ORACLES, QUERIES
+
+    compare(spark, QUERIES["udtf_token_offsets"], ORACLES["udtf_token_offsets"], SF_SMOKE)
+
+
+def test_cms_never_undercounts(spark):
+    """CMS estimates are exact counts plus non-negative collision noise."""
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.operators.sketches import cms_heavy_hitters
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    est = {r["val"]: r["cms_count"] for r in cms_heavy_hitters(toks, "word", k=10).collect()}
+    exact = {
+        r["word"]: r["n"]
+        for r in toks.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+    assert est
+    for word, c in est.items():
+        assert c >= exact[word]
+
+
+def test_cms_gate(spark):
+    from multithreaded_map_reduce_spark.queries.sketches import ORACLES, QUERIES
+
+    compare(spark, QUERIES["cms_top_words"], ORACLES["cms_top_words"], SF_SMOKE)
+
+
+def test_triangle_count_hand_graph(spark):
+    from multithreaded_map_reduce_spark.operators.graph import triangle_count
+
+    # triangle 1-2-3 plus a dangling edge and a reversed duplicate
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)], "a long, b long"
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 1
+    # two triangles sharing edge 1-2
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (1, 4)], "a long, b long"
+    )
+    assert triangle_count(edges2).collect()[0]["n_triangles"] == 2
+
+
+def test_triangle_gate(spark):
+    from multithreaded_map_reduce_spark.queries.graphrank import ORACLES, QUERIES
+
+    compare(spark, QUERIES["triangle_suppliers"], ORACLES["triangle_suppliers"], SF_SMOKE)
+
+
+def test_streaming_sliding_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import ORACLES, QUERIES
+
+    compare(spark, QUERIES["streaming_sliding"], ORACLES["streaming_sliding"], SF_SMOKE)
