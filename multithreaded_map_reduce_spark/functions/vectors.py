@@ -58,3 +58,55 @@ def sql_norm_sq(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / sqrt({sql_norm_sq(a)} * {sql_norm_sq(b)}))"
+
+
+# ---------------------------------------------------------- int8 quantization
+# Symmetric per-vector int8 quantization: scale = max|v|/127, q = round
+# (portable floor form) and clamp to [-127, 127]. The quantized dot
+# product is exact BIGINT math, so the whole quantized-retrieval path
+# is differentially testable; only the final rescale touches doubles.
+
+
+def int8_scale(v: Column) -> Column:
+    return F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+
+
+def quantize_int8(v: Column, scale: Column) -> Column:
+    return F.transform(
+        v,
+        lambda x: F.when(scale == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(F.lit(127).cast("long"), F.floor(x / scale + F.lit(0.5)).cast("long")),
+            )
+        ),
+    )
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two integer arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_int8_scale(v: str) -> str:
+    return f"(list_max(list_transform({v}, x -> abs(x))) / 127.0)"
+
+
+def sql_quantize_int8(v: str, scale: str) -> str:
+    return (
+        f"list_transform({v}, x -> CASE WHEN {scale} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+        f"CAST(floor(x / {scale} + 0.5) AS BIGINT))) END)"
+    )
+
+
+def sql_idot(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        "(x, y) -> x + y)"
+    )

@@ -90,6 +90,7 @@ _NEVER_SAMPLED: list[str] = [
     "cms_top_words",
     "triangle_suppliers",
     "streaming_sliding",
+    "sim_topk_quantized",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -171,3 +171,51 @@ ORACLES = {
         ) WHERE rank <= {K}
     """,
 }
+
+
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute force — integer-code dot products rescaled
+    by per-vector scales (operators/similarity.quantized_topk)."""
+    from ..operators.similarity import quantized_topk
+
+    q, c = _split(spark, sf_dir)
+    return quantized_topk(q, c, "vec_id", "embedding", k=K)
+
+
+QUERIES["sim_topk_quantized"] = sim_topk_quantized
+
+from ..functions.vectors import (  # noqa: E402
+    sql_idot as _sql_idot,
+    sql_int8_scale as _sql_int8_scale,
+    sql_quantize_int8 as _sql_quantize_int8,
+)
+
+ORACLES["sim_topk_quantized"] = f"""
+    WITH qv AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS v
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cv AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS v
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), q AS (
+        SELECT query_id, {_sql_int8_scale('v')} AS qs,
+               {_sql_quantize_int8('v', _sql_int8_scale('v'))} AS qq
+        FROM qv
+    ), c AS (
+        SELECT neighbor_id, {_sql_int8_scale('v')} AS cs,
+               {_sql_quantize_int8('v', _sql_int8_scale('v'))} AS cq
+        FROM cv
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {_sql_idot('qq', 'cq')} AS qdot,
+               (CAST({_sql_idot('qq', 'cq')} AS DOUBLE) * qs) * cs AS _raw
+        FROM c, q
+    )
+    SELECT query_id, neighbor_id, qdot, {sql_pround('_raw', 6)} AS score, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY _raw DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
