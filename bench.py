@@ -58,6 +58,8 @@ HEADLINE = [
     "kmv_distinct_parts",
     "multimodal_decode",
     "skew_salted_join",
+    "timeseries_gapfill",
+    "cms_top_words",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

@@ -89,14 +89,25 @@ def resample_gapfill(
     grid = span.select("key", F.explode(F.sequence("b0", "b1")).alias("b"))
     j = grid.join(b, ["key", "b"], "left")
 
+    # Both neighbor lookups are RUNNING frames (unboundedPreceding →
+    # currentRow), incremental O(n): the forward neighbor runs over
+    # DESCENDING bucket order. The tempting
+    # first(...) over (currentRow, unboundedFollowing) is O(n²) per
+    # partition in Spark (UnboundedFollowingWindowFunctionFrame rescans
+    # to the partition end for every row) — measured 13 s vs 0.7 s on
+    # the 1M-row sf0.1 grid.
     back = W.partitionBy("key").orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
-    fwd = W.partitionBy("key").orderBy("b").rowsBetween(W.currentRow, W.unboundedFollowing)
+    fwd = (
+        W.partitionBy("key")
+        .orderBy(F.desc("b"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     real_b = F.when(F.col("sum_iu").isNotNull(), F.col("b"))
     w = (
         j.withColumn("prev_iu", F.last("sum_iu", ignorenulls=True).over(back))
         .withColumn("prev_b", F.last(real_b, ignorenulls=True).over(back))
-        .withColumn("next_iu", F.first("sum_iu", ignorenulls=True).over(fwd))
-        .withColumn("next_b", F.first(real_b, ignorenulls=True).over(fwd))
+        .withColumn("next_iu", F.last("sum_iu", ignorenulls=True).over(fwd))
+        .withColumn("next_b", F.last(real_b, ignorenulls=True).over(fwd))
     )
     interp = F.col("prev_iu") + F.floor(
         ((F.col("next_iu") - F.col("prev_iu")) * (F.col("b") - F.col("prev_b")))

@@ -33,6 +33,7 @@ from . import (  # noqa: E402
     events,
     graphrank,
     mapreduce_api,
+    mergeops,
     multimodal,
     profiling,
     relational,
@@ -71,6 +72,7 @@ _register(graphrank)
 _register(profiling)
 _register(timeseries)
 _register(udtf)
+_register(mergeops)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 111 in rounds 1-2).
@@ -91,6 +93,9 @@ _NEVER_SAMPLED: list[str] = [
     "triangle_suppliers",
     "streaming_sliding",
     "sim_topk_quantized",
+    "events_variant_props",
+    "merge_upsert_orders",
+    "merge_scd2_customers",
 ]
 
 # Changed since their last green driver row — round 4 edits:

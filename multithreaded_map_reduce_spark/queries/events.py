@@ -398,3 +398,30 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4 type system): props parsed
+    once into a VARIANT, fields typed out with ``try_variant_get`` —
+    the shredded-JSON pattern a lakehouse ingest uses instead of
+    per-field ``get_json_object`` string re-parsing. Missing fields
+    surface as NULL (try_ semantics), exercised by asking for a key the
+    fixture never writes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    per_event = ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    )
+    return per_event
+
+
+QUERIES["events_variant_props"] = events_variant_props
+
+ORACLES["events_variant_props"] = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+"""

@@ -1,0 +1,94 @@
+"""MERGE / CDC tier under the differential gate (previously unit-tested
+only): row-level upsert and SCD2 results are compared whole — every
+surviving row, not a summary — against anti-join+union SQL twins.
+
+Change relations are derived deterministically from the fixtures
+(modulo classes of the key), so both engines construct byte-identical
+sources. Price/balance deltas are whole units added to cent-precise
+doubles — exact in IEEE, no rounding discipline needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import scd2_apply, upsert
+from ..sources.catalog import load_table
+
+_INSERT_SHIFT = 100_000_000
+_SCD2_FROM = "2020-01-01 00:00:00"
+_SCD2_CHANGE = "2024-01-01 00:00:00"
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: every orderkey ≡ 0 (mod 10) gets a 100-unit
+    price update; every orderkey ≡ 3 (mod 17) is re-keyed and inserted.
+    Output is the full merged table."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(_INSERT_SHIFT)
+    )
+    return upsert(o, updates.unionByName(inserts), "o_orderkey")
+
+
+def merge_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply on a customer dimension: customers ≡ 0 (mod 7) get a
+    +50 balance change effective 2024-01-01 — their current version is
+    closed at that instant and the new version appended as current.
+    Output is the full versioned dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.withColumn(
+        "valid_from", F.lit(_SCD2_FROM).cast("timestamp_ntz")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0))
+        .withColumn("valid_from", F.lit(_SCD2_CHANGE).cast("timestamp_ntz"))
+    )
+    return scd2_apply(dim, changes, "c_custkey", "valid_from", "valid_to")
+
+
+QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
+    "merge_scd2_customers": merge_scd2_customers,
+}
+
+ORACLES = {
+    "merge_upsert_orders": f"""
+        WITH src AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 100.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + {_INSERT_SHIFT}, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 17 = 3
+        )
+        SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL
+        SELECT * FROM src
+    """,
+    "merge_scd2_customers": f"""
+        WITH changes AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 50.0 AS c_acctbal, c_mktsegment,
+                   TIMESTAMP '{_SCD2_CHANGE}' AS valid_from
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+               c.c_mktsegment,
+               TIMESTAMP '{_SCD2_FROM}' AS valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '{_SCD2_CHANGE}' END AS valid_to
+        FROM customer c LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM changes
+    """,
+}
