@@ -140,11 +140,13 @@ def test_cms_counters_broadcast(spark):
     assert not rep.cartesian
 
 
-def test_gapfill_single_partitioning(spark):
-    """Gap-fill windows must not add exchanges beyond the bucket agg +
-    grid join: all three window functions share one sort."""
+def test_gapfill_windows_only_touch_real_buckets(spark):
+    """Gap-fill's only window is the successor lead over the REAL
+    bucket relation; the dense interpolated grid is produced by explode
+    with its bounds already attached. A window over the exploded grid
+    (the O(n²)-frame hazard this replaced) would show up as a second
+    Window node."""
     df = _q("timeseries_gapfill")(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # windows run back-to-back over one key ordering: exactly one Sort
-    # feeding the window stack (plus at most one inside AQE shuffles)
-    assert plan.count("Window") >= 3
+    assert plan.count("Window") == 1
+    assert "Union" in plan  # real rows ∪ interpolated rows
