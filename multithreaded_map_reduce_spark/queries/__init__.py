@@ -27,6 +27,7 @@ def _register(module) -> None:
 
 
 from . import (  # noqa: E402
+    connectors,
     corpus,
     curation,
     dedup,
@@ -73,6 +74,7 @@ _register(profiling)
 _register(timeseries)
 _register(udtf)
 _register(mergeops)
+_register(connectors)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 111 in rounds 1-2).
@@ -96,6 +98,10 @@ _NEVER_SAMPLED: list[str] = [
     "events_variant_props",
     "merge_upsert_orders",
     "merge_scd2_customers",
+    "cogroup_user_activity",
+    "join_null_safe",
+    "connector_csv_roundtrip",
+    "connector_json_roundtrip",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -563,3 +563,36 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
 }
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): order
+    priorities are NULLed for '4-NOT SPECIFIED', then each order is
+    joined to its priority-group size — NULL must match NULL, which a
+    plain equi-join silently drops. Completes the join-predicate
+    matrix (equi, semi, anti, full, as-of, range, salted, null-safe)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").alias("prio"),
+    )
+    counts = o.groupBy(F.col("prio").alias("cprio")).agg(
+        F.count("*").alias("n_same_prio")
+    )
+    return (
+        o.join(F.broadcast(counts), o.prio.eqNullSafe(counts.cprio))
+        .select("o_orderkey", "prio", "n_same_prio")
+    )
+
+
+QUERIES["join_null_safe"] = join_null_safe
+
+ORACLES["join_null_safe"] = """
+    WITH o AS (
+        SELECT o_orderkey, nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio
+        FROM orders
+    ), counts AS (
+        SELECT prio AS cprio, count(*) AS n_same_prio FROM o GROUP BY 1
+    )
+    SELECT o_orderkey, prio, n_same_prio
+    FROM o JOIN counts ON o.prio IS NOT DISTINCT FROM counts.cprio
+"""

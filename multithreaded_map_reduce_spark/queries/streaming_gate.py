@@ -198,3 +198,4 @@ ORACLES = {
         GROUP BY user_id
     """,
 }
+

@@ -86,3 +86,62 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` — the two-sided grouped-map surface:
+    each user's click rows and purchase rows arrive as two aligned
+    pandas frames in ONE call (keys present on only one side get an
+    empty frame for the other). Value sums are exact integer
+    micro-units, so the merge is oracle-checkable; the SQL twin is a
+    FULL OUTER join of two grouped aggregates."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def iu(s):
+            return int(np.floor(s.to_numpy() * 1_000_000 + 0.5).astype("int64").sum())
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "click_value_micros": [iu(left["value"])],
+                "purchase_value_micros": [iu(right["value"])],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_clicks long, n_purchases long, "
+            "click_value_micros long, purchase_value_micros long",
+        )
+    )
+
+
+QUERIES["cogroup_user_activity"] = cogroup_user_activity
+
+ORACLES["cogroup_user_activity"] = """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_clicks,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS click_value_micros
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, count(*) AS n_purchases,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS purchase_value_micros
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(click_value_micros, 0) AS click_value_micros,
+           COALESCE(purchase_value_micros, 0) AS purchase_value_micros
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""

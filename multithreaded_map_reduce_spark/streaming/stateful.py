@@ -56,3 +56,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_v2(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on the ``transformWithState``
+    API (Spark 4 arbitrary-stateful v2): explicit typed ValueState
+    handles instead of one opaque state tuple — the API that adds
+    state TTL, multiple state variables, and timers. Semantics are
+    identical to ``running_user_totals`` (exact integer micro-units).
+
+    NOT in the gate registry: the v2 driver worker imports
+    ``google.protobuf`` (StateMessage protos), which this container
+    does not ship — ``tests/test_asof_streaming.py`` skips the round
+    trip unless protobuf is importable. The applyInPandasWithState
+    operator above is the gate-verified equivalent."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [StructField("n", LongType()), StructField("total_micros", LongType())]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total_micros = self._state.get()
+            else:
+                n, total_micros = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                total_micros += int(
+                    np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, total_micros))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_micros": [total_micros]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_micros long",
+        outputMode="Update",
+        timeMode="None",
+    )

