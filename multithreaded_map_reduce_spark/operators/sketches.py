@@ -134,19 +134,21 @@ def cms_heavy_hitters(
     Ties break on the value itself so top-k is deterministic.
     """
     vals = df.select(F.col(value_col).alias("val")).filter(F.col("val").isNotNull())
-    rows = vals.select(
+    # Aggregate occurrences per distinct value FIRST: the md5 hash
+    # family then runs over the vocabulary, not every occurrence (4
+    # hashes per token instance → 4 per distinct token), and the
+    # counter build sums pre-aggregated counts. Identical counters —
+    # CMS increments commute.
+    tok_counts = vals.groupBy("val").agg(F.count("*").alias("cnt"))
+    with_buckets = tok_counts.select(
         "val",
+        "cnt",
         F.posexplode(F.array(*[_cms_bucket(i, F.col("val"), width) for i in range(depth)]))
         .alias("i", "bkt"),
     )
-    counters = rows.groupBy("i", "bkt").agg(F.count("*").alias("c"))
-    probes = vals.distinct().select(
-        "val",
-        F.posexplode(F.array(*[_cms_bucket(i, F.col("val"), width) for i in range(depth)]))
-        .alias("i", "bkt"),
-    )
+    counters = with_buckets.groupBy("i", "bkt").agg(F.sum("cnt").alias("c"))
     est = (
-        probes.join(F.broadcast(counters), ["i", "bkt"])
+        with_buckets.join(F.broadcast(counters), ["i", "bkt"])
         .groupBy("val")
         .agg(F.min("c").alias("cms_count"))
     )
