@@ -102,6 +102,7 @@ _NEVER_SAMPLED: list[str] = [
     "join_null_safe",
     "connector_csv_roundtrip",
     "connector_json_roundtrip",
+    "connector_python_datasource",
 ]
 
 # Changed since their last green driver row — round 4 edits:

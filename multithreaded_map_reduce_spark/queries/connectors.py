@@ -67,3 +67,50 @@ ORACLES = {
         FROM supplier GROUP BY s_nationkey
     """,
 }
+
+
+def connector_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4): a registered DataSource
+    whose reader declares its partitions and generates a deterministic
+    relation per stripe; aggregated per user bucket with exact
+    micro-unit sums. The oracle regenerates the identical rows with
+    generate_series — the whole source contract (partitioning, row
+    generation, schema) sits under the differential gate.
+    ``sf_dir`` only scales the row count so the source does more work
+    at bench scale."""
+    from ..functions.rounding import sql_iunits  # noqa: F401  (oracle helper)
+    from ..sources.pysource import SyntheticEventsDataSource
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    n_rows = 100_000 if sf_dir.rstrip("/").endswith("0.1") else 10_000
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", str(n_rows))
+        .option("n_partitions", "8")
+        .option("seed", "42")
+        .load()
+    )
+    from ..functions.rounding import from_iunits, iunits
+
+    return df.groupBy("user_bucket").agg(
+        F.count("*").alias("n"),
+        pround(from_iunits(F.sum(iunits(F.col("value")))), 2).alias("sum_value"),
+    )
+
+
+QUERIES["connector_python_datasource"] = connector_python_datasource
+
+
+def _pysource_oracle() -> str:
+    from ..functions.rounding import sql_from_iunits, sql_iunits
+    from ..sources.pysource import sql_gen_rows
+
+    return f"""
+        WITH gen AS ({sql_gen_rows(10_000, 42)})
+        SELECT user_bucket, count(*) AS n,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)} AS sum_value
+        FROM gen GROUP BY user_bucket
+    """
+
+
+ORACLES["connector_python_datasource"] = _pysource_oracle()

@@ -98,3 +98,40 @@ def test_stateful_v2_roundtrip_or_skip(spark):
         running_user_totals_v2(stream_events(spark, SF_SMOKE)), name, output_mode="update"
     )
     assert spark.table(name).count() > 0
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom DataSource's row set must not depend on how it is
+    striped across partitions — the property the reference's
+    whole-file-scan striping made implicit (SURVEY.md §5)."""
+    from multithreaded_map_reduce_spark.sources.pysource import (
+        SyntheticEventsDataSource,
+        gen_row,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+    def rows(n_parts):
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", "500")
+            .option("n_partitions", str(n_parts))
+            .option("seed", "7")
+            .load()
+        )
+        return sorted(map(tuple, df.collect()))
+
+    expected = sorted(gen_row(r, 7) for r in range(500))
+    assert rows(1) == expected
+    assert rows(8) == expected
+
+
+def test_python_datasource_gate(spark):
+    from multithreaded_map_reduce_spark.queries.connectors import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["connector_python_datasource"],
+        ORACLES["connector_python_datasource"],
+        SF_SMOKE,
+    )
