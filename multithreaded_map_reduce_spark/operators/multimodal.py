@@ -327,3 +327,84 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, BMP_FEATURES_SCHEMA)
+
+
+RESIZE_FEATURES_SCHEMA = (
+    "media_id long, src_w int, src_h int, out_w int, out_h int, "
+    "resized_checksum long"
+)
+
+
+def resize_image_features(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize (replacing ``resize_stub``): decode
+    each PPM, resample the (h, w, 3) raster to (target_h, target_w)
+    with floor source-index mapping sy = ⌊ty·h/th⌋ / sx = ⌊tx·w/tw⌋
+    (the classic nearest-neighbor convention, vectorized as two numpy
+    gathers), and emit the resized raster's additive checksum. Pure
+    integer index math — an arithmetic DuckDB oracle replays every
+    output byte from doc_id + text, so the resampler itself is under
+    the differential gate."""
+    import pandas as pd
+
+    from .codecs import decode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "src_w": [], "src_h": [],
+                "out_w": [], "out_h": [], "resized_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, _maxval, pixels = decode_ppm(bytes(blob))
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                sy = (np.arange(target_h) * h) // target_h
+                sx = (np.arange(target_w) * w) // target_w
+                resized = arr[sy][:, sx, :]
+                out["media_id"].append(mid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(target_w)
+                out["out_h"].append(target_h)
+                out["resized_checksum"].append(
+                    int(resized.astype("int64").sum()) % 2_147_483_647
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZE_FEATURES_SCHEMA)
+
+
+FRAMESAMPLE_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, n_frames long, frame_checksum long"
+)
+
+
+def frame_sample_audio_features(media: DataFrame, every: int = 4) -> DataFrame:
+    """REAL frame sampling (the audio analog of the brief's
+    frame-sample op): decode each WAV, keep every ``every``-th PCM
+    sample starting at 0 (numpy strided view — no copy until the
+    checksum), and emit the sampled-frame count + additive checksum.
+    Arithmetic oracle: sampled sample j reads text byte (j·every) mod
+    len(text-bytes)."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "n_samples": [], "n_frames": [], "frame_checksum": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)[::every]
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(pcm))
+                out["n_frames"].append(len(arr))
+                out["frame_checksum"].append(
+                    int(arr.astype("int64").sum()) % 2_147_483_647
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAMESAMPLE_FEATURES_SCHEMA)

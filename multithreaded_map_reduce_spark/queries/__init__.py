@@ -103,6 +103,9 @@ _NEVER_SAMPLED: list[str] = [
     "connector_csv_roundtrip",
     "connector_json_roundtrip",
     "connector_python_datasource",
+    "dedup_pipeline_summary",
+    "multimodal_resize",
+    "multimodal_framesample",
 ]
 
 # Changed since their last green driver row — round 4 edits:

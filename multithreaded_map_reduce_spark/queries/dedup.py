@@ -223,3 +223,58 @@ ORACLES = {
 }
 
 ORACLES["dedup_clusters_bigstar"] = ORACLES["dedup_clusters"]
+
+
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup pipeline as ONE gate entry: LSH pairs →
+    connected components → survivor accounting. Returns the numbers a
+    curation run reports: corpus size, docs implicated in any near-dup
+    cluster, cluster count, and corpus size after keeping one canonical
+    doc per cluster. The oracle chains the same stages (minhash CTEs →
+    recursive closure → aggregates), so the composed pipeline — not
+    just its pieces — is differentially verified."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_sql(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    cl = labels.agg(
+        F.count("*").alias("n_dup_docs"),
+        F.countDistinct("root").alias("n_clusters"),
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        total.crossJoin(F.broadcast(cl))
+        .select(
+            "n_docs",
+            "n_dup_docs",
+            "n_clusters",
+            (F.col("n_docs") - F.col("n_dup_docs") + F.col("n_clusters")).alias("n_after"),
+        )
+    )
+
+
+QUERIES["dedup_pipeline_summary"] = dedup_pipeline_summary
+
+ORACLES["dedup_pipeline_summary"] = f"""
+    WITH RECURSIVE {_MH_CTES}, nodes AS (
+        SELECT id_a AS id FROM mh_pairs UNION SELECT id_b FROM mh_pairs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+    ), cl AS (
+        SELECT count(*) AS n_dup_docs,
+               count(DISTINCT canonical_id) AS n_clusters
+        FROM labels
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           n_dup_docs, n_clusters,
+           (SELECT count(*) FROM documents) - n_dup_docs + n_clusters AS n_after
+    FROM cl
+"""

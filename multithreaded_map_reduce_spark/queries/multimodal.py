@@ -181,3 +181,87 @@ ORACLES = {
         FROM sized
     """,
 }
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize under the gate: PPM decode →
+    (4×3) resample → resized-raster checksum. The oracle replays every
+    output byte arithmetically: target pixel (ty,tx,c) reads source
+    byte ((⌊ty·h/3⌋·w + ⌊tx·w/4⌋)·3 + c) mod len(text-bytes)."""
+    from ..operators.multimodal import resize_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_features(documents_as_ppm_images(docs), 4, 3)
+
+
+QUERIES["multimodal_resize"] = multimodal_resize
+
+
+def _byte_at(idx_expr: str) -> str:
+    """DuckDB: text byte value at 0-based index ``idx_expr`` of the
+    UTF-8 encoding (via the hex(encode(text)) string ``_hx``)."""
+    return (
+        f"CAST((strpos({_HEXDIG}, substring(_hx, ({idx_expr})*2+1, 1)) - 1) * 16"
+        f" + (strpos({_HEXDIG}, substring(_hx, ({idx_expr})*2+2, 1)) - 1) AS BIGINT)"
+    )
+
+
+_TW, _TH = 4, 3
+# output byte o in [0, 3*tw*th): channel c=o%3, tx=(o//3)%tw, ty=o//(3*tw)
+_SRC_IDX = (
+    f"(((((o // {3 * _TW}) * h) // {_TH}) * w"
+    f" + (((o // 3) % {_TW}) * w) // {_TW}) * 3 + (o % 3)) % _tb"
+)
+
+ORACLES["multimodal_resize"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(h AS INTEGER) AS src_h,
+           CAST({_TW} AS INTEGER) AS out_w,
+           CAST({_TH} AS INTEGER) AS out_h,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, {3 * _TW * _TH}),
+                   o -> {_byte_at(_SRC_IDX)})),
+               (x, y) -> x + y) % 2147483647 AS resized_checksum
+    FROM sized
+"""
+
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame-sampling under the gate: WAV decode → every-4th
+    PCM sample → frame count + checksum, oracle-replayed byte-by-byte."""
+    from ..operators.multimodal import frame_sample_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_audio_features(documents_as_wav_audio(docs), every=4)
+
+
+QUERIES["multimodal_framesample"] = multimodal_framesample
+
+_EVERY = 4
+
+ORACLES["multimodal_framesample"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id,
+           n_samples,
+           (n_samples + {_EVERY - 1}) // {_EVERY} AS n_frames,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, CAST((n_samples + {_EVERY - 1}) // {_EVERY} AS INTEGER)),
+                   j -> {_byte_at(f"(j * {_EVERY}) % _tb")})),
+               (x, y) -> x + y) % 2147483647 AS frame_checksum
+    FROM sized
+"""
