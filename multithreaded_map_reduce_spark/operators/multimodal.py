@@ -253,18 +253,6 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """STUB: resize plumbing — emits target geometry + size estimate;
-    the pixel work would live inside the mapInPandas batch fn."""
-    return extract_media_features(media).select(
-        "media_id",
-        F.lit(target_w).alias("width"),
-        F.lit(target_h).alias("height"),
-        (F.col("byte_len") * F.lit(target_w) * F.lit(target_h)
-         / (F.col("fake_width") * F.col("fake_height"))).cast("long").alias("est_bytes"),
-    )
-
-
 BMP_FEATURES_SCHEMA = (
     "media_id long, byte_len long, width int, height int, row_stride int, "
     "pix_checksum long"
@@ -336,7 +324,7 @@ RESIZE_FEATURES_SCHEMA = (
 
 
 def resize_image_features(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL nearest-neighbor resize (replacing ``resize_stub``): decode
+    """REAL nearest-neighbor resize: decode
     each PPM, resample the (h, w, 3) raster to (target_h, target_w)
     with floor source-index mapping sy = ⌊ty·h/th⌋ / sx = ⌊tx·w/tw⌋
     (the classic nearest-neighbor convention, vectorized as two numpy

@@ -106,6 +106,7 @@ _NEVER_SAMPLED: list[str] = [
     "dedup_pipeline_summary",
     "multimodal_resize",
     "multimodal_framesample",
+    "text_line_scan",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -169,3 +169,49 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+
+def text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL source relation under the gate: a
+    line-oriented text FILE scanned into (line_no, line) with 0-based
+    dense global line numbers (include/MapReduceMaster.h:463-478).
+
+    The fixture ships parquet, so the query materializes the corpus as
+    one deterministic text file first (documents ordered by doc_id,
+    coalesce(1) — fine for a correctness fixture; global DENSE line
+    numbers inherently impose a total order, which is why the engine's
+    scale path keys by (doc_id, line_no) instead, see
+    sources/text.corpus_lines). Output: per-line token count keyed by
+    line number — the reference's record shape feeding its map phase.
+    """
+    import uuid
+
+    from ..functions.text import tokenize
+    from ..sources.text import read_text_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/text_scan_{uuid.uuid4().hex}"
+    (
+        docs.filter(F.length("text") > 0)
+        .orderBy("doc_id")
+        .select(F.regexp_replace("text", "\n", " ").alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+    lines = read_text_lines(spark, path, dense=True)
+    return lines.select(
+        "line_no",
+        F.size(tokenize(F.col("line"))).alias("n_tokens"),
+        F.length("line").alias("n_chars"),
+    )
+
+
+QUERIES["text_line_scan"] = text_line_scan
+
+ORACLES["text_line_scan"] = f"""
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS line_no,
+           CAST(len({{toks}}) AS INTEGER) AS n_tokens,
+           CAST(length(replace(text, chr(10), ' ')) AS INTEGER) AS n_chars
+    FROM documents WHERE length(text) > 0
+""".replace("{toks}", "list_filter(string_split_regex(replace(text, chr(10), ' '), '\\s+'), t -> t != '')")

@@ -47,19 +47,6 @@ def test_decode_stub_gated():
         decode_image(b"not-an-image")
 
 
-def test_resize_stub(spark):
-    from multithreaded_map_reduce_spark.operators.multimodal import (
-        documents_as_media,
-        resize_stub,
-    )
-    from multithreaded_map_reduce_spark.sources.catalog import load_table
-
-    media = documents_as_media(load_table(spark, SF_SMOKE, "documents"))
-    out = resize_stub(media, 64, 64)
-    rows = out.collect()
-    assert all(r["width"] == 64 and r["height"] == 64 and r["est_bytes"] >= 0 for r in rows)
-
-
 def test_ppm_codec_roundtrip():
     from multithreaded_map_reduce_spark.operators.codecs import decode_ppm, encode_ppm
 
@@ -176,3 +163,19 @@ def test_multimodal_bmp_oracle(spark):
     assert compare(
         spark, ALL_QUERIES["multimodal_bmp"], ALL_ORACLES["multimodal_bmp"], SF_SMOKE
     ) > 0
+
+def test_resize_real(spark):
+    """Nearest-neighbor resize on a hand-checkable 2x1 -> 4x3 case."""
+    from multithreaded_map_reduce_spark.operators.codecs import encode_ppm
+    from multithreaded_map_reduce_spark.operators.multimodal import (
+        resize_image_features,
+    )
+
+    # 2x1 raster: pixel0 = (1,2,3), pixel1 = (10, 20, 30)
+    blob = encode_ppm(2, 1, bytes([1, 2, 3, 10, 20, 30]))
+    media = spark.createDataFrame([(1, bytearray(blob))], "media_id long, media binary")
+    row = resize_image_features(media, 4, 3).collect()[0]
+    # sx = [0,0,1,1] per row, 3 rows -> 2 copies of each pixel x 3 rows
+    expected = 3 * (2 * (1 + 2 + 3) + 2 * (10 + 20 + 30))
+    assert (row["out_w"], row["out_h"]) == (4, 3)
+    assert row["resized_checksum"] == expected
