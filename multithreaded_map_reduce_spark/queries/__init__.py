@@ -107,6 +107,9 @@ _NEVER_SAMPLED: list[str] = [
     "multimodal_resize",
     "multimodal_framesample",
     "text_line_scan",
+    "recursive_reachability",
+    "lateral_topk_customers",
+    "map_functions",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -11,9 +11,10 @@ Money math follows the same DECIMAL discipline as the DataFrame queries
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_pround, sql_pround_spark
-from ..sources.catalog import register_views
+from ..sources.catalog import load_table, register_views
 
 _DEC = "DECIMAL(18,2)"
 
@@ -184,3 +185,126 @@ ORACLES = {
         )
     """,
 }
+
+
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE in pure Spark SQL (4.x): hop-bounded reachability
+    over the nation trade graph from nation 0 — the declarative twin of
+    the iterative operators (connected components / PageRank run the
+    same dataflow imperatively with localCheckpoint; the optimizer runs
+    this one). min(hops) per reachable nation, ≤ 3 hops."""
+    register_views(spark, sf_dir, ("lineitem", "orders", "supplier", "customer"))
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE s_nationkey != c_nationkey
+        ), reach(id, hops) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.id
+            WHERE r.hops < 3
+        )
+        SELECT id AS nationkey, CAST(min(hops) AS INTEGER) AS min_hops
+        FROM reach GROUP BY id
+        """
+    )
+
+
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT: each nation's
+    two richest customers — the plan shape (LateralJoin over a
+    correlated ordered-limit subquery) that windows usually stand in
+    for; here the optimizer gets the real thing."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, t.c_custkey,
+               floor(t.c_acctbal * 100d + 0.5d) / 100d AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+        """
+    )
+
+
+QUERIES["recursive_reachability"] = recursive_reachability
+QUERIES["lateral_topk_customers"] = lateral_topk_customers
+
+ORACLES["recursive_reachability"] = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE s_nationkey != c_nationkey
+    ), reach(id, hops) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.hops < 3
+    )
+    SELECT id AS nationkey, CAST(min(hops) AS INTEGER) AS min_hops
+    FROM reach GROUP BY id
+"""
+
+ORACLES["lateral_topk_customers"] = """
+    SELECT n.n_nationkey, n.n_name, t.c_custkey,
+           floor(t.c_acctbal * 100 + 0.5) / 100 AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+    ) t
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per event type, build a bucket→count
+    MAP with ``map_from_entries``, then interrogate it with
+    ``map_keys`` / ``element_at`` / ``size``. The map itself stays
+    internal (engines hash maps differently); the differential contract
+    is everything read OUT of it."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    m = per_bucket.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "event_type",
+        F.size("m").alias("n_buckets"),
+        F.element_at("m", F.lit(3)).alias("bucket3_count"),
+        F.array_join(
+            F.transform(F.map_keys("m"), lambda k: k.cast("string")), ","
+        ).alias("buckets"),
+    )
+
+
+QUERIES["map_functions"] = map_functions
+
+ORACLES["map_functions"] = """
+    WITH pb AS (
+        SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS INTEGER) AS n_buckets,
+           min(CASE WHEN bucket = 3 THEN cnt END) AS bucket3_count,
+           list_aggregate(list_transform(list_sort(list(bucket)),
+                                         b -> CAST(b AS VARCHAR)), 'string_agg', ',')
+               AS buckets
+    FROM pb GROUP BY event_type
+"""
