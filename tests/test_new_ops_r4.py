@@ -135,3 +135,37 @@ def test_python_datasource_gate(spark):
         ORACLES["connector_python_datasource"],
         SF_SMOKE,
     )
+
+
+def _canon_rows(df):
+    from tests.oracle import canonical_rows
+
+    return canonical_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_r4_ops_partition_count_invariance(spark):
+    """Round-4 operators must produce the identical result set at any
+    shuffle-partition count — the distributed-correctness property the
+    reference's 'output union independent of N_WORKER' claim maps to
+    (SURVEY.md §5)."""
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    names = [
+        "timeseries_gapfill",
+        "cms_top_words",
+        "triangle_suppliers",
+        "sim_topk_quantized",
+        "dedup_pipeline_summary",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: _canon_rows(ALL_QUERIES[n](spark, SF_SMOKE)) for n in names
+            }
+        for n in names:
+            assert results["3"][n] == results["13"][n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
