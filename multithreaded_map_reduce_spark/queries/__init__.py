@@ -110,6 +110,7 @@ _NEVER_SAMPLED: list[str] = [
     "recursive_reachability",
     "lateral_topk_customers",
     "map_functions",
+    "bucketed_join_revenue",
 ]
 
 # Changed since their last green driver row — round 4 edits:

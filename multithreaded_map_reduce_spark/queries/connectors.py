@@ -114,3 +114,48 @@ def _pysource_oracle() -> str:
 
 
 ORACLES["connector_python_datasource"] = _pysource_oracle()
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table round trip under the gate: both join sides are
+    written out ``bucketBy(4, key)`` + sorted, read back as catalog
+    tables, joined on the bucket key and aggregated. Proves the
+    bucketed write/read path end-to-end (hash function, bucket pruning
+    metadata, sorted spec survive the round trip).
+
+    The co-location property itself — zero shuffle Exchanges in this
+    join once broadcast is disabled — is pinned separately in
+    ``tests/test_scale_features.py::test_bucketed_join_avoids_shuffle``
+    (it needs a session-wide autoBroadcastJoinThreshold override a gate
+    query must not leak). Fixed table names + overwrite keep the query
+    idempotent; the driver gate runs serially."""
+    from ..functions.money import dsum, revenue
+
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+        4, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("gate_orders_b")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
+        4, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("gate_lineitem_b")
+    o = spark.table("gate_orders_b")
+    li = spark.table("gate_lineitem_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            pround(dsum(revenue()), 2).alias("total_revenue"),
+        )
+    )
+
+
+QUERIES["bucketed_join_revenue"] = bucketed_join_revenue
+
+from ..functions.money import SQL_REVENUE as _SQL_REVENUE  # noqa: E402
+
+ORACLES["bucketed_join_revenue"] = f"""
+    SELECT o_orderpriority, count(*) AS n_items,
+           {sql_pround(f"CAST(sum({_SQL_REVENUE}) AS DOUBLE)", 2)} AS total_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
