@@ -128,15 +128,26 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_scale_features.py::test_bucketed_join_avoids_shuffle``
     (it needs a session-wide autoBroadcastJoinThreshold override a gate
     query must not leak). Fixed table names + overwrite keep the query
-    idempotent; the driver gate runs serially."""
+    idempotent; the driver gate runs serially. A NEW session's
+    in-memory catalog does not know tables a previous session left in
+    the warehouse directory, and ``saveAsTable`` refuses to claim an
+    existing location — so both the catalog entry and any stale
+    directory are cleared first."""
+    import shutil
+    from urllib.parse import urlparse
+
     from ..functions.money import dsum, revenue
 
-    load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
-        4, "o_orderkey"
-    ).sortBy("o_orderkey").saveAsTable("gate_orders_b")
-    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
-        4, "l_orderkey"
-    ).sortBy("l_orderkey").saveAsTable("gate_lineitem_b")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, src, key in (
+        ("gate_orders_b", "orders", "o_orderkey"),
+        ("gate_lineitem_b", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        load_table(spark, sf_dir, src).write.mode("overwrite").bucketBy(
+            4, key
+        ).sortBy(key).saveAsTable(tbl)
     o = spark.table("gate_orders_b")
     li = spark.table("gate_lineitem_b")
     return (
