@@ -150,3 +150,15 @@ def test_gapfill_windows_only_touch_real_buckets(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
     assert "Union" in plan  # real rows ∪ interpolated rows
+
+
+def test_minhash_verify_join_reuses_hashed_exchange(spark):
+    """The minhash verify stage must keep its SHUFFLE_MERGE-pinned
+    sort-merge joins so the hashed (collect_set per id) aggregation is
+    computed once and reused — AQE's broadcast alternative recomputes
+    it per probe side (measured +9% at sf0.1)."""
+    df = _q("dedup_minhash_lsh")(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "minhash verify joins no longer share the hashed exchange"
