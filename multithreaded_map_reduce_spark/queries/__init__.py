@@ -111,6 +111,7 @@ _NEVER_SAMPLED: list[str] = [
     "lateral_topk_customers",
     "map_functions",
     "bucketed_join_revenue",
+    "dedup_simhash64",
 ]
 
 # Changed since their last green driver row — round 4 edits:

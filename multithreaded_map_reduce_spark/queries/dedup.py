@@ -278,3 +278,59 @@ ORACLES["dedup_pipeline_summary"] = f"""
            (SELECT count(*) FROM documents) - n_dup_docs + n_clusters AS n_after
     FROM cl
 """
+
+
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit / 16-bit-band SimHash — the documented 100 TB
+    configuration (4×65,536 buckets vs 32-bit banding's 4×256) — under
+    the gate with its own brute-force oracle: two independent 32-bit
+    md5 slices drive bits 0–31 / 32–63, banding is again lossless for
+    hamming ≤ 3 by pigeonhole."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=2, bits=64)
+
+
+QUERIES["dedup_simhash64"] = dedup_simhash64
+
+
+def _sql_simhash64_fp() -> str:
+    """DuckDB: (id, simhash BIGINT) 64-bit fingerprints mirroring
+    simhash_fingerprints_wide (token-occurrence votes over two md5
+    slices; bit 63 is the signed min literal — DuckDB refuses 1<<63
+    but two's-complement | / xor / bit_count all behave)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h{0 if b < 32 else 1} % {1 << ((b % 32) + 1)})"
+        f" >= {1 << (b % 32)} THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    def bit_lit(b: int) -> str:
+        if b == 63:
+            return "CAST(-9223372036854775808 AS BIGINT)"
+        return f"CAST({1 << b} AS BIGINT)"
+    fold = " | ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {bit_lit(b)} ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
+    return f"""
+        tok AS (
+            SELECT doc_id AS id, unnest({sql_tokens('text')}) AS tok
+            FROM documents WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
+        ), hs AS (
+            SELECT id,
+                   CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h0,
+                   CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS h1
+            FROM tok
+        ), votes AS (
+            SELECT id, {votes} FROM hs GROUP BY id
+        ), fp AS (
+            SELECT id, ({fold}) AS simhash FROM votes
+        )"""
+
+
+ORACLES["dedup_simhash64"] = f"""
+    WITH {_sql_simhash64_fp()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
