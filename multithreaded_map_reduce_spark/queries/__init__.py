@@ -35,6 +35,7 @@ from . import (  # noqa: E402
     graphrank,
     mapreduce_api,
     mergeops,
+    mining,
     multimodal,
     profiling,
     relational,
@@ -75,6 +76,7 @@ _register(timeseries)
 _register(udtf)
 _register(mergeops)
 _register(connectors)
+_register(mining)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 111 in rounds 1-2).

@@ -1,0 +1,228 @@
+"""Mining tier (round 5): market-basket co-occurrence, edit-distance
+near-dedup, regex scalar surface, and interval/date-latency rollups.
+
+Scale notes (the 100 TB contract, see SCALE.md):
+
+- ``copurchase_pairs`` is the canonical self-join-on-basket shape. The
+  quadratic risk is per-basket fan-out (k items -> k^2/2 pairs), NOT
+  the table size, so the rail is a *basket-size cap* applied before the
+  pair join — identical on both engines. The join itself is key-equi on
+  the basket id, so both sides shuffle-partition on ``l_orderkey`` and
+  AQE handles residual skew; no cross join exists anywhere in the plan.
+- ``dedup_editdistance`` demonstrates the verify stage of a dedup
+  pipeline where the metric (Levenshtein) is O(len^2) per pair: pairs
+  are generated only inside deterministic blocks (lang x length-bucket)
+  with a row_number cap per block, so worst-case work per block is
+  bounded by cap^2 regardless of corpus size. At 100 TB you'd narrow
+  candidates with MinHash first (operators/dedup.py) and keep this as
+  the exact-verify kernel; the blocking contract is replayed verbatim
+  in the oracle so recall is part of the differential check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import pround, sql_pround
+from ..sources.catalog import load_table
+
+MAX_BASKET = 20  # rail: max distinct parts per order entering the pair join
+MIN_SUPPORT = 2  # pairs must co-occur in at least this many orders
+LEN_BUCKET = 50  # edit-distance blocking: n_chars bucket width
+MAX_BLOCK = 100  # rail: max docs per (lang, bucket) block
+MAX_DIST = 8  # emit pairs with levenshtein <= this
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (basket = order).
+
+    distinct(order, part) -> basket-size rail -> self-join on order ->
+    pair counts -> support filter. Both shuffles key on ``l_orderkey``
+    so AQE reuses the exchange for the two join inputs.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    opc = op.join(small, "l_orderkey")
+    a, b = opc.alias("a"), opc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_SUPPORT)
+    )
+
+
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance near-dup pairs inside deterministic blocks.
+
+    Blocks = (lang, floor(n_chars / LEN_BUCKET)), capped to the MAX_BLOCK
+    smallest doc_ids per block (row_number — deterministic, replayable).
+    The fixture's planted near-dups sit at distance ~4, far under
+    MAX_DIST=8.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (F.floor(F.col("n_chars") / F.lit(LEN_BUCKET))).cast("int").alias("lb"),
+    )
+    w = Window.partitionBy("lang", "lb").orderBy("doc_id")
+    capped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_BLOCK)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
+        )
+        .filter(F.col("dist") <= MAX_DIST)
+    )
+
+
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract-all token lists, distinct counts,
+    null-safe first element, masked replace. Patterns are kept to the
+    Java-regex/RE2 common subset so both engines agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_alpha"),
+        F.size(F.array_distinct(toks)).alias("n_alpha_distinct"),
+        F.get(toks, 0).alias("first_tok"),
+        F.regexp_replace(F.substring("text", 1, 40), "[0-9]", "#").alias(
+            "masked_prefix"
+        ),
+        F.length(F.regexp_replace("text", "[aeiouAEIOU]", "")).alias("len_novowels"),
+    )
+
+
+def interval_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency per order month: date truncation,
+    date + interval due date, datediff aggregation with exact integer
+    day sums (avg via pround)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("sd"))
+    )
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        F.trunc("od", "month").alias("order_month"),
+        F.datediff(F.col("sd"), F.col("od")).alias("days"),
+        (F.col("sd") > F.date_add(F.col("od"), 90)).cast("int").alias("late"),
+    )
+    return j.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("days").alias("sum_days"),
+        F.sum("late").alias("n_late_90d"),
+        pround(F.sum("days") / F.count(F.lit(1)), 6).alias("avg_days"),
+    )
+
+
+QUERIES = {
+    "copurchase_pairs": copurchase_pairs,
+    "dedup_editdistance": dedup_editdistance,
+    "scalar_regex": scalar_regex,
+    "interval_shipping": interval_shipping,
+}
+
+ORACLES = {
+    "copurchase_pairs": f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        small AS (
+            SELECT l_orderkey FROM op GROUP BY 1
+            HAVING count(*) <= {MAX_BASKET}
+        ),
+        opc AS (SELECT op.* FROM op JOIN small USING (l_orderkey))
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM opc a
+        JOIN opc b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {MIN_SUPPORT}
+    """,
+    "dedup_editdistance": f"""
+        WITH d AS (
+            SELECT doc_id, lang, text,
+                   CAST(floor(n_chars / {LEN_BUCKET}) AS INTEGER) AS lb
+            FROM documents
+        ), capped AS (
+            SELECT * FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY lang, lb ORDER BY doc_id) AS rn
+                FROM d
+            ) WHERE rn <= {MAX_BLOCK}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        FROM capped a
+        JOIN capped b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {MAX_DIST}
+    """,
+    "scalar_regex": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
+                   AS n_alpha,
+               CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+')))
+                   AS INTEGER) AS n_alpha_distinct,
+               regexp_extract_all(text, '[a-z]+')[1] AS first_tok,
+               regexp_replace(substr(text, 1, 40), '[0-9]', '#', 'g')
+                   AS masked_prefix,
+               CAST(length(regexp_replace(text, '[aeiouAEIOU]', '', 'g'))
+                   AS INTEGER) AS len_novowels
+        FROM documents
+    """,
+    "interval_shipping": f"""
+        WITH fs AS (
+            SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS sd
+            FROM lineitem GROUP BY 1
+        ), j AS (
+            SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                       AS order_month,
+                   datediff('day', CAST(o_orderdate AS DATE), sd) AS days,
+                   CASE WHEN sd > CAST(o_orderdate AS DATE) + 90
+                        THEN 1 ELSE 0 END AS late
+            FROM orders JOIN fs ON o_orderkey = l_orderkey
+        )
+        SELECT order_month,
+               count(*) AS n_orders,
+               sum(days) AS sum_days,
+               sum(late) AS n_late_90d,
+               {sql_pround('CAST(sum(days) AS DOUBLE) / count(*)', 6)}
+                   AS avg_days
+        FROM j
+        GROUP BY 1
+    """,
+}
