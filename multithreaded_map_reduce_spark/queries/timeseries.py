@@ -32,9 +32,99 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"timeseries_gapfill": timeseries_gapfill}
+def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over per-user hourly activity.
+
+    All math is exact integer arithmetic — the z² > 9 test is evaluated
+    as (x·m − s1)² > 9·(m·s2 − s1²) with x in milli-units (scale 1e3
+    keeps every intermediate < 2^63; ANSI mode would error, not wrap,
+    if that bound ever broke), so the anomaly *decision* itself is
+    differentially checked bit-for-bit, no sqrt/float anywhere.
+
+    Scale: one shuffle on user_id; the window frame is bounded (ROWS 24
+    PRECEDING..1 PRECEDING) so Spark evaluates it incrementally within
+    sorted partitions — no per-row rescan, no skew risk beyond a single
+    user's bucket count (bounded by the time span, not data volume).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_micros("ts") / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 3).alias("v"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("x"))
+    )
+    h = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(-24, -1)
+    )
+    w = b.select(
+        "user_id",
+        "b",
+        "n",
+        "x",
+        F.count("x").over(h).alias("m"),
+        F.sum("x").over(h).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(h).alias("s2"),
+    ).filter(F.col("m") >= 8)
+    dev = F.col("x") * F.col("m") - F.col("s1")
+    var_n = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    return w.select(
+        "user_id",
+        F.timestamp_add(
+            "MICROSECOND", F.col("b") * F.lit(STEP_US), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("bucket_start"),
+        "n",
+        F.col("x").alias("x_milli"),
+        F.col("m").alias("hist_n"),
+        (dev * dev > F.lit(9) * var_n).alias("is_anomaly"),
+    )
+
+
+QUERIES = {
+    "timeseries_gapfill": timeseries_gapfill,
+    "timeseries_anomaly": timeseries_anomaly,
+}
 
 ORACLES = {
+    "timeseries_anomaly": f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events
+            GROUP BY 1, 2
+        ), w AS (
+            SELECT user_id, b, n, x,
+                   count(x) OVER h AS m,
+                   CAST(sum(x) OVER h AS BIGINT) AS s1,
+                   CAST(sum(x * x) OVER h AS BIGINT) AS s2
+            FROM b
+            WINDOW h AS (PARTITION BY user_id ORDER BY b
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id,
+               make_timestamp(b * {STEP_US}) AS bucket_start,
+               n,
+               x AS x_milli,
+               m AS hist_n,
+               (x * m - s1) * (x * m - s1) > 9 * (m * s2 - s1 * s1)
+                   AS is_anomaly
+        FROM w
+        WHERE m >= 8
+    """,
     "timeseries_gapfill": f"""
         WITH b AS (
             SELECT user_id,
