@@ -219,3 +219,77 @@ ORACLES["sim_topk_quantized"] = f"""
         FROM scored
     ) WHERE rank <= {K}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means (round 5): iterative Lloyd's in exact integer units.
+# operators/kmeans.py holds the algorithm + scale notes; the oracle below
+# unrolls the identical iteration chain as CTEs (the pagerank discipline),
+# so assignments, tie-breaks AND centroid arithmetic are all hash-checked.
+
+KM_K = 8
+KM_ITERS = 3
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster"),
+        F.col("dist").alias("dist_sq_iu"),
+    )
+
+
+QUERIES["kmeans_embeddings"] = kmeans_embeddings
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    parts = [
+        f"""WITH dims AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   -- explicit DOUBLE cast: DuckDB evaluates FLOAT*DOUBLE in
+                   -- float precision, which rounds differently at ~.5
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS v
+            FROM embeddings
+        ), c0 AS (
+            SELECT CAST(vec_id AS INTEGER) AS cluster, i, v
+            FROM dims WHERE vec_id < {k}
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", a{t} AS (
+            SELECT d.vec_id, c.cluster,
+                   CAST(sum((d.v - c.v) * (d.v - c.v)) AS BIGINT) AS dist
+            FROM dims d JOIN c{t - 1} c USING (i)
+            GROUP BY 1, 2
+        ), s{t} AS (
+            SELECT vec_id, cluster, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM a{t}
+            ) WHERE rn = 1
+        )"""
+        )
+        if t < iters:
+            parts.append(
+                f""", c{t} AS (
+            SELECT s.cluster, d.i,
+                   CAST(floor(CAST(sum(d.v) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS v
+            FROM s{t} s JOIN dims d USING (vec_id)
+            GROUP BY 1, 2
+        )"""
+            )
+    parts.append(
+        f"""
+        SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{iters}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["kmeans_embeddings"] = _sql_kmeans(KM_K, KM_ITERS)
