@@ -232,3 +232,47 @@ def triangle_count(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Single-source shortest paths: ``rounds`` Bellman-Ford relaxations.
+
+    Exact BIGINT path costs, no floats, no convergence collect — the
+    round count is FIXED so the result is a pure function of the edge
+    set and replayable as unrolled CTEs (the pagerank discipline; a
+    fixed-round frontier is also how you'd run this on a 1000-executor
+    cluster: each round is one shuffle keyed on the node id, lineage
+    truncated per round with localCheckpoint).
+
+    Nodes not reached within ``rounds`` hops are absent from the output
+    (the oracle replays the same semantics).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(cost_col).cast("long").alias("cost"),
+    ).localCheckpoint()
+    dist = (
+        e.sparkSession.range(1)
+        .select(F.lit(source).cast("long").alias("id"), F.lit(0).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("cost")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist

@@ -154,3 +154,68 @@ ORACLES["triangle_suppliers"] = """
     JOIN e e2 ON e1.b = e2.a
     WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5: single-source shortest paths over the same trade graph.
+
+SSSP_SOURCE = 0
+SSSP_ROUNDS = 6
+SSSP_NUM = 1_000_000  # edge cost = SSSP_NUM div w (heavier trade = cheaper)
+
+
+def sssp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford (fixed 6 rounds) from nation 0; edge cost is the
+    integer-divided reciprocal of trade volume, so all path costs are
+    exact BIGINTs. Positive-only integer division: Spark ``div`` and
+    DuckDB ``//`` agree (both truncate = floor for positives)."""
+    from ..operators.graph import shortest_paths
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir).select(
+        "src", "dst", F.expr(f"{SSSP_NUM} div w").cast("long").alias("cost")
+    )
+    d = shortest_paths(edges, SSSP_SOURCE, SSSP_ROUNDS)
+    return d.join(F.broadcast(nation), d.id == nation.n_nationkey).select(
+        F.col("id").alias("nationkey"), "n_name", F.col("d").alias("path_cost")
+    )
+
+
+QUERIES["sssp_nations"] = sssp_nations
+
+
+def _sssp_sql(source: int = SSSP_SOURCE, rounds: int = SSSP_ROUNDS) -> str:
+    ctes = [
+        f"""edges AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst,
+                   {SSSP_NUM} // count(*) AS cost
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY s_nationkey, c_nationkey
+        ),
+        d0 AS (SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS d)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+            SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+                SELECT id, d FROM d{p}
+                UNION ALL
+                SELECT e.dst AS id, dd.d + e.cost AS d
+                FROM edges e JOIN d{p} dd ON e.src = dd.id
+            ) u GROUP BY id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT d.id AS nationkey, n.n_name, d.d AS path_cost
+        FROM d{rounds} d JOIN nation n ON d.id = n.n_nationkey"""
+    )
+
+
+ORACLES["sssp_nations"] = _sssp_sql()
