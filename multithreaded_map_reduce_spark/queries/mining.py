@@ -226,3 +226,68 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (operators/bloom.py). The output row
+# carries the candidate count — so the oracle checks the Bloom bitset
+# (probes, masks, false-positive set) bit-for-bit, not just the final
+# exact semi-join.
+
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import money
+    from ..operators.bloom import bloom_prune, build_bloom_words
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    words = build_bloom_words(cust, "c_custkey")
+    cand = bloom_prune(orders, words, "o_custkey")
+    true_m = cand.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    agg_true = true_m.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("true_cents"),
+    )
+    return n_cand.crossJoin(agg_true).select(
+        "n_bloom_pass",
+        "n_true",
+        (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
+        "true_cents",
+    )
+
+
+QUERIES["bloom_prune_orders"] = bloom_prune_orders
+
+
+def _bloom_oracle() -> str:
+    from ..operators.bloom import sql_bloom_pass, sql_bloom_words
+
+    words = sql_bloom_words(
+        "SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    return f"""
+        WITH {words},
+        cand AS (
+            SELECT * FROM orders WHERE {sql_bloom_pass('o_custkey')}
+        ),
+        tm AS (
+            SELECT count(*) AS n_true,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS true_cents
+            FROM cand WHERE o_custkey IN (SELECT k FROM dim_keys)
+        )
+        SELECT (SELECT count(*) FROM cand) AS n_bloom_pass,
+               n_true,
+               (SELECT count(*) FROM cand) - n_true AS n_false_pos,
+               true_cents
+        FROM tm
+    """
+
+
+ORACLES["bloom_prune_orders"] = _bloom_oracle()
