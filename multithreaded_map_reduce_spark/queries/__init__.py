@@ -87,8 +87,18 @@ _register(mining)
 #      exists is not verification);
 #   3. everything verified-and-unchanged, registration order.
 
-# Never had a driver CORRECTNESS row: queries NEW in round 4.
+# Never had a driver CORRECTNESS row: queries NEW in round 5 first
+# (the driver produced no CORRECTNESS_r04, so round 4's additions are
+# still unsampled too and stay in this list).
 _NEVER_SAMPLED: list[str] = [
+    "copurchase_pairs",
+    "dedup_editdistance",
+    "scalar_regex",
+    "interval_shipping",
+    "timeseries_anomaly",
+    "kmeans_embeddings",
+    "sssp_nations",
+    "bloom_prune_orders",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
