@@ -94,6 +94,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers once so timings measure the engine
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ... and the Python/Arrow worker pool (mapInPandas queries otherwise
+    # pay the per-core worker fork on their first run — infrastructure
+    # startup, not query cost)
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
