@@ -30,7 +30,8 @@ already the scale shape.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..functions.rounding import iunits
 
@@ -48,49 +49,49 @@ def quantized_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def assign_to_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, cluster, dist): nearest centroid per quantized vector,
+    ties broken by smallest cluster id (min-struct — deterministic)."""
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "cluster",
+        _sq_dist("qvec", "cvec").alias("dist"),
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct("dist", "cluster")).alias("best")
+    )
+    return best.select(
+        "id",
+        F.col("best.cluster").alias("cluster"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
+def kmeans_centroids(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
-    iters: int = 3,
+    rounds: int = 2,
 ) -> DataFrame:
-    """Final (id, cluster, dist) assignment after ``iters`` Lloyd rounds.
-
-    ``dist`` is the exact BIGINT squared L2 distance in micro-units² to
-    the final centroid.
-    """
+    """(cluster, cvec) centroids after ``rounds`` full assign+update
+    Lloyd rounds. Init: centroid j = the quantized vector of the
+    (j+1)-th smallest id — rank-based, so it works on any id range."""
     vecs = quantized_vectors(emb, id_col, vec_col)
-    centroids = vecs.filter(F.col("id") < k).select(
-        F.col("id").cast("int").alias("cluster"), F.col("qvec").alias("cvec")
+    init_w = Window.orderBy("id")
+    centroids = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(init_w) - 1).cast("int").alias("cluster"),
+            F.col("qvec").alias("cvec"),
+        )
     )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        scored = vecs.crossJoin(F.broadcast(cent)).select(
-            "id",
-            "qvec",
-            "cluster",
-            _sq_dist("qvec", "cvec").alias("dist"),
-        )
-        best = scored.groupBy("id").agg(
-            F.min(F.struct("dist", "cluster")).alias("best")
-        )
-        return best.select(
-            "id",
-            F.col("best.cluster").alias("cluster"),
-            F.col("best.dist").alias("dist"),
-        )
-
-    # iters assignments total: (iters-1) assign+update rounds, then one
-    # final assignment against the last centroids — mirrors the oracle's
-    # s{iters} CTE exactly.
-    for _ in range(iters - 1):
-        assigned = assign(centroids)
+    for _ in range(rounds):
+        assigned = assign_to_centroids(vecs, centroids)
         dims = (
             assigned.join(vecs, "id")
-            .select(
-                "cluster", F.posexplode("qvec").alias("i", "v")
-            )
+            .select("cluster", F.posexplode("qvec").alias("i", "v"))
             .groupBy("cluster", "i")
             .agg(
                 F.floor(
@@ -100,14 +101,29 @@ def kmeans_assign(
                 .alias("cv")
             )
         )
-        centroids = (
-            dims.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                    lambda s: s.getField("cv"),
-                ).alias("cvec")
-            )
+        centroids = dims.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cvec")
         )
+    return centroids
 
-    return assign(centroids)
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Final (id, cluster, dist) assignment after ``iters`` Lloyd
+    assignment passes ((iters-1) assign+update rounds, then one final
+    assignment — mirrors the oracle's s{iters} CTE exactly).
+
+    ``dist`` is the exact BIGINT squared L2 distance in micro-units² to
+    the final centroid.
+    """
+    vecs = quantized_vectors(emb, id_col, vec_col)
+    cent = kmeans_centroids(emb, id_col, vec_col, k=k, rounds=iters - 1)
+    return assign_to_centroids(vecs, cent)

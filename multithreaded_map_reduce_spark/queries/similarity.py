@@ -293,3 +293,150 @@ def _sql_kmeans(k: int, iters: int) -> str:
 
 
 ORACLES["kmeans_embeddings"] = _sql_kmeans(KM_K, KM_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# IVF with LEARNED centroids: the k-means trainer (operators/kmeans.py)
+# supplies the coarse quantizer — the production IVF path the plain
+# sim_topk_ivf stubs with id-picked centroids. Routing (train + assign +
+# probe) is exact integer math; only the final in-cell ranking is the
+# pround'd cosine. The oracle replays train/route/rank end-to-end.
+
+KMIVF_CELLS = 8
+KMIVF_ROUNDS = 2
+KMIVF_NPROBE = 2
+
+
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import pround
+    from ..functions.vectors import as_double, cosine
+    from ..operators.kmeans import (
+        _sq_dist,
+        assign_to_centroids,
+        kmeans_centroids,
+        quantized_vectors,
+    )
+
+    q, c = _split(spark, sf_dir)
+    cents = kmeans_centroids(c, "vec_id", "embedding", k=KMIVF_CELLS, rounds=KMIVF_ROUNDS)
+    cells = assign_to_centroids(
+        quantized_vectors(c, "vec_id", "embedding"), cents
+    ).select(F.col("id").alias("neighbor_id"), F.col("cluster").alias("cid"))
+    qvec = quantized_vectors(q, "vec_id", "embedding")
+    wq = W.partitionBy("query_id").orderBy("dist", "cid")
+    probed = (
+        qvec.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("cluster").alias("cid"),
+            _sq_dist("qvec", "cvec").alias("dist"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= KMIVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    cd = c.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    qd = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    scored = (
+        cells.join(F.broadcast(probed), "cid")
+        .join(cd, "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= K)
+
+
+QUERIES["sim_topk_ivf_kmeans"] = sim_topk_ivf_kmeans
+
+
+def _sql_ivf_kmeans(k_cells: int = KMIVF_CELLS, rounds: int = KMIVF_ROUNDS) -> str:
+    ctes = [
+        f"""WITH cand AS (SELECT * FROM embeddings WHERE vec_id >= {N_QUERIES}),
+        qry AS (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}),
+        dims AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS v
+            FROM cand
+        ), qdims AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS v
+            FROM qry
+        ), init_ids AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                       AS cluster
+            FROM (SELECT vec_id FROM cand ORDER BY vec_id LIMIT {k_cells})
+        ), c0 AS (
+            SELECT ii.cluster, d.i, d.v
+            FROM init_ids ii JOIN dims d USING (vec_id)
+        )"""
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f""", a{t} AS (
+            SELECT d.vec_id, c.cluster,
+                   CAST(sum((d.v - c.v) * (d.v - c.v)) AS BIGINT) AS dist
+            FROM dims d JOIN c{t - 1} c USING (i)
+            GROUP BY 1, 2
+        ), s{t} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM a{t}
+            ) WHERE rn = 1
+        ), c{t} AS (
+            SELECT s.cluster, d.i,
+                   CAST(floor(CAST(sum(d.v) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS v
+            FROM s{t} s JOIN dims d USING (vec_id)
+            GROUP BY 1, 2
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f""", cells AS (
+            SELECT vec_id AS neighbor_id, cluster AS cid FROM (
+                SELECT d.vec_id, c.cluster, row_number() OVER (
+                    PARTITION BY d.vec_id
+                    ORDER BY sum((d.v - c.v) * (d.v - c.v)), c.cluster) AS rn
+                FROM dims d JOIN c{rounds} c USING (i)
+                GROUP BY d.vec_id, c.cluster
+            ) WHERE rn = 1
+        ), probed AS (
+            SELECT vec_id AS query_id, cluster AS cid FROM (
+                SELECT d.vec_id, c.cluster, row_number() OVER (
+                    PARTITION BY d.vec_id
+                    ORDER BY sum((d.v - c.v) * (d.v - c.v)), c.cluster) AS rn
+                FROM qdims d JOIN c{rounds} c USING (i)
+                GROUP BY d.vec_id, c.cluster
+            ) WHERE rn <= {KMIVF_NPROBE}
+        ), scored AS (
+            SELECT p.query_id, ce.neighbor_id,
+                   {sql_pround(sql_cosine(sql_as_double('q.embedding'), sql_as_double('c.embedding')), 6)}
+                       AS cos_sim
+            FROM probed p
+            JOIN cells ce ON p.cid = ce.cid
+            JOIN qry q ON q.vec_id = p.query_id
+            JOIN cand c ON c.vec_id = ce.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {K}"""
+    )
+
+
+ORACLES["sim_topk_ivf_kmeans"] = _sql_ivf_kmeans()
