@@ -291,3 +291,77 @@ def _bloom_oracle() -> str:
 
 
 ORACLES["bloom_prune_orders"] = _bloom_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (round 5): multi-dimensional clustering for scan
+# pruning. zval interleaves the bits of two bucketed dimensions; rows
+# land in equal-width z-ranges ("files"), and the per-file min/max
+# bounding boxes — the stats a lakehouse uses for data skipping — are
+# the gate output. On the fixture every box tiles to an exact 64x64
+# quadrant: BOTH dimensions stay bounded per file, which is the whole
+# point of z-ordering over a single-column sort.
+#
+# Scale: zval is a map-side 16-term bit expression (codegen'd, no
+# shuffle); the bucket id is a value-range split (floor(z / width)), so
+# the layout needs NO global sort — one groupBy yields the stats, and a
+# production rewrite is `repartitionByRange(z).sortWithinPartitions(z)`
+# + write.
+
+Z_BITS = 8
+Z_FILES = 16
+Z_WIDTH = (1 << (2 * Z_BITS)) // Z_FILES  # equal-width z-ranges
+
+
+def _z_expr() -> str:
+    return " + ".join(
+        f"shiftleft(shiftright(bx, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright(by, {i}) & 1, {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_partkey") % 256).cast("long").alias("bx"),
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date"))
+            % 256
+        )
+        .cast("long")
+        .alias("by"),
+    )
+    z = b.withColumn("zval", F.expr(_z_expr()))
+    return (
+        z.groupBy(F.floor(F.col("zval") / F.lit(Z_WIDTH)).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("bx").alias("min_part_bucket"),
+            F.max("bx").alias("max_part_bucket"),
+            F.min("by").alias("min_day_bucket"),
+            F.max("by").alias("max_day_bucket"),
+        )
+    )
+
+
+QUERIES["zorder_layout"] = zorder_layout
+
+_Z_DUCK = " + ".join(
+    f"(((bx >> {i}) & 1) << {2 * i}) + (((by >> {i}) & 1) << {2 * i + 1})"
+    for i in range(Z_BITS)
+)
+
+ORACLES["zorder_layout"] = f"""
+    WITH b AS (
+        SELECT CAST(l_partkey % 256 AS BIGINT) AS bx,
+               CAST(datediff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) % 256 AS BIGINT) AS by
+        FROM lineitem
+    ), z AS (SELECT *, {_Z_DUCK} AS zval FROM b)
+    SELECT CAST(floor(zval / {Z_WIDTH}.0) AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           min(bx) AS min_part_bucket, max(bx) AS max_part_bucket,
+           min(by) AS min_day_bucket, max(by) AS max_day_bucket
+    FROM z GROUP BY 1
+"""
