@@ -99,6 +99,8 @@ _NEVER_SAMPLED: list[str] = [
     "kmeans_embeddings",
     "sssp_nations",
     "bloom_prune_orders",
+    "sim_topk_ivf_kmeans",
+    "zorder_layout",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",

@@ -92,3 +92,53 @@ ORACLES = {
         FROM changes
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 5: incremental aggregate-view maintenance. The monthly revenue
+# state is built from the base slice, the CDC delta arrives later, and
+# the refresh MERGES partial aggregates instead of recomputing — the
+# mergeable-state pattern every 100 TB incremental pipeline relies on
+# (partial sums/counts are associative, so refresh cost is O(delta) +
+# O(state), never O(history)). The oracle computes the full aggregation
+# from scratch: hash-equality proves merge == recompute.
+
+INC_CUTOVER = "1997-01-01"
+
+
+def incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.money import money
+    from ..sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    month = F.trunc(F.to_date("l_shipdate"), "month").alias("ship_month")
+    cents = (money("l_extendedprice") * 100).cast("long")
+
+    def partials(df):
+        return df.groupBy(month).agg(
+            F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+        )
+
+    cut = F.lit(INC_CUTOVER).cast("date")
+    state = partials(li.filter(F.to_date("l_shipdate") < cut))
+    delta = partials(li.filter(F.to_date("l_shipdate") >= cut))
+    return (
+        state.unionByName(delta)
+        .groupBy("ship_month")
+        .agg(F.sum("sum_cents").alias("sum_cents"), F.sum("n").alias("n"))
+    )
+
+
+QUERIES["incremental_revenue"] = incremental_revenue
+
+ORACLES["incremental_revenue"] = """
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS ship_month,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sum_cents,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+"""

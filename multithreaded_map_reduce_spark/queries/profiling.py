@@ -177,3 +177,69 @@ ORACLES = {
         FROM m
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 5: per-group closed-form OLS (y = slope·x + intercept) from the
+# same exact integer moments as stats_covar — x = quantity, y = price
+# cents, grouped by return flag. One shuffle (the groupBy); the five
+# moment sums are map-side combinable DECIMAL(38,0) partials, so the
+# regression "trains" in a single distributed pass at any scale. One
+# IEEE op per exact factor, then portable rounding.
+
+
+def ols_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = (money("l_extendedprice") * 100).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = li.select(F.col("l_returnflag").alias("flag"), x.alias("x"), y.alias("y")).groupBy(
+        "flag"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+    )
+    n = d(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "flag",
+        "n",
+        pround(slope, 6).alias("slope_cents_per_qty"),
+        pround(intercept, 4).alias("intercept_cents"),
+    )
+
+
+QUERIES["ols_by_flag"] = ols_by_flag
+
+_OLS_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_OLS_DEN = "CAST(n * sxx - sx * sx AS DOUBLE)"
+_OLS_SLOPE = f"({_OLS_NUM} / {_OLS_DEN})"
+
+ORACLES["ols_by_flag"] = f"""
+    WITH m AS (
+        SELECT l_returnflag AS flag, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS y
+            FROM lineitem
+        )
+        GROUP BY 1
+    )
+    SELECT flag, n,
+           {sql_pround(_OLS_SLOPE, 6)} AS slope_cents_per_qty,
+           {sql_pround(f"(CAST(sy AS DOUBLE) - {_OLS_SLOPE} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 4)}
+               AS intercept_cents
+    FROM m
+"""

@@ -157,5 +157,8 @@ def test_gate_r5_queries(spark):
         "timeseries_anomaly",
         "sssp_nations",
         "bloom_prune_orders",
+        "kmeans_embeddings",
+        "sim_topk_ivf_kmeans",
+        "zorder_layout",
     ):
         compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
