@@ -162,3 +162,39 @@ def test_minhash_verify_join_reuses_hashed_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, "minhash verify joins no longer share the hashed exchange"
+
+
+def test_bloom_probes_are_broadcast(spark):
+    """Both Bloom word-table probes must be broadcast joins — the whole
+    point is that the fact side is never shuffled before pruning."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("bloom_prune_orders")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 2
+    assert not rep.cartesian
+
+
+def test_kmeans_centroids_broadcast(spark):
+    """Assignment joins candidates against a broadcast k-row centroid
+    relation; a shuffle here would be O(N·k) rows."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("kmeans_embeddings")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_copurchase_scan_pruned(spark):
+    """The basket self-join reads exactly the two lineitem columns it
+    needs; the pair join is key-equi (no cartesian)."""
+    from multithreaded_map_reduce_spark.plans import assert_plan
+
+    rep = assert_plan(_q("copurchase_pairs")(spark, SF_SMOKE), max_scan_columns=2)
+    assert not rep.cartesian
+
+
+def test_zorder_scan_pruned(spark):
+    """Z-value computation is map-side over a two-column scan."""
+    from multithreaded_map_reduce_spark.plans import assert_plan
+
+    assert_plan(_q("zorder_layout")(spark, SF_SMOKE), max_scan_columns=2)
