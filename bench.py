@@ -60,6 +60,12 @@ HEADLINE = [
     "skew_salted_join",
     "timeseries_gapfill",
     "cms_top_words",
+    # round 5
+    "copurchase_pairs",
+    "kmeans_embeddings",
+    "zorder_layout",
+    "bloom_prune_orders",
+    "timeseries_anomaly",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

@@ -101,6 +101,8 @@ _NEVER_SAMPLED: list[str] = [
     "bloom_prune_orders",
     "sim_topk_ivf_kmeans",
     "zorder_layout",
+    "incremental_revenue",
+    "ols_by_flag",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
@@ -136,6 +138,12 @@ _NEVER_SAMPLED: list[str] = [
 # dedup_simhash whose pair generation was rewritten (ReuseExchange
 # banded self-join with window bucket cap).
 _CHANGED_THIS_ROUND = [
+    # round 5: salted two-stage aggregation rewrite — r1/r2 green rows
+    # describe the pre-salting plan
+    "inverted_index",
+    "inverted_index_lexicographic",
+    # round 4 (no CORRECTNESS_r04 was produced, so these are still
+    # awaiting re-verification):
     "dedup_simhash",
     "streaming_tumbling",
     "streaming_dedup",
