@@ -160,5 +160,42 @@ def test_gate_r5_queries(spark):
         "kmeans_embeddings",
         "sim_topk_ivf_kmeans",
         "zorder_layout",
+        "incremental_revenue",
+        "ols_by_flag",
     ):
         compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def _canon_rows(df):
+    from tests.oracle import canonical_rows
+
+    return canonical_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_r5_ops_partition_count_invariance(spark):
+    """Round-5 operators produce identical result sets at any shuffle
+    partition count (the reference's N_WORKER-independence property)."""
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    names = [
+        "copurchase_pairs",
+        "dedup_editdistance",
+        "timeseries_anomaly",
+        "sssp_nations",
+        "bloom_prune_orders",
+        "zorder_layout",
+        "incremental_revenue",
+        "ols_by_flag",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: _canon_rows(ALL_QUERIES[n](spark, SF_SMOKE)) for n in names
+            }
+        for n in names:
+            assert results["3"][n] == results["13"][n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
