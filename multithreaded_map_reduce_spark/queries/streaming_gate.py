@@ -199,3 +199,50 @@ ORACLES = {
     """,
 }
 
+
+
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming anomaly detection (streaming/stateful.py
+    bucket_anomaly_flags) — same exact-integer z²>9 contract as the
+    batch ``timeseries_anomaly``, and the SAME DuckDB oracle."""
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+    from ..queries.timeseries import STEP_US
+    from ..streaming.stateful import bucket_anomaly_flags
+
+    name = _sink("st_anomaly")
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.floor(epoch_micros("ts") / F.lit(float(STEP_US))).cast("long").alias("b"),
+        iunits(F.col("value"), 3).alias("v"),
+    )
+    run_stream_to_memory(bucket_anomaly_flags(ev), name, output_mode="update")
+    # update mode emits each user's full rescored history per batch;
+    # one fixture batch -> one emission, dedup is a no-op kept for the
+    # multi-batch case (latest hist_n per (user, bucket) wins)
+    w = W.partitionBy("user_id", "b").orderBy(F.desc("hist_n"))
+    sunk = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return sunk.select(
+        "user_id",
+        F.timestamp_add(
+            "MICROSECOND",
+            F.col("b") * F.lit(STEP_US),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("bucket_start"),
+        "n",
+        "x_milli",
+        "hist_n",
+        "is_anomaly",
+    )
+
+
+QUERIES["streaming_anomaly"] = streaming_anomaly
+
+from .timeseries import ORACLES as _TS_ORACLES  # noqa: E402
+
+ORACLES["streaming_anomaly"] = _TS_ORACLES["timeseries_anomaly"]

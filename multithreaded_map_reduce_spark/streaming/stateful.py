@@ -109,3 +109,79 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def bucket_anomaly_flags(buckets: DataFrame) -> DataFrame:
+    """Stateful streaming twin of ``queries/timeseries.timeseries_anomaly``:
+    per-user hourly activity with trailing-24-bucket z-score flags,
+    state = the full (bucket, n, x) history per user, evolved
+    batch-by-batch and re-scored on every update.
+
+    Input: (user_id, b, v) rows — bucket index and milli-unit value,
+    both computed JVM-side. All scoring is exact integer arithmetic
+    (Python ints — no float, no overflow), identical to the batch
+    query's BIGINT formula, so the memory-sink contents hash-match the
+    same DuckDB oracle.
+
+    Scale: one state row per user with O(active buckets) history —
+    bound it in production by evicting buckets older than the window
+    horizon (the trailing 24 are all the scorer reads; eviction is a
+    two-line slice here, kept whole for oracle parity with the batch
+    twin which scores the full history)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            bs, ns, xs = state.get
+            hist = {b: (n, x) for b, n, x in zip(bs, ns, xs)}
+        else:
+            hist = {}
+        for pdf in pdfs:
+            grouped = pdf.groupby("b").agg(n=("v", "size"), x=("v", "sum"))
+            for b, row in grouped.iterrows():
+                n0, x0 = hist.get(int(b), (0, 0))
+                hist[int(b)] = (n0 + int(row["n"]), x0 + int(row["x"]))
+        items = sorted(hist.items())
+        state.update(
+            (
+                [b for b, _ in items],
+                [n for _, (n, _x) in items],
+                [x for _, (_n, x) in items],
+            )
+        )
+        out = {
+            "user_id": [],
+            "b": [],
+            "n": [],
+            "x_milli": [],
+            "hist_n": [],
+            "is_anomaly": [],
+        }
+        for i, (b, (n, x)) in enumerate(items):
+            lo = max(0, i - 24)
+            window = [xx for _, (_nn, xx) in items[lo:i]]
+            m = len(window)
+            if m < 8:
+                continue
+            s1 = sum(window)
+            s2 = sum(xx * xx for xx in window)
+            flag = (x * m - s1) ** 2 > 9 * (m * s2 - s1 * s1)
+            out["user_id"].append(key[0])
+            out["b"].append(b)
+            out["n"].append(n)
+            out["x_milli"].append(x)
+            out["hist_n"].append(m)
+            out["is_anomaly"].append(bool(flag))
+        yield pd.DataFrame(out)
+
+    return buckets.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, b long, n long, x_milli long,"
+            " hist_n long, is_anomaly boolean"
+        ),
+        stateStructType="bs array<long>, ns array<long>, xs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
