@@ -103,6 +103,7 @@ _NEVER_SAMPLED: list[str] = [
     "zorder_layout",
     "incremental_revenue",
     "ols_by_flag",
+    "streaming_anomaly",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
