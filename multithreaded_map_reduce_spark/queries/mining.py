@@ -365,3 +365,105 @@ ORACLES["zorder_layout"] = f"""
            min(by) AS min_day_bucket, max(by) AS max_day_bucket
     FROM z GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: the rolling-hash chunker used to
+# dedupe shared passages across documents (boilerplate, quotes, near-dup
+# bodies). Boundaries are positions whose 8-gram polynomial hash ≡ 0
+# (mod 64) — a pure function of CONTENT, so an insertion early in a doc
+# shifts at most one chunk, unlike fixed-width chunking where everything
+# downstream re-aligns. Chunk hashes aggregate into an occurrence table;
+# chunks seen ≥2 times are the shared-content candidates.
+#
+# Scale: everything up to the final groupBy is per-row HOF work inside
+# one scan (no explode of per-position rows into the shuffle — gram
+# hashing happens inside array lambdas); the only shuffle carries one
+# row per CHUNK (~len/64 per doc). The oracle replays every formula.
+
+CDC_GRAM = 8
+CDC_MASK = 64  # boundary when gram_hash % CDC_MASK == 0; avg chunk ~64 chars
+
+_CDC_POLY_SPARK = (
+    "aggregate(split({s}, ''), 0L,"
+    " (acc, ch) -> (acc * 31 + ascii(ch)) % 2147483647)"
+)
+
+_CDC_BS_SPARK = f"""
+    array_sort(array_distinct(concat(
+        array(CAST(1 AS BIGINT)),
+        filter(
+            CASE WHEN length(text) < {CDC_GRAM}
+                 THEN CAST(array() AS ARRAY<BIGINT>)
+                 ELSE sequence(CAST(1 AS BIGINT),
+                               CAST(length(text) - {CDC_GRAM - 1} AS BIGINT))
+            END,
+            p -> ({_CDC_POLY_SPARK.format(s=f'substr(text, p, {CDC_GRAM})')})
+                 % {CDC_MASK} = 0),
+        array(CAST(length(text) + 1 AS BIGINT))
+    )))
+"""
+
+_CDC_CHUNKS_SPARK = """
+    transform(sequence(1, size(bs) - 1),
+              j -> substr(text, element_at(bs, j),
+                          CAST(element_at(bs, j + 1) - element_at(bs, j) AS INT)))
+"""
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", "text")
+        .withColumn("bs", F.expr(_CDC_BS_SPARK))
+        .withColumn("chunks", F.expr(_CDC_CHUNKS_SPARK))
+        .select("doc_id", F.explode("chunks").alias("ch"))
+    )
+    return (
+        chunks.select(
+            "doc_id", F.expr(_CDC_POLY_SPARK.format(s="ch")).alias("chunk_hash")
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
+
+
+def _cdc_oracle() -> str:
+    from ..functions.hashing import sql_poly_hash
+
+    gram_hash = sql_poly_hash(f"text[p:p+{CDC_GRAM - 1}]")
+    return f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   list_sort(list_distinct(
+                       [CAST(1 AS BIGINT)]
+                       || list_filter(
+                              CASE WHEN length(text) < {CDC_GRAM} THEN []
+                                   ELSE range(1, length(text) - {CDC_GRAM - 2})
+                              END,
+                              p -> ({gram_hash}) % {CDC_MASK} = 0)
+                       || [CAST(length(text) + 1 AS BIGINT)]
+                   )) AS bs
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(bs)),
+                                  j -> text[bs[j]:bs[j+1] - 1]) AS chunks
+            FROM b
+        )
+        SELECT {sql_poly_hash('ch')} AS chunk_hash,
+               count(*) AS n_occ,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, unnest(chunks) AS ch FROM c)
+        GROUP BY 1 HAVING count(*) >= 2
+    """
+
+
+ORACLES["cdc_chunk_dedup"] = _cdc_oracle()
