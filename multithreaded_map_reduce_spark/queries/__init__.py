@@ -104,6 +104,7 @@ _NEVER_SAMPLED: list[str] = [
     "incremental_revenue",
     "ols_by_flag",
     "streaming_anomaly",
+    "cdc_chunk_dedup",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",

@@ -162,6 +162,7 @@ def test_gate_r5_queries(spark):
         "zorder_layout",
         "incremental_revenue",
         "ols_by_flag",
+        "cdc_chunk_dedup",
     ):
         compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
 
@@ -199,3 +200,29 @@ def test_r5_ops_partition_count_invariance(spark):
             assert results["3"][n] == results["13"][n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_cdc_boundary_stability(spark):
+    """The defining CDC property: inserting one char at the FRONT of a
+    document realigns only the first chunk — content-defined boundaries
+    resynchronize, where fixed-width chunking would shift every chunk."""
+    import random
+
+    from multithreaded_map_reduce_spark.queries import mining
+
+    random.seed(7)
+    base = "".join(
+        random.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(600)
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "Z" + base)], "doc_id long, text string"
+    )
+    ch = (
+        df.withColumn("bs", F.expr(mining._CDC_BS_SPARK))
+        .withColumn("chunks", F.expr(mining._CDC_CHUNKS_SPARK))
+        .select("doc_id", F.explode("chunks").alias("ch"))
+    )
+    a = {r["ch"] for r in ch.filter("doc_id = 1").collect()}
+    b = {r["ch"] for r in ch.filter("doc_id = 2").collect()}
+    assert len(a) == 10  # enough boundaries to make the property meaningful
+    assert len(a & b) == 9  # all but the prefix-bearing chunk realign
