@@ -86,3 +86,33 @@ def run_inverted_index(docs: DataFrame, lexicographic: bool = False) -> DataFram
     return inverted_index_program(lexicographic).run(
         docs, "doc_id", "text", out_schema=II_SCHEMA
     )
+
+
+FOF_SCHEMA = T.StructType(
+    [
+        T.StructField("freq", T.LongType(), False),
+        T.StructField("n_words", T.LongType(), False),
+    ]
+)
+
+
+def run_chained_freq_of_freq(docs: DataFrame) -> DataFrame:
+    """TWO chained MapReduce jobs — the composition the reference's
+    single-slot factory cannot express (one program per binary, quirk
+    Q5): job 1 is WordCounter; job 2 maps each (word, cnt) to (cnt, 1)
+    and sums — the classic count-of-counts. Job 2's input is job 1's
+    output DataFrame, exactly how a client chains the library API."""
+    wc = run_word_counter(docs, combiner=True)
+
+    def map_fn(_word, cnt):
+        yield (int(cnt), 1)
+
+    prog = MapReduce(map_fn, None, name="FreqOfFreq")
+    return prog.run_with_combiner(
+        wc,
+        "word",
+        "cnt",
+        zero=0,
+        combine_fn=lambda acc, v: acc + v,
+        out_schema=FOF_SCHEMA,
+    )

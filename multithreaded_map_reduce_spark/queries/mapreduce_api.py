@@ -32,3 +32,18 @@ ORACLES = {
     "mr_word_count": CORPUS_ORACLES["word_count"],
     "mr_inverted_index": CORPUS_ORACLES["inverted_index"],
 }
+
+
+def mr_chained_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.programs import run_chained_freq_of_freq
+
+    return run_chained_freq_of_freq(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["mr_chained_freq_of_freq"] = mr_chained_freq_of_freq
+
+ORACLES["mr_chained_freq_of_freq"] = f"""
+    WITH wc AS ({CORPUS_ORACLES["word_count"]})
+    SELECT cnt AS freq, count(*) AS n_words
+    FROM wc GROUP BY 1
+"""
