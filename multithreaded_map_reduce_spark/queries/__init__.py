@@ -105,6 +105,7 @@ _NEVER_SAMPLED: list[str] = [
     "ols_by_flag",
     "streaming_anomaly",
     "cdc_chunk_dedup",
+    "mr_chained_freq_of_freq",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",

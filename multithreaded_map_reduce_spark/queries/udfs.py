@@ -145,3 +145,44 @@ ORACLES["cogroup_user_activity"] = """
            COALESCE(purchase_value_micros, 0) AS purchase_value_micros
     FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
+
+
+def arrow_map_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python batch API (raw Arrow
+    RecordBatches, no pandas conversion): per-doc whitespace token count
+    and total token chars, computed with Arrow compute kernels only.
+
+    Integer outputs ⇒ exact oracle. Scale: same partition-parallel
+    shape as mapInPandas, minus the pandas materialization — the right
+    tool when the per-batch logic is itself columnar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            # an empty/all-whitespace doc trims to "" and splits to
+            # [""] — count it as 0 tokens, matching the oracle's filter
+            n = pc.if_else(
+                pc.equal(trimmed, ""),
+                pa.scalar(0, pa.int32()),
+                pc.list_value_length(toks),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pc.cast(n, pa.int64())],
+                names=["doc_id", "n_tokens"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(stats, "doc_id long, n_tokens long")
+
+
+QUERIES["arrow_map_token_stats"] = arrow_map_token_stats
+
+ORACLES["arrow_map_token_stats"] = """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != '')) AS n_tokens
+    FROM documents
+"""
