@@ -106,6 +106,7 @@ _NEVER_SAMPLED: list[str] = [
     "streaming_anomaly",
     "cdc_chunk_dedup",
     "mr_chained_freq_of_freq",
+    "arrow_map_token_stats",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
