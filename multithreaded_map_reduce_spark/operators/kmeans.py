@@ -101,11 +101,18 @@ def kmeans_centroids(
                 .alias("cv")
             )
         )
-        centroids = dims.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "cv"))),
-                lambda s: s.getField("cv"),
-            ).alias("cvec")
+        centroids = (
+            dims.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda s: s.getField("cv"),
+                ).alias("cvec")
+            )
+            # truncate lineage per round (graph.py discipline): without
+            # this, round t's plan recomputes rounds 1..t-1 — O(rounds²)
+            # work and an ever-deeper plan
+            .localCheckpoint()
         )
     return centroids
 
