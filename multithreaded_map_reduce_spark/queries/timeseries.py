@@ -168,3 +168,51 @@ ORACLES = {
         FROM w
     """,
 }
+
+
+def timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: one pass over events
+    produces hour/day/month continuous aggregates via ROLLUP on the
+    derived time hierarchy (Catalyst expands to grouping sets — one
+    shuffle, map-side partials; at 100 TB this is the one-scan
+    alternative to three separate rollup jobs). Exact integer value
+    sums; grain disambiguated by GROUPING bits."""
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import iunits
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("m"),
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("d"),
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        iunits(F.col("value"), 6).alias("v"),
+    )
+    return (
+        ev.rollup("m", "d", "h")
+        .agg(
+            F.grouping("m").cast("int").alias("g_m"),
+            F.grouping("d").cast("int").alias("g_d"),
+            F.grouping("h").cast("int").alias("g_h"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_iu"),
+        )
+        .select("m", "d", "h", "g_m", "g_d", "g_h", "n", "sum_iu")
+    )
+
+
+QUERIES["timeseries_rollup"] = timeseries_rollup
+
+ORACLES["timeseries_rollup"] = f"""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           date_trunc('hour', ts) AS h,
+           CAST(grouping(date_trunc('month', ts)) AS INTEGER) AS g_m,
+           CAST(grouping(date_trunc('day', ts)) AS INTEGER) AS g_d,
+           CAST(grouping(date_trunc('hour', ts)) AS INTEGER) AS g_h,
+           count(*) AS n,
+           CAST(sum({sql_iunits('value')}) AS BIGINT) AS sum_iu
+    FROM events
+    GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts),
+                     date_trunc('hour', ts))
+"""
