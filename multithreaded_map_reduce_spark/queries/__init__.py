@@ -107,6 +107,7 @@ _NEVER_SAMPLED: list[str] = [
     "cdc_chunk_dedup",
     "mr_chained_freq_of_freq",
     "arrow_map_token_stats",
+    "timeseries_rollup",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
