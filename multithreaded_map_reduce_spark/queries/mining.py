@@ -72,16 +72,29 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance near-dup pairs inside deterministic blocks.
 
-    Blocks = (lang, floor(n_chars / LEN_BUCKET)), capped to the MAX_BLOCK
-    smallest doc_ids per block (row_number — deterministic, replayable).
-    The fixture's planted near-dups sit at distance ~4, far under
-    MAX_DIST=8.
+    Blocking is OVERLAPPING: each doc lands in bucket floor(n/W) and
+    floor((n + W/2)/W), so two docs whose lengths differ by < W/2 always
+    share at least one block — no boundary-straddling misses (a pair
+    found in both shared blocks dedupes via DISTINCT). Each (lang,
+    bucket) block is capped to the MAX_BLOCK smallest doc_ids
+    (row_number — deterministic, replayable). The fixture's planted
+    near-dups sit at distance ~4, far under MAX_DIST=8.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "text",
-        (F.floor(F.col("n_chars") / F.lit(LEN_BUCKET))).cast("int").alias("lb"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int"),
+                    F.floor(
+                        (F.col("n_chars") + F.lit(LEN_BUCKET // 2))
+                        / F.lit(LEN_BUCKET)
+                    ).cast("int"),
+                )
+            )
+        ).alias("lb"),
     )
     w = Window.partitionBy("lang", "lb").orderBy("doc_id")
     capped = (
@@ -103,6 +116,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
         )
         .filter(F.col("dist") <= MAX_DIST)
+        .distinct()
     )
 
 
@@ -174,8 +188,11 @@ ORACLES = {
     """,
     "dedup_editdistance": f"""
         WITH d AS (
-            SELECT doc_id, lang, text,
-                   CAST(floor(n_chars / {LEN_BUCKET}) AS INTEGER) AS lb
+            SELECT doc_id, lang, text, unnest(list_distinct([
+                       CAST(floor(n_chars / {LEN_BUCKET}) AS INTEGER),
+                       CAST(floor((n_chars + {LEN_BUCKET // 2}) / {LEN_BUCKET})
+                            AS INTEGER)
+                   ])) AS lb
             FROM documents
         ), capped AS (
             SELECT * FROM (
@@ -184,7 +201,7 @@ ORACLES = {
                 FROM d
             ) WHERE rn <= {MAX_BLOCK}
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
         FROM capped a
         JOIN capped b
