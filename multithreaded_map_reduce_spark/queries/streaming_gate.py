@@ -246,3 +246,51 @@ QUERIES["streaming_anomaly"] = streaming_anomaly
 from .timeseries import ORACLES as _TS_ORACLES  # noqa: E402
 
 ORACLES["streaming_anomaly"] = _TS_ORACLES["timeseries_anomaly"]
+
+
+def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental-ETL sink under the gate: each micro-batch
+    APPENDS mergeable per-user partials (count + exact micro-unit sum)
+    to a per-call parquet target — idempotence comes from writing into a
+    batch-id subdirectory (re-delivery overwrites the same path), the
+    exactly-once pattern foreachBatch exists for. The final read merges
+    partials (sum of sums), which must hash-equal the one-shot batch
+    aggregation oracle — the same merge == recompute contract as
+    ``incremental_revenue``, here across REAL micro-batch boundaries.
+
+    Scale: the target accumulates O(users) rows per batch; a production
+    sink would MERGE into a keyed table (operators/merge.upsert) — the
+    partial-append shape keeps the gate run hermetic while exercising
+    the identical mergeable-state math."""
+    from ..functions.rounding import from_iunits, iunits, pround
+
+    path = f"/tmp/fb_totals_{uuid.uuid4().hex}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(iunits(F.col("value"), 6)).alias("sum_iu"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch={batch_id}")
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    partials = spark.read.parquet(path)
+    return partials.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        pround(from_iunits(F.sum("sum_iu")), 2).alias("total_value"),
+    )
+
+
+QUERIES["streaming_foreachbatch_totals"] = streaming_foreachbatch_totals
+ORACLES["streaming_foreachbatch_totals"] = ORACLES["streaming_stateful"]
