@@ -108,6 +108,7 @@ _NEVER_SAMPLED: list[str] = [
     "mr_chained_freq_of_freq",
     "arrow_map_token_stats",
     "timeseries_rollup",
+    "streaming_foreachbatch_totals",
     "q11_important_parts",
     "q20_promotable_suppliers",
     "timeseries_gapfill",
