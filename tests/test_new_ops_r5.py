@@ -163,6 +163,10 @@ def test_gate_r5_queries(spark):
         "incremental_revenue",
         "ols_by_flag",
         "cdc_chunk_dedup",
+        "timeseries_rollup",
+        "mr_chained_freq_of_freq",
+        "arrow_map_token_stats",
+        "streaming_foreachbatch_totals",
     ):
         compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
 
