@@ -184,3 +184,118 @@ def sql_cms_heavy_hitters(
         ORDER BY cms_count DESC, val ASC
         LIMIT {k}
     """
+
+# ------------------------------------------------------------------- HLL
+# Deterministic HyperLogLog: the real register-based sketch (unlike KMV's
+# k-th-minimum estimator), built so BOTH engines compute bit-identical
+# registers AND a bit-identical estimate:
+#
+#   * the affine hash over the portable 31-bit space is exact integer
+#     math (same family as KMV);
+#   * register index = h mod m, remaining w = h div m is a 23-bit word;
+#     rho = (leading zeros in the 23-bit word) + 1 = 24 - bitlength(w),
+#     computed via length(bin(w)) — Spark and DuckDB both render bin()
+#     without leading zeros (verified), so no float log2 anywhere;
+#   * the harmonic-mean denominator sum(2^-M_j) is accumulated as the
+#     EXACT integer sum(2^(30 - M_j)) (every term a power of two,
+#     30 >= max rho 24, sum <= m * 2^30 << int64) — order-free, so
+#     partial aggregation/merge order can never change it;
+#   * only the final alpha*m^2*2^30 / S division touches doubles: ONE
+#     IEEE op from a shared decimal literal, then portable rounding.
+#
+# Mergeability at 100 TB is the textbook HLL story and here it is the
+# plan itself: registers are a groupBy(group, j).max(rho) — Spark's
+# map-side partial max IS the sketch merge.
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_A = 769_256_099  # second permutation from the affine family
+HLL_B = 402_653_189
+_HLL_K = 30  # scale exponent for the exact integer harmonic sum
+# alpha_256 = 0.7213 / (1 + 1.079/256); numerator literal shared by both
+# engines so the one division sees the identical double.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_NUMER = repr(_HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_K))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HLL raw estimate + zero-register count + exact count.
+
+    No small-range linear-counting correction: ln() is the one libm
+    call whose last ulp differs across engines, so the raw estimator —
+    whose only float op is a single shared-literal division — is the
+    differentially-testable form. zero_registers is emitted so a reader
+    can see when LC would have kicked in.
+    """
+    m = HLL_M
+    hashed = df.select(
+        group_col,
+        F.pmod(
+            F.pmod(F.col(value_col).cast("long"), F.lit(POLY_MOD)) * F.lit(HLL_A)
+            + F.lit(HLL_B),
+            F.lit(POLY_MOD),
+        ).alias("_h"),
+        F.col(value_col).alias("_v"),
+    )
+    w = (F.col("_h") / F.lit(m)).cast("long")  # h div m, 23 bits
+    rho = F.when(w == 0, F.lit(24)).otherwise(
+        F.lit(24) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(group_col, (F.col("_h") % F.lit(m)).alias("_j"), rho.alias("_rho"))
+        .groupBy(group_col, "_j")
+        .agg(F.max("_rho").alias("_mj"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").alias("_present"),
+        # SQL-expr form: PySpark's shiftleft() only takes a Python int
+        # for numBits, but the engine function accepts a column.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - _mj)")).alias(
+            "_s_present"
+        ),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_present")) * F.lit(1 << _HLL_K)
+    est = F.lit(float(_HLL_NUMER)) / s.cast("double")
+    exact = hashed.groupBy(group_col).agg(
+        F.countDistinct("_v").alias("exact_distinct")
+    )
+    return per_group.join(exact, group_col).select(
+        group_col,
+        (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
+        pround(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+def sql_hll_distinct(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of hll_distinct — identical integer registers and
+    the same single shared-literal division."""
+    m = HLL_M
+    return f"""
+        WITH hashed AS (
+            SELECT {group_col},
+                   (((CAST({value_col} AS BIGINT) % {POLY_MOD} + {POLY_MOD}) % {POLY_MOD})
+                        * {HLL_A} + {HLL_B}) % {POLY_MOD} AS _h,
+                   {value_col} AS _v
+            FROM {table}
+        ), regs AS (
+            SELECT {group_col}, _h % {m} AS _j,
+                   max(CASE WHEN _h // {m} = 0 THEN 24
+                            ELSE 24 - length(bin(_h // {m})) END) AS _mj
+            FROM hashed GROUP BY 1, 2
+        ), pg AS (
+            SELECT {group_col}, count(*) AS _present,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_K} - _mj)) AS BIGINT) AS _s_present
+            FROM regs GROUP BY 1
+        ), exact AS (
+            SELECT {group_col}, CAST(count(DISTINCT _v) AS BIGINT) AS exact_distinct
+            FROM hashed GROUP BY 1
+        )
+        SELECT pg.{group_col},
+               CAST({m} - _present AS BIGINT) AS zero_registers,
+               {sql_pround(f"{_HLL_NUMER} / CAST(_s_present + ({m} - _present) * (CAST(1 AS BIGINT) << {_HLL_K}) AS DOUBLE)", 4)} AS hll_estimate,
+               exact_distinct
+        FROM pg JOIN exact ON pg.{group_col} = exact.{group_col}
+    """

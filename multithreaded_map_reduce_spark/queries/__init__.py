@@ -91,6 +91,8 @@ _register(mining)
 # (the driver produced no CORRECTNESS_r04, so round 4's additions are
 # still unsampled too and stay in this list).
 _NEVER_SAMPLED: list[str] = [
+    "hll_distinct_parts",
+    "table_checksum",
     "copurchase_pairs",
     "dedup_editdistance",
     "scalar_regex",

@@ -243,3 +243,62 @@ ORACLES["ols_by_flag"] = f"""
                AS intercept_cents
     FROM m
 """
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table fingerprint — the
+    anti-entropy/validation primitive for 100 TB pipelines (verify a
+    migrated/replicated table without sorting it): portable md5 row
+    hash (codegen'd, whole-stage), summed order-free per return flag in
+    DECIMAL(38,0) so retries/merge order can't change it, reduced mod
+    the portable prime. Doubles and timestamps enter the row string as
+    exact integers (cents / epoch micros), never via engine-specific
+    float rendering."""
+    from ..functions.hashing import POLY_MOD, token_hash
+    from ..functions.time import epoch_micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        iunits(F.col("l_extendedprice"), 2).cast("string"),
+        iunits(F.col("l_discount"), 2).cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        epoch_micros(F.col("l_shipdate")).cast("string"),
+    )
+    return (
+        li.select(F.col("l_returnflag"), token_hash(row_str).alias("_rh"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("row_count"),
+            (F.sum(F.col("_rh").cast("decimal(38,0)")) % F.lit(POLY_MOD))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+QUERIES["table_checksum"] = table_checksum
+
+from ..functions.hashing import POLY_MOD as _PM  # noqa: E402
+from ..functions.hashing import sql_token_hash as _sql_th  # noqa: E402
+
+_CHECKSUM_ROW = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), "
+    "CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), "
+    f"CAST({sql_iunits('l_extendedprice', 2)} AS VARCHAR), "
+    f"CAST({sql_iunits('l_discount', 2)} AS VARCHAR), "
+    "l_returnflag, l_linestatus, CAST(epoch_us(l_shipdate) AS VARCHAR))"
+)
+
+ORACLES["table_checksum"] = f"""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS row_count,
+           CAST(CAST(sum({_sql_th(_CHECKSUM_ROW)}) AS HUGEINT) % {_PM} AS BIGINT)
+               AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+"""

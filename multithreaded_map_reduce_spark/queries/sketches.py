@@ -50,3 +50,22 @@ ORACLES["cms_top_words"] = _sql_cms(
     "GROUP BY val\n        ORDER BY cms_count DESC, val ASC",
     "GROUP BY val\n        ORDER BY cms_count DESC, word ASC",
 )
+
+
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: deterministic HyperLogLog estimate (256 exact
+    integer registers, one shared-literal IEEE division) vs exact
+    distinct part count — the register-sketch sibling of
+    ``kmv_distinct_parts``; see operators/sketches.py for the
+    cross-engine determinism construction."""
+    from ..operators.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_returnflag", "l_partkey")
+
+
+QUERIES["hll_distinct_parts"] = hll_distinct_parts
+
+from ..operators.sketches import sql_hll_distinct as _sql_hll  # noqa: E402
+
+ORACLES["hll_distinct_parts"] = _sql_hll("lineitem", "l_returnflag", "l_partkey")
