@@ -50,3 +50,30 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
     return l_salted.join(r_replicated, [key, "_salt"]).drop("_salt")
+
+
+def salted_collect_set(
+    df: DataFrame, key_col: str, value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """groupBy(key).collect_set(value) as an explicit two-stage
+    aggregation tree → (key, ids ARRAY) with exact distinct ids.
+
+    Salting by a pure function OF THE COLLECTED VALUE keeps the stage-1
+    partials disjoint, so stage 2 is a flatten of collect_list — no
+    re-dedup. When does this beat the direct collect_set? NOT at
+    ordinary scale: Spark already runs partial_collect_set map-side, so
+    the direct plan's reduce fan-in is one partial per map task and the
+    extra shuffle here just costs ~2× (measured at sf0.1 on the corpus
+    index — which is why `queries/corpus.py` uses the direct plan).
+    The two-stage tree pays only in the degenerate regime where BOTH
+    (a) map-task count is huge (≥10⁵: fan-in per reducer becomes the
+    bottleneck) and (b) the key cardinality is far below the cluster
+    parallelism, leaving most reducers idle while hot keys merge.
+    """
+    partial = (
+        df.groupBy(key_col, F.pmod(F.col(value_col).cast("long"), F.lit(n_salts)).alias("_salt"))
+        .agg(F.collect_set(value_col).alias("_part"))
+    )
+    return partial.groupBy(key_col).agg(
+        F.flatten(F.collect_list("_part")).alias("ids")
+    )

@@ -40,34 +40,26 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
 
 
-N_SALT = 32  # hot-key fan-out for the two-stage distinct-set aggregation
+def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, distinct doc ids array) via a DIRECT collect_set.
 
-
-def _salted_doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, ids array) via SALTED two-stage collect_set.
-
-    The corpus vocabulary is tiny (~31 distinct words over 270k tokens
-    at sf0.1), so a direct groupBy("word").collect_set() funnels every
-    row into ~31 reduce groups — a hot-key bottleneck that only gets
-    worse at 100 TB. Salting by ``doc_id % N_SALT`` splits each word
-    into N_SALT disjoint partials (disjoint BECAUSE the salt is a pure
-    function of the collected value, so no cross-salt duplicates exist);
-    stage 2 merges N_SALT small arrays per word with flatten — exactly
-    distinct, no re-dedup needed, and the heavy stage now has
-    vocab x N_SALT groups of even size."""
-    partial = (
-        _tokens(spark, sf_dir)
-        .groupBy("word", (F.col("doc_id") % N_SALT).alias("_salt"))
-        .agg(F.collect_set("doc_id").alias("part"))
-    )
-    return partial.groupBy("word").agg(
-        F.flatten(F.collect_list("part")).alias("ids")
+    A manual salted two-stage version of this was benchmarked and
+    reverted: Spark's partial aggregation already runs collect_set
+    map-side, so the reduce side merges one partial set per map task —
+    the same two-level merge tree the salt builds by hand, minus the
+    extra full shuffle (the salted form measured 1.9× slower at sf0.1).
+    The reusable salted aggregation lives in ``operators/skew.py``
+    (``salted_collect_set``) for the regime where it does pay: ≥10⁵ map
+    partitions funneling into a vocabulary far smaller than the cluster,
+    where a two-stage tree bounds per-reducer fan-in."""
+    return _tokens(spark, sf_dir).groupBy("word").agg(
+        F.collect_set("doc_id").alias("ids")
     )
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token → comma-joined ascending distinct doc ids."""
-    return _salted_doc_sets(spark, sf_dir).select(
+    return _doc_sets(spark, sf_dir).select(
         "word",
         F.array_join(
             F.transform(
@@ -83,7 +75,7 @@ def inverted_index_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("10" < "2", ``src/InvertedIndex.cpp:35`` — positions are stringified
     line numbers, `std::sort` over strings). Same inverted index as
     ``inverted_index`` but with byte-lexicographic position order."""
-    return _salted_doc_sets(spark, sf_dir).select(
+    return _doc_sets(spark, sf_dir).select(
         "word",
         F.array_join(
             F.sort_array(F.transform(F.col("ids"), lambda x: x.cast("string"))), ","

@@ -83,3 +83,21 @@ def test_range_join_epoch_boundary(spark):
     got = {r["id"]: r["n_in_window"] for r in out.collect()}
     # id=1 at 00:30 sees only the 00:10 click; id=2 at 01:30 sees only 00:50
     assert got == {1: 1, 2: 1}
+
+
+def test_salted_collect_set_equals_plain(spark):
+    from multithreaded_map_reduce_spark.operators.skew import salted_collect_set
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    salted = {
+        r[0]: sorted(r[1])
+        for r in salted_collect_set(li, "l_returnflag", "l_partkey", n_salts=8).collect()
+    }
+    plain = {
+        r[0]: sorted(r[1])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.collect_set("l_partkey").alias("ids"))
+        .collect()
+    }
+    assert salted == plain
