@@ -33,6 +33,7 @@ from . import (  # noqa: E402
     dedup,
     events,
     graphrank,
+    linalg,
     mapreduce_api,
     mergeops,
     mining,
@@ -71,6 +72,7 @@ _register(skewproof)
 _register(tpch_rest)
 _register(curation)
 _register(graphrank)
+_register(linalg)
 _register(profiling)
 _register(timeseries)
 _register(udtf)
@@ -92,6 +94,7 @@ _register(mining)
 # still unsampled too and stay in this list).
 _NEVER_SAMPLED: list[str] = [
     "hll_distinct_parts",
+    "power_iteration_embeddings",
     "table_checksum",
     "copurchase_pairs",
     "dedup_editdistance",
