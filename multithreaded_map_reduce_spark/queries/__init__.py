@@ -96,6 +96,7 @@ _NEVER_SAMPLED: list[str] = [
     "hll_distinct_parts",
     "power_iteration_embeddings",
     "table_checksum",
+    "connector_schema_evolution",
     "copurchase_pairs",
     "dedup_editdistance",
     "scalar_regex",

@@ -170,3 +170,51 @@ ORACLES["bucketed_join_revenue"] = f"""
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """
+
+
+def connector_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the gate: two parquet file generations
+    with DIFFERENT schemas (v1 carries o_custkey, v2 added
+    o_orderstatus instead) are read back as ONE relation via
+    ``mergeSchema`` — the union'd schema with NULLs where a generation
+    lacks a column. The aggregation proves both the column union and
+    the null semantics: per status bucket ('?' = legacy v1 rows), row
+    count, non-null custkey count, exact total. At 100 TB this is the
+    everyday "the upstream job added a column last March" read path;
+    mergeSchema's footer union is driver-side and O(files), and
+    explicit-schema reads stay the default everywhere else."""
+    o = load_table(spark, sf_dir, "orders")
+    path = f"/tmp/schevo_{uuid.uuid4().hex}"
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        pround(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+
+
+QUERIES["connector_schema_evolution"] = connector_schema_evolution
+
+ORACLES["connector_schema_evolution"] = f"""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '?' END AS status,
+           count(*) AS n_rows,
+           count(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END) AS n_custkey,
+           {sql_pround("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)}
+               AS total_price
+    FROM orders
+    GROUP BY 1
+"""
