@@ -39,6 +39,7 @@ from . import (  # noqa: E402
     mining,
     multimodal,
     profiling,
+    quality,
     relational,
     similarity,
     sketches,
@@ -74,6 +75,7 @@ _register(curation)
 _register(graphrank)
 _register(linalg)
 _register(profiling)
+_register(quality)
 _register(timeseries)
 _register(udtf)
 _register(mergeops)
@@ -97,6 +99,7 @@ _NEVER_SAMPLED: list[str] = [
     "power_iteration_embeddings",
     "table_checksum",
     "connector_schema_evolution",
+    "dq_orders_constraints",
     "copurchase_pairs",
     "dedup_editdistance",
     "scalar_regex",
