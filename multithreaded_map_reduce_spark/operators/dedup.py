@@ -737,3 +737,98 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 100,
+) -> DataFrame:
+    """Incremental near-dedup: match a NEW batch against an existing
+    (already-deduped) corpus plus itself, never pairing corpus×corpus.
+
+    This is the daily-ingest shape at 100 TB: the corpus side is
+    banded into an LSH bucket index (in production, persisted once and
+    reused across ingests); each round then (a) probes batch band
+    hashes against corpus buckets — an equi-join keyed on the bucket
+    hash whose cost is O(batch×bands) probe rows, independent of how
+    many corpus pairs exist — and (b) expands batch-internal buckets
+    the normal way. The quadratic corpus×corpus work the full-corpus
+    pipeline would redo every day simply never appears.
+
+    Cap discipline: cross-candidates drop buckets whose CORPUS side
+    exceeds ``max_bucket`` distinct ids (a boilerplate bucket would
+    attach every new doc to up to B old ones); batch-internal pairs
+    reuse the standard in-bucket cap. Both caps are replayed by the
+    oracle, keeping recall inside the differential contract.
+
+    Returns (new_id, match_id, match_in ∈ {'corpus','batch'}, jaccard)
+    with exact shingle-set jaccard ≥ threshold; for batch-internal
+    pairs new_id is the LARGER id (the younger doc is the duplicate —
+    deterministic survivor discipline, dedup_exact's rule).
+    """
+    from pyspark import StorageLevel
+
+    c_rows = shingle_hash_rows(corpus, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_rows = shingle_hash_rows(batch, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    num = bands * rows
+    c_band = minhash_signatures_agg(c_rows, num=num).select(
+        "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
+    )
+    b_sigs = minhash_signatures_agg(b_rows, num=num)
+    b_band = b_sigs.select(
+        "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
+    )
+
+    if max_bucket is not None:
+        c_sizes = c_band.groupBy("bh").agg(F.countDistinct("id").alias("_bn"))
+        c_capped = c_band.join(
+            c_sizes.filter(F.col("_bn") <= max_bucket).select("bh"), "bh"
+        )
+    else:
+        c_capped = c_band
+    cross = (
+        b_band.select(F.col("id").alias("new_id"), "bh")
+        .join(c_capped.select(F.col("id").alias("match_id"), "bh"), "bh")
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("match_in", F.lit("corpus"))
+    )
+    internal = (
+        candidates_from_signatures(b_sigs, bands, rows, max_bucket)
+        .select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("match_id"),
+        )
+        .withColumn("match_in", F.lit("batch"))
+    )
+
+    c_hashed = c_rows.groupBy("id").agg(F.collect_set("h").alias("hashes"))
+    b_hashed = b_rows.groupBy("id").agg(F.collect_set("h").alias("hashes")).persist(
+        StorageLevel.MEMORY_AND_DISK  # probed by both verify sides
+    )
+    new_side = b_hashed.select(F.col("id").alias("new_id"), F.col("hashes").alias("h_n"))
+    old_corpus = c_hashed.select(F.col("id").alias("match_id"), F.col("hashes").alias("h_m"))
+    old_batch = b_hashed.select(F.col("id").alias("match_id"), F.col("hashes").alias("h_m"))
+    scored = (
+        cross.join(old_corpus, "match_id")
+        .unionByName(internal.join(old_batch, "match_id"))
+        .join(new_side, "new_id")
+        .select(
+            "new_id",
+            "match_id",
+            "match_in",
+            pround(jaccard_of(F.col("h_n"), F.col("h_m")), 6).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)

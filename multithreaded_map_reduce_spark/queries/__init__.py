@@ -100,6 +100,7 @@ _NEVER_SAMPLED: list[str] = [
     "table_checksum",
     "connector_schema_evolution",
     "dq_orders_constraints",
+    "dedup_incremental",
     "copurchase_pairs",
     "dedup_editdistance",
     "scalar_regex",

@@ -334,3 +334,64 @@ ORACLES["dedup_simhash64"] = f"""
     FROM fp a JOIN fp b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest incremental dedup: docs with doc_id % 10 == 0 play
+    the NEW batch, the rest the existing corpus; the batch is matched
+    against the corpus LSH index and itself, corpus×corpus pairs are
+    never generated (operators/dedup.minhash_incremental_pairs)."""
+    from ..operators.dedup import minhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_incremental_pairs(
+        corpus, batch, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    )
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+
+ORACLES["dedup_incremental"] = f"""
+    WITH th AS (
+        SELECT doc_id AS id, {_TOKEN_HASHES} AS th
+        FROM documents
+        WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
+    ), hashed AS (
+        SELECT id, {_HASHES} AS hashes FROM th
+    ), sigs AS (
+        SELECT id, {sql_minhash_signature('hashed.hashes')} AS sig FROM hashed
+    ), bands_all AS (
+        SELECT id, unnest({sql_band_hashes('sig', 8, 4)}) AS bh FROM sigs
+    ), cb AS (
+        SELECT id, bh FROM bands_all WHERE id % 10 != 0
+    ), bb AS (
+        SELECT id, bh FROM bands_all WHERE id % 10 = 0
+    ), csize AS (
+        SELECT bh, count(DISTINCT id) AS bn FROM cb GROUP BY bh
+    ), cross_cand AS (
+        SELECT DISTINCT b.id AS new_id, c.id AS match_id, 'corpus' AS match_in
+        FROM bb b JOIN cb c ON b.bh = c.bh
+        JOIN csize s ON b.bh = s.bh
+        WHERE s.bn <= 100
+    ), bbuckets AS (
+        SELECT bh, list_distinct(list(id)) AS ids FROM bb GROUP BY bh
+    ), internal_cand AS (
+        SELECT DISTINCT p['b'] AS new_id, p['a'] AS match_id, 'batch' AS match_in
+        FROM (
+            SELECT unnest(flatten(list_transform(ids, x ->
+                list_transform(list_filter(ids, y -> y > x),
+                               y -> {{'a': x, 'b': y}})))) AS p
+            FROM bbuckets WHERE len(ids) BETWEEN 2 AND 100)
+    ), allc AS (
+        SELECT * FROM cross_cand UNION ALL SELECT * FROM internal_cand
+    )
+    SELECT new_id, match_id, match_in, jaccard FROM (
+        SELECT allc.new_id, allc.match_id, allc.match_in,
+               {sql_pround(_JACCARD, 6)} AS jaccard
+        FROM allc
+        JOIN hashed a ON allc.new_id = a.id
+        JOIN hashed b ON allc.match_id = b.id
+    ) WHERE jaccard >= 0.5
+"""

@@ -331,3 +331,46 @@ def test_blocked_pairs_raise_on_oversized_block(spark):
         embedding_neardup_pairs(
             emb, "vec_id", "embedding", "label", max_block=100
         ).count()
+
+
+def test_incremental_covers_all_batch_pairs(spark):
+    """Incremental dedup must find EXACTLY the full-pipeline pairs that
+    touch a batch doc (corpus×corpus pairs and nothing else removed) —
+    same banding, caps and threshold, so the two pipelines are
+    equivalent on the batch slice."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_incremental_pairs,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+        ).collect()
+    }
+    expected = {
+        (a, b) for a, b in full if a % 10 == 0 or b % 10 == 0
+    }
+    inc = minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=2,
+        bands=8,
+        rows=4,
+        threshold=0.5,
+    ).collect()
+    got = {(min(r["new_id"], r["match_id"]), max(r["new_id"], r["match_id"])) for r in inc}
+    assert got == expected
+    # orientation contract: new_id is always the batch doc (or the
+    # larger id for batch-internal pairs)
+    for r in inc:
+        assert r["new_id"] % 10 == 0
+        if r["match_in"] == "batch":
+            assert r["new_id"] > r["match_id"]
