@@ -66,6 +66,12 @@ HEADLINE = [
     "zorder_layout",
     "bloom_prune_orders",
     "timeseries_anomaly",
+    # round-4 continuation additions
+    "dedup_incremental",
+    "power_iteration_embeddings",
+    "hll_distinct_parts",
+    "table_checksum",
+    "dq_orders_constraints",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

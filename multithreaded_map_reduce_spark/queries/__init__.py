@@ -40,6 +40,7 @@ from . import (  # noqa: E402
     multimodal,
     profiling,
     quality,
+    privacy,
     relational,
     similarity,
     sketches,
@@ -76,6 +77,7 @@ _register(graphrank)
 _register(linalg)
 _register(profiling)
 _register(quality)
+_register(privacy)
 _register(timeseries)
 _register(udtf)
 _register(mergeops)
@@ -101,6 +103,9 @@ _NEVER_SAMPLED: list[str] = [
     "connector_schema_evolution",
     "dq_orders_constraints",
     "dedup_incremental",
+    "curation_negatives",
+    "privacy_pseudonymize",
+    "privacy_k_anonymity",
     "copurchase_pairs",
     "dedup_editdistance",
     "scalar_regex",

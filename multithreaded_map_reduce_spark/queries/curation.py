@@ -294,3 +294,97 @@ ORACLES["curation_topk_quality"] = f"""
         FROM quality q JOIN documents d ON q.doc_id = d.doc_id
     ) WHERE rank <= 3
 """
+
+
+NEG_POOL = 64  # in-batch negative pool size
+NEG_K = 4      # negatives per anchor
+# affine mixers for the per-(anchor, slot) pool pick — fixed, shared
+NEG_A = 48_271
+NEG_C = 16_807
+
+
+def curation_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: a NEG_POOL-doc pool (bottom-k by portable hash — the
+    mergeable uniform sample) is ranked and BROADCAST; every anchor doc
+    then picks NEG_K pool slots by exact integer mixing of
+    (anchor id, slot), shifting by one when the pick collides with the
+    anchor itself. (anchor, slot, negative) triples are fully
+    replayable — sampling with a hash, not rand(), so retries and
+    resizes can never change the training set.
+
+    Scale: the pool build sorts NEG_POOL winners (a TakeOrdered, no
+    global sort); anchors never shuffle — one broadcast join on the
+    computed slot, one scan over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = token_hash(F.col("doc_id").cast("string"))
+    pool = (
+        docs.select("doc_id", h.alias("_h"))
+        .orderBy(F.asc("_h"), F.asc("doc_id"))
+        .limit(NEG_POOL)
+    )
+    w = W.orderBy(F.asc("_h"), F.asc("doc_id"))
+    ranked = pool.select(
+        (F.row_number().over(w) - 1).alias("slot"),
+        F.col("doc_id").alias("neg_id"),
+    )
+    anchors = docs.select(F.col("doc_id").alias("anchor_id")).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(NEG_K)]))
+    )
+    slot = F.pmod(
+        F.col("anchor_id") * F.lit(NEG_A) + F.col("j") * F.lit(NEG_C) + F.lit(7),
+        F.lit(NEG_POOL),
+    )
+    picked = anchors.withColumn("slot", slot).join(F.broadcast(ranked), "slot")
+    # collision with the anchor → take the next slot (mod pool)
+    fixed = (
+        picked.withColumn(
+            "slot2", F.when(F.col("neg_id") == F.col("anchor_id"),
+                            (F.col("slot") + 1) % F.lit(NEG_POOL))
+        )
+        .drop("neg_id")
+        .join(
+            F.broadcast(ranked.select(F.col("slot").alias("slot2"),
+                                      F.col("neg_id").alias("neg2"))),
+            "slot2",
+            "left",
+        )
+    )
+    base = picked.filter(F.col("neg_id") != F.col("anchor_id")).select(
+        "anchor_id", "j", "neg_id"
+    )
+    shifted = fixed.filter(F.col("slot2").isNotNull()).select(
+        "anchor_id", "j", F.col("neg2").alias("neg_id")
+    )
+    return base.unionByName(shifted)
+
+
+QUERIES["curation_negatives"] = curation_negatives
+
+ORACLES["curation_negatives"] = f"""
+    WITH pool AS (
+        SELECT doc_id, {_H} AS _h FROM documents
+        ORDER BY _h ASC, doc_id ASC LIMIT {NEG_POOL}
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY _h ASC, doc_id ASC) - 1 AS slot,
+               doc_id AS neg_id
+        FROM pool
+    ), anchors AS (
+        SELECT doc_id AS anchor_id, j
+        FROM documents, (SELECT unnest(range({NEG_K})) AS j)
+    ), picked AS (
+        SELECT a.anchor_id, a.j,
+               ((a.anchor_id * {NEG_A} + a.j * {NEG_C} + 7) % {NEG_POOL}
+                + {NEG_POOL}) % {NEG_POOL} AS slot
+        FROM anchors a
+    ), joined AS (
+        SELECT p.anchor_id, p.j, p.slot, r.neg_id
+        FROM picked p JOIN ranked r USING (slot)
+    )
+    SELECT anchor_id, CAST(j AS INTEGER) AS j, neg_id FROM joined
+    WHERE neg_id != anchor_id
+    UNION ALL
+    SELECT jo.anchor_id, CAST(jo.j AS INTEGER) AS j, r2.neg_id
+    FROM joined jo JOIN ranked r2 ON r2.slot = (jo.slot + 1) % {NEG_POOL}
+    WHERE jo.neg_id = jo.anchor_id
+"""
