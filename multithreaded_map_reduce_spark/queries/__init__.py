@@ -97,6 +97,14 @@ _register(mining)
 # (the driver produced no CORRECTNESS_r04, so round 4's additions are
 # still unsampled too and stay in this list).
 _NEVER_SAMPLED: list[str] = [
+    # new since the CORRECTNESS_r03 snapshot:
+    "dedup_substring_spans",
+    "search_bm25",
+    "bpe_top_pairs",
+    "privacy_redact_pii",
+    "curation_mixture",
+    "table_diff",
+    # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",
     "table_checksum",

@@ -388,3 +388,98 @@ ORACLES["curation_negatives"] = f"""
     FROM joined jo JOIN ranked r2 ON r2.slot = (jo.slot + 1) % {NEG_POOL}
     WHERE jo.neg_id = jo.anchor_id
 """
+
+
+# --- temperature-scaled source mixing ----------------------------------------
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # alpha = 1/2 (temperature sampling)
+MIX_BUDGET_PCT = 30  # total sample budget = 30% of corpus
+
+
+def curation_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the Pile / multilingual-LM
+    recipe): per-source quotas m_s ∝ n_s^alpha with alpha = 1/2, so
+    small sources are up-weighted relative to proportional sampling,
+    then an exact-quota deterministic draw per source.
+
+    Exactness: n^(1/2) is computed as floor(sqrt(n)) — IEEE sqrt is
+    correctly rounded and n ≪ 2^52, so the floor is the true integer
+    sqrt on both engines; everything downstream (quota = B·w_s/Σw
+    integer division, per-source bottom-m_s by md5 hash) is pure
+    integer/hash arithmetic. No float ever crosses an engine boundary.
+
+    Scale: source stats are one tiny map-side-combined aggregate; the
+    quota table (|sources| rows) broadcasts back; the draw is a
+    per-source bottom-k window — one shuffle on the source key, with
+    the same skew characteristics as any stratified sample (a giant
+    source means a giant stratum; cap or salt if a single source
+    dominates a 100 TB corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = stats.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long").alias("w"),
+    )
+    totals = w.agg(
+        F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    # integer `div` end to end: Spark cast(long) truncates while DuckDB
+    # CAST AS BIGINT rounds, so float-then-cast would diverge on .5s
+    quota = w.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"(n_total * {MIX_BUDGET_PCT} div 100) * w div sum_w"
+        ).alias("quota"),
+    )
+    win = W.partitionBy("source").orderBy(F.asc("draw_hash"), F.asc("doc_id"))
+    drawn = (
+        docs.withColumn(
+            "draw_hash", token_hash(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
+        )
+        .join(F.broadcast(quota), "source")
+        .withColumn("draw_rank", F.row_number().over(win))
+        .filter(F.col("draw_rank") <= F.col("quota"))
+    )
+    return drawn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("n_docs").alias("n_docs"),
+        F.min("quota").alias("quota"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["curation_mixture"] = curation_mixture
+
+_MIX_H = sql_token_hash("'mix' || CAST(doc_id AS VARCHAR)")
+
+ORACLES["curation_mixture"] = f"""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        FROM stats
+    ), totals AS (
+        SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+               CAST(sum(n_docs) AS BIGINT) AS n_total
+        FROM w
+    ), quota AS (
+        SELECT source, n_docs,
+               (n_total * {MIX_BUDGET_PCT} // 100) * w // sum_w AS quota
+        FROM w, totals
+    ), drawn AS (
+        SELECT d.source, d.doc_id, q.n_docs, q.quota,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {_MIX_H} ASC, d.doc_id ASC) AS draw_rank
+        FROM documents d JOIN quota q USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           min(n_docs) AS n_docs,
+           min(quota) AS quota,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM drawn WHERE draw_rank <= quota GROUP BY 1
+"""

@@ -142,3 +142,104 @@ ORACLES["incremental_revenue"] = """
     FROM lineitem
     GROUP BY 1
 """
+
+
+# --- anti-entropy table diff -------------------------------------------------
+
+_DEL_MOD = 13  # orderkey % 13 == 1 rows are deleted in version B
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two table versions — the repair step that
+    follows a `table_checksum` mismatch (checksum says WHICH partition
+    diverged; this says WHICH ROWS): version B is the orders table with
+    deterministic mutations applied (price update on keys ≡ 0 mod 10,
+    re-keyed inserts on keys ≡ 3 mod 17, deletes on keys ≡ 1 mod 13),
+    and the diff emits only (key, added|removed|changed).
+
+    Scale shape: both sides reduce to (key, payload-md5) BEFORE the
+    full-outer join, so the shuffle carries 16 bytes of payload per
+    row instead of the row; the join is key-equi (AQE-coalesced), and
+    unchanged rows — the overwhelming majority in an anti-entropy run —
+    are dropped before any further stage. Doubles enter the hash as
+    exact cents (iunits), never via engine float rendering."""
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    v2 = (
+        o.filter(F.col("o_orderkey") % _DEL_MOD != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(100.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(_INSERT_SHIFT)
+            )
+        )
+    )
+
+    def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            iunits(F.col("o_totalprice"), 2).cast("string"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        )
+        return df.select("o_orderkey", token_hash(row_str).alias(out))
+
+    a = fingerprint(o, "rh_a")
+    b = fingerprint(v2, "rh_b")
+    status = (
+        F.when(F.col("rh_a").isNull(), F.lit("added"))
+        .when(F.col("rh_b").isNull(), F.lit("removed"))
+        .when(F.col("rh_a") != F.col("rh_b"), F.lit("changed"))
+    )
+    return (
+        a.join(b, "o_orderkey", "full_outer")
+        .select("o_orderkey", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
+QUERIES["table_diff"] = table_diff
+
+from ..functions.hashing import sql_token_hash as _sql_th  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iu  # noqa: E402
+
+_DIFF_ROW = (
+    "concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus, "
+    f"CAST({_sql_iu('o_totalprice', 2)} AS VARCHAR), "
+    "CAST(o_orderdate AS VARCHAR), o_orderpriority)"
+)
+
+ORACLES["table_diff"] = f"""
+    WITH v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % {_DEL_MOD} != 1
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT}, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 3
+    ), a AS (
+        SELECT o_orderkey, {_sql_th(_DIFF_ROW)} AS rh_a FROM orders
+    ), b AS (
+        SELECT o_orderkey, {_sql_th(_DIFF_ROW)} AS rh_b FROM v2
+    )
+    SELECT o_orderkey,
+           CASE WHEN rh_a IS NULL THEN 'added'
+                WHEN rh_b IS NULL THEN 'removed'
+                WHEN rh_a != rh_b THEN 'changed' END AS status
+    FROM a FULL JOIN b USING (o_orderkey)
+    WHERE (CASE WHEN rh_a IS NULL THEN 'added'
+                WHEN rh_b IS NULL THEN 'removed'
+                WHEN rh_a != rh_b THEN 'changed' END) IS NOT NULL
+"""

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import token_hash
 from ..functions.rounding import pround, sql_pround
 from ..sources.catalog import load_table
 
@@ -484,3 +485,159 @@ def _cdc_oracle() -> str:
 
 
 ORACLES["cdc_chunk_dedup"] = _cdc_oracle()
+
+
+# --- cross-document duplicated substring spans -------------------------------
+#
+# Approximates suffix-array substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): a true
+# suffix array marks EVERY position of every repeated substring >= K;
+# at Spark scale that is an O(corpus) sort with heavy constant factors,
+# so this operator samples the position grid instead — hash a K-char
+# gram every STRIDE chars, keep grams seen >= 2 times corpus-wide
+# (within-doc repeats count too, exactly as a suffix array would), and
+# merge each doc's flagged [start, start+K-1] intervals into maximal
+# spans with a gaps-and-islands window. A repeated substring of length
+# >= K + STRIDE - 1 is guaranteed to cover at least one grid gram, so
+# recall is a pure function of the two constants.
+#
+# Scale: the gram relation is O(total_chars / STRIDE) narrow rows; the
+# duplicate-gram filter is one hash aggregation on gh and the flagging
+# join re-uses that same gh partitioning (AQE ReusedExchange). The
+# island merge is a per-doc window — one doc_id-keyed shuffle whose
+# partitions are bounded by doc length / STRIDE. No step is quadratic:
+# unlike pair-expansion dedup there is no self-join anywhere.
+
+SPAN_K = 30  # gram length (chars) — min detectable duplicated span
+SPAN_STRIDE = 7  # grid step; spans >= SPAN_K + SPAN_STRIDE - 1 always hit
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring accounting: how many maximal
+    duplicated spans, how many chars they cover, and the covered
+    fraction — the signal pipelines use to cut boilerplate before
+    training."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    g = (
+        docs.filter(F.length("text") >= SPAN_K)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - F.lit(SPAN_K - 1),
+                    F.lit(SPAN_STRIDE),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            token_hash(F.expr(f"substring(text, start, {SPAN_K})")).alias("gh"),
+        )
+    )
+    dup = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    iv = g.join(dup.select("gh"), "gh").select(
+        "doc_id", "start", (F.col("start") + F.lit(SPAN_K - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        iv.withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            pround(
+                F.coalesce("dup_chars", F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+
+
+def _substring_spans_oracle() -> str:
+    from ..functions.hashing import sql_token_hash
+
+    gh = sql_token_hash(f"substring(text, CAST(start AS INTEGER), {SPAN_K})")
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {SPAN_K - 2}, {SPAN_STRIDE}))
+                       AS start
+            FROM documents WHERE length(text) >= {SPAN_K}
+        ), g AS (
+            SELECT doc_id, CAST(start AS BIGINT) AS start, {gh} AS gh FROM pos
+        ), dup AS (
+            SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+        ), iv AS (
+            SELECT doc_id, start, start + {SPAN_K - 1} AS e
+            FROM g JOIN dup USING (gh)
+        ), m AS (
+            SELECT doc_id, start, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_end
+            FROM iv
+        ), isl AS (
+            SELECT doc_id, start, e,
+                   sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM m
+        ), spans AS (
+            SELECT doc_id, island, min(start) AS s, max(e) AS e
+            FROM isl GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_dup_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(n_dup_spans, 0) AS n_dup_spans,
+               COALESCE(dup_chars, 0) AS dup_chars,
+               {sql_pround('CAST(COALESCE(dup_chars, 0) AS DOUBLE) / d.n_chars', 6)}
+                   AS dup_ratio
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+ORACLES["dedup_substring_spans"] = _substring_spans_oracle()

@@ -58,9 +58,62 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — the regex subset whose semantics are IDENTICAL in
+# Java regex (Spark) and RE2 (DuckDB): explicit character classes,
+# bounded repetition, no backrefs/lookaround/\w-class shorthands
+# (those differ on unicode word membership between the engines).
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def privacy_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — the scrub pass a pipeline runs before
+    training on scraped text. The fixture corpus carries no organic
+    PII, so the query PLANTS a deterministic contact block per document
+    (email + US-style phone derived from doc_id — identical expression
+    in the oracle) and then redacts it; match counts and the redacted
+    text are all under the differential gate, so the regexes provably
+    fire the same way in both engines.
+
+    Scale: stateless per-row scan — codegen'd regexp_replace, zero
+    shuffle, pushdown/pruning untouched. Redaction-by-replacement (not
+    extraction) keeps the operator single-pass over 100 TB of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    staged = docs.select("doc_id", planted.alias("planted"), redacted.alias("redacted"))
+    return staged.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("planted"), F.lit(f"({_EMAIL_RE})"))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("planted"), F.lit(f"({_PHONE_RE})"))
+        ).alias("n_phones"),
+        # explicit start index — engines disagree on negative-position
+        # substring when the string is shorter than the window
+        F.expr(
+            "substring(redacted, greatest(length(redacted) - 59, 1), 60)"
+        ).alias("redacted_tail"),
+    )
+
+
 QUERIES = {
     "privacy_pseudonymize": privacy_pseudonymize,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_redact_pii": privacy_redact_pii,
 }
 
 ORACLES = {
@@ -75,5 +128,31 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS group_size,
                count(*) < {K_ANON} AS suppress
         FROM customer GROUP BY 1, 2
+    """,
+    "privacy_redact_pii": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+                       AS planted
+            FROM documents
+        ), red AS (
+            SELECT doc_id, planted,
+                   regexp_replace(
+                       regexp_replace(planted, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM staged
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(planted, '({_EMAIL_RE})'))
+                    AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(planted, '({_PHONE_RE})'))
+                    AS INTEGER) AS n_phones,
+               substring(redacted, greatest(length(redacted) - 59, 1), 60)
+                   AS redacted_tail
+        FROM red
     """,
 }

@@ -381,3 +381,163 @@ ORACLES = {
         GROUP BY doc_id
     """,
 }
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+BM25_QUERY = ["table", "merge", "window"]  # fixed query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query — the ranked-search
+    counterpart of tf-idf (idf = ln((N - df + 0.5) / (df + 0.5) + 1),
+    the standard non-negative variant).
+
+    Plan shape: one tokenize/explode scan feeds BOTH the per-doc tf
+    relation (filtered to the 3 query terms BEFORE the aggregate — the
+    predicate prunes ~all rows pre-shuffle) and the per-doc length
+    relation; df comes from the tf relation itself (count of docs per
+    query term — tiny, broadcast back); avgdl is a 1-row relation. The
+    only big shuffles are doc_id-keyed and AQE-coalesced. Determinism:
+    ln/division under pround(6) with (score, doc_id) tiebreak, same as
+    text_tfidf_top_terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = terms.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.select(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(n_docs)
+        .crossJoin(avgdl)
+        .groupBy("doc_id")
+        .agg(pround(F.sum(contrib), 6).alias("bm25"))
+    )
+    # TakeOrdered top-k (no global sort shuffle); the rank window then
+    # runs on the BM25_TOPK surviving rows only.
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rank"
+    )
+
+
+# --- BPE-style pair induction ------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first induction step of byte-pair encoding: corpus-wide
+    counts of adjacent character pairs inside words, weighted by word
+    frequency — the statistic whose argmax becomes the first BPE merge.
+
+    Scale: the corpus collapses to the VOCABULARY before any
+    per-character work (groupBy token → word counts), so the expensive
+    explode runs on |vocab| rows, not |corpus| rows — the same
+    shrink-first trick a tokenizer trainer uses. Integer-exact, no
+    floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("wfreq"))
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "wfreq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - F.lit(1))
+            ).alias("i"),
+            "tok",
+        )
+        .select(F.expr("substring(tok, i, 2)").alias("pair"), "wfreq")
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wfreq").alias("pair_count"))
+    # TakeOrdered top-k, then rank over the surviving BPE_TOPK rows.
+    top = counted.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOPK)
+    w = W.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", "pair_count", "rank"
+    )
+
+
+QUERIES["search_bm25"] = search_bm25
+QUERIES["bpe_top_pairs"] = bpe_top_pairs
+
+_BM25_IDF = "ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+_BM25_DENOM = (
+    f"tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} "
+    "* CAST(dl.dl AS DOUBLE) / a.avgdl)"
+)
+
+ORACLES["search_bm25"] = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               {sql_pround(
+                   f'sum({_BM25_IDF} * (tf.tf * {BM25_K1 + 1.0}) / ({_BM25_DENOM}))',
+                   6,
+               )} AS bm25
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, n, a
+        GROUP BY 1
+    )
+    SELECT doc_id, bm25, rank FROM (
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOPK}
+"""
+
+ORACLES["bpe_top_pairs"] = f"""
+    WITH vocab AS (
+        SELECT tok, count(*) AS wfreq
+        FROM (SELECT unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY 1
+    ), p AS (
+        SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair, wfreq
+        FROM (
+            SELECT tok, wfreq, unnest(range(1, length(tok))) AS i
+            FROM vocab WHERE length(tok) >= 2
+        )
+    ), counted AS (
+        SELECT pair, CAST(sum(wfreq) AS BIGINT) AS pair_count
+        FROM p GROUP BY 1
+    )
+    SELECT pair, pair_count, rank FROM (
+        SELECT pair, pair_count,
+               CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+                    AS INTEGER) AS rank
+        FROM counted
+    ) WHERE rank <= {BPE_TOPK}
+"""
