@@ -104,6 +104,10 @@ _NEVER_SAMPLED: list[str] = [
     "privacy_redact_pii",
     "curation_mixture",
     "table_diff",
+    "streaming_static_join",
+    "timeseries_ewma",
+    "histogram_quantiles",
+    "quality_iqr_outliers",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -106,3 +106,83 @@ ORACLES = {
         )
     """
 }
+
+
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per return flag: quartiles of the
+    price distribution in cents, 1.5·IQR fences, and how many rows fall
+    below/above — the numeric-column screening step of a data-quality
+    pass.
+
+    Exactness: quartile interpolation indices are p·(n−1) with
+    p ∈ {¼, ¾}, so on integer cents every interpolated value is a
+    quarter-integer — exact in binary floating point, as are the ·1.5
+    and ± fence ops. The outlier DECISION therefore compares identical
+    doubles in both engines; no rounding discipline is needed anywhere.
+
+    Scale: two passes over the fact column — a per-group percentile agg
+    (small state: one group per flag) whose 3-row result broadcasts
+    back onto the scan, then one conditional-count agg. No sort of the
+    full data; Spark's percentile keeps a per-group digest."""
+    from ..functions.rounding import iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    fenced = stats.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * F.lit(1.5)).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(fenced), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_low"
+            ),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_high"
+            ),
+            pround(F.max("q1"), 2).alias("q1_cents"),
+            pround(F.max("q3"), 2).alias("q3_cents"),
+        )
+    )
+
+
+QUERIES["quality_iqr_outliers"] = quality_iqr_outliers
+
+
+from ..functions.rounding import sql_iunits as _sql_iu  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr  # noqa: E402
+
+ORACLES["quality_iqr_outliers"] = f"""
+    WITH c AS (
+        SELECT l_returnflag, {_sql_iu('l_extendedprice', 2)} AS c FROM lineitem
+    ), stats AS (
+        SELECT l_returnflag,
+               quantile_cont(c, 0.25) AS q1,
+               quantile_cont(c, 0.75) AS q3
+        FROM c GROUP BY 1
+    ), fenced AS (
+        SELECT l_returnflag, q1, q3,
+               q1 - (q3 - q1) * 1.5 AS lo,
+               q3 + (q3 - q1) * 1.5 AS hi
+        FROM stats
+    )
+    SELECT c.l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN c.c < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN c.c > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           {_sql_pr('max(f.q1)', 2)} AS q1_cents,
+           {_sql_pr('max(f.q3)', 2)} AS q3_cents
+    FROM c JOIN fenced f USING (l_returnflag)
+    GROUP BY 1
+"""

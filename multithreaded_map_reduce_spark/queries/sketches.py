@@ -5,6 +5,7 @@ engine-internal HLL)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.sketches import kmv_distinct, sql_kmv_distinct
 from ..sources.catalog import load_table
@@ -69,3 +70,114 @@ QUERIES["hll_distinct_parts"] = hll_distinct_parts
 from ..operators.sketches import sql_hll_distinct as _sql_hll  # noqa: E402
 
 ORACLES["hll_distinct_parts"] = _sql_hll("lineitem", "l_returnflag", "l_partkey")
+
+
+# --- mergeable equi-width histogram quantile sketch --------------------------
+
+HQ_BINS = 256
+HQ_QS = (50, 90, 99)  # integer percents — thresholds stay integer-exact
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles from a mergeable equi-width
+    histogram — the constant-memory alternative to exact percentile()
+    at 100 TB (exact percentiles need a full sort or large t-digest
+    state; a fixed 256-bin count vector merges associatively, so the
+    whole sketch is one map-side-combinable groupBy).
+
+    Everything is integer: prices in cents, bin = (c-lo)·256 div span,
+    threshold = ceil(q%·n) via (n·q+99) div 100, estimate = the lower
+    bound of the first bin whose cumulative count reaches the
+    threshold. The estimate is deterministic and differentially
+    replayed bin-for-bin; error is bounded by one bin width.
+
+    Scale: one tiny global min/max agg broadcast to the scan; one
+    shuffle on the group key carrying ≤ |groups|·256 partial rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = iunits(F.col("o_totalprice"), 2)
+    bounds = o.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    ).select("lo", "hi", (F.col("hi") - F.col("lo") + 1).alias("span"))
+    hist = (
+        o.select(F.col("o_orderpriority").alias("prio"), cents.alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prio",
+            "lo",
+            "span",
+            F.expr(f"(c - lo) * {HQ_BINS} div span").alias("bin"),
+        )
+        .groupBy("prio", "lo", "span", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("prio").orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("prio")
+    ann = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in HQ_QS:
+        est_bin = F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {q} + 99) div 100"), F.col("bin")
+            )
+        )
+        # floor-div, not /-then-cast: Spark cast(long) truncates while
+        # DuckDB CAST AS BIGINT rounds. Division by HQ_BINS (a power of
+        # two, numerator < 2^53) is exact in IEEE, so floor() is the
+        # true integer quotient on both engines.
+        aggs.append(
+            (
+                F.max("lo")
+                + F.floor(est_bin * F.max("span") / F.lit(HQ_BINS)).cast("long")
+            ).alias(f"p{q}_cents")
+        )
+    out = ann.groupBy("prio").agg(*aggs)
+    cols = ["prio", "n"]
+    for q in HQ_QS:
+        cols.append(f"p{q}_cents")
+    return out.select(*cols)
+
+
+QUERIES["histogram_quantiles"] = histogram_quantiles
+
+
+def _hq_oracle() -> str:
+    from ..functions.rounding import sql_iunits
+
+    c = sql_iunits("o_totalprice", 2)
+    est = ", ".join(
+        f"max(lo) + min(CASE WHEN cum >= (n * {q} + 99) // 100 "
+        f"THEN bin END) * max(span) // {HQ_BINS} AS p{q}_cents"
+        for q in HQ_QS
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT min({c}) AS lo, max({c}) AS hi,
+                   max({c}) - min({c}) + 1 AS span
+            FROM orders
+        ), hist AS (
+            SELECT o_orderpriority AS prio, lo, span,
+                   ({c} - lo) * {HQ_BINS} // span AS bin,
+                   count(*) AS cnt
+            FROM orders, bounds GROUP BY 1, 2, 3, 4
+        ), ann AS (
+            SELECT prio, lo, span, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY prio ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY prio) AS n
+            FROM hist
+        )
+        SELECT prio, CAST(max(n) AS BIGINT) AS n, {est}
+        FROM ann GROUP BY prio
+    """
+
+
+ORACLES["histogram_quantiles"] = _hq_oracle()

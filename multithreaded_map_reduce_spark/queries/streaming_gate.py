@@ -28,7 +28,9 @@ from ..functions.rounding import (
     sql_iunits,
     sql_pround,
 )
+from ..sources.catalog import load_table
 from ..streaming.events import (
+    stream_static_segment_revenue,
     run_stream_to_memory,
     stream_events,
     stream_stream_click_purchase_join,
@@ -92,6 +94,19 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ntz(spark.table(name))
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment under the gate: event stream
+    joined to the batch customer table, aggregated per segment."""
+    name = _sink("st_static")
+    run_stream_to_memory(
+        stream_static_segment_revenue(
+            stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        ),
+        name,
+    )
+    return _ntz(spark.table(name))
+
+
 def streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _sink("st_stateful")
     run_stream_to_memory(
@@ -134,10 +149,18 @@ QUERIES = {
     "streaming_session": streaming_session,
     "streaming_join": streaming_join,
     "streaming_stateful": streaming_stateful,
+    "streaming_static_join": streaming_static_join,
 }
 
 ORACLES = {
     "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "streaming_static_join": f"""
+        SELECT c_mktsegment, event_type, count(*) AS n,
+               {sql_pround(sql_from_iunits(f"sum({sql_iunits('value')})"), 2)}
+                   AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
     # identical to the batch events_tumbling contract
     "streaming_tumbling": f"""
         SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,

@@ -216,3 +216,95 @@ ORACLES["timeseries_rollup"] = f"""
     GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts),
                      date_trunc('hour', ts))
 """
+
+
+# --- exponentially-weighted moving average -----------------------------------
+
+EWMA_TAPS = 16  # trailing observed buckets entering the average
+EWMA_DEN = 1 << EWMA_TAPS  # 65536: power-of-two weight denominator
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha = 1/2) of per-user hourly value, computed
+    with power-of-two integer weights so the smoothing itself is exact:
+
+        S_t = Σ_{j=0..15} x_{t-j} · 2^(15-j)   (x in milli-units)
+        ewma_t = S_t / (65536 · 1000)
+
+    S is a BIGINT both engines agree on bit-for-bit (max |S| ≈ 5e12,
+    far under 2^63 and under 2^53 so even the final rendering is safe);
+    the only float op is ONE shared-literal IEEE division at the end.
+    History shorter than 16 taps reads as zeros (the standard
+    zero-initialized filter), so early rows are biased low identically
+    in both engines.
+
+    Scale: identical shape to timeseries_anomaly — one shuffle on
+    user_id, then a bounded sorted-window pass; the 16 lag() calls
+    share one window frame, so Spark evaluates them in a single
+    incremental sweep."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_micros("ts") / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 3).alias("v"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("v").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    s = None
+    for j in range(EWMA_TAPS):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(
+            1 << (EWMA_TAPS - 1 - j)
+        )
+        s = term if s is None else s + term
+    return b.select(
+        "user_id",
+        "b",
+        "x",
+        s.alias("ewma_num"),
+    ).select(
+        "user_id",
+        "b",
+        "x",
+        "ewma_num",
+        (F.col("ewma_num").cast("double") / F.lit(float(EWMA_DEN * 1000))).alias(
+            "ewma"
+        ),
+    )
+
+
+QUERIES["timeseries_ewma"] = timeseries_ewma
+
+
+def _ewma_oracle() -> str:
+    from ..functions.rounding import sql_iunits
+
+    terms = " + ".join(
+        f"COALESCE(lag(x, {j}) OVER w, 0) * {1 << (EWMA_TAPS - 1 - j)}"
+        for j in range(EWMA_TAPS)
+    )
+    return f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+                   CAST(sum({sql_iunits('value', 3)}) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, b, x,
+               CAST(({terms}) AS BIGINT) AS ewma_num,
+               CAST(({terms}) AS DOUBLE) / {float(EWMA_DEN * 1000)} AS ewma
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    """
+
+
+ORACLES["timeseries_ewma"] = _ewma_oracle()

@@ -180,3 +180,30 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_static_segment_revenue(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (static batch side, broadcast — a dimension table is
+    re-read per micro-batch, so broadcasting it keeps each batch a
+    map-only stage) and aggregate value per (segment, event type).
+
+    Stream-static inner joins are stateless in Structured Streaming —
+    no watermark or join state is needed (only the aggregation keeps
+    state), which is exactly why dimension enrichment belongs on the
+    static side at 100 TB: the unbounded side never buffers."""
+    from ..functions.rounding import from_iunits, iunits, pround
+
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            pround(from_iunits(F.sum(iunits(F.col("value")))), 2).alias(
+                "sum_value"
+            ),
+        )
+    )

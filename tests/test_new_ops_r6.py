@@ -161,3 +161,105 @@ def test_table_diff_statuses_partition_the_mutation_classes(spark):
         else:
             assert r.status == "changed"
             assert k % 10 == 0 and k % _DEL_MOD != 1
+
+
+R6B_NAMES = (
+    "streaming_static_join",
+    "timeseries_ewma",
+    "histogram_quantiles",
+    "quality_iqr_outliers",
+)
+
+
+def test_r6b_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in R6B_NAMES:
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_ewma_impulse_response_is_geometric(spark):
+    """A single unit impulse decays by exactly a factor of 2 per step
+    (alpha = 1/2 filter), and history past 16 taps falls out."""
+    from multithreaded_map_reduce_spark.queries.timeseries import EWMA_TAPS
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, b, 65536 if b == 0 else 0) for b in range(EWMA_TAPS + 4)]
+    df = spark.createDataFrame(rows, "user_id long, b long, x long")
+    w = Window.partitionBy("user_id").orderBy("b")
+    s = None
+    for j in range(EWMA_TAPS):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(
+            1 << (EWMA_TAPS - 1 - j)
+        )
+        s = term if s is None else s + term
+    out = {r.b: r.num for r in df.select("b", s.alias("num")).collect()}
+    # impulse at b=0 with weight 2^15 * 65536, halving each step
+    for b in range(EWMA_TAPS):
+        assert out[b] == (1 << (EWMA_TAPS - 1 - b)) * 65536
+    for b in range(EWMA_TAPS, EWMA_TAPS + 4):
+        assert out[b] == 0
+
+
+def test_histogram_quantiles_bracket_exact_percentiles(spark):
+    """Sketch estimates are within one bin width of the exact
+    percentile (the sketch's error contract)."""
+    from multithreaded_map_reduce_spark.queries.sketches import (
+        HQ_BINS,
+        histogram_quantiles,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+
+    est = {r.prio: r for r in histogram_quantiles(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    cents = iunits(F.col("o_totalprice"), 2)
+    bounds = o.agg(
+        (F.max(cents) - F.min(cents) + 1).alias("span")
+    ).collect()[0]
+    bin_w = bounds.span / HQ_BINS
+    exact = {
+        r.prio: r
+        for r in o.select(
+            F.col("o_orderpriority").alias("prio"), cents.alias("c")
+        )
+        .groupBy("prio")
+        .agg(
+            F.expr("percentile(c, 0.50)").alias("e50"),
+            F.expr("percentile(c, 0.90)").alias("e90"),
+        )
+        .collect()
+    }
+    for prio, r in est.items():
+        assert abs(r.p50_cents - exact[prio].e50) <= 2 * bin_w
+        assert abs(r.p90_cents - exact[prio].e90) <= 2 * bin_w
+
+
+def test_iqr_outliers_flags_planted_extreme(spark):
+    """A hand-built distribution with one extreme point yields exactly
+    one high outlier under the 1.5-IQR fence."""
+    from pyspark.sql import functions as F
+
+    vals = list(range(1, 101)) + [100000]
+    df = spark.createDataFrame([("A", v) for v in vals], "g string, c long")
+    stats = df.groupBy("g").agg(
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    f = stats.select(
+        "g",
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * 1.5).alias("lo"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * 1.5).alias("hi"),
+    )
+    out = (
+        df.join(f, "g")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias("nh"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias("nl"),
+        )
+        .collect()[0]
+    )
+    assert out.nh == 1 and out.nl == 0
