@@ -198,3 +198,68 @@ def test_zorder_scan_pruned(spark):
     from multithreaded_map_reduce_spark.plans import assert_plan
 
     assert_plan(_q("zorder_layout")(spark, SF_SMOKE), max_scan_columns=2)
+
+
+def test_table_diff_joins_hashes_not_rows(spark):
+    """The anti-entropy diff must reduce both sides to (key, hash)
+    before the full-outer join (narrow shuffle payload) and contain no
+    cartesian product."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("table_diff")(spark, SF_SMOKE))
+    assert not rep.cartesian
+    # both scans read only the diffed columns, never e.g. o_comment-like extras
+    for schema in rep.read_schemas:
+        assert "o_orderkey" in schema
+
+
+def test_histogram_quantiles_broadcasts_bounds(spark):
+    """The 1-row bounds relation must broadcast onto the scan; the only
+    shuffles are the group-key aggregation and the tiny window."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("histogram_quantiles")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_iqr_outliers_broadcasts_fences(spark):
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("quality_iqr_outliers")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_mixture_broadcasts_quota_table(spark):
+    """Per-source quotas (|sources| rows) broadcast back to the corpus
+    scan — the corpus shuffles once on the stratum key, never on a
+    join."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("curation_mixture")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+    assert not rep.cartesian
+
+
+def test_substring_spans_no_self_join_blowup(spark):
+    """Substring-span dedup is join-on-gram-hash + windows — there must
+    be no cartesian product and no broadcast of the (unbounded) gram
+    relation's distinct side beyond AQE's size-gated choice."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("dedup_substring_spans")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_bm25_prunes_to_query_terms_before_shuffle(spark):
+    """The tf aggregation input is filtered to the 3 query terms before
+    any exchange: the filter must appear under the first aggregate, so
+    the big shuffle carries only matching term rows."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    df = _q("search_bm25")(spark, SF_SMOKE)
+    text = explain_formatted(df)
+    assert "Filter" in text and "table" in text  # term filter present
+    rep_idx = text.find("Exchange")
+    assert rep_idx > 0
