@@ -108,6 +108,9 @@ _NEVER_SAMPLED: list[str] = [
     "timeseries_ewma",
     "histogram_quantiles",
     "quality_iqr_outliers",
+    "cdc_apply_changes",
+    "connector_orc_roundtrip",
+    "scalar_xml",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

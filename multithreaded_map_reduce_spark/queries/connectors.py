@@ -218,3 +218,33 @@ ORACLES["connector_schema_evolution"] = f"""
     FROM orders
     GROUP BY 1
 """
+
+
+def connector_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → read back → per-brand count + exact retail sum.
+
+    ORC is the third columnar container Spark ships natively (after
+    parquet and the text formats above); the round trip proves schema,
+    decimal-exact doubles, and strings survive the ORC writer/reader
+    pair. Sum in DECIMAL(18,2) so the check is exact, mirroring the
+    JSON round trip."""
+    p = load_table(spark, sf_dir, "part")
+    path = f"/tmp/orc_rt_{uuid.uuid4().hex}"
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        pround(
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_retail"),
+    )
+
+
+QUERIES["connector_orc_roundtrip"] = connector_orc_roundtrip
+
+ORACLES["connector_orc_roundtrip"] = f"""
+    SELECT p_brand, count(*) AS n_parts,
+           {sql_pround("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)", 2)}
+               AS total_retail
+    FROM part GROUP BY p_brand
+"""

@@ -10,7 +10,7 @@ doubles — exact in IEEE, no rounding discipline needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.merge import scd2_apply, upsert
@@ -242,4 +242,113 @@ ORACLES["table_diff"] = f"""
     WHERE (CASE WHEN rh_a IS NULL THEN 'added'
                 WHEN rh_b IS NULL THEN 'removed'
                 WHEN rh_a != rh_b THEN 'changed' END) IS NOT NULL
+"""
+
+
+# --- CDC apply-changes (latest-wins) -----------------------------------------
+
+_CDC_SHIFT = 200_000_000
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO semantics: a CDC batch of (op, seq) rows —
+    out-of-order updates, a delete that supersedes an earlier update,
+    and inserts — collapses to the latest op per key (row_number over
+    seq), then applies in one pass: final-D keys anti-join out, final
+    U/I rows overwrite-or-append. Output is the full resulting table.
+
+    The batch is derived deterministically from the fixture: keys ≡ 0
+    (mod 5) get updates at seq 1 AND seq 2 (+10 then +20 — only the +20
+    may survive), keys ≡ 3 (mod 7) get an update at seq 1 superseded by
+    a DELETE at seq 2, and re-keyed inserts arrive at seq 1.
+
+    Scale shape: the collapse is one shuffle on the CDC key (CDC
+    batches are small relative to the base table); the apply is a
+    key-equi outer join against the base — the same single-shuffle
+    pattern as merge_upsert_orders, no driver-side state."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = list(o.columns)
+
+    upd1 = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("_op", F.lit("U"))
+        .withColumn("_seq", F.lit(1))
+    )
+    upd2 = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(20.0))
+        .withColumn("_op", F.lit("U"))
+        .withColumn("_seq", F.lit(2))
+    )
+    upd_del = (
+        o.filter(F.col("o_orderkey") % 7 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+        .withColumn("_op", F.lit("U"))
+        .withColumn("_seq", F.lit(1))
+    )
+    dels = (
+        o.filter(F.col("o_orderkey") % 7 == 3)
+        .withColumn("_op", F.lit("D"))
+        .withColumn("_seq", F.lit(3))  # strictly after every update,
+        # including the seq-2 update a key ≡ 0 (mod 35) also receives
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 11 == 4)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_CDC_SHIFT))
+        .withColumn("_op", F.lit("I"))
+        .withColumn("_seq", F.lit(1))
+    )
+    cdc = upd1.unionByName(upd2).unionByName(upd_del).unionByName(dels).unionByName(ins)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("_seq"), F.desc("_op"))
+    latest = (
+        cdc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.filter(F.col("_op") != "D").select(*cols)
+    touched = latest.select("o_orderkey")
+    untouched = o.join(touched, "o_orderkey", "left_anti")
+    return untouched.unionByName(survivors)
+
+
+QUERIES["cdc_apply_changes"] = cdc_apply_changes
+
+ORACLES["cdc_apply_changes"] = f"""
+    WITH cdc AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+               o_orderpriority, 'U' AS _op, 1 AS _seq
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 20.0, o_orderdate, o_orderpriority, 'U', 2
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 5.0, o_orderdate, o_orderpriority, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority, 'D', 3
+        FROM orders WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey + {_CDC_SHIFT}, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority, 'I', 1
+        FROM orders WHERE o_orderkey % 11 = 4
+    ), latest AS (
+        SELECT * FROM (
+            SELECT cdc.*, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY _seq DESC, _op DESC) AS _rn
+            FROM cdc
+        ) WHERE _rn = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE _op != 'D'
 """

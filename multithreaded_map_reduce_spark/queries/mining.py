@@ -641,3 +641,56 @@ def _substring_spans_oracle() -> str:
 
 
 ORACLES["dedup_substring_spans"] = _substring_spans_oracle()
+
+
+# --- XML scalar surface ------------------------------------------------------
+
+
+def scalar_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (Spark 4 from_xml + xpath): a planted XML
+    envelope per document is parsed back into typed columns. The
+    envelope is built from fixture columns with the identical
+    expression in the oracle, which re-extracts the fields with RE2 —
+    so schema inference, type coercion (chars → BIGINT), and xpath
+    string extraction are all differentially checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars><src>"),
+        F.col("source"),
+        F.lit("</src></doc>"),
+    )
+    staged = docs.select("doc_id", xml.alias("xml"))
+    parsed = staged.select(
+        "doc_id",
+        F.from_xml("xml", "lang STRING, chars BIGINT, src STRING").alias("p"),
+        F.xpath_string("xml", F.lit("/doc/src")).alias("xml_src"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.lang").alias("xml_lang"),
+        F.col("p.chars").alias("xml_chars"),
+        "xml_src",
+    )
+
+
+QUERIES["scalar_xml"] = scalar_xml
+
+ORACLES["scalar_xml"] = """
+    WITH staged AS (
+        SELECT doc_id,
+               '<doc><lang>' || lang || '</lang><chars>' ||
+               CAST(n_chars AS VARCHAR) || '</chars><src>' || source ||
+               '</src></doc>' AS xml
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS xml_lang,
+           CAST(regexp_extract(xml, '<chars>([0-9]+)</chars>', 1) AS BIGINT)
+               AS xml_chars,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS xml_src
+    FROM staged
+"""

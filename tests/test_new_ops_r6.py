@@ -263,3 +263,48 @@ def test_iqr_outliers_flags_planted_extreme(spark):
         .collect()[0]
     )
     assert out.nh == 1 and out.nl == 0
+
+
+R6C_NAMES = ("cdc_apply_changes", "connector_orc_roundtrip", "scalar_xml")
+
+
+def test_r6c_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in R6C_NAMES:
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_cdc_latest_wins_semantics(spark):
+    """Out-of-order CDC collapse: the +20 (seq 2) update survives over
+    +10 (seq 1); a key with update-then-delete is gone; inserts appear."""
+    from multithreaded_map_reduce_spark.queries.mergeops import (
+        _CDC_SHIFT,
+        cdc_apply_changes,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    base = {
+        r.o_orderkey: r.o_totalprice
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    merged = {
+        r.o_orderkey: r.o_totalprice
+        for r in cdc_apply_changes(spark, SF_SMOKE)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    checked_upd = checked_del = checked_ins = 0
+    for k, v in base.items():
+        if k % 7 == 3:
+            assert k not in merged  # delete superseded the update
+            checked_del += 1
+        elif k % 5 == 0:
+            assert merged[k] == v + 20.0  # seq-2 update won
+            checked_upd += 1
+        if k % 11 == 4:
+            assert merged[k + _CDC_SHIFT] == v  # insert landed
+            checked_ins += 1
+    assert checked_upd and checked_del and checked_ins
