@@ -72,6 +72,11 @@ HEADLINE = [
     "hll_distinct_parts",
     "table_checksum",
     "dq_orders_constraints",
+    # round 6
+    "dedup_substring_spans",
+    "search_bm25",
+    "table_diff",
+    "histogram_quantiles",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

@@ -111,6 +111,8 @@ _NEVER_SAMPLED: list[str] = [
     "cdc_apply_changes",
     "connector_orc_roundtrip",
     "scalar_xml",
+    "embedding_standardize",
+    "collation_group",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

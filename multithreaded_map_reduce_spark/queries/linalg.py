@@ -30,3 +30,79 @@ ORACLES = {
         "embeddings", "vec_id", "embedding", dim=DIM, rounds=ROUNDS
     )
 }
+
+
+# --- per-dimension feature standardization -----------------------------------
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding matrix —
+    the feature-scaling pass before distance-based ML (k-means, ANN
+    with L2) so no dimension dominates.
+
+    Exactness discipline (same as stats_covar): each float enters as an
+    exact integer micro-unit (float→double cast is lossless, the floor
+    formula is engine-portable), per-dim moments are exact BIGINT sums
+    (|v|≲1e7 micro-units, v²≲1e14, ×500 rows ≲1e17 < 2^63), and the
+    z-score is computed as (n·v − s1) / sqrt(n·s2 − s1²) — integer
+    numerator, sqrt and one division both IEEE-correctly-rounded —
+    then pround(6).
+
+    Scale: posexplode produces N·64 narrow rows; the moment aggregate
+    is map-side combinable per dim (64 groups — broadcast back); the
+    standardize pass is a stateless re-scan joined against the 64-row
+    stats relation. Two scans, one tiny broadcast, no big shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import iunits, pround
+    from ..sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id", "dim", iunits(F.col("val").cast("double"), 6).alias("v")
+    )
+    stats = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    return (
+        cells.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            pround(
+                (F.col("n") * F.col("v") - F.col("s1")).cast("double")
+                / F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+QUERIES["embedding_standardize"] = embedding_standardize
+
+from ..functions.rounding import sql_pround as _sql_pr  # noqa: E402
+
+ORACLES["embedding_standardize"] = f"""
+    WITH cells AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS v
+        FROM (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+    ), stats AS (
+        SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+        FROM cells GROUP BY 1
+    )
+    SELECT vec_id, dim,
+           {_sql_pr('CAST(n * v - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))', 6)}
+               AS z
+    FROM cells JOIN stats USING (dim)
+"""

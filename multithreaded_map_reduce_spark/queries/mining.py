@@ -694,3 +694,50 @@ ORACLES["scalar_xml"] = """
            regexp_extract(xml, '<src>([^<]*)</src>', 1) AS xml_src
     FROM staged
 """
+
+
+# --- collation surface -------------------------------------------------------
+
+
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collated strings: a
+    mixed-case column (planted deterministically — even doc_ids
+    uppercase their source tag) is grouped under UTF8_LCASE, so 'SRC1'
+    and 'src1' land in one group. The emitted key is lower(min(raw)) —
+    a collation-independent representative — because a collated grouping
+    key's surface form is whichever member the engine saw first, which
+    is exactly the nondeterminism the output must not expose. The
+    oracle replays the semantics with lower() grouping.
+
+    Scale: a groupBy like any other — collation affects the comparator,
+    not the shuffle shape; counts stay map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    return (
+        docs.select(mixed.alias("mixed"), "n_chars")
+        .groupBy(F.collate(F.col("mixed"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.lower(F.min("mixed")).alias("source_tag"),
+        )
+        .select("source_tag", "n_docs", "total_chars")
+    )
+
+
+QUERIES["collation_group"] = collation_group
+
+ORACLES["collation_group"] = """
+    WITH staged AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                   AS mixed,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(min(mixed)) AS source_tag,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM staged GROUP BY lower(mixed)
+"""

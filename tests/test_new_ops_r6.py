@@ -308,3 +308,51 @@ def test_cdc_latest_wins_semantics(spark):
             assert merged[k + _CDC_SHIFT] == v  # insert landed
             checked_ins += 1
     assert checked_upd and checked_del and checked_ins
+
+
+R6D_NAMES = ("embedding_standardize", "collation_group")
+
+
+def test_r6d_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in R6D_NAMES:
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_standardize_moments_are_zero_mean_unit_var(spark):
+    """Standardized output has per-dim mean ~0 and variance ~1 (up to
+    the pround(6) rounding of each z value)."""
+    from multithreaded_map_reduce_spark.queries.linalg import embedding_standardize
+
+    out = embedding_standardize(spark, SF_SMOKE)
+    chk = (
+        out.groupBy("dim")
+        .agg(
+            F.avg("z").alias("mean_z"),
+            F.avg(F.col("z") * F.col("z")).alias("var_z"),
+        )
+        .collect()
+    )
+    assert chk
+    for r in chk:
+        assert abs(r.mean_z) < 1e-4
+        assert abs(r.var_z - 1.0) < 1e-2
+
+
+def test_collation_groups_fold_case(spark):
+    """Every emitted group key is lowercase and group counts equal the
+    case-blind counts."""
+    from multithreaded_map_reduce_spark.queries.mining import collation_group
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    got = {r.source_tag: r.n_docs for r in collation_group(spark, SF_SMOKE).collect()}
+    exp = {
+        r.s: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy(F.lower("source").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    assert all(k == k.lower() for k in got)
