@@ -396,3 +396,46 @@ def frame_sample_audio_features(media: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAMESAMPLE_FEATURES_SCHEMA)
+
+
+def extract_image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: strict PPM decode →
+    integer grayscale ((r+g+b) // 3) → 9×8 nearest-neighbor downsample
+    (src index = (dst·src_dim) // dst_dim, the multimodal_resize rule) →
+    64 horizontal-gradient bits (gray[r][c] < gray[r][c+1]).
+
+    Every step is integer arithmetic on decoded bytes, so the hash is
+    bit-reproducible by the differential oracle straight from
+    (doc_id, text) — the decode layer itself is already proven by
+    multimodal_decode. dHash is the standard cheap screen for NEAR-dup
+    images (hamming distance tolerates recompression/brightness);
+    downstream blocking would reuse the simhash band machinery."""
+    import pandas as pd
+
+    from .codecs import decode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, _maxval, pixels = decode_ppm(bytes(blob))
+                px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(9) * w) // 9
+                g = gray[np.ix_(rows, cols)]  # 8 rows × 9 cols
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).ravel()  # 64
+                w32 = 1 << np.arange(32, dtype=np.int64)
+                ids.append(mid)
+                # two 32-bit halves: bit 63 would overflow a signed
+                # BIGINT weight, and the oracle must stay in BIGINT
+                hashes.append(
+                    (int((bits[:32] * w32).sum()), int((bits[32:] * w32).sum()))
+                )
+            lo = [h[0] for h in hashes]
+            hi = [h[1] for h in hashes]
+            yield pd.DataFrame({"media_id": ids, "dhash_lo": lo, "dhash_hi": hi})
+
+    return media.mapInPandas(batches, "media_id long, dhash_lo long, dhash_hi long")

@@ -113,6 +113,7 @@ _NEVER_SAMPLED: list[str] = [
     "scalar_xml",
     "embedding_standardize",
     "collation_group",
+    "multimodal_phash",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -12,6 +12,7 @@ path itself against the JVM-free oracle, not just JVM expressions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     documents_as_bmp_images,
@@ -264,4 +265,72 @@ ORACLES["multimodal_framesample"] = f"""
                    j -> {_byte_at(f"(j * {_EVERY}) % _tb")})),
                (x, y) -> x + y) % 2147483647 AS frame_checksum
     FROM sized
+"""
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: 64-bit dHash per synthesized PPM (as two
+    BIGINT halves — bit 63 would overflow a signed weight) plus the
+    exact-duplicate group size per hash. The oracle recomputes the
+    WHOLE pipeline — decode geometry, integer grayscale, 9×8
+    nearest-neighbor downsample, gradient bits — arithmetically from
+    (doc_id, text), so the perceptual hash is differentially verified
+    bit-for-bit."""
+    from pyspark.sql import Window as W_
+
+    from ..operators.multimodal import extract_image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = extract_image_dhash(documents_as_ppm_images(docs))
+    w = W_.partitionBy("dhash_lo", "dhash_hi")
+    return d.withColumn(
+        "n_same", F.count(F.lit(1)).over(w)
+    ).select("media_id", "dhash_lo", "dhash_hi", "n_same")
+
+
+QUERIES["multimodal_phash"] = multimodal_phash
+
+# gray value of downsampled grid cell j (0..71, row-major over 8 rows ×
+# 9 cols): source pixel (r,c) = ((j//9)·H//8, (j%9)·W//9), raster byte
+# base p0 = 3·(r·W + c), gray = (b0+b1+b2) // 3
+_PH_P0 = "(3 * (((j // 9) * height // 8) * width + ((j % 9) * width // 9)))"
+_PH_GRAY = (
+    f"({_byte_at(f'({_PH_P0}) % _tb')} + {_byte_at(f'({_PH_P0} + 1) % _tb')}"
+    f" + {_byte_at(f'({_PH_P0} + 2) % _tb')}) // 3"
+)
+
+
+def _ph_half(lo_bit: int) -> str:
+    # sum of gradient bits (g[r][c] < g[r][c+1]) weighted 2^(j - lo_bit)
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({lo_bit}, {lo_bit + 32}), "
+        "j -> CASE WHEN g[CAST((j // 8) * 9 + (j % 8) AS INTEGER) + 1] "
+        "< g[CAST((j // 8) * 9 + (j % 8) AS INTEGER) + 2] "
+        f"THEN CAST(1 AS BIGINT) << CAST(j - {lo_bit} AS INTEGER) "
+        "ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)"
+    )
+
+
+ORACLES["multimodal_phash"] = f"""
+    WITH geom AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS height
+        FROM documents WHERE length(text) > 0
+    ), grays AS (
+        SELECT media_id,
+               list_transform(range(0, 72), j -> {_PH_GRAY}) AS g
+        FROM geom
+    ), hashes AS (
+        SELECT media_id,
+               {_ph_half(0)} AS dhash_lo,
+               {_ph_half(32)} AS dhash_hi
+        FROM grays
+    )
+    SELECT media_id, dhash_lo, dhash_hi,
+           count(*) OVER (PARTITION BY dhash_lo, dhash_hi) AS n_same
+    FROM hashes
 """

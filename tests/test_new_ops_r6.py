@@ -356,3 +356,38 @@ def test_collation_groups_fold_case(spark):
     }
     assert got == exp
     assert all(k == k.lower() for k in got)
+
+
+def test_multimodal_phash_matches_oracle(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["multimodal_phash"],
+        ALL_ORACLES["multimodal_phash"],
+        SF_SMOKE,
+    )
+
+
+def test_dhash_invariant_to_uniform_brightness(spark):
+    """The perceptual property: adding a constant to every pixel leaves
+    every gradient bit — hence the hash — unchanged (as long as no
+    byte clips)."""
+    import numpy as np
+
+    from multithreaded_map_reduce_spark.operators.codecs import encode_ppm
+    from multithreaded_map_reduce_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    w, h = 9, 8
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=w * h * 3).astype(np.uint8)  # headroom
+    bright = (base + 30).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_ppm(w, h, bytes(base)))),
+        (2, bytearray(encode_ppm(w, h, bytes(bright)))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r.media_id: (r.dhash_lo, r.dhash_hi) for r in extract_image_dhash(media).collect()}
+    assert out[1] == out[2]
