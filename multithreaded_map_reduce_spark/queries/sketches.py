@@ -181,3 +181,85 @@ def _hq_oracle() -> str:
 
 
 ORACLES["histogram_quantiles"] = _hq_oracle()
+
+
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete median per group WITHOUT a global sort — the
+    two-pass refinement of ``histogram_quantiles``: pass 1 builds the
+    256-bin histogram and locates, per group, the bin containing rank
+    k = floor((n−1)/2) + 1; pass 2 re-scans, keeps ONLY that bin's rows
+    (a ~1/256 selectivity predicate), and picks the (k − cum_before)-th
+    smallest inside it. Equals quantile_disc(x, 0.5) — the oracle says
+    so directly.
+
+    At 100 TB this is how you get an exact quantile: the first pass is
+    a mergeable count vector, the second sorts only n/256 rows per
+    group inside their partitions. No stage sorts the full table.
+    Rank arithmetic is pure integer; ties are harmless (the r-th
+    smallest VALUE is unique even when row order among equals isn't)."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = iunits(F.col("o_totalprice"), 2)
+    bounds = o.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    ).select("lo", (F.col("hi") - F.col("lo") + 1).alias("span"))
+    binned = (
+        o.select(F.col("o_orderpriority").alias("prio"), cents.alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .select("prio", "c", F.expr(f"(c - lo) * {HQ_BINS} div span").alias("bin"))
+    )
+    hist = binned.groupBy("prio", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("prio")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("prio")
+    ann = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    target = (
+        ann.withColumn("k", F.expr("(n - 1) div 2 + 1"))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("prio")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("bin").alias("tbin"),
+            F.max("k").alias("k"),
+        )
+        .join(
+            ann.select("prio", "bin", (F.col("cum") - F.col("cnt")).alias("cb")),
+            on=["prio"],
+        )
+        .filter(F.col("bin") == F.col("tbin"))
+        .select("prio", "n", "tbin", (F.col("k") - F.col("cb")).alias("r"))
+    )
+    wrank = Window.partitionBy("prio").orderBy("c")
+    return (
+        binned.join(F.broadcast(target), "prio")
+        .filter(F.col("bin") == F.col("tbin"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("r"))
+        .select("prio", "n", F.col("c").alias("median_cents"))
+    )
+
+
+QUERIES["exact_median_twopass"] = exact_median_twopass
+
+
+def _median2p_oracle() -> str:
+    from ..functions.rounding import sql_iunits
+
+    c = sql_iunits("o_totalprice", 2)
+    return f"""
+        SELECT o_orderpriority AS prio,
+               count(*) AS n,
+               quantile_disc({c}, 0.5) AS median_cents
+        FROM orders GROUP BY 1
+    """
+
+
+ORACLES["exact_median_twopass"] = _median2p_oracle()

@@ -391,3 +391,39 @@ def test_dhash_invariant_to_uniform_brightness(spark):
     media = spark.createDataFrame(rows, "media_id long, media binary")
     out = {r.media_id: (r.dhash_lo, r.dhash_hi) for r in extract_image_dhash(media).collect()}
     assert out[1] == out[2]
+
+
+def test_exact_median_twopass_matches_oracle_and_sorted_truth(spark):
+    """The two-pass median equals both the DuckDB quantile_disc oracle
+    (via compare) and a brute-force sorted-rank computation in Spark."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(
+        spark,
+        ALL_QUERIES["exact_median_twopass"],
+        ALL_ORACLES["exact_median_twopass"],
+        SF_SMOKE,
+    )
+    got = {
+        r.prio: r.median_cents
+        for r in ALL_QUERIES["exact_median_twopass"](spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            iunits(F.col("o_totalprice"), 2).alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r.prio].append(r.c)
+    for prio, vals in by.items():
+        vals.sort()
+        k = (len(vals) - 1) // 2  # 0-based rank floor((n-1)/2)
+        assert got[prio] == vals[k], prio
