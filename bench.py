@@ -77,6 +77,11 @@ HEADLINE = [
     "search_bm25",
     "table_diff",
     "histogram_quantiles",
+    # round 7
+    "dedup_jaccard_prefix",
+    "curation_chunk",
+    "interval_overlap_orders",
+    "exact_median_twopass",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

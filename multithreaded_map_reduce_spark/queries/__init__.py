@@ -114,6 +114,15 @@ _NEVER_SAMPLED: list[str] = [
     "embedding_standardize",
     "collation_group",
     "multimodal_phash",
+    "exact_median_twopass",
+    "dedup_jaccard_prefix",
+    "curation_chunk",
+    "interval_overlap_orders",
+    "pareto_frontier_parts",
+    "sparse_cosine_pairs",
+    "linkage_customers",
+    "quality_winsorize",
+    "stats_gini",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

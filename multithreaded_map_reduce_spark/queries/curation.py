@@ -483,3 +483,74 @@ ORACLES["curation_mixture"] = f"""
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM drawn WHERE draw_rank <= quota GROUP BY 1
 """
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def curation_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    fixed-token-budget chunks (64 tokens, stride 48 → 16-token overlap)
+    — the step that turns a raw corpus into model-ingestible sequences
+    when documents exceed the training context length. Chunk count is
+    pure integer math (``1 + ceil((n-C)/S)`` for n > C, else 1), chunk
+    boundaries come from sequence+slice (codegen'd, no UDF), and the
+    chunk text itself is under the gate, not just counts.
+
+    100 TB: embarrassingly parallel — one projection per doc, no
+    shuffle at all (the explode multiplies rows in place); output size
+    is bounded by ``n/S`` chunks per doc. The oracle replays the same
+    slicing with DuckDB list_slice/generate_series.
+    """
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    n_chunks = F.expr(
+        f"CASE WHEN size(toks) <= {c} THEN 1"
+        f" ELSE (size(toks) - {c} + {s - 1}) div {s} + 1 END"
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    exploded = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.slice(F.col("toks"), i * s + 1, c))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+QUERIES["curation_chunk"] = curation_chunk
+
+ORACLES["curation_chunk"] = f"""
+    WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks
+        FROM documents WHERE len({sql_tokens('text')}) > 0
+    ), n AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                    ELSE (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                         // {CHUNK_STRIDE} + 1 END AS k
+        FROM t
+    ), e AS (
+        SELECT doc_id, toks, unnest(generate_series(0, k - 1)) AS i FROM n
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS n_tokens,
+           array_to_string(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                      i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM e
+"""

@@ -741,3 +741,145 @@ ORACLES["collation_group"] = """
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM staged GROUP BY lower(mixed)
 """
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the parts no other part
+    dominates under (price ↓, size ↑) — minimize retail price, maximize
+    size. The multi-objective selection shape behind quality-vs-length
+    corpus curation tradeoffs.
+
+    Distributed plan (no O(n²) dominance join): (1) pre-aggregate to
+    one row per distinct price with its max size (any non-max row at a
+    price is dominated by definition); (2) LOCAL frontier pass — the
+    running-max window partitioned by spark_partition_id after a range
+    repartition on price removes every point dominated within its own
+    partition (valid because dominated-in-a-subset ⇒ dominated-in-the-
+    union); (3) GLOBAL pass — same window over the ≤ survivors. The
+    final single-partition window only ever sees local-frontier
+    survivors, which for monotone data distributions is ~√n, not n.
+
+    The oracle is the declarative NOT-EXISTS dominance definition —
+    agreement proves the two-pass window rewrite computes the true
+    skyline. Prices compare in exact integer cents (iunits).
+    """
+    from ..functions.rounding import iunits
+
+    p = load_table(spark, sf_dir, "part")
+    best = (
+        p.select(iunits(F.col("p_retailprice"), 2).alias("price_cents"), "p_size")
+        .groupBy("price_cents")
+        .agg(F.max("p_size").alias("best_size"))
+    )
+    ranged = best.repartitionByRange(8, "price_cents").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wlocal = (
+        Window.partitionBy("pid")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "runmax", F.max("best_size").over(wlocal)
+    ).filter((F.col("runmax").isNull()) | (F.col("best_size") > F.col("runmax")))
+    wglobal = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        local.select("price_cents", "best_size")
+        .withColumn("runmax", F.max("best_size").over(wglobal))
+        .filter((F.col("runmax").isNull()) | (F.col("best_size") > F.col("runmax")))
+        .select("price_cents", "best_size")
+    )
+
+
+QUERIES["pareto_frontier_parts"] = pareto_frontier_parts
+
+from ..functions.rounding import sql_iunits as _sql_iunits  # noqa: E402
+
+ORACLES["pareto_frontier_parts"] = f"""
+    WITH d AS (
+        SELECT {_sql_iunits('p_retailprice', 2)} AS price_cents,
+               max(p_size) AS best_size
+        FROM part GROUP BY 1
+    )
+    SELECT price_cents, best_size FROM d a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d b
+        WHERE b.price_cents < a.price_cents AND b.best_size >= a.best_size
+    )
+"""
+
+
+LINK_THRESHOLD = 60  # minimum integer agreement score to emit a pair
+
+
+def linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) with Fellegi–Sunter-style
+    additive agreement weights: candidate pairs come from BLOCKING on
+    c_nationkey (never an all-pairs product), then each field
+    comparison contributes an integer weight — name edit distance
+    (levenshtein ≤ 2 → +40, ≤ 4 → +20), market-segment equality
+    (+25), account balance within 100.00 in exact cents (+35) — and
+    pairs scoring ≥ LINK_THRESHOLD are emitted as links. Every
+    comparison and the score itself are exact integers, so the DuckDB
+    oracle matches bit-for-bit (cross-engine levenshtein parity is
+    already load-bearing for ``dedup_editdistance``).
+
+    100 TB: blocking keys are the scale rail — the per-block pair
+    count is quadratic in block size, so real deployments block on
+    several independent keys (nation × name-prefix × balance-band) and
+    union candidates; the nation block here keeps the fixture's blocks
+    at ~n/25. The comparison stage is embarrassingly parallel.
+    """
+    from ..functions.rounding import iunits
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("blk"),
+        iunits(F.col("c_acctbal"), 2).alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    score = (
+        F.when(lev <= 2, F.lit(40)).when(lev <= 4, F.lit(20)).otherwise(F.lit(0))
+        + F.when(F.col("a.seg") == F.col("b.seg"), F.lit(25)).otherwise(F.lit(0))
+        + F.when(
+            F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 10000, F.lit(35)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.cast("int").alias("score"),
+        )
+        .filter(F.col("score") >= LINK_THRESHOLD)
+    )
+
+
+QUERIES["linkage_customers"] = linkage_customers
+
+ORACLES["linkage_customers"] = f"""
+    WITH c AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
+               {_sql_iunits('c_acctbal', 2)} AS bal_cents,
+               c_mktsegment AS seg
+        FROM customer
+    )
+    SELECT id_a, id_b, score FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(
+                   (CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 40
+                         WHEN levenshtein(a.name, b.name) <= 4 THEN 20
+                         ELSE 0 END)
+                 + (CASE WHEN a.seg = b.seg THEN 25 ELSE 0 END)
+                 + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10000
+                         THEN 35 ELSE 0 END)
+               AS INTEGER) AS score
+        FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+    ) WHERE score >= {LINK_THRESHOLD}
+"""

@@ -302,3 +302,72 @@ ORACLES["table_checksum"] = f"""
     FROM lineitem
     GROUP BY l_returnflag
 """
+
+
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the price distribution per return flag
+    — the inequality/concentration statistic a corpus-curation pass
+    uses to quantify how skewed a source's contribution is. Computed
+    from the sorted-rank identity
+        G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx)
+    with rn = row_number ordered by x within the group. Ties make the
+    rank assignment ambiguous but the STATISTIC invariant: a tie block
+    owns the same consecutive rank set under any internal order, and
+    Σ rn·x over that block multiplies the same x by the same rank sum.
+    Both moments accumulate in DECIMAL(38,0) (order-free, no overflow),
+    and the final value spends the stats_covar discipline: one double
+    conversion per exact factor, one IEEE division, portable rounding.
+
+    Scale: the rank windows sort within 3 flag partitions — at 100 TB
+    swap the exact rank for the mergeable histogram sketch (the
+    banded Lorenz approximation) or re-rank via the two-pass
+    exact_median_twopass machinery generalized to all ranks."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d(F.col("c"))).alias("s"),
+            F.sum(d(F.col("rn")) * d(F.col("c"))).alias("ws"),
+        )
+    )
+    n = d(F.col("n"))
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("ws") - (n + F.lit(1)) * F.col("s")).cast(
+        "double"
+    )
+    den = (n * F.col("s")).cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.col("s").cast("long").alias("sum_cents"),
+        pround(num / den, 6).alias("gini"),
+    )
+
+
+QUERIES["stats_gini"] = stats_gini
+
+ORACLES["stats_gini"] = f"""
+    WITH c AS (
+        SELECT l_returnflag, {sql_iunits('l_extendedprice', 2)} AS c FROM lineitem
+    ), r AS (
+        SELECT l_returnflag, c,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn
+        FROM c
+    ), m AS (
+        SELECT l_returnflag, count(*) AS n, sum(c) AS s, sum(rn * c) AS ws
+        FROM r GROUP BY 1
+    )
+    SELECT l_returnflag,
+           n,
+           CAST(s AS BIGINT) AS sum_cents,
+           {sql_pround('CAST(2 * ws - (n + 1) * s AS DOUBLE)'
+                       ' / CAST(n * s AS DOUBLE)', 6)} AS gini
+    FROM m
+"""

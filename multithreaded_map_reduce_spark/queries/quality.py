@@ -186,3 +186,76 @@ ORACLES["quality_iqr_outliers"] = f"""
     FROM c JOIN fenced f USING (l_returnflag)
     GROUP BY 1
 """
+
+
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling report per return flag: clip the price
+    distribution at the P6.25 / P93.75 interpolated percentiles and
+    report the clipped-tail counts plus the winsorized sum — the
+    robust-moment step a feature pipeline runs before standardizing a
+    heavy-tailed column.
+
+    Exactness (same discipline as quality_iqr_outliers, which uses
+    p ∈ {¼,¾}): the cut points are DYADIC percentiles (p = 1/16,
+    15/16), so the interpolation index p·(n−1), its fractional part,
+    and the interpolated value v_lo + frac·Δ are all exact binary
+    doubles on integer cents — both engines compute bit-identical cut
+    points. Every winsorized value is then an integer multiple of
+    1/16 cent, so the SUM is exact (order-independent) and is carried
+    as an integer count of sixteenth-cents.
+
+    Scale: one per-group percentile agg (3 groups), broadcast back
+    onto the scan, one conditional agg. No global sort."""
+    from ..functions.rounding import iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c")
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(c, 0.0625d)").alias("lo"),
+        F.expr("percentile(c, 0.9375d)").alias("hi"),
+    )
+    w = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        "c",
+        F.greatest(F.least(F.col("c").cast("double"), F.col("hi")), F.col("lo")).alias(
+            "wc"
+        ),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).alias("n_clip_low"),
+        F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).alias("n_clip_high"),
+        pround(F.max("lo"), 4).alias("lo_cents"),
+        pround(F.max("hi"), 4).alias("hi_cents"),
+        F.sum((F.col("wc") * 16).cast("long")).alias("winsorized_sixteenth_cents"),
+    )
+
+
+QUERIES["quality_winsorize"] = quality_winsorize
+
+ORACLES["quality_winsorize"] = f"""
+    WITH c AS (
+        SELECT l_returnflag, {_sql_iu('l_extendedprice', 2)} AS c FROM lineitem
+    ), cuts AS (
+        SELECT l_returnflag,
+               quantile_cont(c, 0.0625) AS lo,
+               quantile_cont(c, 0.9375) AS hi
+        FROM c GROUP BY 1
+    ), w AS (
+        SELECT c.l_returnflag, cuts.lo, cuts.hi, c.c,
+               greatest(least(CAST(c.c AS DOUBLE), cuts.hi), cuts.lo) AS wc
+        FROM c JOIN cuts USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           {_sql_pr('max(lo)', 4)} AS lo_cents,
+           {_sql_pr('max(hi)', 4)} AS hi_cents,
+           CAST(sum(CAST(wc * 16 AS BIGINT)) AS BIGINT)
+               AS winsorized_sixteenth_cents
+    FROM w GROUP BY 1
+"""

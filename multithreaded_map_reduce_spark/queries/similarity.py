@@ -440,3 +440,98 @@ def _sql_ivf_kmeans(k_cells: int = KMIVF_CELLS, rounds: int = KMIVF_ROUNDS) -> s
 
 
 ORACLES["sim_topk_ivf_kmeans"] = _sql_ivf_kmeans()
+
+
+SPARSE_DF_CAP = 50  # drop stopword-ish terms occurring in > 50 docs
+SPARSE_MIN_COSINE_NUM = 1  # threshold handled integer-exactly below
+
+
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity join via an INVERTED INDEX — the
+    term-at-a-time route to document cosine similarity that never
+    materializes dense vectors or an all-pairs product: postings
+    (term → (doc, tf)) self-join ON THE TERM, partial products
+    ``tf_a·tf_b`` aggregate per pair, and only co-occurring pairs ever
+    exist. Raw term-frequency weights keep every comparison in exact
+    BIGINT arithmetic: the cosine ≥ 0.5 decision is taken on the
+    integer form 4·num² ≥ ‖a‖²·‖b‖² — no float boundary — and the
+    reported cosine spends exactly three IEEE ops (sqrt, mul... — see
+    below) identically on both engines.
+
+    Terms with document frequency > SPARSE_DF_CAP are dropped from the
+    index on BOTH sides (the classic stopword guard): a term in half
+    the corpus would contribute O(df²) join rows while carrying no
+    discriminative signal. The cap is part of the operator's contract
+    and the oracle replays it.
+
+    100 TB: the only data-sized shuffles are term-keyed (postings
+    build + join) and pair-keyed (partial-product agg, map-side
+    combinable). Hot terms are excluded by the df cap, which bounds
+    per-term join fan-out at df² ≤ 2500; AQE skew-join covers the
+    stragglers below the cap.
+    """
+    from ..functions.rounding import pround
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.col("doc_id").alias("id"), F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    post = tf.join(dfreq.filter(F.col("df") <= SPARSE_DF_CAP), "tok")
+    norms = post.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    a, b = post.alias("a"), post.alias("b")
+    num = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("num"))
+    )
+    scored = (
+        num.join(norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .filter(4 * F.col("num") * F.col("num") >= F.col("na") * F.col("nb"))
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        pround(
+            F.col("num").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+
+
+QUERIES["sparse_cosine_pairs"] = sparse_cosine_pairs
+
+from ..functions.hashing import sql_tokens as _sql_toks  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr  # noqa: E402
+
+ORACLES["sparse_cosine_pairs"] = f"""
+    WITH tf AS (
+        SELECT doc_id AS id, unnest({_sql_toks('text')}) AS tok
+        FROM documents
+    ), tfc AS (
+        SELECT id, tok, count(*) AS tf FROM tf GROUP BY id, tok
+    ), dfreq AS (
+        SELECT tok FROM tfc GROUP BY tok HAVING count(*) <= {SPARSE_DF_CAP}
+    ), post AS (
+        SELECT tfc.id, tfc.tok, tfc.tf FROM tfc JOIN dfreq USING (tok)
+    ), norms AS (
+        SELECT id, CAST(sum(tf * tf) AS BIGINT) AS nrm FROM post GROUP BY id
+    ), num AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+        FROM post a JOIN post b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           {_sql_pr('CAST(num AS DOUBLE) / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE))', 6)}
+               AS cosine
+    FROM num
+    JOIN norms na ON num.id_a = na.id
+    JOIN norms nb ON num.id_b = nb.id
+    WHERE 4 * num * num >= na.nrm * nb.nrm
+"""

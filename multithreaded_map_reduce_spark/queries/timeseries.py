@@ -308,3 +308,85 @@ def _ewma_oracle() -> str:
 
 
 ORACLES["timeseries_ewma"] = _ewma_oracle()
+
+
+OVERLAP_DAYS = 30
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join WITHOUT a range predicate in the join:
+    for every URGENT order, count the other urgent orders by the same
+    clerk whose 30-day activity window overlaps its own (|Δorderdate| ≤
+    30 days) — the "concurrent open intervals" shape behind SLA /
+    workload-concurrency analytics.
+
+    The naive plan is a theta-join (clerk equality + date inequality),
+    which Spark executes as a per-clerk nested loop. Instead each
+    order's date maps to a 30-day epoch bucket; the RIGHT side explodes
+    to its bucket ±1, the LEFT joins on exact (clerk, bucket) EQUALITY
+    (the fixture's orders table carries no o_clerk, so the clerk is
+    derived deterministically as o_custkey % 10 — identically on both
+    sides)
+    — hash-shuffle join, no broadcast-nested-loop — then the precise
+    |Δ| ≤ 30 predicate filters residuals. An interval can overlap
+    another only if their buckets differ by ≤ 1, and the exploded
+    triple {b-1, b, b+1} contains each candidate bucket exactly once,
+    so no pair dedup is needed. LEFT join keeps zero-concurrency
+    orders.
+
+    100 TB: shuffle is keyed on (clerk, bucket) — cardinality grows
+    with data, skew bounded by per-clerk×month volume; cost is
+    candidates-within-±1-bucket, not clerk² pairs. The bucket width is
+    the knob: it should match the overlap horizon so residual
+    filtering stays ~3 buckets per row.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 10).alias("clerk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .withColumn("bucket", F.floor(F.col("d") / OVERLAP_DAYS))
+    )
+    right = o.select(
+        F.col("k").alias("bk"),
+        F.col("clerk"),
+        F.col("d").alias("bd"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    joined = o.join(
+        right,
+        ["clerk", "bucket"],
+        "left",
+    ).withColumn(
+        "hit",
+        F.when(
+            (F.col("bk").isNotNull())
+            & (F.col("bk") != F.col("k"))
+            & (F.abs(F.col("bd") - F.col("d")) <= OVERLAP_DAYS),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return joined.groupBy(F.col("k").alias("o_orderkey")).agg(
+        F.sum("hit").alias("n_concurrent")
+    )
+
+
+QUERIES["interval_overlap_orders"] = interval_overlap_orders
+
+ORACLES["interval_overlap_orders"] = f"""
+    WITH u AS (
+        SELECT o_orderkey AS k, o_custkey % 10 AS clerk, o_orderdate AS d
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT a.k AS o_orderkey,
+           CAST(count(b.k) AS BIGINT) AS n_concurrent
+    FROM u a LEFT JOIN u b
+      ON a.clerk = b.clerk AND b.k != a.k
+     AND abs(datediff('day', a.d, b.d)) <= {OVERLAP_DAYS}
+    GROUP BY a.k
+"""

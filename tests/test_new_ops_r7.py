@@ -1,0 +1,267 @@
+"""Round-7 additions: PPJoin-style prefix-filtered jaccard join,
+context-window chunking, bucketized interval-overlap self-join, and the
+two-pass Pareto frontier (skyline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+R7_NAMES = (
+    "dedup_jaccard_prefix",
+    "curation_chunk",
+    "interval_overlap_orders",
+    "pareto_frontier_parts",
+)
+
+
+def test_r7_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in R7_NAMES:
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_chunking_covers_every_token_with_fixed_overlap(spark):
+    """Every token index of every doc appears in >= 1 chunk; interior
+    chunks are exactly CHUNK_TOKENS long and consecutive chunk starts
+    differ by exactly CHUNK_STRIDE."""
+    from multithreaded_map_reduce_spark.queries import curation
+    from multithreaded_map_reduce_spark.queries.curation import curation_chunk
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    c, s = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(tokenize(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    chunks = curation_chunk(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = n_by_doc[doc_id]
+        # chunk i covers token indices [i*s, i*s + n_tokens)
+        covered_to = 0
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i
+            start = i * s
+            assert start <= covered_to  # no gap
+            covered_to = max(covered_to, start + r.n_tokens)
+            if i < len(rows) - 1:
+                assert r.n_tokens == c  # interior chunks are full
+        assert covered_to == n  # full coverage, no overshoot
+
+
+def test_pareto_frontier_equals_bruteforce(spark):
+    """The two-pass window skyline equals the O(n^2) dominance
+    definition computed driver-side."""
+    from multithreaded_map_reduce_spark.queries.mining import pareto_frontier_parts
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    pts = {
+        (r.price_cents, r.best_size)
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select(iunits(F.col("p_retailprice"), 2).alias("price_cents"), "p_size")
+        .groupBy("price_cents")
+        .agg(F.max("p_size").alias("best_size"))
+        .collect()
+    }
+    brute = {
+        (p, sz)
+        for (p, sz) in pts
+        if not any(
+            (q < p and t >= sz) or (q <= p and t > sz) for (q, t) in pts
+        )
+    }
+    got = {
+        (r.price_cents, r.best_size)
+        for r in pareto_frontier_parts(spark, SF_SMOKE).collect()
+    }
+    assert got == brute and got
+
+
+def test_interval_overlap_counts_match_bruteforce(spark):
+    """The bucketized equality-join concurrency counts equal a
+    driver-side brute force over the urgent subset."""
+    from multithreaded_map_reduce_spark.queries import timeseries
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        interval_overlap_orders,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    w = timeseries.OVERLAP_DAYS
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 10).alias("clerk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "d"
+            ),
+        )
+        .collect()
+    )
+    by_clerk: dict[int, list] = {}
+    for r in rows:
+        by_clerk.setdefault(r.clerk, []).append(r)
+    want = {}
+    for rs in by_clerk.values():
+        for a in rs:
+            want[a.o_orderkey] = sum(
+                1 for b in rs if b.o_orderkey != a.o_orderkey and abs(b.d - a.d) <= w
+            )
+    got = {
+        r.o_orderkey: r.n_concurrent
+        for r in interval_overlap_orders(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
+    """Hand-built corpus where naive prefix choices would miss pairs:
+    identical docs, docs sharing only rare tokens, and docs at the
+    exact J = 0.5 boundary all survive; sub-threshold pairs don't."""
+    from multithreaded_map_reduce_spark.queries.dedup import dedup_jaccard_prefix
+
+    # bigram sets: doc 1/2 identical; doc 3 shares exactly half its
+    # bigrams with nothing; 4/5 engineered to land >= 0.5 overlap
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 1),
+        (2, "alpha beta gamma delta", "en", "s", 1),
+        (3, "zeta eta theta iota", "en", "s", 1),
+        (4, "one two three four five", "en", "s", 1),
+        (5, "one two three four nine", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import multithreaded_map_reduce_spark.queries.dedup as dd
+    from multithreaded_map_reduce_spark.sources import catalog
+
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda sp, sf, name: docs  # noqa: E731
+        dd.load_table = catalog.load_table
+        out = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup_jaccard_prefix(spark, SF_SMOKE).collect()
+        }
+    finally:
+        catalog.load_table = orig
+        dd.load_table = orig
+    assert out[(1, 2)] == 1.0
+    # docs 4,5: bigrams {one two, two three, three four, four five} vs
+    # {..., four nine}: intersection 3, union 5 -> J = 0.6 >= 0.5
+    assert abs(out[(4, 5)] - 0.6) < 1e-9
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+R7B_NAMES = ("sparse_cosine_pairs", "linkage_customers", "quality_winsorize")
+
+
+def test_r7b_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in R7B_NAMES:
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    """Two identical docs share every posting, so their integer
+    numerator equals both norms and the cosine is exactly 1.0; a doc
+    with no shared sub-cap terms never pairs."""
+    import multithreaded_map_reduce_spark.queries.similarity as sim
+
+    rows = [
+        (1, "red green blue", "en", "s", 1),
+        (2, "red green blue", "en", "s", 1),
+        (3, "cyan magenta yellow", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda sp, sf, name: docs  # noqa: E731
+        out = {
+            (r.id_a, r.id_b): r.cosine
+            for r in sim.sparse_cosine_pairs(spark, SF_SMOKE).collect()
+        }
+    finally:
+        sim.load_table = orig
+    assert out == {(1, 2): 1.0}
+
+
+def test_winsorize_sum_is_exact_integer_sixteenths(spark):
+    """The winsorized sum must equal a driver-side recomputation using
+    Fraction arithmetic — proving the dyadic-percentile exactness
+    argument, not just engine agreement."""
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.quality import quality_winsorize
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    vals: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c"))
+        .collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(r.c)
+    got = {r.l_returnflag: r for r in quality_winsorize(spark, SF_SMOKE).collect()}
+    for flag, cs in vals.items():
+        cs.sort()
+        n = len(cs)
+
+        def cut(p: Fraction) -> Fraction:
+            h = p * (n - 1)
+            lo_i = int(h)
+            frac = h - lo_i
+            hi_i = min(lo_i + 1, n - 1)
+            return cs[lo_i] + frac * (cs[hi_i] - cs[lo_i])
+
+        lo, hi = cut(Fraction(1, 16)), cut(Fraction(15, 16))
+        total = sum(max(min(Fraction(c), hi), lo) for c in cs) * 16
+        assert total.denominator == 1
+        assert got[flag].winsorized_sixteenth_cents == int(total), flag
+
+
+def test_gini_matches_fraction_bruteforce(spark):
+    """The windowed-rank Gini equals an exact rational recomputation."""
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.profiling import stats_gini
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(spark, ALL_QUERIES["stats_gini"], ALL_ORACLES["stats_gini"], SF_SMOKE)
+    vals: dict[str, list[int]] = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c"))
+        .collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(r.c)
+    got = {r.l_returnflag: r.gini for r in stats_gini(spark, SF_SMOKE).collect()}
+    for flag, cs in vals.items():
+        cs.sort()
+        n, s = len(cs), sum(cs)
+        g = Fraction(2 * sum(i * x for i, x in enumerate(cs, 1)) - (n + 1) * s, n * s)
+        # same portable rounding as the engines
+        import math
+
+        want = math.floor(float(g) * 1e6 + 0.5) / 1e6
+        assert abs(got[flag] - want) < 1e-12, flag
