@@ -123,6 +123,7 @@ _NEVER_SAMPLED: list[str] = [
     "linkage_customers",
     "quality_winsorize",
     "stats_gini",
+    "events_rolling_distinct",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -425,3 +425,56 @@ ORACLES["events_variant_props"] = """
            json_extract_string(props, '$.missing') AS missing_field
     FROM events
 """
+
+
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the classic
+    rolling-DAU/WAU metric, and the window aggregate Spark can NOT do
+    directly (COUNT(DISTINCT) over a RANGE frame is unsupported, and a
+    ``collect_set`` range window would haul every event into one
+    partition per user anyway).
+
+    The scalable rewrite is CONTRIBUTION EXPLODE: each distinct
+    (user, day) pair contributes to the ≤ 7 window-end days it is
+    visible in; after the 7× fan-out the metric is a plain
+    countDistinct per day — shuffle keyed on day, map-side
+    combinable after the distinct. This is how rolling-distinct is
+    computed at warehouse scale: fan-out bounded by the window length,
+    never a per-user timeline sort.
+
+    100 TB: two hash aggregations ((user, day) distinct, then per-day
+    distinct) plus one broadcast-ish join against the observed-day
+    list. Window length is the fan-out bound — a 30-day window costs
+    30×, independent of data skew."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    days = ud.select(F.col("d").alias("wd")).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd")
+    )
+    return (
+        contrib.join(days, "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("wd")).alias("day"),
+            "n_active_7d",
+        )
+    )
+
+
+QUERIES["events_rolling_distinct"] = events_rolling_distinct
+
+ORACLES["events_rolling_distinct"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT d.day AS day, count(DISTINCT u.user_id) AS n_active_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+"""

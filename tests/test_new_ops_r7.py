@@ -265,3 +265,36 @@ def test_gini_matches_fraction_bruteforce(spark):
 
         want = math.floor(float(g) * 1e6 + 0.5) / 1e6
         assert abs(got[flag] - want) < 1e-12, flag
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    """Contribution-explode rolling distinct equals a driver-side
+    brute force over (user, day) pairs, and matches its oracle."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.events import events_rolling_distinct
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(
+        spark,
+        ALL_QUERIES["events_rolling_distinct"],
+        ALL_ORACLES["events_rolling_distinct"],
+        SF_SMOKE,
+    )
+    pairs = {
+        (r.user_id, r.day)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    days = {d for _, d in pairs}
+    want = {
+        d: len({u for (u, ud) in pairs if dt.timedelta(0) <= d - ud <= dt.timedelta(6)})
+        for d in days
+    }
+    got = {
+        r.day: r.n_active_7d for r in events_rolling_distinct(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -263,3 +263,56 @@ def test_bm25_prunes_to_query_terms_before_shuffle(spark):
     assert "Filter" in text and "table" in text  # term filter present
     rep_idx = text.find("Exchange")
     assert rep_idx > 0
+
+
+def test_curation_chunk_has_zero_shuffles(spark):
+    """Chunking is a pure projection+explode — ANY Exchange in this
+    plan is a regression (the 100 TB argument is 'scan-bound')."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("curation_chunk")(spark, SF_SMOKE))
+    assert rep.shuffle_exchanges == 0, rep
+    assert not rep.cartesian
+
+
+def test_prefix_jaccard_no_cartesian_and_pushes_nothing_quadratic(spark):
+    """The PPJoin candidate stage must be an equality join on prefix
+    hashes — no CartesianProduct, no broadcast nested loop."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted, plan_report
+
+    df = _q("dedup_jaccard_prefix")(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert not rep.cartesian
+    assert "BroadcastNestedLoopJoin" not in explain_formatted(df)
+
+
+def test_sparse_cosine_no_cartesian(spark):
+    """Inverted-index similarity must never degrade to an all-pairs
+    product: the pair relation exists only through the term join."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted, plan_report
+
+    df = _q("sparse_cosine_pairs")(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert not rep.cartesian
+    assert "BroadcastNestedLoopJoin" not in explain_formatted(df)
+
+
+def test_interval_overlap_is_equality_join(spark):
+    """The overlap predicate must ride an equality (clerk, bucket) hash
+    join; a BroadcastNestedLoopJoin means the rewrite regressed to a
+    theta-join."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("interval_overlap_orders")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in txt and "CartesianProduct" not in txt
+
+
+def test_rolling_distinct_no_single_partition_window(spark):
+    """Contribution-explode rolling distinct must not contain ANY
+    window operator (the whole point is avoiding per-user timeline
+    sorts) and no cartesian."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("events_rolling_distinct")(spark, SF_SMOKE))
+    assert "Window" not in txt
+    assert "CartesianProduct" not in txt
