@@ -124,6 +124,7 @@ _NEVER_SAMPLED: list[str] = [
     "quality_winsorize",
     "stats_gini",
     "events_rolling_distinct",
+    "bpe_encode",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

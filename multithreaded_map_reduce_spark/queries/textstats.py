@@ -541,3 +541,108 @@ ORACLES["bpe_top_pairs"] = f"""
         FROM counted
     ) WHERE rank <= {BPE_TOPK}
 """
+
+
+# BPE ENCODE: a fixed ranked merge table (what a tokenizer's merges.txt
+# ships); later merges may reference units built by earlier ones.
+BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "t"),
+]
+_U0, _U1 = "\x01", "\x02"  # unit delimiters — cannot occur in text tokens
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a BPE merge table (the encode side of ``bpe_top_pairs``'s
+    train side): each word becomes a sequence of single-char units
+    (every char wrapped in sentinel delimiters), then the merges run in
+    rank order as chained LITERAL string replaces — ``replace`` in both
+    engines substitutes non-overlapping occurrences left-to-right,
+    which is exactly BPE's greedy merge semantics, so the entire encode
+    is a chain of codegen'd built-ins: no UDF, no per-character
+    higher-order fold, no loop.
+
+    Corpus→vocab collapse first (the bpe_top_pairs trick): the encode
+    runs once per DISTINCT word, and per-word unit counts re-weight by
+    word frequency. Output: one row per merge — its rank, the merged
+    unit, the weighted number of times the unit appears in the encoded
+    corpus, and how many distinct words contain it. Exact integers
+    end-to-end.
+
+    100 TB: vocab collapse bounds the expensive stage at |vocab|; the
+    replace chain is scan-local; the only shuffles are the vocab
+    groupBy and the final 8-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("wfreq"))
+    enc = F.regexp_replace(F.col("tok"), "(.)", f"{_U0}$1{_U1}")
+    for a, b in BPE_MERGES:
+        enc = F.replace(
+            enc, F.lit(f"{_U0}{a}{_U1}{_U0}{b}{_U1}"), F.lit(f"{_U0}{a}{b}{_U1}")
+        )
+    encoded = vocab.select("tok", "wfreq", enc.alias("enc"))
+    per_merge = [
+        F.struct(
+            F.lit(rank + 1).alias("rank"),
+            F.lit(a + b).alias("unit"),
+            (
+                (
+                    F.length("enc")
+                    - F.length(F.replace(F.col("enc"), F.lit(f"{_U0}{a}{b}{_U1}")))
+                )
+                / F.lit(len(a + b) + 2)
+            )
+            .cast("long")
+            .alias("occ"),
+        )
+        for rank, (a, b) in enumerate(BPE_MERGES)
+    ]
+    exploded = encoded.select(
+        "wfreq", F.explode(F.array(*per_merge)).alias("m")
+    ).select("wfreq", "m.rank", "m.unit", "m.occ")
+    return (
+        exploded.groupBy("rank", "unit")
+        .agg(
+            F.sum(F.col("occ") * F.col("wfreq")).alias("occurrences"),
+            F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).alias("n_distinct_words"),
+        )
+    )
+
+
+QUERIES["bpe_encode"] = bpe_encode
+
+
+def _bpe_encode_oracle() -> str:
+    enc = f"regexp_replace(tok, '(.)', '{_U0}\\1{_U1}', 'g')"
+    for a, b in BPE_MERGES:
+        enc = f"replace({enc}, '{_U0}{a}{_U1}{_U0}{b}{_U1}', '{_U0}{a}{b}{_U1}')"
+    selects = " UNION ALL ".join(
+        f"""SELECT {rank + 1} AS rank, '{a + b}' AS unit, wfreq,
+            (length(enc) - length(replace(enc, '{_U0}{a}{b}{_U1}', '')))
+                // {len(a + b) + 2} AS occ
+            FROM encoded"""
+        for rank, (a, b) in enumerate(BPE_MERGES)
+    )
+    return f"""
+        WITH vocab AS (
+            SELECT tok, count(*) AS wfreq FROM (
+                SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+            ) GROUP BY tok
+        ), encoded AS (
+            SELECT tok, wfreq, {enc} AS enc FROM vocab
+        ), ex AS ({selects})
+        SELECT rank, unit,
+               CAST(sum(occ * wfreq) AS BIGINT) AS occurrences,
+               CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_distinct_words
+        FROM ex GROUP BY rank, unit
+    """
+
+
+ORACLES["bpe_encode"] = _bpe_encode_oracle()

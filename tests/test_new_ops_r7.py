@@ -298,3 +298,52 @@ def test_rolling_distinct_matches_bruteforce(spark):
         r.day: r.n_active_7d for r in events_rolling_distinct(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The chained-replace encode equals a pure-Python BPE that applies
+    merges in rank order with left-to-right non-overlapping greed."""
+    from collections import Counter
+
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        BPE_MERGES,
+        bpe_encode,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(spark, ALL_QUERIES["bpe_encode"], ALL_ORACLES["bpe_encode"], SF_SMOKE)
+
+    def encode(word: str) -> list[str]:
+        units = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(units):
+                if i + 1 < len(units) and units[i] == a and units[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            units = out
+        return units
+
+    vocab = Counter()
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .collect()
+    ):
+        vocab[r.tok] += 1
+    want_occ = {a + b: 0 for a, b in BPE_MERGES}
+    want_words = {a + b: 0 for a, b in BPE_MERGES}
+    for word, freq in vocab.items():
+        c = Counter(encode(word))
+        for u in want_occ:
+            if c[u]:
+                want_occ[u] += c[u] * freq
+                want_words[u] += 1
+    got = {r.unit: (r.occurrences, r.n_distinct_words) for r in bpe_encode(spark, SF_SMOKE).collect()}
+    for u in want_occ:
+        assert got[u] == (want_occ[u], want_words[u]), u
