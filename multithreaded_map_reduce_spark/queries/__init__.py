@@ -125,6 +125,8 @@ _NEVER_SAMPLED: list[str] = [
     "stats_gini",
     "events_rolling_distinct",
     "bpe_encode",
+    "events_pattern_match",
+    "connector_partition_prune",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

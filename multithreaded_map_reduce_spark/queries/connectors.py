@@ -248,3 +248,44 @@ ORACLES["connector_orc_roundtrip"] = f"""
                AS total_retail
     FROM part GROUP BY p_brand
 """
+
+
+def connector_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + PARTITION-PRUNED read: events go
+    out partitioned by event_type, then the query reads ONLY the
+    'purchase' directory — the layout that turns a predicate into
+    skipped files instead of scanned-and-filtered rows. The pruning
+    itself is asserted in tests/test_plans.py (the scan's partition
+    filter must name event_type and the plan must not read the other
+    four directories); THIS gate row proves the round trip preserves
+    values exactly (timestamps, doubles, ids) under the partition
+    layout.
+
+    100 TB: partition-on-write is the first data-layout lever —
+    coarse-grained (directory) skipping composes with zorder_layout's
+    file-level min/max skipping one level down."""
+    ev = load_table(spark, sf_dir, "events")
+    path = f"/tmp/part_prune_{uuid.uuid4().hex}"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    day = F.to_date("ts")
+    return back.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum(F.expr("CAST(floor(value * 100.0d + 0.5d) AS BIGINT)")).alias(
+            "value_cents"
+        ),
+    )
+
+
+QUERIES["connector_partition_prune"] = connector_partition_prune
+
+ORACLES["connector_partition_prune"] = """
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n_purchases,
+           count(DISTINCT user_id) AS n_buyers,
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+"""

@@ -478,3 +478,91 @@ ORACLES["events_rolling_distinct"] = """
     FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
     GROUP BY d.day
 """
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+SEQ_PATTERN = "(^|>)view>.*purchase(>|$)"  # view then (eventually) purchase
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over sessionized event streams — the
+    MATCH_RECOGNIZE / CEP shape: sessionize each user's events on a
+    30-minute inactivity gap, collapse every session to its ORDERED
+    event-type string, and match a regex pattern ('a view eventually
+    followed by a purchase in the same session') against it. Output:
+    per user, sessions total and sessions matching.
+
+    Determinism: session boundaries come from integer-micro gaps; the
+    per-session sequence orders by (ts_micros, event_id) — a total
+    order, so the joined type string is unique. The regex runs on the
+    RE2/Java-common subset.
+
+    100 TB: one user-keyed shuffle for the lag/cumsum sessionization
+    (the same shape every sessionizer pays), then per-session
+    aggregation; the pattern match is scan-local on strings whose
+    length is bounded by session size. This is the batch twin of
+    flatMapGroupsWithState CEP."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_micros("ts").alias("tus"),
+    )
+    from pyspark.sql import Window as W
+
+    wseq = W.partitionBy("user_id").orderBy("tus", "event_id")
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("tus") - F.lag("tus").over(wseq) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id", F.sum("new_sess").over(wseq.rowsBetween(W.unboundedPreceding, 0))
+    )
+    seqs = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tus", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq")
+        )
+    )
+    return seqs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("seq").rlike(SEQ_PATTERN), 1).otherwise(0)
+        ).alias("n_matching"),
+    )
+
+
+QUERIES["events_pattern_match"] = events_pattern_match
+
+ORACLES["events_pattern_match"] = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ), lagged AS (
+        SELECT *, CASE WHEN tus - lag(tus) OVER w > {SESSION_GAP_US}
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY tus, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM lagged
+    ), seqs AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY tus, event_id) AS seq
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(seq, '{SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+    FROM seqs GROUP BY user_id
+"""

@@ -130,18 +130,19 @@ def test_interval_overlap_counts_match_bruteforce(spark):
 
 def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
     """Hand-built corpus where naive prefix choices would miss pairs:
-    identical docs, docs sharing only rare tokens, and docs at the
-    exact J = 0.5 boundary all survive; sub-threshold pairs don't."""
+    identical docs, and a pair landing EXACTLY on the J = 0.8 boundary,
+    must survive; sub-threshold pairs must not."""
     from multithreaded_map_reduce_spark.queries.dedup import dedup_jaccard_prefix
 
-    # bigram sets: doc 1/2 identical; doc 3 shares exactly half its
-    # bigrams with nothing; 4/5 engineered to land >= 0.5 overlap
+    # doc 1/2 identical (J=1); 4/5 differ in the LAST of 10 tokens:
+    # 9 bigrams each sharing 8 -> J = 8/10 = 0.8 exactly (boundary in);
+    # 3 is unrelated
     rows = [
         (1, "alpha beta gamma delta", "en", "s", 1),
         (2, "alpha beta gamma delta", "en", "s", 1),
         (3, "zeta eta theta iota", "en", "s", 1),
-        (4, "one two three four five", "en", "s", 1),
-        (5, "one two three four nine", "en", "s", 1),
+        (4, "t1 t2 t3 t4 t5 t6 t7 t8 t9 tA", "en", "s", 1),
+        (5, "t1 t2 t3 t4 t5 t6 t7 t8 t9 tB", "en", "s", 1),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -161,10 +162,10 @@ def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
         catalog.load_table = orig
         dd.load_table = orig
     assert out[(1, 2)] == 1.0
-    # docs 4,5: bigrams {one two, two three, three four, four five} vs
-    # {..., four nine}: intersection 3, union 5 -> J = 0.6 >= 0.5
-    assert abs(out[(4, 5)] - 0.6) < 1e-9
+    # docs 4,5: 9 bigrams each, 8 shared -> J = 8/(9+9-8) = 0.8 exactly
+    assert abs(out[(4, 5)] - 0.8) < 1e-9
     assert (1, 3) not in out and (2, 3) not in out
+    assert not any(3 in p for p in out)
 
 
 R7B_NAMES = ("sparse_cosine_pairs", "linkage_customers", "quality_winsorize")

@@ -316,3 +316,18 @@ def test_rolling_distinct_no_single_partition_window(spark):
     txt = explain_formatted(_q("events_rolling_distinct")(spark, SF_SMOKE))
     assert "Window" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_partition_prune_scan_has_partition_filters(spark):
+    """The partitioned-write read path must prune at the DIRECTORY
+    level: the parquet scan carries a PartitionFilters entry on
+    event_type (and therefore never opens the other type directories)."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    df = _q("connector_partition_prune")(spark, SF_SMOKE)
+    txt = explain_formatted(df)
+    assert "PartitionFilters" in txt and "event_type" in txt
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", txt)
+    assert m, txt
