@@ -127,6 +127,7 @@ _NEVER_SAMPLED: list[str] = [
     "bpe_encode",
     "events_pattern_match",
     "connector_partition_prune",
+    "hll_union_rollup",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -263,3 +263,105 @@ def _median2p_oracle() -> str:
 
 
 ORACLES["exact_median_twopass"] = _median2p_oracle()
+
+
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA under the gate: per-return-flag HLL register
+    vectors over distinct part keys are built once, then the corpus-
+    level row is computed by MERGING the flag sketches (register-wise
+    max) — never rescanning the data. This is the pre-aggregated-cube
+    pattern that makes distinct-count dashboards cheap at 100 TB: keep
+    one 256-register vector per cell, answer any rollup by max-merge.
+
+    Register max is associative/commutative, so the merged estimate is
+    definitionally equal to a direct global sketch — the oracle replays
+    the same two-level computation and the differential gate pins the
+    merge arithmetic (integer registers, exact power-of-two harmonic
+    sum, ONE shared-literal IEEE division) across engines."""
+    from ..operators.sketches import (
+        HLL_A,
+        HLL_B,
+        HLL_M,
+        _HLL_K,
+        _HLL_NUMER,
+    )
+    from ..functions.hashing import POLY_MOD
+
+    m = HLL_M
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.pmod(
+            F.pmod(F.col("l_partkey").cast("long"), F.lit(POLY_MOD)) * F.lit(HLL_A)
+            + F.lit(HLL_B),
+            F.lit(POLY_MOD),
+        ).alias("_h"),
+    )
+    w = (F.col("_h") / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(24)).otherwise(F.lit(24) - F.length(F.bin(w)))
+    flag_regs = (
+        hashed.select("grp", (F.col("_h") % F.lit(m)).alias("_j"), rho.alias("_rho"))
+        .groupBy("grp", "_j")
+        .agg(F.max("_rho").alias("_mj"))
+    )
+    # the MERGE: register-wise max across flag sketches — no rescan
+    all_regs = flag_regs.groupBy("_j").agg(F.max("_mj").alias("_mj")).select(
+        F.lit("ALL").alias("grp"), "_j", "_mj"
+    )
+    levels = flag_regs.unionByName(all_regs)
+    per = levels.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - _mj)")).alias("_sp"),
+    )
+    s = F.col("_sp") + (F.lit(m) - F.col("_present")) * F.lit(1 << _HLL_K)
+    from ..functions.rounding import pround
+
+    return per.select(
+        "grp",
+        (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
+        pround(F.lit(float(_HLL_NUMER)) / s.cast("double"), 4).alias("hll_estimate"),
+    )
+
+
+QUERIES["hll_union_rollup"] = hll_union_rollup
+
+
+def _hll_rollup_oracle() -> str:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import sql_pround
+    from ..operators.sketches import HLL_A, HLL_B, HLL_M, _HLL_K, _HLL_NUMER
+
+    m = HLL_M
+    est = sql_pround(
+        f"{_HLL_NUMER} / CAST(_sp + ({m} - _present)"
+        f" * (CAST(1 AS BIGINT) << {_HLL_K}) AS DOUBLE)",
+        4,
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT l_returnflag AS grp,
+                   (((CAST(l_partkey AS BIGINT) % {POLY_MOD} + {POLY_MOD})
+                       % {POLY_MOD}) * {HLL_A} + {HLL_B}) % {POLY_MOD} AS _h
+            FROM lineitem
+        ), flag_regs AS (
+            SELECT grp, _h % {m} AS _j,
+                   max(CASE WHEN _h // {m} = 0 THEN 24
+                            ELSE 24 - length(bin(_h // {m})) END) AS _mj
+            FROM hashed GROUP BY 1, 2
+        ), all_regs AS (
+            SELECT 'ALL' AS grp, _j, max(_mj) AS _mj FROM flag_regs GROUP BY 2
+        ), levels AS (
+            SELECT * FROM flag_regs UNION ALL SELECT * FROM all_regs
+        ), per AS (
+            SELECT grp, count(*) AS _present,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_K} - _mj)) AS BIGINT) AS _sp
+            FROM levels GROUP BY 1
+        )
+        SELECT grp,
+               CAST({m} - _present AS BIGINT) AS zero_registers,
+               {est} AS hll_estimate
+        FROM per
+    """
+
+
+ORACLES["hll_union_rollup"] = _hll_rollup_oracle()

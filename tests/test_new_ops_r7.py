@@ -348,3 +348,24 @@ def test_bpe_encode_matches_python_reference(spark):
     got = {r.unit: (r.occurrences, r.n_distinct_words) for r in bpe_encode(spark, SF_SMOKE).collect()}
     for u in want_occ:
         assert got[u] == (want_occ[u], want_words[u]), u
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark):
+    """The merged ALL row must be bit-identical to a direct global
+    sketch computed from all rows (register max is associative), and
+    the query must match its oracle."""
+    from multithreaded_map_reduce_spark.operators.sketches import hll_distinct
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.sketches import hll_union_rollup
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(
+        spark, ALL_QUERIES["hll_union_rollup"], ALL_ORACLES["hll_union_rollup"], SF_SMOKE
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn("one", F.lit("ALL"))
+    direct = hll_distinct(li, "one", "l_partkey").collect()[0]
+    merged = {
+        r.grp: r for r in hll_union_rollup(spark, SF_SMOKE).collect()
+    }["ALL"]
+    assert merged.hll_estimate == direct.hll_estimate
+    assert merged.zero_registers == direct.zero_registers
