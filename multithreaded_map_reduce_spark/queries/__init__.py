@@ -128,6 +128,8 @@ _NEVER_SAMPLED: list[str] = [
     "events_pattern_match",
     "connector_partition_prune",
     "hll_union_rollup",
+    "scd2_asof_enrich",
+    "kcore_parts",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

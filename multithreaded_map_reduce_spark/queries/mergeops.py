@@ -352,3 +352,84 @@ ORACLES["cdc_apply_changes"] = f"""
            o_orderdate, o_orderpriority
     FROM latest WHERE _op != 'D'
 """
+
+
+_BT_FROM = "1990-01-01 00:00:00"
+_BT_CHANGE = "1998-01-01 00:00:00"
+
+
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal enrichment — the query SCD2 exists FOR: join each
+    order to the customer version that was valid ON ITS ORDER DATE
+    (valid_from ≤ o_orderdate < valid_to, open-ended current version).
+    The versioned dimension is built with the same scd2_apply machinery
+    as ``merge_scd2_customers`` (customers ≡ 0 mod 7 get a +50 balance
+    change effective 1998-01-01 — mid order-date range, so both
+    versions are exercised on both sides of the cut). Output: one row
+    per (changed-customer?, post-change-date?) quadrant with exact
+    balance-cents sums — each quadrant proves a distinct version pick.
+
+    100 TB: the fact side joins the dimension on the EQUALITY key with
+    the validity range as a residual predicate — a plain hash join
+    (dimension broadcast when dim-sized), not a range join; versions
+    per key are few by construction."""
+    from ..functions.rounding import iunits
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.withColumn(
+        "valid_from", F.lit(_BT_FROM).cast("timestamp_ntz")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0))
+        .withColumn("valid_from", F.lit(_BT_CHANGE).cast("timestamp_ntz"))
+    )
+    versioned = scd2_apply(dim, changes, "c_custkey", "valid_from", "valid_to")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp_ntz").alias("od")
+    )
+    enriched = o.join(
+        F.broadcast(versioned),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("od"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return enriched.groupBy(
+        (F.col("c_custkey") % 7 == 0).alias("changed_cust"),
+        (F.col("od") >= F.lit(_BT_CHANGE).cast("timestamp_ntz")).alias("post_change"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(iunits(F.col("c_acctbal"), 2)).alias("balance_cents"),
+    )
+
+
+QUERIES["scd2_asof_enrich"] = scd2_asof_enrich
+
+from ..functions.rounding import sql_iunits as _sql_iu  # noqa: E402
+
+ORACLES["scd2_asof_enrich"] = f"""
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '{_BT_FROM}' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN TIMESTAMP '{_BT_CHANGE}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 50.0,
+               TIMESTAMP '{_BT_CHANGE}', NULL
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT changed_cust, post_change,
+           count(*) AS n_orders,
+           CAST(sum(bal_cents) AS BIGINT) AS balance_cents
+    FROM (
+        SELECT d.c_custkey % 7 = 0 AS changed_cust,
+               CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '{_BT_CHANGE}'
+                   AS post_change,
+               {_sql_iu('d.c_acctbal', 2)} AS bal_cents
+        FROM orders o JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND d.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+         AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+    ) GROUP BY 1, 2
+"""

@@ -369,3 +369,47 @@ def test_hll_rollup_merge_equals_direct_sketch(spark):
     }["ALL"]
     assert merged.hll_estimate == direct.hll_estimate
     assert merged.zero_registers == direct.zero_registers
+
+
+def test_scd2_asof_and_kcore_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in ("scd2_asof_enrich", "kcore_parts"):
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Fixed-round distributed peeling equals an in-memory simulation
+    of the same synchronized rounds."""
+    from multithreaded_map_reduce_spark.queries import graphrank
+    from multithreaded_map_reduce_spark.queries.graphrank import kcore_parts
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    li = [
+        (r.l_orderkey, r.l_partkey)
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    by_order: dict[int, set] = {}
+    for o, p in li:
+        by_order.setdefault(o, set()).add(p)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    for _ in range(graphrank.KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= graphrank.KCORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    want: dict[int, int] = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    got = {r.part: r.degree for r in kcore_parts(spark, SF_SMOKE).collect()}
+    assert got == want
