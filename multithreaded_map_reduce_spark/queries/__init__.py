@@ -130,6 +130,9 @@ _NEVER_SAMPLED: list[str] = [
     "hll_union_rollup",
     "scd2_asof_enrich",
     "kcore_parts",
+    "window_median_sliding",
+    "events_new_vs_returning",
+    "ivm_join_delta",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

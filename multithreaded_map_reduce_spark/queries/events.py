@@ -566,3 +566,59 @@ ORACLES["events_pattern_match"] = f"""
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
     FROM seqs GROUP BY user_id
 """
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition per day: a user is NEW on their
+    first-seen day and RETURNING on later active days; the running sum
+    of new users is the cumulative distinct-user count — computed
+    without any distinct-over-window, just a first-seen min() and one
+    cumulative frame over the per-day rollup.
+
+    100 TB: first-seen is a user-keyed min aggregation (map-side
+    combinable); the cumulative window runs over |days| pre-aggregated
+    rows. This is the exact pattern for 'cumulative uniques' at scale —
+    never a running COUNT(DISTINCT)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = ud.join(first_seen, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).alias("is_new")
+    )
+    daily = tagged.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("returning_users"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).alias("cumulative_distinct_users"),
+    )
+
+
+QUERIES["events_new_vs_returning"] = events_new_vs_returning
+
+ORACLES["events_new_vs_returning"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), fs AS (
+        SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+    ), daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users,
+               CAST(sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS BIGINT)
+                   AS returning_users
+        FROM ud JOIN fs USING (user_id) GROUP BY day
+    )
+    SELECT day, new_users, returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumulative_distinct_users
+    FROM daily
+"""

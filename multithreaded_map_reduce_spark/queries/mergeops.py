@@ -433,3 +433,66 @@ ORACLES["scd2_asof_enrich"] = f"""
          AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
     ) GROUP BY 1, 2
 """
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the join sibling of
+    ``incremental_revenue``'s aggregate IVM): the materialized view is
+    orders ⋈ customer (enriched facts). A delta batch arrives on the
+    FACT side (orders ≡ 0 mod 9, price +25 — updates; orders re-keyed
+    +2·10⁸ — inserts). Instead of recomputing the join, the maintained
+    view is  V' = (V ∖ {updated keys}) ∪ (Δorders ⋈ customer)  — only
+    the delta ever joins. The gate compares the MAINTAINED view's
+    summary against the oracle's FULL RECOMPUTE of the post-change
+    join: maintenance == recompute, hash-proven.
+
+    100 TB: the anti-join removes touched keys (broadcast when the
+    delta is batch-sized), and the delta join touches |Δ| rows — the
+    whole point of IVM; the dimension side is broadcast either way."""
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    view = o.join(c, o.o_custkey == c.c_custkey)  # the standing view
+
+    updates = o.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(25.0)
+    )
+    inserts = o.filter(F.col("o_orderkey") % 13 == 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(200_000_000)
+    )
+    delta = updates.unionByName(inserts)
+
+    touched = delta.select("o_orderkey").distinct()
+    maintained = view.join(touched, "o_orderkey", "anti").unionByName(
+        delta.join(c, delta.o_custkey == c.c_custkey)
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(iunits(F.col("o_totalprice"), 2)).alias("price_cents"),
+        F.sum(F.col("o_orderkey") % 1_000_003).alias("key_checksum"),
+    )
+
+
+QUERIES["ivm_join_delta"] = ivm_join_delta
+
+ORACLES["ivm_join_delta"] = f"""
+    WITH merged AS (
+        -- full recompute of the post-change fact table
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 25.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 5
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum({_sql_iu('m.o_totalprice', 2)}) AS BIGINT) AS price_cents,
+           CAST(sum(m.o_orderkey % 1000003) AS BIGINT) AS key_checksum
+    FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+    GROUP BY 1
+"""

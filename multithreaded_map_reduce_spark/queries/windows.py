@@ -249,3 +249,51 @@ ORACLES = {
         ) WHERE price > brand_avg
     """,
 }
+
+
+def window_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame MEDIAN: per return flag, the exact median of daily
+    revenue cents over a trailing 7-row frame — the windowed quantile
+    shape (anomaly baselines, rolling robust centers). The frame is
+    ROWS-based over one row per (flag, day), so the frame holds ≤ 7
+    integer values and the interpolated median of an even count is a
+    half-integer — exact in IEEE on both engines (the dyadic-percentile
+    discipline of quality_winsorize, p = 1/2).
+
+    Scale: the window partitions by flag over PRE-AGGREGATED daily
+    rows — the sort is |days| per group, not |lineitem|; the daily
+    rollup underneath is the only data-sized shuffle."""
+    from ..functions.rounding import iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy("l_returnflag", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(iunits(F.col("l_extendedprice"), 2)).alias("rev_cents"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "l_returnflag",
+        "day",
+        "rev_cents",
+        pround(F.expr(
+            "percentile(rev_cents, 0.5d)"
+        ).over(w), 1).alias("median_7d_cents"),
+    )
+
+
+QUERIES["window_median_sliding"] = window_median_sliding
+
+from ..functions.rounding import sql_iunits as _sql_iu2  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr2  # noqa: E402
+
+ORACLES["window_median_sliding"] = f"""
+    WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+               CAST(sum({_sql_iu2('l_extendedprice', 2)}) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, day, rev_cents,
+           {_sql_pr2('quantile_cont(rev_cents, 0.5) OVER (PARTITION BY l_returnflag ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', 1)}
+               AS median_7d_cents
+    FROM daily
+"""

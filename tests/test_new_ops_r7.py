@@ -413,3 +413,38 @@ def test_kcore_matches_python_peeling(spark):
         want[b] = want.get(b, 0) + 1
     got = {r.part: r.degree for r in kcore_parts(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_r7c_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in (
+        "window_median_sliding",
+        "events_new_vs_returning",
+        "ivm_join_delta",
+    ):
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_new_vs_returning_invariants(spark):
+    """new + returning == distinct actives that day; the cumulative
+    column ends at the global distinct user count."""
+    from multithreaded_map_reduce_spark.queries.events import events_new_vs_returning
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    total_users = ev.select("user_id").distinct().count()
+    rows = sorted(
+        events_new_vs_returning(spark, SF_SMOKE).collect(), key=lambda r: r.day
+    )
+    daily_active = {
+        r.day: r.n
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.new_users + r.returning_users == daily_active[r.day]
+    assert rows[-1].cumulative_distinct_users == total_users
