@@ -133,6 +133,10 @@ _NEVER_SAMPLED: list[str] = [
     "window_median_sliding",
     "events_new_vs_returning",
     "ivm_join_delta",
+    "privacy_erasure",
+    "dq_quarantine_orders",
+    "connector_compaction",
+    "connector_dpp_join",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -289,3 +289,94 @@ ORACLES["connector_partition_prune"] = """
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1
 """
+
+
+def connector_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming/
+    incremental sink eventually needs: a fragmented table (64-way
+    repartition write simulates thousands of micro-batch files) is
+    rewritten into 4 right-sized files, and the query reads the
+    COMPACTED copy. The gate proves content fidelity through the
+    rewrite (counts, exact cents, key checksums per flag);
+    tests/test_scale_features.py pins the file-count collapse itself.
+
+    100 TB: compaction is a per-partition-subtree rewrite scheduled by
+    file-size stats; repartition count is the target-file-size knob
+    (shuffle-free coalesce() when only merging, repartition() when
+    rebalancing skew)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    frag = f"/tmp/compact_frag_{uuid.uuid4().hex}"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = f"/tmp/compact_out_{uuid.uuid4().hex}"
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100.0d + 0.5d) AS BIGINT)")).alias(
+            "price_cents"
+        ),
+        F.sum(
+            (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1_000_003
+        ).alias("key_checksum"),
+    )
+
+
+QUERIES["connector_compaction"] = connector_compaction
+
+ORACLES["connector_compaction"] = """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(sum((l_orderkey * 7 + l_linenumber) % 1000003) AS BIGINT)
+               AS key_checksum
+    FROM lineitem GROUP BY 1
+"""
+
+
+_ERA_DIM = [(y, "early" if y <= 1996 else "late") for y in range(1992, 2005)]
+
+
+def connector_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning: the fact table is written partitioned
+    by ship YEAR, then joined to a year-era dimension filtered to
+    'early' — the partition filter is only known AFTER the dim side
+    evaluates, so Catalyst injects a dynamicpruning subquery into the
+    fact scan and the other year directories are never read. The plan
+    contract (dynamicpruningexpression present on the scan) is asserted
+    in tests/test_plans.py; this gate row pins result fidelity.
+
+    100 TB: DPP is the mechanism that makes star-schema date/dimension
+    filters prune a partitioned fact without the user hand-writing the
+    partition predicate — table layout (partition column = the join
+    key) is what unlocks it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"), "l_returnflag", "l_extendedprice"
+    )
+    path = f"/tmp/dpp_fact_{uuid.uuid4().hex}"
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(_ERA_DIM, "yr int, era string")
+    early = dim.filter(F.col("era") == "early")
+    joined = fact.join(early, fact.ship_year == early.yr)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100.0d + 0.5d) AS BIGINT)")).alias(
+            "price_cents"
+        ),
+    )
+
+
+QUERIES["connector_dpp_join"] = connector_dpp_join
+
+ORACLES["connector_dpp_join"] = """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE CAST(year(l_shipdate) AS INTEGER) <= 1996
+    GROUP BY 1
+"""

@@ -156,3 +156,36 @@ ORACLES = {
         FROM red
     """,
 }
+
+
+def privacy_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: erase a deterministic cohort of users
+    (user_id ≡ 0 mod 13) from the events table and report, per
+    event_type, the surviving row count, surviving distinct users, and
+    an order-independent checksum of surviving event ids — the audit
+    artifact an erasure job must emit. Erasure is one broadcast
+    anti-join; the checksum proves no non-cohort row was touched.
+
+    100 TB: the erasure set is usually table-sized-small → broadcast
+    anti-join per fact table; partition-level rewrite applies only to
+    files containing hits (zorder/partition stats prune the rest)."""
+    ev = load_table(spark, sf_dir, "events")
+    erase = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 0)
+    kept = ev.join(F.broadcast(erase), "user_id", "anti")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("event_id") % 1_000_003).alias("id_checksum"),
+    )
+
+
+QUERIES["privacy_erasure"] = privacy_erasure
+
+ORACLES["privacy_erasure"] = """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(event_id % 1000003) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id % 13 != 0
+    GROUP BY 1
+"""

@@ -259,3 +259,75 @@ ORACLES["quality_winsorize"] = f"""
                AS winsorized_sixteenth_cents
     FROM w GROUP BY 1
 """
+
+
+def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine (the dead-letter-queue step after
+    ``dq_orders_constraints``' counting pass): each order is routed to
+    'clean' or to its FIRST failing constraint — synthetic failure
+    classes planted deterministically (status ∉ accepted for keys ≡ 0
+    mod 31, non-positive price for keys ≡ 0 mod 37, orphan custkey for
+    keys ≡ 0 mod 41) so both engines build the identical dirty relation.
+    Output: per disposition, row count and key checksum — the routing
+    table a pipeline writes next to the clean output.
+
+    100 TB: one scan + conditional expressions for the scan-local
+    rules; the referential check joins the parent keys (broadcast when
+    dim-sized). The quarantine write is a partitionBy(disposition)
+    sink — same cost class as any partitioned write."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 41 == 0, F.lit(-7))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_parent = o.join(
+        F.broadcast(c.withColumn("has_parent", F.lit(1))), "custkey", "left"
+    )
+    disposition = (
+        F.when(~F.col("status").isin("O", "F", "P"), F.lit("bad_status"))
+        .when(F.col("price") <= 0, F.lit("bad_price"))
+        .when(F.col("has_parent").isNull(), F.lit("orphan_custkey"))
+        .otherwise(F.lit("clean"))
+    )
+    return with_parent.groupBy(disposition.alias("disposition")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey") % 1_000_003).alias("key_checksum"),
+    )
+
+
+QUERIES["dq_quarantine_orders"] = dq_quarantine_orders
+
+ORACLES["dq_quarantine_orders"] = """
+    WITH staged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS status,
+               CASE WHEN o_orderkey % 37 = 0 THEN -1.0 ELSE o_totalprice END
+                   AS price,
+               CASE WHEN o_orderkey % 41 = 0 THEN -7 ELSE o_custkey END
+                   AS custkey
+        FROM orders
+    ), routed AS (
+        SELECT o_orderkey,
+               CASE WHEN status NOT IN ('O', 'F', 'P') THEN 'bad_status'
+                    WHEN price <= 0 THEN 'bad_price'
+                    WHEN custkey NOT IN (SELECT c_custkey FROM customer)
+                        THEN 'orphan_custkey'
+                    ELSE 'clean' END AS disposition
+        FROM staged
+    )
+    SELECT disposition,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_checksum
+    FROM routed GROUP BY 1
+"""

@@ -448,3 +448,34 @@ def test_new_vs_returning_invariants(spark):
     for r in rows:
         assert r.new_users + r.returning_users == daily_active[r.day]
     assert rows[-1].cumulative_distinct_users == total_users
+
+
+def test_r7d_ops_match_oracles(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    for name in (
+        "privacy_erasure",
+        "dq_quarantine_orders",
+        "connector_compaction",
+        "connector_dpp_join",
+    ):
+        compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_compaction_collapses_file_count(spark):
+    """The fragmented write produces ~64 parquet files; the compacted
+    copy exactly 4 — and the row count survives."""
+    import glob
+    import uuid
+
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    frag = f"/tmp/test_frag_{uuid.uuid4().hex}"
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    out = f"/tmp/test_compact_{uuid.uuid4().hex}"
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(out)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_out = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_frag == 64 and n_out == 4, (n_frag, n_out)
+    assert spark.read.parquet(out).count() == li.count()

@@ -331,3 +331,13 @@ def test_partition_prune_scan_has_partition_filters(spark):
 
     m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", txt)
     assert m, txt
+
+
+def test_dpp_join_scan_has_dynamic_pruning(spark):
+    """The year-partitioned fact scan must carry a dynamicpruning
+    subquery fed by the filtered dimension — static pruning can't know
+    the years, and a plain scan would read every directory."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("connector_dpp_join")(spark, SF_SMOKE)).lower()
+    assert "dynamicpruning" in txt
