@@ -137,6 +137,7 @@ _NEVER_SAMPLED: list[str] = [
     "dq_quarantine_orders",
     "connector_compaction",
     "connector_dpp_join",
+    "streaming_pattern_match",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

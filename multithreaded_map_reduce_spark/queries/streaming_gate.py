@@ -317,3 +317,41 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["streaming_foreachbatch_totals"] = streaming_foreachbatch_totals
 ORACLES["streaming_foreachbatch_totals"] = ORACLES["streaming_stateful"]
+
+
+def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP under the gate: the applyInPandasWithState
+    sessionized pattern matcher (streaming/stateful.py) drives a real
+    file-source stream and must produce EXACTLY the batch
+    events_pattern_match answer — the two share one oracle, so
+    batch/streaming parity for sequence matching is differentially
+    proven, not assumed."""
+    from ..streaming.stateful import sessionized_pattern_counts
+    from .events import SEQ_PATTERN, SESSION_GAP_US
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    name = _sink("st_cep")
+    run_stream_to_memory(
+        sessionized_pattern_counts(ev, SESSION_GAP_US, SEQ_PATTERN),
+        name,
+        output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_sessions", "n_matching")
+    )
+
+
+QUERIES["streaming_pattern_match"] = streaming_pattern_match
+
+from .events import ORACLES as _EV_ORACLES  # noqa: E402
+
+ORACLES["streaming_pattern_match"] = _EV_ORACLES["events_pattern_match"]

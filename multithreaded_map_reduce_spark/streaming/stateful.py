@@ -185,3 +185,69 @@ def bucket_anomaly_flags(buckets: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionized_pattern_counts(events: DataFrame, gap_us: int, pattern: str) -> DataFrame:
+    """Streaming CEP: per-user stateful sequence-pattern matching — the
+    streaming twin of queries/events.events_pattern_match. State holds
+    the user's full (tus, event_id, event_type) history as arrays;
+    every batch re-sessionizes (30-min integer-micro gaps) and re-emits
+    (n_sessions, n_matching, n_seen). Emitting from scratch per batch
+    makes the operator retraction-free: late events can merge sessions,
+    so counts are NOT monotone — the consumer keeps the row with max
+    n_seen (total events processed, which IS monotone).
+
+    At real scale the unbounded per-user history is the thing to bound:
+    EventTimeTimeout + watermark lets closed sessions emit-and-evict so
+    state holds only the open tail. With the fixture in one micro-batch
+    the full-history form is exactly the batch semantics — which is
+    what the shared differential oracle pins."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            tus, eid, et = state.get
+            tus, eid, et = list(tus), list(eid), list(et)
+        else:
+            tus, eid, et = [], [], []
+        for pdf in pdfs:
+            tus.extend(int(x) for x in pdf["tus"])
+            eid.extend(int(x) for x in pdf["event_id"])
+            et.extend(str(x) for x in pdf["event_type"])
+        state.update((tus, eid, et))
+        order = sorted(range(len(tus)), key=lambda i: (tus[i], eid[i]))
+        n_sessions, n_matching = 0, 0
+        seq: list[str] = []
+        prev = None
+        rx = _re.compile(pattern)
+        for i in order + [None]:
+            if i is None or (prev is not None and tus[i] - prev > gap_us):
+                if seq:
+                    n_sessions += 1
+                    if rx.search(">".join(seq)):
+                        n_matching += 1
+                seq = []
+            if i is not None:
+                seq.append(et[i])
+                prev = tus[i]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_matching": [n_matching],
+                "n_seen": [len(tus)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_sessions long, n_matching long, n_seen long"
+        ),
+        stateStructType="tus array<long>, eid array<long>, et array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
