@@ -33,17 +33,29 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tolerance_micros: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join, DataFrame-native.
+    """As-of join, DataFrame-native. ``direction='backward'`` matches
+    the latest right row with ``right_time <= left_time``;
+    ``'forward'`` the earliest right row with ``right_time >=
+    left_time`` (equal timestamps match in both directions).
 
     Returns all left columns plus ``value_cols`` from the matched right
     row (null when no match), plus ``_matched_time``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
+    # at equal _t the right row must fall INSIDE the left row's frame:
+    # backward frame looks back, so right sorts first (_side 0 < 1);
+    # forward frame looks ahead, so right sorts last (_side 1 > 0)
+    l_ord, r_ord = (0, 1) if fwd else (1, 0)
     left_cols = left.columns
     l_side = left.select(
         F.col(by).alias("_k"),
         F.col(left_time).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(l_ord).alias("_side"),
+        F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
         F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
@@ -51,27 +63,31 @@ def asof_join(
     r_side = right.select(
         F.col(by).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.lit(r_ord).alias("_side"),
+        F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
         F.col(right_time).alias("_rt"),
     )
-    w = (
-        W.partitionBy("_k")
-        .orderBy("_t", "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy("_k").orderBy("_t", "_side")
+    if fwd:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     filled = l_side.unionByName(r_side)
     for c in value_cols:
-        filled = filled.withColumn(f"_f_{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w))
-    filled = filled.withColumn("_matched_time", F.last("_rt", ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1)
+        filled = filled.withColumn(f"_f_{c}", pick(f"_rv_{c}"))
+    filled = filled.withColumn("_matched_time", pick("_rt"))
+    out = filled.filter(F.col("_is_left") == 1)
     if tolerance_micros is not None:
         from ..functions.time import epoch_micros
 
-        within = (
-            epoch_micros(F.col("_t")) - epoch_micros(F.col("_matched_time"))
-        ) <= F.lit(tolerance_micros)
+        gap = epoch_micros(F.col("_matched_time")) - epoch_micros(F.col("_t"))
+        if not fwd:
+            gap = -gap
+        within = gap <= F.lit(tolerance_micros)
         for c in value_cols:
             out = out.withColumn(f"_f_{c}", F.when(within, F.col(f"_f_{c}")))
         out = out.withColumn("_matched_time", F.when(within, F.col("_matched_time")))

@@ -138,6 +138,7 @@ _NEVER_SAMPLED: list[str] = [
     "connector_compaction",
     "connector_dpp_join",
     "streaming_pattern_match",
+    "asof_join_forward",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

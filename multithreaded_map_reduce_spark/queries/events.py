@@ -622,3 +622,71 @@ ORACLES["events_new_vs_returning"] = """
                AS BIGINT) AS cumulative_distinct_users
     FROM daily
 """
+
+
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — time-to-next-failure analytics: each
+    purchase matched to the user's EARLIEST error at-or-after it,
+    within a 1-hour tolerance (null beyond). Exercises the generic
+    operator's forward direction (operators/asof.py ``direction=
+    'forward'``: mirrored frame, first(ignorenulls), tie toward the
+    right row at equal timestamps).
+
+    Same scale shape as backward: one user-keyed shuffle + sort, no
+    range-join explosion."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe to one error per (user, instant): equal-timestamp right
+    # rows have no defined order inside the as-of window, so collapse
+    # ties deterministically (min event_id) before joining
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.min("event_id").alias("err_id"))
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        by="user_id",
+        left_time="ts",
+        right_time="err_ts",
+        value_cols=["err_id"],
+        tolerance_micros=3600 * 1_000_000,
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "err_id",
+        (epoch_micros(F.col("_matched_time")) - epoch_micros("ts")).alias(
+            "micros_to_error"
+        ),
+    )
+
+
+QUERIES["asof_join_forward"] = asof_join_forward
+
+ORACLES["asof_join_forward"] = """
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id, epoch_us(ts) AS etus, event_id AS err_id FROM events
+        WHERE event_type = 'error'
+    ), ed AS (
+        SELECT user_id, etus, min(err_id) AS err_id FROM e GROUP BY 1, 2
+    ), matched AS (
+        SELECT p.event_id, p.user_id, ed.err_id,
+               ed.etus - p.tus AS micros_to_error,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY ed.etus NULLS LAST) AS rn
+        FROM p LEFT JOIN ed
+          ON p.user_id = ed.user_id
+         AND ed.etus >= p.tus AND ed.etus - p.tus <= 3600000000
+    )
+    SELECT event_id, user_id, err_id, micros_to_error FROM matched WHERE rn = 1
+"""

@@ -479,3 +479,52 @@ def test_compaction_collapses_file_count(spark):
     n_out = len(glob.glob(f"{out}/part-*.parquet"))
     assert n_frag == 64 and n_out == 4, (n_frag, n_out)
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_forward_asof_matches_pandas_merge_asof(spark):
+    """The forward union-window formulation equals pd.merge_asof
+    direction='forward' on the same relations, and the gate compare
+    passes."""
+    import pandas as pd
+
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.queries.events import asof_join_forward
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    compare(
+        spark, ALL_QUERIES["asof_join_forward"], ALL_ORACLES["asof_join_forward"], SF_SMOKE
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    pdf = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tus"),
+    ).toPandas()
+    got = {
+        r.event_id: (r.err_id, r.micros_to_error)
+        for r in asof_join_forward(spark, SF_SMOKE).collect()
+    }
+    p = pdf[pdf.event_type == "purchase"].sort_values("tus", kind="mergesort")
+    e = (
+        pdf[pdf.event_type == "error"]
+        .groupby(["user_id", "tus"], as_index=False)
+        .agg(err_id=("event_id", "min"))
+        .sort_values("tus", kind="mergesort")
+    )
+    m = pd.merge_asof(
+        p,
+        e.rename(columns={"tus": "etus"}),
+        left_on="tus",
+        right_on="etus",
+        by="user_id",
+        direction="forward",
+        tolerance=3600 * 1_000_000,
+    )
+    for _, r in m.iterrows():
+        want = (
+            (None, None)
+            if pd.isna(r.err_id)
+            else (int(r.err_id), int(r.etus - r.tus))
+        )
+        assert got[int(r.event_id)] == want, r.event_id
