@@ -139,6 +139,7 @@ _NEVER_SAMPLED: list[str] = [
     "connector_dpp_join",
     "streaming_pattern_match",
     "asof_join_forward",
+    "kmeans_quality_report",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -535,3 +535,103 @@ ORACLES["sparse_cosine_pairs"] = f"""
     JOIN norms nb ON num.id_b = nb.id
     WHERE 4 * num * num >= na.nrm * nb.nrm
 """
+
+
+def kmeans_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report — the evaluation step after training:
+    per cluster, member count, exact total intra-cluster squared
+    distance, exact total distance-to-NEAREST-OTHER-centroid, and the
+    separation ratio (higher = better separated; the centroid-based
+    simplified-silhouette statistic). Distances are the same exact
+    BIGINT micro-unit squares as kmeans_embeddings; the only float op
+    is the final ratio division (one IEEE op on two exact factors,
+    stats_covar discipline).
+
+    Scale: one broadcast-centroid score pass over N (the N×k products
+    stay JVM-side), two id-keyed aggregations, one k-row report — the
+    assignment pass is shared shape with kmeans itself."""
+    from ..operators.kmeans import (
+        _sq_dist,
+        kmeans_centroids,
+        quantized_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = quantized_vectors(emb, "vec_id", "embedding")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=KM_K, rounds=KM_ITERS - 1)
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "id", "cluster", _sq_dist("qvec", "cvec").alias("dist")
+    )
+    assigned = (
+        scored.groupBy("id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("best"))
+        .select(
+            "id",
+            F.col("best.cluster").alias("a_cluster"),
+            F.col("best.dist").alias("a_dist"),
+        )
+    )
+    nearest_other = (
+        scored.join(assigned, "id")
+        .filter(F.col("cluster") != F.col("a_cluster"))
+        .groupBy("id")
+        .agg(F.min("dist").alias("b_dist"))
+    )
+    from ..functions.rounding import pround
+
+    return (
+        assigned.join(nearest_other, "id")
+        .groupBy(F.col("a_cluster").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a_dist").alias("sum_intra_sq_iu"),
+            F.sum("b_dist").alias("sum_nearest_other_sq_iu"),
+        )
+        .select(
+            "cluster",
+            "n",
+            "sum_intra_sq_iu",
+            "sum_nearest_other_sq_iu",
+            F.when(
+                F.col("sum_intra_sq_iu") > 0,
+                pround(
+                    F.col("sum_nearest_other_sq_iu").cast("double")
+                    / F.col("sum_intra_sq_iu").cast("double"),
+                    6,
+                ),
+            ).alias("separation_ratio"),
+        )
+    )
+
+
+QUERIES["kmeans_quality_report"] = kmeans_quality_report
+
+
+def _kmeans_quality_oracle() -> str:
+    base = _sql_kmeans(KM_K, KM_ITERS)
+    tail = f"""
+        SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{KM_ITERS}"""
+    assert base.endswith(tail)
+    it = KM_ITERS
+    return base[: -len(tail)] + f""", nearest_other AS (
+            SELECT a.vec_id, min(a.dist) AS b_dist
+            FROM a{it} a JOIN s{it} t USING (vec_id)
+            WHERE a.cluster != t.cluster
+            GROUP BY 1
+        ), rep AS (
+            SELECT s.cluster, count(*) AS n,
+                   CAST(sum(s.dist) AS BIGINT) AS sum_intra_sq_iu,
+                   CAST(sum(o.b_dist) AS BIGINT) AS sum_nearest_other_sq_iu
+            FROM s{it} s JOIN nearest_other o USING (vec_id)
+            GROUP BY 1
+        )
+        SELECT cluster, n, sum_intra_sq_iu, sum_nearest_other_sq_iu,
+               CASE WHEN sum_intra_sq_iu > 0 THEN
+                   {sql_pround('CAST(sum_nearest_other_sq_iu AS DOUBLE)'
+                               ' / CAST(sum_intra_sq_iu AS DOUBLE)', 6)}
+               END AS separation_ratio
+        FROM rep
+    """
+
+
+ORACLES["kmeans_quality_report"] = _kmeans_quality_oracle()
