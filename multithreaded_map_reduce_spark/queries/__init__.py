@@ -140,6 +140,7 @@ _NEVER_SAMPLED: list[str] = [
     "streaming_pattern_match",
     "asof_join_forward",
     "kmeans_quality_report",
+    "curation_cluster_balanced",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -554,3 +554,73 @@ ORACLES["curation_chunk"] = f"""
                AS chunk_text
     FROM e
 """
+
+
+CB_PER_CLUSTER = 40  # exact per-cluster budget
+
+
+def curation_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced selection — the diversity-preserving subset a
+    training mix wants when one mode dominates: k-means clusters the
+    embedding space (the exact-integer trainer from operators/kmeans),
+    then EXACTLY ``CB_PER_CLUSTER`` vectors are drawn per cluster by
+    deterministic hash rank (clusters smaller than the budget
+    contribute everything). Output: per cluster, the draw count and an
+    order-independent id checksum of the selection — the manifest a
+    downstream dataloader consumes.
+
+    Scale: the draw is one row_number window per cluster over hash
+    order (same rail as curation_stratified); the clustering cost is
+    kmeans itself. Composes two verified pipelines into one — the
+    oracle replays the full chain (unrolled Lloyd CTEs + hash ranking),
+    so the COMPOSITION is differentially pinned too."""
+    from ..operators.kmeans import kmeans_assign
+    from .similarity import KM_ITERS, KM_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS)
+    drawn = (
+        assigned.withColumn(
+            "draw_hash",
+            token_hash(F.concat(F.lit("cb"), F.col("id").cast("string"))),
+        )
+        .withColumn(
+            "draw_rank",
+            F.row_number().over(
+                W.partitionBy("cluster").orderBy(F.asc("draw_hash"), F.asc("id"))
+            ),
+        )
+        .filter(F.col("draw_rank") <= CB_PER_CLUSTER)
+    )
+    return drawn.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.sum(F.col("id") % 1_000_003).alias("id_checksum"),
+    )
+
+
+QUERIES["curation_cluster_balanced"] = curation_cluster_balanced
+
+
+def _cb_oracle() -> str:
+    from .similarity import KM_ITERS, KM_K, _sql_kmeans
+
+    base = _sql_kmeans(KM_K, KM_ITERS)
+    tail = f"""
+        SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{KM_ITERS}"""
+    assert base.endswith(tail)
+    h = sql_token_hash("'cb' || CAST(vec_id AS VARCHAR)")
+    return base[: -len(tail)] + f""", ranked AS (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY {h} ASC, vec_id ASC) AS draw_rank
+            FROM s{KM_ITERS}
+        )
+        SELECT cluster, count(*) AS n_drawn,
+               CAST(sum(vec_id % 1000003) AS BIGINT) AS id_checksum
+        FROM ranked WHERE draw_rank <= {CB_PER_CLUSTER}
+        GROUP BY 1
+    """
+
+
+ORACLES["curation_cluster_balanced"] = _cb_oracle()
