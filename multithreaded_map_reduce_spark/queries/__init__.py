@@ -141,6 +141,7 @@ _NEVER_SAMPLED: list[str] = [
     "asof_join_forward",
     "kmeans_quality_report",
     "curation_cluster_balanced",
+    "text_lm_bigram",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -646,3 +646,84 @@ def _bpe_encode_oracle() -> str:
 
 
 ORACLES["bpe_encode"] = _bpe_encode_oracle()
+
+
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the conditional upgrade of
+    ``text_lm_score``: each transition scores −ln P(wᵢ | wᵢ₋₁) with
+    P = c(wᵢ₋₁wᵢ) / c(wᵢ₋₁ ·) from corpus counts (scoring the training
+    corpus itself, so every observed bigram has c ≥ 1 — no smoothing
+    zeros). Per-transition nll is fixed to integer nano-units BEFORE
+    summing (double-sum order varies across engines; integer sums
+    don't). Docs with < 2 tokens carry no transitions and drop out.
+
+    Scale: two count aggregations + two term-keyed joins over bigram
+    instances — same shuffle shape as tf-idf with a 2-gram key. The
+    conditional denominator is the count of instances SHARING the left
+    token, itself a mergeable count."""
+    from ..functions.rounding import from_iunits, iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    inst = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("l"),
+                    F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.l").alias("l"), F.col("s.b").alias("b"))
+    cb = inst.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    cl = inst.groupBy("l").agg(F.count(F.lit(1)).alias("cl"))
+    scored = (
+        inst.join(cb, "b")
+        .join(cl, "l")
+        .select(
+            "doc_id",
+            iunits(-F.log(F.col("cb").cast("double") / F.col("cl")), 9).alias("nllu"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        pround(from_iunits(F.sum("nllu"), 9) / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+
+
+QUERIES["text_lm_bigram"] = text_lm_bigram
+
+ORACLES["text_lm_bigram"] = f"""
+    WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+        WHERE len({sql_tokens('text')}) >= 2
+    ), inst AS (
+        SELECT doc_id, s['l'] AS l, s['b'] AS b FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                       i -> {{'l': toks[i], 'b': toks[i] || ' ' || toks[i + 1]}}))
+                       AS s
+            FROM t
+        )
+    ), cb AS (
+        SELECT b, count(*) AS cb FROM inst GROUP BY 1
+    ), cl AS (
+        SELECT l, count(*) AS cl FROM inst GROUP BY 1
+    ), scored AS (
+        SELECT doc_id,
+               CAST(floor(-ln(CAST(cb.cb AS DOUBLE) / cl.cl) * 1000000000.0 + 0.5)
+                   AS BIGINT) AS nllu
+        FROM inst JOIN cb USING (b) JOIN cl USING (l)
+    )
+    SELECT doc_id,
+           count(*) AS n_transitions,
+           {sql_pround('(CAST(sum(nllu) AS DOUBLE) / 1000000000.0) / count(*)', 6)}
+               AS avg_nll
+    FROM scored GROUP BY doc_id
+"""
