@@ -142,6 +142,7 @@ _NEVER_SAMPLED: list[str] = [
     "kmeans_quality_report",
     "curation_cluster_balanced",
     "text_lm_bigram",
+    "events_streaks",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

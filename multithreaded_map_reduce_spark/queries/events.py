@@ -690,3 +690,57 @@ ORACLES["asof_join_forward"] = """
     )
     SELECT event_id, user_id, err_id, micros_to_error FROM matched WHERE rn = 1
 """
+
+
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the LONGEST run of consecutive
+    active days (and how many distinct islands of activity they have).
+    The classic rewrite — day_number − dense_rank over distinct active
+    days is constant within an island — turns streak detection into one
+    window plus one aggregation; no self-join, no recursion.
+
+    100 TB: one user-keyed shuffle for the window over DISTINCT
+    (user, day) rows (bounded by days-per-user, not events), then a
+    per-user aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = ud.withColumn(
+        "island", F.col("d") - F.dense_rank().over(w)
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+QUERIES["events_streaks"] = events_streaks
+
+ORACLES["events_streaks"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), islands AS (
+        SELECT user_id, d,
+               d - dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS island
+        FROM ud
+    ), per_island AS (
+        SELECT user_id, island, count(*) AS len
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(len) AS longest_streak,
+           count(*) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM per_island GROUP BY user_id
+"""
