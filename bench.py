@@ -82,6 +82,9 @@ HEADLINE = [
     "curation_chunk",
     "interval_overlap_orders",
     "exact_median_twopass",
+    "sparse_cosine_pairs",
+    "stats_gini",
+    "events_rolling_distinct",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

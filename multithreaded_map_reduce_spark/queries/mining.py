@@ -843,20 +843,29 @@ def linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
     )
-    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    # materialize the pair FEATURE table before scoring: projection
+    # collapse + filter pushdown otherwise re-inline the O(len²)
+    # levenshtein into every reference (CaseWhen branches defeat
+    # subexpression elimination), evaluating it ~4× per pair — measured
+    # 61.5 s → 17.3 s at sf0.1 with the checkpoint barrier. Real
+    # linkage systems persist this comparison-vector table anyway (it
+    # feeds weight training, not just one threshold).
+    feat = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).alias("lev"),
+        (F.col("a.seg") == F.col("b.seg")).alias("seg_eq"),
+        (F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 10000).alias("bal_ok"),
+    ).localCheckpoint(eager=False)
     score = (
-        F.when(lev <= 2, F.lit(40)).when(lev <= 4, F.lit(20)).otherwise(F.lit(0))
-        + F.when(F.col("a.seg") == F.col("b.seg"), F.lit(25)).otherwise(F.lit(0))
-        + F.when(
-            F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 10000, F.lit(35)
-        ).otherwise(F.lit(0))
+        F.when(F.col("lev") <= 2, F.lit(40))
+        .when(F.col("lev") <= 4, F.lit(20))
+        .otherwise(F.lit(0))
+        + F.when(F.col("seg_eq"), F.lit(25)).otherwise(F.lit(0))
+        + F.when(F.col("bal_ok"), F.lit(35)).otherwise(F.lit(0))
     )
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            score.cast("int").alias("score"),
-        )
+        feat.select("id_a", "id_b", score.cast("int").alias("score"))
         .filter(F.col("score") >= LINK_THRESHOLD)
     )
 
