@@ -37,6 +37,7 @@ from ..functions.hashing import (
     POLY_BASE,
     POLY_MOD,
     band_hashes,
+    hash_array,
     token_hash,
 )
 from ..functions.rounding import pround
@@ -689,21 +690,38 @@ def blocked_jaccard_pairs(
 
     ``max_block`` bounds the quadratic: a 100k-row block is ~5·10⁹
     candidate pairs — beyond that the right tool is LSH, and this
-    operator raises instead of silently melting the cluster."""
+    operator raises instead of silently melting the cluster.
+
+    Perf shape (sf0.1: 430 s → single-digit seconds): shingles are
+    HASHED to BIGINT before the pair join (array_intersect on longs,
+    never on ~300 k-char strings — the oracle hashes identically so
+    collisions, if any, are shared), the intersection size is computed
+    ONCE into a checkpointed pair-feature relation (projection collapse
+    + filter pushdown would otherwise re-inline the O(|a|·|b|)
+    intersection into ~4 evaluations per pair — the CaseWhen/filter
+    re-evaluation hazard), and the jaccard + threshold run over the
+    materialized sizes."""
     sh = df.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        char_shingles(F.col(text_col), k).alias("sh"),
+        F.array_distinct(hash_array(char_shingles(F.col(text_col), k))).alias("sh"),
     )
     sh = _block_size_rail(sh, max_block)
     a, b = sh.alias("a"), sh.alias("b")
-    return (
+    feat = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            pround(jaccard_of(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("i"),
+            F.size("a.sh").alias("na"),
+            F.size("b.sh").alias("nb"),
         )
+        .localCheckpoint(eager=False)
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        feat.select("id_a", "id_b", pround(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

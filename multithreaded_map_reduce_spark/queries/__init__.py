@@ -206,6 +206,11 @@ _NEVER_SAMPLED: list[str] = [
 # dedup_simhash whose pair generation was rewritten (ReuseExchange
 # banded self-join with window bucket cap).
 _CHANGED_THIS_ROUND = [
+    # round-7 perf rewrites (same results, new representation/plan —
+    # hashed shingles + checkpointed pair features; re-verify):
+    "dedup_ngram_jaccard",
+    "dedup_editdistance",
+    "linkage_customers",
     # round 5: salted two-stage aggregation rewrite — r1/r2 green rows
     # describe the pre-salting plan
     "inverted_index",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     sql_band_hashes,
+    sql_hash_array,
     sql_char_shingles,
     sql_minhash_signature,
     sql_shingle_hashes_from_token_hashes,
@@ -186,7 +187,10 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH sh AS (
-            SELECT doc_id AS id, lang AS blk, {sql_char_shingles('text', 8)} AS sh
+            -- shingles hashed to BIGINT exactly as the Spark side does
+            -- (poly fold): long intersections, shared collisions
+            SELECT doc_id AS id, lang AS blk,
+                   list_distinct({sql_hash_array(sql_char_shingles('text', 8))}) AS sh
             FROM documents WHERE length(text) > 0
         )
         SELECT id_a, id_b, jaccard FROM (
