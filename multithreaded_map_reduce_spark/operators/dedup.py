@@ -745,6 +745,11 @@ def embedding_neardup_pairs(
     )
     e = _block_size_rail(e, max_block)
     a, b = e.alias("a"), e.alias("b")
+    # NOTE: no checkpoint barrier here, deliberately — the O(dim=64)
+    # cosine fold is cheap enough that re-evaluation under filter
+    # pushdown beats materializing the pair relation (measured 4.8 s
+    # vs 7.8 s at sf0.1); the barrier only pays for expensive
+    # per-pair expressions (see blocked_jaccard_pairs / editdistance).
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(
