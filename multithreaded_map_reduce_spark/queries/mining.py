@@ -439,11 +439,17 @@ _CDC_CHUNKS_SPARK = """
 
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunks = (
+    # checkpoint after the boundary scan: ``bs`` is referenced three
+    # times by the chunk slicer (size + two element_at), and projection
+    # collapse would re-inline the O(len·gram) interpreted rolling-hash
+    # filter into each — measured 78.5 s → 9.2 s at sf0.1
+    with_bs = (
         docs.select("doc_id", "text")
         .withColumn("bs", F.expr(_CDC_BS_SPARK))
-        .withColumn("chunks", F.expr(_CDC_CHUNKS_SPARK))
-        .select("doc_id", F.explode("chunks").alias("ch"))
+        .localCheckpoint(eager=False)
+    )
+    chunks = with_bs.withColumn("chunks", F.expr(_CDC_CHUNKS_SPARK)).select(
+        "doc_id", F.explode("chunks").alias("ch")
     )
     return (
         chunks.select(
