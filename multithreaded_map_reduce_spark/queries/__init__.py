@@ -143,6 +143,7 @@ _NEVER_SAMPLED: list[str] = [
     "curation_cluster_balanced",
     "text_lm_bigram",
     "events_streaks",
+    "embedding_project_rp",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -106,3 +106,63 @@ ORACLES["embedding_standardize"] = f"""
                AS z
     FROM cells JOIN stats USING (dim)
 """
+
+
+RP_DIMS = 4  # projected dimensionality
+RP_A = 1_103_515_245
+RP_B = 12_345
+RP_MOD = 2_147_483_647
+
+
+def embedding_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–
+    Lindenstrauss): each embedding is projected onto RP_DIMS
+    deterministic pseudo-random integer planes — the feature-
+    engineering step that turns 64-dim vectors into a handful of
+    coordinates cheap enough to index, bucket, or ship to a dashboard.
+    Plane component (j, d) is ((A·(j·dim+d) + B) mod M) − M/2, vectors
+    are exact micro-unit integers, so every projected coordinate is an
+    exact BIGINT dot product (|coord| ≤ 1e6·M·dim ≈ 6.4e16 < 2^63) —
+    no float anywhere, which is what makes a JL projection
+    differentially testable at all.
+
+    100 TB: one scan, zero shuffle — the projection is a per-row fold
+    against constants; downstream consumers bucket/sort the projected
+    coordinates instead of the raw vectors."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(RP_DIMS):
+        cols.append(
+            F.expr(
+                f"""aggregate(
+                    zip_with(embedding,
+                             sequence(0, size(embedding) - 1),
+                             (v, d) -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0d + 0.5d) AS BIGINT)
+                                       * ((({RP_A} * CAST({j} * size(embedding) + d AS BIGINT)
+                                            + {RP_B}) % {RP_MOD}) - {RP_MOD // 2})),
+                    CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+            ).alias(f"proj_{j}")
+        )
+    return emb.select(*cols)
+
+
+QUERIES["embedding_project_rp"] = embedding_project_rp
+
+
+def _rp_oracle() -> str:
+    sel = ["vec_id"]
+    for j in range(RP_DIMS):
+        sel.append(
+            f"""CAST(list_sum(list_transform(
+                    list_zip(embedding, range(0, len(embedding))),
+                    p -> CAST(floor(CAST(p[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                         * ((({RP_A} * CAST({j} * len(embedding) + p[2] AS BIGINT)
+                              + {RP_B}) % {RP_MOD}) - {RP_MOD // 2})))
+                AS BIGINT) AS proj_{j}"""
+        )
+    return "SELECT " + ", ".join(sel) + " FROM embeddings"
+
+
+ORACLES["embedding_project_rp"] = _rp_oracle()
