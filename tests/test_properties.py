@@ -115,3 +115,119 @@ def test_canon_distinguishes_decimal_from_float():
     # floats canonicalize by exact repr -- no rounding window
     assert _canon(0.1 + 0.2) != _canon(0.3)
     assert _canon(5615626.68) == "5615626.68"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+)
+def test_chunk_count_formula_covers_all_tokens(n):
+    """The chunk-count closed form 1 + ceil((n-C)/S) (n > C) covers
+    token indices [0, n) exactly with stride-S starts."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        CHUNK_STRIDE as S,
+        CHUNK_TOKENS as C,
+    )
+
+    k = 1 if n <= C else (n - C + S - 1) // S + 1
+    covered = set()
+    for i in range(k):
+        covered.update(range(i * S, min(i * S + C, n)))
+    assert covered == set(range(n))
+    # no chunk is empty
+    assert (k - 1) * S < n
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_two_pass_equals_dominance_def(points):
+    """The running-max frontier rewrite (after per-x max pre-agg)
+    equals the NOT-EXISTS dominance definition on arbitrary points."""
+    best: dict[int, int] = {}
+    for x, y in points:
+        best[x] = max(best.get(x, -1), y)
+    pts = sorted(best.items())
+    # two-pass: running max over strictly-smaller x
+    frontier = []
+    runmax = -1
+    for x, y in pts:
+        if y > runmax:
+            frontier.append((x, y))
+        runmax = max(runmax, y)
+    brute = {
+        (x, y)
+        for (x, y) in pts
+        if not any((a < x and b >= y) or (a <= x and b > y) for (a, b) in pts)
+    }
+    assert set(frontier) == brute
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=2, max_size=60),
+    st.integers(min_value=1, max_value=60),
+)
+def test_bucketized_overlap_candidates_are_lossless(days, w):
+    """Bucket width == overlap horizon: any pair with |Δ| ≤ w differs
+    by ≤ 1 bucket, and the ±1 explode contains each candidate bucket
+    exactly once (the interval_overlap_orders join contract)."""
+    for i, a in enumerate(days):
+        for b in days[i + 1:]:
+            if abs(a - b) <= w:
+                assert abs(a // w - b // w) <= 1
+            # exactly-once: the three exploded buckets are distinct
+            assert len({b // w - 1, b // w, b // w + 1}) == 3
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_lossless_python_model(docs):
+    """Pure-Python model of the PPJoin candidate rules (df-ascending
+    prefix, length filter, positional filter) vs brute-force J ≥ 4/5
+    pairs: the filter chain must never drop a qualifying pair."""
+    sets = []
+    for d in docs:
+        toks = list(dict.fromkeys("".join(p) for p in zip(d, d[1:]))) or ["".join(d)]
+        sets.append(set(toks))
+    from collections import Counter
+
+    df = Counter()
+    for s in sets:
+        df.update(s)
+    order = {t: (df[t], t) for s in sets for t in s}
+    brute = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter * 9 >= 4 * (len(sets[i]) + len(sets[j])):
+                brute.add((i, j))
+    cand = set()
+    ordered = [sorted(s, key=order.get) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = ordered[i], ordered[j]
+            pa = len(a) - (4 * len(a) + 4) // 5 + 1
+            pb = len(b) - (4 * len(b) + 4) // 5 + 1
+            if 5 * len(a) < 4 * len(b) or 5 * len(b) < 4 * len(a):
+                continue
+            common = set(a[:pa]) & set(b[:pb])
+            if not common:
+                continue
+            fa = min(a.index(t) for t in common) + 1
+            fb = min(b.index(t) for t in common) + 1
+            ub = 1 + min(len(a) - fa, len(b) - fb)
+            if 9 * ub >= 4 * (len(a) + len(b)):
+                cand.add((i, j))
+    assert brute <= cand  # lossless: every true pair survives
