@@ -144,6 +144,7 @@ _NEVER_SAMPLED: list[str] = [
     "text_lm_bigram",
     "events_streaks",
     "embedding_project_rp",
+    "label_spread_embeddings",
     # pre-existing, still without a driver row:
     "hll_distinct_parts",
     "power_iteration_embeddings",

@@ -166,3 +166,167 @@ def _rp_oracle() -> str:
 
 
 ORACLES["embedding_project_rp"] = _rp_oracle()
+
+
+LS_SEED_MOD = 5  # vec_id % 5 == 0 are the labeled seeds
+LS_ROUNDS = 2
+
+
+def label_spread_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the embedding similarity
+    graph: 20% of vectors (vec_id ≡ 0 mod 5) keep their label as seeds;
+    everyone else takes the majority label of their similar neighbors,
+    iterated LS_ROUNDS times (seeds never change). Edges are exact and
+    deterministic: candidate pairs share the 4-bit sign bucket of the
+    integer random projection (embedding_project_rp's planes — the
+    bucketing reuse is the point), and qualify when the exact BIGINT
+    dot product of micro-unit vectors is positive with
+    4·dot² ≥ ‖a‖²·‖b‖² (cosine ≥ 1/2, no float boundary). Majority
+    votes tie-break toward the smallest label (min-struct on
+    (−votes, label)). Output: the (true_label, assigned_label)
+    confusion table with a held-out-accuracy reading per cell.
+
+    100 TB: bucketed candidate generation (never all-pairs), two
+    label-keyed joins per round; the vote aggregation is mergeable.
+    This is the classic distributed semi-supervised baseline — and the
+    whole chain (projection → buckets → exact edges → R vote rounds)
+    is replayed by the oracle as unrolled CTEs."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # MILLI-unit quantization (not micro): the exact cosine >= 1/2 test
+    # squares the dot product, and micro-unit squares overflow BIGINT
+    # (dot <= 6.4e13, dot^2 ~ 4e27 >> 2^63); at 1e3 units every factor
+    # fits with room (4*dot^2 <= 1.6e16)
+    qv = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d) AS BIGINT))"
+        ).alias("q"),
+    )
+    dot = "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), CAST(0 AS BIGINT), (s, t) -> s + t)"
+    nrm = lambda side: (  # noqa: E731
+        f"aggregate(zip_with({side}.q, {side}.q, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, t) -> s + t)"
+    )
+    bucket_expr = " + ".join(
+        f"CASE WHEN aggregate(zip_with(q, sequence(0, size(q) - 1),"
+        f" (v, d) -> v * ((({RP_A} * CAST({j} * size(q) + d AS BIGINT) + {RP_B})"
+        f" % {RP_MOD}) - {RP_MOD // 2})), CAST(0 AS BIGINT), (s, t) -> s + t) >= 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(RP_DIMS)
+    )
+    nodes = qv.withColumn("bucket", F.expr(bucket_expr))
+    a, b = nodes.alias("a"), nodes.alias("b")
+    pair_cond = (
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (F.expr(dot) > 0)
+        & (F.expr(f"4 * ({dot}) * ({dot}) >= ({nrm('a')}) * ({nrm('b')})"))
+    )
+    edges = (
+        a.join(b, pair_cond)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = nodes.filter(F.col("vec_id") % LS_SEED_MOD == 0).select(
+        F.col("vec_id"), F.col("true_label").alias("lbl")
+    )
+    labels = seeds
+    for _ in range(LS_ROUNDS):
+        votes = (
+            und.join(labels.withColumnRenamed("vec_id", "v"), "v")
+            .groupBy(F.col("u").alias("vec_id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win = (
+            votes.groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), F.col("lbl"))).alias("w"))
+            .select("vec_id", F.col("w.lbl").alias("lbl"))
+        )
+        # seeds are clamped; non-seeds take this round's majority
+        labels = seeds.unionByName(
+            win.join(seeds.select("vec_id"), "vec_id", "anti")
+        ).localCheckpoint(eager=False)
+    assigned = nodes.join(labels, "vec_id", "left").select(
+        "vec_id",
+        "true_label",
+        F.col("lbl").alias("assigned_label"),
+        (F.col("vec_id") % LS_SEED_MOD == 0).alias("is_seed"),
+    )
+    return assigned.groupBy("true_label", "assigned_label", "is_seed").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+QUERIES["label_spread_embeddings"] = label_spread_embeddings
+
+
+def _ls_oracle() -> str:
+    bucket = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(
+                list_zip(q, range(0, len(q))),
+                p -> p[1] * ((({RP_A} * CAST({j} * len(q) + p[2] AS BIGINT)
+                     + {RP_B}) % {RP_MOD}) - {RP_MOD // 2}))) >= 0
+            THEN {1 << j} ELSE 0 END"""
+        for j in range(RP_DIMS)
+    )
+    rounds = []
+    prev = "seeds"
+    for r in range(1, LS_ROUNDS + 1):
+        rounds.append(f""", votes{r} AS (
+            SELECT e.u AS vec_id, l.lbl, count(*) AS n
+            FROM und e JOIN {prev} l ON e.v = l.vec_id
+            GROUP BY 1, 2
+        ), win{r} AS (
+            SELECT vec_id, lbl FROM (
+                SELECT vec_id, lbl, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY n DESC, lbl ASC) AS rn
+                FROM votes{r}
+            ) WHERE rn = 1
+        ), labels{r} AS (
+            SELECT vec_id, lbl FROM seeds
+            UNION ALL
+            SELECT vec_id, lbl FROM win{r}
+            WHERE vec_id NOT IN (SELECT vec_id FROM seeds)
+        )""")
+        prev = f"labels{r}"
+    return f"""
+        WITH nodes AS MATERIALIZED (
+            SELECT vec_id, label AS true_label,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5)
+                            AS BIGINT)) AS q
+            FROM embeddings
+        ), bucketed AS MATERIALIZED (
+            SELECT vec_id, true_label, q, ({bucket}) AS bucket FROM nodes
+        ), edges AS MATERIALIZED (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) > 0
+              AND 4 * list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))
+                    * list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))
+                  >= list_sum(list_transform(list_zip(a.q, a.q), p -> p[1] * p[2]))
+                   * list_sum(list_transform(list_zip(b.q, b.q), p -> p[1] * p[2]))
+        ), und AS MATERIALIZED (
+            SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ), seeds AS MATERIALIZED (
+            SELECT vec_id, true_label AS lbl FROM bucketed
+            WHERE vec_id % {LS_SEED_MOD} = 0
+        ){''.join(rounds)}
+        SELECT n.true_label,
+               l.lbl AS assigned_label,
+               n.vec_id % {LS_SEED_MOD} = 0 AS is_seed,
+               count(*) AS n
+        FROM bucketed n LEFT JOIN {prev} l USING (vec_id)
+        GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["label_spread_embeddings"] = _ls_oracle()
