@@ -43,6 +43,7 @@ from ..functions.hashing import (
 from ..functions.rounding import pround
 from ..functions.text import char_shingles
 from ..functions.vectors import as_double, cosine
+from ..sources.catalog import fan_out
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -64,8 +65,8 @@ def _unique_view(df: DataFrame, id_col: str, text_col: str) -> str:
     import uuid
 
     view = f"__dedup_src_{uuid.uuid4().hex}"
-    df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     ).createOrReplaceTempView(view)
     return view
 
@@ -91,7 +92,7 @@ def shingle_hash_rows(
     # empties dropped, order kept), and every expression is codegen'd.
     cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     base = (
-        df.filter(F.length(text_col) > 0)
+        fan_out(df.filter(F.length(text_col) > 0))
         .select(F.col(id_col).alias("id"), F.split(cleaned, r"\s+").alias("_toks"))
         .filter((F.size("_toks") > 1) | (F.element_at("_toks", 1) != ""))
     )
@@ -403,7 +404,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     from operator import add
 
     ex = (
-        df.filter(F.length(text_col) > 0)
+        fan_out(df.filter(F.length(text_col) > 0))
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
@@ -441,7 +442,7 @@ def simhash_fingerprints_wide(
     from functools import reduce
 
     ex = (
-        df.filter(F.length(text_col) > 0)
+        fan_out(df.filter(F.length(text_col) > 0))
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),

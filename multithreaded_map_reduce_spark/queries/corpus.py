@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_tokens
 from ..functions.text import tokenize
-from ..sources.catalog import load_table
+from ..sources.catalog import fan_out, load_table
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: tokenization is CPU-bound and pipelines with the scan;
+    # the single-file fixture is one split, so without it the explode
+    # runs on one core of local[32] (identity at real scale).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )

