@@ -110,3 +110,10 @@ def sql_idot(a: str, b: str) -> str:
         f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
         "(x, y) -> x + y)"
     )
+
+# NOTE on unrolling: a dim-term ``element_at`` sum (no lambdas) was
+# benchmarked as a replacement for the ``dot`` fold on the k-NN pair
+# hot path and measured ~4× SLOWER on Spark 4 at dim 64 — the giant
+# nested Add tree falls out of efficient codegen, while the HOF fold
+# evaluates tight. Keep the folds; optimize by hoisting per-VECTOR
+# work (norms) out of per-PAIR expressions instead.

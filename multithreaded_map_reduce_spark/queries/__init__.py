@@ -198,6 +198,11 @@ _NEVER_SAMPLED: list[str] = [
     "map_functions",
     "bucketed_join_revenue",
     "dedup_simhash64",
+    # new in the round-4 continuation session:
+    "knn_join_embeddings",
+    "curation_split_leakproof",
+    "bpe_train",
+    "text_collocations_pmi",
 ]
 
 # Changed since their last green driver row — round 4 edits:
@@ -238,6 +243,18 @@ _CHANGED_THIS_ROUND = [
     "window_lag_lead",
     "q3_shipping_priority",
     "scalar_dates",
+    # round-4 continuation: fan_out (single-split scan repartition)
+    # changed the PLAN of every token-hashing consumer — results are
+    # set-identical, but by the ADVICE-r2 standard a green row for a
+    # different plan is stale:
+    "word_count",
+    "top_words",
+    "grouped_values",
+    "text_tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_bigstar",
+    "curation_decontaminate",
 ]
 
 

@@ -624,3 +624,70 @@ def _cb_oracle() -> str:
 
 
 ORACLES["curation_cluster_balanced"] = _cb_oracle()
+
+
+# ------------------------------------------------------- leak-proof split
+# A plain hash-of-doc_id split (curation_split) leaks: two near-duplicate
+# documents can land one in train, one in test, and the eval is
+# contaminated. The leak-proof split assigns WHOLE near-dup clusters:
+# every doc is labeled with its minhash-LSH connected-component canonical
+# id (docs with no near-dup are their own cluster), and the train/valid/
+# test hash is taken over the CANONICAL id — so a cluster can never
+# straddle a split boundary. 100 TB: reuses the minhash pipeline +
+# O(log n) label propagation verbatim; the extra cost over curation_split
+# is one left join of docs against the (small) clustered-doc relation.
+
+
+def curation_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_pairs_sql
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_sql(
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.id, "left")
+        .select(
+            "doc_id", F.coalesce(F.col("root"), F.col("doc_id")).alias("canonical_id")
+        )
+    )
+    bucket = token_hash(F.col("canonical_id").cast("string")) % F.lit(100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select("doc_id", "canonical_id", split.alias("split"))
+
+
+QUERIES["curation_split_leakproof"] = curation_split_leakproof
+
+from .dedup import _MH_CTES as _MH  # noqa: E402
+
+_CANON_H = sql_token_hash("CAST(canonical_id AS VARCHAR)")
+
+ORACLES["curation_split_leakproof"] = f"""
+    WITH RECURSIVE {_MH}, nodes AS (
+        SELECT id_a AS id FROM mh_pairs UNION SELECT id_b FROM mh_pairs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), roots AS (
+        SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+    ), labeled AS (
+        SELECT d.doc_id, coalesce(r.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN ({_CANON_H}) % 100 < 80 THEN 'train'
+                WHEN ({_CANON_H}) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM labeled
+"""

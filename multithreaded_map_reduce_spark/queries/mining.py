@@ -906,3 +906,121 @@ ORACLES["linkage_customers"] = f"""
         FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
     ) WHERE score >= {LINK_THRESHOLD}
 """
+
+
+# ----------------------------------------------------- PMI collocations
+# Corpus-level collocation mining: adjacent-token pairs ranked by
+# pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) — the
+# association statistic behind phrase detection (word2vec's phrase
+# pass, n-gram feature induction). Distinct from text_lm_bigram (which
+# scores DOCUMENTS under a conditional bigram LM): this ranks the PAIRS
+# themselves, corpus-wide.
+#
+# Exactness: counts are exact BIGINTs; the single ln() call runs on the
+# bit-identical double ratio in both engines and is snapped to integer
+# 1e-6 units (iunits — text_lm_score discipline). Scale: one explode →
+# two grouped counts (pair, unigram) + two 1-row totals; the unigram
+# join is key-equi on the token (vocabulary ≪ corpus; AQE broadcasts
+# when small — the tfidf precedent), and top-k is a WindowGroupLimit,
+# not a global sort.
+
+PMI_MIN_PAIR = 5  # pairs seen fewer times carry no stable signal
+PMI_TOPK = 20
+
+
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.text import tokenize
+    from ..sources.catalog import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = tokenize(F.col("text"))
+    arr = docs.select(ts.alias("ts"), F.size(ts).alias("k")).filter(F.col("k") > 0)
+    z = F.arrays_zip(
+        F.col("ts").alias("a"),
+        F.slice("ts", 2, F.greatest(F.col("k") - 1, F.lit(0))).alias("b"),
+    )
+    pairs = (
+        arr.select(F.posexplode(z).alias("pos", "z"))
+        .filter(F.col("z.b").isNotNull())
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    )
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        arr.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    n_pairs = c_ab.select(F.sum("c_ab").alias("n_pairs"))
+    n_uni = uni.select(F.sum("c_tok").alias("n_uni"))
+    scored = (
+        c_ab.filter(F.col("c_ab") >= PMI_MIN_PAIR)
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("c_tok", "c_a"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("c_tok", "c_b"), "b")
+        .crossJoin(n_pairs)
+        .crossJoin(n_uni)
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            iunits(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.col("n_uni").cast("double")
+                        * F.col("n_uni").cast("double")
+                    )
+                    / (
+                        F.col("n_pairs").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi_units"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_units"), F.asc("a"), F.asc("b"))
+    top = scored.orderBy(F.desc("pmi_units"), F.asc("a"), F.asc("b")).limit(PMI_TOPK)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+QUERIES["text_collocations_pmi"] = text_collocations_pmi
+
+from ..functions.hashing import sql_tokens as _sql_tokens  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iunits2  # noqa: E402
+
+ORACLES["text_collocations_pmi"] = f"""
+    WITH arr AS (
+        SELECT {_sql_tokens('text')} AS ts FROM documents
+        WHERE len({_sql_tokens('text')}) > 0
+    ), pairs AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b
+        FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM arr)
+    ), c_ab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY 1, 2
+    ), uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c_tok
+        FROM (SELECT unnest(ts) AS tok FROM arr) GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM c_ab) AS n_pairs,
+               (SELECT CAST(sum(c_tok) AS BIGINT) FROM uni) AS n_uni
+    ), scored AS (
+        SELECT c_ab.a, c_ab.b, c_ab.c_ab,
+               {_sql_iunits2(
+                   "ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)"
+                   " * CAST(n_uni AS DOUBLE))"
+                   " / (CAST(n_pairs AS DOUBLE) * CAST(ua.c_tok AS DOUBLE)"
+                   " * CAST(ub.c_tok AS DOUBLE)))", 6
+               )} AS pmi_units
+        FROM c_ab
+        JOIN uni ua ON c_ab.a = ua.tok
+        JOIN uni ub ON c_ab.b = ub.tok
+        CROSS JOIN tot
+        WHERE c_ab >= {PMI_MIN_PAIR}
+    )
+    SELECT a, b, c_ab, pmi_units,
+           CAST(row_number() OVER (ORDER BY pmi_units DESC, a ASC, b ASC)
+                AS INTEGER) AS rank
+    FROM (SELECT * FROM scored ORDER BY pmi_units DESC, a ASC, b ASC LIMIT {PMI_TOPK})
+"""

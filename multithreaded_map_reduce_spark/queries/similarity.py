@@ -635,3 +635,61 @@ def _kmeans_quality_oracle() -> str:
 
 
 ORACLES["kmeans_quality_report"] = _kmeans_quality_oracle()
+
+
+# k-NN SELF-join: every embedding row is both query and candidate —
+# the all-pairs retrieval/index-build shape (operators/similarity.py
+# knn_join_ivf has the 100 TB argument: equi-join on cell id, no
+# broadcast of the data relation, n_cells ∝ √n).
+
+KNN_K = 3
+KNN_CELLS = 16
+KNN_NPROBE = 2
+
+
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        k=KNN_K,
+        n_cells=KNN_CELLS,
+        nprobe=KNN_NPROBE,
+        dim=DIM,
+    )
+
+
+QUERIES["knn_join_embeddings"] = knn_join_embeddings
+
+ORACLES["knn_join_embeddings"] = f"""
+    WITH v AS (
+        SELECT vec_id AS id, {sql_as_double('embedding')} AS v FROM embeddings
+    ), cents AS (
+        SELECT id AS cid, v AS centroid FROM v ORDER BY id LIMIT {KNN_CELLS}
+    ), ranked AS (
+        SELECT id, v, cid,
+               row_number() OVER (
+                   PARTITION BY id
+                   ORDER BY {sql_cosine('v.v', 'cents.centroid')} DESC, cents.cid ASC
+               ) AS rn
+        FROM v, cents
+    ), homes AS (
+        SELECT cid, id AS neighbor_id, v AS cv FROM ranked WHERE rn = 1
+    ), probes AS (
+        SELECT cid, id AS query_id, v AS qv FROM ranked WHERE rn <= {KNN_NPROBE}
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {sql_pround(sql_cosine('probes.qv', 'homes.cv'), 6)} AS cos_sim
+        FROM homes JOIN probes USING (cid)
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+"""

@@ -727,3 +727,111 @@ ORACLES["text_lm_bigram"] = f"""
                AS avg_nll
     FROM scored GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------ BPE TRAIN
+# The iterative side of the tokenizer story: bpe_top_pairs counts the
+# FIRST merge's statistic, bpe_encode APPLIES a shipped merge table —
+# bpe_train LEARNS the table: N rounds of (count adjacent unit pairs →
+# take the argmax → merge it everywhere), the textbook BPE training
+# loop. Iterative-op discipline (pagerank/kmeans house rules): a FIXED
+# round count, exact integer counts, a deterministic argmax tiebreak
+# (count DESC, pair ASC), and an oracle that unrolls the identical
+# rounds as CTEs. Per round the driver collects exactly ONE row (the
+# winning merge — it must become a literal in the next round's replace
+# chain, the same way kmeans centroids parameterize the next assignment
+# pass); all counting is distributed.
+#
+# 100 TB: the corpus collapses to the VOCABULARY before any
+# per-character work (the bpe_top_pairs trick), so each round is a
+# groupBy over |vocab| exploded units — and real tokenizer training
+# (e.g. SentencePiece's BPE) does exactly this vocab-collapse too.
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("wfreq"))
+
+    enc = F.regexp_replace(F.col("tok"), "(.)", f"{_U0}$1{_U1}")
+    learned: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        encoded = vocab.select("wfreq", enc.alias("enc"))
+        # encoded string → unit array: split at unit ends, drop the
+        # trailing empty, strip each unit's leading start-sentinel.
+        us = F.filter(
+            F.transform(
+                F.split(F.col("enc"), _U1), lambda u: F.substring(u, 2, 1_000_000)
+            ),
+            lambda u: u != F.lit(""),
+        )
+        with_units = encoded.select("wfreq", us.alias("us"), F.size(us).alias("k"))
+        z = F.arrays_zip(
+            F.col("us").alias("a"),
+            F.slice("us", 2, F.greatest(F.col("k") - 1, F.lit(0))).alias("b"),
+        )
+        pairs = (
+            with_units.select("wfreq", F.posexplode(z).alias("pos", "z"))
+            .filter(F.col("z.b").isNotNull())
+            .select("wfreq", F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        )
+        counted = pairs.groupBy("a", "b").agg(F.sum("wfreq").alias("pair_count"))
+        best = counted.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()[0]
+        learned.append((rnd, best["a"], best["b"], best["pair_count"]))
+        enc = F.replace(
+            enc,
+            F.lit(f"{_U0}{best['a']}{_U1}{_U0}{best['b']}{_U1}"),
+            F.lit(f"{_U0}{best['a']}{best['b']}{_U1}"),
+        )
+    return spark.createDataFrame(
+        learned, "round int, pair_a string, pair_b string, pair_count long"
+    )
+
+
+QUERIES["bpe_train"] = bpe_train
+
+
+def _bpe_train_oracle() -> str:
+    u0, u1 = _U0, _U1
+    ctes = [
+        f"""vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS wfreq
+        FROM (SELECT unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY 1
+    ), enc1 AS (
+        SELECT wfreq, regexp_replace(tok, '(.)', '{u0}\\1{u1}', 'g') AS enc
+        FROM vocab
+    )"""
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        ctes.append(f"""us{r} AS (
+        SELECT wfreq,
+               list_filter(list_transform(str_split(enc, '{u1}'), u -> u[2:]),
+                           u -> u != '') AS us
+        FROM enc{r}
+    ), c{r} AS (
+        SELECT a, b, CAST(sum(wfreq) AS BIGINT) AS pair_count FROM (
+            SELECT us[i] AS a, us[i + 1] AS b, wfreq
+            FROM (SELECT wfreq, us, unnest(range(1, len(us))) AS i FROM us{r})
+        ) GROUP BY 1, 2
+    ), b{r} AS (
+        SELECT a, b, pair_count FROM c{r}
+        ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    ), enc{r + 1} AS (
+        SELECT wfreq,
+               replace(enc, '{u0}' || b{r}.a || '{u1}{u0}' || b{r}.b || '{u1}',
+                       '{u0}' || b{r}.a || b{r}.b || '{u1}') AS enc
+        FROM enc{r}, b{r}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, a AS pair_a, b AS pair_b, pair_count FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + "\n    " + unions
+
+
+ORACLES["bpe_train"] = _bpe_train_oracle()

@@ -1,0 +1,133 @@
+"""Round-4-continuation operators: k-NN self-join, leak-proof split,
+BPE training, PMI collocations — oracle parity plus the structural
+properties the oracles can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "knn_join_embeddings",
+        "curation_split_leakproof",
+        "bpe_train",
+        "text_collocations_pmi",
+    ],
+)
+def test_oracle_parity(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_knn_join_salt_invariant(spark):
+    """Salting is a parallelism knob, never a result knob."""
+    from multithreaded_map_reduce_spark.operators.similarity import knn_join_ivf
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = knn_join_ivf(emb, "vec_id", "embedding", k=3, n_cells=8, nprobe=2, salt=1)
+    b = knn_join_ivf(emb, "vec_id", "embedding", k=3, n_cells=8, nprobe=2, salt=8)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_knn_join_shape(spark):
+    """No self-pairs; every query has <= k neighbors with ranks 1..m."""
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        KNN_K,
+        knn_join_embeddings,
+    )
+
+    rows = knn_join_embeddings(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_K
+
+
+def test_leakproof_split_never_separates_near_dups(spark):
+    """THE contract: a minhash near-dup pair always lands in ONE split
+    (the plain doc_id-hash split has no such guarantee)."""
+    from multithreaded_map_reduce_spark.operators.dedup import minhash_dedup_pairs_sql
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_split_leakproof,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in curation_split_leakproof(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = minhash_dedup_pairs_sql(
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    ).collect()
+    assert pairs, "fixture should plant near-dups"
+    for p in pairs:
+        assert split[p["id_a"]] == split[p["id_b"]], (p["id_a"], p["id_b"])
+
+
+def test_leakproof_split_covers_every_doc(spark):
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_split_leakproof,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    out = curation_split_leakproof(spark, SF_SMOKE)
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+
+
+def test_bpe_train_round1_matches_top_pairs(spark):
+    """Round 1 of training counts raw adjacent char pairs — exactly the
+    statistic bpe_top_pairs ranks, so the learned first merge must be
+    its rank-1 row."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        bpe_top_pairs,
+        bpe_train,
+    )
+
+    top1 = (
+        bpe_top_pairs(spark, SF_SMOKE).filter("rank = 1").collect()[0]
+    )
+    first = bpe_train(spark, SF_SMOKE).filter("round = 1").collect()[0]
+    assert first["pair_a"] + first["pair_b"] == top1["pair"]
+    assert first["pair_count"] == top1["pair_count"]
+
+
+def test_bpe_train_rounds_distinct_and_positive(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        BPE_TRAIN_ROUNDS,
+        bpe_train,
+    )
+
+    rows = bpe_train(spark, SF_SMOKE).collect()
+    assert len(rows) == BPE_TRAIN_ROUNDS
+    merges = {(r["pair_a"], r["pair_b"]) for r in rows}
+    assert len(merges) == BPE_TRAIN_ROUNDS  # a merged pair can't win twice
+    assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_pmi_ranks_and_support(spark):
+    from multithreaded_map_reduce_spark.queries.mining import (
+        PMI_MIN_PAIR,
+        text_collocations_pmi,
+    )
+
+    rows = sorted(
+        text_collocations_pmi(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    assert rows
+    units = [r["pmi_units"] for r in rows]
+    assert units == sorted(units, reverse=True)
+    assert all(r["c_ab"] >= PMI_MIN_PAIR for r in rows)
