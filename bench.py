@@ -7,17 +7,19 @@ Each query is executed to completion via the noop sink (full plan runs,
 nothing is collected to the driver — measures engine throughput, not
 result serialization).
 
-Each query runs 1 cold + 3 warm iterations: "queries" records the COLD
+Each query runs 1 cold + 5 warm iterations: "queries" records the COLD
 first run (plan build + execution — comparable with every earlier
-BENCH_r{N}), "queries_warm" the MEDIAN of the 3 subsequent runs, where
+BENCH_r{N}), "queries_warm" the MEDIAN of the 5 subsequent runs, where
 the JVM is hot and parquet footers are cached. cold − warm ≈ driver/plan
 overhead, which shrinks relative to execution as data scales; warm is
 the closer proxy for steady-state cluster throughput.
 
 Regression detection (VERDICT r2 item 7) keys on the warm MEDIAN, not
 the cold single-shot — a single cold run carries ±40% scheduler/JIT
-jitter (r2's events_session "+42%" was exactly that), while a median of
-3 warm runs is stable to a few percent. The cold number is still
+jitter (r2's events_session "+42%" was exactly that). 3-rep medians
+still swung ~2x run-to-run on the heavy generated-SQL queries (C2
+compilation of their large generated methods lands mid-measurement);
+5 reps push the median past the JIT cliff. The cold number is still
 recorded for cross-round history. Baselines whose recorded "sf" differs
 from this run's scale factor are skipped (ADVICE r2).
 """
@@ -85,6 +87,9 @@ HEADLINE = [
     "sparse_cosine_pairs",
     "stats_gini",
     "events_rolling_distinct",
+    # round-4 continuation (this session)
+    "knn_join_embeddings",
+    "curation_split_leakproof",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring
@@ -135,8 +140,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # 5 reps, median: single-JVM JIT/GC state makes 3-rep medians
+        # swing up to ~2x run-to-run on the heavy generated-SQL queries
+        # (measured on dedup_simhash); 5 reps cuts that to ~±30%.
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
@@ -170,7 +178,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "warm_n_reps": 3,
+        "warm_n_reps": 5,
         "sf": sf,
     }
     if prev is not None:
