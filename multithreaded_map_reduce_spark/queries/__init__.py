@@ -203,6 +203,9 @@ _NEVER_SAMPLED: list[str] = [
     "curation_split_leakproof",
     "bpe_train",
     "text_collocations_pmi",
+    "linkage_golden_record",
+    "kmv_join_estimate",
+    "text_vocab_coverage",
 ]
 
 # Changed since their last green driver row — round 4 edits:

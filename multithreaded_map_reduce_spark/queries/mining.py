@@ -1024,3 +1024,105 @@ ORACLES["text_collocations_pmi"] = f"""
                 AS INTEGER) AS rank
     FROM (SELECT * FROM scored ORDER BY pmi_units DESC, a ASC, b ASC LIMIT {PMI_TOPK})
 """
+
+
+# ------------------------------------------------------- golden record
+# The missing last stage of entity resolution: linkage_customers emits
+# scored PAIRS; the golden-record op closes them into clusters
+# (connected components — the dedup_clusters machinery) and collapses
+# each cluster to ONE record under deterministic survivorship rules:
+# golden id = min member id, balance = richest member (max exact
+# cents), name/segment = lexicographic min, members = ascending CSV.
+# Real MDM survivorship ("most recent source wins") is the same
+# grouped-aggregate shape with a different ordering column. The oracle
+# replays pairs → recursive closure → the identical aggregates.
+# 100 TB: pairs/closure are the linkage + label-propagation rails
+# already argued; the collapse is one groupBy over linked members only.
+
+
+def linkage_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..operators.graph import connected_components
+
+    pairs = linkage_customers(spark, sf_dir)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        iunits(F.col("c_acctbal"), 2).alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    members = c.join(cc, "id")
+    return (
+        members.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("golden_id"),
+            F.max("bal_cents").alias("bal_cents"),
+            F.min("name").alias("name"),
+            F.min("seg").alias("seg"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .select(
+            F.col("root").alias("cluster_id"),
+            "golden_id",
+            "n_members",
+            "bal_cents",
+            "name",
+            "seg",
+            "member_ids",
+        )
+    )
+
+
+QUERIES["linkage_golden_record"] = linkage_golden_record
+
+ORACLES["linkage_golden_record"] = f"""
+    WITH RECURSIVE c AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
+               {_sql_iunits('c_acctbal', 2)} AS bal_cents,
+               c_mktsegment AS seg
+        FROM customer
+    ), links AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   (CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 40
+                         WHEN levenshtein(a.name, b.name) <= 4 THEN 20
+                         ELSE 0 END)
+                 + (CASE WHEN a.seg = b.seg THEN 25 ELSE 0 END)
+                 + (CASE WHEN abs(a.bal_cents - b.bal_cents) <= 10000
+                         THEN 35 ELSE 0 END) AS score
+            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        ) WHERE score >= {LINK_THRESHOLD}
+    ), nodes AS (
+        SELECT id_a AS id FROM links UNION SELECT id_b FROM links
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM links
+        UNION SELECT id_b, id_a FROM links
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), roots AS (
+        SELECT a AS id, min(b) AS root FROM reach GROUP BY a
+    ), members AS (
+        SELECT roots.root, c.id, c.name, c.bal_cents, c.seg
+        FROM c JOIN roots ON c.id = roots.id
+    )
+    SELECT root AS cluster_id,
+           min(id) AS golden_id,
+           count(*) AS n_members,
+           max(bal_cents) AS bal_cents,
+           min(name) AS name,
+           min(seg) AS seg,
+           array_to_string(list_transform(list_sort(list(id)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+               AS member_ids
+    FROM members GROUP BY root
+"""

@@ -643,7 +643,7 @@ ORACLES["kmeans_quality_report"] = _kmeans_quality_oracle()
 # broadcast of the data relation, n_cells ∝ √n).
 
 KNN_K = 3
-KNN_CELLS = 16
+KNN_CELLS = 32
 KNN_NPROBE = 2
 
 

@@ -365,3 +365,133 @@ def _hll_rollup_oracle() -> str:
 
 
 ORACLES["hll_union_rollup"] = _hll_rollup_oracle()
+
+
+# --------------------------------------------- KMV set-operation estimate
+# Theta-sketch-style set algebra on two KMV sketches: estimate the
+# DISTINCT-KEY OVERLAP between two relations from their k-minimum-value
+# sketches alone — the cardinality question a join optimizer (or a
+# "how much will this enrichment match?" data-quality check) asks
+# without scanning either side twice. θ = min of the two k-th minima;
+# every sketch hash ≤ θ is a uniform sample of the union at rate θ/M,
+# so |{h in BOTH sketches, h ≤ θ}| / (θ/M) estimates |A ∩ B|. All
+# hashes are the portable KMV family → the oracle replays the whole
+# estimator bit-for-bit; the exact overlap rides along for reference.
+# 100 TB: each sketch is a k-row TakeOrdered over a distinct-hash
+# relation (no global sort); the set algebra itself touches 2k rows.
+
+KJ_K = 64
+
+
+def kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import pround
+    from ..operators.sketches import KMV_A, KMV_B
+
+    M = POLY_MOD
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        h = F.pmod(
+            F.pmod(F.col(col).cast("long"), F.lit(M)) * F.lit(KMV_A) + F.lit(KMV_B),
+            F.lit(M),
+        )
+        return df.select(h.alias("h")).distinct().orderBy("h").limit(KJ_K)
+
+    sa = sketch(load_table(spark, sf_dir, "orders"), "o_custkey")
+    sb = sketch(load_table(spark, sf_dir, "customer"), "c_custkey")
+    agg_a = sa.agg(F.max("h").alias("hk_a"), F.count(F.lit(1)).alias("n_a"))
+    agg_b = sb.agg(F.max("h").alias("hk_b"), F.count(F.lit(1)).alias("n_b"))
+    stats = agg_a.crossJoin(agg_b).withColumn(
+        "theta", F.least(F.col("hk_a"), F.col("hk_b"))
+    )
+    n_i = (
+        sa.join(sb, "h")
+        .crossJoin(stats.select("theta"))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+
+    def est(n: str, hk: str) -> F.Column:
+        return F.when(F.col(n) < KJ_K, F.col(n).cast("double")).otherwise(
+            F.lit(float(KJ_K - 1)) / (F.col(hk).cast("double") / F.lit(float(M)))
+        )
+
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+            "k",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        stats.crossJoin(n_i)
+        .crossJoin(exact)
+        .select(
+            pround(est("n_a", "hk_a"), 4).alias("est_custkeys_with_orders"),
+            pround(est("n_b", "hk_b"), 4).alias("est_customers"),
+            pround(
+                F.col("n_i").cast("double")
+                / (F.col("theta").cast("double") / F.lit(float(M))),
+                4,
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
+
+
+QUERIES["kmv_join_estimate"] = kmv_join_estimate
+
+
+def _kj_oracle() -> str:
+    from ..functions.hashing import POLY_MOD
+    from ..operators.sketches import KMV_A, KMV_B
+
+    M = POLY_MOD
+
+    def sk(table: str, col: str) -> str:
+        return f"""
+        SELECT DISTINCT (((CAST({col} AS BIGINT) % {M} + {M}) % {M})
+                         * {KMV_A} + {KMV_B}) % {M} AS h
+        FROM {table} ORDER BY h LIMIT {KJ_K}"""
+
+    return f"""
+    WITH sa AS ({sk('orders', 'o_custkey')}),
+    sb AS ({sk('customer', 'c_custkey')}),
+    agg_a AS (SELECT max(h) AS hk_a, count(*) AS n_a FROM sa),
+    agg_b AS (SELECT max(h) AS hk_b, count(*) AS n_b FROM sb),
+    stats AS (
+        SELECT hk_a, n_a, hk_b, n_b, least(hk_a, hk_b) AS theta
+        FROM agg_a, agg_b
+    ),
+    ni AS (
+        SELECT count(*) AS n_i
+        FROM sa JOIN sb USING (h), stats WHERE h <= theta
+    ),
+    ex AS (
+        SELECT count(*) AS exact_overlap FROM
+        (SELECT DISTINCT o_custkey AS k FROM orders) o
+        JOIN (SELECT c_custkey AS k FROM customer) c USING (k)
+    )
+    SELECT
+        {{e_a}} AS est_custkeys_with_orders,
+        {{e_b}} AS est_customers,
+        floor((CAST(n_i AS DOUBLE) / (CAST(theta AS DOUBLE) / {float(M)}))
+              * 10000 + 0.5) / 10000 AS est_overlap,
+        exact_overlap
+    FROM stats, ni, ex
+    """.format(
+        e_a=f"floor((CASE WHEN n_a < {KJ_K} THEN CAST(n_a AS DOUBLE) "
+        f"ELSE {float(KJ_K - 1)} / (CAST(hk_a AS DOUBLE) / {float(M)}) END)"
+        " * 10000 + 0.5) / 10000",
+        e_b=f"floor((CASE WHEN n_b < {KJ_K} THEN CAST(n_b AS DOUBLE) "
+        f"ELSE {float(KJ_K - 1)} / (CAST(hk_b AS DOUBLE) / {float(M)}) END)"
+        " * 10000 + 0.5) / 10000",
+    )
+
+
+ORACLES["kmv_join_estimate"] = _kj_oracle()

@@ -835,3 +835,67 @@ def _bpe_train_oracle() -> str:
 
 
 ORACLES["bpe_train"] = _bpe_train_oracle()
+
+
+# ------------------------------------------------------ vocab coverage
+# Tokenizer-ops metric: fix a vocabulary (the top-VOCAB_N corpus tokens
+# by frequency, token-ascending tiebreak) and report per-language OOV —
+# the out-of-vocabulary token share a tokenizer/embedding table of that
+# size would face. The vocab relation is a top-k aggregate (TakeOrdered,
+# no global sort) and joins the exploded tokens key-equi (vocabulary ≪
+# corpus; AQE broadcasts — the tfidf precedent); OOV is the left-anti
+# null branch of that join, counted per language.
+
+VOCAB_N = 20
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_N)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    joined = toks.join(vocab, "tok", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            pround(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+QUERIES["text_vocab_coverage"] = text_vocab_coverage
+
+ORACLES["text_vocab_coverage"] = f"""
+    WITH toks AS (
+        SELECT lang, unnest({sql_tokens('text')}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+        ) ORDER BY cnt DESC, tok ASC LIMIT {VOCAB_N}
+    ), flagged AS (
+        SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           {sql_pround('CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)}
+               AS oov_rate
+    FROM flagged GROUP BY 1
+"""

@@ -131,3 +131,49 @@ def test_pmi_ranks_and_support(spark):
     units = [r["pmi_units"] for r in rows]
     assert units == sorted(units, reverse=True)
     assert all(r["c_ab"] >= PMI_MIN_PAIR for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["linkage_golden_record", "kmv_join_estimate", "text_vocab_coverage"],
+)
+def test_oracle_parity_batch2(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_golden_record_structure(spark):
+    """Each cluster: >= 2 members, golden_id is the min member, every
+    member belongs to exactly one cluster."""
+    from multithreaded_map_reduce_spark.queries.mining import linkage_golden_record
+
+    rows = linkage_golden_record(spark, SF_SMOKE).collect()
+    assert rows
+    seen: set[int] = set()
+    for r in rows:
+        ids = [int(x) for x in r["member_ids"].split(",")]
+        assert r["n_members"] == len(ids) >= 2
+        assert r["golden_id"] == min(ids) == r["cluster_id"]
+        assert not seen.intersection(ids)
+        seen.update(ids)
+
+
+def test_kmv_join_estimate_sanity(spark):
+    """k=64 → ~12% relative error; assert a loose 50% envelope and the
+    exact overlap's presence."""
+    from multithreaded_map_reduce_spark.queries.sketches import kmv_join_estimate
+
+    r = kmv_join_estimate(spark, SF_SMOKE).collect()[0]
+    assert r["exact_overlap"] > 0
+    assert 0.5 * r["exact_overlap"] <= r["est_overlap"] <= 1.5 * r["exact_overlap"]
+
+
+def test_vocab_coverage_rates(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import text_vocab_coverage
+
+    rows = text_vocab_coverage(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
