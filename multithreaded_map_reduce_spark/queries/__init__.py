@@ -206,6 +206,7 @@ _NEVER_SAMPLED: list[str] = [
     "linkage_golden_record",
     "kmv_join_estimate",
     "text_vocab_coverage",
+    "curation_sample_aes",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -691,3 +691,59 @@ ORACLES["curation_split_leakproof"] = f"""
                 ELSE 'test' END AS split
     FROM labeled
 """
+
+
+# --------------------------------------- A-ES weighted sample (exact k)
+# curation_sample_weighted is Bernoulli (random SIZE, one pass);
+# Efraimidis–Spirakis gives the other contract a curation pipeline
+# needs: EXACTLY k docs, each with probability proportional to its
+# weight, WITHOUT replacement — rank every doc by -ln(u)/w for a
+# uniform u and keep the k smallest. u comes from the portable doc-id
+# hash ((h+1)/M ∈ (0, 1]), so the draw is deterministic, mergeable
+# across shards (a TakeOrdered of per-shard top-ks — no global sort),
+# and bit-replayable by the oracle: both engines evaluate the identical
+# double expression, and the output snaps the key to integer 1e-9
+# units. Weight = n_chars (longer docs proportionally likelier).
+
+AES_K = 50
+
+
+def curation_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.hashing import POLY_MOD
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (token_hash(F.col("doc_id").cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(POLY_MOD))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    ranked = docs.select(
+        "doc_id", "n_chars", key.alias("_key")
+    ).orderBy(F.asc("_key"), F.asc("doc_id")).limit(AES_K)
+    w = W.orderBy(F.asc("_key"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "n_chars", iunits(F.col("_key"), 9).alias("key_units"), "rank")
+    )
+
+
+QUERIES["curation_sample_aes"] = curation_sample_aes
+
+from ..functions.hashing import POLY_MOD as _PM  # noqa: E402
+
+_AES_KEY = (
+    f"(-ln(CAST(({_H}) + 1 AS DOUBLE) / {float(_PM)})"
+    " / CAST(n_chars AS DOUBLE))"
+)
+
+ORACLES["curation_sample_aes"] = f"""
+    SELECT doc_id, n_chars,
+           CAST(floor(({_AES_KEY}) * 1000000000.0 + 0.5) AS BIGINT) AS key_units,
+           rank
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY {_AES_KEY} ASC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE rank <= {AES_K}
+"""

@@ -177,3 +177,33 @@ def test_vocab_coverage_rates(spark):
     for r in rows:
         assert 0.0 <= r["oov_rate"] <= 1.0
         assert r["n_oov"] <= r["n_tokens"]
+
+
+def test_aes_sample_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["curation_sample_aes"],
+        ALL_ORACLES["curation_sample_aes"],
+        SF_SMOKE,
+    )
+
+
+def test_aes_sample_exact_k_and_weight_bias(spark):
+    """Exactly k rows, and the weighted draw prefers long docs: the
+    sample's mean n_chars must exceed the corpus mean (SF_SMOKE corpus
+    has enough weight spread for this to hold deterministically)."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        AES_K,
+        curation_sample_aes,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = curation_sample_aes(spark, SF_SMOKE).collect()
+    assert len(rows) == AES_K
+    assert len({r["doc_id"] for r in rows}) == AES_K  # without replacement
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus = load_table(spark, SF_SMOKE, "documents").filter("n_chars > 0")
+    corpus_mean = corpus.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sample_mean > corpus_mean
