@@ -341,3 +341,39 @@ def test_dpp_join_scan_has_dynamic_pruning(spark):
 
     txt = explain_formatted(_q("connector_dpp_join")(spark, SF_SMOKE)).lower()
     assert "dynamicpruning" in txt
+
+
+def test_knn_join_no_cartesian_and_salted(spark):
+    """The k-NN self-join must stay an equi-join: no CartesianProduct /
+    broadcast nested loop over the data relation, and the salt column
+    must be part of the join keys (parallelism rail — see
+    operators/similarity.knn_join_ivf)."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted, plan_report
+
+    df = _q("knn_join_embeddings")(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert not rep.cartesian
+    txt = explain_formatted(df)
+    assert "_salt" in txt, "salted candidate join disappeared"
+
+
+def test_leakproof_split_no_cartesian(spark):
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("curation_split_leakproof")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_vocab_coverage_topk_no_global_sort(spark):
+    """The vocab is a TakeOrdered top-k, not a full Sort+Limit."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("text_vocab_coverage")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_aes_sample_topk_no_global_sort(spark):
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("curation_sample_aes")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in txt
