@@ -207,6 +207,10 @@ _NEVER_SAMPLED: list[str] = [
     "kmv_join_estimate",
     "text_vocab_coverage",
     "curation_sample_aes",
+    "copurchase_rules",
+    "quality_benford",
+    "privacy_dp_counts",
+    "connector_federated_union",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -380,3 +380,52 @@ ORACLES["connector_dpp_join"] = """
     WHERE CAST(year(l_shipdate) AS INTEGER) <= 1996
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------- federated union
+# One logical table served from THREE physical formats at once — the
+# lakehouse migration shape (yesterday's CSV dump ∪ today's JSON feed ∪
+# the parquet gold copy). supplier is split 3 ways by key mod 3, each
+# shard round-trips through a different format, and the union must
+# reassemble the exact original: the final per-nation balance sum (exact
+# cents) equals a single-source aggregate, which is precisely what the
+# oracle computes from the parquet view alone — any format's type drift
+# (CSV stringly floats, JSON number re-parse) breaks the hash. Schema
+# alignment is by-name (unionByName). 100 TB: each branch scans and
+# filters independently (pushdown per format), union is a no-shuffle
+# concat; the aggregate is the only exchange.
+
+
+def connector_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    base = f"/tmp/fed_{uuid.uuid4().hex}"
+    s.filter(F.col("s_suppkey") % 3 == 0).write.mode("overwrite").parquet(
+        f"{base}/p"
+    )
+    s.filter(F.col("s_suppkey") % 3 == 1).write.mode("overwrite").option(
+        "header", True
+    ).csv(f"{base}/c")
+    s.filter(F.col("s_suppkey") % 3 == 2).write.mode("overwrite").json(f"{base}/j")
+    u = (
+        spark.read.parquet(f"{base}/p")
+        .unionByName(
+            spark.read.option("header", True).schema(s.schema).csv(f"{base}/c")
+        )
+        .unionByName(spark.read.schema(s.schema).json(f"{base}/j"))
+    )
+    return u.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        pround(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_acctbal"),
+    )
+
+
+QUERIES["connector_federated_union"] = connector_federated_union
+
+ORACLES["connector_federated_union"] = f"""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           {sql_pround('CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)', 2)}
+               AS total_acctbal
+    FROM supplier GROUP BY s_nationkey
+"""

@@ -1126,3 +1126,117 @@ ORACLES["linkage_golden_record"] = f"""
                AS member_ids
     FROM members GROUP BY root
 """
+
+
+# ---------------------------------------------------- association rules
+# The rule-mining stage over the copurchase pair counts: every frequent
+# pair (a,b) yields the directed rules a→b and b→a with support,
+# confidence = supp(ab)/supp(a), and lift = supp(ab)·N / (supp(a)·
+# supp(b)); top RULES_TOPK by lift (TakeOrdered, deterministic
+# tiebreak). Item supports and N are computed over the SAME capped
+# baskets the pair counts use, so the probabilities are consistent.
+# All ratios are pround'd doubles over exact BIGINT counts. 100 TB:
+# adds two broadcast-sized relations (item supports, 1-row N) on top of
+# the copurchase rails — the pair join stays the only quadratic risk,
+# already capped per basket.
+
+RULES_TOPK = 20
+
+
+def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    opc = op.join(small, "l_orderkey")
+    pairs = copurchase_pairs(spark, sf_dir)
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "n_orders",
+        )
+    )
+    item = opc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    n_baskets = small.agg(F.count(F.lit(1)).alias("n_baskets"))
+    scored = (
+        both.join(item.withColumnRenamed("l_partkey", "part_a"), "part_a")
+        .withColumnRenamed("supp", "supp_a")
+        .join(item.withColumnRenamed("l_partkey", "part_b"), "part_b")
+        .withColumnRenamed("supp", "supp_b")
+        .crossJoin(n_baskets)
+        .select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            F.col("n_orders").alias("support"),
+            pround(
+                F.col("n_orders").cast("double") / F.col("supp_a").cast("double"), 6
+            ).alias("confidence"),
+            pround(
+                (F.col("n_orders").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("supp_a").cast("double") * F.col("supp_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(RULES_TOPK)
+    w = Window.orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+QUERIES["copurchase_rules"] = copurchase_rules
+
+ORACLES["copurchase_rules"] = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    small AS (
+        SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
+    ),
+    opc AS (SELECT op.* FROM op JOIN small USING (l_orderkey)),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM opc a JOIN opc b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    ),
+    dirs AS (
+        SELECT part_a, part_b, n_orders FROM pairs
+        UNION ALL
+        SELECT part_b, part_a, n_orders FROM pairs
+    ),
+    item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM opc GROUP BY 1
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM small),
+    scored AS (
+        SELECT dirs.part_a AS antecedent, dirs.part_b AS consequent,
+               n_orders AS support,
+               {sql_pround('CAST(n_orders AS DOUBLE) / CAST(ia.supp AS DOUBLE)', 6)}
+                   AS confidence,
+               {sql_pround(
+                   '(CAST(n_orders AS DOUBLE) * CAST(n_baskets AS DOUBLE))'
+                   ' / (CAST(ia.supp AS DOUBLE) * CAST(ib.supp AS DOUBLE))', 6
+               )} AS lift
+        FROM dirs
+        JOIN item ia ON dirs.part_a = ia.l_partkey
+        JOIN item ib ON dirs.part_b = ib.l_partkey
+        CROSS JOIN nb
+    )
+    SELECT antecedent, consequent, support, confidence, lift,
+           CAST(row_number() OVER (
+               ORDER BY lift DESC, antecedent ASC, consequent ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT * FROM scored
+        ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT {RULES_TOPK}
+    )
+"""

@@ -189,3 +189,56 @@ ORACLES["privacy_erasure"] = """
     FROM events WHERE user_id % 13 != 0
     GROUP BY 1
 """
+
+
+# ------------------------------------------- DP-shaped noisy aggregates
+# The differential-privacy release SHAPE — per-group counts + Laplace
+# noise at sensitivity 1 — with the noise drawn DETERMINISTICALLY from
+# the portable group-key hash (u ∈ (0,1) → inverse Laplace CDF), so the
+# whole mechanism is replayable by the oracle and testable, unlike a
+# production DP system's true randomness (swap the hash for a CSPRNG
+# draw there; every other line is identical). Both engines evaluate the
+# same double expression; outputs snap to 1e-6. One scan, one grouped
+# count, zero extra shuffles.
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/epsilon = 1.0
+
+
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD, token_hash
+    from ..functions.rounding import pround
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("true_n"))
+    u = (token_hash(F.col("lang")) + F.lit(1)).cast("double") / F.lit(
+        float(POLY_MOD + 2)
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "lang",
+        pround(F.col("true_n").cast("double") + noise, 6).alias("noisy_n"),
+    )
+
+
+QUERIES["privacy_dp_counts"] = privacy_dp_counts
+
+from ..functions.hashing import POLY_MOD as _PM2  # noqa: E402
+from ..functions.hashing import sql_token_hash as _sql_th  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr2  # noqa: E402
+
+_DP_U = f"(CAST(({_sql_th('lang')}) + 1 AS DOUBLE) / {float(_PM2 + 2)})"
+_DP_NOISE = (
+    f"(-{1.0 / DP_EPSILON} * sign({_DP_U} - 0.5)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5)))"
+)
+
+ORACLES["privacy_dp_counts"] = f"""
+    SELECT lang,
+           {_sql_pr2(f'CAST(count(*) AS DOUBLE) + {_DP_NOISE}', 6)} AS noisy_n
+    FROM documents GROUP BY lang
+"""

@@ -331,3 +331,68 @@ ORACLES["dq_quarantine_orders"] = """
            CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_checksum
     FROM routed GROUP BY 1
 """
+
+
+# ------------------------------------------------------- Benford audit
+# First-significant-digit audit of order totals against Benford's law —
+# the classic fabricated-data / unit-mix detector for financial-ish
+# columns. Digit extraction avoids log10 entirely (floor(log10(10^k))
+# can land on k-1 in doubles): totals go to exact integer cents and the
+# digit is the first character of the integer's decimal string —
+# int→string is exact and identical in both engines. Expected shares
+# ln(1+1/d)/ln(10) and the observed-vs-expected deviation are pround'd
+# doubles. One scan, one 9-row aggregate.
+
+
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = iunits(F.col("o_totalprice"), 2)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return (
+        counts.crossJoin(total)
+        .select(
+            "digit",
+            "n",
+            pround(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+                "obs_share"
+            ),
+            pround(benford, 6).alias("benford_share"),
+            pround(
+                F.abs(
+                    F.col("n").cast("double") / F.col("total").cast("double") - benford
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+QUERIES["quality_benford"] = quality_benford
+
+ORACLES["quality_benford"] = f"""
+    WITH counts AS (
+        SELECT CAST(substring(CAST({_sql_iu('o_totalprice', 2)} AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           {_sql_pr('CAST(n AS DOUBLE) / CAST(total AS DOUBLE)', 6)} AS obs_share,
+           {_sql_pr('ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)', 6)}
+               AS benford_share,
+           {_sql_pr(
+               'abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)'
+               ' - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))', 6
+           )} AS abs_dev
+    FROM counts, tot
+"""

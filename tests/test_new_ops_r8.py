@@ -207,3 +207,58 @@ def test_aes_sample_exact_k_and_weight_bias(spark):
     corpus = load_table(spark, SF_SMOKE, "documents").filter("n_chars > 0")
     corpus_mean = corpus.agg({"n_chars": "avg"}).collect()[0][0]
     assert sample_mean > corpus_mean
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "copurchase_rules",
+        "quality_benford",
+        "privacy_dp_counts",
+        "connector_federated_union",
+    ],
+)
+def test_oracle_parity_batch3(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_rules_probability_bounds(spark):
+    from multithreaded_map_reduce_spark.queries.mining import copurchase_rules
+
+    rows = copurchase_rules(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+
+
+def test_benford_shares_sum_to_one(spark):
+    from multithreaded_map_reduce_spark.queries.quality import quality_benford
+
+    rows = quality_benford(spark, SF_SMOKE).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_dp_counts_noise_bounded_and_deterministic(spark):
+    """Noise is Laplace(1): |noisy - true| within a sane bound, and two
+    invocations produce identical output (derandomized mechanism)."""
+    from multithreaded_map_reduce_spark.queries.privacy import privacy_dp_counts
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    a = {r["lang"]: r["noisy_n"] for r in privacy_dp_counts(spark, SF_SMOKE).collect()}
+    b = {r["lang"]: r["noisy_n"] for r in privacy_dp_counts(spark, SF_SMOKE).collect()}
+    assert a == b
+    true = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, noisy in a.items():
+        assert abs(noisy - true[lang]) < 15  # |Laplace(1)| > 15 has p < 4e-7
