@@ -377,3 +377,25 @@ def test_aes_sample_topk_no_global_sort(spark):
 
     txt = explain_formatted(_q("curation_sample_aes")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in txt
+
+
+def test_golden_record_no_cartesian(spark):
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("linkage_golden_record")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_copurchase_rules_no_cartesian_beyond_onerow(spark):
+    """The only cross join allowed is the 1-row n_baskets relation."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("copurchase_rules")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in txt
+
+
+def test_federated_union_reads_three_formats(spark):
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    txt = explain_formatted(_q("connector_federated_union")(spark, SF_SMOKE))
+    assert "Scan parquet" in txt and "Scan csv" in txt and "Scan json" in txt
