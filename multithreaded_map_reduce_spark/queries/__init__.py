@@ -211,6 +211,7 @@ _NEVER_SAMPLED: list[str] = [
     "quality_benford",
     "privacy_dp_counts",
     "connector_federated_union",
+    "timeseries_seasonal_profile",
 ]
 
 # Changed since their last green driver row — round 4 edits:

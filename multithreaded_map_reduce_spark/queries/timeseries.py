@@ -390,3 +390,81 @@ ORACLES["interval_overlap_orders"] = f"""
      AND abs(datediff('day', a.d, b.d)) <= {OVERLAP_DAYS}
     GROUP BY a.k
 """
+
+
+# --------------------------------------------------- seasonal profile
+# Weekly seasonality decomposition of the event stream: the (day-of-
+# week × hour) activity profile plus each cell's deviation from its
+# hour-of-day mean — the load-shape / anomaly-baseline every ops
+# dashboard starts from. Calendar math is PORTABLE integer arithmetic
+# on epoch microseconds (dow = (days + 4) % 7 — 1970-01-01 was a
+# Thursday; hour = micros div 3.6e9 mod 24): engine date_part/dayofweek
+# conventions (Sunday = 0 vs 1) never enter. Event values sum as exact
+# integer micro-units (the double-sum order hazard the house rules
+# ban). One scan, one 168-cell aggregate, one 24-cell re-aggregate
+# joined back broadcast-small.
+
+
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    cells = (
+        ev.select(
+            F.pmod((us / F.lit(86_400_000_000)).cast("long") + F.lit(4), F.lit(7)).alias(
+                "dow"
+            ),
+            F.pmod((us / F.lit(3_600_000_000)).cast("long"), F.lit(24)).alias("hour"),
+            iunits(F.col("value"), 6).alias("v_units"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v_units").alias("sum_units"))
+    )
+    hourly = cells.groupBy("hour").agg(
+        F.sum("n_events").alias("h_events"), F.count(F.lit(1)).alias("h_cells")
+    )
+    return (
+        cells.join(hourly, "hour")
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            pround(F.col("sum_units").cast("double") / F.lit(1e6), 6).alias(
+                "sum_value"
+            ),
+            pround(
+                F.col("n_events").cast("double")
+                / (F.col("h_events").cast("double") / F.col("h_cells").cast("double")),
+                6,
+            ).alias("load_vs_hour_mean"),
+        )
+    )
+
+
+QUERIES["timeseries_seasonal_profile"] = timeseries_seasonal_profile
+
+from ..functions.rounding import sql_iunits as _sql_iu2  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr3  # noqa: E402
+
+ORACLES["timeseries_seasonal_profile"] = f"""
+    WITH cells AS (
+        SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+               (epoch_us(ts) // 3600000000) % 24 AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum({_sql_iu2('value', 6)}) AS BIGINT) AS sum_units
+        FROM events GROUP BY 1, 2
+    ), hourly AS (
+        SELECT hour, CAST(sum(n_events) AS BIGINT) AS h_events,
+               CAST(count(*) AS BIGINT) AS h_cells
+        FROM cells GROUP BY 1
+    )
+    SELECT dow, hour, n_events,
+           {_sql_pr3('CAST(sum_units AS DOUBLE) / 1000000.0', 6)} AS sum_value,
+           {_sql_pr3(
+               'CAST(n_events AS DOUBLE)'
+               ' / (CAST(h_events AS DOUBLE) / CAST(h_cells AS DOUBLE))', 6
+           )} AS load_vs_hour_mean
+    FROM cells JOIN hourly USING (hour)
+"""

@@ -262,3 +262,25 @@ def test_dp_counts_noise_bounded_and_deterministic(spark):
     }
     for lang, noisy in a.items():
         assert abs(noisy - true[lang]) < 15  # |Laplace(1)| > 15 has p < 4e-7
+
+
+def test_seasonal_profile_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["timeseries_seasonal_profile"],
+        ALL_ORACLES["timeseries_seasonal_profile"],
+        SF_SMOKE,
+    )
+
+
+def test_seasonal_profile_cells(spark):
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        timeseries_seasonal_profile,
+    )
+
+    rows = timeseries_seasonal_profile(spark, SF_SMOKE).collect()
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
+    assert len({(r["dow"], r["hour"]) for r in rows}) == len(rows)
+    assert all(r["load_vs_hour_mean"] > 0 for r in rows)
