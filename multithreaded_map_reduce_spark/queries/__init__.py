@@ -212,6 +212,8 @@ _NEVER_SAMPLED: list[str] = [
     "privacy_dp_counts",
     "connector_federated_union",
     "timeseries_seasonal_profile",
+    "text_lm_interpolated",
+    "curation_interleave",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -747,3 +747,76 @@ ORACLES["curation_sample_aes"] = f"""
         FROM documents WHERE n_chars > 0
     ) WHERE rank <= {AES_K}
 """
+
+
+# --------------------------------------------- round-robin interleave
+# Training-ORDER scheduling: mixture quotas (curation_mixture) say how
+# MUCH of each source to take; the interleave says in what ORDER — a
+# deterministic 1:1 round-robin so no long single-source run biases
+# early training. Within each source docs are ranked by the portable
+# doc-id hash (a shuffled-but-reproducible order); global slot =
+# within-source-rank × n_sources + source-index. Exhausted sources
+# leave gaps that the final dense re-rank closes. All integer
+# arithmetic; the oracle replays slot assignment exactly. 100 TB: one
+# per-source window (key = source, the natural partition), a broadcast
+# source-index relation, and a TakeOrdered head — no global sort.
+
+INTERLEAVE_TOPK = 60
+
+
+def curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(W.orderBy(F.asc("source"))) - F.lit(1),
+        )
+    )
+    n_src = srcs.count()
+    h = token_hash(F.col("doc_id").cast("string"))
+    wr = W.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    ranked = (
+        docs.select("doc_id", "source", h.alias("_h"))
+        .withColumn("src_rank", F.row_number().over(wr) - F.lit(1))
+        .join(F.broadcast(srcs), "source")
+        .withColumn(
+            "slot", F.col("src_rank") * F.lit(n_src) + F.col("src_idx")
+        )
+    )
+    head = ranked.orderBy(F.asc("slot")).limit(INTERLEAVE_TOPK)
+    wo = W.orderBy(F.asc("slot"))
+    return head.select(
+        F.row_number().over(wo).cast("int").alias("position"),
+        "doc_id",
+        "source",
+        F.col("src_rank").cast("long").alias("src_rank"),
+    )
+
+
+QUERIES["curation_interleave"] = curation_interleave
+
+ORACLES["curation_interleave"] = f"""
+    WITH srcs AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source ASC) AS BIGINT) - 1
+                   AS src_idx,
+               (SELECT count(DISTINCT source) FROM documents) AS n_src
+        FROM (SELECT DISTINCT source FROM documents)
+    ), ranked AS (
+        SELECT d.doc_id, d.source,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ({_H}) ASC, d.doc_id ASC
+               ) AS BIGINT) - 1 AS src_rank
+        FROM documents d
+    ), slotted AS (
+        SELECT ranked.doc_id, ranked.source, ranked.src_rank,
+               ranked.src_rank * srcs.n_src + srcs.src_idx AS slot
+        FROM ranked JOIN srcs USING (source)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY slot ASC) AS INTEGER) AS position,
+           doc_id, source, src_rank
+    FROM (SELECT * FROM slotted ORDER BY slot ASC LIMIT {INTERLEAVE_TOPK})
+"""

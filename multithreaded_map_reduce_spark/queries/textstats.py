@@ -899,3 +899,99 @@ ORACLES["text_vocab_coverage"] = f"""
                AS oov_rate
     FROM flagged GROUP BY 1
 """
+
+
+# ------------------------------------------ interpolated (JM) LM score
+# Jelinek–Mercer interpolation — the smoothing step between
+# text_lm_score (unigram) and text_lm_bigram (conditional):
+# P(w|prev) = λ·c(prev w)/c(prev ·) + (1−λ)·c(w)/N. The interpolation
+# is what makes a bigram LM usable on unseen text (an unseen bigram
+# backs off to the unigram instead of −ln 0); here it is scored over
+# the training corpus so the oracle stays exact. Same discipline as
+# the other LM queries: the double probability is computed with one
+# fixed expression shape in both engines, each transition's −ln snaps
+# to integer nano-units BEFORE the per-doc sum. Same shuffle shape as
+# tf-idf plus one broadcast-able unigram relation and a 1-row N.
+
+LM_LAMBDA = 0.7
+
+
+def text_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import from_iunits, iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    inst = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("l"),
+                    F.element_at("toks", i + 1).alias("r"),
+                    F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.l").alias("l"), F.col("s.r").alias("r"), F.col("s.b").alias("b"))
+    all_toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    cu = all_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_tot = all_toks.agg(F.count(F.lit(1)).alias("n_tot"))
+    cb = inst.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    cl = inst.groupBy("l").agg(F.count(F.lit(1)).alias("cl"))
+    lam = F.lit(LM_LAMBDA)
+    p = lam * (F.col("cb").cast("double") / F.col("cl").cast("double")) + (
+        F.lit(1.0) - lam
+    ) * (F.col("cu").cast("double") / F.col("n_tot").cast("double"))
+    scored = (
+        inst.join(cb, "b")
+        .join(cl, "l")
+        .join(cu.withColumnRenamed("w", "r"), "r")
+        .crossJoin(n_tot)
+        .select("doc_id", iunits(-F.log(p), 9).alias("nllu"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        pround(from_iunits(F.sum("nllu"), 9) / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+
+
+QUERIES["text_lm_interpolated"] = text_lm_interpolated
+
+ORACLES["text_lm_interpolated"] = f"""
+    WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+        WHERE len({sql_tokens('text')}) >= 2
+    ), inst AS (
+        SELECT doc_id, toks[i] AS l, toks[i + 1] AS r,
+               toks[i] || ' ' || toks[i + 1] AS b
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+    ), at2 AS (
+        SELECT unnest({sql_tokens('text')}) AS w FROM documents
+    ), cu AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cu FROM at2 GROUP BY 1
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM at2),
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM inst GROUP BY 1),
+    cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM inst GROUP BY 1),
+    scored AS (
+        SELECT doc_id,
+               CAST(floor((-ln({LM_LAMBDA} * (CAST(cb AS DOUBLE) / CAST(cl AS DOUBLE))
+                           + {1.0 - LM_LAMBDA} * (CAST(cu.cu AS DOUBLE) / CAST(n_tot AS DOUBLE))))
+                          * 1000000000.0 + 0.5) AS BIGINT) AS nllu
+        FROM inst
+        JOIN cb USING (b)
+        JOIN cl USING (l)
+        JOIN cu ON inst.r = cu.w
+        CROSS JOIN nt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+           {sql_pround('(CAST(sum(nllu) AS DOUBLE) / 1000000000.0) / count(*)', 6)}
+               AS avg_nll
+    FROM scored GROUP BY 1
+"""

@@ -284,3 +284,48 @@ def test_seasonal_profile_cells(spark):
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
     assert len({(r["dow"], r["hour"]) for r in rows}) == len(rows)
     assert all(r["load_vs_hour_mean"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["text_lm_interpolated", "curation_interleave"]
+)
+def test_oracle_parity_batch4(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_interpolated_nll_between_models(spark):
+    """JM smoothing can only soften the bigram surprise: per corpus the
+    interpolated avg nll must be >= the pure-bigram avg (interpolation
+    mixes in the flatter unigram) while staying finite."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        text_lm_bigram,
+        text_lm_interpolated,
+    )
+
+    bi = {r["doc_id"]: r["avg_nll"] for r in text_lm_bigram(spark, SF_SMOKE).collect()}
+    jm = {
+        r["doc_id"]: r["avg_nll"]
+        for r in text_lm_interpolated(spark, SF_SMOKE).collect()
+    }
+    assert set(bi) == set(jm)
+    # not a per-doc theorem (a frequent unigram can beat a rare bigram),
+    # but corpus-wide the mixture must sit above the trained-on-itself
+    # bigram model
+    assert sum(jm.values()) >= sum(bi.values())
+
+
+def test_interleave_round_robin_property(spark):
+    """Among the first n_sources positions, every source appears once
+    (no source starves the head of the schedule)."""
+    from multithreaded_map_reduce_spark.queries.curation import curation_interleave
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = sorted(
+        curation_interleave(spark, SF_SMOKE).collect(), key=lambda r: r["position"]
+    )
+    n_src = load_table(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    head = [r["source"] for r in rows[:n_src]]
+    assert len(set(head)) == n_src
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
