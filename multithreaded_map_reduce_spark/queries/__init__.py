@@ -214,6 +214,7 @@ _NEVER_SAMPLED: list[str] = [
     "timeseries_seasonal_profile",
     "text_lm_interpolated",
     "curation_interleave",
+    "events_markov_stationary",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -308,3 +308,125 @@ def _kcore_oracle() -> str:
 
 
 ORACLES["kcore_parts"] = _kcore_oracle()
+
+
+# --------------------------------------------- Markov chain stationary
+# The event-type transition matrix (events_transitions) iterated to its
+# stationary distribution — "where does a user session end up spending
+# its time" — under the pagerank fixed-point discipline: probability
+# mass as BIGINT units of 1/MK_SCALE, truncating integer division per
+# transition, dangling states (types never observed as a source)
+# redistribute uniformly, a FIXED iteration count, and an oracle that
+# unrolls the identical rounds as CTEs. Scale: each round shuffles
+# O(|types|²) transition rows — the state space is the EVENT-TYPE
+# alphabet, not users, so this is broadcast-tiny at any corpus size;
+# the one corpus-sized stage is the lead() window building the counts.
+
+MK_SCALE = 10**12
+MK_ITERS = 4
+MK_STATES = 5  # the events fixture's event_type alphabet (asserted)
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    states = ev.select(F.col("event_type").alias("t")).distinct().localCheckpoint()
+    n_states = states.count()
+    if n_states != MK_STATES:
+        raise AssertionError(
+            f"event_type alphabet changed: {n_states} != {MK_STATES} — "
+            "update MK_STATES (oracle constant) to match"
+        )
+    outs = trans.groupBy("from_type").agg(F.sum("n").alias("ow"))
+    pi = states.withColumn(
+        "units", F.lit(MK_SCALE // MK_STATES).cast("long")
+    ).localCheckpoint()
+    for _ in range(MK_ITERS):
+        contrib = (
+            trans.join(pi, trans.from_type == pi.t)
+            .join(outs, "from_type")
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr("(units * n) div ow").alias("c"),
+            )
+            .groupBy("t")
+            .agg(F.sum("c").alias("cin"))
+        )
+        dang = (
+            pi.join(outs, pi.t == outs.from_type, "left_anti")
+            .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("dmass"))
+            .select((F.col("dmass") / F.lit(MK_STATES)).cast("long").alias("dm"))
+        )
+        pi = (
+            states.join(contrib, "t", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "t",
+                (F.coalesce(F.col("cin"), F.lit(0)) + F.col("dm")).alias("units"),
+            )
+            .localCheckpoint()
+        )
+    return pi.select(F.col("t").alias("event_type"), F.col("units").alias("prob_units"))
+
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+
+
+def _markov_sql(num_iter: int = MK_ITERS, n: int = MK_STATES) -> str:
+    ctes = [
+        f"""trans AS MATERIALIZED (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT event_type AS t FROM events),
+    outs AS MATERIALIZED (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS ow FROM trans GROUP BY 1
+    ),
+    p0 AS (SELECT t, CAST({MK_SCALE // n} AS BIGINT) AS units FROM states)"""
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT COALESCE(sum(units), 0) // {n} AS dm FROM p{p}
+            WHERE t NOT IN (SELECT from_type FROM outs)
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT tr.to_type AS t, sum((p.units * tr.n) // o.ow) AS cin
+            FROM trans tr
+            JOIN p{p} p ON tr.from_type = p.t
+            JOIN outs o ON tr.from_type = o.from_type
+            GROUP BY 1
+        ),
+        p{i} AS MATERIALIZED (
+            SELECT s.t, COALESCE(c.cin, 0) + d.dm AS units
+            FROM states s LEFT JOIN c{i} c ON s.t = c.t CROSS JOIN d{i} d
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT t AS event_type, CAST(units AS BIGINT) AS prob_units
+        FROM p{num_iter}"""
+    )
+
+
+ORACLES["events_markov_stationary"] = _markov_sql()

@@ -329,3 +329,32 @@ def test_interleave_round_robin_property(spark):
     head = [r["source"] for r in rows[:n_src]]
     assert len(set(head)) == n_src
     assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_markov_stationary_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["events_markov_stationary"],
+        ALL_ORACLES["events_markov_stationary"],
+        SF_SMOKE,
+    )
+
+
+def test_markov_stationary_mass_conserved(spark):
+    """Fixed-point units must sum to ~MK_SCALE (truncation loses at
+    most iters × states units) and every state keeps positive mass."""
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        MK_ITERS,
+        MK_SCALE,
+        MK_STATES,
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, SF_SMOKE).collect()
+    assert len(rows) == MK_STATES
+    total = sum(r["prob_units"] for r in rows)
+    slack = MK_ITERS * MK_STATES * max(MK_STATES, 64)
+    assert MK_SCALE - slack <= total <= MK_SCALE
+    assert all(r["prob_units"] > 0 for r in rows)
