@@ -215,6 +215,9 @@ _NEVER_SAMPLED: list[str] = [
     "text_lm_interpolated",
     "curation_interleave",
     "events_markov_stationary",
+    "embedding_neardup_clusters",
+    "quality_crosstab_chisq",
+    "timeseries_cusum",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -545,3 +545,58 @@ ORACLES["dedup_incremental"] = f"""
         JOIN hashed b ON allc.match_id = b.id
     ) WHERE jaccard >= 0.5
 """
+
+
+# ------------------------------------- semantic (embedding) dedup clusters
+# The embedding-modality twin of dedup_clusters: cosine near-dup PAIRS
+# (blocked by label — the IVF-cell stand-in) closed into clusters with
+# the same connected-components machinery, labeling every vector with
+# its canonical (min-id) representative. Completes the semantic-dedup
+# story: minhash handles lexical overlap, this handles paraphrase-level
+# similarity an n-gram method can't see. Oracle: the pair CTE + the
+# recursive closure, exactly the dedup_clusters pattern.
+
+
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, "vec_id", "embedding", "label", min_cosine=0.35)
+    labeled = connected_components(pairs.select("id_a", "id_b"))
+    all_ids = emb.select(F.col("vec_id").alias("id"))
+    return (
+        all_ids.join(labeled, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce(F.col("root"), F.col("id")).alias("canonical_id"),
+        )
+    )
+
+
+QUERIES["embedding_neardup_clusters"] = embedding_neardup_clusters
+
+ORACLES["embedding_neardup_clusters"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id AS id, label AS blk, {sql_as_double('embedding')} AS v
+        FROM embeddings
+    ), prs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   {sql_pround(sql_cosine('a.v', 'b.v'), 6)} AS cos_sim
+            FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+        ) WHERE cos_sim >= 0.35
+    ), nodes AS (
+        SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ), roots AS (
+        SELECT a AS id, min(b) AS root FROM reach GROUP BY a
+    )
+    SELECT emb.vec_id, coalesce(roots.root, emb.vec_id) AS canonical_id
+    FROM embeddings emb LEFT JOIN roots ON emb.vec_id = roots.id
+"""

@@ -396,3 +396,70 @@ ORACLES["quality_benford"] = f"""
            )} AS abs_dev
     FROM counts, tot
 """
+
+
+# --------------------------------------------- crosstab independence
+# Pearson chi-square contingency audit: are order priority and order
+# status independent? Per-cell observed vs expected (row·col/N) counts
+# and the cell's chi-square contribution — the drift/association check
+# a data-quality suite runs between categorical columns. Exact BIGINT
+# marginals; expected/contribution are doubles with one fixed
+# expression shape in both engines, pround'd. One scan + three grouped
+# counts, all broadcast-tiny.
+
+
+def quality_crosstab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    row_t = obs.groupBy("priority").agg(F.sum("obs").alias("row_n"))
+    col_t = obs.groupBy("status").agg(F.sum("obs").alias("col_n"))
+    n = obs.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("obs").cast("double") - exp
+    return (
+        obs.join(row_t, "priority")
+        .join(col_t, "status")
+        .crossJoin(n)
+        .select(
+            "priority",
+            "status",
+            "obs",
+            pround(exp, 6).alias("expected"),
+            pround(dev * dev / exp, 6).alias("chisq_contrib"),
+        )
+    )
+
+
+QUERIES["quality_crosstab_chisq"] = quality_crosstab_chisq
+
+ORACLES["quality_crosstab_chisq"] = f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ), row_t AS (SELECT priority, CAST(sum(obs) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+    col_t AS (SELECT status, CAST(sum(obs) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs)
+    SELECT priority, status, obs,
+           {_sql_pr(
+               'CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)', 6
+           )} AS expected,
+           {_sql_pr(
+               '(CAST(obs AS DOUBLE)'
+               ' - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))'
+               ' * (CAST(obs AS DOUBLE)'
+               ' - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))'
+               ' / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))',
+               6
+           )} AS chisq_contrib
+    FROM obs JOIN row_t USING (priority) JOIN col_t USING (status) CROSS JOIN tot
+"""

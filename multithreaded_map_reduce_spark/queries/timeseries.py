@@ -468,3 +468,67 @@ ORACLES["timeseries_seasonal_profile"] = f"""
            )} AS load_vs_hour_mean
     FROM cells JOIN hourly USING (hour)
 """
+
+
+# ------------------------------------------------------- CUSUM drift
+# Change detection on the daily event rate: the cumulative sum of
+# deviations from the overall daily mean — the classic CUSUM chart a
+# pipeline-health monitor runs to catch level shifts that per-day
+# alerts miss. Exactness trick: instead of the fractional mean
+# total/n_days, every deviation is SCALED by n_days —
+# cusum_scaled(d) = Σ_{k ≤ d} (n_k·n_days − total) — so the whole
+# statistic is pure BIGINT arithmetic, order-free and engine-exact.
+# The cumulative window runs over one row per DAY (a broadcast-tiny
+# relation at any corpus size); the corpus-sized work is one grouped
+# count.
+
+
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = daily.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.crossJoin(tot)
+        .select(
+            "day",
+            "n_events",
+            (F.col("n_events") * F.col("n_days") - F.col("total")).alias("_dev"),
+        )
+        .withColumn("cusum_scaled", F.sum("_dev").over(w))
+        .select("day", "n_events", "cusum_scaled")
+    )
+
+
+QUERIES["timeseries_cusum"] = timeseries_cusum
+
+ORACLES["timeseries_cusum"] = """
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    )
+    SELECT day, n_events,
+           CAST(sum(n_events * n_days - total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cusum_scaled
+    FROM daily CROSS JOIN tot
+"""

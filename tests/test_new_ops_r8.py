@@ -358,3 +358,60 @@ def test_markov_stationary_mass_conserved(spark):
     slack = MK_ITERS * MK_STATES * max(MK_STATES, 64)
     assert MK_SCALE - slack <= total <= MK_SCALE
     assert all(r["prob_units"] > 0 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["embedding_neardup_clusters", "quality_crosstab_chisq", "timeseries_cusum"],
+)
+def test_oracle_parity_batch5(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_embedding_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair shares a canonical id; singletons are their
+    own canonical."""
+    from multithreaded_map_reduce_spark.operators.dedup import embedding_neardup_pairs
+    from multithreaded_map_reduce_spark.queries.dedup import (
+        embedding_neardup_clusters,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    canon = {
+        r["vec_id"]: r["canonical_id"]
+        for r in embedding_neardup_clusters(spark, SF_SMOKE).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", "label", min_cosine=0.35
+    ).collect()
+    assert pairs
+    in_pairs = set()
+    for p in pairs:
+        assert canon[p["id_a"]] == canon[p["id_b"]]
+        in_pairs.update((p["id_a"], p["id_b"]))
+    for vid, c in canon.items():
+        if vid not in in_pairs:
+            assert c == vid
+
+
+def test_chisq_marginals_consistent(spark):
+    """Summing expected counts over all cells must give N back."""
+    from multithreaded_map_reduce_spark.queries.quality import quality_crosstab_chisq
+
+    rows = quality_crosstab_chisq(spark, SF_SMOKE).collect()
+    n_obs = sum(r["obs"] for r in rows)
+    n_exp = sum(r["expected"] for r in rows)
+    assert abs(n_exp - n_obs) < 1.0  # expected marginals telescope to N
+    assert all(r["chisq_contrib"] >= 0 for r in rows)
+
+
+def test_cusum_telescopes_to_zero(spark):
+    """The last cumulative scaled deviation is Σ(n_d·D − total) = 0."""
+    from multithreaded_map_reduce_spark.queries.timeseries import timeseries_cusum
+
+    rows = sorted(timeseries_cusum(spark, SF_SMOKE).collect(), key=lambda r: r["day"])
+    assert rows
+    assert rows[-1]["cusum_scaled"] == 0
