@@ -218,6 +218,7 @@ _NEVER_SAMPLED: list[str] = [
     "embedding_neardup_clusters",
     "quality_crosstab_chisq",
     "timeseries_cusum",
+    "connector_binaryfile_decode",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -429,3 +429,53 @@ ORACLES["connector_federated_union"] = f"""
                AS total_acctbal
     FROM supplier GROUP BY s_nationkey
 """
+
+
+# ----------------------------------------------- binaryFile connector
+# The blob-ingest path a multimodal corpus actually arrives through:
+# one opaque file per asset, read with Spark's binaryFile source
+# (path/length/content rows, partitioned by file), id recovered from
+# the file name, then the SAME strict PPM decode as multimodal_decode.
+# Writing the fixture files is driver-side setup (Spark has no binary
+# writer — in production the files pre-exist); the measured operator is
+# the distributed binaryFile scan + Arrow-batched decode. The oracle is
+# multimodal_decode's arithmetic feature recomputation restricted to
+# the same id range — the connector must be byte-transparent end to
+# end.
+
+
+def connector_binaryfile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.multimodal import (
+        documents_as_ppm_images,
+        extract_image_features,
+    )
+    from ..sources.catalog import load_table as _lt
+
+    docs = (
+        _lt(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+    )
+    base = f"/tmp/binf_{uuid.uuid4().hex}"
+    os.makedirs(base, exist_ok=True)
+    for r in documents_as_ppm_images(docs).collect():  # fixture setup only
+        with open(f"{base}/{int(r['media_id']):06d}.ppm", "wb") as fh:
+            fh.write(bytes(r["media"]))
+    bf = spark.read.format("binaryFile").load(base)
+    media = bf.select(
+        F.regexp_extract(F.col("path"), r"(\d{6})\.ppm$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("media"),
+    )
+    return extract_image_features(media)
+
+
+QUERIES["connector_binaryfile_decode"] = connector_binaryfile_decode
+
+from .multimodal import ORACLES as _MM_ORACLES  # noqa: E402
+
+ORACLES["connector_binaryfile_decode"] = _MM_ORACLES["multimodal_decode"].replace(
+    "WHERE length(text) > 0", "WHERE length(text) > 0 AND doc_id < 100"
+)

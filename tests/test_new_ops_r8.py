@@ -415,3 +415,41 @@ def test_cusum_telescopes_to_zero(spark):
     rows = sorted(timeseries_cusum(spark, SF_SMOKE).collect(), key=lambda r: r["day"])
     assert rows
     assert rows[-1]["cusum_scaled"] == 0
+
+
+def test_binaryfile_decode_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["connector_binaryfile_decode"],
+        ALL_ORACLES["connector_binaryfile_decode"],
+        SF_SMOKE,
+    )
+
+
+def test_binaryfile_matches_inline_decode(spark):
+    """The file round-trip must be byte-transparent: features from
+    binaryFile-read blobs equal features from the in-memory blobs."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.multimodal import (
+        documents_as_ppm_images,
+        extract_image_features,
+    )
+    from multithreaded_map_reduce_spark.queries.connectors import (
+        connector_binaryfile_decode,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    via_files = {
+        tuple(r) for r in connector_binaryfile_decode(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    inline = {
+        tuple(r)
+        for r in extract_image_features(documents_as_ppm_images(docs)).collect()
+    }
+    assert via_files == inline
