@@ -219,6 +219,7 @@ _NEVER_SAMPLED: list[str] = [
     "quality_crosstab_chisq",
     "timeseries_cusum",
     "connector_binaryfile_decode",
+    "hll_set_ops",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -474,7 +474,7 @@ def _kj_oracle() -> str:
     ),
     ex AS (
         SELECT count(*) AS exact_overlap FROM
-        (SELECT DISTINCT o_custkey AS k FROM orders) o
+        (SELECT DISTINCT user_id AS k FROM events) o
         JOIN (SELECT c_custkey AS k FROM customer) c USING (k)
     )
     SELECT
@@ -495,3 +495,137 @@ def _kj_oracle() -> str:
 
 
 ORACLES["kmv_join_estimate"] = _kj_oracle()
+
+
+# ------------------------------------------------ HLL set algebra
+# The register-level counterpart of kmv_join_estimate over the SAME two
+# key sets here are events.user_id (a PROPER subset) vs
+# customer.c_custkey, so union/intersection differ meaningfully; the
+# mergeable-sketch families are directly comparable on one task: HLL
+# registers merge by per-register max (union is LOSSLESS for HLL,
+# unlike intersection), and |A∩B| comes from inclusion–exclusion —
+# the estimator's known weak spot, exposed honestly next to the exact
+# overlap. Same raw-estimator discipline as hll_distinct (no ln-based
+# corrections; the only float op is one shared-literal division).
+
+
+def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import pround
+    from ..operators.sketches import HLL_A, HLL_B, HLL_M, _HLL_K, _HLL_NUMER
+
+    m = HLL_M
+
+    def hashed(df: DataFrame, col: str, side: str) -> DataFrame:
+        h = F.pmod(
+            F.pmod(F.col(col).cast("long"), F.lit(POLY_MOD)) * F.lit(HLL_A)
+            + F.lit(HLL_B),
+            F.lit(POLY_MOD),
+        )
+        return df.select(F.lit(side).alias("side"), h.alias("_h"))
+
+    both = hashed(load_table(spark, sf_dir, "events"), "user_id", "a").unionByName(
+        hashed(load_table(spark, sf_dir, "customer"), "c_custkey", "b")
+    )
+    w = (F.col("_h") / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(24)).otherwise(F.lit(24) - F.length(F.bin(w)))
+    regs = (
+        both.select("side", (F.col("_h") % F.lit(m)).alias("_j"), rho.alias("_rho"))
+        .groupBy("side", "_j")
+        .agg(F.max("_rho").alias("_mj"))
+    )
+
+    def est_from(regs_df: DataFrame, label: str) -> DataFrame:
+        pg = regs_df.agg(
+            F.count(F.lit(1)).alias("_present"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - _mj)")).alias(
+                "_s"
+            ),
+        )
+        s = F.col("_s") + (F.lit(m) - F.col("_present")) * F.lit(1 << _HLL_K)
+        return pg.select(
+            (F.lit(float(_HLL_NUMER)) / s.cast("double")).alias(label)
+        )
+
+    ea = est_from(regs.filter(F.col("side") == "a"), "ra")
+    eb = est_from(regs.filter(F.col("side") == "b"), "rb")
+    eu = est_from(regs.groupBy("_j").agg(F.max("_mj").alias("_mj")), "ru")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .join(
+            load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")),
+            "k",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            pround(F.col("ra"), 4).alias("hll_a"),
+            pround(F.col("rb"), 4).alias("hll_b"),
+            pround(F.col("ru"), 4).alias("hll_union"),
+            pround(F.col("ra") + F.col("rb") - F.col("ru"), 4).alias(
+                "hll_intersection"
+            ),
+            "exact_overlap",
+        )
+    )
+
+
+QUERIES["hll_set_ops"] = hll_set_ops
+
+
+def _hll_set_oracle() -> str:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import sql_pround
+    from ..operators.sketches import HLL_A, HLL_B, HLL_M, _HLL_K, _HLL_NUMER
+
+    m = HLL_M
+
+    def hs(table: str, col: str, side: str) -> str:
+        return (
+            f"SELECT '{side}' AS side, (((CAST({col} AS BIGINT) % {POLY_MOD}"
+            f" + {POLY_MOD}) % {POLY_MOD}) * {HLL_A} + {HLL_B}) % {POLY_MOD} AS _h"
+            f" FROM {table}"
+        )
+
+    def est(src: str) -> str:
+        return (
+            f"SELECT {_HLL_NUMER} / CAST(_s + ({m} - _present)"
+            f" * (CAST(1 AS BIGINT) << {_HLL_K}) AS DOUBLE) AS r FROM ("
+            f"SELECT count(*) AS _present,"
+            f" CAST(sum(CAST(1 AS BIGINT) << ({_HLL_K} - _mj)) AS BIGINT) AS _s"
+            f" FROM ({src}))"
+        )
+
+    return f"""
+    WITH both_h AS (
+        {hs('events', 'user_id', 'a')} UNION ALL {hs('customer', 'c_custkey', 'b')}
+    ), regs AS (
+        SELECT side, _h % {m} AS _j,
+               max(CASE WHEN _h // {m} = 0 THEN 24
+                        ELSE 24 - length(bin(_h // {m})) END) AS _mj
+        FROM both_h GROUP BY 1, 2
+    ),
+    ea AS ({est(f"SELECT _mj FROM regs WHERE side = 'a'")}),
+    eb AS ({est(f"SELECT _mj FROM regs WHERE side = 'b'")}),
+    eu AS ({est(f"SELECT max(_mj) AS _mj FROM regs GROUP BY _j")}),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM
+        (SELECT DISTINCT user_id AS k FROM events) o
+        JOIN (SELECT c_custkey AS k FROM customer) c USING (k)
+    )
+    SELECT {sql_pround('ea.r', 4)} AS hll_a,
+           {sql_pround('eb.r', 4)} AS hll_b,
+           {sql_pround('eu.r', 4)} AS hll_union,
+           {sql_pround('ea.r + eb.r - eu.r', 4)} AS hll_intersection,
+           exact_overlap
+    FROM ea, eb, eu, ex
+    """
+
+
+ORACLES["hll_set_ops"] = _hll_set_oracle()

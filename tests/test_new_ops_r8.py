@@ -453,3 +453,29 @@ def test_binaryfile_matches_inline_decode(spark):
         for r in extract_image_features(documents_as_ppm_images(docs)).collect()
     }
     assert via_files == inline
+
+
+def test_hll_set_ops_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES["hll_set_ops"], ALL_ORACLES["hll_set_ops"], SF_SMOKE)
+
+
+def test_hll_set_ops_algebra(spark):
+    """Algebraic identities (accuracy at tiny cardinalities is NOT the
+    contract — the raw estimator's small-range bias is deliberate and
+    documented in hll_distinct): max-merge union dominates each side,
+    never exceeds the sum, and intersection is exactly the
+    inclusion-exclusion residue. In this fixture every customer has
+    orders but only some customers have events, so A ⊂ B strictly."""
+    from multithreaded_map_reduce_spark.queries.sketches import hll_set_ops
+
+    r = hll_set_ops(spark, SF_SMOKE).collect()[0]
+    assert r["hll_union"] >= max(r["hll_a"], r["hll_b"]) - 1e-3
+    assert r["hll_union"] <= r["hll_a"] + r["hll_b"] + 1e-3
+    assert r["exact_overlap"] > 0
+    ie = round(r["hll_a"] + r["hll_b"] - r["hll_union"], 3)
+    assert abs(ie - r["hll_intersection"]) <= 2e-3
+    # events users are a PROPER subset of customers: union ≈ B side
+    assert r["hll_a"] < r["hll_b"]
+    assert r["hll_union"] == r["hll_b"]
