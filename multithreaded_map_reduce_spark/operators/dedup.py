@@ -702,7 +702,7 @@ def blocked_jaccard_pairs(
     intersection into ~4 evaluations per pair — the CaseWhen/filter
     re-evaluation hazard), and the jaccard + threshold run over the
     materialized sizes."""
-    sh = df.filter(F.length(text_col) > 0).select(
+    sh = fan_out(df.filter(F.length(text_col) > 0)).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.array_distinct(hash_array(char_shingles(F.col(text_col), k))).alias("sh"),
