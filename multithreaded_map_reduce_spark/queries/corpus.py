@@ -25,14 +25,16 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_tokens
 from ..functions.text import tokenize
-from ..sources.catalog import fan_out, load_table
+from ..sources.catalog import load_table
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: tokenization is CPU-bound and pipelines with the scan;
-    # the single-file fixture is one split, so without it the explode
-    # runs on one core of local[32] (identity at real scale).
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NO fan_out here, by measurement: whitespace tokenization is cheap
+    # enough that the round-robin shuffle of the raw text costs MORE
+    # than the single-split scan stage it parallelizes (word_count warm
+    # median 0.30 s direct vs 0.74 s fanned at sf0.1). fan_out pays
+    # only on md5/shingle-heavy inputs (operators/dedup.py).
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
     )

@@ -931,9 +931,8 @@ PMI_TOPK = 20
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
     from ..functions.text import tokenize
-    from ..sources.catalog import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     ts = tokenize(F.col("text"))
     arr = docs.select(ts.alias("ts"), F.size(ts).alias("k")).filter(F.col("k") > 0)
     z = F.arrays_zip(
