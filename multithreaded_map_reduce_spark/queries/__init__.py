@@ -220,6 +220,8 @@ _NEVER_SAMPLED: list[str] = [
     "timeseries_cusum",
     "connector_binaryfile_decode",
     "hll_set_ops",
+    "text_zipf_fit",
+    "quality_mahalanobis2d",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -463,3 +463,110 @@ ORACLES["quality_crosstab_chisq"] = f"""
            )} AS chisq_contrib
     FROM obs JOIN row_t USING (priority) JOIN col_t USING (status) CROSS JOIN tot
 """
+
+
+# ------------------------------------------- Mahalanobis 2-D outliers
+# Covariance-aware outlier detection on (quantity, price): the top-k
+# rows by Mahalanobis distance — the bivariate upgrade of the IQR/
+# z-score checks, catching points that are unremarkable per-column but
+# off the joint distribution's axis. Derivation keeps everything exact
+# until one per-row double expression: with A = nΣxx−Sx², B = nΣyy−Sy²,
+# C = nΣxy−SxSy and scaled residuals dxs = n·x−Sx, dys = n·y−Sy,
+#   d² = (B·dxs² − 2C·dxs·dys + A·dys²) / (A·B − C²)
+# (the n's cancel), so engines compute identical doubles from identical
+# integers. Top-k by (d² desc, key asc) is a TakeOrdered; the moments
+# relation is one exact DECIMAL(38,0)/HUGEINT aggregate (the
+# stats_covar discipline).
+
+MAHA_TOPK = 20
+
+
+def quality_mahalanobis2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import money
+    from ..functions.rounding import pround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("x"),
+        (money("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+    )
+    n = d(F.col("n"))
+    ma = m.select(
+        "n",
+        "sx",
+        "sy",
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("va"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("vb"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("vc"),
+    )
+    j = base.crossJoin(F.broadcast(ma))
+    dxs = (d(F.col("n")) * d(F.col("x")) - F.col("sx")).cast("double")
+    dys = (d(F.col("n")) * d(F.col("y")) - F.col("sy")).cast("double")
+    d2 = (
+        F.col("vb") * dxs * dxs
+        - F.lit(2.0) * F.col("vc") * dxs * dys
+        + F.col("va") * dys * dys
+    ) / (F.col("va") * F.col("vb") - F.col("vc") * F.col("vc"))
+    scored = j.select(
+        "l_orderkey", "l_linenumber", "x", "y", pround(d2, 6).alias("maha_sq")
+    )
+    top = scored.orderBy(
+        F.desc("maha_sq"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).limit(MAHA_TOPK)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("maha_sq"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+QUERIES["quality_mahalanobis2d"] = quality_mahalanobis2d
+
+ORACLES["quality_mahalanobis2d"] = f"""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               CAST(CAST(count(*) AS HUGEINT) * sum(x * x)
+                    - CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE) AS va,
+               CAST(CAST(count(*) AS HUGEINT) * sum(y * y)
+                    - CAST(sum(y) AS HUGEINT) * sum(y) AS DOUBLE) AS vb,
+               CAST(CAST(count(*) AS HUGEINT) * sum(x * y)
+                    - CAST(sum(x) AS HUGEINT) * sum(y) AS DOUBLE) AS vc
+        FROM base
+    ), scored AS (
+        SELECT l_orderkey, l_linenumber, x, y,
+               {_sql_pr(
+                   '(vb * dxs * dxs - 2.0 * vc * dxs * dys + va * dys * dys)'
+                   ' / (va * vb - vc * vc)', 6
+               )} AS maha_sq
+        FROM (
+            SELECT base.*, va, vb, vc,
+                   CAST(CAST(n AS HUGEINT) * x - sx AS DOUBLE) AS dxs,
+                   CAST(CAST(n AS HUGEINT) * y - sy AS DOUBLE) AS dys
+            FROM base, m
+        )
+    )
+    SELECT l_orderkey, l_linenumber, x, y, maha_sq,
+           CAST(row_number() OVER (
+               ORDER BY maha_sq DESC, l_orderkey ASC, l_linenumber ASC
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT * FROM scored
+        ORDER BY maha_sq DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT {MAHA_TOPK}
+    )
+"""

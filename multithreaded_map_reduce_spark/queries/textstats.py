@@ -997,3 +997,91 @@ ORACLES["text_lm_interpolated"] = f"""
                AS avg_nll
     FROM scored GROUP BY 1
 """
+
+
+# ---------------------------------------------------------- Zipf fit
+# Does the corpus obey Zipf's law? Log-log least squares of word
+# frequency against frequency rank: slope ≈ −1 for natural language,
+# far off for synthetic/TEMPLATED corpora — a cheap generator-artifact
+# detector for training data. Ranks use a deterministic (count DESC,
+# word ASC) row_number; both ln() calls run on identical doubles and
+# the regression moments accumulate in integer 1e-6 units (the exact-
+# sum discipline), so slope/intercept are engine-identical after
+# pround. One vocabulary aggregate + one 1-row reduction.
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import from_iunits, iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    pts = wc.withColumn("rank", F.row_number().over(w)).select(
+        iunits(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        iunits(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    from ..functions.rounding import pround
+
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        pround(slope, 6).alias("zipf_slope"),
+        pround((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+QUERIES["text_zipf_fit"] = text_zipf_fit
+
+ORACLES["text_zipf_fit"] = f"""
+    WITH wc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({sql_tokens('text')}) AS word FROM documents)
+        GROUP BY 1
+    ), pts AS (
+        SELECT {sql_iunits('ln(CAST(rank AS DOUBLE))', 6)} AS x,
+               {sql_iunits('ln(CAST(cnt AS DOUBLE))', 6)} AS y
+        FROM (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+            FROM wc
+        )
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS vocab_size,
+           {sql_pround(
+               '(CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))'
+               ' / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))', 6
+           )} AS zipf_slope,
+           {sql_pround(
+               '((CAST(sy AS DOUBLE) / 1e6)'
+               ' - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))'
+               ' / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))'
+               ' * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE)', 6
+           )} AS zipf_intercept
+    FROM m
+"""

@@ -479,3 +479,35 @@ def test_hll_set_ops_algebra(spark):
     # events users are a PROPER subset of customers: union ≈ B side
     assert r["hll_a"] < r["hll_b"]
     assert r["hll_union"] == r["hll_b"]
+
+
+@pytest.mark.parametrize("name", ["text_zipf_fit", "quality_mahalanobis2d"])
+def test_oracle_parity_batch6(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_zipf_slope_negative(spark):
+    """Frequency falls with rank, so the fitted log-log slope must be
+    negative with a negative-correlation structure."""
+    from multithreaded_map_reduce_spark.queries.textstats import text_zipf_fit
+
+    r = text_zipf_fit(spark, SF_SMOKE).collect()[0]
+    assert r["vocab_size"] > 1
+    assert r["zipf_slope"] < 0
+
+
+def test_mahalanobis_ranks_and_positivity(spark):
+    from multithreaded_map_reduce_spark.queries.quality import (
+        MAHA_TOPK,
+        quality_mahalanobis2d,
+    )
+
+    rows = sorted(
+        quality_mahalanobis2d(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    assert 0 < len(rows) <= MAHA_TOPK
+    vals = [r["maha_sq"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
