@@ -222,6 +222,8 @@ _NEVER_SAMPLED: list[str] = [
     "hll_set_ops",
     "text_zipf_fit",
     "quality_mahalanobis2d",
+    "text_entropy_by_lang",
+    "arrow_group_robust_stats",
 ]
 
 # Changed since their last green driver row — round 4 edits:

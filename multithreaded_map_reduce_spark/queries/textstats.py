@@ -1085,3 +1085,63 @@ ORACLES["text_zipf_fit"] = f"""
            )} AS zipf_intercept
     FROM m
 """
+
+
+# ----------------------------------------------------- token entropy
+# Shannon entropy of each language's token distribution — the
+# "natural vs templated" diversity signal (a low-entropy slice is
+# boilerplate; curation pipelines down-weight it). Identity used:
+# H = ln(N) − (Σ c·ln c)/N over per-(lang, token) counts c, so the only
+# per-term float is ln(c) — snapped to integer nano-units and WEIGHTED
+# BY THE EXACT COUNT before the order-free BIGINT sum (the lm-score
+# discipline). Two grouped counts, nothing else.
+
+
+def text_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_lang = tc.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * iunits(F.log(F.col("c").cast("double")), 9)).alias(
+            "_clnc"
+        ),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("_clnc").cast("double") / F.lit(1e9)
+    ) / F.col("n_tokens").cast("double")
+    return per_lang.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        pround(h, 6).alias("entropy_nats"),
+    )
+
+
+QUERIES["text_entropy_by_lang"] = text_entropy_by_lang
+
+ORACLES["text_entropy_by_lang"] = f"""
+    WITH tc AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang, unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ), per_lang AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(c * {sql_iunits('ln(CAST(c AS DOUBLE))', 9)}) AS BIGINT)
+                   AS _clnc
+        FROM tc GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab,
+           {sql_pround(
+               'ln(CAST(n_tokens AS DOUBLE))'
+               ' - (CAST(_clnc AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE)', 6
+           )} AS entropy_nats
+    FROM per_lang
+"""

@@ -186,3 +186,64 @@ ORACLES["arrow_map_token_stats"] = """
                            t -> t != '')) AS n_tokens
     FROM documents
 """
+
+
+# ------------------------------------------------- grouped applyInArrow
+# The last Python-boundary API surface: groupBy().applyInArrow — the
+# grouped-map shape with RAW Arrow tables (no pandas materialization),
+# the right tool when the per-group logic wants columnar buffers (here:
+# order statistics, which no algebraic aggregate composes). Emits both
+# median conventions (lower/upper order statistic) so the oracle can
+# match discrete semantics exactly — never the float midpoint.
+# 100 TB: per-group work is a sort of that GROUP's rows only; groups
+# (languages) are the shuffle key. A hot group is the skew hazard —
+# the same salting rails as any grouped map apply.
+
+
+def arrow_group_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    # NB: deliberately NO type annotations — pyspark's
+    # infer_group_arrow_eval_type_from_func raises on annotations it
+    # can't resolve (string hints to a local import), and applyInArrow
+    # then hits an UnboundLocalError on eval_type (pyspark 4.1 bug).
+    def stats(key, table):
+        vals = sorted(v.as_py() for v in table.column("n_chars"))
+        n = len(vals)
+        return pa.table(
+            {
+                "lang": [key[0]],
+                "n_docs": [n],
+                "min_chars": [vals[0]],
+                "max_chars": [vals[-1]],
+                "median_lo": [vals[(n - 1) // 2]],
+                "median_hi": [vals[n // 2]],
+            }
+        )
+
+    return docs.groupBy("lang").applyInArrow(
+        stats,
+        schema=(
+            "lang string, n_docs long, min_chars long, max_chars long, "
+            "median_lo long, median_hi long"
+        ),
+    )
+
+
+QUERIES["arrow_group_robust_stats"] = arrow_group_robust_stats
+
+ORACLES["arrow_group_robust_stats"] = """
+    WITH s AS (
+        SELECT lang, list_sort(list(n_chars)) AS vs,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           CAST(vs[1] AS BIGINT) AS min_chars,
+           CAST(vs[CAST(n_docs AS INTEGER)] AS BIGINT) AS max_chars,
+           CAST(vs[CAST((n_docs - 1) // 2 + 1 AS INTEGER)] AS BIGINT) AS median_lo,
+           CAST(vs[CAST(n_docs // 2 + 1 AS INTEGER)] AS BIGINT) AS median_hi
+    FROM s
+"""

@@ -511,3 +511,31 @@ def test_mahalanobis_ranks_and_positivity(spark):
     vals = [r["maha_sq"] for r in rows]
     assert vals == sorted(vals, reverse=True)
     assert all(v >= 0 for v in vals)
+
+
+@pytest.mark.parametrize(
+    "name", ["text_entropy_by_lang", "arrow_group_robust_stats"]
+)
+def test_oracle_parity_batch7(spark, name):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(spark, ALL_QUERIES[name], ALL_ORACLES[name], SF_SMOKE)
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(vocab) per language."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.textstats import text_entropy_by_lang
+
+    rows = text_entropy_by_lang(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["vocab"]) + 1e-6
+
+
+def test_arrow_group_stats_medians_ordered(spark):
+    from multithreaded_map_reduce_spark.queries.udfs import arrow_group_robust_stats
+
+    for r in arrow_group_robust_stats(spark, SF_SMOKE).collect():
+        assert r["min_chars"] <= r["median_lo"] <= r["median_hi"] <= r["max_chars"]
