@@ -224,6 +224,7 @@ _NEVER_SAMPLED: list[str] = [
     "quality_mahalanobis2d",
     "text_entropy_by_lang",
     "arrow_group_robust_stats",
+    "curation_pipeline_report",
 ]
 
 # Changed since their last green driver row — round 4 edits:

@@ -820,3 +820,134 @@ ORACLES["curation_interleave"] = f"""
            doc_id, source, src_rank
     FROM (SELECT * FROM slotted ORDER BY slot ASC LIMIT {INTERLEAVE_TOPK})
 """
+
+
+# ---------------------------------------------- end-to-end pipeline
+# The whole curation run as ONE differentially-verified gate entry —
+# the "a user can run their actual pipeline" demonstration:
+#   1. exact dedup (min-doc_id survivor per identical text),
+#   2. quality filter (text_quality's composite score ≥ 0.5 — the raw
+#      double, bit-equal across engines since every input is an exact
+#      integer ratio),
+#   3. leak-proof split (near-dup clusters from the FULL corpus, so
+#      filtering can never split a duplicate family across train/test),
+#   4. per-split accounting: docs, exact token and char volumes.
+# The oracle chains all four stages (dedup CTE → quality CTEs → the
+# minhash + recursive-closure CTEs → split hash → aggregate), so the
+# COMPOSITION is under the hash check, not just each stage. Scale: the
+# union of rails already argued for the pieces; no new shuffle shapes.
+
+PIPE_QUALITY_MIN = 0.5
+
+
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.dedup import minhash_dedup_pairs_sql
+    from ..operators.graph import connected_components
+    from .textstats import _PUNCT_RE, _ALL_STOPS, _stop_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(survivors.select("doc_id"), "doc_id")
+
+    toks = tokenize(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    stop_ratio = F.when(
+        n_tokens > 0, _stop_count(toks, _ALL_STOPS).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.regexp_count("text", F.lit(_PUNCT_RE)).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+    )
+    filtered = kept.withColumn("_q", quality).filter(
+        F.col("_q") >= PIPE_QUALITY_MIN
+    )
+
+    pairs = minhash_dedup_pairs_sql(
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    labeled = filtered.join(cc, filtered.doc_id == cc.id, "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("root"), F.col("doc_id")).alias("canonical_id"),
+    )
+    bucket = token_hash(F.col("canonical_id").cast("string")) % F.lit(100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        labeled.select(
+            split.alias("split"),
+            F.size(tokenize(F.col("text"))).cast("long").alias("_nt"),
+            F.length("text").cast("long").alias("_nc"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("sum_tokens"),
+            F.sum("_nc").alias("sum_chars"),
+        )
+    )
+
+
+QUERIES["curation_pipeline_report"] = curation_pipeline_report
+
+from .textstats import _ALL_STOPS as _AS  # noqa: E402
+from .textstats import _PUNCT_RE as _PR  # noqa: E402
+from .textstats import _sql_stop_count as _ssc  # noqa: E402
+
+ORACLES["curation_pipeline_report"] = f"""
+    WITH RECURSIVE {_MH}, nodes AS (
+        SELECT id_a AS id FROM mh_pairs UNION SELECT id_b FROM mh_pairs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), roots AS (
+        SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
+    ), survivors AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ), kept AS (
+        SELECT d.* FROM documents d JOIN survivors USING (doc_id)
+    ), scored AS (
+        SELECT doc_id, text,
+               CASE WHEN len({sql_tokens('text')}) > 0
+                    THEN CAST({_ssc(_AS)} AS DOUBLE) / len({sql_tokens('text')})
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '{_PR}')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               len({sql_tokens('text')}) AS n_tokens
+        FROM kept
+    ), filtered AS (
+        SELECT doc_id, text, n_tokens FROM scored
+        WHERE 0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+              + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+              >= {PIPE_QUALITY_MIN}
+    ), labeled AS (
+        SELECT f.doc_id, f.text, f.n_tokens,
+               coalesce(r.canonical_id, f.doc_id) AS canonical_id
+        FROM filtered f LEFT JOIN roots r ON f.doc_id = r.doc_id
+    )
+    SELECT CASE WHEN ({_CANON_H}) % 100 < 80 THEN 'train'
+                WHEN ({_CANON_H}) % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM labeled
+    GROUP BY 1
+"""

@@ -539,3 +539,30 @@ def test_arrow_group_stats_medians_ordered(spark):
 
     for r in arrow_group_robust_stats(spark, SF_SMOKE).collect():
         assert r["min_chars"] <= r["median_lo"] <= r["median_hi"] <= r["max_chars"]
+
+
+def test_pipeline_report_oracle_parity(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    compare(
+        spark,
+        ALL_QUERIES["curation_pipeline_report"],
+        ALL_ORACLES["curation_pipeline_report"],
+        SF_SMOKE,
+    )
+
+
+def test_pipeline_report_accounting(spark):
+    """Split totals can't exceed the corpus, and exact dedup + quality
+    filtering must actually drop something in this fixture."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_pipeline_report,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    rows = curation_pipeline_report(spark, SF_SMOKE).collect()
+    n_total = load_table(spark, SF_SMOKE, "documents").count()
+    kept = sum(r["n_docs"] for r in rows)
+    assert 0 < kept < n_total
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    assert all(r["sum_tokens"] > 0 and r["sum_chars"] > 0 for r in rows)
