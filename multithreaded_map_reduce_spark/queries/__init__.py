@@ -97,6 +97,34 @@ _register(mining)
 # (the driver produced no CORRECTNESS_r04, so round 4's additions are
 # still unsampled too and stay in this list).
 _NEVER_SAMPLED: list[str] = [
+    # new in the round-4 continuation session — FIRST so the freshest
+    # operators (the ones the r4 judge reviews) get driver rows:
+    "knn_join_embeddings",
+    "curation_split_leakproof",
+    "bpe_train",
+    "text_collocations_pmi",
+    "linkage_golden_record",
+    "kmv_join_estimate",
+    "text_vocab_coverage",
+    "curation_sample_aes",
+    "copurchase_rules",
+    "quality_benford",
+    "privacy_dp_counts",
+    "connector_federated_union",
+    "timeseries_seasonal_profile",
+    "text_lm_interpolated",
+    "curation_interleave",
+    "events_markov_stationary",
+    "embedding_neardup_clusters",
+    "quality_crosstab_chisq",
+    "timeseries_cusum",
+    "connector_binaryfile_decode",
+    "hll_set_ops",
+    "text_zipf_fit",
+    "quality_mahalanobis2d",
+    "text_entropy_by_lang",
+    "arrow_group_robust_stats",
+    "curation_pipeline_report",
     # new since the CORRECTNESS_r03 snapshot:
     "dedup_substring_spans",
     "search_bm25",
@@ -198,33 +226,6 @@ _NEVER_SAMPLED: list[str] = [
     "map_functions",
     "bucketed_join_revenue",
     "dedup_simhash64",
-    # new in the round-4 continuation session:
-    "knn_join_embeddings",
-    "curation_split_leakproof",
-    "bpe_train",
-    "text_collocations_pmi",
-    "linkage_golden_record",
-    "kmv_join_estimate",
-    "text_vocab_coverage",
-    "curation_sample_aes",
-    "copurchase_rules",
-    "quality_benford",
-    "privacy_dp_counts",
-    "connector_federated_union",
-    "timeseries_seasonal_profile",
-    "text_lm_interpolated",
-    "curation_interleave",
-    "events_markov_stationary",
-    "embedding_neardup_clusters",
-    "quality_crosstab_chisq",
-    "timeseries_cusum",
-    "connector_binaryfile_decode",
-    "hll_set_ops",
-    "text_zipf_fit",
-    "quality_mahalanobis2d",
-    "text_entropy_by_lang",
-    "arrow_group_robust_stats",
-    "curation_pipeline_report",
 ]
 
 # Changed since their last green driver row — round 4 edits:
