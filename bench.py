@@ -90,6 +90,7 @@ HEADLINE = [
     # round-4 continuation (this session)
     "knn_join_embeddings",
     "curation_split_leakproof",
+    "curation_pipeline_report",
 ]
 
 # flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring

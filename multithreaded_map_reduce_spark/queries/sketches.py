@@ -474,7 +474,7 @@ def _kj_oracle() -> str:
     ),
     ex AS (
         SELECT count(*) AS exact_overlap FROM
-        (SELECT DISTINCT user_id AS k FROM events) o
+        (SELECT DISTINCT o_custkey AS k FROM orders) o
         JOIN (SELECT c_custkey AS k FROM customer) c USING (k)
     )
     SELECT
