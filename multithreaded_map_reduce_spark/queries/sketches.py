@@ -46,10 +46,8 @@ from ..functions.hashing import sql_tokens as _sql_tokens  # noqa: E402
 from ..operators.sketches import sql_cms_heavy_hitters as _sql_cms  # noqa: E402
 
 ORACLES["cms_top_words"] = _sql_cms(
-    f"SELECT unnest({_sql_tokens('text')}) AS val FROM documents"
-).replace("SELECT val, min(c) AS cms_count", "SELECT val AS word, min(c) AS cms_count").replace(
-    "GROUP BY val\n        ORDER BY cms_count DESC, val ASC",
-    "GROUP BY val\n        ORDER BY cms_count DESC, word ASC",
+    f"SELECT unnest({_sql_tokens('text')}) AS val FROM documents",
+    val_alias="word",
 )
 
 

@@ -287,7 +287,9 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     the identical mergeable-state math."""
     from ..functions.rounding import from_iunits, iunits, pround
 
-    path = f"/tmp/fb_totals_{uuid.uuid4().hex}"
+    from .connectors import _fixture_path
+
+    path = _fixture_path("fb_totals")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -780,9 +780,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("wfreq", F.col("z.a").alias("a"), F.col("z.b").alias("b"))
         )
         counted = pairs.groupBy("a", "b").agg(F.sum("wfreq").alias("pair_count"))
-        best = counted.orderBy(
+        top = counted.orderBy(
             F.desc("pair_count"), F.asc("a"), F.asc("b")
-        ).limit(1).collect()[0]
+        ).limit(1).collect()
+        if not top:
+            # no adjacent pairs left (empty corpus, or every word merged
+            # to a single unit): return the merges learned so far — the
+            # empty-input totality every operator guarantees
+            # (tests/test_empty_inputs.py; ADVICE r4)
+            break
+        best = top[0]
         learned.append((rnd, best["a"], best["b"], best["pair_count"]))
         enc = F.replace(
             enc,

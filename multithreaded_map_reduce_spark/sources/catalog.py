@@ -64,6 +64,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_byte_size(raw: object, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128m', '1g', '512k', '2t') to bytes.
+
+    ADVICE r4: the previous strip-non-digits parse turned '128m' into
+    128 BYTES, silently tripping the size guard and disabling fan_out
+    under a common user config (the default '134217728b' only worked by
+    accident of its suffix)."""
+    s = str(raw).strip().lower()
+    mult = 1
+    suffixes = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in suffixes:
+        mult = suffixes[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
+def _has_repartition(plan) -> bool:
+    """True if any NODE of the logical plan is a repartition.
+
+    Checks node names at the head of each treeString line (after the
+    tree-drawing prefix) instead of substring-matching the whole plan
+    text, which a string literal like ``col = 'Repartition'`` inside a
+    filter would false-positive (ADVICE r4)."""
+    for line in str(plan.treeString()).splitlines():
+        node = line.lstrip(" +:-")
+        if node.startswith(("Repartition", "RebalancePartitions")):
+            return True
+    return False
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the whole input fits in a
     single scan split.
@@ -80,16 +116,24 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     is driver-only logical-plan stats (~1 ms) — NOT ``df.rdd``, whose
     physical compile costs ~70 ms per call on this hot path. Unknown
     stats (non-file sources report Long.MaxValue) and plans that
-    already carry a repartition stay untouched."""
+    already carry a repartition stay untouched.
+
+    Capability guard: the stats probe needs the classic py4j JVM handle
+    (``df._jdf``). Under Spark Connect there is no ``_jdf`` — the probe
+    is skipped and the input returns untouched, which is the safe
+    default (a Connect cluster is not the single-split local[32] case
+    this exists for)."""
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
+    if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle, no probe
+        return df
     try:
+        target = min_parts or spark.sparkContext.defaultParallelism
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        max_split = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        max_split = _parse_byte_size(raw)
         plan = df._jdf.queryExecution().optimizedPlan()
         if int(str(plan.stats().sizeInBytes())) > max_split:
             return df
-        if "Repartition" in str(plan.nodeName()) or "Repartition" in str(plan):
+        if _has_repartition(plan):
             return df
     except Exception:  # stats probe is best-effort; never fail the query
         return df

@@ -74,3 +74,53 @@ def test_stateful_streaming_totals(spark):
     )
     want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
     assert got == want  # exact: integer micro-unit state
+
+
+def test_parse_byte_size_suffixes():
+    """ADVICE r4: '128m' must parse as 128 MiB, not 128 bytes (the old
+    strip-non-digits parse silently disabled fan_out under unit-suffixed
+    maxPartitionBytes configs)."""
+    from multithreaded_map_reduce_spark.sources.catalog import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("134217728b") == 134217728
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("128M") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("512k") == 512 << 10
+    assert _parse_byte_size("2t") == 2 << 40
+    assert _parse_byte_size("garbage") == 134217728
+    assert _parse_byte_size("  64m ") == 64 << 20
+
+
+def test_fan_out_repartition_node_not_string_literal(spark):
+    """fan_out must detect an existing Repartition NODE (and skip), but
+    a string literal containing 'Repartition' in a filter must NOT
+    false-positive the node check (ADVICE r4)."""
+    from multithreaded_map_reduce_spark.sources.catalog import (
+        _has_repartition,
+        fan_out,
+    )
+
+    small = spark.range(10)
+    reparted = small.repartition(4)
+    assert _has_repartition(reparted._jdf.queryExecution().optimizedPlan())
+    # plan text contains the literal 'Repartition' only inside a filter
+    lit = small.selectExpr("id", "'Repartition' AS tag").filter("tag = 'Repartition'")
+    assert not _has_repartition(lit._jdf.queryExecution().optimizedPlan())
+    # and fan_out of the already-reparted df is the identity
+    assert fan_out(reparted) is reparted
+
+
+def test_fan_out_without_jdf_returns_input(spark):
+    """Spark Connect capability guard: a DataFrame-shaped object without
+    the py4j ``_jdf`` handle passes through fan_out untouched (VERDICT
+    r4 item 8)."""
+    from multithreaded_map_reduce_spark.sources.catalog import fan_out
+
+    class NoJdf:
+        def __init__(self, inner):
+            self.sparkSession = inner.sparkSession
+
+    fake = NoJdf(spark.range(5))
+    assert fan_out(fake) is fake
