@@ -95,6 +95,9 @@ HEADLINE = [
     # index (built on the cold rep) — the day-2 cost, by construction
     # far under dedup_incremental's full recompute
     "dedup_incremental_day2",
+    "curation_split_persisted",
+    "text_gopher_repetition",
+    "search_rrf_fusion",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

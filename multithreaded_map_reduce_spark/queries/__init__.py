@@ -42,6 +42,7 @@ from . import (  # noqa: E402
     quality,
     privacy,
     relational,
+    retrieval,
     similarity,
     sketches,
     skewproof,
@@ -83,6 +84,7 @@ _register(udtf)
 _register(mergeops)
 _register(connectors)
 _register(mining)
+_register(retrieval)
 
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of 236). Re-rank so the
@@ -125,6 +127,9 @@ def _driver_verified() -> set[str]:
 # round drains the oldest evidence gap first.
 _NEW_THIS_ROUND: list[str] = [
     "dedup_incremental_day2",
+    "curation_split_persisted",
+    "text_gopher_repetition",
+    "search_rrf_fusion",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -620,23 +620,29 @@ ORACLES["embedding_neardup_clusters"] = f"""
 # deterministic, so round-tripping through parquet is semantically
 # invisible — which is exactly the property being verified).
 
-_INDEX_PATHS: dict[str, str] = {}
+_INDEX_PATHS: dict[tuple[str, str], str] = {}
 
 
-def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _minhash_index_path(spark: SparkSession, sf_dir: str, scope: str = "corpus") -> str:
+    """Build-once-per-process index path. ``scope='corpus'`` indexes the
+    day-1 corpus (doc_id % 10 != 0 — the dedup_incremental convention);
+    ``scope='full'`` indexes every document (the canonical-map artifact
+    the curation split consumes)."""
     from .connectors import _fixture_path
     from ..operators.dedup import build_minhash_index
 
-    if sf_dir not in _INDEX_PATHS:
-        path = _fixture_path("mh_index")
+    key = (sf_dir, scope)
+    if key not in _INDEX_PATHS:
+        path = _fixture_path(f"mh_index_{scope}")
         docs = load_table(spark, sf_dir, "documents")
-        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        if scope == "corpus":
+            docs = docs.filter(F.col("doc_id") % 10 != 0)
         build_minhash_index(
-            corpus, "doc_id", "text", path, n=2, bands=8, rows=4,
+            docs, "doc_id", "text", path, n=2, bands=8, rows=4,
             threshold=0.5, max_bucket=100,
         )
-        _INDEX_PATHS[sf_dir] = path
-    return _INDEX_PATHS[sf_dir]
+        _INDEX_PATHS[key] = path
+    return _INDEX_PATHS[key]
 
 
 def dedup_incremental_day2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -393,20 +393,10 @@ BM25_B = 0.75
 BM25_TOPK = 15
 
 
-def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-k retrieval for a fixed query — the ranked-search
-    counterpart of tf-idf (idf = ln((N - df + 0.5) / (df + 0.5) + 1),
-    the standard non-negative variant).
-
-    Plan shape: one tokenize/explode scan feeds BOTH the per-doc tf
-    relation (filtered to the 3 query terms BEFORE the aggregate — the
-    predicate prunes ~all rows pre-shuffle) and the per-doc length
-    relation; df comes from the tf relation itself (count of docs per
-    query term — tiny, broadcast back); avgdl is a 1-row relation. The
-    only big shuffles are doc_id-keyed and AQE-coalesced. Determinism:
-    ln/division under pround(6) with (score, doc_id) tiebreak, same as
-    text_tfidf_top_terms."""
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 BM25_QUERY term —
+    the scored relation shared by ``search_bm25`` and the RRF fusion
+    (queries/retrieval.py)."""
     terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     qt = terms.filter(F.col("term").isin(*BM25_QUERY))
@@ -425,7 +415,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
     )
     contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
-    scored = (
+    return (
         tf.join(df_, "term")
         .join(dl, "doc_id")
         .crossJoin(n_docs)
@@ -433,6 +423,22 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(pround(F.sum(contrib), 6).alias("bm25"))
     )
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query — the ranked-search
+    counterpart of tf-idf (idf = ln((N - df + 0.5) / (df + 0.5) + 1),
+    the standard non-negative variant).
+
+    Plan shape: one tokenize/explode scan feeds BOTH the per-doc tf
+    relation (filtered to the 3 query terms BEFORE the aggregate — the
+    predicate prunes ~all rows pre-shuffle) and the per-doc length
+    relation; df comes from the tf relation itself (count of docs per
+    query term — tiny, broadcast back); avgdl is a 1-row relation. The
+    only big shuffles are doc_id-keyed and AQE-coalesced. Determinism:
+    ln/division under pround(6) with (score, doc_id) tiebreak, same as
+    text_tfidf_top_terms."""
+    scored = bm25_scored(load_table(spark, sf_dir, "documents"))
     # TakeOrdered top-k (no global sort shuffle); the rank window then
     # runs on the BM25_TOPK surviving rows only.
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
@@ -489,8 +495,11 @@ _BM25_DENOM = (
     "* CAST(dl.dl AS DOUBLE) / a.avgdl)"
 )
 
-ORACLES["search_bm25"] = f"""
-    WITH terms AS (
+def sql_bm25_ctes() -> str:
+    """The BM25 scored relation as a DuckDB CTE block ending in
+    ``scored(doc_id, bm25)`` — shared by the search_bm25 oracle and the
+    RRF fusion oracle (queries/retrieval.py)."""
+    return f"""terms AS (
         SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
     ), dl AS (
         SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1
@@ -512,7 +521,11 @@ ORACLES["search_bm25"] = f"""
         JOIN df USING (term)
         JOIN dl ON tf.doc_id = dl.doc_id, n, a
         GROUP BY 1
-    )
+    )"""
+
+
+ORACLES["search_bm25"] = f"""
+    WITH {sql_bm25_ctes()}
     SELECT doc_id, bm25, rank FROM (
         SELECT doc_id, bm25,
                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
@@ -1151,4 +1164,126 @@ ORACLES["text_entropy_by_lang"] = f"""
                ' - (CAST(_clnc AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE)', 6
            )} AS entropy_nats
     FROM per_lang
+"""
+
+
+# --- Gopher-style repetition filters ----------------------------------------
+# The within-document n-gram repetition signals of Rae et al. 2021
+# (Gopher, table A1): fraction of n-gram occurrences taken by the most
+# frequent n-gram, and fraction that are repeats of an earlier
+# occurrence. Pretraining pipelines drop documents exceeding these —
+# the template-heavy half of a crawl that token-level stats
+# (text_repetition) under-detect because individual tokens stay
+# diverse while PHRASES loop.
+#
+# Scale: one tokenize scan per n; n-grams come from the zip-at-explode
+# trick (arrays_zip of shifted slices — no window, no shuffle before
+# the doc_id-keyed counts); both aggregations partial map-side. The
+# keep flag applies the thresholds; emitted as INTEGER for portable
+# hashing.
+
+GOPHER_TOP2_MAX = 0.20
+GOPHER_TOP3_MAX = 0.18
+GOPHER_DUP2_MAX = 0.60
+
+
+def _ngram_stat(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_grams, top_frac, dup_frac) over word n-grams."""
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= n
+    )
+    shifted = [
+        F.slice("t", i + 1, F.greatest(F.size("t") - i, F.lit(0))).alias(f"s{i}")
+        for i in range(1, n)
+    ]
+    ex = base.select(
+        "doc_id",
+        F.size("t").alias("k"),
+        F.posexplode(F.arrays_zip(F.col("t").alias("g0"), *shifted)).alias("pos", "z"),
+    )
+    gram = F.concat_ws(
+        " ", F.col("z.g0"), *[F.col(f"z.s{i}") for i in range(1, n)]
+    )
+    rows = ex.filter(F.col("pos") + n <= F.col("k")).select(
+        "doc_id", gram.alias("gram")
+    )
+    per_gram = rows.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        pround(F.max("c").cast("double") / F.sum("c"), 6).alias("top_frac"),
+        pround(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = _ngram_stat(docs, 2).select(
+        "doc_id",
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("top_frac").alias("top2_frac"),
+        F.col("dup_frac").alias("dup2_frac"),
+    )
+    g3 = _ngram_stat(docs, 3).select(
+        "doc_id",
+        F.col("top_frac").alias("top3_frac"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("dup2_frac", F.lit(0.0)).alias("dup2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+        )
+    )
+    keep = (
+        (F.col("top2_frac") <= GOPHER_TOP2_MAX)
+        & (F.col("top3_frac") <= GOPHER_TOP3_MAX)
+        & (F.col("dup2_frac") <= GOPHER_DUP2_MAX)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+QUERIES["text_gopher_repetition"] = text_gopher_repetition
+
+
+def _sql_ngram_stat(n: int) -> str:
+    """DuckDB CTE body producing (doc_id, n_grams, top_frac, dup_frac)."""
+    grams = (
+        f"list_transform(range(1, len(t) - {n} + 2), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+        SELECT doc_id, sum(c) AS n_grams,
+               {sql_pround('max(c)::DOUBLE / sum(c)', 6)} AS top_frac,
+               {sql_pround('(sum(c) - count(*))::DOUBLE / sum(c)', 6)} AS dup_frac
+        FROM (
+            SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id, unnest({grams}) AS gram
+                FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+                WHERE len(t) >= {n}
+            ) GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    """
+
+
+ORACLES["text_gopher_repetition"] = f"""
+    WITH g2 AS ({_sql_ngram_stat(2)}), g3 AS ({_sql_ngram_stat(3)})
+    SELECT d.doc_id,
+           coalesce(g2.n_grams, 0) AS n_bigrams,
+           coalesce(g2.top_frac, 0.0) AS top2_frac,
+           coalesce(g2.dup_frac, 0.0) AS dup2_frac,
+           coalesce(g3.top_frac, 0.0) AS top3_frac,
+           CAST(coalesce(g2.top_frac, 0.0) <= {GOPHER_TOP2_MAX}
+                AND coalesce(g3.top_frac, 0.0) <= {GOPHER_TOP3_MAX}
+                AND coalesce(g2.dup_frac, 0.0) <= {GOPHER_DUP2_MAX}
+                AS INTEGER) AS keep
+    FROM documents d
+    LEFT JOIN g2 ON d.doc_id = g2.doc_id
+    LEFT JOIN g3 ON d.doc_id = g3.doc_id
 """

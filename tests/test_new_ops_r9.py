@@ -74,3 +74,89 @@ def test_build_minhash_index_artifacts(spark, tmp_path):
     roots = {r["root"] for r in canon.collect()}
     ids = {r["id"] for r in canon.collect()}
     assert roots <= ids
+
+
+def test_curation_split_persisted_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["curation_split_persisted"],
+        ORACLES["curation_split_persisted"],
+        SF_SMOKE,
+    )
+
+
+def test_split_persisted_equals_inline(spark):
+    """Persisted-canon split must be bit-identical to the inline
+    recompute — the storage round trip is semantically invisible."""
+    from multithreaded_map_reduce_spark.queries.curation import QUERIES
+
+    a = {
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in QUERIES["curation_split_leakproof"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in QUERIES["curation_split_persisted"](spark, SF_SMOKE).collect()
+    }
+    assert a == b
+
+
+def test_gopher_repetition_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["text_gopher_repetition"],
+        ORACLES["text_gopher_repetition"],
+        SF_SMOKE,
+    )
+
+
+def test_gopher_repetition_flags_planted_loop(spark):
+    """A document that is one phrase looping must fail the Gopher
+    thresholds; a diverse document must pass."""
+    from multithreaded_map_reduce_spark.queries import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "click here now " * 40),
+            (2, "the quick brown fox jumps over a lazy dog near the riverbank"),
+        ],
+        "doc_id long, text string",
+    )
+    g2 = ts._ngram_stat(df, 2)
+    rows = {r["doc_id"]: r for r in g2.collect()}
+    assert rows[1]["top_frac"] > 0.3  # 'click here'/'here now'/'now click' loop
+    assert rows[1]["dup_frac"] > 0.9
+    assert rows[2]["dup_frac"] == 0.0
+
+
+def test_rrf_fusion_gate(spark):
+    from multithreaded_map_reduce_spark.queries.retrieval import ORACLES, QUERIES
+
+    compare(spark, QUERIES["search_rrf_fusion"], ORACLES["search_rrf_fusion"], SF_SMOKE)
+
+
+def test_rrf_fusion_properties(spark):
+    """Fusion invariants: the query vector's own doc ranks #1 on the
+    semantic side; rrf is monotone in the two ranks; top row carries
+    the best combined ranks."""
+    from multithreaded_map_reduce_spark.queries.retrieval import (
+        RRF_K,
+        RRF_QUERY_VEC,
+        QUERIES,
+    )
+
+    rows = QUERIES["search_rrf_fusion"](spark, SF_SMOKE).collect()
+    assert rows, "fusion returned no rows"
+    by_id = {r["doc_id"]: r for r in rows}
+    if RRF_QUERY_VEC in by_id:
+        assert by_id[RRF_QUERY_VEC]["rank_cos"] == 1  # self-similarity = 1.0
+    for r in rows:
+        expect = (1.0 / (RRF_K + r["rank_bm25"]) if r["rank_bm25"] else 0.0) + (
+            1.0 / (RRF_K + r["rank_cos"]) if r["rank_cos"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-6
+    assert rows[0]["rank"] == 1
