@@ -98,6 +98,8 @@ HEADLINE = [
     "curation_split_persisted",
     "text_gopher_repetition",
     "search_rrf_fusion",
+    "dedup_containment",
+    "timeseries_holt",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -130,6 +130,10 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_split_persisted",
     "text_gopher_repetition",
     "search_rrf_fusion",
+    "ann_recall_report",
+    "privacy_l_diversity",
+    "timeseries_holt",
+    "dedup_containment",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -737,3 +737,84 @@ ORACLES["dedup_incremental_day2"] = f"""
            probe.jaccard
     FROM probe LEFT JOIN croots ON probe.match_id = croots.id
 """
+
+
+# ---------------------------------------------------- containment dedup
+# Asymmetric near-dup: Jaccard misses the "A is a sub-document of B"
+# case (a 50-token doc fully embedded in a 5000-token doc has tiny
+# jaccard but containment |A∩B|/|A| ≈ 1) — the shape quote pages,
+# syndicated excerpts, and chunk-of-a-crawled-page dups take. Exact
+# within lang blocks (the blocked_jaccard discipline: a natural
+# blocking key bounds the O(n²); LSH-for-containment would need the
+# asymmetric banding of Shrivastava's asymmetric MinHash — out of
+# scope and unnecessary where blocks exist). The contained side is the
+# SMALLER shingle set (tie → smaller id), so each unordered pair
+# reports once with a deterministic direction.
+
+CONTAIN_MIN = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_hash_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (
+        shingle_hash_rows(docs, "doc_id", "text", n=2)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hs"))
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    na, nb = F.size("a.hs"), F.size("b.hs")
+    small_is_a = (na < nb) | ((na == nb) & (F.col("a.id") < F.col("b.id")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.when(small_is_a, F.col("a.id")).otherwise(F.col("b.id")).alias(
+                "contained_id"
+            ),
+            inter.alias("i"),
+            F.least(na, nb).alias("n_small"),
+        )
+        # integer-exact threshold: i/n ≥ 0.9 ⟺ 10·i ≥ 9·n
+        .filter(F.col("i") * 10 >= F.col("n_small") * 9)
+    )
+    from ..functions.rounding import pround
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "contained_id",
+        pround(F.col("i").cast("double") / F.col("n_small"), 6).alias("containment"),
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+ORACLES["dedup_containment"] = f"""
+    WITH th AS (
+        SELECT doc_id AS id, {_TOKEN_HASHES} AS th
+        FROM documents
+        WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
+    ), s AS (
+        SELECT th.id, {_HASHES} AS hs, d.lang
+        FROM th JOIN documents d ON th.id = d.doc_id
+    )
+    SELECT id_a, id_b, contained_id,
+           floor(i::DOUBLE / n_small * 1000000 + 0.5) / 1000000 AS containment
+    FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CASE WHEN len(a.hs) < len(b.hs)
+                         OR (len(a.hs) = len(b.hs) AND a.id < b.id)
+                    THEN a.id ELSE b.id END AS contained_id,
+               len(list_intersect(a.hs, b.hs)) AS i,
+               least(len(a.hs), len(b.hs)) AS n_small
+        FROM s a JOIN s b ON a.lang = b.lang AND a.id < b.id
+    ) WHERE i * 10 >= n_small * 9
+"""

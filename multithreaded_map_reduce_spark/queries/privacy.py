@@ -242,3 +242,55 @@ ORACLES["privacy_dp_counts"] = f"""
            {_sql_pr2(f'CAST(count(*) AS DOUBLE) + {_DP_NOISE}', 6)} AS noisy_n
     FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------------------- l-diversity
+# k-anonymity's complement (Machanavajjhala et al. 2006): a group can be
+# large (k-anonymous) yet reveal its members' sensitive attribute if
+# every member SHARES it. Per (nation, segment) quasi-identifier group:
+# distinct sensitive values (account-balance bands of width 1000 —
+# floor of cents/1e5 — explicit floor() on both sides because DuckDB's // truncates toward zero on negatives while Spark floor()s) and
+# the l ≥ 3 disclosure flag. One groupBy; count_distinct partial-aggs
+# map-side. The release decision combines both: suppress if group_size
+# < k OR distinct bands < l.
+
+L_DIVERSITY = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(iunits(F.col("c_acctbal"), 2) / F.lit(100_000))
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(band).alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+            (
+                (F.col("group_size") < K_ANON)
+                | (F.col("n_sensitive") < L_DIVERSITY)
+            ).cast("int").alias("suppress"),
+        )
+    )
+
+
+QUERIES["privacy_l_diversity"] = privacy_l_diversity
+
+from ..functions.rounding import sql_iunits as _sql_iunits  # noqa: E402
+
+ORACLES["privacy_l_diversity"] = f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size,
+           count(DISTINCT floor(({_sql_iunits('c_acctbal', 2)})::DOUBLE / 100000)) AS n_sensitive,
+           CAST(count(*) < {K_ANON}
+                OR count(DISTINCT floor(({_sql_iunits('c_acctbal', 2)})::DOUBLE / 100000))
+                   < {L_DIVERSITY} AS INTEGER) AS suppress
+    FROM customer GROUP BY 1, 2
+"""

@@ -693,3 +693,60 @@ ORACLES["knn_join_embeddings"] = f"""
         FROM scored
     ) WHERE rank <= {KNN_K}
 """
+
+
+# ------------------------------------------------- ANN recall evaluation
+# The evaluation loop a production ANN deployment runs continuously:
+# recall@K of the approximate retriever against the exact brute force,
+# per query. Composable here as ONE differentially-verified query
+# precisely because both retrievers are deterministic with exact
+# oracles — the metric's oracle nests the two pipeline oracles and
+# recomputes the same intersection. n_retrieved < K is possible (an
+# LSH probe set can under-fill) and is part of the report, not hidden.
+# Scale: both inputs are per-query top-K relations (bounded rows); the
+# join/agg below is O(queries × K) regardless of corpus size.
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    n_hit = bf.intersect(ap).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_ret = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    base = bf.select("query_id").distinct()
+    from ..functions.rounding import pround as _pr
+
+    return (
+        base.join(n_ret, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            _pr(F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(K), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+QUERIES["ann_recall_report"] = ann_recall_report
+
+ORACLES["ann_recall_report"] = f"""
+    WITH bf AS ({ORACLES['sim_topk_bruteforce']}),
+    ap AS ({ORACLES['sim_topk_lsh']}),
+    hits AS (
+        SELECT bf.query_id, count(*) AS n_hit
+        FROM bf JOIN ap ON bf.query_id = ap.query_id
+                       AND bf.neighbor_id = ap.neighbor_id
+        GROUP BY 1
+    ), nret AS (
+        SELECT query_id, count(*) AS n_retrieved FROM ap GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(nret.n_retrieved, 0) AS n_retrieved,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           {sql_pround(f'coalesce(hits.n_hit, 0)::DOUBLE / {K}', 6)} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN nret ON q.query_id = nret.query_id
+    LEFT JOIN hits ON q.query_id = hits.query_id
+"""

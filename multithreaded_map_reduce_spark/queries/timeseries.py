@@ -532,3 +532,106 @@ ORACLES["timeseries_cusum"] = """
            ) AS BIGINT) AS cusum_scaled
     FROM daily CROSS JOIN tot
 """
+
+
+# ------------------------------------------------ Holt linear forecast
+# Double exponential smoothing (Holt's linear trend, alpha = beta =
+# 1/2), the trend-aware sibling of timeseries_ewma. The coupled
+# level/trend recursion is a LINEAR filter, so the zero-initialized,
+# HOLT_TAPS-truncated filter is a fixed weighted sum of the trailing
+# inputs; with alpha = beta = 1/2 every weight is an exact dyadic
+# rational with denominator 2^(2·TAPS). Both engines therefore compute
+# the one-step-ahead forecast numerator Σ x_{t-j}·w_j as a BIGINT —
+# bit-exact — and the only float op is one shared-literal IEEE
+# division. The truncated filter IS the contract (same definition both
+# sides), exactly the timeseries_ewma discipline.
+#
+# Scale: one shuffle on user_id, one bounded sorted-window pass; the
+# HOLT_TAPS lag() terms share a single window frame.
+
+HOLT_TAPS = 12
+
+
+def _holt_int_weights() -> tuple[list[int], int]:
+    """Integer forecast-filter weights and their common power-of-two
+    denominator, derived exactly (Fraction arithmetic) from the Holt
+    recursion l_t = a·x_t + (1-a)(l+b), b_t = g·(l_t-l) + (1-g)·b with
+    a = g = 1/2, zero init, unrolled HOLT_TAPS steps."""
+    from fractions import Fraction
+
+    a = g = Fraction(1, 2)
+    lw: list[Fraction] = []
+    bw: list[Fraction] = []
+    for _ in range(HOLT_TAPS):
+        lp = [Fraction(0)] + lw
+        bp = [Fraction(0)] + bw
+        new_l = [a] + [(1 - a) * (lp[j] + bp[j]) for j in range(1, len(lp))]
+        new_b = [g * (new_l[j] - lp[j]) + (1 - g) * bp[j] for j in range(len(new_l))]
+        lw, bw = new_l, new_b
+    fw = [lw[j] + bw[j] for j in range(len(lw))]
+    den = 1
+    for f in fw:
+        den = max(den, f.denominator)
+    assert den & (den - 1) == 0  # dyadic by construction
+    return [int(f * den) for f in fw], den
+
+
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    weights, den = _holt_int_weights()
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_micros("ts") / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 3).alias("v"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("v").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    s = None
+    for j, wj in enumerate(weights):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(wj)
+        s = term if s is None else s + term
+    return b.select(
+        "user_id",
+        "b",
+        "x",
+        s.cast("long").alias("holt_num"),
+        (s.cast("double") / F.lit(float(den * 1000))).alias("forecast"),
+    )
+
+
+QUERIES["timeseries_holt"] = timeseries_holt
+
+
+def _holt_oracle() -> str:
+    from ..functions.rounding import sql_iunits
+
+    weights, den = _holt_int_weights()
+    terms = " + ".join(
+        f"COALESCE(lag(x, {j}) OVER w, 0) * ({wj})" for j, wj in enumerate(weights)
+    )
+    return f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+                   CAST(sum({sql_iunits('value', 3)}) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, b, x,
+               CAST(({terms}) AS BIGINT) AS holt_num,
+               CAST(({terms}) AS DOUBLE) / {float(den * 1000)} AS forecast
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    """
+
+
+ORACLES["timeseries_holt"] = _holt_oracle()

@@ -160,3 +160,78 @@ def test_rrf_fusion_properties(spark):
         )
         assert abs(r["rrf"] - expect) < 1e-6
     assert rows[0]["rank"] == 1
+
+
+def test_ann_recall_report_gate(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import ORACLES, QUERIES
+
+    compare(spark, QUERIES["ann_recall_report"], ORACLES["ann_recall_report"], SF_SMOKE)
+
+
+def test_ann_recall_bounds(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import K, QUERIES
+
+    for r in QUERIES["ann_recall_report"](spark, SF_SMOKE).collect():
+        assert 0 <= r["n_hit"] <= min(r["n_retrieved"], K)
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_privacy_l_diversity_gate(spark):
+    from multithreaded_map_reduce_spark.queries.privacy import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["privacy_l_diversity"], ORACLES["privacy_l_diversity"], SF_SMOKE
+    )
+
+
+def test_timeseries_holt_gate(spark):
+    from multithreaded_map_reduce_spark.queries.timeseries import ORACLES, QUERIES
+
+    compare(spark, QUERIES["timeseries_holt"], ORACLES["timeseries_holt"], SF_SMOKE)
+
+
+def test_holt_weights_exact():
+    """Filter weights are dyadic, sum below 1 (zero-init truncation),
+    and the leading weights match the hand-derived recursion values
+    3/4, 7/16, 11/64."""
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.queries.timeseries import _holt_int_weights
+
+    w, den = _holt_int_weights()
+    assert den & (den - 1) == 0
+    assert Fraction(w[0], den) == Fraction(3, 4)
+    assert Fraction(w[1], den) == Fraction(7, 16)
+    assert Fraction(w[2], den) == Fraction(11, 64)
+    assert 0 < sum(w) < den  # truncated filter undershoots DC gain 1
+
+
+def test_dedup_containment_gate(spark):
+    from multithreaded_map_reduce_spark.queries.dedup import ORACLES, QUERIES
+
+    compare(spark, QUERIES["dedup_containment"], ORACLES["dedup_containment"], SF_SMOKE)
+
+
+def test_containment_catches_subdocument(spark):
+    """A short doc fully embedded in a long doc: jaccard is small but
+    containment = 1 — the asymmetric case the operator exists for."""
+    from multithreaded_map_reduce_spark.operators.dedup import shingle_hash_rows
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en")], "doc_id long, text string, lang string"
+    )
+    from multithreaded_map_reduce_spark.queries import dedup as dq
+
+    sets = (
+        shingle_hash_rows(df, "doc_id", "text", n=2)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hs"))
+        .collect()
+    )
+    hs = {r["id"]: set(r["hs"]) for r in sets}
+    inter = len(hs[1] & hs[2])
+    assert inter / len(hs[1]) >= 0.8  # near-full containment of the short side
+    jacc = inter / len(hs[1] | hs[2])
+    assert jacc < 0.5  # jaccard would have missed it
