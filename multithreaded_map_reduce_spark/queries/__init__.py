@@ -134,6 +134,7 @@ _NEW_THIS_ROUND: list[str] = [
     "privacy_l_diversity",
     "timeseries_holt",
     "dedup_containment",
+    "streaming_hll_users",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

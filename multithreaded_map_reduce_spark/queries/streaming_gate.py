@@ -357,3 +357,53 @@ QUERIES["streaming_pattern_match"] = streaming_pattern_match
 from .events import ORACLES as _EV_ORACLES  # noqa: E402
 
 ORACLES["streaming_pattern_match"] = _EV_ORACLES["events_pattern_match"]
+
+
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed approximate distinct users, registers maintained by a
+    REAL streaming query (state-store max-merge per micro-batch —
+    streaming/events.streaming_hll_registers), estimator computed at
+    read time over the sink, exact count joined from the batch table
+    for the report. Batch/streaming parity of the sketch itself is
+    under the gate: the oracle rebuilds the registers from scratch in
+    SQL and must land on the identical estimate."""
+    from ..operators.sketches import _HLL_K, _HLL_NUMER, HLL_M
+    from ..streaming.events import streaming_hll_registers, stream_events, run_stream_to_memory
+
+    name = _sink("st_hll")
+    run_stream_to_memory(
+        streaming_hll_registers(stream_events(spark, sf_dir)), name
+    )
+    regs = _ntz(spark.table(name))
+    m = HLL_M
+    pg = regs.groupBy("win_start").agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - _mj)")).alias(
+            "_s_present"
+        ),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_present")) * F.lit(1 << _HLL_K)
+    est = F.lit(float(_HLL_NUMER)) / s.cast("double")
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("win_start"), "user_id")
+        .groupBy("win_start")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return pg.join(exact, "win_start").select(
+        "win_start",
+        (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"),
+        pround(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+QUERIES["streaming_hll_users"] = streaming_hll_users
+
+from ..operators.sketches import sql_hll_distinct as _sql_hll_distinct  # noqa: E402
+
+ORACLES["streaming_hll_users"] = _sql_hll_distinct(
+    "(SELECT date_trunc('hour', ts) AS win_start, user_id FROM events)",
+    "win_start",
+    "user_id",
+)

@@ -207,3 +207,38 @@ def stream_static_segment_revenue(events: DataFrame, customer: DataFrame) -> Dat
             ),
         )
     )
+
+
+def streaming_hll_registers(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Per (1-hour window, register) HLL state over the user_id stream —
+    the ONLINE half of windowed approximate distinct-counting at scale.
+
+    The register value max(rho) is the associative, commutative merge of
+    the HLL sketch, so Spark's streaming state store maintains exactly
+    one row per (window, register) across micro-batches — constant
+    memory per window (HLL_M rows) no matter how many users stream
+    through. The ESTIMATOR runs at read time over the sink
+    (queries/streaming_gate.streaming_hll_users), which is how
+    production HLL serving works: state merges online, estimates are
+    computed on query. Register math is the deterministic integer
+    construction of operators/sketches.hll_distinct, so the batch twin
+    replays it bit-for-bit."""
+    from ..operators.sketches import HLL_A, HLL_B, HLL_M
+
+    from ..functions.hashing import POLY_MOD
+
+    h = F.pmod(
+        F.pmod(F.col("user_id").cast("long"), F.lit(POLY_MOD)) * F.lit(HLL_A)
+        + F.lit(HLL_B),
+        F.lit(POLY_MOD),
+    )
+    w = (F.col("_h") / F.lit(HLL_M)).cast("long")
+    rho = F.when(w == 0, F.lit(24)).otherwise(F.lit(24) - F.length(F.bin(w)))
+    return (
+        events.select("ts", h.alias("_h"))
+        .select("ts", (F.col("_h") % F.lit(HLL_M)).alias("_j"), rho.alias("_rho"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("_j"))
+        .agg(F.max("_rho").alias("_mj"))
+        .select(F.col("window.start").alias("win_start"), "_j", "_mj")
+    )

@@ -235,3 +235,26 @@ def test_containment_catches_subdocument(spark):
     assert inter / len(hs[1]) >= 0.8  # near-full containment of the short side
     jacc = inter / len(hs[1] | hs[2])
     assert jacc < 0.5  # jaccard would have missed it
+
+
+def test_streaming_hll_users_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["streaming_hll_users"], ORACLES["streaming_hll_users"], SF_SMOKE
+    )
+
+
+def test_streaming_hll_estimate_quality(spark):
+    """Raw HLL (256 registers) should land within ~25% of exact on
+    per-hour cardinalities; zero_registers sanity-bounds the state."""
+    from multithreaded_map_reduce_spark.queries.streaming_gate import QUERIES
+
+    rows = QUERIES["streaming_hll_users"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["zero_registers"] <= 256
+        if r["exact_distinct"] >= 64:  # raw estimator regime (no LC)
+            assert abs(r["hll_estimate"] - r["exact_distinct"]) <= 0.35 * r[
+                "exact_distinct"
+            ], r
