@@ -135,6 +135,7 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_holt",
     "dedup_containment",
     "streaming_hll_users",
+    "embedding_neardup_ivf",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -750,3 +750,99 @@ ORACLES["ann_recall_report"] = f"""
     LEFT JOIN nret ON q.query_id = nret.query_id
     LEFT JOIN hits ON q.query_id = hits.query_id
 """
+
+
+# ------------------------------------ IVF-cell-blocked embedding dedup
+# embedding_neardup blocks on the fixture's label column — a stand-in.
+# This is the label-FREE production shape: the k-means coarse quantizer
+# (same trained centroids as sim_topk_ivf_kmeans) partitions the space,
+# every vector is assigned to its TWO nearest cells (multi-assignment:
+# a near-dup pair straddling a cell boundary still shares the
+# second-choice cell with high probability — the standard IVF boundary
+# fix), and exact cosine verification runs within cells only. The
+# candidate rule (cells + 2-assignment) IS the contract: the oracle
+# replays the identical unrolled k-means chain and cell assignment, so
+# recall is differentially pinned, exactly the minhash-LSH discipline.
+# Scale: pair work is Σ|cell|² with n_cells ∝ √n; no all-pairs stage.
+
+NEARDUP_IVF_MIN_COS = 0.35
+NEARDUP_IVF_PROBE = 2
+
+
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import pround
+    from ..functions.vectors import as_double, cosine
+    from ..operators.kmeans import (
+        _sq_dist,
+        kmeans_centroids,
+        quantized_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = quantized_vectors(emb, "vec_id", "embedding")
+    cent = kmeans_centroids(emb, "vec_id", "embedding", k=KM_K, rounds=KM_ITERS - 1)
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "id", "cluster", _sq_dist("qvec", "cvec").alias("dist")
+    )
+    w = W.partitionBy("id").orderBy("dist", "cluster")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NEARDUP_IVF_PROBE)
+        .select("id", "cluster")
+    )
+    pairs = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    dv = emb.select(F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v"))
+    return (
+        pairs.join(dv.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(dv.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            pround(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_IVF_MIN_COS)
+    )
+
+
+QUERIES["embedding_neardup_ivf"] = embedding_neardup_ivf
+
+
+def _neardup_ivf_oracle() -> str:
+    base = _sql_kmeans(KM_K, KM_ITERS)
+    tail = f"""
+        SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{KM_ITERS}"""
+    assert base.endswith(tail)
+    it = KM_ITERS
+    return base[: -len(tail)] + f""", cells AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                FROM a{it}
+            ) WHERE rn <= {NEARDUP_IVF_PROBE}
+        ), prs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cells a JOIN cells b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ), dv AS (
+            SELECT vec_id AS id, {sql_as_double('embedding')} AS v FROM embeddings
+        )
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT prs.id_a, prs.id_b,
+                   {sql_pround(sql_cosine('x.v', 'y.v'), 6)} AS cos_sim
+            FROM prs JOIN dv x ON prs.id_a = x.id JOIN dv y ON prs.id_b = y.id
+        ) WHERE cos_sim >= {NEARDUP_IVF_MIN_COS}
+    """
+
+
+ORACLES["embedding_neardup_ivf"] = _neardup_ivf_oracle()

