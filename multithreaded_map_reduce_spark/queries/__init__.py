@@ -136,6 +136,8 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_containment",
     "streaming_hll_users",
     "embedding_neardup_ivf",
+    "quality_ks_test",
+    "quality_correlation",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

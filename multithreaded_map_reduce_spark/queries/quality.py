@@ -570,3 +570,159 @@ ORACLES["quality_mahalanobis2d"] = f"""
         LIMIT {MAHA_TOPK}
     )
 """
+
+
+# ------------------------------------------------ two-sample KS test
+# Kolmogorov–Smirnov D between the extended-price distributions of
+# returned (R) vs delivered (N) lineitems — the standard drift /
+# homogeneity check a data-quality pass runs between cohorts or
+# between yesterday's and today's partition. ENTIRELY integer until
+# one shared division: prices go to exact cents, the ECDF gap at value
+# v is |ca·nb − cb·na| (ca = A-rows ≤ v), and D's numerator is the max
+# of that integer over distinct values — bit-identical in both
+# engines; ks_d = d_num / (na·nb) is the single float op, pround(6).
+#
+# Scale: the cumulative pass runs over DISTINCT cent values (bounded
+# domain), grouped first — one shuffle + one global ordered window
+# over |domain| rows, not |rows|. At 100 TB with an unbounded domain,
+# the same statistic runs on a binned ECDF (histogram_quantiles'
+# 256-bin sketch) with error ≤ one bin width.
+
+
+def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    per_v = (
+        li.select(
+            iunits(F.col("l_extendedprice"), 2).alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("a"),
+            F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("b"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("na_v"), F.sum("b").alias("nb_v"))
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("na_v").over(w).alias("ca"), F.sum("nb_v").over(w).alias("cb")
+    )
+    totals = per_v.agg(
+        F.sum("na_v").alias("na"), F.sum("nb_v").alias("nb")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("gap"),
+    )
+    return gaps.groupBy("na", "nb").agg(F.max("gap").alias("d_num")).select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("d_num").cast("long").alias("d_num"),
+        pround(
+            F.col("d_num").cast("double") / (F.col("na") * F.col("nb")).cast("double"),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+QUERIES["quality_ks_test"] = quality_ks_test
+
+from ..functions.rounding import sql_iunits as _sql_iunits  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pround  # noqa: E402
+
+ORACLES["quality_ks_test"] = f"""
+    WITH per_v AS (
+        SELECT {_sql_iunits('l_extendedprice', 2)} AS v,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na_v,
+               sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nb_v
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ), cum AS (
+        SELECT sum(na_v) OVER w AS ca, sum(nb_v) OVER w AS cb
+        FROM per_v WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), t AS (
+        SELECT CAST(sum(na_v) AS BIGINT) AS na,
+               CAST(sum(nb_v) AS BIGINT) AS nb
+        FROM per_v
+    )
+    SELECT na, nb, CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+           {_sql_pround('CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)'
+                        ' / (CAST(na AS DOUBLE) * nb)', 6)} AS ks_d
+    FROM cum, t
+    GROUP BY na, nb
+"""
+
+
+# ------------------------------------------- exact Pearson correlation
+# corr(quantity, extended-price cents) per return flag, from five
+# exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²): the numerator and both
+# variance terms are BIGINTs both engines agree on bit-for-bit; sqrt is
+# IEEE-correctly-rounded on both, so the final double matches under
+# pround(6). One scan, one tiny groupBy — the textbook map-side
+# aggregate. (Built-in corr() is a streaming float algorithm whose
+# summation order is engine-dependent — unusable for differential
+# testing; the integer-sums form is also the mergeable shape a
+# two-stage 100 TB aggregation wants.)
+
+
+def quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.col("l_quantity").cast("long")
+    y = iunits(F.col("l_extendedprice"), 2)
+    # Σy² in cents reaches ~6e19 by sf0.1 — past int64, where Spark's
+    # sum WRAPS silently while DuckDB widens to HUGEINT. All sums and
+    # combinations therefore run in DECIMAL(38,0) (exact to 38 digits,
+    # identical semantics both engines); doubles appear only at the
+    # final division.
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y.cast(dec) * y.cast(dec))).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        pround(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+QUERIES["quality_correlation"] = quality_correlation
+
+ORACLES["quality_correlation"] = f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(l_quantity AS DECIMAL(38,0))) AS sx,
+               sum(CAST({_sql_iunits('l_extendedprice', 2)} AS DECIMAL(38,0))) AS sy,
+               sum(CAST(CAST(l_quantity AS BIGINT)
+                        * ({_sql_iunits('l_extendedprice', 2)}) AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+               sum(CAST({_sql_iunits('l_extendedprice', 2)} AS DECIMAL(38,0))
+                   * CAST({_sql_iunits('l_extendedprice', 2)} AS DECIMAL(38,0))) AS syy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_sql_pround('CAST(n * sxy - sx * sy AS DOUBLE)'
+                        ' / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))'
+                        ' * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))', 6)}
+               AS pearson_r
+    FROM s
+"""

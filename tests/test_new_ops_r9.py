@@ -295,3 +295,59 @@ def test_neardup_ivf_multiassign_recall(spark):
             len(planted & ivf),
             len(planted),
         )
+
+
+def test_quality_ks_gate(spark):
+    from multithreaded_map_reduce_spark.queries.quality import ORACLES, QUERIES
+
+    compare(spark, QUERIES["quality_ks_test"], ORACLES["quality_ks_test"], SF_SMOKE)
+
+
+def test_quality_correlation_gate(spark):
+    from multithreaded_map_reduce_spark.queries.quality import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["quality_correlation"], ORACLES["quality_correlation"], SF_SMOKE
+    )
+
+
+def test_ks_identical_samples_zero(spark):
+    """KS of a distribution against itself must be 0 — planted check
+    of the integer ECDF-gap machinery."""
+    import numpy as np  # noqa: F401  (env sanity)
+
+    df = spark.createDataFrame(
+        [("R", float(i % 7)) for i in range(50)]
+        + [("N", float(i % 7)) for i in range(50)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    from pyspark.sql import Window as W
+
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+
+    per_v = (
+        df.select(
+            iunits(F.col("l_extendedprice"), 2).alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("a"),
+            F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("b"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("na_v"), F.sum("b").alias("nb_v"))
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    gaps = per_v.select(
+        (F.sum("na_v").over(w) * 50 - F.sum("nb_v").over(w) * 50).alias("g")
+    )
+    assert gaps.agg(F.max(F.abs("g"))).collect()[0][0] == 0
+
+
+def test_correlation_bounds_and_sign(spark):
+    from multithreaded_map_reduce_spark.queries.quality import QUERIES
+
+    rows = QUERIES["quality_correlation"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # Cauchy–Schwarz bound is the mathematical invariant; the
+        # synthetic fixture draws price independently of quantity
+        # (measured r ≈ -0.01), so no sign assertion
+        assert -1.0 <= r["pearson_r"] <= 1.0
