@@ -138,6 +138,7 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_neardup_ivf",
     "quality_ks_test",
     "quality_correlation",
+    "streaming_checkpoint_resume",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

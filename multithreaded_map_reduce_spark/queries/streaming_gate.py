@@ -407,3 +407,78 @@ ORACLES["streaming_hll_users"] = _sql_hll_distinct(
     "win_start",
     "user_id",
 )
+
+
+def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY under the gate — the streaming durability
+    surface the other entries don't reach: data arrives in two phases,
+    and the query is STOPPED between them and restarted from its
+    checkpoint. The file-source offsets in the checkpoint must make the
+    second run process exactly the phase-2 files — a broken resume
+    either reprocesses phase 1 (totals double → hash fail) or drops it
+    (totals short → hash fail). The merged totals must equal the
+    one-shot batch aggregation over ALL events (shared
+    ``streaming_stateful`` oracle), proving exactly-once across a
+    restart, not just within one run."""
+    import os
+    import shutil
+
+    from ..functions.rounding import from_iunits, iunits, pround
+    from .connectors import _fixture_path
+
+    src = _fixture_path("ckpt_src")
+    ckpt = _fixture_path("ckpt_chk")
+    target = _fixture_path("ckpt_tgt")
+    os.makedirs(src, exist_ok=True)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def _land(df: DataFrame, name: str) -> None:
+        """Materialize df as ONE flat parquet file inside src (the
+        file-source watches src; each landing is one new file)."""
+        tmp = f"{src}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(iunits(F.col("value"), 6)).alias("sum_iu"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch={batch_id}")
+        )
+
+    schema = ev.schema
+
+    def _run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _land(ev.filter(F.col("user_id") % 2 == 0), "phase1")
+    _run_once()  # phase 1 only
+    _land(ev.filter(F.col("user_id") % 2 != 0), "phase2")
+    _run_once()  # restart from checkpoint: must process ONLY phase 2
+
+    partials = spark.read.parquet(target)
+    return partials.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        pround(from_iunits(F.sum("sum_iu")), 2).alias("total_value"),
+    )
+
+
+QUERIES["streaming_checkpoint_resume"] = streaming_checkpoint_resume
+ORACLES["streaming_checkpoint_resume"] = ORACLES["streaming_stateful"]

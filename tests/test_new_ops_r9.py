@@ -351,3 +351,14 @@ def test_correlation_bounds_and_sign(spark):
         # synthetic fixture draws price independently of quantity
         # (measured r ≈ -0.01), so no sign assertion
         assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_streaming_checkpoint_resume_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["streaming_checkpoint_resume"],
+        ORACLES["streaming_checkpoint_resume"],
+        SF_SMOKE,
+    )
