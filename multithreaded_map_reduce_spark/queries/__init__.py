@@ -139,6 +139,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_ks_test",
     "quality_correlation",
     "streaming_checkpoint_resume",
+    "connector_csv_badrecords",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -495,3 +495,61 @@ from .multimodal import ppm_decode_oracle  # noqa: E402
 ORACLES["connector_binaryfile_decode"] = ppm_decode_oracle(
     "length(text) > 0 AND doc_id < 100"
 )
+
+
+# ------------------------------------------- malformed-record handling
+# Real ingestion meets broken rows; the connector contract for them is
+# a first-class surface: PERMISSIVE mode must parse every well-formed
+# row, null out the broken ones, and capture their raw text in the
+# corrupt-record column — never drop silently, never fail the job. The
+# fixture is deterministic (every 7th row's numeric field is the
+# literal 'oops'), so the oracle regenerates the exact good/corrupt
+# partition and the exact cent-sum of the surviving values from
+# generate_series. 100 TB: malformed handling is per-row scan logic —
+# no shuffle, no skew; the quarantine pattern (route corrupt rows to a
+# side table) is dq_quarantine_orders' job.
+
+BADREC_N = 210  # 30 corrupt (every 7th), 180 good
+
+
+def connector_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.rounding import iunits
+
+    base = _fixture_path("badcsv")
+    os.makedirs(base, exist_ok=True)
+    lines = ["id,amount"]
+    for i in range(BADREC_N):
+        amount = "oops" if i % 7 == 0 else f"{i}.{i % 100:02d}"
+        lines.append(f"{i},{amount}")
+    with open(f"{base}/data.csv", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("id long, amount double, _corrupt string")
+        .csv(base)
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, iunits(F.col("amount"), 2)).otherwise(F.lit(0)))
+        .alias("good_amount_cents"),
+    )
+
+
+QUERIES["connector_csv_badrecords"] = connector_csv_badrecords
+
+ORACLES["connector_csv_badrecords"] = f"""
+    WITH rows_ AS (
+        SELECT i FROM generate_series(0, {BADREC_N - 1}) AS t(i)
+    )
+    SELECT CAST(sum(CASE WHEN i % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN i % 7 != 0 THEN i * 100 + (i % 100) ELSE 0 END)
+                AS BIGINT) AS good_amount_cents
+    FROM rows_
+"""

@@ -362,3 +362,14 @@ def test_streaming_checkpoint_resume_gate(spark):
         ORACLES["streaming_checkpoint_resume"],
         SF_SMOKE,
     )
+
+
+def test_connector_csv_badrecords_gate(spark):
+    from multithreaded_map_reduce_spark.queries.connectors import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["connector_csv_badrecords"],
+        ORACLES["connector_csv_badrecords"],
+        SF_SMOKE,
+    )
