@@ -767,6 +767,11 @@ ORACLES["ann_recall_report"] = f"""
 
 NEARDUP_IVF_MIN_COS = 0.35
 NEARDUP_IVF_PROBE = 2
+# n_cells ∝ √n, NOT the 8-cell analytics quantizer: pair work is
+# Σ|cell|² ≈ 2·(probe·n)²/k, so k=8 at sf0.1 (5k vectors) meant ~6M
+# cosine pairs (14.5 s warm); k=32 cuts it 4× (~3.5 s) and the ratio
+# improves with scale as k grows with √n.
+NEARDUP_IVF_CELLS = 32
 
 
 def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,7 +787,9 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = quantized_vectors(emb, "vec_id", "embedding")
-    cent = kmeans_centroids(emb, "vec_id", "embedding", k=KM_K, rounds=KM_ITERS - 1)
+    cent = kmeans_centroids(
+        emb, "vec_id", "embedding", k=NEARDUP_IVF_CELLS, rounds=KM_ITERS - 1
+    )
     scored = vecs.crossJoin(F.broadcast(cent)).select(
         "id", "cluster", _sq_dist("qvec", "cvec").alias("dist")
     )
@@ -819,7 +826,7 @@ QUERIES["embedding_neardup_ivf"] = embedding_neardup_ivf
 
 
 def _neardup_ivf_oracle() -> str:
-    base = _sql_kmeans(KM_K, KM_ITERS)
+    base = _sql_kmeans(NEARDUP_IVF_CELLS, KM_ITERS)
     tail = f"""
         SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{KM_ITERS}"""
     assert base.endswith(tail)
