@@ -140,6 +140,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_correlation",
     "streaming_checkpoint_resume",
     "connector_csv_badrecords",
+    "streaming_latedata_drop",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

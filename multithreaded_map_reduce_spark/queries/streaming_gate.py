@@ -482,3 +482,91 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_checkpoint_resume"] = streaming_checkpoint_resume
 ORACLES["streaming_checkpoint_resume"] = ORACLES["streaming_stateful"]
+
+
+def streaming_latedata_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS exercised for real. Every other streaming
+    entry ingests the whole fixture in one micro-batch, so its
+    watermark provably drops nothing (module docstring). Here the
+    RECENT half of the events lands first — the first batch advances
+    the event-time watermark to max(ts) − 30 min and the no-data batch
+    finalizes every closed window — and then the OLD half arrives,
+    entirely below the watermark, and must be DROPPED by the windowed
+    aggregation's state eviction. The oracle computes exactly the
+    closed windows over phase-1 rows (window_end ≤ max(phase1 ts) −
+    30 min; boundary equality is impossible — window ends are round
+    hours, the watermark carries raw microseconds). A stream that
+    fails to drop late data inflates counts; one that drops too
+    eagerly loses closed windows — either hash-fails.
+
+    The phase split (midpoint hour of the data's time range) is
+    DERIVED from the data identically on both sides — no fixture-
+    coupled literals, so driver regenerations don't break it."""
+    import os
+    import shutil
+
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+    from .connectors import _fixture_path
+
+    src = _fixture_path("late_src")
+    os.makedirs(src, exist_ok=True)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    HOUR_US = 3_600_000_000
+    bounds = ev.agg(
+        F.min(epoch_micros("ts")).alias("lo"), F.max(epoch_micros("ts")).alias("hi")
+    ).first()
+    mid_us = ((bounds["lo"] + bounds["hi"]) // 2 // HOUR_US) * HOUR_US
+
+    def _land(df: DataFrame, name: str) -> None:
+        tmp = f"{src}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    _land(ev.filter(epoch_micros("ts") >= mid_us), "recent")
+
+    name = _sink("st_late")
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet").load(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ→LTZ for watermark
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(iunits(F.col("value"), 6)).alias("total_micros"),
+        )
+        .select(F.col("window.start").alias("win_start"), "n_events", "total_micros")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()  # phase 1 + no-data batch: closed windows emit
+    _land(ev.filter(epoch_micros("ts") < mid_us), "late")
+    q.processAllAvailable()  # phase 2: all below watermark -> dropped
+    q.stop()
+    return _ntz(spark.table(name))
+
+
+QUERIES["streaming_latedata_drop"] = streaming_latedata_drop
+
+from ..functions.rounding import sql_iunits as _sql_iu  # noqa: E402
+
+ORACLES["streaming_latedata_drop"] = f"""
+    WITH b AS (
+        SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+    ), m AS (
+        SELECT ((lo + hi) // 2 // 3600000000) * 3600000000 AS mid_us FROM b
+    ), p1 AS (
+        SELECT ts, value FROM events, m WHERE epoch_us(ts) >= mid_us
+    ), wm AS (
+        SELECT max(epoch_us(ts)) - 1800000000 AS wm_us FROM p1
+    )
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({_sql_iu('value', 6)}) AS BIGINT) AS total_micros
+    FROM p1, wm
+    WHERE (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 <= wm_us
+    GROUP BY 1
+"""

@@ -379,3 +379,29 @@ def test_connector_csv_badrecords_gate(spark):
         ORACLES["connector_csv_badrecords"],
         SF_SMOKE,
     )
+
+
+def test_streaming_latedata_drop_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["streaming_latedata_drop"],
+        ORACLES["streaming_latedata_drop"],
+        SF_SMOKE,
+    )
+
+
+def test_latedata_actually_dropped(spark):
+    """The emitted totals must be strictly less than the full-corpus
+    totals — proof the watermark dropped the late phase rather than
+    the two phases merging."""
+    from multithreaded_map_reduce_spark.queries.streaming_gate import QUERIES
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    got = QUERIES["streaming_latedata_drop"](spark, SF_SMOKE)
+    n_emitted = got.agg(F.sum("n_events")).collect()[0][0]
+    n_all = load_table(spark, SF_SMOKE, "events").count()
+    assert 0 < n_emitted < n_all
+    # and roughly the recent half (the phase split is the midpoint)
+    assert 0.3 * n_all < n_emitted < 0.7 * n_all
