@@ -141,6 +141,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_checkpoint_resume",
     "connector_csv_badrecords",
     "streaming_latedata_drop",
+    "quality_bootstrap_ci",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -726,3 +726,111 @@ ORACLES["quality_correlation"] = f"""
                AS pearson_r
     FROM s
 """
+
+
+# --------------------------------------------- deterministic bootstrap
+# Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty for
+# massive data streams" — the Google large-scale bootstrap): resampling
+# n rows WITH replacement is indistinguishable from giving every row an
+# independent Poisson(1) replica weight, and Poisson weights need NO
+# global coordination — each row computes its own weight per replica
+# from a hash, so the whole bootstrap is one explode(B) + one
+# map-side-combinable aggregation. Everything is deterministic: the
+# uniform is the portable doc hash over (orderkey, replica), the
+# Poisson inverse-CDF thresholds are shared literal doubles, weighted
+# sums are exact BIGINTs, and each replica mean is one double division
+# of identical integers — so both engines produce bit-identical means
+# and the identical sorted CI. B = 40 replicas; the 95% band drops the
+# lowest and highest replica mean (2.5% trim each side).
+
+BOOT_B = 40
+# cumulative Poisson(1) CDF at k = 0..5 (weights capped at 6)
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD, token_hash
+    from ..functions.rounding import iunits, pround
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", iunits(F.col("o_totalprice"), 2).alias("c")
+    )
+    rep = o.select(
+        "o_orderkey", "c", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    )
+    u = (
+        token_hash(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit("_"), F.col("b").cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float(POLY_MOD))
+    w = F.lit(6)
+    for k in range(5, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        rep.select("b", "c", w.alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("sw"), F.sum("w").alias("n_w"))
+        .select((F.col("sw").cast("double") / F.col("n_w")).alias("m"))
+    )
+    means = per_rep.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    point = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_c"),
+    )
+    return point.crossJoin(F.broadcast(means)).select(
+        F.col("n").cast("long").alias("n"),
+        pround(F.col("mean_c"), 4).alias("mean_cents"),
+        pround(F.element_at("ms", 2), 4).alias("ci_lo_cents"),
+        pround(F.element_at("ms", BOOT_B - 1), 4).alias("ci_hi_cents"),
+    )
+
+
+QUERIES["quality_bootstrap_ci"] = quality_bootstrap_ci
+
+from ..functions.hashing import POLY_MOD as _PM  # noqa: E402
+from ..functions.hashing import sql_token_hash as _sql_th  # noqa: E402
+
+
+def _boot_oracle() -> str:
+    w_case = "CASE "
+    for k in range(6):
+        w_case += f"WHEN u < {_POIS_CDF[k]!r} THEN {k} "
+    w_case += "ELSE 6 END"
+    h = _sql_th("CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)")
+    return f"""
+        WITH rep AS (
+            SELECT o_orderkey,
+                   {_sql_iunits('o_totalprice', 2)} AS c,
+                   unnest(range(0, {BOOT_B})) AS b
+            FROM orders
+        ), uu AS (
+            SELECT b, c, CAST(({h}) + 1 AS DOUBLE) / {float(_PM)!r} AS u FROM rep
+        ), wrows AS (
+            SELECT b, c, {w_case} AS w FROM uu
+        ), per_rep AS (
+            SELECT b, CAST(sum(w * c) AS DOUBLE) / sum(w) AS m
+            FROM wrows GROUP BY b
+        ), ms AS (
+            SELECT list_sort(list(m)) AS ms FROM per_rep
+        ), pt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum({_sql_iunits('o_totalprice', 2)}) AS DOUBLE) / count(*)
+                       AS mean_c
+            FROM orders
+        )
+        SELECT n, {_sql_pround('mean_c', 4)} AS mean_cents,
+               {_sql_pround('ms[2]', 4)} AS ci_lo_cents,
+               {_sql_pround(f'ms[{BOOT_B - 1}]', 4)} AS ci_hi_cents
+        FROM pt, ms
+    """
+
+
+ORACLES["quality_bootstrap_ci"] = _boot_oracle()

@@ -405,3 +405,20 @@ def test_latedata_actually_dropped(spark):
     assert 0 < n_emitted < n_all
     # and roughly the recent half (the phase split is the midpoint)
     assert 0.3 * n_all < n_emitted < 0.7 * n_all
+
+
+def test_quality_bootstrap_ci_gate(spark):
+    from multithreaded_map_reduce_spark.queries.quality import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["quality_bootstrap_ci"], ORACLES["quality_bootstrap_ci"], SF_SMOKE
+    )
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from multithreaded_map_reduce_spark.queries.quality import QUERIES
+
+    r = QUERIES["quality_bootstrap_ci"](spark, SF_SMOKE).collect()[0]
+    assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+    # a 95% bootstrap band on ~1500 orders is narrow but non-degenerate
+    assert 0 < r["ci_hi_cents"] - r["ci_lo_cents"] < 0.2 * r["mean_cents"]
