@@ -142,6 +142,7 @@ _NEW_THIS_ROUND: list[str] = [
     "connector_csv_badrecords",
     "streaming_latedata_drop",
     "quality_bootstrap_ci",
+    "events_cuped",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

