@@ -452,3 +452,30 @@ def test_rrf_fusion_takeordered_candidates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian_and_no_allpairs(spark):
+    """The containment prefix filter must produce an equality join on
+    shingle hashes — never a cartesian/blocked all-pairs plan."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("dedup_containment")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_gopher_repetition_scan_shape(spark):
+    """Per-doc n-gram stats: no join of the corpus against itself, no
+    cartesian — scan + two doc-keyed aggregations per n."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("text_gopher_repetition")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_bootstrap_single_scan_no_cartesian(spark):
+    """Poisson bootstrap = explode + aggregate; the only nested-loop is
+    the 1-row broadcast of the sorted means."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("quality_bootstrap_ci")(spark, SF_SMOKE))
+    assert not rep.cartesian
