@@ -143,6 +143,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_latedata_drop",
     "quality_bootstrap_ci",
     "events_cuped",
+    "dedup_incremental_keep",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

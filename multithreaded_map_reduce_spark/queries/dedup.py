@@ -852,3 +852,38 @@ ORACLES["dedup_containment"] = f"""
         FROM s a JOIN s b ON a.lang = b.lang AND a.id < b.id
     ) WHERE i * 10 >= n_small * 9
 """
+
+
+def dedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest DECISION the day-2 probe exists to make: which new
+    docs enter the corpus. A batch doc is kept unless the probe matched
+    it to the corpus or to an older batch doc (probe rows carry the
+    younger doc as new_id). One broadcast anti-join of the batch id
+    spine against the probe's matched set — the persisted index does
+    all the heavy lifting upstream. Empty-text docs produce no shingles
+    and thus no pairs: they are kept, which is the documented contract
+    (exact-dedup owns identical/empty payloads)."""
+    from ..operators.dedup import minhash_probe_index
+
+    path = _minhash_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    matched = (
+        minhash_probe_index(
+            batch, path, "doc_id", "text", n=2, bands=8, rows=4,
+            threshold=0.5, max_bucket=100,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return batch.select("doc_id").join(matched, "doc_id", "left_anti")
+
+
+QUERIES["dedup_incremental_keep"] = dedup_incremental_keep
+
+ORACLES["dedup_incremental_keep"] = f"""
+    WITH probe AS ({ORACLES['dedup_incremental_day2']})
+    SELECT doc_id FROM documents
+    WHERE doc_id % 10 = 0
+      AND doc_id NOT IN (SELECT new_id FROM probe)
+"""

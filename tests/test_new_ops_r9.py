@@ -441,3 +441,37 @@ def test_cuped_reduces_variance_identity(spark):
     for r in rows.values():
         assert r["n_users"] > 0
         assert abs(r["cuped_mean"] - r["raw_mean"]) < 0.5 * abs(r["raw_mean"]) + 1
+
+
+def test_dedup_incremental_keep_gate(spark):
+    from multithreaded_map_reduce_spark.queries.dedup import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["dedup_incremental_keep"],
+        ORACLES["dedup_incremental_keep"],
+        SF_SMOKE,
+    )
+
+
+def test_keep_plus_matched_covers_batch(spark):
+    """keep ∪ matched = the whole batch, disjoint — the ingest decision
+    partitions the batch exactly."""
+    from multithreaded_map_reduce_spark.queries.dedup import QUERIES
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    keep = {
+        r["doc_id"] for r in QUERIES["dedup_incremental_keep"](spark, SF_SMOKE).collect()
+    }
+    matched = {
+        r["new_id"] for r in QUERIES["dedup_incremental_day2"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert keep | matched == batch
+    assert not (keep & matched)
