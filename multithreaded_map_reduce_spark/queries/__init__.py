@@ -144,6 +144,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_bootstrap_ci",
     "events_cuped",
     "dedup_incremental_keep",
+    "text_heaps_fit",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1287,3 +1287,107 @@ ORACLES["text_gopher_repetition"] = f"""
     LEFT JOIN g2 ON d.doc_id = g2.doc_id
     LEFT JOIN g3 ON d.doc_id = g3.doc_id
 """
+
+
+# --- Heaps'-law vocabulary-growth fit ---------------------------------------
+# The companion diagnostic to text_zipf_fit: natural corpora grow
+# vocabulary as V(N) ≈ K·N^β with β ≈ 0.4–0.6; template-generated or
+# heavily duplicated corpora flatten (tiny β) and concatenations of
+# unrelated domains kink. Checkpoints are per document in doc_id
+# order: V(d) counts words whose FIRST occurrence is ≤ d (one min()
+# per word — no quadratic distinct-so-far), N(d) is the running token
+# count; the log-log OLS runs in the same exact 1e-6-unit integer
+# moments as the Zipf fit. Scale: two word-keyed aggregations + one
+# bounded cumulative window over checkpoints (at 100 TB, checkpoint at
+# file/partition granularity instead of per doc).
+
+
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_per_doc = (
+        toks.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    pts = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select("doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            F.sum("n_toks").over(w).alias("N"),
+            F.sum("n_new").over(w).alias("V"),
+        )
+        .select(
+            iunits(F.log(F.col("N").cast("double")), 6).alias("x"),
+            iunits(F.log(F.col("V").cast("double")), 6).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e12)
+    sxx = F.col("sxx").cast("double") / F.lit(1e12)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        F.col("n").alias("n_checkpoints"),
+        pround(slope, 6).alias("heaps_beta"),
+        pround((sy - slope * sx) / n, 6).alias("heaps_intercept"),
+    )
+
+
+QUERIES["text_heaps_fit"] = text_heaps_fit
+
+ORACLES["text_heaps_fit"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS word FROM documents
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1
+    ), new_per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM (
+            SELECT word, min(doc_id) AS doc_id FROM toks GROUP BY 1
+        ) GROUP BY 1
+    ), cum AS (
+        SELECT sum(p.n_toks) OVER w AS N,
+               sum(coalesce(q.n_new, 0)) OVER w AS V
+        FROM per_doc p LEFT JOIN new_per_doc q USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    ), pts AS (
+        SELECT {sql_iunits('ln(CAST(N AS DOUBLE))', 6)} AS x,
+               {sql_iunits('ln(CAST(V AS DOUBLE))', 6)} AS y
+        FROM cum
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_checkpoints,
+           {sql_pround(
+               '(CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))'
+               ' / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)'
+               ' - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))', 6)}
+               AS heaps_beta,
+           {sql_pround(
+               '((CAST(sy AS DOUBLE) / 1e6)'
+               ' - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)'
+               '     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))'
+               '    / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)'
+               '       - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))'
+               '   * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE)', 6)}
+               AS heaps_intercept
+    FROM m
+"""

@@ -475,3 +475,19 @@ def test_keep_plus_matched_covers_batch(spark):
     }
     assert keep | matched == batch
     assert not (keep & matched)
+
+
+def test_text_heaps_fit_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(spark, QUERIES["text_heaps_fit"], ORACLES["text_heaps_fit"], SF_SMOKE)
+
+
+def test_heaps_beta_sublinear(spark):
+    """Vocabulary grows sublinearly on any non-degenerate corpus:
+    0 < beta < 1."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    r = QUERIES["text_heaps_fit"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 < r["heaps_beta"] < 1.0
+    assert r["n_checkpoints"] > 100
