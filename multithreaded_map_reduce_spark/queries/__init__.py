@@ -145,6 +145,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_cuped",
     "dedup_incremental_keep",
     "text_heaps_fit",
+    "sql_udf_pricing",
+    "sql_udtf_installments",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -308,3 +308,92 @@ ORACLES["map_functions"] = """
                AS buckets
     FROM pb GROUP BY event_type
 """
+
+
+# --------------------------------------------------- SQL-defined UDFs
+# Spark 4 SQL scalar functions (CREATE FUNCTION ... RETURNS ... RETURN
+# expr) — reusable business logic DEFINED IN SQL, no Python/JVM UDF
+# registration, and crucially Catalyst INLINES the body into the
+# calling plan (whole-stage codegen, pushdown through the call — the
+# exact opposite of the black-box UDF slow path). The body is the
+# repo's exact-decimal revenue/charge discipline; the oracle inlines
+# the identical expressions, so the function-resolution layer itself
+# is what's under test.
+
+
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gate_disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(18,4)
+        RETURN CAST(p AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gate_charge(p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DECIMAL(18,6)
+        RETURN gate_disc_price(p, d) * (CAST(1.0 AS DECIMAL(18,2)) + CAST(t AS DECIMAL(18,2)))
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(sum(gate_disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                   AS sum_revenue,
+               CAST(sum(gate_charge(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+                   AS sum_charge
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+QUERIES["sql_udf_pricing"] = sql_udf_pricing
+
+from ..functions.money import SQL_CHARGE as _SQL_CHARGE  # noqa: E402
+from ..functions.money import SQL_REVENUE as _SQL_REVENUE  # noqa: E402
+
+ORACLES["sql_udf_pricing"] = f"""
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(sum({_SQL_REVENUE}) AS DOUBLE) AS sum_revenue,
+           CAST(sum({_SQL_CHARGE}) AS DOUBLE) AS sum_charge
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sql_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function + correlated LATERAL call: each URGENT order's
+    total splits into 3 integer-cent installments (remainder on the
+    first — the banker's split), the table function producing the rows.
+    Exercises CREATE FUNCTION ... RETURNS TABLE and lateral correlation
+    through it; all arithmetic integer-exact."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gate_installments(total DOUBLE, k INT)
+        RETURNS TABLE(inst INT, amount_cents BIGINT)
+        RETURN SELECT i AS inst,
+                      CAST(CAST(round(total * 100) AS BIGINT) div k AS BIGINT)
+                      + CASE WHEN i = 1
+                             THEN CAST(round(total * 100) AS BIGINT) % k
+                             ELSE 0 END AS amount_cents
+               FROM (SELECT explode(sequence(1, k)) AS i)
+    """)
+    return spark.sql("""
+        SELECT o.o_orderkey, t.inst, t.amount_cents
+        FROM orders o, LATERAL gate_installments(o.o_totalprice, 3) t
+        WHERE o.o_orderpriority = '1-URGENT'
+    """)
+
+
+QUERIES["sql_udtf_installments"] = sql_udtf_installments
+
+ORACLES["sql_udtf_installments"] = """
+    SELECT o_orderkey, CAST(i AS INTEGER) AS inst,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 3
+                + CASE WHEN i = 1
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) % 3
+                       ELSE 0 END AS BIGINT) AS amount_cents
+    FROM orders, unnest(generate_series(1, 3)) AS t(i)
+    WHERE o_orderpriority = '1-URGENT'
+"""

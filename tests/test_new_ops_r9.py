@@ -491,3 +491,34 @@ def test_heaps_beta_sublinear(spark):
     r = QUERIES["text_heaps_fit"](spark, SF_SMOKE).collect()[0]
     assert 0.0 < r["heaps_beta"] < 1.0
     assert r["n_checkpoints"] > 100
+
+
+def test_sql_udf_pricing_gate(spark):
+    from multithreaded_map_reduce_spark.queries.sql_surface import ORACLES, QUERIES
+
+    compare(spark, QUERIES["sql_udf_pricing"], ORACLES["sql_udf_pricing"], SF_SMOKE)
+
+
+def test_sql_udtf_installments_gate(spark):
+    from multithreaded_map_reduce_spark.queries.sql_surface import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["sql_udtf_installments"],
+        ORACLES["sql_udtf_installments"],
+        SF_SMOKE,
+    )
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The SQL UDF body must be INLINED by Catalyst (no BatchEvalPython
+    / black-box call node) — the property that makes SQL UDFs the fast
+    path vs Python UDFs."""
+    from multithreaded_map_reduce_spark.queries.sql_surface import QUERIES
+
+    df = QUERIES["sql_udf_pricing"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the decimal multiply from the function body appears inline
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "cast(l_extendedprice" in opt or "CheckOverflow" in opt
