@@ -519,6 +519,7 @@ def test_sql_udf_inlines_into_codegen(spark):
     df = QUERIES["sql_udf_pricing"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the decimal multiply from the function body appears inline
+    # the decimal multiply from the function body appears inline (the
+    # parameter is alpha-renamed, e.g. cast(p#30 as decimal(18,2)))
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "cast(l_extendedprice" in opt or "CheckOverflow" in opt
+    assert "as decimal(18,2))" in opt
