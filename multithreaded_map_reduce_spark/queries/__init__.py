@@ -147,6 +147,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_heaps_fit",
     "sql_udf_pricing",
     "sql_udtf_installments",
+    "connector_python_stream",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -553,3 +553,65 @@ ORACLES["connector_csv_badrecords"] = f"""
                 AS BIGINT) AS good_amount_cents
     FROM rows_
 """
+
+
+# ------------------------------------- streaming Python data source
+# Spark 4's custom STREAMING source API under the gate: the
+# SimpleDataSourceStreamReader serves the deterministic synthetic
+# relation in 250-row micro-batch slices (offsets = row positions),
+# a real streaming query drains it to a memory sink, and the result
+# must equal the batch aggregate the generate_series oracle computes —
+# proving offset bookkeeping delivers each row exactly once across
+# micro-batches. The aggregation runs on the SINK (complete-mode
+# groupBy), exercising multi-batch state merge too.
+
+
+def connector_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from ..functions.rounding import from_iunits, iunits
+    from ..sources.pysource import SyntheticEventsStreamDataSource
+
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+    n_rows = 100_000 if sf_dir.rstrip("/").endswith("0.1") else 10_000
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n_rows", str(n_rows))
+        .option("rows_per_batch", str(max(1, n_rows // 7)))  # ≥7 micro-batches
+        .option("seed", "42")
+        .load()
+        .groupBy("user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(iunits(F.col("value"), 2)).alias("sum_cents"),
+        )
+    )
+    name = f"py_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "user_bucket",
+        F.col("n").cast("long").alias("n"),
+        pround(from_iunits(F.col("sum_cents"), 2), 2).alias("sum_value"),
+    )
+
+
+QUERIES["connector_python_stream"] = connector_python_stream
+
+from ..functions.rounding import sql_from_iunits as _sql_fiu  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iu2  # noqa: E402
+from ..sources.pysource import sql_gen_rows as _sql_gen  # noqa: E402
+
+
+ORACLES["connector_python_stream"] = f"""
+    WITH gen AS ({_sql_gen(10_000, 42)})
+    SELECT user_bucket, CAST(count(*) AS BIGINT) AS n,
+           {sql_pround(_sql_fiu(f"sum({_sql_iu2('value', 2)})", 2), 2)} AS sum_value
+    FROM gen GROUP BY user_bucket
+"""

@@ -69,3 +69,52 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+
+# ---------------------------------------------- streaming Python source
+# The STREAMING half of the custom-source surface (Spark 4
+# SimpleDataSourceStreamReader): offsets are row counts, each
+# micro-batch serves the rows in [start, end) of the SAME deterministic
+# relation the batch reader generates, so a batch aggregate over the
+# full range is the exact oracle for whatever the stream accumulated —
+# the custom-source twin of the file-source streaming gate entries.
+# ``rows_per_batch`` bounds each micro-batch; commit() is a no-op (the
+# relation is immutable; nothing to clean).
+
+try:  # pyspark >= 4 only
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", "1000"))
+        self.seed = int(options.get("seed", "42"))
+        self.per_batch = int(options.get("rows_per_batch", "250"))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = start["row"]
+        hi = min(lo + self.per_batch, self.n_rows)
+        rows = [gen_row(rid, self.seed) for rid in range(lo, hi)]
+        return iter(rows), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            gen_row(rid, self.seed) for rid in range(start["row"], end["row"])
+        )
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events_stream"
+
+    def schema(self):
+        return "row_id bigint, user_bucket bigint, value double"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)

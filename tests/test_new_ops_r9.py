@@ -523,3 +523,39 @@ def test_sql_udf_inlines_into_codegen(spark):
     # parameter is alpha-renamed, e.g. cast(p#30 as decimal(18,2)))
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "as decimal(18,2))" in opt
+
+
+def test_connector_python_stream_gate(spark):
+    from multithreaded_map_reduce_spark.queries.connectors import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["connector_python_stream"],
+        ORACLES["connector_python_stream"],
+        SF_SMOKE,
+    )
+
+
+def test_python_stream_multiple_batches(spark):
+    """The stream must actually run MULTIPLE micro-batches (offset
+    bookkeeping is the surface under test, not a single-batch drain)."""
+    from multithreaded_map_reduce_spark.sources.pysource import (
+        SyntheticEventsStreamDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+    q = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("n_rows", "1000")
+        .option("rows_per_batch", "100")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("py_stream_batches")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    assert spark.table("py_stream_batches").count() == 1000
+    assert n_batches >= 10
