@@ -148,6 +148,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sql_udf_pricing",
     "sql_udtf_installments",
     "connector_python_stream",
+    "embedding_neardup_ivf_auto",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -246,7 +246,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["kmeans_embeddings"] = kmeans_embeddings
 
 
-def _sql_kmeans(k: int, iters: int) -> str:
+def _sql_kmeans(k: int | str, iters: int) -> str:
+    """``k`` may be an int literal or a SQL scalar expression (e.g. a
+    subquery computing cells from the corpus count — the adaptive-IVF
+    variant); it is spliced only into the c0 init predicate."""
     parts = [
         f"""WITH dims AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -774,7 +777,9 @@ NEARDUP_IVF_PROBE = 2
 NEARDUP_IVF_CELLS = 32
 
 
-def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_ivf_pairs(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import pround
@@ -788,7 +793,7 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = quantized_vectors(emb, "vec_id", "embedding")
     cent = kmeans_centroids(
-        emb, "vec_id", "embedding", k=NEARDUP_IVF_CELLS, rounds=KM_ITERS - 1
+        emb, "vec_id", "embedding", k=n_cells, rounds=KM_ITERS - 1
     )
     scored = vecs.crossJoin(F.broadcast(cent)).select(
         "id", "cluster", _sq_dist("qvec", "cvec").alias("dist")
@@ -822,11 +827,55 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_ivf_pairs(spark, sf_dir, NEARDUP_IVF_CELLS)
+
+
 QUERIES["embedding_neardup_ivf"] = embedding_neardup_ivf
 
 
-def _neardup_ivf_oracle() -> str:
-    base = _sql_kmeans(NEARDUP_IVF_CELLS, KM_ITERS)
+def _auto_cells(n_vectors: int) -> int:
+    """Adaptive IVF cell count: max(8, isqrt(n)).
+
+    The r5 10× scale probe measured the fixed-cell variant blowing up
+    53× on 10× data — with k fixed, in-cell pair work is Σ|cell|² ≈
+    (probe·n)²/k, quadratic in n. k ∝ √n balances the two stages
+    (assignment crossJoin is n·k = n^1.5; in-cell pairs are n²/k =
+    n^1.5), the classic single-level-IVF optimum — total work n^1.5
+    instead of n². (Beyond that, a two-level coarse→fine quantizer
+    makes assignment n·√k; out of scope here.)
+    """
+    import math
+
+    return max(8, math.isqrt(n_vectors))
+
+
+AUTO_CELLS_SQL = (
+    "(SELECT GREATEST(8, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def embedding_neardup_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining with the cell count chosen FROM THE DATA:
+    k = max(8, isqrt(n)). The one driver-side read is the corpus
+    count (metadata-only on parquet — the same one-scalar class as
+    the convergence/argmax reads); everything else is the
+    embedding_neardup_ivf plan with that k.
+
+    Python's exact ``math.isqrt`` and the oracle's
+    ``floor(sqrt(count))`` agree for any feasible corpus size: IEEE
+    sqrt is correctly rounded, and the nearest boundary case
+    (n = k²−1 rounding up to k) needs ulp(k) > 1/(2k), i.e. n ≳ 2⁵²."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return _neardup_ivf_pairs(spark, sf_dir, _auto_cells(n))
+
+
+QUERIES["embedding_neardup_ivf_auto"] = embedding_neardup_ivf_auto
+
+
+def _neardup_ivf_oracle(cells: int | str = NEARDUP_IVF_CELLS) -> str:
+    base = _sql_kmeans(cells, KM_ITERS)
     tail = f"""
         SELECT vec_id, cluster, dist AS dist_sq_iu FROM s{KM_ITERS}"""
     assert base.endswith(tail)
@@ -853,3 +902,4 @@ def _neardup_ivf_oracle() -> str:
 
 
 ORACLES["embedding_neardup_ivf"] = _neardup_ivf_oracle()
+ORACLES["embedding_neardup_ivf_auto"] = _neardup_ivf_oracle(AUTO_CELLS_SQL)

@@ -70,3 +70,42 @@ def test_ivf_oracle_and_recall(spark):
         for r in ALL_QUERIES["sim_topk_ivf"](spark, SF_SMOKE).collect()
     }
     assert len(bf & ivf) >= len(bf) // 2  # >= 50% recall while probing half
+
+
+def test_auto_cells_python_matches_sql_formula():
+    """The adaptive-IVF cell count must agree between the Spark side
+    (exact math.isqrt) and the oracle side (DuckDB floor(sqrt(n))) —
+    a disagreement at any corpus size would silently change the
+    candidate structure and break the differential gate. Sweep small
+    n plus the perfect-square boundaries where floor(sqrt) is most
+    likely to misround."""
+    import duckdb
+
+    from multithreaded_map_reduce_spark.queries.similarity import _auto_cells
+
+    ns = list(range(1, 300)) + [
+        k * k + d for k in (100, 1000, 31623, 10**6) for d in (-1, 0, 1)
+    ]
+    for n in ns:
+        sql = duckdb.sql(
+            f"SELECT GREATEST(8, CAST(floor(sqrt({n})) AS BIGINT))"
+        ).fetchone()[0]
+        assert sql == _auto_cells(n), n
+
+
+def test_neardup_ivf_auto_gate(spark):
+    """Adaptive-cell near-dup mining matches its oracle (which computes
+    the same k via a scalar subquery) on the smoke fixture."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert (
+        compare(
+            spark,
+            ALL_QUERIES["embedding_neardup_ivf_auto"],
+            ALL_ORACLES["embedding_neardup_ivf_auto"],
+            SF_SMOKE,
+        )
+        > 0
+    )
