@@ -448,3 +448,250 @@ def knn_join_ivf(
     return scored.withColumn(
         "rank", F.row_number().over(wk).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivf2_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_fine: int = 16,
+    n_coarse: int = 4,
+    nprobe_coarse: int = 2,
+    nprobe_fine: int = 2,
+) -> DataFrame:
+    """Two-level (coarse -> fine) IVF top-k — the rung above ``ivf_topk``
+    on the assignment-cost ladder.
+
+    Flat IVF assigns every candidate by scanning ALL ``n_fine``
+    centroids: n·k_f distance evals. Here candidates first pick the
+    nearest of ``n_coarse`` coarse centroids (n·k_c), then the nearest
+    FINE centroid among only that coarse group's fine cells
+    (n·k_f/k_c on average): total n·(k_c + k_f/k_c), minimized at
+    k_c = sqrt(k_f) — n·2·sqrt(k_f) instead of n·k_f. With the
+    adaptive k_f = sqrt(n) rule (embedding_neardup_ivf_auto) that is
+    assignment n^1.25 instead of n^1.5 — the reason real ANN systems
+    (FAISS IVF_HNSW / SPANN) quantize hierarchically.
+
+    Hierarchical greedy assignment is NOT globally-nearest-fine — a
+    candidate near a coarse boundary may land in a different fine cell
+    than flat IVF would give it. That is the standard two-level
+    trade-off; the candidate rule (coarse argmax -> in-group fine
+    argmax) IS the contract, replayed exactly by the DuckDB oracle.
+
+    Centroids are the vectors of the smallest candidate ids (the
+    deterministic ``ivf_topk`` convention — production trains them,
+    the operator SHAPE is identical): fine = first ``n_fine``, coarse
+    = first ``n_coarse``; every fine centroid is itself assigned to
+    its nearest coarse centroid to build the group map.
+
+    Queries mirror the hierarchy: probe ``nprobe_coarse`` nearest
+    coarse groups, then the ``nprobe_fine`` nearest fine cells among
+    those groups' cells, then rank exactly within the probed inverted
+    lists. All centroid relations are O(cells·dim) broadcasts; no
+    stage touches more than nprobe_fine/n_fine of the data after
+    assignment."""
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    fine = (
+        c.orderBy("neighbor_id")
+        .limit(n_fine)
+        .select(F.col("neighbor_id").alias("fid"), F.col("cv").alias("fcent"))
+    )
+    coarse = (
+        c.orderBy("neighbor_id")
+        .limit(n_coarse)
+        .select(F.col("neighbor_id").alias("gid"), F.col("cv").alias("gcent"))
+    )
+    # fine centroid -> its coarse group (k_f x k_c, driver-free, broadcast)
+    wf = W.partitionBy("fid").orderBy(F.desc("f_sim"), F.asc("gid"))
+    fine_map = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "fid", "fcent", "gid", cosine(F.col("fcent"), F.col("gcent")).alias("f_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") == 1)
+        .select("gid", "fid", "fcent")
+    )
+    # candidate -> nearest coarse group (n x k_c)
+    wg = W.partitionBy("neighbor_id").orderBy(F.desc("g_sim"), F.asc("gid"))
+    grouped = (
+        c.crossJoin(F.broadcast(coarse))
+        .select(
+            "neighbor_id", "cv", "gid", cosine(F.col("cv"), F.col("gcent")).alias("g_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "cv", "gid")
+    )
+    # candidate -> nearest fine cell WITHIN its coarse group (n x k_f/k_c)
+    wc = W.partitionBy("neighbor_id").orderBy(F.desc("c_sim"), F.asc("fid"))
+    cells = (
+        grouped.join(F.broadcast(fine_map), "gid")
+        .select(
+            "neighbor_id", "cv", "fid", cosine(F.col("cv"), F.col("fcent")).alias("c_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("fid", "neighbor_id", "cv")
+    )
+    # query -> nprobe_coarse groups -> nprobe_fine cells among them
+    wq = W.partitionBy("query_id").orderBy(F.desc("g_sim"), F.asc("gid"))
+    qgroups = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id", "qv", "gid", cosine(F.col("qv"), F.col("gcent")).alias("g_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe_coarse)
+        .select("query_id", "qv", "gid")
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("fid"))
+    probed = (
+        qgroups.join(F.broadcast(fine_map), "gid")
+        .select(
+            "query_id", "qv", "fid", cosine(F.col("qv"), F.col("fcent")).alias("p_sim")
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe_fine)
+        .select("query_id", "qv", "fid")
+    )
+    scored = cells.join(F.broadcast(probed), "fid").select(
+        "query_id",
+        "neighbor_id",
+        pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC) — the compression rung ABOVE int8 scalar quantization
+    (``quantized_topk``): int8 shrinks each coordinate to a byte
+    (dim bytes/vector); PQ shrinks each dim/m-dim SUBSPACE to one code
+    (m bytes/vector, 64x here vs float32's 256 bytes at dim=64). This
+    is the memory-bandwidth shape of FAISS IVFPQ / ScaNN: at 100 TB the
+    candidate side streams as n×m TINY codes while full vectors never
+    leave storage after encoding.
+
+    Pipeline (all built-ins, zero UDFs):
+    - codebook: per subspace j, ``ksub`` centroids = the j-th
+      sub-vectors of the ``ksub`` smallest-id candidates (the
+      deterministic convention shared with ``ivf_topk`` — production
+      trains codebooks; the operator SHAPE and cost model are
+      identical). O(m·ksub) rows, broadcast.
+    - encode: candidate sub-vector -> argmin L2 centroid (ties: code
+      asc), n·ksub·dim flops ONCE, then each candidate is just
+      ``codes: array<int>`` of length m.
+    - query LUT: per query an m×ksub table of <q_sub_j, centroid>
+      inner products — O(ksub·dim) per query, built once, broadcast.
+    - ADC scoring: score(q, c) = Σ_j lut[j][codes_j] — O(m) table
+      lookups per pair instead of O(dim) multiplies. The per-pair hot
+      path reads 4 ints + 4 doubles here vs 128 doubles brute-force.
+
+    The fold over j is ascending on both engines (zip_with preserves
+    order; the oracle replays the identical nested-list lookup), so the
+    approximate scores are bit-identical and the RANKING is under the
+    exact differential gate, same discipline as every other ANN op.
+    Recall honesty (cf. ``ivf_topk``): ADC score is an approximation of
+    the true dot product; on this near-uniform fixture the recall floor
+    is asserted in tests, not claimed."""
+    dsub = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+
+    def subspaces(vec: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec), j * dsub + 1, dsub).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
+
+    wb = W.orderBy("neighbor_id")
+    book = (
+        c.orderBy("neighbor_id")
+        .limit(ksub)
+        .withColumn("code", (F.row_number().over(wb) - 1).cast("int"))
+    )
+    codebook = book.select("code", subspaces("cv").alias("e")).select(
+        F.col("e.j").alias("j"), "code", F.col("e.sub").alias("cent")
+    )
+
+    l2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wenc = W.partitionBy("neighbor_id", "j").orderBy(F.asc("l2"), F.asc("code"))
+    enc = (
+        c.select("neighbor_id", subspaces("cv").alias("e"))
+        .select("neighbor_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+        .join(F.broadcast(codebook), "j")
+        .withColumn("l2", l2)
+        .withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "j", "code")
+    )
+    codes = enc.groupBy("neighbor_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+    lut_rows = (
+        q.select("query_id", subspaces("qv").alias("e"))
+        .select("query_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+        .join(F.broadcast(codebook), "j")
+        .select("query_id", "j", "code", dot(F.col("sub"), F.col("cent")).alias("ip"))
+    )
+    lut = (
+        lut_rows.groupBy("query_id", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "ip"))), lambda s: s["ip"]
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))), lambda s: s["row"]
+            ).alias("lut")
+        )
+    )
+
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda code, row: F.get(row, code)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        "query_id", "neighbor_id", pround(adc, 6).alias("adc_score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

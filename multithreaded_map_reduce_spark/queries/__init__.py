@@ -149,6 +149,8 @@ _NEW_THIS_ROUND: list[str] = [
     "sql_udtf_installments",
     "connector_python_stream",
     "embedding_neardup_ivf_auto",
+    "sim_topk_ivf2",
+    "sim_topk_pq",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_pround
-from ..functions.vectors import sql_as_double, sql_cosine
+from ..functions.vectors import sql_as_double, sql_cosine, sql_dot
 from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -215,6 +215,114 @@ ORACLES["sim_topk_quantized"] = f"""
     FROM (
         SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY _raw DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse -> fine) IVF — the assignment-cost rung above flat
+# IVF: n·(k_c + k_f/k_c) distance evals instead of n·k_f (operator
+# docstring has the full ladder). Constants sized so the hierarchy is
+# real on the fixture: 16 fine cells in 4 coarse groups, probe 2+2.
+
+N_FINE = 16
+N_COARSE = 4
+NPROBE2_C = 2
+NPROBE2_F = 2
+
+
+def sim_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf2_topk
+
+    q, c = _split(spark, sf_dir)
+    return ivf2_topk(
+        q,
+        c,
+        "vec_id",
+        "embedding",
+        k=K,
+        n_fine=N_FINE,
+        n_coarse=N_COARSE,
+        nprobe_coarse=NPROBE2_C,
+        nprobe_fine=NPROBE2_F,
+    )
+
+
+QUERIES["sim_topk_ivf2"] = sim_topk_ivf2
+
+ORACLES["sim_topk_ivf2"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), fine AS (
+        SELECT neighbor_id AS fid, cv AS fcent
+        FROM c ORDER BY neighbor_id LIMIT {N_FINE}
+    ), coarse AS (
+        SELECT neighbor_id AS gid, cv AS gcent
+        FROM c ORDER BY neighbor_id LIMIT {N_COARSE}
+    ), fine_map AS (
+        SELECT gid, fid, fcent FROM (
+            SELECT fine.fid, fine.fcent, coarse.gid,
+                   row_number() OVER (
+                       PARTITION BY fine.fid
+                       ORDER BY {sql_cosine('fine.fcent', 'coarse.gcent')} DESC,
+                                coarse.gid ASC
+                   ) AS rn
+            FROM fine, coarse
+        ) WHERE rn = 1
+    ), grouped AS (
+        SELECT neighbor_id, cv, gid FROM (
+            SELECT c.neighbor_id, c.cv, coarse.gid,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY {sql_cosine('c.cv', 'coarse.gcent')} DESC,
+                                coarse.gid ASC
+                   ) AS rn
+            FROM c, coarse
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT fid, neighbor_id, cv FROM (
+            SELECT g.neighbor_id, g.cv, fm.fid,
+                   row_number() OVER (
+                       PARTITION BY g.neighbor_id
+                       ORDER BY {sql_cosine('g.cv', 'fm.fcent')} DESC,
+                                fm.fid ASC
+                   ) AS rn
+            FROM grouped g JOIN fine_map fm USING (gid)
+        ) WHERE rn = 1
+    ), qgroups AS (
+        SELECT query_id, qv, gid FROM (
+            SELECT q.query_id, q.qv, coarse.gid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {sql_cosine('q.qv', 'coarse.gcent')} DESC,
+                                coarse.gid ASC
+                   ) AS rn
+            FROM q, coarse
+        ) WHERE rn <= {NPROBE2_C}
+    ), probed AS (
+        SELECT query_id, qv, fid FROM (
+            SELECT qg.query_id, qg.qv, fm.fid,
+                   row_number() OVER (
+                       PARTITION BY qg.query_id
+                       ORDER BY {sql_cosine('qg.qv', 'fm.fcent')} DESC,
+                                fm.fid ASC
+                   ) AS rn
+            FROM qgroups qg JOIN fine_map fm USING (gid)
+        ) WHERE rn <= {NPROBE2_F}
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {sql_pround(sql_cosine('probed.qv', 'cells.cv'), 6)} AS cos_sim
+        FROM cells JOIN probed USING (fid)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
         ) AS INTEGER) AS rank
         FROM scored
     ) WHERE rank <= {K}
@@ -903,3 +1011,101 @@ def _neardup_ivf_oracle(cells: int | str = NEARDUP_IVF_CELLS) -> str:
 
 ORACLES["embedding_neardup_ivf"] = _neardup_ivf_oracle()
 ORACLES["embedding_neardup_ivf_auto"] = _neardup_ivf_oracle(AUTO_CELLS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC (round 5): the compression rung above the
+# int8 scalar quantizer — m=4 one-byte codes per vector instead of 64
+# int8 coordinates; scoring is m table lookups per pair instead of a
+# dim-length dot. The oracle replays codebook -> encode -> LUT -> the
+# exact nested-list ADC fold, so the approximate RANKING is under the
+# exact gate (operator docstring: operators/similarity.pq_topk).
+
+# m=16 × ksub=32 measured best on the near-uniform fixture (recall@5
+# 12/25 vs 2/25 at m=4·ksub=8 — finer subspaces dominate here because
+# untrained small codebooks quantize coarse subspaces to near-noise);
+# still 16 one-byte codes vs 256 float32 bytes per vector.
+PQ_M = 16
+PQ_KSUB = 32
+PQ_DSUB = DIM // PQ_M
+
+
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    q, c = _split(spark, sf_dir)
+    return pq_topk(q, c, "vec_id", "embedding", k=K, m=PQ_M, ksub=PQ_KSUB, dim=DIM)
+
+
+QUERIES["sim_topk_pq"] = sim_topk_pq
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Σ (a_i - b_i)² as the same ascending left fold Spark's
+    zip_with/aggregate evaluates — bit-identical doubles."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq(m: int = PQ_M, ksub: int = PQ_KSUB, dsub: int = PQ_DSUB, k: int = K) -> str:
+    sub = f"cv[j * {dsub} + 1 : j * {dsub} + {dsub}]"
+    qsub = f"qv[j * {dsub} + 1 : j * {dsub} + {dsub}]"
+    adc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {m} + 1), i -> lut[i][codes[i] + 1])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), subspaces AS (
+        SELECT unnest(range(0, {m})) AS j
+    ), book AS (
+        SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS INTEGER) AS code, cv
+        FROM (SELECT neighbor_id, cv FROM c ORDER BY neighbor_id LIMIT {ksub})
+    ), codebook AS (
+        SELECT j, code, {sub} AS cent FROM book, subspaces
+    ), cand_subs AS (
+        SELECT neighbor_id, j, {sub} AS sub FROM c, subspaces
+    ), enc AS (
+        SELECT neighbor_id, j, code FROM (
+            SELECT cs.neighbor_id, cs.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY cs.neighbor_id, cs.j
+                       ORDER BY {_sql_l2sq('cs.sub', 'cb.cent')} ASC, cb.code ASC
+                   ) AS rn
+            FROM cand_subs cs JOIN codebook cb USING (j)
+        ) WHERE rn = 1
+    ), codes AS (
+        SELECT neighbor_id, list(code ORDER BY j) AS codes FROM enc GROUP BY neighbor_id
+    ), q_subs AS (
+        SELECT query_id, j, {qsub} AS sub FROM q, subspaces
+    ), lut_rows AS (
+        SELECT query_id, j, code, {sql_dot('qs.sub', 'cb.cent')} AS ip
+        FROM q_subs qs JOIN codebook cb USING (j)
+    ), lut_j AS (
+        SELECT query_id, j, list(ip ORDER BY code) AS lrow
+        FROM lut_rows GROUP BY query_id, j
+    ), lut AS (
+        SELECT query_id, list(lrow ORDER BY j) AS lut FROM lut_j GROUP BY query_id
+    ), scored AS (
+        SELECT query_id, neighbor_id, {sql_pround(adc, 6)} AS adc_score
+        FROM codes, lut
+    )
+    SELECT query_id, neighbor_id, adc_score, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+ORACLES["sim_topk_pq"] = _sql_pq()

@@ -109,3 +109,49 @@ def test_neardup_ivf_auto_gate(spark):
         )
         > 0
     )
+
+
+def test_ivf2_oracle_and_recall(spark):
+    """Two-level IVF matches its DuckDB oracle exactly; recall floor on
+    the near-uniform fixture is deterministic (6/25 while scanning
+    ~2/16 of the corpus — same honesty note as flat IVF: cells
+    concentrate weakly here, structure is what's under test)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["sim_topk_ivf2"], ALL_ORACLES["sim_topk_ivf2"], SF_SMOKE
+    ) > 0
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    iv2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_ivf2"](spark, SF_SMOKE).collect()
+    }
+    assert len(bf & iv2) >= 5
+
+
+def test_pq_oracle_and_recall(spark):
+    """PQ/ADC matches its DuckDB oracle exactly (codebook -> encode ->
+    LUT -> nested-list fold all replayed); recall floor conservative
+    (measured 12/25 at m=16, ksub=32 — untrained codebooks on the
+    near-uniform fixture, honesty note in the operator docstring)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["sim_topk_pq"], ALL_ORACLES["sim_topk_pq"], SF_SMOKE
+    ) > 0
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_pq"](spark, SF_SMOKE).collect()
+    }
+    assert len(bf & pq) >= 4
