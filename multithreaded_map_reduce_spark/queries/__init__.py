@@ -151,6 +151,7 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_neardup_ivf_auto",
     "sim_topk_ivf2",
     "sim_topk_pq",
+    "text_gopher_rules",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

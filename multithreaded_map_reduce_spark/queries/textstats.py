@@ -1391,3 +1391,99 @@ ORACLES["text_heaps_fit"] = f"""
                AS heaps_intercept
     FROM m
 """
+
+
+# --- Gopher document-level quality rule battery ------------------------------
+# The companion to text_gopher_repetition: Rae et al. 2021 (Gopher,
+# §A1.1.1) document-LEVEL rules — word-count bounds, mean word length,
+# symbol-to-word ratio, alphabetic-word fraction, minimum stopword
+# hits. Thresholds follow the paper where the fixture allows
+# (mean-word-length [3,10], symbol ratio <= 0.1, alpha frac >= 0.8,
+# stopwords >= 2) with the word-count floor fixture-tuned (20 vs the
+# paper's 50: fixture docs run 10-99 words; measured keep split ~350
+# keep / ~150 drop, so BOTH branches of every conjunct are exercised).
+# All per-doc integer counts; the only doubles are final ratios —
+# exact oracle. Scale: one scan, per-row codegen'd array ops, no
+# shuffle at all (the embarrassingly-parallel filter every curation
+# pipeline front-loads at 100 TB).
+
+GR_MIN_WORDS = 20
+GR_MAX_WORDS = 1000
+GR_MIN_MWL = 3.0
+GR_MAX_MWL = 10.0
+GR_MAX_SYMBOL = 0.1
+GR_MIN_ALPHA = 0.8
+GR_MIN_STOP = 2
+GR_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    nw = F.size(toks).cast("long")
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*GR_STOPWORDS))
+    ).cast("long")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    # empty documents (zero tokens) carry no ratio semantics: emit the
+    # metrics row with 0-ratios and keep=0 instead of 0/0 NaNs (the
+    # empty-input totality discipline of tests/test_empty_inputs.py)
+    safe_nw = F.greatest(nw, F.lit(1).cast("long"))
+    m = docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        pround(len_sum.cast("double") / safe_nw, 6).alias("mean_word_len"),
+        pround((n_hash + n_ell).cast("double") / safe_nw, 6).alias("symbol_ratio"),
+        pround(n_alpha.cast("double") / safe_nw, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(GR_MIN_WORDS, GR_MAX_WORDS)
+        & F.col("mean_word_len").between(GR_MIN_MWL, GR_MAX_MWL)
+        & (F.col("symbol_ratio") <= GR_MAX_SYMBOL)
+        & (F.col("alpha_frac") >= GR_MIN_ALPHA)
+        & (F.col("n_stopwords") >= GR_MIN_STOP)
+    )
+    return m.withColumn("keep", keep.cast("int"))
+
+
+QUERIES["text_gopher_rules"] = text_gopher_rules
+
+_GR_STOPLIST_SQL = ", ".join(f"'{w}'" for w in GR_STOPWORDS)
+
+ORACLES["text_gopher_rules"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               {sql_pround(
+                   "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                   "list_transform(toks, x -> CAST(len(x) AS BIGINT))), "
+                   "(a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1)", 6)} AS mean_word_len,
+               {sql_pround(
+                   "CAST((len(text) - len(replace(text, '#', ''))) "
+                   "+ (len(text) - len(replace(text, '...', ''))) / 3 "
+                   "AS DOUBLE) / greatest(len(toks), 1)", 6)} AS symbol_ratio,
+               {sql_pround(
+                   "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+                   "AS DOUBLE) / greatest(len(toks), 1)", 6)} AS alpha_frac,
+               CAST(len(list_filter(toks, x -> x IN ({_GR_STOPLIST_SQL})))
+                    AS BIGINT) AS n_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+           CAST(n_words BETWEEN {GR_MIN_WORDS} AND {GR_MAX_WORDS}
+                AND mean_word_len BETWEEN {GR_MIN_MWL} AND {GR_MAX_MWL}
+                AND symbol_ratio <= {GR_MAX_SYMBOL}
+                AND alpha_frac >= {GR_MIN_ALPHA}
+                AND n_stopwords >= {GR_MIN_STOP} AS INTEGER) AS keep
+    FROM m
+"""
