@@ -695,3 +695,161 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 32,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + residual PQ — the actual FAISS IVFPQ composition of the
+    two dials this family exposes separately: ``ivf_topk`` prunes WHICH
+    candidates get scored (probe nprobe/n_cells inverted lists),
+    ``pq_topk`` shrinks what each scoring COSTS (m one-byte codes,
+    O(m) ADC per pair). Here candidates are routed to cells, the PQ
+    codebook quantizes the RESIDUAL v − centroid (residuals concentrate
+    around 0, so an untrained codebook wastes less of its dynamic range
+    — the reason IVFPQ encodes residuals), and the query-side score is
+
+        <q, v> ≈ <q, centroid(cell)>  +  Σ_j lut[j][code_j]
+
+    with the first term exact (one O(dim) dot per (query, probed cell)
+    — nprobe·n_cells tiny) and the second the O(m) residual ADC. For
+    inner-product search the LUT <q_sub, codebook_cent> is
+    cell-independent, so each query builds ONE m×ksub table regardless
+    of nprobe. At 100 TB the scoring stage streams n·(m+4) bytes of
+    codes+cell-ids instead of n·dim floats AND only nprobe/n_cells of
+    them — both dials at once. Every stage (routing, residual,
+    codebook, encode, LUT, fold) is order-pinned and replayed by the
+    DuckDB oracle; ranking is under the exact gate."""
+    dsub = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    cents = (
+        c.orderBy("neighbor_id")
+        .limit(n_cells)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cv").alias("centroid"))
+    )
+    wa = W.partitionBy("neighbor_id").orderBy(F.desc("a_sim"), F.asc("cid"))
+    cells = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "cv",
+            "cid",
+            "centroid",
+            cosine(F.col("cv"), F.col("centroid")).alias("a_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cid",
+            "neighbor_id",
+            F.zip_with("cv", "centroid", lambda x, y: x - y).alias("rv"),
+        )
+    )
+
+    def subspaces(vec: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec), j * dsub + 1, dsub).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
+
+    wb = W.orderBy("neighbor_id")
+    book = (
+        cells.orderBy("neighbor_id")
+        .limit(ksub)
+        .withColumn("code", (F.row_number().over(wb) - 1).cast("int"))
+    )
+    codebook = book.select("code", subspaces("rv").alias("e")).select(
+        F.col("e.j").alias("j"), "code", F.col("e.sub").alias("cent")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wenc = W.partitionBy("neighbor_id", "j").orderBy(F.asc("l2"), F.asc("code"))
+    enc = (
+        cells.select("cid", "neighbor_id", subspaces("rv").alias("e"))
+        .select("cid", "neighbor_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+        .join(F.broadcast(codebook), "j")
+        .withColumn("l2", l2)
+        .withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("cid", "neighbor_id", "j", "code")
+    )
+    codes = enc.groupBy("cid", "neighbor_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+    wq = W.partitionBy("query_id").orderBy(F.desc("q_sim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine(F.col("qv"), F.col("centroid")).alias("q_sim"),
+            dot(F.col("qv"), F.col("centroid")).alias("qdotcent"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cid", "qdotcent")
+    )
+    lut_rows = (
+        q.select("query_id", subspaces("qv").alias("e"))
+        .select("query_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
+        .join(F.broadcast(codebook), "j")
+        .select("query_id", "j", "code", dot(F.col("sub"), F.col("cent")).alias("ip"))
+    )
+    lut = (
+        lut_rows.groupBy("query_id", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "ip"))), lambda s: s["ip"]
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))), lambda s: s["row"]
+            ).alias("lut")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda code, row: F.get(row, code)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(F.col("qdotcent") + adc, 6).alias("approx_dot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

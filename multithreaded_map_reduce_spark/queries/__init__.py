@@ -152,6 +152,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_topk_ivf2",
     "sim_topk_pq",
     "text_gopher_rules",
+    "sim_topk_ivfpq",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1109,3 +1109,121 @@ def _sql_pq(m: int = PQ_M, ksub: int = PQ_KSUB, dsub: int = PQ_DSUB, k: int = K)
 
 
 ORACLES["sim_topk_pq"] = _sql_pq()
+
+
+# ---------------------------------------------------------------------------
+# IVF + residual PQ (round 5): the FAISS IVFPQ composition — route with
+# inverted lists, score probed candidates as <q,centroid> (exact, one
+# per probed cell) + residual ADC (O(m) per pair). Residual encoding is
+# what makes the untrained codebook usable: residuals concentrate
+# around 0. Operator docstring: operators/similarity.ivfpq_topk.
+
+
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    q, c = _split(spark, sf_dir)
+    return ivfpq_topk(
+        q, c, "vec_id", "embedding",
+        k=K, n_cells=N_CELLS, nprobe=NPROBE, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+    )
+
+
+QUERIES["sim_topk_ivfpq"] = sim_topk_ivfpq
+
+
+def _sql_ivfpq(
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dsub: int = PQ_DSUB,
+    k: int = K,
+) -> str:
+    sub = f"rv[j * {dsub} + 1 : j * {dsub} + {dsub}]"
+    qsub = f"qv[j * {dsub} + 1 : j * {dsub} + {dsub}]"
+    adc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {m} + 1), i -> lut[i][codes[i] + 1])), "
+        "(x, y) -> x + y)"
+    )
+    residual = (
+        "list_transform(range(1, len(cv) + 1), i -> cv[i] - centroid[i])"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), cents AS (
+        SELECT neighbor_id AS cid, cv AS centroid
+        FROM c ORDER BY neighbor_id LIMIT {n_cells}
+    ), cells AS (
+        SELECT cid, neighbor_id, {residual} AS rv FROM (
+            SELECT c.neighbor_id, c.cv, cents.cid, cents.centroid,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY {sql_cosine('c.cv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM c, cents
+        ) WHERE rn = 1
+    ), subspaces AS (
+        SELECT unnest(range(0, {m})) AS j
+    ), book AS (
+        SELECT CAST(row_number() OVER (ORDER BY neighbor_id) - 1 AS INTEGER) AS code, rv
+        FROM (SELECT neighbor_id, rv FROM cells ORDER BY neighbor_id LIMIT {ksub})
+    ), codebook AS (
+        SELECT j, code, {sub} AS cent FROM book, subspaces
+    ), cand_subs AS (
+        SELECT cid, neighbor_id, j, {sub} AS sub FROM cells, subspaces
+    ), enc AS (
+        SELECT cid, neighbor_id, j, code FROM (
+            SELECT cs.cid, cs.neighbor_id, cs.j, cb.code,
+                   row_number() OVER (
+                       PARTITION BY cs.neighbor_id, cs.j
+                       ORDER BY {_sql_l2sq('cs.sub', 'cb.cent')} ASC, cb.code ASC
+                   ) AS rn
+            FROM cand_subs cs JOIN codebook cb USING (j)
+        ) WHERE rn = 1
+    ), codes AS (
+        SELECT cid, neighbor_id, list(code ORDER BY j) AS codes
+        FROM enc GROUP BY cid, neighbor_id
+    ), probes AS (
+        SELECT query_id, qv, cid, qdotcent FROM (
+            SELECT q.query_id, q.qv, cents.cid,
+                   {sql_dot('q.qv', 'cents.centroid')} AS qdotcent,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {sql_cosine('q.qv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM q, cents
+        ) WHERE rn <= {nprobe}
+    ), q_subs AS (
+        SELECT query_id, j, {qsub} AS sub FROM q, subspaces
+    ), lut_rows AS (
+        SELECT query_id, j, code, {sql_dot('qs.sub', 'cb.cent')} AS ip
+        FROM q_subs qs JOIN codebook cb USING (j)
+    ), lut_j AS (
+        SELECT query_id, j, list(ip ORDER BY code) AS lrow
+        FROM lut_rows GROUP BY query_id, j
+    ), lut AS (
+        SELECT query_id, list(lrow ORDER BY j) AS lut FROM lut_j GROUP BY query_id
+    ), scored AS (
+        SELECT p.query_id, codes.neighbor_id,
+               {sql_pround('p.qdotcent + ' + adc, 6)} AS approx_dot
+        FROM codes JOIN probes p USING (cid) JOIN lut ON lut.query_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dot, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+ORACLES["sim_topk_ivfpq"] = _sql_ivfpq()

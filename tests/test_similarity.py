@@ -155,3 +155,26 @@ def test_pq_oracle_and_recall(spark):
         for r in ALL_QUERIES["sim_topk_pq"](spark, SF_SMOKE).collect()
     }
     assert len(bf & pq) >= 4
+
+
+def test_ivfpq_oracle_and_recall(spark):
+    """IVFPQ (IVF routing + residual PQ ADC) matches its DuckDB oracle
+    exactly; recall floor conservative (measured 6/25 at n_cells=4,
+    nprobe=2, m=16, ksub=32 — both approximations stack on the
+    near-uniform fixture; structure is what's under test)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["sim_topk_ivfpq"], ALL_ORACLES["sim_topk_ivfpq"], SF_SMOKE
+    ) > 0
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    iv = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ALL_QUERIES["sim_topk_ivfpq"](spark, SF_SMOKE).collect()
+    }
+    assert len(bf & iv) >= 3
