@@ -153,6 +153,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_topk_pq",
     "text_gopher_rules",
     "sim_topk_ivfpq",
+    "streaming_dedup_probe",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -570,3 +570,94 @@ ORACLES["streaming_latedata_drop"] = f"""
     WHERE (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 <= wm_us
     GROUP BY 1
 """
+
+
+def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING day-2 ingest against the PERSISTED day-1 LSH index —
+    the streaming closure of the dedup-artifact story: the same parquet
+    artifacts ``dedup_incremental_day2`` probes in batch are here the
+    STATIC side of a stream-static join, and the new-batch side arrives
+    as a file-source stream. At 100 TB this is "near-dup flagging at
+    ingest latency": corpus text is never read, corpus shingles never
+    re-hashed, and the stream side needs NO streaming aggregation at
+    all — signature/banding are per-ROW array expressions
+    (functions/hashing.py), so the only stateful operator is the
+    candidate-pair dropDuplicates (state bounded by matched pairs, and
+    in production by a watermark on ingest time; the fixture arrives in
+    one micro-batch, the same honesty note as ``streaming_dedup``).
+
+    Differential contract: exactly the ``match_in = 'corpus'`` slice of
+    the day-2 oracle — streaming and batch probes must agree row-for-row
+    on (new_id, match_id, canonical_id, jaccard)."""
+    from ..functions.hashing import (
+        band_hashes,
+        minhash_signature,
+        shingle_hashes_from_token_hashes,
+        token_hash,
+    )
+    from ..functions.text import tokenize
+    from ..operators.dedup import jaccard_of
+    from ..streaming.events import stream_documents
+    from .dedup import _minhash_index_path
+
+    path = _minhash_index_path(spark, sf_dir)
+    c_band = spark.read.parquet(f"{path}/buckets")
+    c_sizes = c_band.groupBy("bh").agg(F.countDistinct("id").alias("_bn"))
+    c_capped = c_band.join(
+        c_sizes.filter(F.col("_bn") <= 100).select("bh"), "bh"
+    ).select(F.col("id").alias("match_id"), "bh")
+    c_hashed = spark.read.parquet(f"{path}/hashes").select(
+        F.col("id").alias("match_id"), F.col("hashes").alias("h_m")
+    )
+    canon = spark.read.parquet(f"{path}/canonical").select(
+        F.col("id").alias("match_id"), F.col("root").alias("_root")
+    )
+
+    stream = stream_documents(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") > 0)
+    )
+    # token_hash (md5 family), NOT hash_array (poly family) — the dedup
+    # pipeline and its oracles hash tokens with token_hash
+    toks = tokenize(F.col("text"))
+    enriched = (
+        stream.withColumn("_th", F.transform(toks, lambda t: token_hash(t)))
+        .filter(F.size("_th") > 0)
+        .withColumn("_hashes", shingle_hashes_from_token_hashes(F.col("_th"), 2))
+    )
+    probe = (
+        enriched.withColumn(
+            "bh", F.explode(band_hashes(minhash_signature(F.col("_hashes")), 8, 4))
+        )
+        .select(F.col("doc_id").alias("new_id"), "_hashes", "bh")
+        .join(c_capped, "bh")
+        .dropDuplicates(["new_id", "match_id"])
+        .join(c_hashed, "match_id")
+        .withColumn("jaccard", pround(jaccard_of(F.col("_hashes"), F.col("h_m")), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .join(canon, "match_id", "left")
+        .select(
+            "new_id",
+            "match_id",
+            F.coalesce(F.col("_root"), F.col("match_id")).alias("canonical_id"),
+            "jaccard",
+        )
+    )
+    name = _sink("st_probe")
+    run_stream_to_memory(probe, name, output_mode="append")
+    return spark.table(name)
+
+
+QUERIES["streaming_dedup_probe"] = streaming_dedup_probe
+
+
+def _streaming_probe_oracle() -> str:
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    return f"""
+    WITH day2 AS ({_DEDUP_ORACLES['dedup_incremental_day2']})
+    SELECT new_id, match_id, canonical_id, jaccard
+    FROM day2 WHERE match_in = 'corpus'
+    """
+
+
+ORACLES["streaming_dedup_probe"] = _streaming_probe_oracle()

@@ -242,3 +242,17 @@ def streaming_hll_registers(events: DataFrame, watermark: str = "30 minutes") ->
         .agg(F.max("_rho").alias("_mj"))
         .select(F.col("window.start").alias("win_start"), "_j", "_mj")
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (no event-time column,
+    so none of the LTZ handling ``stream_events`` needs). Schema comes
+    from a one-off batch read — same driver-regeneration defense."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )

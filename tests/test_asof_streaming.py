@@ -96,3 +96,22 @@ def test_streaming_sessions_match_batch(spark):
         )
     )
     assert got == want
+
+
+def test_streaming_dedup_probe_gate(spark):
+    """Streaming day-2 probe == batch day-2 probe (corpus slice): the
+    per-row signature expressions + stream-static index joins must
+    reproduce the batch probe exactly (shared oracle)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert (
+        compare(
+            spark,
+            ALL_QUERIES["streaming_dedup_probe"],
+            ALL_ORACLES["streaming_dedup_probe"],
+            SF_SMOKE,
+        )
+        >= 0
+    )
