@@ -154,6 +154,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_gopher_rules",
     "sim_topk_ivfpq",
     "streaming_dedup_probe",
+    "curation_dsir",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

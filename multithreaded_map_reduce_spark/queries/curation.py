@@ -989,3 +989,149 @@ def curation_split_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["curation_split_persisted"] = curation_split_persisted
 
 ORACLES["curation_split_persisted"] = ORACLES["curation_split_leakproof"]
+
+
+# --------------------------------------- DSIR importance resampling
+# Data Selection with Importance Resampling (Xie et al. 2023): pick raw
+# docs whose hashed-n-gram feature distribution looks like a TARGET
+# domain. Target here = source 'src0'; raw pool = everything else;
+# features = hashed UNIGRAMS (token_hash % DSIR_BUCKETS). Two add-one-
+# smoothed bucket LMs (target p, raw q) give each raw doc a log
+# importance weight Σ_tokens [ln p(b) − ln q(b)]; Gumbel-top-k on the
+# weight (deterministic Gumbel from the doc-id hash — the same
+# portable-u trick as A-ES) draws DSIR_K docs ∝ softmax(log w) without
+# replacement. Determinism discipline: per-BUCKET log-ratio snapped to
+# integer nano-units once (B rows), per-doc weight is an exact integer
+# sum; the only doubles are the final key = logw + gumbel, snapped to
+# units for the output. Scale: the bucket LMs are two B-row broadcast
+# relations built by one token scan each; per-doc scoring is one
+# map-side join + integer agg; top-k is TakeOrdered — no global sort,
+# and B (not vocabulary size) bounds every dense relation, which is the
+# entire point of DSIR's hashed features at 100 TB.
+
+DSIR_TARGET_SRC = "src0"
+DSIR_BUCKETS = 64
+DSIR_K = 40
+
+
+def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import from_iunits, iunits
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = token_hash(F.col("tok")) % F.lit(DSIR_BUCKETS)
+    terms = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    ).select("doc_id", "source", b.alias("b"))
+
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+
+    def bucket_lm(t: DataFrame, name: str) -> DataFrame:
+        cnt = t.groupBy("b").agg(F.count("*").alias("c"))
+        tot = t.select(F.count("*").alias("n"))
+        return (
+            spine.join(cnt, "b", "left")
+            .crossJoin(tot)
+            .select(
+                "b",
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("n") + F.lit(DSIR_BUCKETS)).cast("double")
+                ).alias(name),
+            )
+        )
+
+    p = bucket_lm(terms.filter(F.col("source") == DSIR_TARGET_SRC), "lp")
+    q = bucket_lm(terms.filter(F.col("source") != DSIR_TARGET_SRC), "lq")
+    ratio = p.join(q, "b").select(
+        "b", iunits(F.col("lp") - F.col("lq"), 9).alias("lr_units")
+    )
+
+    raw_terms = terms.filter(F.col("source") != DSIR_TARGET_SRC)
+    logw = (
+        raw_terms.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_units").alias("logw_units"), F.count("*").alias("n_tokens"))
+    )
+    u = (token_hash(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(POLY_MOD))
+    key = from_iunits(F.col("logw_units"), 9) - F.log(-F.log(u))
+    ranked = (
+        logw.select("doc_id", "logw_units", "n_tokens", key.alias("_key"))
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(DSIR_K)
+    )
+    w = W.orderBy(F.desc("_key"), F.asc("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id",
+        "n_tokens",
+        "logw_units",
+        iunits(F.col("_key"), 9).alias("key_units"),
+        "rank",
+    )
+
+
+QUERIES["curation_dsir"] = curation_dsir
+
+from ..functions.rounding import (  # noqa: E402
+    sql_from_iunits as _sql_from_iu,
+    sql_iunits as _sql_iu,
+)
+from ..functions.hashing import POLY_MOD as _POLY_MOD  # noqa: E402
+
+_DSIR_B = f"({sql_token_hash('tok')} % {DSIR_BUCKETS})"
+_DSIR_U = (
+    f"(CAST({sql_token_hash(chr(39) + 'dsir' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+    f" + 1 AS DOUBLE) / {float(_POLY_MOD)})"
+)
+
+ORACLES["curation_dsir"] = f"""
+    WITH terms AS (
+        SELECT doc_id, source, {_DSIR_B} AS b FROM (
+            SELECT doc_id, source, unnest({sql_tokens('text')}) AS tok
+            FROM documents
+        )
+    ), spine AS (
+        SELECT unnest(range(0, {DSIR_BUCKETS})) AS b
+    ), pc AS (
+        SELECT b, count(*) AS c FROM terms
+        WHERE source = '{DSIR_TARGET_SRC}' GROUP BY b
+    ), pn AS (
+        SELECT count(*) AS n FROM terms WHERE source = '{DSIR_TARGET_SRC}'
+    ), qc AS (
+        SELECT b, count(*) AS c FROM terms
+        WHERE source != '{DSIR_TARGET_SRC}' GROUP BY b
+    ), qn AS (
+        SELECT count(*) AS n FROM terms WHERE source != '{DSIR_TARGET_SRC}'
+    ), lm AS (
+        SELECT spine.b,
+               {_sql_iu(
+                   f"ln(CAST(coalesce(pc.c, 0) + 1 AS DOUBLE)"
+                   f" / CAST(pn.n + {DSIR_BUCKETS} AS DOUBLE))"
+                   f" - ln(CAST(coalesce(qc.c, 0) + 1 AS DOUBLE)"
+                   f" / CAST(qn.n + {DSIR_BUCKETS} AS DOUBLE))", 9)} AS lr_units
+        FROM spine LEFT JOIN pc USING (b) LEFT JOIN qc USING (b), pn, qn
+    ), logw AS (
+        SELECT doc_id,
+               CAST(sum(lr_units) AS BIGINT) AS logw_units,
+               count(*) AS n_tokens
+        FROM terms JOIN lm USING (b)
+        WHERE source != '{DSIR_TARGET_SRC}'
+        GROUP BY doc_id
+    ), keyed AS (
+        SELECT doc_id, n_tokens, logw_units,
+               {_sql_from_iu('logw_units', 9)} - ln(-ln({_DSIR_U})) AS _key
+        FROM logw
+    )
+    SELECT doc_id, n_tokens, logw_units,
+           {_sql_iu('_key', 9)} AS key_units, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY _key DESC, doc_id ASC)
+                       AS INTEGER) AS rank
+        FROM keyed
+    ) WHERE rank <= {DSIR_K}
+"""

@@ -123,3 +123,19 @@ def test_decontaminate_excludes_benchmark_and_flags_consistently(spark):
         assert r["doc_id"] not in bench_ids
         assert r["contaminated"] == int(r["n_overlap"] > 0)
         assert 0 <= r["n_overlap"] <= r["n_shingles"]
+
+
+def test_dsir_gate_and_weight_spread(spark):
+    """DSIR matches its oracle exactly; importance weights actually
+    vary across the raw pool (a constant weight would mean the bucket
+    LMs degenerated and the 'selection' is just the Gumbel noise)."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["curation_dsir"], ALL_ORACLES["curation_dsir"], SF_SMOKE
+    ) > 0
+    rows = ALL_QUERIES["curation_dsir"](spark, SF_SMOKE).collect()
+    ws = {r["logw_units"] for r in rows}
+    assert len(ws) > 1
