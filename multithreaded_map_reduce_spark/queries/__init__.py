@@ -155,6 +155,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_topk_ivfpq",
     "streaming_dedup_probe",
     "curation_dsir",
+    "bpe_fertility",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1487,3 +1487,88 @@ ORACLES["text_gopher_rules"] = f"""
                 AND n_stopwords >= {GR_MIN_STOP} AS INTEGER) AS keep
     FROM m
 """
+
+
+# --- BPE fertility by language ------------------------------------------------
+# The tokenizer-equity metric: after applying the learned merge table,
+# how many UNITS does a word cost in each language (fertility), and how
+# many chars does a unit carry (compression)? High fertility for a
+# language means it pays more sequence length per word under this
+# vocabulary — the standard multilingual-tokenizer diagnostic. Reuses
+# the bpe_encode chain (vocab collapse per (lang, word); sentinel
+# string replaces ARE greedy BPE; unit count = count of the _U1
+# delimiter), all exact integers until the two final ratios. 100 TB:
+# vocab collapse bounds the replace chain at |vocab per lang|; one
+# groupBy(lang) aggregate after it.
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("wfreq"))
+    enc = F.regexp_replace(F.col("tok"), "(.)", f"{_U0}$1{_U1}")
+    for a, b in BPE_MERGES:
+        enc = F.replace(
+            enc, F.lit(f"{_U0}{a}{_U1}{_U0}{b}{_U1}"), F.lit(f"{_U0}{a}{b}{_U1}")
+        )
+    units = F.length("enc") - F.length(F.replace(F.col("enc"), F.lit(_U1)))
+    encoded = vocab.select(
+        "lang",
+        "wfreq",
+        F.length("tok").cast("long").alias("chars"),
+        enc.alias("enc"),
+    ).withColumn("units", units.cast("long"))
+    return (
+        encoded.groupBy("lang")
+        .agg(
+            F.sum("wfreq").alias("n_words"),
+            F.sum(F.col("units") * F.col("wfreq")).alias("total_units"),
+            F.sum(F.col("chars") * F.col("wfreq")).alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "total_units",
+            pround(
+                F.col("total_units").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            pround(
+                F.col("total_chars").cast("double") / F.col("total_units"), 6
+            ).alias("chars_per_unit"),
+        )
+    )
+
+
+QUERIES["bpe_fertility"] = bpe_fertility
+
+
+def _bpe_fertility_oracle() -> str:
+    enc = f"regexp_replace(tok, '(.)', '{_U0}\\1{_U1}', 'g')"
+    for a, b in BPE_MERGES:
+        enc = f"replace({enc}, '{_U0}{a}{_U1}{_U0}{b}{_U1}', '{_U0}{a}{b}{_U1}')"
+    return f"""
+        WITH vocab AS (
+            SELECT lang, tok, count(*) AS wfreq FROM (
+                SELECT lang, unnest({sql_tokens('text')}) AS tok FROM documents
+            ) GROUP BY lang, tok
+        ), encoded AS (
+            SELECT lang, wfreq, CAST(length(tok) AS BIGINT) AS chars,
+                   CAST(length({enc})
+                        - length(replace({enc}, '{_U1}', '')) AS BIGINT) AS units
+            FROM vocab
+        ), agg AS (
+            SELECT lang,
+                   CAST(sum(wfreq) AS BIGINT) AS n_words,
+                   CAST(sum(units * wfreq) AS BIGINT) AS total_units,
+                   CAST(sum(chars * wfreq) AS BIGINT) AS total_chars
+            FROM encoded GROUP BY lang
+        )
+        SELECT lang, n_words, total_units,
+               {sql_pround('CAST(total_units AS DOUBLE) / n_words', 6)} AS fertility,
+               {sql_pround('CAST(total_chars AS DOUBLE) / total_units', 6)}
+                   AS chars_per_unit
+        FROM agg
+    """
+
+
+ORACLES["bpe_fertility"] = _bpe_fertility_oracle()

@@ -90,3 +90,13 @@ def test_gopher_rules_empty_doc_total(spark):
     assert rows[1]["keep"] == 0 and rows[1]["n_words"] == 0
     assert rows[1]["mean_word_len"] == 0.0
     assert rows[2]["keep"] == 1
+
+
+def test_bpe_fertility_gate(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["bpe_fertility"], ALL_ORACLES["bpe_fertility"], SF_SMOKE
+    ) > 0
