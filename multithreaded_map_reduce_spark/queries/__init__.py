@@ -156,6 +156,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_dedup_probe",
     "curation_dsir",
     "bpe_fertility",
+    "curation_coverage_greedy",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

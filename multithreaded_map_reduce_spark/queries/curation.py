@@ -1135,3 +1135,110 @@ ORACLES["curation_dsir"] = f"""
         FROM keyed
     ) WHERE rank <= {DSIR_K}
 """
+
+
+# --------------------------------------- greedy coverage coreset
+# Submodular data selection (facility-location/max-coverage family):
+# pick GREEDY_K docs, each round taking the doc with the largest number
+# of shingle hashes NOT yet covered by earlier picks — the classic
+# (1 − 1/e) greedy for max coverage, i.e. "which k docs summarize the
+# corpus best". Iterative-operator discipline (bpe_train precedent):
+# fixed rounds, ONE scalar argmax collected per round, exact integer
+# gains, and an oracle that unrolls the identical chain as CTEs —
+# tie-break min doc_id, docs with zero marginal gain drop out of the
+# argmax on both engines by construction (no rows survive the
+# anti-join). 100 TB: the shingle relation is computed once and
+# persisted; each round is one anti-join + count per doc (broadcast
+# covered-set, bounded by k · max-doc-shingles) + a TakeOrdered(1).
+
+GREEDY_K = 5
+
+
+def curation_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        shingle_hash_rows(docs, "doc_id", "text", 2)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    covered = h.select("h").filter(F.lit(False))  # empty, typed
+    picks: list[tuple[int, int, int, int]] = []
+    n_covered = 0
+    for rnd in range(1, GREEDY_K + 1):
+        gains = (
+            h.join(covered, "h", "left_anti")
+            .groupBy("id")
+            .agg(F.count("*").alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
+        if not top:  # corpus fully covered — return picks so far
+            break
+        pick_id, gain = top[0]["id"], top[0]["gain"]
+        n_covered += gain
+        picks.append((rnd, pick_id, gain, n_covered))
+        covered = (
+            covered.union(h.filter(F.col("id") == pick_id).select("h"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    h.unpersist()
+    return spark.createDataFrame(
+        picks, "round int, doc_id long, gain long, covered_total long"
+    )
+
+
+QUERIES["curation_coverage_greedy"] = curation_coverage_greedy
+
+
+def _coverage_greedy_oracle(k: int = GREEDY_K) -> str:
+    toks = sql_tokens("text")
+    hashes = sql_shingle_hashes_from_token_hashes(sql_token_hash_array(toks), 2)
+    ctes = [
+        f"""h AS (
+            SELECT doc_id AS id, unnest(hashes) AS sh FROM (
+                SELECT doc_id, {hashes} AS hashes FROM documents
+                WHERE length(text) > 0 AND len({toks}) > 0
+            )
+        )"""
+    ]
+    prev_cov = None
+    selects = []
+    for r in range(1, k + 1):
+        not_covered = (
+            f"WHERE sh NOT IN (SELECT sh FROM {prev_cov})" if prev_cov else ""
+        )
+        ctes.append(
+            f"""g{r} AS (
+            SELECT id, count(*) AS gain FROM h {not_covered} GROUP BY id
+        )"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+            SELECT id, gain FROM g{r} ORDER BY gain DESC, id ASC LIMIT 1
+        )"""
+        )
+        new_cov = f"c{r}"
+        union_prev = f"SELECT sh FROM {prev_cov} UNION " if prev_cov else ""
+        ctes.append(
+            f"""{new_cov} AS (
+            {union_prev}SELECT DISTINCT h.sh FROM h JOIN p{r} ON h.id = p{r}.id
+        )"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, id AS doc_id, gain,"
+            f" (SELECT count(*) FROM c{r}) AS covered_total FROM p{r}"
+        )
+        prev_cov = new_cov
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(round AS INTEGER) AS round, doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(covered_total AS BIGINT) AS covered_total
+    FROM ({body})
+    """
+
+
+ORACLES["curation_coverage_greedy"] = _coverage_greedy_oracle()

@@ -139,3 +139,29 @@ def test_dsir_gate_and_weight_spread(spark):
     rows = ALL_QUERIES["curation_dsir"](spark, SF_SMOKE).collect()
     ws = {r["logw_units"] for r in rows}
     assert len(ws) > 1
+
+
+def test_coverage_greedy_gate_and_monotone(spark):
+    """Greedy coverage coreset matches its unrolled-CTE oracle; marginal
+    gains are non-increasing (submodularity of max coverage) and
+    covered_total is the running gain sum."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["curation_coverage_greedy"],
+        ALL_ORACLES["curation_coverage_greedy"],
+        SF_SMOKE,
+    ) > 0
+    rows = sorted(
+        ALL_QUERIES["curation_coverage_greedy"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    run = 0
+    for r in rows:
+        run += r["gain"]
+        assert r["covered_total"] == run
