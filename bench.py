@@ -103,6 +103,11 @@ HEADLINE = [
     # round-5 continuation: the two-level quantizer (cheap) — the heavy
     # adaptive near-dup variant is probed in SCALE.md instead of here
     "sim_topk_ivf2",
+    # round 5: PQ/IVFPQ quantized ANN, Gopher doc rules, DSIR selection
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "text_gopher_rules",
+    "curation_dsir",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

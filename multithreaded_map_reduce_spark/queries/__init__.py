@@ -157,6 +157,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_dsir",
     "bpe_fertility",
     "curation_coverage_greedy",
+    "text_boilerplate_by_source",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1572,3 +1572,89 @@ def _bpe_fertility_oracle() -> str:
 
 
 ORACLES["bpe_fertility"] = _bpe_fertility_oracle()
+
+
+# --- boilerplate-by-source diagnostic -----------------------------------------
+# Template text (headers, footers, nav, license blurbs) shows up as the
+# SAME n-gram in a large fraction of one source's documents — the thing
+# C4/RefinedWeb-style pipelines strip before training. Per source:
+# count distinct word-3-grams, flag as boilerplate the grams present in
+# ≥ BP_FRAC of that source's docs (and ≥ 2 docs), report the share.
+# Exact integers until the one final ratio. Scale: shingles explode to
+# one (source, gram, doc) relation; both aggregations shuffle on
+# (source, gram) / source — the tf-idf shuffle shape, map-side
+# combinable; no joins larger than the per-source doc-count broadcast.
+
+BP_N = 3
+BP_FRAC = 0.3
+
+
+def text_boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    grams = docs.select(
+        "source",
+        "doc_id",
+        F.explode(word_shingles(tokenize(F.col("text")), BP_N)).alias("gram"),
+    )
+    ndocs = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    gram_df = grams.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = gram_df.join(F.broadcast(ndocs), "source").select(
+        "source",
+        "n_docs",
+        "df",
+        (
+            (F.col("df") >= F.lit(2))
+            & (
+                F.col("df").cast("double")
+                >= F.lit(BP_FRAC) * F.col("n_docs").cast("double")
+            )
+        ).cast("int").alias("is_bp"),
+    )
+    return (
+        flagged.groupBy("source", "n_docs")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_bp").alias("n_boilerplate"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_boilerplate",
+            pround(
+                F.col("n_boilerplate").cast("double") / F.col("n_grams"), 6
+            ).alias("bp_share"),
+        )
+    )
+
+
+QUERIES["text_boilerplate_by_source"] = text_boilerplate_by_source
+
+from ..functions.hashing import sql_word_shingles as _sql_wsh  # noqa: E402
+
+ORACLES["text_boilerplate_by_source"] = f"""
+    WITH grams AS (
+        SELECT source, doc_id, unnest({_sql_wsh(sql_tokens('text'), BP_N)}) AS gram
+        FROM documents WHERE length(text) > 0
+    ), ndocs AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs
+        FROM documents WHERE length(text) > 0 GROUP BY source
+    ), gram_df AS (
+        SELECT source, gram, count(DISTINCT doc_id) AS df
+        FROM grams GROUP BY source, gram
+    ), flagged AS (
+        SELECT g.source, n.n_docs, g.df,
+               CAST(g.df >= 2 AND CAST(g.df AS DOUBLE)
+                    >= {BP_FRAC} * CAST(n.n_docs AS DOUBLE) AS INTEGER) AS is_bp
+        FROM gram_df g JOIN ndocs n USING (source)
+    )
+    SELECT source, n_docs,
+           count(*) AS n_grams,
+           CAST(sum(is_bp) AS BIGINT) AS n_boilerplate,
+           {sql_pround('CAST(sum(is_bp) AS DOUBLE) / count(*)', 6)} AS bp_share
+    FROM flagged GROUP BY source, n_docs
+"""

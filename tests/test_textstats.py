@@ -100,3 +100,16 @@ def test_bpe_fertility_gate(spark):
     assert compare(
         spark, ALL_QUERIES["bpe_fertility"], ALL_ORACLES["bpe_fertility"], SF_SMOKE
     ) > 0
+
+
+def test_boilerplate_by_source_gate(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["text_boilerplate_by_source"],
+        ALL_ORACLES["text_boilerplate_by_source"],
+        SF_SMOKE,
+    ) > 0
