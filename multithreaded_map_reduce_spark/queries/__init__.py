@@ -158,6 +158,7 @@ _NEW_THIS_ROUND: list[str] = [
     "bpe_fertility",
     "curation_coverage_greedy",
     "text_boilerplate_by_source",
+    "quality_psi",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

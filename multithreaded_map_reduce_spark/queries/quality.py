@@ -834,3 +834,111 @@ def _boot_oracle() -> str:
 
 
 ORACLES["quality_bootstrap_ci"] = _boot_oracle()
+
+
+# ------------------------------------------------ population stability index
+# The other standard drift statistic next to KS: PSI = Σ_b (p_b − q_b)
+# · ln(p_b/q_b) over B equal-width buckets — what ML-ops monitors run
+# between the training distribution and today's serving slice. Same
+# cohorts as quality_ks_test (returned vs delivered extended price).
+# Exactness: prices to exact cents, bucket index by INTEGER division
+# over the global [min, max] span, add-one smoothing over the B-bucket
+# spine (empty buckets included), each bucket's term snapped to nano-
+# units before the sum — one exact integer total, one final division.
+# Scale: one scan → one (flag, bucket) count shuffle over ≤ 2B groups,
+# a 1-row min/max broadcast, and a B-row reduce. KS needs the ordered
+# distinct-value pass; PSI is the cheaper fixed-B shape that runs
+# anywhere a histogram runs.
+
+PSI_B = 10
+
+
+def quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import from_iunits, iunits, pround
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    mm = base.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    bucketed = base.crossJoin(F.broadcast(mm)).select(
+        "flag",
+        F.least(
+            F.lit(PSI_B - 1),
+            F.expr(f"CAST(((c - mn) * {PSI_B}) div (mx - mn + 1) AS INT)"),
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("flag") == "R", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("flag") == "N", 1).otherwise(0)).alias("cb"),
+    )
+    spine = spark.range(PSI_B).select(F.col("id").cast("int").alias("b"))
+    filled = spine.join(counts, "b", "left").select(
+        "b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = filled.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + PSI_B).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + PSI_B).cast("double")
+    terms = filled.crossJoin(F.broadcast(tot)).select(
+        "na", "nb", iunits((p - q) * F.log(p / q), 9).alias("tu")
+    )
+    return terms.groupBy("na", "nb").agg(
+        pround(from_iunits(F.sum("tu"), 9), 6).alias("psi")
+    )
+
+
+QUERIES["quality_psi"] = quality_psi
+
+from ..functions.rounding import (  # noqa: E402
+    sql_from_iunits as _sql_fiu_psi,
+    sql_iunits as _sql_iu_psi,
+    sql_pround as _sql_pr_psi,
+)
+
+_PSI_P = f"(CAST(ca + 1 AS DOUBLE) / CAST(na + {PSI_B} AS DOUBLE))"
+_PSI_Q = f"(CAST(cb + 1 AS DOUBLE) / CAST(nb + {PSI_B} AS DOUBLE))"
+
+ORACLES["quality_psi"] = f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice * 100 AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), mm AS (
+        SELECT min(c) AS mn, max(c) AS mx FROM base
+    ), bucketed AS (
+        SELECT flag,
+               least({PSI_B - 1},
+                     CAST(((c - mn) * {PSI_B}) // (mx - mn + 1) AS INTEGER)) AS b
+        FROM base, mm
+    ), counts AS (
+        SELECT b,
+               sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS cb
+        FROM bucketed GROUP BY b
+    ), spine AS (
+        SELECT CAST(unnest(range(0, {PSI_B})) AS INTEGER) AS b
+    ), filled AS (
+        SELECT spine.b,
+               CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+               CAST(coalesce(cb, 0) AS BIGINT) AS cb
+        FROM spine LEFT JOIN counts USING (b)
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        FROM filled
+    ), terms AS (
+        SELECT na, nb,
+               {_sql_iu_psi(f"({_PSI_P} - {_PSI_Q}) * ln({_PSI_P} / {_PSI_Q})", 9)}
+                   AS tu
+        FROM filled, tot
+    )
+    SELECT na, nb,
+           {_sql_pr_psi(_sql_fiu_psi("CAST(sum(tu) AS BIGINT)", 9), 6)} AS psi
+    FROM terms GROUP BY na, nb
+"""

@@ -101,3 +101,32 @@ def test_ks_integer_gap_equals_float_definition(values):
         best_int = max(best_int, abs(ca * nb - cb * na))
         best_float = max(best_float, abs(ca / na - cb / nb))
     assert best_int == round(best_float * na * nb)
+
+
+def test_quality_psi_gate_and_selfzero(spark):
+    """PSI matches its oracle; PSI of a distribution against itself is
+    exactly 0 (smoothing cancels when ca==cb and na==nb)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["quality_psi"], ALL_ORACLES["quality_psi"], SF_SMOKE
+    ) > 0
+    import multithreaded_map_reduce_spark.queries.quality as qm
+
+    li = qm.load_table(spark, SF_SMOKE, "lineitem")
+    # feed the SAME cohort as both flags: duplicate rows under R and N
+    doubled = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.explode(F.array(F.lit("R"), F.lit("N"))).alias("l_returnflag"),
+        "l_extendedprice",
+    )
+    orig = qm.load_table
+    try:
+        qm.load_table = lambda spark, sf_dir, name: doubled
+        row = qm.quality_psi(spark, "unused").collect()[0]
+    finally:
+        qm.load_table = orig
+    assert row["psi"] == 0.0 and row["na"] == row["nb"]
