@@ -159,6 +159,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_coverage_greedy",
     "text_boilerplate_by_source",
     "quality_psi",
+    "embedding_pca2",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -330,3 +330,26 @@ def _ls_oracle() -> str:
 
 
 ORACLES["label_spread_embeddings"] = _ls_oracle()
+
+
+# --- top-2 PCA via deflated power iteration -----------------------------------
+# pc 1 is power_iteration_embeddings verbatim; pc 2 adds per-round
+# multiply-through Gram–Schmidt deflation (ŷ = y·denom − proj·v1 — no
+# division before the renormalization rail). Operator docstring:
+# operators/powerit.power_iteration2.
+
+
+def embedding_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.powerit import power_iteration2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration2(emb, "vec_id", "embedding", dim=DIM, rounds=ROUNDS)
+
+
+QUERIES["embedding_pca2"] = embedding_pca2
+
+from ..operators.powerit import sql_power_iteration2 as _sql_pi2  # noqa: E402
+
+ORACLES["embedding_pca2"] = _sql_pi2(
+    "embeddings", "vec_id", "embedding", dim=DIM, rounds=ROUNDS
+)

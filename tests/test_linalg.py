@@ -84,3 +84,26 @@ def test_power_iteration_partition_invariance(spark):
         for r in power_iteration(emb.repartition(17), "vec_id", "embedding", 64, 2).collect()
     }
     assert a == b
+
+
+def test_pca2_gate_and_orthogonality(spark):
+    """Deflated power iteration matches its unrolled oracle; the two
+    rounded integer components are near-orthogonal (|cos| small — the
+    deflation actually removed the dominant direction)."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["embedding_pca2"], ALL_ORACLES["embedding_pca2"], SF_SMOKE
+    ) > 0
+    rows = ALL_QUERIES["embedding_pca2"](spark, SF_SMOKE).collect()
+    v1 = [r["component"] for r in sorted(
+        (r for r in rows if r["pc"] == 1), key=lambda r: r["dim_idx"])]
+    v2 = [r["component"] for r in sorted(
+        (r for r in rows if r["pc"] == 2), key=lambda r: r["dim_idx"])]
+    dot = sum(a * b for a, b in zip(v1, v2))
+    cos = dot / math.sqrt(sum(a * a for a in v1) * sum(b * b for b in v2))
+    assert abs(cos) < 0.1, cos
