@@ -646,15 +646,18 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    wenc = W.partitionBy("neighbor_id", "j").orderBy(F.asc("l2"), F.asc("code"))
+    # argmin as min(struct(l2, code)): struct comparison is
+    # lexicographic, so this IS "ORDER BY l2 ASC, code ASC LIMIT 1" —
+    # but as a map-side-combinable aggregation instead of pushing
+    # n·m·ksub rows through a per-(id, j) window (measured on the r5
+    # bench as the PQ hot spot)
     enc = (
         c.select("neighbor_id", subspaces("cv").alias("e"))
         .select("neighbor_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
         .join(F.broadcast(codebook), "j")
         .withColumn("l2", l2)
-        .withColumn("_rn", F.row_number().over(wenc))
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "j", "code")
+        .groupBy("neighbor_id", "j")
+        .agg(F.min(F.struct("l2", "code"))["code"].alias("code"))
     )
     codes = enc.groupBy("neighbor_id").agg(
         F.transform(
@@ -785,15 +788,14 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    wenc = W.partitionBy("neighbor_id", "j").orderBy(F.asc("l2"), F.asc("code"))
+    # same min(struct) argmin as pq_topk — aggregation, not a window
     enc = (
         cells.select("cid", "neighbor_id", subspaces("rv").alias("e"))
         .select("cid", "neighbor_id", F.col("e.j").alias("j"), F.col("e.sub").alias("sub"))
         .join(F.broadcast(codebook), "j")
         .withColumn("l2", l2)
-        .withColumn("_rn", F.row_number().over(wenc))
-        .filter(F.col("_rn") == 1)
-        .select("cid", "neighbor_id", "j", "code")
+        .groupBy("cid", "neighbor_id", "j")
+        .agg(F.min(F.struct("l2", "code"))["code"].alias("code"))
     )
     codes = enc.groupBy("cid", "neighbor_id").agg(
         F.transform(
