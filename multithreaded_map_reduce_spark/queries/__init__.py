@@ -160,6 +160,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_boilerplate_by_source",
     "quality_psi",
     "embedding_pca2",
+    "streaming_dsir_score",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

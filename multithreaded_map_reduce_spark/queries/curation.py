@@ -1242,3 +1242,54 @@ def _coverage_greedy_oracle(k: int = GREEDY_K) -> str:
 
 
 ORACLES["curation_coverage_greedy"] = _coverage_greedy_oracle()
+
+
+# ----------------------------- persisted DSIR LM + day-2 scoring artifact
+# The DSIR twin of the LSH-index story: the bucket log-ratio relation is
+# a TRAINED ARTIFACT — built once from the day-1 corpus (doc_id % 10
+# != 0, target = src0 vs the raw rest), written to parquet, and probed
+# by every subsequent scoring pass (batch below; streaming in
+# queries/streaming_gate.py) without touching day-1 text again.
+
+_DSIR_LM_PATHS: dict[str, str] = {}
+
+
+def _dsir_lm_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-process parquet artifact: (b, lr_units) — the
+    add-one-smoothed target/raw log-ratio per hashed bucket, trained on
+    the day-1 slice."""
+    from .connectors import _fixture_path
+    from ..functions.rounding import iunits
+    from ..functions.text import tokenize
+
+    if sf_dir not in _DSIR_LM_PATHS:
+        path = _fixture_path("dsir_lm")
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+        b = token_hash(F.col("tok")) % F.lit(DSIR_BUCKETS)
+        terms = docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("tok")
+        ).select("source", b.alias("b"))
+        spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+
+        def lm(t: DataFrame, name: str) -> DataFrame:
+            cnt = t.groupBy("b").agg(F.count("*").alias("c"))
+            tot = t.select(F.count("*").alias("n"))
+            return (
+                spine.join(cnt, "b", "left")
+                .crossJoin(tot)
+                .select(
+                    "b",
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.col("n") + F.lit(DSIR_BUCKETS)).cast("double")
+                    ).alias(name),
+                )
+            )
+
+        p = lm(terms.filter(F.col("source") == DSIR_TARGET_SRC), "lp")
+        q = lm(terms.filter(F.col("source") != DSIR_TARGET_SRC), "lq")
+        p.join(q, "b").select(
+            "b", iunits(F.col("lp") - F.col("lq"), 9).alias("lr_units")
+        ).write.mode("overwrite").parquet(path)
+        _DSIR_LM_PATHS[sf_dir] = path
+    return _DSIR_LM_PATHS[sf_dir]

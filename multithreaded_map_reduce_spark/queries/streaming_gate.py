@@ -661,3 +661,93 @@ def _streaming_probe_oracle() -> str:
 
 
 ORACLES["streaming_dedup_probe"] = _streaming_probe_oracle()
+
+
+def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING day-2 DSIR scoring against the PERSISTED bucket-LM
+    artifact (queries/curation._dsir_lm_path) — the importance-weight
+    twin of ``streaming_dedup_probe``: train once on day 1, score every
+    arriving doc at ingest. The stream explodes tokens to hashed
+    buckets, stream-static-joins the 64-row log-ratio parquet, and
+    aggregates the exact integer weight per doc — a streaming groupBy
+    in COMPLETE output mode (state = one row per doc in the window;
+    production bounds it with an ingest-time watermark; the fixture
+    arrives in one micro-batch — the standing honesty note).
+
+    Differential contract: identical integers to a batch replay that
+    trains on day-1 text and scores day-2 text."""
+    from ..functions.hashing import token_hash
+    from ..functions.text import tokenize
+    from ..streaming.events import stream_documents
+    from .curation import DSIR_BUCKETS, _dsir_lm_path
+
+    path = _dsir_lm_path(spark, sf_dir)
+    ratio = spark.read.parquet(path)
+    stream = stream_documents(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("text") > 0)
+    )
+    b = token_hash(F.col("tok")) % F.lit(DSIR_BUCKETS)
+    terms = stream.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).select("doc_id", b.alias("b"))
+    scored = (
+        terms.join(ratio, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_units").alias("logw_units"),
+        )
+    )
+    name = _sink("st_dsir")
+    run_stream_to_memory(scored, name, output_mode="complete")
+    return spark.table(name)
+
+
+QUERIES["streaming_dsir_score"] = streaming_dsir_score
+
+
+def _streaming_dsir_oracle() -> str:
+    from .curation import DSIR_BUCKETS, DSIR_TARGET_SRC
+    from ..functions.hashing import sql_token_hash, sql_tokens
+    from ..functions.rounding import sql_iunits
+
+    b = f"({sql_token_hash('tok')} % {DSIR_BUCKETS})"
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, source, {b} AS b FROM (
+            SELECT doc_id, source, unnest({sql_tokens('text')}) AS tok
+            FROM documents
+        )
+    ), day1 AS (
+        SELECT * FROM terms WHERE doc_id % 10 != 0
+    ), spine AS (
+        SELECT unnest(range(0, {DSIR_BUCKETS})) AS b
+    ), pc AS (
+        SELECT b, count(*) AS c FROM day1
+        WHERE source = '{DSIR_TARGET_SRC}' GROUP BY b
+    ), pn AS (
+        SELECT count(*) AS n FROM day1 WHERE source = '{DSIR_TARGET_SRC}'
+    ), qc AS (
+        SELECT b, count(*) AS c FROM day1
+        WHERE source != '{DSIR_TARGET_SRC}' GROUP BY b
+    ), qn AS (
+        SELECT count(*) AS n FROM day1 WHERE source != '{DSIR_TARGET_SRC}'
+    ), lm AS (
+        SELECT spine.b,
+               {sql_iunits(
+                   f"ln(CAST(coalesce(pc.c, 0) + 1 AS DOUBLE)"
+                   f" / CAST(pn.n + {DSIR_BUCKETS} AS DOUBLE))"
+                   f" - ln(CAST(coalesce(qc.c, 0) + 1 AS DOUBLE)"
+                   f" / CAST(qn.n + {DSIR_BUCKETS} AS DOUBLE))", 9)} AS lr_units
+        FROM spine LEFT JOIN pc USING (b) LEFT JOIN qc USING (b), pn, qn
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lr_units) AS BIGINT) AS logw_units
+    FROM terms JOIN lm USING (b)
+    WHERE doc_id % 10 = 0
+    GROUP BY doc_id
+    """
+
+
+ORACLES["streaming_dsir_score"] = _streaming_dsir_oracle()

@@ -115,3 +115,22 @@ def test_streaming_dedup_probe_gate(spark):
         )
         >= 0
     )
+
+
+def test_streaming_dsir_score_gate(spark):
+    """Streaming DSIR scoring == batch replay (train day 1, score day
+    2): the persisted LM artifact + stream-static join must reproduce
+    the batch integers exactly."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert (
+        compare(
+            spark,
+            ALL_QUERIES["streaming_dsir_score"],
+            ALL_ORACLES["streaming_dsir_score"],
+            SF_SMOKE,
+        )
+        > 0
+    )
