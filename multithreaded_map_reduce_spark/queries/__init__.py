@@ -161,6 +161,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_psi",
     "embedding_pca2",
     "streaming_dsir_score",
+    "mg_top_words",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

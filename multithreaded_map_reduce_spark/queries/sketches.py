@@ -627,3 +627,105 @@ def _hll_set_oracle() -> str:
 
 
 ORACLES["hll_set_ops"] = _hll_set_oracle()
+
+
+# ------------------------------------------ Misra–Gries mergeable summaries
+# The deterministic, MERGEABLE heavy-hitter summary next to CMS: shard
+# words by hash (deterministic shards, NOT physical partitions — same
+# answer at any parallelism), reduce each shard's exact counts to the
+# canonical k-counter Misra–Gries form (keep the top k keys, each
+# decremented by the (k+1)-th largest count t_s — a valid MG summary:
+# stored ≤ true ≤ stored + Σ t_s), then MERGE summaries by summing per
+# key. The final ranking carries both bounds; the containment
+# mg_lower ≤ true ≤ mg_upper is property-tested against exact counts.
+# Scale: per-shard counts are one map-side-combinable shuffle; each
+# summary is ≤ k rows, so the merge handles any number of shards —
+# the decomposition a 1000-executor top-k actually uses when the key
+# domain is too large to count exactly.
+
+MG_SHARDS = 8
+MG_K = 20
+MG_TOPK = 10
+
+
+def mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import token_hash
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+    counts = (
+        words.withColumn("shard", token_hash(F.col("word")) % F.lit(MG_SHARDS))
+        .groupBy("shard", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = W.partitionBy("shard").orderBy(F.desc("c"), F.asc("word"))
+    ranked = counts.withColumn("rn", F.row_number().over(wr))
+    t_s = (
+        ranked.filter(F.col("rn") == MG_K + 1)
+        .select("shard", F.col("c").alias("t"))
+    )
+    summaries = (
+        ranked.filter(F.col("rn") <= MG_K)
+        .join(t_s, "shard", "left")
+        .select(
+            "shard",
+            "word",
+            (F.col("c") - F.coalesce(F.col("t"), F.lit(0))).alias("mg"),
+        )
+        .filter(F.col("mg") > 0)
+    )
+    total_t = t_s.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
+    merged = summaries.groupBy("word").agg(F.sum("mg").alias("mg_lower"))
+    wo = W.orderBy(F.desc("mg_lower"), F.asc("word"))
+    return (
+        merged.crossJoin(F.broadcast(total_t))
+        .withColumn("rank", F.row_number().over(wo).cast("int"))
+        .filter(F.col("rank") <= MG_TOPK)
+        .select(
+            "word",
+            "mg_lower",
+            (F.col("mg_lower") + F.col("tt")).alias("mg_upper"),
+            "rank",
+        )
+    )
+
+
+QUERIES["mg_top_words"] = mg_top_words
+
+from ..functions.hashing import sql_token_hash as _sql_th_mg  # noqa: E402
+
+ORACLES["mg_top_words"] = f"""
+    WITH words AS (
+        SELECT unnest({_sql_tokens('text')}) AS word FROM documents
+    ), counts AS (
+        SELECT ({_sql_th_mg('word')} % {MG_SHARDS}) AS shard, word, count(*) AS c
+        FROM words GROUP BY 1, 2
+    ), ranked AS (
+        SELECT shard, word, c,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY c DESC, word ASC
+               ) AS rn
+        FROM counts
+    ), t_s AS (
+        SELECT shard, c AS t FROM ranked WHERE rn = {MG_K + 1}
+    ), summaries AS (
+        SELECT r.shard, r.word, r.c - coalesce(t_s.t, 0) AS mg
+        FROM ranked r LEFT JOIN t_s USING (shard)
+        WHERE r.rn <= {MG_K} AND r.c - coalesce(t_s.t, 0) > 0
+    ), total_t AS (
+        SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS tt FROM t_s
+    ), merged AS (
+        SELECT word, CAST(sum(mg) AS BIGINT) AS mg_lower
+        FROM summaries GROUP BY word
+    )
+    SELECT word, mg_lower, mg_lower + tt AS mg_upper, rank
+    FROM (
+        SELECT word, mg_lower, tt,
+               CAST(row_number() OVER (ORDER BY mg_lower DESC, word ASC)
+                    AS INTEGER) AS rank
+        FROM merged, total_t
+    ) WHERE rank <= {MG_TOPK}
+"""

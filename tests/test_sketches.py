@@ -201,3 +201,30 @@ def test_table_checksum_order_independent(spark):
         ).collect()
     }
     assert {k for k in base if base[k] != after.get(k)} == touched
+
+
+def test_mg_top_words_gate_and_bounds(spark):
+    """MG summary matches its oracle; for every reported word the
+    containment mg_lower <= true count <= mg_upper holds (the
+    Misra-Gries guarantee, checked against exact counts)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark, ALL_QUERIES["mg_top_words"], ALL_ORACLES["mg_top_words"], SF_SMOKE
+    ) > 0
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        r["word"]: r["n"]
+        for r in docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in ALL_QUERIES["mg_top_words"](spark, SF_SMOKE).collect():
+        assert r["mg_lower"] <= exact[r["word"]] <= r["mg_upper"], r
