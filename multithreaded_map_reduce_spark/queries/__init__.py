@@ -162,6 +162,7 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_pca2",
     "streaming_dsir_score",
     "mg_top_words",
+    "dedup_soft_weights",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

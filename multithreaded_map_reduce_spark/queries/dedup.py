@@ -887,3 +887,42 @@ ORACLES["dedup_incremental_keep"] = f"""
     WHERE doc_id % 10 = 0
       AND doc_id NOT IN (SELECT new_id FROM probe)
 """
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates, keep every copy and
+    downweight it by its cluster size — training on w = 1/n_copies per
+    copy preserves corpus mixture while removing duplication bias (the
+    alternative curriculum to hard removal; exact-text clusters here,
+    the same keying as ``dedup_exact``). weight_units = 1e9 div
+    n_copies in exact integer units (nonneg operands — no div/floor
+    divergence). One groupBy(text) shuffle + one broadcast-eligible
+    join back on the text hash; no pairwise work at all, so this is
+    the cheapest dedup dial in the family at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        docs.join(clusters, "text")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_copies",
+            F.expr("CAST(1000000000 div n_copies AS BIGINT)").alias("weight_units"),
+        )
+    )
+
+
+QUERIES["dedup_soft_weights"] = dedup_soft_weights
+
+ORACLES["dedup_soft_weights"] = """
+    WITH clusters AS (
+        SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    )
+    SELECT doc_id, canonical_id, n_copies,
+           CAST(1000000000 // n_copies AS BIGINT) AS weight_units
+    FROM documents JOIN clusters USING (text)
+"""

@@ -374,3 +374,21 @@ def test_incremental_covers_all_batch_pairs(spark):
         assert r["new_id"] % 10 == 0
         if r["match_in"] == "batch":
             assert r["new_id"] > r["match_id"]
+
+
+def test_soft_weights_gate_and_mass(spark):
+    """Soft dedup matches its oracle; per-cluster weight mass is
+    n_copies * (1e9 div n_copies) <= 1e9 with equality iff n divides."""
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["dedup_soft_weights"],
+        ALL_ORACLES["dedup_soft_weights"],
+        SF_SMOKE,
+    ) > 0
+    for r in ALL_QUERIES["dedup_soft_weights"](spark, SF_SMOKE).collect():
+        assert r["weight_units"] * r["n_copies"] <= 1_000_000_000
+        assert r["weight_units"] == 1_000_000_000 // r["n_copies"]
