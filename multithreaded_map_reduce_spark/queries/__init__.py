@@ -163,6 +163,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_dsir_score",
     "mg_top_words",
     "dedup_soft_weights",
+    "closeness_nations",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -430,3 +430,80 @@ def _markov_sql(num_iter: int = MK_ITERS, n: int = MK_STATES) -> str:
 
 
 ORACLES["events_markov_stationary"] = _markov_sql()
+
+
+# --- harmonic closeness centrality --------------------------------------------
+# Harmonic centrality H(v) = Σ_{u != v} 1/d(v, u) — the closeness
+# variant that stays defined on disconnected graphs. Distances come
+# from ONE multi-source Bellman-Ford (frontier keyed (src, node) — all
+# sources in rounds shuffles, not |V| runs); the reciprocal goes to
+# exact integer units as 1e9 div d, so the whole statistic is BIGINT
+# and bit-replayable. Same trade-volume edge costs as sssp_nations.
+
+CLOSENESS_ROUNDS = 6
+
+
+def closeness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import multi_source_shortest_paths
+
+    nation = load_table(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir).select(
+        "src", "dst", F.expr(f"{SSSP_NUM} div w").cast("long").alias("cost")
+    )
+    d = multi_source_shortest_paths(edges, CLOSENESS_ROUNDS)
+    h = (
+        d.filter(F.col("d") > 0)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum(F.expr("CAST(1000000000 div d AS BIGINT)")).alias("harmonic_units"),
+        )
+    )
+    return h.join(F.broadcast(nation), h.src == nation.n_nationkey).select(
+        F.col("src").alias("nationkey"), "n_name", "n_reached", "harmonic_units"
+    )
+
+
+QUERIES["closeness_nations"] = closeness_nations
+
+
+def _closeness_sql(rounds: int = CLOSENESS_ROUNDS) -> str:
+    ctes = [
+        f"""edges AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst,
+                   {SSSP_NUM} // count(*) AS cost
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY s_nationkey, c_nationkey
+        ),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS d FROM nodes)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+            SELECT src, id, CAST(min(d) AS BIGINT) AS d FROM (
+                SELECT src, id, d FROM d{p}
+                UNION ALL
+                SELECT dd.src, e.dst AS id, dd.d + e.cost AS d
+                FROM edges e JOIN d{p} dd ON e.src = dd.id
+            ) u GROUP BY src, id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h.src AS nationkey, n.n_name, h.n_reached, h.harmonic_units
+        FROM (
+            SELECT src, count(*) AS n_reached,
+                   CAST(sum(1000000000 // d) AS BIGINT) AS harmonic_units
+            FROM d{rounds} WHERE d > 0 GROUP BY src
+        ) h JOIN nation n ON h.src = n.n_nationkey"""
+    )
+
+
+ORACLES["closeness_nations"] = _closeness_sql()

@@ -40,3 +40,16 @@ def test_pagerank_favors_heavy_importers(spark):
     rows = ALL_QUERIES["pagerank_nations"](spark, SF_SMOKE).collect()
     ranks = [r["rank_units"] for r in rows]
     assert max(ranks) > min(ranks)
+
+
+def test_closeness_gate(spark):
+    from multithreaded_map_reduce_spark.queries import ALL_ORACLES, ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    assert compare(
+        spark,
+        ALL_QUERIES["closeness_nations"],
+        ALL_ORACLES["closeness_nations"],
+        SF_SMOKE,
+    ) > 0
