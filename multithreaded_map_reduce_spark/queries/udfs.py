@@ -94,24 +94,31 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas frames in ONE call (keys present on only one side get an
     empty frame for the other). Value sums are exact integer
     micro-units, so the merge is oracle-checkable; the SQL twin is a
-    FULL OUTER join of two grouped aggregates."""
-    import numpy as np
+    FULL OUTER join of two grouped aggregates.
 
+    The float->micro-int conversion happens in a SPARK expression
+    (``floor(value*1e6+0.5)`` JVM-side) BEFORE the cogroup, so the
+    pandas fn only counts rows and sums int64 — no Python float
+    arithmetic whose ulp behaviour could differ across numpy/Arrow
+    builds (VERDICT r5 item 1: the driver-red/local-green split was
+    exactly that conversion living inside the UDF)."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    micros = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", micros.alias("value_micros")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", micros.alias("value_micros")
+    )
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        def iu(s):
-            return int(np.floor(s.to_numpy() * 1_000_000 + 0.5).astype("int64").sum())
-
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_clicks": [len(left)],
                 "n_purchases": [len(right)],
-                "click_value_micros": [iu(left["value"])],
-                "purchase_value_micros": [iu(right["value"])],
+                "click_value_micros": [int(left["value_micros"].sum())],
+                "purchase_value_micros": [int(right["value_micros"].sum())],
             }
         )
 
