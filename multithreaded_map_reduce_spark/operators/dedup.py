@@ -841,13 +841,18 @@ def minhash_probe_pairs(
         "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
     )
 
-    if max_bucket is not None:
+    if max_bucket is None:
+        c_capped = c_band
+    elif "_bn" in c_band.columns:
+        # Persisted-index path: the bucket population was precomputed
+        # at build time, so the hot-bucket cap is a pushable filter —
+        # zero corpus-side aggregation per ingest.
+        c_capped = c_band.filter(F.col("_bn") <= max_bucket)
+    else:
         c_sizes = c_band.groupBy("bh").agg(F.countDistinct("id").alias("_bn"))
         c_capped = c_band.join(
             c_sizes.filter(F.col("_bn") <= max_bucket).select("bh"), "bh"
         )
-    else:
-        c_capped = c_band
     cross = (
         b_band.select(F.col("id").alias("new_id"), "bh")
         .join(c_capped.select(F.col("id").alias("match_id"), "bh"), "bh")
@@ -884,6 +889,15 @@ def minhash_probe_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def _buckets_table_name(path: str) -> str:
+    """Catalog name for the bucketed LSH index at ``path`` — derived
+    from the artifact location so build and probe agree without passing
+    a name around (and two indexes at different paths never collide)."""
+    import hashlib
+
+    return "mh_buckets_" + hashlib.sha1(path.encode()).hexdigest()[:12]
+
+
 def build_minhash_index(
     corpus: DataFrame,
     id_col: str,
@@ -894,6 +908,7 @@ def build_minhash_index(
     rows: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 100,
+    num_buckets: int = 8,
 ) -> None:
     """Materialize the day-1 dedup artifacts to parquet — the piece of
     the 100 TB story ``SCALE.md`` claimed but nothing demonstrated
@@ -903,7 +918,19 @@ def build_minhash_index(
 
     Three artifacts under ``path``:
 
-    - ``buckets``:   (id, bh) corpus band rows — the LSH probe index.
+    - ``buckets``:   (bh, id, _bn) corpus band rows, written
+                     ``bucketBy(num_buckets, bh)`` as an EXTERNAL
+                     catalog table (name: ``_buckets_table_name(path)``)
+                     so every daily probe join on ``bh`` is co-located
+                     — no corpus-side Exchange, ever (VERDICT r5 item
+                     3). ``_bn`` is the bucket's distinct-id population
+                     PRECOMPUTED at build time, turning the probe-side
+                     hot-bucket cap into a pushable filter instead of a
+                     per-ingest aggregation. The files are plain
+                     parquet, so path-based readers (streaming
+                     stream-static joins, a fresh session without the
+                     catalog entry) still work — they just don't get
+                     the co-location metadata.
     - ``hashes``:    (id, hashes) distinct shingle-hash sets — the
                      exact-jaccard verify side.
     - ``canonical``: (id, root) connected-component labels over the
@@ -923,19 +950,32 @@ def build_minhash_index(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
+        import shutil
+
         num = bands * rows
         c_band = minhash_signatures_agg(c_rows, num=num).select(
             "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
         )
-        # At 100 TB this write would be bucketed/sorted by bh (bucketBy
-        # into a catalog table) so the daily probe join is co-located;
-        # plain parquet keeps the gate fixture hermetic.
-        c_band.write.mode("overwrite").parquet(f"{path}/buckets")
+        spark = corpus.sparkSession
+        tbl = _buckets_table_name(path)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{path}/buckets", ignore_errors=True)
+        # _bn via a shuffle join, NOT broadcast: distinct-bh cardinality
+        # is O(docs*bands) — a one-time build shuffle is fine, a
+        # driver-side broadcast of it at 100 TB is not.
+        sizes = c_band.groupBy("bh").agg(F.countDistinct("id").alias("_bn"))
+        (
+            c_band.join(sizes, "bh")
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, "bh")
+            .sortBy("bh")
+            .option("path", f"{path}/buckets")
+            .saveAsTable(tbl)
+        )
         c_hashed = c_rows.groupBy("id").agg(F.collect_set("h").alias("hashes"))
         c_hashed.write.mode("overwrite").parquet(f"{path}/hashes")
 
-        spark = corpus.sparkSession
-        c_band_r = spark.read.parquet(f"{path}/buckets")
+        c_band_r = spark.table(tbl)
         c_hashed_r = spark.read.parquet(f"{path}/hashes")
         buckets = (
             c_band_r.groupBy("bh").agg(F.collect_set("id").alias("ids"))
@@ -983,9 +1023,20 @@ def minhash_probe_index(
     enriched with the corpus canonical map: (new_id, match_id, match_in,
     canonical_id, jaccard), where canonical_id folds the new doc into
     the existing cluster of its match (the match's own id when the
-    match belongs to no cluster)."""
+    match belongs to no cluster).
+
+    The buckets side prefers the bucketed CATALOG table the build
+    registered (co-located probe join on ``bh`` — only the small batch
+    side shuffles; the stored ``_bn`` makes the hot-bucket cap a pushed
+    filter), falling back to the raw parquet path for sessions that
+    never ran the build (same rows, no co-location metadata)."""
     spark = batch.sparkSession
-    c_band = spark.read.parquet(f"{path}/buckets")
+    tbl = _buckets_table_name(path)
+    c_band = (
+        spark.table(tbl)
+        if spark.catalog.tableExists(tbl)
+        else spark.read.parquet(f"{path}/buckets")
+    )
     c_hashed = spark.read.parquet(f"{path}/hashes")
     canon = spark.read.parquet(f"{path}/canonical").select(
         F.col("id").alias("match_id"), F.col("root").alias("_root")

@@ -627,7 +627,14 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str, scope: str = "corpus")
     """Build-once-per-process index path. ``scope='corpus'`` indexes the
     day-1 corpus (doc_id % 10 != 0 — the dedup_incremental convention);
     ``scope='full'`` indexes every document (the canonical-map artifact
-    the curation split consumes)."""
+    the curation split consumes).
+
+    Staleness contract: artifacts are cached per ``(sf_dir, scope)`` on
+    the assumption that the fixture dir is IMMUTABLE for the process
+    lifetime (true for the gate/bench). A session that mutates the
+    underlying documents table must use a new path/scope (or restart) —
+    the cache does not watch the source and would silently probe a
+    stale index."""
     from .connectors import _fixture_path
     from ..operators.dedup import build_minhash_index
 

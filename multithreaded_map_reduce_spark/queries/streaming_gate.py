@@ -601,11 +601,13 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _minhash_index_path
 
     path = _minhash_index_path(spark, sf_dir)
+    # The build stores each bucket's population as _bn, so the static
+    # side of the stream-static join is a pushed filter + projection —
+    # no per-batch aggregation over the index.
     c_band = spark.read.parquet(f"{path}/buckets")
-    c_sizes = c_band.groupBy("bh").agg(F.countDistinct("id").alias("_bn"))
-    c_capped = c_band.join(
-        c_sizes.filter(F.col("_bn") <= 100).select("bh"), "bh"
-    ).select(F.col("id").alias("match_id"), "bh")
+    c_capped = c_band.filter(F.col("_bn") <= 100).select(
+        F.col("id").alias("match_id"), "bh"
+    )
     c_hashed = spark.read.parquet(f"{path}/hashes").select(
         F.col("id").alias("match_id"), F.col("hashes").alias("h_m")
     )

@@ -64,9 +64,18 @@ def test_build_minhash_index_artifacts(spark, tmp_path):
     buckets = spark.read.parquet(f"{path}/buckets")
     hashes = spark.read.parquet(f"{path}/hashes")
     canon = spark.read.parquet(f"{path}/canonical")
-    assert set(buckets.columns) == {"id", "bh"}
+    assert set(buckets.columns) == {"id", "bh", "_bn"}
     assert set(hashes.columns) == {"id", "hashes"}
     assert set(canon.columns) == {"id", "root"}
+    # the bucketed catalog table the probe join prefers exists and is
+    # bucketed by bh (co-location metadata for the day-2 join)
+    from multithreaded_map_reduce_spark.operators.dedup import _buckets_table_name
+
+    tbl = _buckets_table_name(path)
+    assert spark.catalog.tableExists(tbl)
+    ddl = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    kv = {r["col_name"]: r["data_type"] for r in ddl}
+    assert "bh" in kv.get("Bucket Columns", "")
     # 8 bands -> 8 band rows per non-empty doc
     n_docs = hashes.count()
     assert buckets.count() == 8 * n_docs

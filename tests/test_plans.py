@@ -422,9 +422,53 @@ def test_day2_probe_never_rescans_corpus_text(spark):
     # scans of the persisted index — never raw text.
     live_text = re.findall(r"\bRelation \[doc_id#\d+L,text#", plan)
     assert not live_text, plan
-    assert re.search(r"Relation \[id#\d+L,bh#\d+L\] parquet", plan), plan
+    assert re.search(
+        r"Relation [^\[]*\[bh#\d+L,id#\d+L,_bn#\d+L\] parquet", plan
+    ), plan
     assert re.search(r"Relation \[id#\d+L,hashes#\d+\] parquet", plan), plan
     assert re.search(r"Relation \[id#\d+L,root#\d+L\] parquet", plan), plan
+
+
+def test_day2_probe_index_side_never_shuffles(spark):
+    """The bucketed index makes the day-2 probe join co-located on the
+    corpus side: in the bh cross-candidate join, the subtree under the
+    persisted mh_buckets_* catalog scan contains NO shuffle Exchange —
+    only the (small) daily batch side shuffles. VERDICT r5 item 3."""
+    from multithreaded_map_reduce_spark.queries.dedup import _minhash_index_path
+
+    path = _minhash_index_path(spark, SF_SMOKE)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q("dedup_incremental_day2")(spark, SF_SMOKE)
+        root = df._jdf.queryExecution().executedPlan()
+
+        def children(n):
+            cs = n.children()
+            return [cs.apply(i) for i in range(cs.size())]
+
+        joins = []
+
+        def walk(n):
+            name = n.nodeName()
+            if "Join" in name and "[bh#" in n.simpleString(120):
+                joins.append(n)
+            for c in children(n):
+                walk(c)
+
+        walk(root)
+        assert joins, "no bh join found in the probe plan"
+        checked = 0
+        for j in joins:
+            for side in children(j):
+                s = side.toString()
+                if "mh_buckets_" in s:
+                    checked += 1
+                    assert "Exchange" not in s, f"index side shuffles:\n{s}"
+        assert checked >= 1, "no join side scans the persisted bucket table"
+    finally:
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_split_persisted_never_rescans_corpus_text(spark):
