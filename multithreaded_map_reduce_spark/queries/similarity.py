@@ -818,49 +818,84 @@ ORACLES["knn_join_embeddings"] = f"""
 # join/agg below is O(queries × K) regardless of corpus size.
 
 
+# The evaluated ladder: every approximate rung with its own exact gate
+# oracle gets a continuous recall row (VERDICT r5 item 4 — previously
+# only the LSH rung was reported).
+_RECALL_RUNGS: list[str] = ["lsh", "ivf2", "pq", "ivfpq"]
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ap = sim_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
-    n_hit = bf.intersect(ap).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    n_ret = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
-    base = bf.select("query_id").distinct()
     from ..functions.rounding import pround as _pr
 
-    return (
-        base.join(n_ret, "query_id", "left")
-        .join(n_hit, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            _pr(F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(K), 6).alias(
-                "recall_at_k"
-            ),
+    rung_fns = {
+        "lsh": sim_topk_lsh,
+        "ivf2": sim_topk_ivf2,
+        "pq": sim_topk_pq,
+        "ivfpq": sim_topk_ivfpq,
+    }
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    base = bf.select("query_id").distinct()
+    out = None
+    for rung in _RECALL_RUNGS:
+        ap = rung_fns[rung](spark, sf_dir).select("query_id", "neighbor_id")
+        n_hit = (
+            bf.intersect(ap).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
         )
-    )
+        n_ret = ap.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_retrieved"))
+        rep = (
+            base.join(n_ret, "query_id", "left")
+            .join(n_hit, "query_id", "left")
+            .select(
+                F.lit(rung).alias("rung"),
+                "query_id",
+                F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                _pr(F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(K), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
 
 
 QUERIES["ann_recall_report"] = ann_recall_report
 
-ORACLES["ann_recall_report"] = f"""
-    WITH bf AS ({ORACLES['sim_topk_bruteforce']}),
-    ap AS ({ORACLES['sim_topk_lsh']}),
-    hits AS (
-        SELECT bf.query_id, count(*) AS n_hit
-        FROM bf JOIN ap ON bf.query_id = ap.query_id
-                       AND bf.neighbor_id = ap.neighbor_id
-        GROUP BY 1
-    ), nret AS (
-        SELECT query_id, count(*) AS n_retrieved FROM ap GROUP BY 1
-    )
-    SELECT q.query_id,
-           coalesce(nret.n_retrieved, 0) AS n_retrieved,
-           coalesce(hits.n_hit, 0) AS n_hit,
-           {sql_pround(f'coalesce(hits.n_hit, 0)::DOUBLE / {K}', 6)} AS recall_at_k
+
+def _recall_oracle() -> str:
+    per_rung = "\nUNION ALL\n".join(
+        f"""
+    SELECT '{rung}' AS rung, q.query_id,
+           coalesce(nret_{rung}.n_retrieved, 0) AS n_retrieved,
+           coalesce(hits_{rung}.n_hit, 0) AS n_hit,
+           {sql_pround(f'coalesce(hits_{rung}.n_hit, 0)::DOUBLE / {K}', 6)}
+               AS recall_at_k
     FROM (SELECT DISTINCT query_id FROM bf) q
-    LEFT JOIN nret ON q.query_id = nret.query_id
-    LEFT JOIN hits ON q.query_id = hits.query_id
+    LEFT JOIN nret_{rung} ON q.query_id = nret_{rung}.query_id
+    LEFT JOIN hits_{rung} ON q.query_id = hits_{rung}.query_id"""
+        for rung in _RECALL_RUNGS
+    )
+    rung_ctes = ",\n".join(
+        f"""ap_{rung} AS ({ORACLES['sim_topk_' + rung]}),
+    hits_{rung} AS (
+        SELECT bf.query_id, count(*) AS n_hit
+        FROM bf JOIN ap_{rung} ON bf.query_id = ap_{rung}.query_id
+                              AND bf.neighbor_id = ap_{rung}.neighbor_id
+        GROUP BY 1
+    ), nret_{rung} AS (
+        SELECT query_id, count(*) AS n_retrieved FROM ap_{rung} GROUP BY 1
+    )"""
+        for rung in _RECALL_RUNGS
+    )
+    return f"""
+    WITH bf AS ({ORACLES['sim_topk_bruteforce']}),
+    {rung_ctes}
+    {per_rung}
 """
+
+
+# Registered at the BOTTOM of this module (after the pq/ivfpq oracles
+# it nests exist) — see the final lines.
 
 
 # ------------------------------------ IVF-cell-blocked embedding dedup
@@ -1227,3 +1262,6 @@ def _sql_ivfpq(
 
 
 ORACLES["sim_topk_ivfpq"] = _sql_ivfpq()
+
+# Deferred: nests the lsh/ivf2/pq/ivfpq oracles defined above.
+ORACLES["ann_recall_report"] = _recall_oracle()
