@@ -164,6 +164,10 @@ _NEW_THIS_ROUND: list[str] = [
     "mg_top_words",
     "dedup_soft_weights",
     "closeness_nations",
+    # round 6 — queued behind the round-5 backlog above (oldest
+    # evidence gap drains first; VERDICT r5 item 2):
+    "sim_topk_ivfpq_rerank",
+    "curation_training_order",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1293,3 +1293,70 @@ def _dsir_lm_path(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").parquet(path)
         _DSIR_LM_PATHS[sf_dir] = path
     return _DSIR_LM_PATHS[sf_dir]
+
+
+# ------------------------------------------ deterministic training order
+# The last step before tokenization at 100 TB: fix the global example
+# order for N epochs, reproducibly. rand()-shuffles are neither stable
+# under retries nor resumable mid-epoch; the standard production answer
+# is a salted-hash permutation — shard = h(epoch, id) % S routes each
+# doc to a write-shard, position = rank of h within the shard orders it
+# — so any worker can recompute any shard of any epoch independently
+# (resume, retry, elastic re-run all free). Epochs differ only in the
+# hash salt: each is an independent permutation with zero extra state.
+# Scale: one shuffle on (epoch, shard); ordering is per-shard
+# (~n/S rows), never a global sort; S scales with the cluster.
+
+TRAIN_EPOCHS = 2
+TRAIN_SHARDS = 8
+
+
+def curation_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(TRAIN_EPOCHS)])).alias("epoch"),
+    )
+    h = token_hash(
+        F.concat(
+            F.lit("ep"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = W.partitionBy("epoch", "shard").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        base.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % F.lit(TRAIN_SHARDS)).cast("int"))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("position"),
+            "doc_id",
+        )
+    )
+
+
+QUERIES["curation_training_order"] = curation_training_order
+
+_EPOCH_H = sql_token_hash(
+    "'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+)
+
+ORACLES["curation_training_order"] = f"""
+    WITH base AS (
+        SELECT d.doc_id, ep.epoch
+        FROM documents d CROSS JOIN (SELECT unnest(range(0, {TRAIN_EPOCHS})) AS epoch) ep
+    ), hashed AS (
+        SELECT doc_id, epoch, {_EPOCH_H} AS h FROM base
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(h % {TRAIN_SHARDS} AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, h % {TRAIN_SHARDS}
+               ORDER BY h ASC, doc_id ASC
+           ) AS BIGINT) - 1 AS position,
+           doc_id
+    FROM hashed
+"""

@@ -832,6 +832,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf2": sim_topk_ivf2,
         "pq": sim_topk_pq,
         "ivfpq": sim_topk_ivfpq,
+        "ivfpq_rerank": sim_topk_ivfpq_rerank,
     }
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     base = bf.select("query_id").distinct()
@@ -1263,5 +1264,77 @@ def _sql_ivfpq(
 
 ORACLES["sim_topk_ivfpq"] = _sql_ivfpq()
 
-# Deferred: nests the lsh/ivf2/pq/ivfpq oracles defined above.
+
+# ------------------------------------- two-stage retrieval (ADC -> exact)
+# The production serving shape FAISS/ScaNN deploy: the quantized index
+# ranks CHEAPLY (O(m) ADC per candidate over nprobe/n_cells of the
+# corpus), then only the top-R survivors per query are re-scored with
+# the EXACT metric against their full vectors. Stage 2 touches R rows
+# per query — R·dim floats, independent of corpus size — so the 16x
+# code-bandwidth saving of PQ is kept for the bulk scan while the final
+# ranking is exact over the candidate set (ADC ordering errors inside
+# the top-R are repaired for free). Gate-exact end to end: stage 1 is
+# the ivfpq oracle at k=R, stage 2 an exact-cosine re-rank both engines
+# replay identically.
+
+RERANK_R = 15  # 3x K approximate candidates feed the exact stage
+
+
+def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import pround
+    from ..functions.vectors import as_double, cosine
+    from ..operators.similarity import ivfpq_topk
+
+    q, c = _split(spark, sf_dir)
+    cand = ivfpq_topk(
+        q, c, "vec_id", "embedding",
+        k=RERANK_R, n_cells=N_CELLS, nprobe=NPROBE, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+    ).select("query_id", "neighbor_id")
+    qv = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    cv = c.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+    )
+
+
+QUERIES["sim_topk_ivfpq_rerank"] = sim_topk_ivfpq_rerank
+
+ORACLES["sim_topk_ivfpq_rerank"] = f"""
+    WITH approx AS ({_sql_ivfpq(k=RERANK_R)}),
+    q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), rescored AS (
+        SELECT a.query_id, a.neighbor_id,
+               {sql_pround(sql_cosine('q.qv', 'c.cv'), 6)} AS cos_sim
+        FROM approx a
+        JOIN q ON a.query_id = q.query_id
+        JOIN c ON a.neighbor_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS INTEGER) AS rank
+        FROM rescored
+    ) WHERE rank <= {K}
+"""
+
+# Deferred: nests the lsh/ivf2/pq/ivfpq(+rerank) oracles defined above.
+_RECALL_RUNGS.append("ivfpq_rerank")
 ORACLES["ann_recall_report"] = _recall_oracle()

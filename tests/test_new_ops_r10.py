@@ -1,0 +1,109 @@
+"""Round-6 session additions: two-stage IVFPQ->exact re-rank, the
+full-ladder ANN recall report, deterministic training order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+
+def test_ivfpq_rerank_gate(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["sim_topk_ivfpq_rerank"],
+        ORACLES["sim_topk_ivfpq_rerank"],
+        SF_SMOKE,
+    )
+
+
+def test_rerank_recall_never_below_ivfpq(spark):
+    """Theorem, not tuning: any candidate scoring above a true top-K
+    neighbor under the EXACT metric is itself a true top-K neighbor, so
+    exact re-ranking of the R>=K ADC candidates retrieves every true
+    neighbor the candidate set contains — per-query recall of the
+    rerank rung is >= the plain ivfpq rung's, always."""
+    from multithreaded_map_reduce_spark.queries.similarity import QUERIES
+
+    rep = QUERIES["ann_recall_report"](spark, SF_SMOKE)
+    rows = {(r["rung"], r["query_id"]): r["n_hit"] for r in rep.collect()}
+    qids = {q for (rung, q) in rows if rung == "ivfpq"}
+    assert qids
+    for q in qids:
+        assert rows[("ivfpq_rerank", q)] >= rows[("ivfpq", q)], q
+
+
+def test_recall_report_covers_full_ladder(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        _RECALL_RUNGS,
+        QUERIES,
+    )
+
+    assert set(_RECALL_RUNGS) == {"lsh", "ivf2", "pq", "ivfpq", "ivfpq_rerank"}
+    rep = QUERIES["ann_recall_report"](spark, SF_SMOKE)
+    got = {r["rung"] for r in rep.select("rung").distinct().collect()}
+    assert got == set(_RECALL_RUNGS)
+
+
+def test_training_order_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["curation_training_order"],
+        ORACLES["curation_training_order"],
+        SF_SMOKE,
+    )
+
+
+def test_training_order_is_epochwise_permutation(spark):
+    """Every epoch orders EVERY doc exactly once; positions are dense
+    0..n-1 within each (epoch, shard); the two epochs produce different
+    permutations (independent salts)."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        TRAIN_EPOCHS,
+        TRAIN_SHARDS,
+        QUERIES,
+    )
+
+    df = QUERIES["curation_training_order"](spark, SF_SMOKE).cache()
+    n_docs = df.select("doc_id").distinct().count()
+    assert df.count() == n_docs * TRAIN_EPOCHS
+    per_epoch = df.groupBy("epoch").count().collect()
+    assert {r["count"] for r in per_epoch} == {n_docs}
+    dense = (
+        df.groupBy("epoch", "shard")
+        .agg(F.count("*").alias("n"), F.max("position").alias("mx"),
+             F.min("position").alias("mn"))
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert dense == 0
+    assert df.select("shard").distinct().count() <= TRAIN_SHARDS
+    # epoch salts give different orders: the (shard, position) of at
+    # least one doc differs between epochs
+    e0 = df.filter(F.col("epoch") == 0).select(
+        "doc_id", F.struct("shard", "position").alias("p0")
+    )
+    e1 = df.filter(F.col("epoch") == 1).select(
+        "doc_id", F.struct("shard", "position").alias("p1")
+    )
+    moved = e0.join(e1, "doc_id").filter(F.col("p0") != F.col("p1")).count()
+    assert moved > 0
+    df.unpersist()
+
+
+def test_training_order_no_global_sort(spark):
+    """The plan must contain no global Sort — ordering is the per-shard
+    window only (Sort nodes are all global=false)."""
+    import re
+
+    from multithreaded_map_reduce_spark.queries.curation import QUERIES
+
+    d = QUERIES["curation_training_order"](spark, SF_SMOKE)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Sort \[.*?\], (true|false)", plan):
+        assert m.group(1) == "false", plan
