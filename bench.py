@@ -137,6 +137,19 @@ def _plan_hash(df) -> str | None:
     plan = re.sub(r"[0-9a-f]{16,}", "<hex>", plan)
     plan = re.sub(r"/tmp/\S+", "<tmp>", plan)
     plan = re.sub(r"@[0-9a-f]+", "@", plan)
+    # Cache-state noise: queries with persist() substitute an
+    # InMemoryRelation whose dump embeds DATA-dependent statistics
+    # (sizeInBytes of the regenerated parquet) — round 6 traced every
+    # cross-round "plan CHANGED" false positive to exactly these
+    # blocks. Normalize the stats, keep the cached plan's SHAPE.
+    plan = re.sub(r"Statistics\([^)]*\)", "Statistics(<s>)", plan)
+    plan = re.sub(r"[\d.]+ (?:B|KiB|MiB|GiB|TiB)\b", "<sz>", plan)
+    plan = re.sub(r"StorageLevel\([^)]*\)", "StorageLevel(<l>)", plan)
+    # lambda variables are numbered by a SESSION-global counter
+    # (x_1, x_2, ...) — any change in how many HOF lambdas earlier
+    # queries built renames every later query's lambda vars.
+    plan = re.sub(r"\blambda x_\d+", "lambda x_", plan)
+    plan = re.sub(r"\bx_\d+#", "x_#", plan)
     return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
 
@@ -217,13 +230,20 @@ def main() -> None:
     sf = float(sf_raw) if sf_raw else sf_dir
 
     regressions: dict[str, float] = {}
+    basis = None
     prev = _previous_bench(sf)
     if prev is not None:
         prev_name, prev_cold, prev_warm, prev_hashes = prev
         # warm median vs warm median is the trustworthy signal; fall back
         # to cold-vs-cold only for baselines that never recorded warm.
+        # The emitted JSON NAMES this basis (VERDICT r5 item 8: r4's
+        # truncated tail made cold-vs-warm comparisons look like a
+        # fleet-wide regression until re-derived by hand).
         cur_base = warm if prev_warm else timings
         prev_base = prev_warm or prev_cold
+        basis = ("warm-median-vs-warm-median" if prev_warm else "cold-vs-cold") + (
+            f" vs {prev_name}"
+        )
         for name, sec in cur_base.items():
             base = prev_base.get(name)
             if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
@@ -254,6 +274,7 @@ def main() -> None:
     }
     if prev is not None:
         detail["prev"] = prev[0]
+        detail["comparison_basis"] = basis
         detail["regressions"] = regressions
     # Full-precision record (warm medians + plan hashes) → side file; it
     # is the regression baseline once snapshotted to BENCH_DETAIL_r{N}.
@@ -276,6 +297,7 @@ def main() -> None:
     }
     if prev is not None:
         out["prev"] = prev[0]
+        out["comparison_basis"] = basis
         out["regressions"] = regressions
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # still over with 2dp: drop to 1dp, then warn
