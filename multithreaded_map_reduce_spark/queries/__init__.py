@@ -168,6 +168,7 @@ _NEW_THIS_ROUND: list[str] = [
     # evidence gap drains first; VERDICT r5 item 2):
     "sim_topk_ivfpq_rerank",
     "curation_training_order",
+    "quality_logreg",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

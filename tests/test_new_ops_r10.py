@@ -107,3 +107,54 @@ def test_training_order_no_global_sort(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Sort \[.*?\], (true|false)", plan):
         assert m.group(1) == "false", plan
+
+
+def test_quality_logreg_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(spark, QUERIES["quality_logreg"], ORACLES["quality_logreg"], SF_SMOKE)
+
+
+def test_quality_logreg_actually_learns(spark):
+    """The distilled scorer must beat the keep-everything baseline on
+    its teacher labels — train agreement > base rate — and separate the
+    classes by score. Guards against the classifier degenerating into
+    the base-rate predictor (the failure mode of unstandardized GD)."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    rows = QUERIES["quality_logreg"](spark, SF_SMOKE).collect()
+    n = sum(r["n_docs"] for r in rows)
+    agree = sum(r["n_docs"] for r in rows if r["keep"] == r["pred_keep"])
+    base = sum(r["n_docs"] for r in rows if r["keep"] == 1)
+    assert agree / n > max(base, n - base) / n
+    kept = [r for r in rows if r["keep"] == 1]
+    dropped = [r for r in rows if r["keep"] == 0]
+    avg_kept = sum(r["avg_score"] * r["n_docs"] for r in kept) / sum(
+        r["n_docs"] for r in kept
+    )
+    avg_dropped = sum(r["avg_score"] * r["n_docs"] for r in dropped) / sum(
+        r["n_docs"] for r in dropped
+    )
+    assert avg_kept > avg_dropped + 0.2
+
+
+def test_quality_logreg_no_collect_driver_loop(spark):
+    """The whole train+score chain is ONE lazy plan — weight relations
+    are crossJoin-broadcast, so building the DataFrame runs no jobs and
+    the final plan embeds the unrolled iterations."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = QUERIES["quality_logreg"](spark, SF_SMOKE)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # at most the parquet-footer read — NOT one job per GD iteration
+    # (a collect()-based trainer would launch >= LOGREG_ITERS jobs here)
+    assert after - before <= 1, "plan construction ran per-iteration jobs"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    from multithreaded_map_reduce_spark.queries.textstats import LOGREG_ITERS
+
+    # the unrolled iterations live IN the single plan: one sigmoid per
+    # training step plus the final scoring pass
+    assert plan.count("EXP(") + plan.count("exp(") >= LOGREG_ITERS + 1
+    assert df.count() >= 2
