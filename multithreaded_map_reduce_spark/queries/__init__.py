@@ -169,6 +169,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_topk_ivfpq_rerank",
     "curation_training_order",
     "quality_logreg",
+    "streaming_quality_score",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

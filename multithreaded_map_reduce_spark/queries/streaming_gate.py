@@ -753,3 +753,61 @@ def _streaming_dsir_oracle() -> str:
 
 
 ORACLES["streaming_dsir_score"] = _streaming_dsir_oracle()
+
+
+def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING day-2 quality scoring against the PERSISTED logistic
+    model (queries/textstats.logreg_model_path) — the distilled-filter
+    completion of the train-once/score-at-ingest family: the classifier
+    is trained once on the day-1 corpus (moments + weights stored as
+    ONE parquet row), and every arriving day-2 doc is scored by pure
+    per-row expressions plus a 1-row stream-static equi-join. No
+    aggregation, no state store — append mode, so the scorer runs at
+    ingest latency and its state is O(1) regardless of stream length.
+
+    Differential contract: per-doc integer score units and the keep
+    decision equal a batch replay that trains on day-1 text and scores
+    day-2 text (the model parquet round-trip is semantically
+    invisible — exactly the property being verified)."""
+    from ..functions.rounding import from_iunits, iunits
+    from ..streaming.events import run_stream_to_memory, stream_documents
+    from .textstats import _LR_NX, _lr_features, _lr_p, _lr_z, logreg_model_path
+
+    path = logreg_model_path(spark, sf_dir)
+    model = spark.read.parquet(path).withColumn("_k", F.lit(0))
+    stream = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    feat = _lr_features(stream, extra=("doc_id",)).withColumn("_k", F.lit(0))
+    zcols = [
+        from_iunits(
+            iunits((F.col(f"x{j}") - F.col(f"mu{j}")) / F.col(f"sd{j}"), 9), 9
+        ).alias(f"z{j}")
+        for j in range(1, _LR_NX + 1)
+    ]
+    zrow = feat.join(model, "_k").select(
+        "doc_id", *[F.col(f"w{j}") for j in range(_LR_NX + 1)], *zcols
+    )
+    p = _lr_p(_lr_z())
+    out = zrow.select(
+        "doc_id",
+        iunits(p, 9).alias("score_units"),
+        (p >= F.lit(0.5)).cast("int").alias("pred_keep"),
+    )
+    name = _sink("st_lr")
+    run_stream_to_memory(out, name, output_mode="append")
+    return spark.table(name)
+
+
+QUERIES["streaming_quality_score"] = streaming_quality_score
+
+
+def _streaming_logreg_oracle() -> str:
+    from .textstats import _sql_logreg
+
+    return _sql_logreg(
+        train_where="doc_id % 10 != 0",
+        mode="per_doc",
+        score_where="doc_id % 10 = 0",
+    )
+
+
+ORACLES["streaming_quality_score"] = _streaming_logreg_oracle()

@@ -1689,9 +1689,11 @@ LOGREG_LR = 4.0
 _LR_NX = 4  # features besides bias
 
 
-def _lr_features(docs: DataFrame) -> DataFrame:
+def _lr_features(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """Label = the EXACT text_gopher_rules keep flag (same snapped
-    expressions); features = cheap surface stats, standardized later."""
+    expressions); features = cheap surface stats, standardized later.
+    ``extra`` columns (e.g. doc_id for the streaming scorer) are
+    carried through."""
     toks = tokenize(F.col("text"))
     nw = F.size(toks).cast("long")
     len_sum = F.aggregate(
@@ -1715,6 +1717,7 @@ def _lr_features(docs: DataFrame) -> DataFrame:
         & (n_stop >= GR_MIN_STOP)
     )
     return docs.select(
+        *extra,
         keep.cast("int").alias("keep"),
         keep.cast("double").alias("y"),
         (n_stop.cast("double") / safe_nw).alias("x1"),
@@ -1724,12 +1727,11 @@ def _lr_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lr_standardize(feat: DataFrame) -> DataFrame:
-    """z_j = snap9((x_j - mean_j) / std_j) with exact integer-unit
-    moments; zero-variance features standardize to 0 (std -> 1)."""
+def _lr_stats(feat: DataFrame) -> DataFrame:
+    """One-row (mu_j, sd_j) relation from exact integer-unit moments;
+    zero-variance features get sd -> 1 (standardize to 0)."""
     from ..functions.rounding import from_iunits, iunits
 
-    n = F.count(F.lit(1)).cast("double")
     stats = feat.agg(
         *[F.sum(iunits(F.col(f"x{j}"), 9)).alias(f"s{j}") for j in range(1, _LR_NX + 1)],
         *[
@@ -1754,14 +1756,27 @@ def _lr_standardize(feat: DataFrame) -> DataFrame:
         sd = from_iunits(iunits(F.sqrt(F.greatest(var, F.lit(0.0))), 9), 9)
         mus[j] = mu.alias(f"mu{j}")
         sds[j] = F.when(sd > 0, sd).otherwise(F.lit(1.0)).alias(f"sd{j}")
-    stats = stats.select(*mus.values(), *sds.values())
+    return stats.select(*mus.values(), *sds.values())
+
+
+def _lr_apply_stats(
+    feat: DataFrame, stats: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """z_j = snap9((x_j - mu_j) / sd_j) against a (possibly persisted)
+    one-row stats relation."""
+    from ..functions.rounding import from_iunits, iunits
+
     zcols = [
         from_iunits(
             iunits((F.col(f"x{j}") - F.col(f"mu{j}")) / F.col(f"sd{j}"), 9), 9
         ).alias(f"z{j}")
         for j in range(1, _LR_NX + 1)
     ]
-    return feat.crossJoin(F.broadcast(stats)).select("keep", "y", *zcols)
+    return feat.crossJoin(F.broadcast(stats)).select(*extra, "keep", "y", *zcols)
+
+
+def _lr_standardize(feat: DataFrame) -> DataFrame:
+    return _lr_apply_stats(feat, _lr_stats(feat))
 
 
 def _lr_z() -> Column:
@@ -1840,7 +1855,51 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["quality_logreg"] = quality_logreg
 
 
-def _sql_logreg() -> str:
+# Train-once model artifact for the STREAMING scorer: moments + weights
+# from the day-1 corpus (doc_id % 10 != 0, the incremental-dedup
+# convention) stored as ONE parquet row, read back by the stream-static
+# scoring join. Same staleness contract as queries/dedup._INDEX_PATHS:
+# keyed by immutable fixture dir for the process lifetime; a mutated
+# source table needs a new path (or process).
+_LOGREG_MODEL_PATHS: dict[str, str] = {}
+
+
+def logreg_model_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _LOGREG_MODEL_PATHS:
+        from pyspark import StorageLevel
+
+        from .connectors import _fixture_path
+
+        path = _fixture_path("logreg_model")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        feat = _lr_features(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = _lr_stats(feat)
+            zfeat = _lr_apply_stats(feat, stats)
+            w = spark.range(1).select(
+                *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+            )
+            for _ in range(LOGREG_ITERS):
+                w = _lr_step(zfeat, w)
+            w.crossJoin(stats).write.mode("overwrite").parquet(path)
+        finally:
+            feat.unpersist()
+        _LOGREG_MODEL_PATHS[sf_dir] = path
+    return _LOGREG_MODEL_PATHS[sf_dir]
+
+
+def _sql_logreg(
+    train_where: str = "TRUE",
+    mode: str = "confusion",
+    score_where: str | None = None,
+) -> str:
+    """DuckDB replay of the standardize+GD+score chain. ``train_where``
+    restricts the rows the moments and gradients see; ``mode``
+    'confusion' emits the train confusion matrix (quality_logreg),
+    'per_doc' scores the ``score_where`` slice row-wise (the streaming
+    day-2 scorer)."""
     nx = _LR_NX
     z = "w0"
     for j in range(1, nx + 1):
@@ -1867,7 +1926,7 @@ def _sql_logreg() -> str:
     prev = "w_init"
     for t in range(LOGREG_ITERS):
         steps.append(
-            f"g{t} AS (SELECT {gsel}, count(*) AS n FROM zfeat, {prev}),\n"
+            f"g{t} AS (SELECT {gsel}, count(*) AS n FROM ztrain, {prev}),\n"
             f"    w{t + 1} AS (SELECT {upd} FROM g{t})"
         )
         prev = f"w{t + 1}"
@@ -1898,17 +1957,31 @@ def _sql_logreg() -> str:
     alpha = sql_pround(
         "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
         "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    if mode == "confusion":
+        final = f"""
+    SELECT keep, CAST(p >= 0.5 AS INTEGER) AS pred_keep, count(*) AS n_docs,
+           {sql_pround('CAST(sum(' + sql_iunits('p', 9) + ') AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE)', 6)} AS avg_score,
+           {', '.join(f'{sql_pround(f"first(w{j})", 6)} AS w{j}' for j in range(nx + 1))}
+    FROM scored GROUP BY keep, pred_keep"""
+        scored_src = "ztrain"
+    else:
+        final = f"""
+    SELECT doc_id, {sql_iunits('p', 9)} AS score_units,
+           CAST(p >= 0.5 AS INTEGER) AS pred_keep
+    FROM scored"""
+        scored_src = f"(SELECT * FROM zfeat WHERE {score_where})"
     return f"""
     WITH t AS (
-        SELECT text, {toks} AS toks FROM documents
+        SELECT doc_id, text, {toks} AS toks FROM documents
     ), m AS (
-        SELECT CAST(len(toks) AS BIGINT) AS n_words,
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
                {mwl} AS mwl, {sym} AS sym, {alpha} AS alpha,
                CAST(len(list_filter(toks, x -> x IN ({stoplist}))) AS BIGINT)
                    AS n_stop
         FROM t
     ), feat AS (
-        SELECT CAST(n_words BETWEEN {GR_MIN_WORDS} AND {GR_MAX_WORDS}
+        SELECT doc_id,
+               CAST(n_words BETWEEN {GR_MIN_WORDS} AND {GR_MAX_WORDS}
                     AND mwl BETWEEN {GR_MIN_MWL} AND {GR_MAX_MWL}
                     AND sym <= {GR_MAX_SYMBOL}
                     AND alpha >= {GR_MIN_ALPHA}
@@ -1923,10 +1996,12 @@ def _sql_logreg() -> str:
                least(1.0, CAST(n_words AS DOUBLE) / 100.0) AS x3,
                alpha AS x4
         FROM m
+    ), train AS (
+        SELECT * FROM feat WHERE {train_where}
     ), raw_stats AS (
         SELECT {", ".join(f"sum({sql_iunits(f'x{j}', 9)}) AS s{j}, sum({sql_iunits(f'x{j} * x{j}', 9)}) AS q{j}" for j in range(1, nx + 1))},
                count(*) AS n
-        FROM feat
+        FROM train
     ), mu_stats AS (
         SELECT *, {", ".join(f"{mu(j)} AS mu{j}" for j in range(1, nx + 1))} FROM raw_stats
     ), var_stats AS (
@@ -1934,20 +2009,19 @@ def _sql_logreg() -> str:
     ), stats AS (
         SELECT *, {", ".join(f"CASE WHEN {sd(j)} > 0 THEN {sd(j)} ELSE 1.0 END AS sd{j}" for j in range(1, nx + 1))} FROM var_stats
     ), zfeat AS (
-        SELECT keep, y,
+        SELECT doc_id, keep, y,
                {", ".join(sql_from_iunits(sql_iunits(f'(x{j} - mu{j}) / sd{j}', 9), 9) + f' AS z{j}' for j in range(1, nx + 1))}
         FROM feat, stats
+    ), ztrain AS (
+        SELECT * FROM zfeat WHERE {train_where}
     ), w_init AS (
         SELECT {", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(nx + 1))}
     ), {','.join(steps)},
     scored AS (
-        SELECT keep, {", ".join(f"w{j}" for j in range(nx + 1))}, {p} AS p
-        FROM zfeat, {prev}
+        SELECT doc_id, keep, {", ".join(f"w{j}" for j in range(nx + 1))}, {p} AS p
+        FROM {scored_src}, {prev}
     )
-    SELECT keep, CAST(p >= 0.5 AS INTEGER) AS pred_keep, count(*) AS n_docs,
-           {sql_pround('CAST(sum(' + sql_iunits('p', 9) + ') AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE)', 6)} AS avg_score,
-           {', '.join(f'{sql_pround(f"first(w{j})", 6)} AS w{j}' for j in range(nx + 1))}
-    FROM scored GROUP BY keep, pred_keep
+    {final}
 """
 
 

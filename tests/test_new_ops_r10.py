@@ -158,3 +158,35 @@ def test_quality_logreg_no_collect_driver_loop(spark):
     # training step plus the final scoring pass
     assert plan.count("EXP(") + plan.count("exp(") >= LOGREG_ITERS + 1
     assert df.count() >= 2
+
+
+def test_streaming_quality_score_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["streaming_quality_score"],
+        ORACLES["streaming_quality_score"],
+        SF_SMOKE,
+    )
+
+
+def test_streaming_quality_score_is_stateless_append(spark):
+    """The scorer must be a stateless append stream — per-row exprs +
+    a 1-row stream-static join, NO stateful operator (state O(1) at
+    any stream length). The memory-sink row count equals the day-2
+    batch slice exactly once (no update-mode re-emission)."""
+    from multithreaded_map_reduce_spark.queries.streaming_gate import QUERIES
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    out = QUERIES["streaming_quality_score"](spark, SF_SMOKE)
+    n_day2 = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .count()
+    )
+    assert out.count() == n_day2
+    assert out.select("doc_id").distinct().count() == n_day2
