@@ -170,6 +170,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_training_order",
     "quality_logreg",
     "streaming_quality_score",
+    "curation_domain_cap",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

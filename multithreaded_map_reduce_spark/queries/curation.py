@@ -1360,3 +1360,55 @@ ORACLES["curation_training_order"] = f"""
            doc_id
     FROM hashed
 """
+
+
+# ------------------------------------------------- per-domain doc caps
+# The C4/RefinedWeb anti-spam rule: no domain may contribute more than
+# CAP documents, chosen deterministically (bottom-CAP of the salted doc
+# hash — a stable uniform draw, the same discipline as every sampler
+# here). The naive plan is one window over each source's full row set —
+# at 100 TB a mega-domain makes that partition-sort the straggler. This
+# implementation is the SKEW-PROOF two-stage bottom-k: stage 1 takes a
+# local bottom-CAP within each (source, input-partition) slice — each
+# window partition is bounded by the Spark partition size — and stage 2
+# re-ranks only the <= CAP * n_partitions survivors per source. The
+# final result is layout-independent (global bottom-CAP per source), so
+# the physical-partition salt never leaks into the answer; the oracle
+# computes the single-stage rank directly.
+
+DOMAIN_CAP = 20
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = token_hash(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    base = docs.select("source", "doc_id", h.alias("_h")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w1 = W.partitionBy("source", "_pid").orderBy(F.asc("_h"), F.asc("doc_id"))
+    local = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= DOMAIN_CAP)
+        .drop("_rn", "_pid")
+    )
+    w2 = W.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("source", "rk", "doc_id")
+    )
+
+
+QUERIES["curation_domain_cap"] = curation_domain_cap
+
+_CAP_H = sql_token_hash("'cap:' || CAST(doc_id AS VARCHAR)")
+
+ORACLES["curation_domain_cap"] = f"""
+    SELECT source, rk, doc_id FROM (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY ({_CAP_H}) ASC, doc_id ASC
+               ) AS INTEGER) AS rk
+        FROM documents
+    ) WHERE rk <= {DOMAIN_CAP}
+"""

@@ -190,3 +190,49 @@ def test_streaming_quality_score_is_stateless_append(spark):
     )
     assert out.count() == n_day2
     assert out.select("doc_id").distinct().count() == n_day2
+
+
+def test_domain_cap_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["curation_domain_cap"], ORACLES["curation_domain_cap"], SF_SMOKE
+    )
+
+
+def test_domain_cap_layout_independent(spark):
+    """The two-stage bottom-k must give the SAME kept set regardless of
+    physical partitioning (the _pid salt must never leak into the
+    answer)."""
+    from multithreaded_map_reduce_spark.queries.curation import QUERIES
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    base = QUERIES["curation_domain_cap"](spark, SF_SMOKE)
+    got = {(r["source"], r["rk"], r["doc_id"]) for r in base.collect()}
+    # force a different layout by repartitioning the source table view
+    docs = load_table(spark, SF_SMOKE, "documents").repartition(7, "doc_id")
+    docs.createOrReplaceTempView("_cap_relayout")
+    import multithreaded_map_reduce_spark.queries.curation as cur
+    from pyspark.sql import functions as FF
+
+    h = cur.token_hash(
+        FF.concat(FF.lit("cap:"), FF.col("doc_id").cast("string"))
+    )
+    b = docs.select("source", "doc_id", h.alias("_h")).withColumn(
+        "_pid", FF.spark_partition_id()
+    )
+    from pyspark.sql import Window as WW
+
+    w1 = WW.partitionBy("source", "_pid").orderBy(FF.asc("_h"), FF.asc("doc_id"))
+    local = (
+        b.withColumn("_rn", FF.row_number().over(w1))
+        .filter(FF.col("_rn") <= cur.DOMAIN_CAP)
+        .drop("_rn", "_pid")
+    )
+    w2 = WW.partitionBy("source").orderBy(FF.asc("_h"), FF.asc("doc_id"))
+    other = (
+        local.withColumn("rk", FF.row_number().over(w2).cast("int"))
+        .filter(FF.col("rk") <= cur.DOMAIN_CAP)
+        .select("source", "rk", "doc_id")
+    )
+    assert {(r["source"], r["rk"], r["doc_id"]) for r in other.collect()} == got
