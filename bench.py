@@ -108,6 +108,13 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "text_gopher_rules",
     "curation_dsir",
+    # round 6: distilled quality classifier (train+score, one plan),
+    # two-stage ADC->exact re-rank, deterministic training order,
+    # skew-proof per-domain caps
+    "quality_logreg",
+    "sim_topk_ivfpq_rerank",
+    "curation_training_order",
+    "curation_domain_cap",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
@@ -241,9 +248,7 @@ def main() -> None:
         # fleet-wide regression until re-derived by hand).
         cur_base = warm if prev_warm else timings
         prev_base = prev_warm or prev_cold
-        basis = ("warm-median-vs-warm-median" if prev_warm else "cold-vs-cold") + (
-            f" vs {prev_name}"
-        )
+        basis = ("warm-vs-warm" if prev_warm else "cold-vs-cold") + f":{prev_name}"
         for name, sec in cur_base.items():
             base = prev_base.get(name)
             if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
@@ -298,7 +303,10 @@ def main() -> None:
     if prev is not None:
         out["prev"] = prev[0]
         out["comparison_basis"] = basis
-        out["regressions"] = regressions
+        # printed line budget: keep only the worst offenders here — the
+        # full dict is in BENCH_DETAIL.json
+        worst = dict(sorted(regressions.items(), key=lambda kv: -kv[1])[:8])
+        out["regressions"] = worst
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # still over with 2dp: drop to 1dp, then warn
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}

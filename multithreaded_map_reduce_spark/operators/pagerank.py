@@ -89,3 +89,70 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("id", F.col("rank").alias("rank_units"))
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    restart: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    num_iter: int = 10,
+    n_restart: int | None = None,
+) -> DataFrame:
+    """(id, rank_units): PageRank personalized to a RESTART set — the
+    teleport term and all dangling mass return uniformly to ``restart``
+    members instead of the whole graph, so rank measures proximity
+    *from the seed set's perspective* (the related-items /
+    topic-sensitive shape, Haveliwala 2002). Same exact-integer
+    discipline as ``pagerank``: 1/SCALE units, floor division, fixed
+    iteration count; ranks of nodes unreachable from the seed set are
+    exactly 0.
+
+    Scale: identical plan shape per round as ``pagerank`` (one edge
+    join + groupBy, one broadcast scalar) plus a broadcast membership
+    flag — the restart set is small by definition."""
+    s = n_restart if n_restart is not None else restart.count()
+    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * s)
+
+    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    rset = restart.select(F.col(id_col).alias("id")).distinct()
+    flagged = nodes.join(
+        F.broadcast(rset.withColumn("_is_r", F.lit(1))), "id", "left"
+    ).select("id", F.coalesce("_is_r", F.lit(0)).alias("is_r")).localCheckpoint()
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+
+    ranks = flagged.select(
+        "id", (F.col("is_r") * F.lit(SCALE // s)).cast("long").alias("rank")
+    )
+    for _ in range(num_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_w, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank * w div ow").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("cin"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks.id == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dsum"))
+            .select(F.expr(f"dsum div {s}").alias("dm"))
+        )
+        ranks = (
+            flagged.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                F.expr(
+                    f"is_r * {base} + {DAMPING_NUM} * (coalesce(cin, 0)"
+                    f" + is_r * dm) div {DAMPING_DEN}"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").alias("rank_units"))

@@ -171,6 +171,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_logreg",
     "streaming_quality_score",
     "curation_domain_cap",
+    "ppr_region_nations",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -507,3 +507,92 @@ def _closeness_sql(rounds: int = CLOSENESS_ROUNDS) -> str:
 
 
 ORACLES["closeness_nations"] = _closeness_sql()
+
+
+# --------------------------------------------- personalized PageRank
+# Teleport restricted to region 0's five nations: rank = trade
+# proximity FROM that region's perspective (topic-sensitive PageRank,
+# Haveliwala 2002). Same trade graph, same integer fixed-point rails,
+# unrolled-CTE oracle with the restart membership folded into the
+# teleport and dangling terms.
+
+PPR_REGION = 0
+N_RESTART = 5  # nations per region in the TPC-H generator
+
+
+def ppr_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import personalized_pagerank
+
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    restart = nation.filter(F.col("n_regionkey") == PPR_REGION).select(
+        F.col("n_nationkey").alias("id")
+    )
+    pr = personalized_pagerank(
+        nodes,
+        _trade_edges(spark, sf_dir),
+        restart,
+        num_iter=NUM_ITER,
+        n_restart=N_RESTART,
+    )
+    return pr.join(F.broadcast(nation), pr.id == nation.n_nationkey).select(
+        F.col("id").alias("nationkey"), "n_name", "rank_units"
+    )
+
+
+QUERIES["ppr_region_nations"] = ppr_region_nations
+
+
+def _ppr_sql(num_iter: int = NUM_ITER, s: int = N_RESTART) -> str:
+    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * s)
+    ctes = [
+        f"""nodes AS (
+            SELECT n_nationkey AS id,
+                   CAST(n_regionkey = {PPR_REGION} AS BIGINT) AS is_r
+            FROM nation
+        ),
+        edges AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (
+            SELECT id, CAST(is_r * {SCALE // s} AS BIGINT) AS rank FROM nodes
+        )"""
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT COALESCE(sum(rank), 0) // {s} AS dm FROM r{p}
+            WHERE id NOT IN (SELECT src FROM outw)
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS id, sum((r.rank * e.w) // o.ow) AS cin
+            FROM edges e
+            JOIN r{p} r ON e.src = r.id
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT nodes.id,
+                   nodes.is_r * {base}
+                   + ({DAMPING_NUM} * (COALESCE(c.cin, 0) + nodes.is_r * d.dm))
+                       // {DAMPING_DEN} AS rank
+            FROM nodes LEFT JOIN c{i} c ON nodes.id = c.id CROSS JOIN d{i} d
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT r.id AS nationkey, n.n_name, CAST(r.rank AS BIGINT) AS rank_units
+        FROM r{num_iter} r JOIN nation n ON r.id = n.n_nationkey"""
+    )
+
+
+ORACLES["ppr_region_nations"] = _ppr_sql()

@@ -236,3 +236,42 @@ def test_domain_cap_layout_independent(spark):
         .select("source", "rk", "doc_id")
     )
     assert {(r["source"], r["rk"], r["doc_id"]) for r in other.collect()} == got
+
+
+def test_ppr_gate(spark):
+    from multithreaded_map_reduce_spark.queries.graphrank import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["ppr_region_nations"], ORACLES["ppr_region_nations"], SF_SMOKE
+    )
+
+
+def test_ppr_mass_concentrates_on_restart_region(spark):
+    """Personalization sanity: the seed region's nations hold MORE
+    total rank than any other region (teleport + dangling mass return
+    there), and total mass stays ~SCALE (floor-truncation loss only)."""
+    from multithreaded_map_reduce_spark.operators.pagerank import SCALE
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        NUM_ITER,
+        PPR_REGION,
+        QUERIES,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    pr = QUERIES["ppr_region_nations"](spark, SF_SMOKE)
+    nation = load_table(spark, SF_SMOKE, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_regionkey"
+    )
+    per_region = {
+        r["n_regionkey"]: r["mass"]
+        for r in pr.join(nation, "nationkey")
+        .groupBy("n_regionkey")
+        .agg(F.sum("rank_units").alias("mass"))
+        .collect()
+    }
+    seed_mass = per_region[PPR_REGION]
+    assert all(
+        seed_mass > m for reg, m in per_region.items() if reg != PPR_REGION
+    ), per_region
+    total = sum(per_region.values())
+    assert SCALE - total < NUM_ITER * 25 * 30  # truncation-only loss
