@@ -172,6 +172,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_quality_score",
     "curation_domain_cap",
     "ppr_region_nations",
+    "quality_logreg_pr",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -784,11 +784,12 @@ def streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(1, _LR_NX + 1)
     ]
     zrow = feat.join(model, "_k").select(
-        "doc_id", *[F.col(f"w{j}") for j in range(_LR_NX + 1)], *zcols
+        "doc_id", "keep", *[F.col(f"w{j}") for j in range(_LR_NX + 1)], *zcols
     )
     p = _lr_p(_lr_z())
     out = zrow.select(
         "doc_id",
+        "keep",
         iunits(p, 9).alias("score_units"),
         (p >= F.lit(0.5)).cast("int").alias("pred_keep"),
     )

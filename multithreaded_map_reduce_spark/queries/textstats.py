@@ -1966,7 +1966,7 @@ def _sql_logreg(
         scored_src = "ztrain"
     else:
         final = f"""
-    SELECT doc_id, {sql_iunits('p', 9)} AS score_units,
+    SELECT doc_id, keep, {sql_iunits('p', 9)} AS score_units,
            CAST(p >= 0.5 AS INTEGER) AS pred_keep
     FROM scored"""
         scored_src = f"(SELECT * FROM zfeat WHERE {score_where})"
@@ -2026,3 +2026,99 @@ def _sql_logreg(
 
 
 ORACLES["quality_logreg"] = _sql_logreg()
+
+
+# -------------------- classifier threshold sweep (precision / recall)
+# The eval loop that closes the distillation story (the ann_recall
+# discipline applied to the quality scorer): per decision threshold,
+# the confusion counts and precision/recall of the trained scorer
+# against its teacher labels — the curve an operator reads to pick the
+# keep threshold for a target recall. One per-doc scored relation,
+# THRESHOLDS replicated by explode, one aggregate; the scored relation
+# is bounded by the corpus, the output by |thresholds| rows.
+
+LOGREG_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7]
+
+
+def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep", _lr_p(_lr_z()).alias("p")
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])
+    ).alias("threshold")
+    sweep = scored.select("keep", "p", thr)
+    pred = (F.col("p") >= F.col("threshold")).cast("long")
+    tp = F.sum(pred * F.col("keep"))
+    fp = F.sum(pred * (F.lit(1) - F.col("keep")))
+    fn = F.sum((F.lit(1) - pred) * F.col("keep"))
+    tn = F.sum((F.lit(1) - pred) * (F.lit(1) - F.col("keep")))
+    return (
+        sweep.groupBy("threshold")
+        .agg(
+            tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
+        )
+        .select(
+            "threshold", "tp", "fp", "fn", "tn",
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                pround(
+                    F.col("tp").cast("double")
+                    / (F.col("tp") + F.col("fp")).cast("double"),
+                    6,
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                pround(
+                    F.col("tp").cast("double")
+                    / (F.col("tp") + F.col("fn")).cast("double"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["quality_logreg_pr"] = quality_logreg_pr
+
+
+def _sql_logreg_pr() -> str:
+    thr_list = ", ".join(str(t) for t in LOGREG_THRESHOLDS)
+    return f"""
+    WITH perdoc AS ({_sql_logreg(mode="per_doc", score_where="TRUE")}),
+    sweep AS (
+        SELECT keep, CAST(score_units AS DOUBLE) / 1000000000.0 AS p,
+               CAST(t.threshold AS DOUBLE) AS threshold
+        FROM perdoc, (SELECT unnest([{thr_list}]) AS threshold) t
+    ), cm AS (
+        SELECT threshold,
+               CAST(sum(CAST(p >= threshold AS BIGINT) * keep) AS BIGINT) AS tp,
+               CAST(sum(CAST(p >= threshold AS BIGINT) * (1 - keep)) AS BIGINT) AS fp,
+               CAST(sum((1 - CAST(p >= threshold AS BIGINT)) * keep) AS BIGINT) AS fn,
+               CAST(sum((1 - CAST(p >= threshold AS BIGINT)) * (1 - keep)) AS BIGINT) AS tn
+        FROM sweep GROUP BY threshold
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN
+               {sql_pround('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)', 6)}
+           END AS precision,
+           CASE WHEN tp + fn > 0 THEN
+               {sql_pround('CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)', 6)}
+           END AS recall
+    FROM cm
+"""
+
+
+ORACLES["quality_logreg_pr"] = _sql_logreg_pr()

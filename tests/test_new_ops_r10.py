@@ -275,3 +275,29 @@ def test_ppr_mass_concentrates_on_restart_region(spark):
     ), per_region
     total = sum(per_region.values())
     assert SCALE - total < NUM_ITER * 25 * 30  # truncation-only loss
+
+
+def test_logreg_pr_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["quality_logreg_pr"], ORACLES["quality_logreg_pr"], SF_SMOKE
+    )
+
+
+def test_logreg_pr_monotone_tradeoff(spark):
+    """Raising the threshold can only LOWER recall and shrink the kept
+    set — the monotonicity that makes the curve an operator's tuning
+    knob; every threshold's confusion counts must cover the corpus."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    rows = sorted(
+        QUERIES["quality_logreg_pr"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["threshold"],
+    )
+    n = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(n) == 1
+    kept = [r["tp"] + r["fp"] for r in rows]
+    rec = [r["recall"] for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert rec == sorted(rec, reverse=True)
