@@ -173,6 +173,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_domain_cap",
     "ppr_region_nations",
     "quality_logreg_pr",
+    "curation_shard_budget",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

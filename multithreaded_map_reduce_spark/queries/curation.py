@@ -1412,3 +1412,70 @@ ORACLES["curation_domain_cap"] = f"""
         FROM documents
     ) WHERE rk <= {DOMAIN_CAP}
 """
+
+
+# --------------------------------------------- shard token budgeting
+# The pre-launch check on the training order: per (epoch, shard), how
+# many docs and tokens land there, and each shard's token mass relative
+# to its epoch's mean — the balance report that tells you whether the
+# hash sharding produced even work BEFORE the training job starts
+# (unbalanced shards = straggler steps). Composition of
+# curation_training_order with per-doc token accounting; one join on
+# doc_id + one aggregate; the balance ratio is integer-exact until the
+# final division.
+
+def curation_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround
+    from ..functions.text import tokenize
+
+    order = curation_training_order(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    per = (
+        order.join(toks, "doc_id")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+        )
+    )
+    we = W.partitionBy("epoch")
+    total = F.sum("sum_tokens").over(we)
+    cnt = F.count(F.lit(1)).over(we)
+    return per.select(
+        "epoch",
+        "shard",
+        "n_docs",
+        "sum_tokens",
+        pround(
+            (F.col("sum_tokens").cast("double") * cnt.cast("double"))
+            / total.cast("double"),
+            6,
+        ).alias("balance_ratio"),
+    )
+
+
+QUERIES["curation_shard_budget"] = curation_shard_budget
+
+from ..functions.rounding import sql_pround as _sql_pr  # noqa: E402
+
+ORACLES["curation_shard_budget"] = f"""
+    WITH ord AS ({ORACLES['curation_training_order']}),
+    toks AS (
+        SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
+        FROM documents
+    ), per AS (
+        SELECT epoch, shard, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+        FROM ord JOIN toks USING (doc_id)
+        GROUP BY epoch, shard
+    )
+    SELECT epoch, shard, n_docs, sum_tokens,
+           {_sql_pr(
+               '(CAST(sum_tokens AS DOUBLE)'
+               ' * CAST(count(*) OVER (PARTITION BY epoch) AS DOUBLE))'
+               ' / CAST(sum(sum_tokens) OVER (PARTITION BY epoch) AS DOUBLE)',
+               6)} AS balance_ratio
+    FROM per
+"""

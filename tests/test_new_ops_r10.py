@@ -301,3 +301,34 @@ def test_logreg_pr_monotone_tradeoff(spark):
     rec = [r["recall"] for r in rows]
     assert kept == sorted(kept, reverse=True)
     assert rec == sorted(rec, reverse=True)
+
+
+def test_shard_budget_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["curation_shard_budget"],
+        ORACLES["curation_shard_budget"],
+        SF_SMOKE,
+    )
+
+
+def test_shard_budget_conserves_tokens(spark):
+    """Per epoch, shard token masses sum to the corpus total and the
+    balance ratios average to 1 — the conservation property that makes
+    the report trustworthy."""
+    from multithreaded_map_reduce_spark.queries.curation import QUERIES
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES as TQ
+
+    rows = QUERIES["curation_shard_budget"](spark, SF_SMOKE).collect()
+    total_tokens = sum(
+        r["n_ws_tokens"]
+        for r in TQ["text_token_count"](spark, SF_SMOKE).collect()
+    )
+    epochs = {r["epoch"] for r in rows}
+    for e in epochs:
+        er = [r for r in rows if r["epoch"] == e]
+        assert sum(r["sum_tokens"] for r in er) == total_tokens
+        mean_ratio = sum(r["balance_ratio"] for r in er) / len(er)
+        assert abs(mean_ratio - 1.0) < 0.01
