@@ -209,6 +209,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Machine-speed canary: a fixed pure-JVM aggregation, data- and
+    # code-independent, so cross-round warm comparisons can be read
+    # against host speed (round 6: every plan-UNCHANGED "regression"
+    # traced to a uniformly slower host, confirmed by fresh-session
+    # spot checks — this records that context IN the bench output).
+    canary_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id % 1000)").collect()
+        canary_reps.append(time.perf_counter() - t0)
+    canary = round(statistics.median(canary_reps), 3)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     plan_hashes: dict[str, str] = {}
@@ -275,6 +287,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "warm_n_reps": 5,
         "plan_hash": plan_hashes,
+        "canary_sec": canary,
         "sf": sf,
     }
     if prev is not None:
@@ -298,6 +311,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "warm_total": detail["warm_total"],
+        "canary_sec": canary,
         "sf": sf,
     }
     if prev is not None:
