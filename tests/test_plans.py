@@ -523,3 +523,19 @@ def test_bootstrap_single_scan_no_cartesian(spark):
 
     rep = plan_report(_q("quality_bootstrap_ci")(spark, SF_SMOKE))
     assert not rep.cartesian
+
+
+def test_quality_logreg_prunes_document_columns(spark):
+    """The classifier reads ONLY text+lang from documents — n_chars/
+    source/doc_id never reach the scan (column pruning through the
+    feature, standardization, and GD subtrees)."""
+    import re
+
+    df = _q("quality_logreg")(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    doc_schemas = [s for s in schemas if "text:string" in s]
+    assert doc_schemas, schemas
+    for s in doc_schemas:
+        assert "n_chars" not in s and "source" not in s, s
