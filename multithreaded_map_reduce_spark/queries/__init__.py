@@ -174,6 +174,7 @@ _NEW_THIS_ROUND: list[str] = [
     "ppr_region_nations",
     "quality_logreg_pr",
     "curation_shard_budget",
+    "multimodal_phash_neardup",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -349,3 +349,130 @@ ORACLES["multimodal_phash"] = f"""
            count(*) OVER (PARTITION BY dhash_lo, dhash_hi) AS n_same
     FROM hashes
 """
+
+
+# ----------------------------------- perceptual near-dup (banded dHash)
+# Image near-duplicate detection — the multimodal twin of
+# dedup_simhash's banding: the 64-bit dHash splits into 8 bands of
+# 8 bits, candidates share >= 1 band, survivors verify exact Hamming
+# distance <= HAM_K. With HAM_K = 7 < 8 bands the scheme is LOSSLESS by
+# pigeonhole (7 differing bits cannot touch all 8 bands), so banding is
+# pure pruning — same guarantee discipline as the minhash/simhash
+# rungs, and the oracle replays banding + cap + verify exactly.
+# Hot bands (tiny constant-gradient images collide hard) are capped at
+# HAM_CAP distinct images before pair expansion, replayed by the
+# oracle — the standard boilerplate-bucket rail.
+
+HAM_BANDS = 8
+HAM_K = 7  # < HAM_BANDS -> pigeonhole-lossless
+HAM_CAP = 100
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = extract_image_dhash(documents_as_ppm_images(docs))
+    band_structs = []
+    for b in range(HAM_BANDS):
+        src = F.col("dhash_lo") if b < 4 else F.col("dhash_hi")
+        band_structs.append(
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.shiftright(src, 8 * (b % 4)).bitwiseAND(F.lit(255)).alias(
+                    "band_val"
+                ),
+            )
+        )
+    bands = d.select(
+        "media_id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("media_id", F.col("s.band_id").alias("band_id"), F.col("s.band_val").alias("band_val"))
+    sizes = bands.groupBy("band_id", "band_val").agg(
+        F.countDistinct("media_id").alias("_n")
+    )
+    capped = bands.join(
+        sizes.filter(F.col("_n") <= HAM_CAP).select("band_id", "band_val"),
+        ["band_id", "band_val"],
+    )
+    a, bb = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = d.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        F.col("dhash_hi").alias("hi_a"),
+    )
+    hb = d.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        F.col("dhash_hi").alias("hi_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAM_K)
+    )
+
+
+QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
+
+ORACLES["multimodal_phash_neardup"] = f"""
+    WITH geom AS (
+        SELECT doc_id AS media_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS height
+        FROM documents WHERE length(text) > 0
+    ), grays AS (
+        SELECT media_id,
+               list_transform(range(0, 72), j -> {_PH_GRAY}) AS g
+        FROM geom
+    ), hashes AS (
+        SELECT media_id,
+               {_ph_half(0)} AS dhash_lo,
+               {_ph_half(32)} AS dhash_hi
+        FROM grays
+    ), bands AS (
+        SELECT media_id, t.b AS band_id,
+               CASE WHEN t.b < 4 THEN (dhash_lo >> CAST(8 * t.b AS INTEGER)) & 255
+                    ELSE (dhash_hi >> CAST(8 * (t.b - 4) AS INTEGER)) & 255
+               END AS band_val
+        FROM hashes, (SELECT unnest(range(0, {HAM_BANDS})) AS b) t
+    ), sizes AS (
+        SELECT band_id, band_val, count(DISTINCT media_id) AS _n
+        FROM bands GROUP BY 1, 2
+    ), capped AS (
+        SELECT bands.* FROM bands JOIN sizes USING (band_id, band_val)
+        WHERE _n <= {HAM_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.media_id < b.media_id
+    ), scored AS (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha.dhash_lo, hb.dhash_lo))
+                    + bit_count(xor(ha.dhash_hi, hb.dhash_hi)) AS INTEGER)
+                   AS hamming
+        FROM cand
+        JOIN hashes ha ON id_a = ha.media_id
+        JOIN hashes hb ON id_b = hb.media_id
+    )
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {HAM_K}
+"""

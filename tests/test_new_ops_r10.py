@@ -332,3 +332,49 @@ def test_shard_budget_conserves_tokens(spark):
         assert sum(r["sum_tokens"] for r in er) == total_tokens
         mean_ratio = sum(r["balance_ratio"] for r in er) / len(er)
         assert abs(mean_ratio - 1.0) < 0.01
+
+
+def test_phash_neardup_gate(spark):
+    from multithreaded_map_reduce_spark.queries.multimodal import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["multimodal_phash_neardup"],
+        ORACLES["multimodal_phash_neardup"],
+        SF_SMOKE,
+    )
+
+
+def test_phash_banding_lossless_vs_bruteforce(spark):
+    """Pigeonhole guarantee: HAM_K < HAM_BANDS means banding cannot
+    miss a pair within threshold — the banded result must EQUAL the
+    uncapped brute-force all-pairs Hamming join on the same hashes
+    (no bucket hits the cap at this SF, so the cap doesn't bite)."""
+    from multithreaded_map_reduce_spark.operators.multimodal import (
+        documents_as_ppm_images,
+        extract_image_dhash,
+    )
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        HAM_K,
+        QUERIES,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in QUERIES["multimodal_phash_neardup"](spark, SF_SMOKE).collect()
+    }
+    d = extract_image_dhash(
+        documents_as_ppm_images(load_table(spark, SF_SMOKE, "documents"))
+    )
+    rows = [(r["media_id"], r["dhash_lo"], r["dhash_hi"]) for r in d.collect()]
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a[0] > b[0]:
+                a, b = b, a
+            h = bin(a[1] ^ b[1]).count("1") + bin(a[2] ^ b[2]).count("1")
+            if h <= HAM_K:
+                brute.add((a[0], b[0], h))
+    assert banded == brute
