@@ -175,6 +175,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_logreg_pr",
     "curation_shard_budget",
     "multimodal_phash_neardup",
+    "curation_token_budget",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1479,3 +1479,90 @@ ORACLES["curation_shard_budget"] = f"""
                6)} AS balance_ratio
     FROM per
 """
+
+
+# ------------------------------------------- token-budget mixture fill
+# "Fill a B-token training budget at these mixture weights" — the
+# actual quantity a pretraining run is provisioned in. Per-source token
+# quotas follow the same temperature rule as curation_mixture but over
+# TOKEN mass (w_s = isqrt(sum_tokens_s), quota_s = B*w_s div Σw), and
+# each source's quota fills greedily in salted-hash order: a doc is
+# kept iff the cumulative token count INCLUDING it stays within quota
+# (strict budget — never overshoots). All integer arithmetic; the fill
+# is one per-source cumulative-sum window over the hash order — one
+# shuffle on source, same stratum-skew profile as any per-source draw.
+
+TOKEN_BUDGET = 20_000
+
+
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    stats = docs.groupBy("source").agg(F.sum("n_toks").alias("src_toks"))
+    w = stats.select(
+        "source",
+        "src_toks",
+        F.floor(F.sqrt(F.col("src_toks").cast("double"))).cast("long").alias("w"),
+    )
+    totals = w.agg(F.sum("w").alias("sum_w"))
+    quota = w.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "src_toks",
+        F.expr(f"{TOKEN_BUDGET} * w div sum_w").alias("quota"),
+    )
+    h = token_hash(F.concat(F.lit("tb:"), F.col("doc_id").cast("string")))
+    wc = W.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    filled = (
+        docs.withColumn("_h", h)
+        .withColumn("cum", F.sum("n_toks").over(wc))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("cum") <= F.col("quota"))
+    )
+    return filled.groupBy("source", "src_toks", "quota").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("kept_tokens"),
+    )
+
+
+QUERIES["curation_token_budget"] = curation_token_budget
+
+_TB_H = sql_token_hash("'tb:' || CAST(doc_id AS VARCHAR)")
+
+ORACLES["curation_token_budget"] = f"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
+        FROM documents
+    ), stats AS (
+        SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks
+        FROM docs GROUP BY source
+    ), w AS (
+        SELECT source, src_toks,
+               CAST(floor(sqrt(CAST(src_toks AS DOUBLE))) AS BIGINT) AS w
+        FROM stats
+    ), quota AS (
+        SELECT source, src_toks,
+               {TOKEN_BUDGET} * w // (SELECT sum(w) FROM w) AS quota
+        FROM w
+    ), filled AS (
+        SELECT d.source, d.n_toks, q.src_toks, q.quota,
+               sum(d.n_toks) OVER (
+                   PARTITION BY d.source
+                   ORDER BY ({_TB_H}) ASC, d.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM docs d JOIN quota q USING (source)
+    )
+    SELECT source, src_toks, quota,
+           count(*) AS n_kept,
+           CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+    FROM filled WHERE cum <= quota
+    GROUP BY source, src_toks, quota
+"""

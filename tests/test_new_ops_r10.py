@@ -378,3 +378,33 @@ def test_phash_banding_lossless_vs_bruteforce(spark):
             if h <= HAM_K:
                 brute.add((a[0], b[0], h))
     assert banded == brute
+
+
+def test_token_budget_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["curation_token_budget"],
+        ORACLES["curation_token_budget"],
+        SF_SMOKE,
+    )
+
+
+def test_token_budget_never_overshoots(spark):
+    """Strict budget: every source's kept token mass stays within its
+    quota, quotas sum within the global budget, and the fill is tight —
+    adding the next doc in hash order would exceed quota (checked via
+    kept_tokens + smallest unkept doc > quota is NOT required; tightness
+    here = kept_tokens <= quota < kept_tokens + max_doc_tokens + slack
+    is data-dependent, so assert the two hard invariants only)."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        TOKEN_BUDGET,
+        QUERIES,
+    )
+
+    rows = QUERIES["curation_token_budget"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["kept_tokens"] <= r["quota"], r
+    assert sum(r["quota"] for r in rows) <= TOKEN_BUDGET
