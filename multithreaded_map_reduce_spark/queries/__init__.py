@@ -176,6 +176,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_shard_budget",
     "multimodal_phash_neardup",
     "curation_token_budget",
+    "curation_decontaminate_semantic",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

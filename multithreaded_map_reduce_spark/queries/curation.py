@@ -1566,3 +1566,77 @@ ORACLES["curation_token_budget"] = f"""
     FROM filled WHERE cum <= quota
     GROUP BY source, src_toks, quota
 """
+
+
+# ------------------------------------- semantic benchmark decontamination
+# curation_decontaminate catches LEXICAL overlap (shared 5-grams); this
+# is its embedding-space twin — the paraphrase leak n-grams miss. The
+# benchmark's embedding slice (vec_id % BENCH_MOD == 0, small by
+# definition) broadcasts; every corpus vector scores cosine against it
+# and is flagged when its best match reaches DECON_SEM_TAU. The argmax
+# is a map-side-combinable max(struct) — no window, no shuffle of the
+# pair relation; at 100 TB this is one broadcast-nested-loop scan of
+# the corpus embeddings, the same plan family as sim_topk_bruteforce
+# (for benchmark slices beyond broadcast size, route through the IVF
+# rungs instead — same candidate discipline as embedding_neardup_ivf).
+
+DECON_SEM_TAU = 0.35
+
+
+def curation_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround as _pr
+    from ..functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % BENCH_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), as_double("embedding").alias("bv")
+    )
+    corp = emb.filter(F.col("vec_id") % BENCH_MOD != 0).select(
+        "vec_id", as_double("embedding").alias("cv")
+    )
+    scored = corp.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        _pr(cosine(F.col("cv"), F.col("bv")), 6).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), F.col("bench_id"))).alias("m")
+    )
+    return best.filter(F.col("m.cos") >= F.lit(DECON_SEM_TAU)).select(
+        "vec_id",
+        F.col("m.bench_id").alias("match_id"),
+        F.col("m.cos").alias("cos_sim"),
+    )
+
+
+QUERIES["curation_decontaminate_semantic"] = curation_decontaminate_semantic
+
+
+def _decon_sem_oracle() -> str:
+    from ..functions.rounding import sql_pround as _spr
+    from ..functions.vectors import sql_as_double, sql_cosine
+
+    return f"""
+    WITH bench AS (
+        SELECT vec_id AS bench_id, {sql_as_double('embedding')} AS bv
+        FROM embeddings WHERE vec_id % {BENCH_MOD} = 0
+    ), corp AS (
+        SELECT vec_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id % {BENCH_MOD} != 0
+    ), scored AS (
+        SELECT vec_id, bench_id,
+               {_spr(sql_cosine('corp.cv', 'bench.bv'), 6)} AS cos
+        FROM corp, bench
+    ), best AS (
+        SELECT vec_id, bench_id AS match_id, cos AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, bench_id DESC
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, match_id, cos_sim FROM best
+    WHERE rn = 1 AND cos_sim >= CAST({DECON_SEM_TAU} AS DOUBLE)
+"""
+
+
+ORACLES["curation_decontaminate_semantic"] = _decon_sem_oracle()

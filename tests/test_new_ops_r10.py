@@ -408,3 +408,24 @@ def test_token_budget_never_overshoots(spark):
     for r in rows:
         assert r["kept_tokens"] <= r["quota"], r
     assert sum(r["quota"] for r in rows) <= TOKEN_BUDGET
+
+
+def test_decontaminate_semantic_gate(spark):
+    from multithreaded_map_reduce_spark.queries.curation import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["curation_decontaminate_semantic"],
+        ORACLES["curation_decontaminate_semantic"],
+        SF_SMOKE,
+    )
+
+
+def test_decontaminate_semantic_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast — a shuffle cartesian of the
+    corpus embedding relation would be the 100 TB killer."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+    from multithreaded_map_reduce_spark.queries.curation import QUERIES
+
+    rep = plan_report(QUERIES["curation_decontaminate_semantic"](spark, SF_SMOKE))
+    assert not rep.cartesian
