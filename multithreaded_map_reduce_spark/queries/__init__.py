@@ -177,6 +177,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_phash_neardup",
     "curation_token_budget",
     "curation_decontaminate_semantic",
+    "text_js_by_source",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

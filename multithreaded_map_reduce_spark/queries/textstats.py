@@ -2122,3 +2122,93 @@ def _sql_logreg_pr() -> str:
 
 
 ORACLES["quality_logreg_pr"] = _sql_logreg_pr()
+
+
+# ----------------------- token-distribution drift (Jensen–Shannon)
+# Completes the drift family: KS and PSI cover numeric columns; JS
+# divergence is the standard for TOKEN distributions — per source, how
+# far its unigram distribution sits from the corpus mixture (0 =
+# identical, ln 2 = disjoint). The absent-token tail (tokens the source
+# never emits, where p=0 and the q-side term collapses to q·ln2) is
+# folded in CLOSED FORM from the source's covered corpus mass, so the
+# join only materializes (source, token) pairs the source actually
+# contains — tf-idf shuffle shape, never |sources|×|vocab|. Per-row
+# log terms snap to 9-dp integer units before the exact BIGINT sum
+# (the entropy/PMI discipline), so 1000 executors agree with DuckDB's
+# serial fold.
+
+
+def text_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("ct").cast("double") / F.col("n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    rows = (
+        sc.join(cc, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = rows.groupBy("source").agg(
+        F.first("ns").alias("n_tokens"),
+        F.first("n").alias("n_corpus"),
+        F.sum(iunits(p * F.log(p / m), 9)).alias("a_units"),
+        F.sum(iunits(q * F.log(q / m), 9)).alias("b_units"),
+        F.sum("ct").alias("covered"),
+    )
+    js = (
+        F.lit(0.5)
+        * ((F.col("a_units") + F.col("b_units")).cast("double") / F.lit(1e9))
+        + (F.lit(0.5) * F.log(F.lit(2.0)))
+        * (
+            (F.col("n_corpus") - F.col("covered")).cast("double")
+            / F.col("n_corpus").cast("double")
+        )
+    )
+    return agg.select("source", "n_tokens", pround(js, 6).alias("js_divergence"))
+
+
+QUERIES["text_js_by_source"] = text_js_by_source
+
+ORACLES["text_js_by_source"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({sql_tokens('text')}) AS tok FROM documents
+    ), sc AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ), cc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1
+    ), stot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+    ), rows_ AS (
+        SELECT sc.source, sc.c, cc.ct, stot.ns, tot.n,
+               CAST(sc.c AS DOUBLE) / CAST(stot.ns AS DOUBLE) AS p,
+               CAST(cc.ct AS DOUBLE) / CAST(tot.n AS DOUBLE) AS q
+        FROM sc JOIN cc USING (tok) JOIN stot USING (source), tot
+    ), agg AS (
+        SELECT source,
+               first(ns) AS n_tokens,
+               first(n) AS n_corpus,
+               CAST(sum({sql_iunits('p * ln(p / ((p + q) / 2.0))', 9)}) AS BIGINT)
+                   AS a_units,
+               CAST(sum({sql_iunits('q * ln(q / ((p + q) / 2.0))', 9)}) AS BIGINT)
+                   AS b_units,
+               CAST(sum(ct) AS BIGINT) AS covered
+        FROM rows_ GROUP BY source
+    )
+    SELECT source, n_tokens,
+           {sql_pround(
+               '(0.5 * (CAST(a_units + b_units AS DOUBLE) / 1e9))'
+               ' + (0.5 * ln(2.0))'
+               ' * (CAST(n_corpus - covered AS DOUBLE) / CAST(n_corpus AS DOUBLE))',
+               6)} AS js_divergence
+    FROM agg
+"""

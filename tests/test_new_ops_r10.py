@@ -429,3 +429,25 @@ def test_decontaminate_semantic_broadcasts_benchmark(spark):
 
     rep = plan_report(QUERIES["curation_decontaminate_semantic"](spark, SF_SMOKE))
     assert not rep.cartesian
+
+
+def test_js_by_source_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(
+        spark, QUERIES["text_js_by_source"], ORACLES["text_js_by_source"], SF_SMOKE
+    )
+
+
+def test_js_by_source_bounds(spark):
+    """JS divergence lives in [0, ln 2]; on this near-homogeneous
+    fixture every source sits strictly inside (positive — no source IS
+    the corpus — and far from disjoint)."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    rows = QUERIES["text_js_by_source"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r["js_divergence"] < math.log(2), r
