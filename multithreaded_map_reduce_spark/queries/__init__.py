@@ -178,6 +178,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_token_budget",
     "curation_decontaminate_semantic",
     "text_js_by_source",
+    "streaming_drift_monitor",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -812,3 +812,143 @@ def _streaming_logreg_oracle() -> str:
 
 
 ORACLES["streaming_quality_score"] = _streaming_logreg_oracle()
+
+
+# ------------------------------------------- streaming drift monitor
+DRIFT_BUCKETS = 64
+
+
+def _drift_baseline_path(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 hashed-unigram bucket counts persisted once (the JS drift
+    baseline). Same staleness contract as the other per-process
+    artifacts: keyed by immutable fixture dir."""
+    from ..functions.hashing import token_hash
+    from ..functions.text import tokenize
+    from .connectors import _fixture_path
+
+    if sf_dir not in _DRIFT_BASE_PATHS:
+        path = _fixture_path("drift_base")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        b = token_hash(F.col("tok")) % F.lit(DRIFT_BUCKETS)
+        counts = (
+            docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+            .select(b.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        spine = spark.range(DRIFT_BUCKETS).select(F.col("id").alias("b"))
+        spine.join(counts, "b", "left").select(
+            "b", F.coalesce("cb", F.lit(0)).cast("long").alias("cb")
+        ).write.mode("overwrite").parquet(path)
+        _DRIFT_BASE_PATHS[sf_dir] = path
+    return _DRIFT_BASE_PATHS[sf_dir]
+
+
+_DRIFT_BASE_PATHS: dict[str, str] = {}
+
+
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distribution-drift monitor: arriving day-2 docs hash
+    tokens into DRIFT_BUCKETS buckets (bounded state — the streaming
+    aggregation holds exactly 64 rows no matter how long the stream
+    runs), and the sink contents are scored against the PERSISTED
+    day-1 baseline as an add-one-smoothed Jensen-Shannon divergence —
+    the ingest-time "did today's data change?" alarm. Train-once /
+    monitor-forever, the dsir/dedup-probe discipline applied to drift.
+
+    Differential contract: one (n_stream_tokens, js_divergence) row
+    equal to a batch replay of day-1 baseline vs day-2 stream."""
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits
+    from ..functions.text import tokenize
+    from ..streaming.events import run_stream_to_memory, stream_documents
+
+    path = _drift_baseline_path(spark, sf_dir)
+    base = spark.read.parquet(path)
+    stream = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    b = token_hash(F.col("tok")) % F.lit(DRIFT_BUCKETS)
+    counts = (
+        stream.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    name = _sink("st_drift")
+    run_stream_to_memory(counts, name, output_mode="complete")
+
+    spine = spark.range(DRIFT_BUCKETS).select(F.col("id").alias("b"))
+    joined = (
+        spine.join(spark.table(name), "b", "left")
+        .join(base, "b", "left")
+        .select(
+            F.coalesce("cs", F.lit(0)).cast("long").alias("cs"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("cs").alias("ns"), F.sum("cb").alias("nb")
+    )
+    r = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("cs") + F.lit(1)).cast("double") / (
+        F.col("ns") + F.lit(DRIFT_BUCKETS)
+    ).cast("double")
+    q = (F.col("cb") + F.lit(1)).cast("double") / (
+        F.col("nb") + F.lit(DRIFT_BUCKETS)
+    ).cast("double")
+    m = (p + q) / F.lit(2.0)
+    agg = r.agg(
+        F.first("ns").alias("n_stream_tokens"),
+        F.sum(iunits(p * F.log(p / m), 9)).alias("a_units"),
+        F.sum(iunits(q * F.log(q / m), 9)).alias("b_units"),
+    )
+    js = F.lit(0.5) * (
+        (F.col("a_units") + F.col("b_units")).cast("double") / F.lit(1e9)
+    )
+    return agg.select("n_stream_tokens", pround(js, 6).alias("js_divergence"))
+
+
+QUERIES["streaming_drift_monitor"] = streaming_drift_monitor
+
+
+def _streaming_drift_oracle() -> str:
+    from ..functions.hashing import sql_token_hash, sql_tokens
+    from ..functions.rounding import sql_iunits as _siu, sql_pround as _spr
+
+    b = f"({sql_token_hash('tok')} % {DRIFT_BUCKETS})"
+    p = f"(CAST(cs + 1 AS DOUBLE) / CAST(ns + {DRIFT_BUCKETS} AS DOUBLE))"
+    q = f"(CAST(cb + 1 AS DOUBLE) / CAST(nb + {DRIFT_BUCKETS} AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, {b} AS b FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+        )
+    ), spine AS (
+        SELECT unnest(range(0, {DRIFT_BUCKETS})) AS b
+    ), s_cnt AS (
+        SELECT b, count(*) AS c FROM terms WHERE doc_id % 10 = 0 GROUP BY b
+    ), b_cnt AS (
+        SELECT b, count(*) AS c FROM terms WHERE doc_id % 10 != 0 GROUP BY b
+    ), joined AS (
+        SELECT CAST(coalesce(s.c, 0) AS BIGINT) AS cs,
+               CAST(coalesce(bc.c, 0) AS BIGINT) AS cb
+        FROM spine LEFT JOIN s_cnt s USING (b) LEFT JOIN b_cnt bc USING (b)
+    ), tot AS (
+        SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(cb) AS BIGINT) AS nb
+        FROM joined
+    ), agg AS (
+        SELECT first(ns) AS n_stream_tokens,
+               CAST(sum({_siu(f"{p} * ln({p} / {m})", 9)}) AS BIGINT) AS a_units,
+               CAST(sum({_siu(f"{q} * ln({q} / {m})", 9)}) AS BIGINT) AS b_units
+        FROM joined, tot
+    )
+    SELECT n_stream_tokens,
+           {_spr('0.5 * (CAST(a_units + b_units AS DOUBLE) / 1e9)', 6)}
+               AS js_divergence
+    FROM agg
+"""
+
+
+ORACLES["streaming_drift_monitor"] = _streaming_drift_oracle()

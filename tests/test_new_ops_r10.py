@@ -451,3 +451,34 @@ def test_js_by_source_bounds(spark):
     assert len(rows) == 20
     for r in rows:
         assert 0.0 < r["js_divergence"] < math.log(2), r
+
+
+def test_streaming_drift_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["streaming_drift_monitor"],
+        ORACLES["streaming_drift_monitor"],
+        SF_SMOKE,
+    )
+
+
+def test_streaming_drift_state_is_bounded(spark):
+    """The streaming aggregation's state is the bucket spine — at most
+    DRIFT_BUCKETS rows in the sink regardless of stream length — and
+    the divergence on same-generator day-1/day-2 slices is small but
+    positive."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        DRIFT_BUCKETS,
+        QUERIES,
+    )
+
+    row = QUERIES["streaming_drift_monitor"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 < row["js_divergence"] < math.log(2) / 4
+    assert row["n_stream_tokens"] > DRIFT_BUCKETS
