@@ -179,6 +179,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_decontaminate_semantic",
     "text_js_by_source",
     "streaming_drift_monitor",
+    "multimodal_phash_clusters",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

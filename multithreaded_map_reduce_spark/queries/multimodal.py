@@ -476,3 +476,51 @@ ORACLES["multimodal_phash_neardup"] = f"""
     )
     SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {HAM_K}
 """
+
+
+# ------------------------------ perceptual clusters (canonical images)
+# Pairs -> canonical ids: the same closure dedup_clusters applies to
+# text near-dups, over the banded-Hamming image pairs — per image the
+# min-id of its perceptual component (its own id when unique). This is
+# the relation an image-dedup pass actually consumes (keep one
+# canonical per cluster); CC runs the min-label-propagation operator
+# (O(log n) rounds), the oracle the recursive closure.
+
+
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.multimodal import extract_image_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = extract_image_dhash(documents_as_ppm_images(docs)).select("media_id")
+    pairs = multimodal_phash_neardup(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs).select(
+        F.col("id").alias("media_id"), F.col("root").alias("_root")
+    )
+    return media.join(labels, "media_id", "left").select(
+        "media_id",
+        F.coalesce("_root", F.col("media_id")).alias("canonical_id"),
+    )
+
+
+QUERIES["multimodal_phash_clusters"] = multimodal_phash_clusters
+
+ORACLES["multimodal_phash_clusters"] = f"""
+    WITH RECURSIVE ph_pairs AS ({ORACLES['multimodal_phash_neardup']}),
+    media AS (
+        SELECT doc_id AS media_id FROM documents WHERE length(text) > 0
+    ), nodes AS (
+        SELECT id_a AS id FROM ph_pairs UNION SELECT id_b FROM ph_pairs
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM ph_pairs
+        UNION SELECT id_b, id_a FROM ph_pairs
+    ), reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), roots AS (
+        SELECT a AS media_id, min(b) AS root FROM reach GROUP BY a
+    )
+    SELECT m.media_id, coalesce(r.root, m.media_id) AS canonical_id
+    FROM media m LEFT JOIN roots r USING (media_id)
+"""

@@ -482,3 +482,32 @@ def test_streaming_drift_state_is_bounded(spark):
     row = QUERIES["streaming_drift_monitor"](spark, SF_SMOKE).collect()[0]
     assert 0.0 < row["js_divergence"] < math.log(2) / 4
     assert row["n_stream_tokens"] > DRIFT_BUCKETS
+
+
+def test_phash_clusters_gate(spark):
+    from multithreaded_map_reduce_spark.queries.multimodal import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["multimodal_phash_clusters"],
+        ORACLES["multimodal_phash_clusters"],
+        SF_SMOKE,
+    )
+
+
+def test_phash_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair shares a canonical id; every canonical id is
+    a member of its own cluster; singletons label themselves."""
+    from multithreaded_map_reduce_spark.queries.multimodal import QUERIES
+
+    labels = {
+        r["media_id"]: r["canonical_id"]
+        for r in QUERIES["multimodal_phash_clusters"](spark, SF_SMOKE).collect()
+    }
+    pairs = QUERIES["multimodal_phash_neardup"](spark, SF_SMOKE).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p["id_a"]] == labels[p["id_b"]], p
+    for mid, canon in labels.items():
+        assert labels[canon] == canon
+        assert canon <= mid
