@@ -180,6 +180,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_js_by_source",
     "streaming_drift_monitor",
     "multimodal_phash_clusters",
+    "dedup_cross_source_matrix",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -933,3 +933,43 @@ ORACLES["dedup_soft_weights"] = """
            CAST(1000000000 // n_copies AS BIGINT) AS weight_units
     FROM documents JOIN clusters USING (text)
 """
+
+
+# ---------------------------------------- cross-source duplication matrix
+# "Which sources copy from which" — the provenance report a curation
+# team reads before deciding what to drop: near-dup pairs enriched with
+# both docs' sources and aggregated into a source×source matrix
+# (unordered pair of sources; within-source duplication lands on the
+# diagonal). Composition of the LSH pair relation with two broadcast
+# source lookups; output bounded by |sources|², never by pair count.
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return (
+        tagged.groupBy(lo.alias("source_lo"), hi.alias("source_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = dedup_cross_source_matrix
+
+ORACLES["dedup_cross_source_matrix"] = f"""
+    WITH {_MH_CTES}
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           count(*) AS n_pairs
+    FROM mh_pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+"""

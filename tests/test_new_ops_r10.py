@@ -511,3 +511,25 @@ def test_phash_clusters_consistent_with_pairs(spark):
     for mid, canon in labels.items():
         assert labels[canon] == canon
         assert canon <= mid
+
+
+def test_cross_source_matrix_gate(spark):
+    from multithreaded_map_reduce_spark.queries.dedup import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["dedup_cross_source_matrix"],
+        ORACLES["dedup_cross_source_matrix"],
+        SF_SMOKE,
+    )
+
+
+def test_cross_source_matrix_accounts_for_every_pair(spark):
+    """The matrix's pair mass equals the LSH pair relation exactly, and
+    every row is canonically ordered (source_lo <= source_hi)."""
+    from multithreaded_map_reduce_spark.queries.dedup import QUERIES
+
+    rows = QUERIES["dedup_cross_source_matrix"](spark, SF_SMOKE).collect()
+    n_pairs = QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    assert all(r["source_lo"] <= r["source_hi"] for r in rows)
