@@ -240,18 +240,44 @@ _CHANGED_SINCE_GREEN = [
 ]
 
 
+# Round-7 bisection set (VERDICT r6 item 1): the three driver-red /
+# local-green rows plus the column-sliced cogroup twins that localize
+# which column diverges in the driver's environment. Ranked ABSOLUTELY
+# FIRST so CORRECTNESS_r07 is guaranteed to sample them.
+_DIAGNOSTICS_R7: list[str] = [
+    "cogroup_user_activity_counts",
+    "cogroup_user_activity_sums",
+    "cogroup_user_activity",
+    "interval_shipping",
+    "text_gopher_repetition",
+]
+
+
 def _rerank() -> None:
     global ALL_QUERIES, ALL_ORACLES
     verified = _driver_verified()
     new = set(_NEW_THIS_ROUND)
-    backlog = [n for n in ALL_QUERIES if n not in verified and n not in new]
-    fresh = [n for n in _NEW_THIS_ROUND if n in ALL_QUERIES]
+    diag = [n for n in _DIAGNOSTICS_R7 if n in ALL_QUERIES]
+    dset = set(diag)
+    backlog = [
+        n
+        for n in ALL_QUERIES
+        if n not in verified and n not in new and n not in dset
+    ]
+    # verified members of _NEW_THIS_ROUND have their green row — they
+    # stop occupying head sample slots (VERDICT r6 item 4: the ~50-query
+    # round must drain the 29 never-sampled rows)
+    fresh = [
+        n
+        for n in _NEW_THIS_ROUND
+        if n in ALL_QUERIES and n not in dset and n not in verified
+    ]
     changed = [
         n
         for n in _CHANGED_SINCE_GREEN
-        if n in ALL_QUERIES and n not in backlog and n not in new
+        if n in ALL_QUERIES and n not in backlog and n not in new and n not in dset
     ]
-    head = backlog + fresh + changed
+    head = diag + backlog + fresh + changed
     order = head + [n for n in ALL_QUERIES if n not in head]
     ALL_QUERIES = {n: ALL_QUERIES[n] for n in order}
     ALL_ORACLES = {n: ALL_ORACLES[n] for n in order if n in ALL_ORACLES}

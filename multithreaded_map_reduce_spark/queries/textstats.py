@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_token_hash, sql_tokens
 from ..functions.hashing import hash_array, poly_hash
-from ..functions.rounding import pround, sql_from_iunits, sql_iunits, sql_pround
+from ..functions.rounding import (
+    pround,
+    sql_from_iunits,
+    sql_iunits,
+    sql_pround,
+    sql_ratio_micros,
+)
 from ..functions.text import char_shingles, tokenize
 from ..sources.catalog import load_table
 
@@ -1185,10 +1191,22 @@ ORACLES["text_entropy_by_lang"] = f"""
 GOPHER_TOP2_MAX = 0.20
 GOPHER_TOP3_MAX = 0.18
 GOPHER_DUP2_MAX = 0.60
+# Integer micro-unit twins — spelled out (NOT ``int(0.18 * 1e6)``,
+# whose float product can truncate to 179999):
+GOPHER_TOP2_MAX_MICROS = 200_000
+GOPHER_TOP3_MAX_MICROS = 180_000
+GOPHER_DUP2_MAX_MICROS = 600_000
 
 
 def _ngram_stat(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, n_grams, top_frac, dup_frac) over word n-grams."""
+    """(doc_id, n_grams, top_c, dup_c) over word n-grams — all BIGINT.
+
+    ``top_c`` = count of the most frequent gram, ``dup_c`` = grams
+    beyond first occurrence (``sum(c) - count(distinct grams)``); the
+    Gopher fractions are derived from these integers via pure-BIGINT
+    ``ratio_micros`` in the caller (VERDICT r6 item 2: the prounded
+    double ratios were the only FP in the query and went driver-red on
+    a rounding-boundary ulp)."""
     base = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
         F.size("t") >= n
     )
@@ -1210,24 +1228,29 @@ def _ngram_stat(docs: DataFrame, n: int) -> DataFrame:
     per_gram = rows.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"),
-        pround(F.max("c").cast("double") / F.sum("c"), 6).alias("top_frac"),
-        pround(
-            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 6
-        ).alias("dup_frac"),
+        F.max("c").alias("top_c"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dup_c"),
     )
 
 
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO floating point anywhere: the three repetition fractions are
+    BIGINT micro-units from :func:`ratio_micros` and the keep flag
+    compares those integers against integer thresholds (0.20 → 200000
+    etc.), so the query is bit-exact on any FMA/libm build."""
+    from ..functions.rounding import ratio_micros
+
     docs = load_table(spark, sf_dir, "documents")
     g2 = _ngram_stat(docs, 2).select(
         "doc_id",
         F.col("n_grams").alias("n_bigrams"),
-        F.col("top_frac").alias("top2_frac"),
-        F.col("dup_frac").alias("dup2_frac"),
+        F.col("top_c").alias("top2_c"),
+        F.col("dup_c").alias("dup2_c"),
     )
     g3 = _ngram_stat(docs, 3).select(
         "doc_id",
-        F.col("top_frac").alias("top3_frac"),
+        F.col("top_c").alias("top3_c"),
+        F.col("n_grams").alias("n_trigrams"),
     )
     out = (
         docs.select("doc_id")
@@ -1236,15 +1259,21 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
-            F.coalesce("dup2_frac", F.lit(0.0)).alias("dup2_frac"),
-            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+            F.coalesce(ratio_micros("top2_c", "n_bigrams"), F.lit(0)).alias(
+                "top2_frac_micros"
+            ),
+            F.coalesce(ratio_micros("dup2_c", "n_bigrams"), F.lit(0)).alias(
+                "dup2_frac_micros"
+            ),
+            F.coalesce(ratio_micros("top3_c", "n_trigrams"), F.lit(0)).alias(
+                "top3_frac_micros"
+            ),
         )
     )
     keep = (
-        (F.col("top2_frac") <= GOPHER_TOP2_MAX)
-        & (F.col("top3_frac") <= GOPHER_TOP3_MAX)
-        & (F.col("dup2_frac") <= GOPHER_DUP2_MAX)
+        (F.col("top2_frac_micros") <= GOPHER_TOP2_MAX_MICROS)
+        & (F.col("top3_frac_micros") <= GOPHER_TOP3_MAX_MICROS)
+        & (F.col("dup2_frac_micros") <= GOPHER_DUP2_MAX_MICROS)
     )
     return out.withColumn("keep", keep.cast("int"))
 
@@ -1253,15 +1282,16 @@ QUERIES["text_gopher_repetition"] = text_gopher_repetition
 
 
 def _sql_ngram_stat(n: int) -> str:
-    """DuckDB CTE body producing (doc_id, n_grams, top_frac, dup_frac)."""
+    """DuckDB CTE body producing (doc_id, n_grams, top_c, dup_c) — all
+    BIGINT, mirroring :func:`_ngram_stat`."""
     grams = (
         f"list_transform(range(1, len(t) - {n} + 2), "
         f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
     )
     return f"""
         SELECT doc_id, sum(c) AS n_grams,
-               {sql_pround('max(c)::DOUBLE / sum(c)', 6)} AS top_frac,
-               {sql_pround('(sum(c) - count(*))::DOUBLE / sum(c)', 6)} AS dup_frac
+               max(c) AS top_c,
+               sum(c) - count(*) AS dup_c
         FROM (
             SELECT doc_id, gram, count(*) AS c FROM (
                 SELECT doc_id, unnest({grams}) AS gram
@@ -1273,19 +1303,26 @@ def _sql_ngram_stat(n: int) -> str:
 
 
 ORACLES["text_gopher_repetition"] = f"""
-    WITH g2 AS ({_sql_ngram_stat(2)}), g3 AS ({_sql_ngram_stat(3)})
-    SELECT d.doc_id,
-           coalesce(g2.n_grams, 0) AS n_bigrams,
-           coalesce(g2.top_frac, 0.0) AS top2_frac,
-           coalesce(g2.dup_frac, 0.0) AS dup2_frac,
-           coalesce(g3.top_frac, 0.0) AS top3_frac,
-           CAST(coalesce(g2.top_frac, 0.0) <= {GOPHER_TOP2_MAX}
-                AND coalesce(g3.top_frac, 0.0) <= {GOPHER_TOP3_MAX}
-                AND coalesce(g2.dup_frac, 0.0) <= {GOPHER_DUP2_MAX}
+    WITH g2 AS ({_sql_ngram_stat(2)}), g3 AS ({_sql_ngram_stat(3)}),
+    m AS (
+        SELECT d.doc_id,
+               coalesce(g2.n_grams, 0) AS n_bigrams,
+               coalesce({sql_ratio_micros('g2.top_c', 'g2.n_grams')}, 0)
+                   AS top2_frac_micros,
+               coalesce({sql_ratio_micros('g2.dup_c', 'g2.n_grams')}, 0)
+                   AS dup2_frac_micros,
+               coalesce({sql_ratio_micros('g3.top_c', 'g3.n_grams')}, 0)
+                   AS top3_frac_micros
+        FROM documents d
+        LEFT JOIN g2 ON d.doc_id = g2.doc_id
+        LEFT JOIN g3 ON d.doc_id = g3.doc_id
+    )
+    SELECT *,
+           CAST(top2_frac_micros <= {GOPHER_TOP2_MAX_MICROS}
+                AND top3_frac_micros <= {GOPHER_TOP3_MAX_MICROS}
+                AND dup2_frac_micros <= {GOPHER_DUP2_MAX_MICROS}
                 AS INTEGER) AS keep
-    FROM documents d
-    LEFT JOIN g2 ON d.doc_id = g2.doc_id
-    LEFT JOIN g3 ON d.doc_id = g3.doc_id
+    FROM m
 """
 
 

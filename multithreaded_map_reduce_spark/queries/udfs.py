@@ -117,8 +117,8 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [key[0]],
                 "n_clicks": [len(left)],
                 "n_purchases": [len(right)],
-                "click_value_micros": [int(left["value_micros"].sum())],
-                "purchase_value_micros": [int(right["value_micros"].sum())],
+                "click_value_micros": [_int64_sum(left["value_micros"])],
+                "purchase_value_micros": [_int64_sum(right["value_micros"])],
             }
         )
 
@@ -133,7 +133,41 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int64_sum(s: pd.Series) -> int:
+    """Sum a (possibly empty / null-carrying) micros column in PURE
+    int64 — never through float64. Arrow hands a cogroup side whose
+    int64 column carries nulls to pandas as float64 (NaN for null), and
+    ``int(float64_series.sum())`` TRUNCATES; on an empty side some
+    pandas builds return float 0.0. Forcing ``fillna(0).astype(int64)``
+    first removes every environment-dependent float path (VERDICT r6
+    items 1+5: cogroup_user_activity is the repeat driver-red row and
+    this is its only remaining nondeterminism candidate)."""
+    return int(s.fillna(0).astype("int64").sum())
+
+
 QUERIES["cogroup_user_activity"] = cogroup_user_activity
+
+
+def cogroup_user_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC TWIN (VERDICT r6 item 1 — bisect, don't guess): the
+    count columns of ``cogroup_user_activity`` ONLY, same cogroup
+    plumbing, zero arithmetic on values. If the driver reds this row
+    the divergence is in the cogroup/key path; if it greens while the
+    sums twin reds, it's the value-micros path."""
+    return cogroup_user_activity(spark, sf_dir).select(
+        "user_id", "n_clicks", "n_purchases"
+    )
+
+
+def cogroup_user_activity_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC TWIN: the micro-sum columns only (see counts twin)."""
+    return cogroup_user_activity(spark, sf_dir).select(
+        "user_id", "click_value_micros", "purchase_value_micros"
+    )
+
+
+QUERIES["cogroup_user_activity_counts"] = cogroup_user_activity_counts
+QUERIES["cogroup_user_activity_sums"] = cogroup_user_activity_sums
 
 ORACLES["cogroup_user_activity"] = """
     WITH c AS (
@@ -148,6 +182,36 @@ ORACLES["cogroup_user_activity"] = """
     SELECT COALESCE(c.user_id, p.user_id) AS user_id,
            COALESCE(n_clicks, 0) AS n_clicks,
            COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(click_value_micros, 0) AS click_value_micros,
+           COALESCE(purchase_value_micros, 0) AS purchase_value_micros
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+ORACLES["cogroup_user_activity_counts"] = """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+ORACLES["cogroup_user_activity_sums"] = """
+    WITH c AS (
+        SELECT user_id,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS click_value_micros
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+        SELECT user_id,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS purchase_value_micros
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
            COALESCE(click_value_micros, 0) AS click_value_micros,
            COALESCE(purchase_value_micros, 0) AS purchase_value_micros
     FROM c FULL OUTER JOIN p ON c.user_id = p.user_id

@@ -137,9 +137,10 @@ def test_gopher_repetition_flags_planted_loop(spark):
     )
     g2 = ts._ngram_stat(df, 2)
     rows = {r["doc_id"]: r for r in g2.collect()}
-    assert rows[1]["top_frac"] > 0.3  # 'click here'/'here now'/'now click' loop
-    assert rows[1]["dup_frac"] > 0.9
-    assert rows[2]["dup_frac"] == 0.0
+    # integer stats now (r7 FP-free rewrite): fractions = c / n_grams
+    assert rows[1]["top_c"] / rows[1]["n_grams"] > 0.3  # looping phrase
+    assert rows[1]["dup_c"] / rows[1]["n_grams"] > 0.9
+    assert rows[2]["dup_c"] == 0
 
 
 def test_rrf_fusion_gate(spark):
