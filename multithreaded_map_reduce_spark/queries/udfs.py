@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.rounding import sql_pround
+from ..functions.rounding import iunits, sql_pround
 from ..sources.catalog import load_table
 
 
@@ -58,9 +58,7 @@ def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back on the group key.)"""
     ev = load_table(spark, sf_dir, "events")
     means = ev.groupBy("event_type").agg(
-        F.floor(_udaf_mean_micros(F.col("value")) * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("mean_value_micros")
+        iunits(_udaf_mean_micros(F.col("value"))).alias("mean_value_micros")
     )
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     return means.join(counts, "event_type")
@@ -103,7 +101,7 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds (VERDICT r5 item 1: the driver-red/local-green split was
     exactly that conversion living inside the UDF)."""
     ev = load_table(spark, sf_dir, "events")
-    micros = F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    micros = iunits(F.col("value"))  # floor(v*1e6+0.5) — audit-visible
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", micros.alias("value_micros")
     )
