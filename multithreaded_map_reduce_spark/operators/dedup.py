@@ -45,6 +45,13 @@ from ..functions.text import char_shingles
 from ..functions.vectors import as_double, cosine
 from ..sources.catalog import fan_out
 
+# Degenerate-bucket cap shared by the LSH index BUILD and every probe
+# (batch day-2 + streaming): a band bucket holding more than this many
+# ids is boilerplate-driven and would explode the candidate join.
+# Probes must filter the persisted ``_bn`` with THIS constant so a
+# build-default change can never silently diverge them (ADVICE r6).
+DEFAULT_MAX_BUCKET = 100
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Deterministic exact dedup: per duplicate group keep min(id)."""
@@ -889,10 +896,29 @@ def minhash_probe_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API resolved from
+    the path's scheme — works on local fs, HDFS, and object stores
+    alike (ADVICE r6: ``shutil.rmtree`` silently no-ops on any
+    non-local URI, leaving stale bucket files beside the new
+    ``saveAsTable`` output)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)  # returns False when absent — no error
+
+
 def _buckets_table_name(path: str) -> str:
     """Catalog name for the bucketed LSH index at ``path`` — derived
     from the artifact location so build and probe agree without passing
-    a name around (and two indexes at different paths never collide)."""
+    a name around (and two indexes at different paths never collide).
+
+    Single-writer contract (ADVICE r6): the name is path-derived, NOT
+    session-scoped, so two sessions sharing a persistent metastore and
+    the same ``path`` race on DROP TABLE/saveAsTable — same staleness
+    contract as the artifact files themselves (see
+    ``_minhash_index_path``): one builder owns an index path; probes
+    are read-only."""
     import hashlib
 
     return "mh_buckets_" + hashlib.sha1(path.encode()).hexdigest()[:12]
@@ -907,7 +933,7 @@ def build_minhash_index(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.5,
-    max_bucket: int | None = 100,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     num_buckets: int = 8,
 ) -> None:
     """Materialize the day-1 dedup artifacts to parquet — the piece of
@@ -950,8 +976,6 @@ def build_minhash_index(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        import shutil
-
         num = bands * rows
         c_band = minhash_signatures_agg(c_rows, num=num).select(
             "id", F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh")
@@ -959,7 +983,7 @@ def build_minhash_index(
         spark = corpus.sparkSession
         tbl = _buckets_table_name(path)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(f"{path}/buckets", ignore_errors=True)
+        _hadoop_delete(spark, f"{path}/buckets")
         # _bn via a shuffle join, NOT broadcast: distinct-bh cardinality
         # is O(docs*bands) — a one-time build shuffle is fine, a
         # driver-side broadcast of it at 100 TB is not.

@@ -113,12 +113,18 @@ def personalized_pagerank(
 
     Scale: identical plan shape per round as ``pagerank`` (one edge
     join + groupBy, one broadcast scalar) plus a broadcast membership
-    flag — the restart set is small by definition."""
-    s = n_restart if n_restart is not None else restart.count()
-    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * s)
+    flag — the restart set is small by definition.
 
+    ``n_restart``: pass the restart-set size if known to keep plan
+    build fully lazy; when omitted the DEDUPLICATED restart set is
+    counted — an EAGER action at plan-build time (ADVICE r6: counting
+    the raw input would let duplicate ids inflate ``s``, deflating the
+    teleport base + dangling redistribution and leaking rank mass,
+    since membership below is ``distinct()``-based)."""
     nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
     rset = restart.select(F.col(id_col).alias("id")).distinct()
+    s = n_restart if n_restart is not None else rset.count()
+    base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * s)
     flagged = nodes.join(
         F.broadcast(rset.withColumn("_is_r", F.lit(1))), "id", "left"
     ).select("id", F.coalesce("_is_r", F.lit(0)).alias("is_r")).localCheckpoint()

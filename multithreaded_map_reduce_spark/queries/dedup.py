@@ -36,6 +36,7 @@ from ..functions.hashing import (
 from ..functions.rounding import sql_pround
 from ..functions.vectors import sql_as_double, sql_cosine
 from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET,
     blocked_jaccard_pairs,
     embedding_neardup_pairs,
     exact_dedup,
@@ -646,7 +647,7 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str, scope: str = "corpus")
             docs = docs.filter(F.col("doc_id") % 10 != 0)
         build_minhash_index(
             docs, "doc_id", "text", path, n=2, bands=8, rows=4,
-            threshold=0.5, max_bucket=100,
+            threshold=0.5, max_bucket=DEFAULT_MAX_BUCKET,
         )
         _INDEX_PATHS[key] = path
     return _INDEX_PATHS[key]
@@ -665,7 +666,7 @@ def dedup_incremental_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     return minhash_probe_index(
         batch, path, "doc_id", "text", n=2, bands=8, rows=4,
-        threshold=0.5, max_bucket=100,
+        threshold=0.5, max_bucket=DEFAULT_MAX_BUCKET,
     )
 
 
@@ -878,7 +879,7 @@ def dedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = (
         minhash_probe_index(
             batch, path, "doc_id", "text", n=2, bands=8, rows=4,
-            threshold=0.5, max_bucket=100,
+            threshold=0.5, max_bucket=DEFAULT_MAX_BUCKET,
         )
         .select(F.col("new_id").alias("doc_id"))
         .distinct()

@@ -596,7 +596,7 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_hash,
     )
     from ..functions.text import tokenize
-    from ..operators.dedup import jaccard_of
+    from ..operators.dedup import DEFAULT_MAX_BUCKET, jaccard_of
     from ..streaming.events import stream_documents
     from .dedup import _minhash_index_path
 
@@ -605,7 +605,9 @@ def streaming_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side of the stream-static join is a pushed filter + projection —
     # no per-batch aggregation over the index.
     c_band = spark.read.parquet(f"{path}/buckets")
-    c_capped = c_band.filter(F.col("_bn") <= 100).select(
+    # cap with the BUILD's constant, not a literal — a build-default
+    # change must move this probe with it (ADVICE r6)
+    c_capped = c_band.filter(F.col("_bn") <= DEFAULT_MAX_BUCKET).select(
         F.col("id").alias("match_id"), "bh"
     )
     c_hashed = spark.read.parquet(f"{path}/hashes").select(

@@ -1857,6 +1857,20 @@ def _lr_step(zfeat: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
+def _finalize_logreg(spark: SparkSession, out: DataFrame, zfeat: DataFrame) -> DataFrame:
+    """Materialize the tiny final aggregate (≤ len(thresholds) rows),
+    then UNPERSIST the feature relation in a finally — the bench runs
+    ~290 queries in one session and a leaked MEMORY_AND_DISK relation
+    holds executor storage for the rest of the process (ADVICE r6;
+    ``logreg_model_path`` below is the pattern). The handful of result
+    rows come back as a local DataFrame with the identical schema."""
+    try:
+        rows = out.collect()
+    finally:
+        zfeat.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
@@ -1875,7 +1889,7 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"w{j}") for j in range(_LR_NX + 1)],
         _lr_p(_lr_z()).alias("p"),
     )
-    return scored.groupBy(
+    out = scored.groupBy(
         "keep", (F.col("p") >= F.lit(0.5)).cast("int").alias("pred_keep")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1887,6 +1901,7 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_score"),
         *[pround(F.first(f"w{j}"), 6).alias(f"w{j}") for j in range(_LR_NX + 1)],
     )
+    return _finalize_logreg(spark, out, zfeat)
 
 
 QUERIES["quality_logreg"] = quality_logreg
@@ -2101,7 +2116,7 @@ def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.sum(pred * (F.lit(1) - F.col("keep")))
     fn = F.sum((F.lit(1) - pred) * F.col("keep"))
     tn = F.sum((F.lit(1) - pred) * (F.lit(1) - F.col("keep")))
-    return (
+    out = (
         sweep.groupBy("threshold")
         .agg(
             tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
@@ -2126,6 +2141,7 @@ def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+    return _finalize_logreg(spark, out, zfeat)
 
 
 QUERIES["quality_logreg_pr"] = quality_logreg_pr
