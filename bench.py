@@ -193,6 +193,7 @@ def _previous_bench(sf: float | str):
                 queries,
                 parsed.get("queries_warm") or {},
                 parsed.get("plan_hash") or {},
+                parsed.get("canary_sec"),
             )
     return None
 
@@ -250,9 +251,10 @@ def main() -> None:
 
     regressions: dict[str, float] = {}
     basis = None
+    host_ratio = 1.0
     prev = _previous_bench(sf)
     if prev is not None:
-        prev_name, prev_cold, prev_warm, prev_hashes = prev
+        prev_name, prev_cold, prev_warm, prev_hashes, prev_canary = prev
         # warm median vs warm median is the trustworthy signal; fall back
         # to cold-vs-cold only for baselines that never recorded warm.
         # The emitted JSON NAMES this basis (VERDICT r5 item 8: r4's
@@ -261,10 +263,20 @@ def main() -> None:
         cur_base = warm if prev_warm else timings
         prev_base = prev_warm or prev_cold
         basis = ("warm-vs-warm" if prev_warm else "cold-vs-cold") + f":{prev_name}"
+        # Canary normalization (VERDICT r6 item 8): r6's cold tail
+        # triggered a false fleet-regression scare on a run whose own
+        # canary showed the box ~1.5x slower. Divide each ratio by the
+        # measured host-speed ratio so a uniformly slower machine can't
+        # masquerade as a code regression (clamped >= 1 — a FASTER host
+        # must never hide a real slowdown).
+        if prev_canary:
+            host_ratio = max(1.0, canary / prev_canary)
         for name, sec in cur_base.items():
             base = prev_base.get(name)
-            if base and sec > REGRESSION_FLOOR_SEC and sec > REGRESSION_RATIO * base:
-                regressions[name] = round(sec / base, 2)
+            if base and sec > REGRESSION_FLOOR_SEC and (
+                sec / base / host_ratio > REGRESSION_RATIO
+            ):
+                regressions[name] = round(sec / base / host_ratio, 2)
         for name, ratio in sorted(regressions.items(), key=lambda kv: -kv[1]):
             old_h, new_h = prev_hashes.get(name), plan_hashes.get(name)
             if old_h is None or new_h is None:
@@ -275,7 +287,8 @@ def main() -> None:
                 kind = f"plan CHANGED ({old_h} -> {new_h}) -> real plan change"
             print(
                 f"REGRESSION: {name} {ratio}x slower than {prev_name} "
-                f"(warm median {prev_base[name]}s -> {cur_base[name]}s; {kind})",
+                f"(canary-normalized /{round(host_ratio, 2)}; warm median "
+                f"{prev_base[name]}s -> {cur_base[name]}s; {kind})",
                 file=sys.stderr,
             )
     detail = {
@@ -293,6 +306,7 @@ def main() -> None:
     if prev is not None:
         detail["prev"] = prev[0]
         detail["comparison_basis"] = basis
+        detail["host_speed_ratio"] = round(host_ratio, 3)
         detail["regressions"] = regressions
     # Full-precision record (warm medians + plan hashes) → side file; it
     # is the regression baseline once snapshotted to BENCH_DETAIL_r{N}.
@@ -317,6 +331,7 @@ def main() -> None:
     if prev is not None:
         out["prev"] = prev[0]
         out["comparison_basis"] = basis
+        out["host_speed_ratio"] = round(host_ratio, 2)
         # printed line budget: keep only the worst offenders here — the
         # full dict is in BENCH_DETAIL.json
         worst = dict(sorted(regressions.items(), key=lambda kv: -kv[1])[:8])
