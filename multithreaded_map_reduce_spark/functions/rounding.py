@@ -61,6 +61,53 @@ def sql_from_iunits(expr: str, n: int = 6) -> str:
     return f"(CAST({expr} AS DOUBLE) / {float(10 ** n)})"
 
 
+def ratio_units(num: str, den: str, mult: int = 1_000_000) -> Column:
+    """``round(mult * num/den)`` half-up as BIGINT — pure integer
+    rational arithmetic, zero doubles (see :func:`ratio_micros` for the
+    full rationale). ``mult`` generalizes the output scale: 1 yields
+    the rounded quotient of two unit-integers (e.g. mean of micro-unit
+    sums stays in micros). Non-negative domain; NULL on den=0."""
+    n = f"CAST(({num}) AS BIGINT)"
+    d = f"CAST(({den}) AS BIGINT)"
+    return F.expr(f"(2 * {mult} * {n} + {d}) div (2 * {d})")
+
+
+def sql_ratio_units(num: str, den: str, mult: int = 1_000_000) -> str:
+    n = f"CAST(({num}) AS BIGINT)"
+    d = f"CAST(({den}) AS BIGINT)"
+    return f"(CASE WHEN {d} = 0 THEN NULL ELSE (2 * {mult} * {n} + {d}) // (2 * {d}) END)"
+
+
+def pround_dec(col: Column, n: int = 2) -> Column:
+    """Exact half-up rounding of a DECIMAL column to ``n`` digits,
+    emitted as DOUBLE.
+
+    The ``pround`` double formula is boundary-fragile when its input is
+    a decimal-exact quantity whose true value ties at digit ``n+1``
+    (sum of scale-4 money rounded to cents: x.xx50 is a REAL tie, and
+    the double image of x.xx50 sits within an ulp of the snap boundary
+    — the round-7 jitter audit flagged every such query). Here the
+    multiply-add-floor runs in EXACT decimal arithmetic, so ties
+    resolve exactly; the single final division is one correctly-rounded
+    IEEE op — deterministic on any FMA/libm build (fused contraction
+    can only alter multi-op chains, never a lone division)."""
+    scale = 10**n
+    half = F.expr("CAST(0.5 AS DECIMAL(2,1))")
+    return (F.floor(col * F.lit(scale) + half).cast("double") / F.lit(float(scale))).cast(
+        "double"
+    )
+
+
+def sql_pround_dec(expr: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`pround_dec` — exact decimal snap, one
+    final double division."""
+    scale = 10**n
+    return (
+        f"(CAST(floor(({expr}) * {scale} + CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE)"
+        f" / CAST({scale} AS DOUBLE))"
+    )
+
+
 def ratio_micros(num: str, den: str) -> Column:
     """Exact integer ratio in 10^-6 units, half-up — ZERO doubles.
 

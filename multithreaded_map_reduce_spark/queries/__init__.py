@@ -186,6 +186,17 @@ _NEW_THIS_ROUND: list[str] = [
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
+    # round 7: the jitter audit (tests/boundary_audit.py) flagged these
+    # as rounding-boundary fragile; all were converted to exact
+    # decimal/integer snaps with one final display division — values
+    # change at former ties, so their green rows describe stale output:
+    "window_running_total",
+    "window_moving_avg",
+    "brand_above_avg",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "value_histogram",
+    "timeseries_gapfill",
     # round 5: dedup_minhash_lsh now runs the Column-builder twin
     # (persisted shingles — the r4 perf verdict item); the cms_top_words
     # oracle was regenerated parameterized (same text modulo alias

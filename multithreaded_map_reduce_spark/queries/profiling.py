@@ -27,9 +27,11 @@ from ..functions.rounding import (
     from_iunits,
     iunits,
     pround,
+    ratio_units,
     sql_from_iunits,
     sql_iunits,
     sql_pround,
+    sql_ratio_units,
 )
 from ..sources.catalog import load_table
 
@@ -80,7 +82,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             "sum_units",
-            pround(from_iunits(F.col("sum_units")) / F.col("n"), 6).alias("mean_value"),
+            # mean micro-units = round(sum_units / n) as a pure-BIGINT
+            # rational; ONE exact-rounded division for display (the
+            # double sum/1e6/n chain ties at micro boundaries — round-7
+            # jitter-audit fix)
+            (ratio_units("sum_units", "n", 1).cast("double") / F.lit(1e6)).alias(
+                "mean_value"
+            ),
         )
     )
 
@@ -150,7 +158,8 @@ ORACLES = {
     "profile_lineitem": _PROFILE_SELECTS,
     "value_histogram": f"""
         SELECT bin, n, sum_units,
-               {sql_pround(f"({sql_from_iunits('sum_units')}) / n", 6)} AS mean_value
+               CAST({sql_ratio_units('sum_units', 'n', 1)} AS DOUBLE) / 1000000.0
+                   AS mean_value
         FROM (
             SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER) AS bin,
                    count(*) AS n,

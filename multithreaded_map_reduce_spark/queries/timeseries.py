@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import from_iunits, pround, sql_iunits, sql_pround
+from ..functions.rounding import (
+    from_iunits,
+    pround,
+    ratio_units,
+    sql_iunits,
+    sql_pround,
+    sql_ratio_units,
+)
 from ..operators.timeseries import resample_gapfill
 from ..sources.catalog import load_table
 
@@ -23,11 +30,17 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user activity series, holes linearly interpolated."""
     ev = load_table(spark, sf_dir, "events")
     out = resample_gapfill(ev, "user_id", "ts", "value", STEP_US)
+    # micros → cents as a BIGINT rational (round(iu/1e4)), ONE final
+    # exact-rounded division — the double iu/1e6 chain ties at cent
+    # boundaries (round-7 jitter audit flagged it; the r6 driver row
+    # was green only because no fixture value sat on a tie)
     return out.select(
         F.col("key").alias("user_id"),
         "bucket_start",
         "n",
-        pround(from_iunits(F.col("value_iu")), 2).alias("value"),
+        (ratio_units("value_iu", "10000", 1).cast("double") / F.lit(100.0)).alias(
+            "value"
+        ),
         "interpolated",
     )
 
@@ -157,13 +170,13 @@ ORACLES = {
         SELECT user_id,
                make_timestamp(b * {STEP_US}) AS bucket_start,
                COALESCE(n, 0) AS n,
-               {sql_pround(
-                   "CAST(COALESCE(sum_iu, prev_iu + CAST(floor("
+               CAST({sql_ratio_units(
+                   "COALESCE(sum_iu, prev_iu + CAST(floor("
                    "((next_iu - prev_iu) * (b - prev_b))"
-                   " / CAST(next_b - prev_b AS DOUBLE)) AS BIGINT)) AS DOUBLE)"
-                   " / 1000000.0",
-                   2,
-               )} AS value,
+                   " / CAST(next_b - prev_b AS DOUBLE)) AS BIGINT))",
+                   "10000",
+                   1,
+               )} AS DOUBLE) / 100.0 AS value,
                sum_iu IS NULL AS interpolated
         FROM w
     """,

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.money import SQL_REVENUE, dsum, money, revenue, sql_money
-from ..functions.rounding import pround, sql_pround
+from ..functions.rounding import pround, pround_dec, sql_pround, sql_pround_dec
 from ..sources.catalog import load_table
 
 
@@ -164,7 +164,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(pround(dsum(revenue() - cost), 2).alias("sum_profit"))
+        .agg(pround_dec(F.sum(revenue() - cost), 2).alias("sum_profit"))
     )
 
 
@@ -300,7 +300,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val") * F.lit(1000) > F.col("total"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            pround(F.col("val").cast("double"), 2).alias("stock_value"),
+            pround_dec(F.col("val"), 2).alias("stock_value"),
         )
     )
 
@@ -360,7 +360,7 @@ ORACLES = {
             JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = 9
             GROUP BY 1
         )
-        SELECT partkey, {sql_pround('CAST(val AS DOUBLE)', 2)} AS stock_value
+        SELECT partkey, {sql_pround_dec('val', 2)} AS stock_value
         FROM v WHERE val * 1000 > (SELECT sum(val) FROM v)
     """,
     "q20_promotable_suppliers": """
@@ -451,9 +451,9 @@ ORACLES = {
     "q9_profit_by_nation_year": f"""
         SELECT n_name AS nation,
                CAST(year(l_shipdate) AS INTEGER) AS o_year,
-               {sql_pround(
-                   f"CAST(sum({SQL_REVENUE} - {sql_money('p_retailprice')}"
-                   f" * CAST(0.1 AS DECIMAL(18,2)) * {sql_money('l_quantity')}) AS DOUBLE)",
+               {sql_pround_dec(
+                   f"sum({SQL_REVENUE} - {sql_money('p_retailprice')}"
+                   f" * CAST(0.1 AS DECIMAL(18,2)) * {sql_money('l_quantity')})",
                    2)} AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'

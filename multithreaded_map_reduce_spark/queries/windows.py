@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 
 from ..functions.time import epoch_micros
 from ..functions.money import SQL_REVENUE, money, revenue, sql_money
-from ..functions.rounding import pround, sql_pround
+from ..functions.rounding import (
+    pround,
+    pround_dec,
+    ratio_units,
+    sql_pround,
+    sql_pround_dec,
+    sql_ratio_units,
+)
 from ..sources.catalog import load_table
 
 
@@ -40,7 +47,12 @@ def window_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per supplier over ship order (cumulative frame)."""
+    """Running revenue per supplier over ship order (cumulative frame).
+
+    Rounded with ``pround_dec`` IN DECIMAL: the running sum of scale-4
+    revenue hits true x.xx50 ties, which the double ``pround`` snaps
+    from within an ulp of the boundary (round-7 jitter audit flagged
+    exactly this)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
@@ -51,7 +63,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        pround(F.sum(revenue()).over(w).cast("double"), 2).alias("running_revenue"),
+        pround_dec(F.sum(revenue()).over(w), 2).alias("running_revenue"),
     )
 
 
@@ -78,13 +90,26 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-4, W.currentRow)
     )
-    return o.select(
+    # avg = cents-sum / count computed as a pure-BIGINT rational in
+    # 1e-6 units (round(1e4·cents/n)), displayed via ONE exact-rounded
+    # division — the double sum/count chain ties at micro boundaries
+    # (same fragility class the jitter audit flagged on brand_above_avg)
+    staged = o.select(
         "o_custkey",
         "o_orderkey",
-        pround(
-            F.sum(money("o_totalprice")).over(w).cast("double") / F.count("*").over(w), 6
-        ).alias("moving_avg_5"),
+        (F.sum(money("o_totalprice")).over(w) * F.lit(100))
+        .cast("long")
+        .alias("_sum_cents"),
         F.count("*").over(w).alias("frame_rows"),
+    )
+    return staged.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            ratio_units("_sum_cents", "frame_rows", 10_000).cast("double")
+            / F.lit(1e6)
+        ).alias("moving_avg_5"),
+        "frame_rows",
     )
 
 
@@ -93,16 +118,31 @@ def brand_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated subquery — Catalyst computes one window, no self-join)."""
     p = load_table(spark, sf_dir, "part")
     w = W.partitionBy("p_brand")
-    return (
-        p.select(
-            "p_partkey",
-            "p_brand",
-            pround(F.col("p_retailprice"), 2).alias("price"),
-            pround(
-                F.sum(money("p_retailprice")).over(w).cast("double") / F.count("*").over(w), 6
-            ).alias("brand_avg"),
-        )
-        .filter(F.col("price") > F.col("brand_avg"))
+    # integer rails end-to-end: cents-sum/count as a BIGINT micro-unit
+    # rational, the above-average filter compared in micros, and one
+    # exact-rounded division for display (jitter-audit fix, see
+    # window_moving_avg)
+    staged = p.select(
+        "p_partkey",
+        "p_brand",
+        (money("p_retailprice") * F.lit(100)).cast("long").alias("_cents"),
+        (F.sum(money("p_retailprice")).over(w) * F.lit(100))
+        .cast("long")
+        .alias("_sum_cents"),
+        F.count("*").over(w).alias("_n"),
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "_cents",
+        ratio_units("_sum_cents", "_n", 10_000).alias("_avg_micros"),
+    )
+    return staged.filter(
+        F.col("_cents") * F.lit(10_000) > F.col("_avg_micros")
+    ).select(
+        "p_partkey",
+        "p_brand",
+        (F.col("_cents").cast("double") / F.lit(100.0)).alias("price"),
+        (F.col("_avg_micros").cast("double") / F.lit(1e6)).alias("brand_avg"),
     )
 
 
@@ -217,10 +257,10 @@ ORACLES = {
     """,
     "window_running_total": f"""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               {sql_pround(f'''CAST(sum({SQL_REVENUE}) OVER (
+               {sql_pround_dec(f'''sum({SQL_REVENUE}) OVER (
                    PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)''', 2)} AS running_revenue
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS running_revenue
         FROM lineitem
     """,
     "window_lag_lead": f"""
@@ -234,19 +274,35 @@ ORACLES = {
     """,
     "window_moving_avg": f"""
         SELECT o_custkey, o_orderkey,
-               {sql_pround(f"CAST(sum({sql_money('o_totalprice')}) OVER w AS DOUBLE) / (count(*) OVER w)", 6)} AS moving_avg_5,
-               count(*) OVER w AS frame_rows
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               CAST({sql_ratio_units('sum_cents', 'frame_rows', 10_000)} AS DOUBLE)
+                   / 1000000.0 AS moving_avg_5,
+               frame_rows
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum({sql_money('o_totalprice')}) OVER w * 100 AS BIGINT)
+                       AS sum_cents,
+                   count(*) OVER w AS frame_rows
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
     """,
     "brand_above_avg": f"""
-        SELECT p_partkey, p_brand, price, brand_avg FROM (
-            SELECT p_partkey, p_brand,
-                   {sql_pround('p_retailprice', 2)} AS price,
-                   {sql_pround(f"CAST(sum({sql_money('p_retailprice')}) OVER (PARTITION BY p_brand) AS DOUBLE) / (count(*) OVER (PARTITION BY p_brand))", 6)} AS brand_avg
-            FROM part
-        ) WHERE price > brand_avg
+        SELECT p_partkey, p_brand,
+               CAST(cents AS DOUBLE) / 100.0 AS price,
+               CAST(avg_micros AS DOUBLE) / 1000000.0 AS brand_avg
+        FROM (
+            SELECT p_partkey, p_brand, cents,
+                   {sql_ratio_units('sum_cents', 'n', 10_000)} AS avg_micros
+            FROM (
+                SELECT p_partkey, p_brand,
+                       CAST({sql_money('p_retailprice')} * 100 AS BIGINT) AS cents,
+                       CAST(sum({sql_money('p_retailprice')})
+                            OVER (PARTITION BY p_brand) * 100 AS BIGINT) AS sum_cents,
+                       count(*) OVER (PARTITION BY p_brand) AS n
+                FROM part
+            )
+        ) WHERE cents * 10000 > avg_micros
     """,
 }
 
