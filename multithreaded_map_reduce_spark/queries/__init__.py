@@ -181,6 +181,10 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_drift_monitor",
     "multimodal_phash_clusters",
     "dedup_cross_source_matrix",
+    # round 7:
+    "quality_logreg_calibration",
+    "text_winnowing",
+    "dedup_winnowing_pairs",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -28,6 +28,7 @@ from ..functions.rounding import (
     sql_iunits,
     sql_pround,
     sql_ratio_micros,
+    sql_ratio_units,
 )
 from ..functions.text import char_shingles, tokenize
 from ..sources.catalog import load_table
@@ -127,6 +128,155 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(gram_hashes).alias("fp_min_gram"),
         F.array_max(gram_hashes).alias("fp_max_gram"),
     )
+
+
+# --- Winnowing (MOSS) fingerprints ------------------------------------------
+# Schleimer/Wilkerson/Aiken 2003: positional k-gram hashes, sliding
+# window of w, keep each window's MINIMUM hash, dedup — guarantees any
+# shared substring of length >= k + w - 1 produces at least one shared
+# fingerprint (a coverage guarantee minhash does NOT give), at an
+# expected 2/(w+1) sampling density. The per-doc selection is pure
+# array expressions (no shuffle); the pair stage is a fingerprint
+# equi-join with the same degenerate-bucket cap discipline as LSH —
+# O(docs x fps) shuffle, never O(docs^2).
+
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # window size; guarantee threshold = K + W - 1 = 11 chars
+WINNOW_MAX_BUCKET = 20  # fingerprints shared by more docs are boilerplate
+WINNOW_MIN_SHARED = 8  # report pairs sharing at least this many fps
+
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams INT, fps ARRAY<BIGINT>) — distinct winnowing
+    fingerprints per document (docs long enough for >= 1 window).
+
+    The positional char-gram hashes and window mins are HOF lambdas —
+    interpreted per element, the known slow path — so the input is
+    ``fan_out`` first (one parquet split would otherwise pin the whole
+    fold to one core) and consumers that branch over this relation MUST
+    evaluate it once (persist) — see dedup_winnowing_pairs, where the
+    unpersisted 4-branch plan measured 306 s vs ~8 s persisted."""
+    from ..sources.catalog import fan_out
+
+    c = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(WINNOW_K - 1)),
+        lambda i: F.substring(c, i, WINNOW_K),
+    )
+    staged = fan_out(
+        docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    ).select("doc_id", hash_array(grams).alias("hs"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
+    )
+    return staged.select(
+        "doc_id", F.size("hs").alias("n_grams"), F.array_distinct(wins).alias("fps")
+    )
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint profile: gram/window/fingerprint
+    counts, min/max fingerprint, selection density in micro-units."""
+    from ..functions.rounding import ratio_units
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _winnow_fps(docs)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        (F.col("n_grams") - F.lit(WINNOW_W - 1)).alias("n_windows"),
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    ).withColumn("density_micros", ratio_units("n_fps", "n_windows"))
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints, with
+    a MOSS-style containment score: shared / min(|fps_a|, |fps_b|).
+
+    Fingerprints shared by more than ``WINNOW_MAX_BUCKET`` docs are
+    corpus boilerplate and are dropped BEFORE the self-join (the LSH
+    ``max_bucket`` discipline — the join stays O(matching rows), and
+    the cap is computed once, map-side reusable)."""
+    from pyspark import StorageLevel
+
+    from ..functions.rounding import ratio_units
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the interpreted fingerprint fold is branched over FOUR times below
+    # (explode ×2 join sides, sizes ×2) — persist so it evaluates once
+    w = _winnow_fps(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        ex = w.select("doc_id", F.explode("fps").alias("fp"))
+        keep_fp = (
+            ex.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .filter((F.col("_nb") >= 2) & (F.col("_nb") <= WINNOW_MAX_BUCKET))
+            .select("fp")
+        )
+        exk = ex.join(keep_fp, "fp")
+        a = exk.select(F.col("doc_id").alias("id_a"), "fp")
+        b = exk.select(F.col("doc_id").alias("id_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+        )
+        sizes = w.select("doc_id", F.size("fps").alias("_nf"))
+        out = (
+            pairs.join(
+                sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                    "_nf", "_na"
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                    "_nf", "_nb"
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "shared",
+                ratio_units("shared", "least(_na, _nb)").alias(
+                    "containment_micros"
+                ),
+            )
+        )
+        # materialize while the cache is alive, then release executor
+        # storage (ADVICE r6 hygiene — same pattern as _finalize_logreg)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        w.unpersist()
+
+
+# (registered at module end - QUERIES/ORACLES dicts are defined later)
+
+
+def _sql_winnow_cte() -> str:
+    """DuckDB CTE ``w(doc_id, n_grams, fps)`` mirroring _winnow_fps."""
+    k, win = WINNOW_K, WINNOW_W
+    grams = f"list_transform(range(1, length(text) - {k} + 2), i -> text[i:i+{k - 1}])"
+    return f"""
+        SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_grams,
+               list_distinct(list_transform(
+                   range(1, len(hs) - {win} + 2),
+                   i -> list_min(hs[i:i+{win - 1}]))) AS fps
+        FROM (
+            SELECT doc_id, {sql_hash_array(grams)} AS hs
+            FROM documents WHERE length(text) >= {k + win - 1}
+        )
+    """
+
+
+_WINNOW_ORACLES_PLACEHOLDER = None
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2177,6 +2327,77 @@ def _sql_logreg_pr() -> str:
 ORACLES["quality_logreg_pr"] = _sql_logreg_pr()
 
 
+def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine quality classifier: decile
+    bins over the predicted probability, each with observed keep rate
+    vs mean predicted score — the standard calibration check before a
+    classifier's threshold gates a 100 TB corpus (an over-confident
+    scorer silently biases the kept set).
+
+    Same exact-integer rails as the rest of the logreg family: p is
+    snapped to 1e-9 units, bins are integer division of those units,
+    and both rates are BIGINT rationals (``ratio_units``) — no doubles
+    anywhere past the model itself. Scale: one aggregate over the
+    scored relation, 10 output rows."""
+    from pyspark import StorageLevel
+
+    from ..functions.rounding import iunits, ratio_units
+
+    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
+    )
+    binned = scored.select(
+        "keep",
+        "score_units",
+        # decile of p in 1e-9 units; p = 1.0 exactly folds into bin 9
+        F.least(F.lit(9).cast("long"), F.expr("score_units div 100000000")).alias(
+            "bin"
+        ),
+    )
+    out = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("keep").alias("n_keep"),
+            F.sum("score_units").alias("_sum_units"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_keep",
+            ratio_units("n_keep", "n").alias("keep_rate_micros"),
+            ratio_units("_sum_units", "n", 1).alias("mean_score_units"),
+        )
+    )
+    return _finalize_logreg(spark, out, zfeat)
+
+
+QUERIES["quality_logreg_calibration"] = quality_logreg_calibration
+
+ORACLES["quality_logreg_calibration"] = f"""
+    WITH perdoc AS ({_sql_logreg(mode="per_doc", score_where="TRUE")})
+    SELECT bin, n, n_keep,
+           {sql_ratio_units('n_keep', 'n')} AS keep_rate_micros,
+           {sql_ratio_units('sum_units', 'n', 1)} AS mean_score_units
+    FROM (
+        SELECT least(9, score_units // 100000000) AS bin,
+               count(*) AS n,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               CAST(sum(score_units) AS BIGINT) AS sum_units
+        FROM perdoc GROUP BY 1
+    )
+"""
+
+
 # ----------------------- token-distribution drift (Jensen–Shannon)
 # Completes the drift family: KS and PSI cover numeric columns; JS
 # divergence is the standard for TOKEN distributions — per source, how
@@ -2264,4 +2485,42 @@ ORACLES["text_js_by_source"] = f"""
                ' * (CAST(n_corpus - covered AS DOUBLE) / CAST(n_corpus AS DOUBLE))',
                6)} AS js_divergence
     FROM agg
+"""
+
+
+QUERIES["text_winnowing"] = text_winnowing
+QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
+
+ORACLES["text_winnowing"] = f"""
+    WITH w AS MATERIALIZED ({_sql_winnow_cte()})
+    SELECT doc_id, n_grams,
+           CAST(n_grams - {WINNOW_W - 1} AS INTEGER) AS n_windows,
+           CAST(len(fps) AS INTEGER) AS n_fps,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max,
+           {sql_ratio_units('len(fps)', f'n_grams - {WINNOW_W - 1}')}
+               AS density_micros
+    FROM w
+"""
+
+ORACLES["dedup_winnowing_pairs"] = f"""
+    WITH w AS MATERIALIZED ({_sql_winnow_cte()}),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w),
+    keep_fp AS (
+        SELECT fp FROM ex GROUP BY fp
+        HAVING count(*) >= 2 AND count(*) <= {WINNOW_MAX_BUCKET}
+    ),
+    exk AS MATERIALIZED (SELECT ex.* FROM ex JOIN keep_fp USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ),
+    sizes AS (SELECT doc_id, len(fps) AS nf FROM w)
+    SELECT id_a, id_b, shared,
+           {sql_ratio_units('shared', 'least(sa.nf, sb.nf)')} AS containment_micros
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
 """

@@ -1,0 +1,80 @@
+"""Round-7 operator tests: winnowing fingerprints + logreg calibration."""
+
+from __future__ import annotations
+
+from tests.oracle import compare
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing coverage guarantee (Schleimer et al. 2003): two
+    documents sharing a substring of length >= K + W - 1 share at least
+    one fingerprint; a doc with no long shared substring shares none."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_fps,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> K+W-1 chars
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zzz qqq {shared} rrr sss"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    rows = {r["doc_id"]: set(r["fps"]) for r in _winnow_fps(df).collect()}
+    assert rows[1] & rows[2], "shared substring must share a fingerprint"
+    # doc 3 shares only short fragments ('the ', spaces) — far below the
+    # guarantee threshold; winnowing makes no promise either way, but
+    # its fingerprint set must be non-empty and internally consistent
+    assert rows[3]
+
+
+def test_winnowing_density(spark):
+    """Expected selection density is ~2/(W+1); assert the loose bound
+    that fingerprints are strictly fewer than windows for a long doc
+    (winnowing samples, never keeps everything)."""
+    from multithreaded_map_reduce_spark.queries.textstats import _winnow_fps
+
+    df = spark.createDataFrame(
+        [(1, "k " + " ".join(f"tok{i % 17}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    r = _winnow_fps(df).collect()[0]
+    n_windows = r["n_grams"] - 3
+    assert 0 < len(r["fps"]) < n_windows
+
+
+def test_winnowing_gate(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(spark, QUERIES["text_winnowing"], ORACLES["text_winnowing"], SF_SMOKE)
+    compare(
+        spark,
+        QUERIES["dedup_winnowing_pairs"],
+        ORACLES["dedup_winnowing_pairs"],
+        SF_SMOKE,
+    )
+
+
+def test_calibration_gate_and_shape(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import ORACLES, QUERIES
+
+    compare(
+        spark,
+        QUERIES["quality_logreg_calibration"],
+        ORACLES["quality_logreg_calibration"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["quality_logreg_calibration"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["keep_rate_micros"] <= 1_000_000
+        assert 0 <= r["mean_score_units"] <= 1_000_000_000
+        assert r["n"] >= r["n_keep"] >= 0
