@@ -185,6 +185,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_logreg_calibration",
     "text_winnowing",
     "dedup_winnowing_pairs",
+    "sim_topk_mmr",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

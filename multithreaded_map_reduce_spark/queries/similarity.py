@@ -1338,3 +1338,193 @@ ORACLES["sim_topk_ivfpq_rerank"] = f"""
 # Deferred: nests the lsh/ivf2/pq/ivfpq(+rerank) oracles defined above.
 _RECALL_RUNGS.append("ivfpq_rerank")
 ORACLES["ann_recall_report"] = _recall_oracle()
+
+
+# ------------------------------------------------------------ MMR re-ranking
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy top-k
+# that trades relevance against redundancy — score(i) = λ·rel(i) −
+# (1−λ)·max_{s∈S} sim(i, s). The serving-side diversifier that follows
+# ANN retrieval in RAG/search stacks (the result list shouldn't be k
+# near-copies of the same document).
+#
+# Exactness rails: relevance and candidate-pair similarities are
+# snapped to integer micros JVM-SIDE; the greedy itself (genuinely
+# sequential — each pick depends on all previous picks, the sanctioned
+# applyInPandas case) compares only int64s, with λ = 7/10 applied as
+# integer 7·rel − 3·maxsim. Ties break on min neighbor_id. The oracle
+# unrolls the identical k steps as CTEs.
+#
+# Scale: candidates are bounded at MMR_R per query before the greedy,
+# so the pandas stage sees R rows + R²/2 pair sims per query group —
+# O(queries · R²) total, independent of corpus size; the expensive part
+# (retrieval) stays in the JVM plans above. This is the FAISS→rerank→
+# diversify serving shape.
+
+MMR_R = 10  # candidate pool per query (from exact cosine top-R)
+MMR_K = 3  # diversified results per query
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 10  # λ = 0.7 in exact tenths
+
+
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.rounding import iunits
+    from ..functions.vectors import as_double, cosine
+    from pyspark.sql import Window as W
+
+    q, c = _split(spark, sf_dir)
+    qd = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    cd = c.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    scored = cd.crossJoin(F.broadcast(qd)).select(
+        "query_id",
+        "neighbor_id",
+        "cv",
+        iunits(cosine(F.col("qv"), F.col("cv")), 6).alias("rel_micros"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rel_micros"), F.asc("neighbor_id")
+    )
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= MMR_R
+    )
+    a = cand.select(
+        "query_id", F.col("neighbor_id").alias("id_a"), F.col("cv").alias("cva")
+    ).alias("ma")
+    b = cand.select(
+        "query_id", F.col("neighbor_id").alias("id_b"), F.col("cv").alias("cvb")
+    ).alias("mb")
+    pairs = (
+        a.join(b, F.col("ma.query_id") == F.col("mb.query_id"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("ma.query_id").alias("query_id"),
+            "id_a",
+            "id_b",
+            iunits(cosine(F.col("cva"), F.col("cvb")), 6).alias("sim_micros"),
+        )
+    )
+
+    def greedy(key, cands: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
+        rel = {
+            int(r.neighbor_id): int(r.rel_micros) for r in cands.itertuples()
+        }
+        sim: dict[tuple[int, int], int] = {}
+        for r in prs.itertuples():
+            ia, ib, s = int(r.id_a), int(r.id_b), int(r.sim_micros)
+            sim[(ia, ib)] = s
+            sim[(ib, ia)] = s
+        selected: list[int] = []
+        rows = []
+        remaining = dict(rel)
+        for step in range(1, MMR_K + 1):
+            best_id, best_score = None, None
+            for i in sorted(remaining):  # sorted ⇒ min-id tie-break
+                mx = max((sim[(i, s)] for s in selected), default=0)
+                score = MMR_LAM_NUM * remaining[i] - (
+                    MMR_LAM_DEN - MMR_LAM_NUM
+                ) * mx
+                if best_score is None or score > best_score:
+                    best_id, best_score = i, score
+            rows.append((key[0], best_id, step, best_score))
+            selected.append(best_id)
+            del remaining[best_id]
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "mmr_rank", "score_units"]
+        )
+
+    return (
+        cand.select("query_id", "neighbor_id", "rel_micros")
+        .groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, neighbor_id long, mmr_rank int, score_units long",
+        )
+    )
+
+
+QUERIES["sim_topk_mmr"] = sim_topk_mmr
+
+
+def _sql_mmr() -> str:
+    """Unrolled greedy: cand/psim CTEs + one (score, pick, remaining)
+    round per MMR step, all integer micros."""
+    lam, dlam = MMR_LAM_NUM, MMR_LAM_DEN - MMR_LAM_NUM
+    cos_units = f"CAST(floor(({sql_cosine('q.qv', 'c.cv')}) * 1000000.0 + 0.5) AS BIGINT)"
+    pair_units = (
+        f"CAST(floor(({sql_cosine('x.cv', 'y.cv')}) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    # one (scored, pick) CTE pair per greedy step; pick{t} carries the
+    # selected ids s1..st forward
+    parts = []
+    for t in range(1, MMR_K + 1):
+        excl = (
+            " AND ".join(
+                f"c.neighbor_id != pk.s{j}" for j in range(1, t)
+            )
+            or "TRUE"
+        )
+        if t == 1:
+            mx = "CAST(0 AS BIGINT)"
+            fromrow = "cand c, (SELECT 1) pk"
+        else:
+            mx = "greatest(" + ", ".join(
+                f"(SELECT p.sim_micros FROM psim p WHERE p.query_id = c.query_id"
+                f" AND ((p.id_a = c.neighbor_id AND p.id_b = pk.s{j})"
+                f" OR (p.id_b = c.neighbor_id AND p.id_a = pk.s{j})))"
+                for j in range(1, t)
+            ) + ")"
+            fromrow = f"cand c JOIN pick{t - 1} pk USING (query_id)"
+        parts.append(
+            f"""sc{t} AS (
+        SELECT c.query_id, c.neighbor_id,
+               {lam} * c.rel_micros - {dlam} * ({mx}) AS score_units
+        FROM {fromrow}
+        WHERE {excl}
+    ), pick{t} AS (
+        SELECT {('pk.* EXCLUDE (query_id), ' if t > 1 else '')}s.query_id,
+               s.neighbor_id AS s{t}, s.score_units AS u{t}
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_units DESC, neighbor_id ASC) AS rn
+            FROM sc{t}
+        ) s {(f'JOIN pick{t - 1} pk USING (query_id)' if t > 1 else '')}
+        WHERE s.rn = 1
+    )"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT query_id, s{t} AS neighbor_id, CAST({t} AS INTEGER) AS mmr_rank,"
+        f" u{t} AS score_units FROM pick{MMR_K}"
+        for t in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cv AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel_micros FROM (
+            SELECT q.query_id, c.neighbor_id, {cos_units} AS rel_micros,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos_units} DESC, c.neighbor_id ASC) AS rn
+            FROM cv c, q
+        ) WHERE rn <= {MMR_R}
+    ), psim AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+               {pair_units} AS sim_micros
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+        JOIN cv x ON x.neighbor_id = a.neighbor_id
+        JOIN cv y ON y.neighbor_id = b.neighbor_id
+    ), {','.join(parts)}
+    {selects}
+"""
+
+
+ORACLES["sim_topk_mmr"] = _sql_mmr()

