@@ -1365,9 +1365,10 @@ MMR_K = 3  # diversified results per query
 MMR_LAM_NUM, MMR_LAM_DEN = 7, 10  # λ = 0.7 in exact tenths
 
 
-def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-query pool: exact-cosine top-R with candidate
+    vectors attached — the JVM-side heavy stage (query side broadcast,
+    TakeOrdered-per-key via window; plan-contract-tested)."""
     from ..functions.rounding import iunits
     from ..functions.vectors import as_double, cosine
     from pyspark.sql import Window as W
@@ -1386,9 +1387,18 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(
         F.desc("rel_micros"), F.asc("neighbor_id")
     )
-    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= MMR_R
     )
+
+
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.rounding import iunits
+    from ..functions.vectors import cosine
+
+    cand = _mmr_candidates(spark, sf_dir)
     a = cand.select(
         "query_id", F.col("neighbor_id").alias("id_a"), F.col("cv").alias("cva")
     ).alias("ma")

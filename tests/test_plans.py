@@ -539,3 +539,54 @@ def test_quality_logreg_prunes_document_columns(spark):
     assert doc_schemas, schemas
     for s in doc_schemas:
         assert "n_chars" not in s and "source" not in s, s
+
+
+def test_winnowing_pairs_equi_join_only(spark):
+    """The winnowing pair stage must ride fingerprint equi-joins — a
+    CartesianProduct/BroadcastNestedLoopJoin means the candidate join
+    regressed to all-pairs (the exact failure the bucket cap exists to
+    prevent). The final result is a local DataFrame (materialize +
+    unpersist hygiene), so the contract is asserted on the LAZY twin of
+    the pair plan built here from the same pieces."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        WINNOW_MAX_BUCKET,
+        _winnow_fps,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    w = _winnow_fps(load_table(spark, SF_SMOKE, "documents"))
+    ex = w.select("doc_id", F.explode("fps").alias("fp"))
+    keep_fp = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter((F.col("_nb") >= 2) & (F.col("_nb") <= WINNOW_MAX_BUCKET))
+        .select("fp")
+    )
+    exk = ex.join(keep_fp, "fp")
+    pairs = (
+        exk.alias("pa")
+        .join(exk.alias("pb"), F.expr("pa.fp = pb.fp AND pa.doc_id < pb.doc_id"))
+    )
+    txt = explain_formatted(pairs)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_mmr_candidate_pool_is_bounded_and_query_side_broadcast(spark):
+    """MMR's expensive JVM stage: the scoring crossJoin must broadcast
+    the 5-row query side (never shuffle the candidate corpus against
+    it), and the pandas greedy must receive only rank<=R rows."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        MMR_R,
+        _mmr_candidates,
+    )
+
+    df = _mmr_candidates(spark, SF_SMOKE)
+    txt = explain_formatted(df)
+    assert "BroadcastExchange" in txt or "BroadcastNestedLoopJoin" in txt
+    rows = df.groupBy("query_id").count().collect()
+    assert rows and all(r["count"] <= MMR_R for r in rows)
