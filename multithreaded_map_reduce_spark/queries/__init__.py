@@ -186,6 +186,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_winnowing",
     "dedup_winnowing_pairs",
     "sim_topk_mmr",
+    "curation_anneal_schedule",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1640,3 +1640,126 @@ def _decon_sem_oracle() -> str:
 
 
 ORACLES["curation_decontaminate_semantic"] = _decon_sem_oracle()
+
+
+# ----------------------------------------------------- annealed mixture plan
+# Temperature ANNEALING over epochs (the decay-phase upsampling recipe:
+# start diversity-heavy, end proportional — MiniCPM/Llama-style data
+# scheduling, the dynamic twin of curation_mixture's static n^alpha):
+# epoch 0 samples with alpha = 1/2, epoch 1 with 3/4, epoch 2 with 1.
+# All three weights are exact integers cross-engine:
+#   n^(1/2)  -> floor(sqrt(n))           (IEEE sqrt correctly rounded)
+#   n^(3/4)  -> floor(sqrt(n*floor(sqrt(n))))   (two single sqrts)
+#   n^1      -> n
+# Quotas and draws reuse the curation_mixture rails (integer div,
+# epoch-salted md5 bottom-k per source). Scale: stats are one tiny
+# aggregate; the draw is one shuffle on (epoch, source) over
+# |docs| x |epochs| rows — at 100 TB you run one epoch's draw at a
+# time, same plan, no cross-epoch state.
+
+ANNEAL_EPOCHS = 3
+ANNEAL_BUDGET_PCT = 20  # per-epoch sample budget as % of corpus
+
+
+def curation_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ep = F.explode(F.array(*[F.lit(i) for i in range(ANNEAL_EPOCHS)])).alias(
+        "epoch"
+    )
+    sq = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    w34 = F.floor(F.sqrt((F.col("n_docs") * sq).cast("double"))).cast("long")
+    weights = stats.select("source", "n_docs", ep).withColumn(
+        "w",
+        F.when(F.col("epoch") == 0, sq)
+        .when(F.col("epoch") == 1, w34)
+        .otherwise(F.col("n_docs").cast("long")),
+    )
+    totals = weights.groupBy("epoch").agg(
+        F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    quota = weights.join(F.broadcast(totals), "epoch").select(
+        "epoch",
+        "source",
+        "n_docs",
+        "w",
+        F.expr(
+            f"(n_total * {ANNEAL_BUDGET_PCT} div 100) * w div sum_w"
+        ).alias("quota"),
+    )
+    drawn = (
+        docs.select("doc_id", "source", ep)
+        .withColumn(
+            "draw_hash",
+            token_hash(
+                F.concat(
+                    F.lit("an"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .join(F.broadcast(quota), ["epoch", "source"])
+        .withColumn(
+            "draw_rank",
+            F.row_number().over(
+                W.partitionBy("epoch", "source").orderBy(
+                    F.asc("draw_hash"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("draw_rank") <= F.col("quota"))
+    )
+    return drawn.groupBy("epoch", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("n_docs").alias("n_docs"),
+        F.min("w").alias("weight"),
+        F.min("quota").alias("quota"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["curation_anneal_schedule"] = curation_anneal_schedule
+
+_AN_H = sql_token_hash("'an' || CAST(d.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")
+
+ORACLES["curation_anneal_schedule"] = f"""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ), weights AS (
+        SELECT source, n_docs, e.epoch,
+               CASE e.epoch
+                   WHEN 0 THEN CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   WHEN 1 THEN CAST(floor(sqrt(CAST(
+                        n_docs * CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                        AS DOUBLE))) AS BIGINT)
+                   ELSE CAST(n_docs AS BIGINT)
+               END AS w
+        FROM stats, (SELECT unnest(range({ANNEAL_EPOCHS})) AS epoch) e
+    ), totals AS (
+        SELECT epoch, CAST(sum(w) AS BIGINT) AS sum_w,
+               CAST(sum(n_docs) AS BIGINT) AS n_total
+        FROM weights GROUP BY 1
+    ), quota AS (
+        SELECT w.epoch, w.source, w.n_docs, w.w,
+               (n_total * {ANNEAL_BUDGET_PCT} // 100) * w.w // sum_w AS quota
+        FROM weights w JOIN totals USING (epoch)
+    ), d AS (
+        SELECT doc_id, source, e.epoch
+        FROM documents, (SELECT unnest(range({ANNEAL_EPOCHS})) AS epoch) e
+    ), drawn AS (
+        SELECT d.epoch, d.source, d.doc_id, q.n_docs, q.w, q.quota,
+               row_number() OVER (
+                   PARTITION BY d.epoch, d.source
+                   ORDER BY {_AN_H} ASC, d.doc_id ASC) AS draw_rank
+        FROM d JOIN quota q ON d.epoch = q.epoch AND d.source = q.source
+    )
+    SELECT epoch, source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           min(n_docs) AS n_docs,
+           min(w) AS weight,
+           min(quota) AS quota,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM drawn WHERE draw_rank <= quota GROUP BY 1, 2
+"""

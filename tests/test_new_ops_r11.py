@@ -120,3 +120,37 @@ def test_mmr_rank1_is_relevance_argmax(spark):
     )
     for r in brute:
         assert mmr[(r["query_id"], 1)] == r["neighbor_id"]
+
+
+def test_anneal_schedule_monotone_shares(spark):
+    """Annealing property: as alpha rises 1/2 -> 1 across epochs, the
+    LARGEST source's quota share must not shrink and the SMALLEST
+    source's must not grow (temperature moving from diversity-heavy
+    toward proportional)."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        ANNEAL_EPOCHS,
+        QUERIES,
+    )
+
+    rows = QUERIES["curation_anneal_schedule"](spark, SF_SMOKE).collect()
+    assert rows
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["source"]] = r
+    sizes = {s: r["n_docs"] for s, r in by_epoch[0].items()}
+    big = max(sizes, key=lambda s: (sizes[s], s))
+    small = min(sizes, key=lambda s: (sizes[s], s))
+    if sizes[big] == sizes[small]:
+        return  # degenerate uniform fixture — no share movement to test
+
+    def share(e, s):
+        tot = sum(r["quota"] for r in by_epoch[e].values())
+        return by_epoch[e][s]["quota"] / tot
+
+    for e in range(1, ANNEAL_EPOCHS):
+        assert share(e, big) >= share(e - 1, big) - 1e-9
+        assert share(e, small) <= share(e - 1, small) + 1e-9
+    # draws respect quotas
+    for e in by_epoch.values():
+        for r in e.values():
+            assert r["n_sampled"] == min(r["quota"], r["n_docs"])
