@@ -187,6 +187,7 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_winnowing_pairs",
     "sim_topk_mmr",
     "curation_anneal_schedule",
+    "streaming_winnowing_probe",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -954,3 +954,85 @@ def _streaming_drift_oracle() -> str:
 
 
 ORACLES["streaming_drift_monitor"] = _streaming_drift_oracle()
+
+
+def streaming_winnowing_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup flagging by winnowing fingerprints against a
+    PERSISTED day-1 index — the winnowing twin of
+    ``streaming_dedup_probe``: corpus fingerprints are parquet (built
+    once, ``_winnow_index_path``), the day-2 batch arrives as a
+    file-source stream, fingerprint selection is a per-ROW array
+    expression (streaming-safe, no state), and the only stateful
+    operator is the (new_id, match_id) count aggregation — COMPLETE
+    output mode over the probe window, bounded by matched pairs (the
+    standing fixture honesty note: one micro-batch; production bounds
+    state with an ingest-time watermark).
+
+    Guarantee carried over from winnowing: a stream doc sharing a
+    substring of >= K+W-1 chars with an indexed doc ALWAYS collides on
+    at least one fingerprint — ingest-latency plagiarism/near-dup
+    flagging with a provable floor, which the LSH probe cannot give."""
+    from .textstats import (
+        WINNOW_K,
+        WINNOW_MAX_BUCKET,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        _winnow_index_path,
+        winnow_fps_col,
+    )
+    from ..streaming.events import stream_documents
+
+    path = _winnow_index_path(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    capped = idx.filter(F.col("_nb") <= WINNOW_MAX_BUCKET).select(
+        "fp", "match_id"
+    )
+    stream = stream_documents(spark, sf_dir).filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    )
+    ex = stream.select(
+        F.col("doc_id").alias("new_id"),
+        F.explode(winnow_fps_col(F.col("text"))).alias("fp"),
+    )
+    matched = (
+        ex.join(capped, "fp")
+        .groupBy("new_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    name = _sink("st_winnow")
+    run_stream_to_memory(matched, name, output_mode="complete")
+    return spark.table(name)
+
+
+QUERIES["streaming_winnowing_probe"] = streaming_winnowing_probe
+
+
+def _streaming_winnow_oracle() -> str:
+    from .textstats import (
+        WINNOW_MAX_BUCKET,
+        WINNOW_MIN_SHARED,
+        _sql_winnow_cte,
+    )
+
+    return f"""
+    WITH corpus AS MATERIALIZED ({_sql_winnow_cte("doc_id % 10 != 0")}),
+    strm AS MATERIALIZED ({_sql_winnow_cte("doc_id % 10 = 0")}),
+    cex AS MATERIALIZED (
+        SELECT doc_id AS match_id, unnest(fps) AS fp FROM corpus
+    ),
+    keep_fp AS (
+        SELECT fp FROM cex GROUP BY fp HAVING count(*) <= {WINNOW_MAX_BUCKET}
+    ),
+    sex AS (SELECT doc_id AS new_id, unnest(fps) AS fp FROM strm)
+    SELECT new_id, match_id, count(*) AS shared
+    FROM sex
+    JOIN cex USING (fp)
+    JOIN keep_fp USING (fp)
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+ORACLES["streaming_winnowing_probe"] = _streaming_winnow_oracle()

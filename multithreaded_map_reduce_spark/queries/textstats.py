@@ -146,16 +146,45 @@ WINNOW_MAX_BUCKET = 20  # fingerprints shared by more docs are boilerplate
 WINNOW_MIN_SHARED = 8  # report pairs sharing at least this many fps
 
 
+def _winnow_window_mins(hs) -> "Column":
+    """Sliding window-W minima of ``hs`` WITHOUT a per-window lambda.
+
+    The naive form — ``transform(sequence(...), i -> array_min(slice(
+    hs, i, W)))`` — re-evaluates the ENTIRE interpreted gram-hash fold
+    once per window (lambda bodies don't share subexpressions in
+    interpreted mode): O(n²·k) per document, measured 170 s for a
+    450-doc index build. Chained ``zip_with`` against W-1 shifted
+    slices evaluates ``hs`` only W+1 times per row and the lambda body
+    is a bare ``least``: m_j[i] = min(hs[i..i+j]) after j steps."""
+    n = F.size(hs)
+    m = hs
+    for j in range(1, WINNOW_W):
+        shifted = F.slice(hs, j + 1, F.greatest(n - F.lit(j), F.lit(0)))
+        m = F.zip_with(m, shifted, lambda a, b: F.least(a, b))
+    return F.slice(m, 1, F.greatest(n - F.lit(WINNOW_W - 1), F.lit(0)))
+
+
+def winnow_fps_col(c) -> "Column":
+    """Winnowing fingerprint set as ONE per-row Column expression
+    (streaming-safe — used by the streaming probe; batch consumers go
+    through _winnow_fps for the n_grams count)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(WINNOW_K - 1)),
+        lambda i: F.substring(c, i, WINNOW_K),
+    )
+    return F.array_distinct(_winnow_window_mins(hash_array(grams)))
+
+
 def _winnow_fps(docs: DataFrame) -> DataFrame:
     """(doc_id, n_grams INT, fps ARRAY<BIGINT>) — distinct winnowing
     fingerprints per document (docs long enough for >= 1 window).
 
-    The positional char-gram hashes and window mins are HOF lambdas —
-    interpreted per element, the known slow path — so the input is
-    ``fan_out`` first (one parquet split would otherwise pin the whole
-    fold to one core) and consumers that branch over this relation MUST
-    evaluate it once (persist) — see dedup_winnowing_pairs, where the
-    unpersisted 4-branch plan measured 306 s vs ~8 s persisted."""
+    The positional char-gram hashes are interpreted HOF lambdas — the
+    known slow path — so the input is ``fan_out`` first (one parquet
+    split would otherwise pin the fold to one core) and consumers that
+    branch over this relation MUST evaluate it once (persist) — see
+    dedup_winnowing_pairs, where the unpersisted 4-branch plan
+    measured 306 s vs ~8 s persisted."""
     from ..sources.catalog import fan_out
 
     c = F.col("text")
@@ -166,12 +195,10 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
     staged = fan_out(
         docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
     ).select("doc_id", hash_array(grams).alias("hs"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_W - 1)),
-        lambda i: F.array_min(F.slice("hs", i, WINNOW_W)),
-    )
     return staged.select(
-        "doc_id", F.size("hs").alias("n_grams"), F.array_distinct(wins).alias("fps")
+        "doc_id",
+        F.size("hs").alias("n_grams"),
+        F.array_distinct(_winnow_window_mins(F.col("hs"))).alias("fps"),
     )
 
 
@@ -260,7 +287,30 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (registered at module end - QUERIES/ORACLES dicts are defined later)
 
 
-def _sql_winnow_cte() -> str:
+# Persisted day-1 winnowing index (streaming probe's static side) —
+# same staleness/caching contract as queries/dedup._INDEX_PATHS.
+_WINNOW_INDEX_PATHS: dict[str, str] = {}
+
+
+def _winnow_index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _WINNOW_INDEX_PATHS:
+        from .connectors import _fixture_path
+
+        path = _fixture_path("winnow_index")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        w = _winnow_fps(docs)
+        ex = w.select(
+            F.col("doc_id").alias("match_id"), F.explode("fps").alias("fp")
+        )
+        sizes = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_nb"))
+        ex.join(sizes, "fp").write.mode("overwrite").parquet(path)
+        _WINNOW_INDEX_PATHS[sf_dir] = path
+    return _WINNOW_INDEX_PATHS[sf_dir]
+
+
+def _sql_winnow_cte(where: str = "TRUE") -> str:
     """DuckDB CTE ``w(doc_id, n_grams, fps)`` mirroring _winnow_fps."""
     k, win = WINNOW_K, WINNOW_W
     grams = f"list_transform(range(1, length(text) - {k} + 2), i -> text[i:i+{k - 1}])"
@@ -271,7 +321,7 @@ def _sql_winnow_cte() -> str:
                    i -> list_min(hs[i:i+{win - 1}]))) AS fps
         FROM (
             SELECT doc_id, {sql_hash_array(grams)} AS hs
-            FROM documents WHERE length(text) >= {k + win - 1}
+            FROM documents WHERE length(text) >= {k + win - 1} AND ({where})
         )
     """
 
