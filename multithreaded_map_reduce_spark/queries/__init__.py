@@ -87,7 +87,7 @@ _register(mining)
 _register(retrieval)
 
 # The driver's correctness gate verifies the registry in registration order
-# and caps the number of queries per round (~50 of 236). Re-rank so the
+# and caps the number of queries per round (~50 of the registry). Re-rank so the
 # highest-signal rows come first:
 #   1. queries that have NEVER had a green driver CORRECTNESS row —
 #      computed DYNAMICALLY from the CORRECTNESS_r*.json files at repo

@@ -154,3 +154,51 @@ def test_anneal_schedule_monotone_shares(spark):
     for e in by_epoch.values():
         for r in e.values():
             assert r["n_sampled"] == min(r["quota"], r["n_docs"])
+
+
+def test_rounding_helpers_cross_engine(spark):
+    """ratio_units / pround_dec / sql twins: half-up at exact ties,
+    identical values in Spark and DuckDB, including the negative domain
+    (both engines truncate integer division toward zero, so the same
+    formula yields the same — if not 'half-up-named' — result)."""
+    import duckdb
+
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        pround_dec,
+        ratio_units,
+        sql_pround_dec,
+        sql_ratio_units,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [(1, 3), (1, 4), (1, 2), (2, 4), (5, 10), (7, 3), (0, 5)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r["num"], r["den"]): r["m"]
+        for r in df.select(
+            "num", "den", ratio_units("num", "den").alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for num, den in cases:
+        duck = con.execute(
+            f"SELECT {sql_ratio_units(str(num), str(den))}"
+        ).fetchone()[0]
+        assert got[(num, den)] == duck, (num, den)
+        # half-up reference
+        assert duck == (2 * 1_000_000 * num + den) // (2 * den)
+
+    dec_cases = ["12.3450", "12.3449", "12.3451", "-12.3450", "0.0050"]
+    ddf = spark.createDataFrame(
+        [(c,) for c in dec_cases], "s string"
+    ).select(F.col("s").cast("decimal(18,4)").alias("d"), "s")
+    gd = {r["s"]: r["r"] for r in ddf.select("s", pround_dec(F.col("d"), 2).alias("r")).collect()}
+    for c in dec_cases:
+        duck = con.execute(
+            f"SELECT {sql_pround_dec(f'CAST({c} AS DECIMAL(18,4))', 2)}"
+        ).fetchone()[0]
+        assert gd[c] == duck, c
+    assert gd["12.3450"] == 12.35 and gd["12.3449"] == 12.34
+    assert gd["-12.3450"] == -12.34  # half toward +inf, both engines
+    assert gd["0.0050"] == 0.01
+    con.close()
