@@ -139,25 +139,45 @@ def test_quality_logreg_actually_learns(spark):
 
 
 def test_quality_logreg_no_collect_driver_loop(spark):
-    """The whole train+score chain is ONE lazy plan — weight relations
-    are crossJoin-broadcast, so building the DataFrame runs no jobs and
-    the final plan embeds the unrolled iterations."""
-    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+    """The GD TRAIN CHAIN is one lazy plan — weight relations are
+    crossJoin-broadcast, so building the LOGREG_ITERS-step chain runs
+    no jobs and the unrolled iterations live in a single plan.
 
+    (quality_logreg itself became deliberately EAGER in round 7 — it
+    materializes once and unpersists its feature cache, ADVICE r6 — so
+    the laziness contract is asserted on the chain the query builds,
+    where the per-iteration-collect anti-pattern would actually live.)"""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        LOGREG_ITERS,
+        _LR_NX,
+        _lr_features,
+        _lr_standardize,
+        _lr_step,
+        QUERIES,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    zfeat = _lr_standardize(_lr_features(load_table(spark, SF_SMOKE, "documents")))
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
-    df = QUERIES["quality_logreg"](spark, SF_SMOKE)
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
     after = len(tracker.getJobIdsForGroup(None) or [])
-    # at most the parquet-footer read — NOT one job per GD iteration
-    # (a collect()-based trainer would launch >= LOGREG_ITERS jobs here)
-    assert after - before <= 1, "plan construction ran per-iteration jobs"
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    from multithreaded_map_reduce_spark.queries.textstats import LOGREG_ITERS
-
+    # chain construction runs NO jobs — a collect()-based trainer would
+    # launch >= LOGREG_ITERS here
+    assert after - before == 0, "GD chain construction ran per-iteration jobs"
+    plan = w._jdf.queryExecution().optimizedPlan().toString()
     # the unrolled iterations live IN the single plan: one sigmoid per
-    # training step plus the final scoring pass
-    assert plan.count("EXP(") + plan.count("exp(") >= LOGREG_ITERS + 1
-    assert df.count() >= 2
+    # training step
+    assert plan.count("EXP(") + plan.count("exp(") >= LOGREG_ITERS
+    # and the public query still returns the full confusion grid
+    assert QUERIES["quality_logreg"](spark, SF_SMOKE).count() >= 2
 
 
 def test_streaming_quality_score_gate(spark):
