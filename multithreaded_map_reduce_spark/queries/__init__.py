@@ -188,6 +188,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_topk_mmr",
     "curation_anneal_schedule",
     "streaming_winnowing_probe",
+    "timeseries_acf",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

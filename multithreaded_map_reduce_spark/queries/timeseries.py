@@ -648,3 +648,94 @@ def _holt_oracle() -> str:
 
 
 ORACLES["timeseries_holt"] = _holt_oracle()
+
+
+# ------------------------------------------------------- autocorrelation (ACF)
+# Lag-k autocorrelation of the global hourly activity series — THE
+# diagnostic for periodicity/burstiness before modeling a metric
+# (choose seasonal window, detect synthetic/replayed traffic). Pearson
+# r of the lag-k pairs (v_t, v_{t+k}) with the stats_covar exact-moment
+# discipline: hourly sums in integer CENTI-units, all five moments in
+# DECIMAL(38,0) (order-free), closed form with one double conversion
+# per exact factor, portable rounding. Scale: one bucket aggregation
+# (map-side combined), one broadcast of the 6-row lag relation, one
+# equi-join on (b + lag) — series length is bounded by the time span,
+# not data volume. Centi-unit rail: hourly sums stay < 2^63 in the
+# moment products up to ~1e8x this fixture; at larger magnitudes drop
+# to whole units (the dial documented on timeseries_anomaly).
+
+ACF_LAGS = 6
+
+
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            F.floor(epoch_micros(F.col("ts")) / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 2).alias("vc"),
+        )
+        .groupBy("b")
+        .agg(F.sum("vc").alias("v"))
+    )
+    lags = spark.range(1, ACF_LAGS + 1).select(F.col("id").alias("lag"))
+    x = ser.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("b") + F.col("lag")).alias("bj"), F.col("v").alias("xv")
+    )
+    y = ser.select(F.col("b").alias("bj"), F.col("v").alias("yv"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        x.join(y, "bj")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(d(F.col("xv"))).alias("sx"),
+            F.sum(d(F.col("yv"))).alias("sy"),
+            F.sum(d(F.col("xv")) * d(F.col("yv"))).alias("sxy"),
+            F.sum(d(F.col("xv")) * d(F.col("xv"))).alias("sxx"),
+            F.sum(d(F.col("yv")) * d(F.col("yv"))).alias("syy"),
+        )
+    )
+    n = d(F.col("n_pairs"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "lag",
+        "n_pairs",
+        pround(num / F.sqrt(varx * vary), 6).alias("acf"),
+    )
+
+
+QUERIES["timeseries_acf"] = timeseries_acf
+
+ORACLES["timeseries_acf"] = f"""
+    WITH ser AS (
+        SELECT CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT l.lag, x.v AS xv, y.v AS yv
+        FROM ser x
+        JOIN (SELECT unnest(range(1, {ACF_LAGS + 1})) AS lag) l ON TRUE
+        JOIN ser y ON x.b + l.lag = y.b
+    ), m AS (
+        SELECT lag, count(*) AS n_pairs,
+               sum(xv) AS sx, sum(yv) AS sy,
+               sum(xv * yv) AS sxy, sum(xv * xv) AS sxx, sum(yv * yv) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           {sql_pround(
+               'CAST(n_pairs * sxy - sx * sy AS DOUBLE)'
+               ' / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)'
+               ' * CAST(n_pairs * syy - sy * sy AS DOUBLE))',
+               6,
+           )} AS acf
+    FROM m
+"""

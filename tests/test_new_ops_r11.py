@@ -202,3 +202,23 @@ def test_rounding_helpers_cross_engine(spark):
     assert gd["-12.3450"] == -12.34  # half toward +inf, both engines
     assert gd["0.0050"] == 0.01
     con.close()
+
+
+def test_acf_bounds_and_pair_counts(spark):
+    """ACF sanity: |r_k| <= 1, and lag-k pair count decreases (or holds)
+    as k grows on a contiguous hourly series."""
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        ACF_LAGS,
+        QUERIES,
+    )
+
+    rows = sorted(
+        QUERIES["timeseries_acf"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == list(range(1, ACF_LAGS + 1))
+    for r in rows:
+        assert -1.000001 <= r["acf"] <= 1.000001
+        # the series has missing hours, so pair counts are not monotone
+        # in lag — but every lag must have a healthy overlap
+        assert r["n_pairs"] > 100
