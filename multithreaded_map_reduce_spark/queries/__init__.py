@@ -189,6 +189,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_anneal_schedule",
     "streaming_winnowing_probe",
     "timeseries_acf",
+    "events_attribution",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -887,3 +887,118 @@ ORACLES["events_cuped"] = f"""
                AS cuped_mean
     FROM arms, mom
 """
+
+
+# ------------------------------------------------------ conversion attribution
+# Multi-touch attribution: every purchase's value is credited to the
+# user's clicks inside the preceding ATTR_WINDOW — LINEAR (equal
+# integer split, remainder to the earliest clicks) and LAST-TOUCH
+# (whole value to the most recent click) in one pass. The standard
+# marketing-analytics op and the integer-split discipline matters: a
+# double v/n split would drift cross-engine; ``div``/``mod`` with a
+# deterministic remainder rule is bit-exact and sums back to the
+# purchase total by construction.
+#
+# Scale: one user-keyed equi-join (the natural partitioning key) with
+# the time window as a pushed residual filter — per-user fan-in is
+# bounded by activity, not corpus size; both window ranks ride the
+# join's own (purchase) partitioning. At extreme per-user skew, the
+# bucketed range join (operators/rangejoin.py) is the drop-in
+# replacement for the same predicate.
+
+ATTR_WINDOW_US = 72 * 3600 * 1_000_000  # 72-hour lookback
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        epoch_micros(F.col("ts")).alias("c_us"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        epoch_micros(F.col("ts")).alias("p_us"),
+        iunits(F.col("value")).alias("v_micros"),
+    )
+    pairs = purch.join(clicks, "user_id").filter(
+        (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - F.lit(ATTR_WINDOW_US))
+    )
+    wp = W.partitionBy("purchase_id")
+    early = F.row_number().over(
+        wp.orderBy(F.asc("c_us"), F.asc("click_id"))
+    )
+    late = F.row_number().over(
+        wp.orderBy(F.desc("c_us"), F.desc("click_id"))
+    )
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "v_micros",
+        early.alias("r_early"),
+        late.alias("r_late"),
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+    )
+    share = F.expr("v_micros div n_touch") + F.when(
+        F.col("r_early") <= F.expr("v_micros % n_touch"), F.lit(1)
+    ).otherwise(F.lit(0))
+    credited = ranked.select(
+        "click_id",
+        "user_id",
+        share.alias("linear_micros"),
+        F.when(F.col("r_late") == 1, F.col("v_micros"))
+        .otherwise(F.lit(0))
+        .alias("last_micros"),
+        F.when(F.col("r_late") == 1, F.lit(1)).otherwise(F.lit(0)).alias("is_last"),
+    )
+    return credited.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("linear_micros").alias("linear_micros"),
+        F.sum("last_micros").alias("last_touch_micros"),
+        F.sum("is_last").alias("n_last_touch"),
+    )
+
+
+QUERIES["events_attribution"] = events_attribution
+
+ORACLES["events_attribution"] = f"""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS v_micros
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, c.click_id, p.user_id, p.v_micros,
+               row_number() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.c_us ASC, c.click_id ASC) AS r_early,
+               row_number() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.c_us DESC, c.click_id DESC) AS r_late,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+        FROM purch p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_us < p.p_us
+         AND c.c_us >= p.p_us - {ATTR_WINDOW_US}
+    ), credited AS (
+        SELECT click_id, user_id,
+               v_micros // n_touch
+                   + CASE WHEN r_early <= v_micros % n_touch THEN 1 ELSE 0 END
+                   AS linear_micros,
+               CASE WHEN r_late = 1 THEN v_micros ELSE 0 END AS last_micros,
+               CASE WHEN r_late = 1 THEN 1 ELSE 0 END AS is_last
+        FROM pairs
+    )
+    SELECT click_id, user_id,
+           count(*) AS n_conversions,
+           CAST(sum(linear_micros) AS BIGINT) AS linear_micros,
+           CAST(sum(last_micros) AS BIGINT) AS last_touch_micros,
+           CAST(sum(is_last) AS BIGINT) AS n_last_touch
+    FROM credited GROUP BY 1, 2
+"""

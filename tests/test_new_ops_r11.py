@@ -222,3 +222,46 @@ def test_acf_bounds_and_pair_counts(spark):
         # the series has missing hours, so pair counts are not monotone
         # in lag — but every lag must have a healthy overlap
         assert r["n_pairs"] > 100
+
+
+def test_attribution_conserves_value(spark):
+    """Linear attribution must conserve each purchase's value: the sum
+    of all linear credits equals the total value of ATTRIBUTED
+    purchases (those with >= 1 qualifying click)."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries.events import (
+        ATTR_WINDOW_US,
+        QUERIES,
+    )
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.functions.time import epoch_micros
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    out = QUERIES["events_attribution"](spark, SF_SMOKE)
+    credited = out.agg(F.sum("linear_micros")).collect()[0][0]
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", epoch_micros(F.col("ts")).alias("c_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        epoch_micros(F.col("ts")).alias("p_us"),
+        iunits(F.col("value")).alias("v"),
+    )
+    attributed = (
+        purch.join(clicks, "user_id")
+        .filter(
+            (F.col("c_us") < F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - F.lit(ATTR_WINDOW_US))
+        )
+        .select("pid", "v")
+        .distinct()
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    assert credited == attributed
+    # last-touch credits also conserve: one winner per purchase
+    last = out.agg(F.sum("last_touch_micros"), F.sum("n_last_touch")).collect()[0]
+    assert last[0] == attributed
