@@ -528,12 +528,32 @@ def test_bootstrap_single_scan_no_cartesian(spark):
 def test_quality_logreg_prunes_document_columns(spark):
     """The classifier reads ONLY text+lang from documents — n_chars/
     source/doc_id never reach the scan (column pruning through the
-    feature, standardization, and GD subtrees)."""
+    feature, standardization, and GD subtrees).
+
+    quality_logreg itself returns a LOCAL frame since the round-7
+    materialize+unpersist hygiene change, so the contract is asserted
+    on the lazy train chain it builds internally."""
     import re
 
-    df = _q("quality_logreg")(spark, SF_SMOKE)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        LOGREG_ITERS,
+        _LR_NX,
+        _lr_features,
+        _lr_standardize,
+        _lr_step,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    zfeat = _lr_standardize(_lr_features(load_table(spark, SF_SMOKE, "documents")))
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
+    w.collect()
+    plan = w._jdf.queryExecution().executedPlan().toString()
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     doc_schemas = [s for s in schemas if "text:string" in s]
     assert doc_schemas, schemas
