@@ -115,6 +115,14 @@ HEADLINE = [
     "sim_topk_ivfpq_rerank",
     "curation_training_order",
     "curation_domain_cap",
+    # round 7 (this session): winnowing fingerprint family, MMR
+    # re-rank, annealed mixture, ACF, attribution
+    "text_winnowing",
+    "dedup_winnowing_pairs",
+    "sim_topk_mmr",
+    "curation_anneal_schedule",
+    "timeseries_acf",
+    "events_attribution",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

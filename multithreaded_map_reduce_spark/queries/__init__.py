@@ -190,6 +190,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_winnowing_probe",
     "timeseries_acf",
     "events_attribution",
+    "quality_logreg_auc",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

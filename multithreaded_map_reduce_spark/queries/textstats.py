@@ -2574,3 +2574,85 @@ ORACLES["dedup_winnowing_pairs"] = f"""
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
 """
+
+
+def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality classifier vs its teacher labels —
+    the threshold-free ranking metric completing the eval trio
+    (confusion / PR sweep / calibration). Mann-Whitney form with
+    tie-averaged ranks, ALL integer: scores are already 1e-9-unit
+    BIGINTs, rank groups come from one aggregate over distinct scores
+    (2·avg_rank = lo + hi, an integer), U2 = Σ n_pos·(lo+hi), and
+    AUC_micros = half-up BIGINT rational of (U2 − n1(n1+1)) / (2·n1·n0).
+
+    Scale: the rank window orders DISTINCT SCORE VALUES (bounded by the
+    score quantization, ≤ 1e9 and in practice thousands), not rows —
+    the partition-less window is over that tiny relation; everything
+    row-sized is map-side-combined aggregation."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits
+
+    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+    )
+    for _ in range(LOGREG_ITERS):
+        w = _lr_step(zfeat, w)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
+    )
+    groups = scored.groupBy("score_units").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").alias("n_pos")
+    )
+    win = W.orderBy("score_units").rowsBetween(W.unboundedPreceding, 0)
+    ranked = groups.select(
+        "n_pos",
+        "n",
+        F.sum("n").over(win).alias("hi"),
+    ).select("n_pos", "n", "hi", (F.col("hi") - F.col("n") + 1).alias("lo"))
+    agg = ranked.agg(
+        F.sum(F.col("n_pos") * (F.col("lo") + F.col("hi"))).alias("u2"),
+        F.sum("n_pos").alias("n1"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("n0"),
+    )
+    out = agg.select(
+        "n0",
+        "n1",
+        "u2",
+        F.expr(
+            "(2000000 * (u2 - n1 * (n1 + 1)) + (2 * n1 * n0))"
+            " div (2 * (2 * n1 * n0))"
+        ).alias("auc_micros"),
+    )
+    return _finalize_logreg(spark, out, zfeat)
+
+
+QUERIES["quality_logreg_auc"] = quality_logreg_auc
+
+ORACLES["quality_logreg_auc"] = f"""
+    WITH perdoc AS ({_sql_logreg(mode="per_doc", score_where="TRUE")}),
+    groups AS (
+        SELECT score_units, count(*) AS n, CAST(sum(keep) AS BIGINT) AS n_pos
+        FROM perdoc GROUP BY 1
+    ), ranked AS (
+        SELECT n_pos, n,
+               CAST(sum(n) OVER (ORDER BY score_units
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS hi
+        FROM groups
+    ), agg AS (
+        SELECT CAST(sum(n_pos * ((hi - n + 1) + hi)) AS BIGINT) AS u2,
+               CAST(sum(n_pos) AS BIGINT) AS n1,
+               CAST(sum(n - n_pos) AS BIGINT) AS n0
+        FROM ranked
+    )
+    SELECT n0, n1, u2,
+           (2000000 * (u2 - n1 * (n1 + 1)) + (2 * n1 * n0))
+               // (2 * (2 * n1 * n0)) AS auc_micros
+    FROM agg
+"""

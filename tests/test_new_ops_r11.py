@@ -265,3 +265,15 @@ def test_attribution_conserves_value(spark):
     # last-touch credits also conserve: one winner per purchase
     last = out.agg(F.sum("last_touch_micros"), F.sum("n_last_touch")).collect()[0]
     assert last[0] == attributed
+
+
+def test_auc_better_than_chance_and_bounded(spark):
+    """The distilled scorer ranks teacher-kept docs above dropped ones
+    far better than chance (its confusion matrix shows ~96% agreement),
+    and AUC is a proper probability in micros."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    r = QUERIES["quality_logreg_auc"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["auc_micros"] <= 1_000_000
+    assert r["auc_micros"] > 800_000  # strong ranking, not chance
+    assert r["n0"] > 0 and r["n1"] > 0
