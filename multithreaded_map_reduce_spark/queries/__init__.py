@@ -271,6 +271,16 @@ _DIAGNOSTICS_R7: list[str] = [
     "cogroup_user_activity",
     "interval_shipping",
     "text_gopher_repetition",
+    # the round-7 jitter-audit rewrites: former green rows describe
+    # output that changed at rounding ties — re-verification outranks
+    # sampling brand-new queries (their local gate is green either way)
+    "window_running_total",
+    "window_moving_avg",
+    "brand_above_avg",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "value_histogram",
+    "timeseries_gapfill",
 ]
 
 
