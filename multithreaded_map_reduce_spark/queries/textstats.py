@@ -2425,7 +2425,13 @@ def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_keep",
             ratio_units("n_keep", "n").alias("keep_rate_micros"),
-            ratio_units("_sum_units", "n", 1).alias("mean_score_units"),
+            # mean predicted p in MICRO (not nano) units: the per-doc
+            # 1e-9 snap of an exp() chain can flip by one unit on a
+            # different libm build when p sits on a snap boundary, and
+            # a nano-resolution mean surfaces every such flip (the
+            # round-7 jitter audit flagged exactly this); averaging to
+            # 1e-6 absorbs single-unit input flips
+            ratio_units("_sum_units", "1000 * n", 1).alias("mean_score_micros"),
         )
     )
     return _finalize_logreg(spark, out, zfeat)
@@ -2437,7 +2443,7 @@ ORACLES["quality_logreg_calibration"] = f"""
     WITH perdoc AS ({_sql_logreg(mode="per_doc", score_where="TRUE")})
     SELECT bin, n, n_keep,
            {sql_ratio_units('n_keep', 'n')} AS keep_rate_micros,
-           {sql_ratio_units('sum_units', 'n', 1)} AS mean_score_units
+           {sql_ratio_units('sum_units', '1000 * n', 1)} AS mean_score_micros
     FROM (
         SELECT least(9, score_units // 100000000) AS bin,
                count(*) AS n,

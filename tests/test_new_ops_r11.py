@@ -76,7 +76,7 @@ def test_calibration_gate_and_shape(spark):
     for r in rows:
         assert 0 <= r["bin"] <= 9
         assert 0 <= r["keep_rate_micros"] <= 1_000_000
-        assert 0 <= r["mean_score_units"] <= 1_000_000_000
+        assert 0 <= r["mean_score_micros"] <= 1_000_000
         assert r["n"] >= r["n_keep"] >= 0
 
 
