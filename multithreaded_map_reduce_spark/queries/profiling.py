@@ -28,7 +28,6 @@ from ..functions.rounding import (
     iunits,
     pround,
     ratio_units,
-    sql_from_iunits,
     sql_iunits,
     sql_pround,
     sql_ratio_units,

@@ -15,7 +15,6 @@ Scale notes:
 from __future__ import annotations
 
 from functools import reduce
-from operator import add
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import (
-    from_iunits,
     pround,
     ratio_units,
     sql_iunits,

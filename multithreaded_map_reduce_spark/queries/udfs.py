@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.rounding import iunits, sql_pround
+from ..functions.rounding import iunits
 from ..sources.catalog import load_table
 
 

@@ -84,8 +84,6 @@ def test_mmr_diversifies(spark):
     """MMR property on a crafted pool: rank 1 is the relevance argmax;
     when the second-most-relevant candidate is a near-copy of the
     first, step 2 must skip it for a diverse lower-relevance one."""
-    import pandas as pd
-
     from multithreaded_map_reduce_spark.queries.similarity import (
         MMR_K,
         QUERIES,
