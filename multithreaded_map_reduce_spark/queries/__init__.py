@@ -191,6 +191,7 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_acf",
     "events_attribution",
     "quality_logreg_auc",
+    "dedup_winnowing_clusters",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -218,14 +218,33 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("density_micros", ratio_units("n_fps", "n_windows"))
 
 
+def _winnowing_pair_rel(w: DataFrame) -> DataFrame:
+    """Lazy (id_a, id_b, shared) pair relation over a (persisted) fps
+    frame — fingerprints shared by more than ``WINNOW_MAX_BUCKET`` docs
+    are corpus boilerplate and are dropped BEFORE the self-join (the
+    LSH ``max_bucket`` discipline)."""
+    ex = w.select("doc_id", F.explode("fps").alias("fp"))
+    keep_fp = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter((F.col("_nb") >= 2) & (F.col("_nb") <= WINNOW_MAX_BUCKET))
+        .select("fp")
+    )
+    exk = ex.join(keep_fp, "fp")
+    a = exk.select(F.col("doc_id").alias("id_a"), "fp")
+    b = exk.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints, with
-    a MOSS-style containment score: shared / min(|fps_a|, |fps_b|).
-
-    Fingerprints shared by more than ``WINNOW_MAX_BUCKET`` docs are
-    corpus boilerplate and are dropped BEFORE the self-join (the LSH
-    ``max_bucket`` discipline — the join stays O(matching rows), and
-    the cap is computed once, map-side reusable)."""
+    a MOSS-style containment score: shared / min(|fps_a|, |fps_b|)."""
     from pyspark import StorageLevel
 
     from ..functions.rounding import ratio_units
@@ -235,23 +254,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (explode ×2 join sides, sizes ×2) — persist so it evaluates once
     w = _winnow_fps(docs).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        ex = w.select("doc_id", F.explode("fps").alias("fp"))
-        keep_fp = (
-            ex.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_nb"))
-            .filter((F.col("_nb") >= 2) & (F.col("_nb") <= WINNOW_MAX_BUCKET))
-            .select("fp")
-        )
-        exk = ex.join(keep_fp, "fp")
-        a = exk.select(F.col("doc_id").alias("id_a"), "fp")
-        b = exk.select(F.col("doc_id").alias("id_b"), "fp")
-        pairs = (
-            a.join(b, "fp")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= WINNOW_MIN_SHARED)
-        )
+        pairs = _winnowing_pair_rel(w)
         sizes = w.select("doc_id", F.size("fps").alias("_nf"))
         out = (
             pairs.join(
@@ -281,6 +284,30 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         w.unpersist()
+
+
+def dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the winnowing pair relation — the
+    clusters downstream consumes instead of the clique-quadratic pair
+    list (the same pairs→clusters closure as ``dedup_clusters``, on the
+    coverage-guaranteed fingerprint rail). ``connected_components``
+    localCheckpoints the symmetrized edges at entry, so the fps cache
+    can be released as soon as it returns."""
+    from pyspark import StorageLevel
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _winnow_fps(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cc = connected_components(
+            _winnowing_pair_rel(w).select("id_a", "id_b")
+        )
+    finally:
+        w.unpersist()
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("root").alias("canonical_id")
+    )
 
 
 # (registered at module end - QUERIES/ORACLES dicts are defined later)
@@ -2545,6 +2572,7 @@ ORACLES["text_js_by_source"] = f"""
 
 QUERIES["text_winnowing"] = text_winnowing
 QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
+QUERIES["dedup_winnowing_clusters"] = dedup_winnowing_clusters
 
 ORACLES["text_winnowing"] = f"""
     WITH w AS MATERIALIZED ({_sql_winnow_cte()})
@@ -2578,6 +2606,35 @@ ORACLES["dedup_winnowing_pairs"] = f"""
     FROM pairs
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+ORACLES["dedup_winnowing_clusters"] = f"""
+    WITH RECURSIVE w AS MATERIALIZED ({_sql_winnow_cte()}),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM w),
+    keep_fp AS (
+        SELECT fp FROM ex GROUP BY fp
+        HAVING count(*) >= 2 AND count(*) <= {WINNOW_MAX_BUCKET}
+    ),
+    exk AS MATERIALIZED (SELECT ex.* FROM ex JOIN keep_fp USING (fp)),
+    wpairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    ),
+    nodes AS (
+        SELECT id_a AS id FROM wpairs UNION SELECT id_b FROM wpairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM wpairs
+        UNION SELECT id_b, id_a FROM wpairs
+    ),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a
 """
 
 

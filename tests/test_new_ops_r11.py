@@ -275,3 +275,20 @@ def test_auc_better_than_chance_and_bounded(spark):
     assert 0 <= r["auc_micros"] <= 1_000_000
     assert r["auc_micros"] > 800_000  # strong ranking, not chance
     assert r["n0"] > 0 and r["n1"] > 0
+
+
+def test_winnowing_clusters_consistent_with_pairs(spark):
+    """Every winnowing pair's two docs land in the same cluster, the
+    canonical id is the component min, and singleton docs are absent."""
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES
+
+    pairs = QUERIES["dedup_winnowing_pairs"](spark, SF_SMOKE).collect()
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in QUERIES["dedup_winnowing_clusters"](spark, SF_SMOKE).collect()
+    }
+    for p in pairs:
+        assert clusters[p["id_a"]] == clusters[p["id_b"]]
+        assert clusters[p["id_a"]] <= min(p["id_a"], p["id_b"])
+    for doc, root in clusters.items():
+        assert root <= doc
