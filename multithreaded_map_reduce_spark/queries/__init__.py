@@ -192,6 +192,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_attribution",
     "quality_logreg_auc",
     "dedup_winnowing_clusters",
+    "events_interarrival_regularity",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

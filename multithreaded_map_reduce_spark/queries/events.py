@@ -1002,3 +1002,83 @@ ORACLES["events_attribution"] = f"""
            CAST(sum(is_last) AS BIGINT) AS n_last_touch
     FROM credited GROUP BY 1, 2
 """
+
+
+# -------------------------------------------------- inter-arrival regularity
+# Bot/automation detection for training-data hygiene: human activity
+# has bursty inter-arrival gaps (CV² ≈ 1 for Poisson, > 1 for bursty);
+# scripted traffic is metronomic (CV² ≪ 1). Per user with >= REG_MIN_N
+# events: gaps at SECOND resolution (integer epoch subtraction — the
+# documented rail: per-user moments are bounded by the OBSERVATION
+# SPAN, not event count, so n·Σg² − (Σg)² ≈ CV²·span² stays < 2^63 at
+# ANY corpus scale with span up to ~decades), CV² as a pure-BIGINT
+# milli-unit rational, the flag an integer compare. One user-keyed
+# window + one aggregation.
+
+REG_MIN_N = 20
+REG_CV2_MAX_MILLIS = 100  # CV² < 0.1 → metronomic
+
+
+def events_interarrival_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = (epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "event_id", "ts", secs.alias("s"))
+        .withColumn("g", F.lead("s").over(w) - F.col("s"))
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.sum("g").alias("span_s"),
+        F.sum(F.col("g") * F.col("g")).alias("_sgg"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    cv2 = ratio_units(
+        "_ng * _sgg - span_s * span_s", "span_s * span_s", 1000
+    )
+    return (
+        agg.filter((F.col("n_events") >= REG_MIN_N) & (F.col("span_s") > 0))
+        .select(
+            "user_id",
+            "n_events",
+            "span_s",
+            cv2.alias("cv2_millis"),
+        )
+        .withColumn(
+            "is_regular",
+            (F.col("cv2_millis") < REG_CV2_MAX_MILLIS).cast("int"),
+        )
+    )
+
+
+QUERIES["events_interarrival_regularity"] = events_interarrival_regularity
+
+ORACLES["events_interarrival_regularity"] = f"""
+    WITH g AS (
+        SELECT user_id,
+               lead(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   - epoch_us(ts) // 1000000 AS g
+        FROM events
+    ), agg AS (
+        SELECT user_id,
+               count(g) + 1 AS n_events,
+               CAST(sum(g) AS BIGINT) AS span_s,
+               CAST(sum(g * g) AS BIGINT) AS sgg,
+               count(g) AS ng
+        FROM g WHERE g IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_events, span_s,
+           {{cv2}} AS cv2_millis,
+           CAST({{cv2}} < {REG_CV2_MAX_MILLIS} AS INTEGER) AS is_regular
+    FROM agg
+    WHERE n_events >= {REG_MIN_N} AND span_s > 0
+""".replace(
+    "{cv2}",
+    "((2 * 1000 * CAST((ng * sgg - span_s * span_s) AS BIGINT)"
+    " + CAST((span_s * span_s) AS BIGINT))"
+    " // (2 * CAST((span_s * span_s) AS BIGINT)))",
+)

@@ -292,3 +292,40 @@ def test_winnowing_clusters_consistent_with_pairs(spark):
         assert clusters[p["id_a"]] <= min(p["id_a"], p["id_b"])
     for doc, root in clusters.items():
         assert root <= doc
+
+
+def test_regularity_flags_metronome(spark):
+    """A metronomic user (constant gap) must flag regular with
+    cv2 = 0; a bursty user must not."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries.events import (
+        events_interarrival_regularity,  # noqa: F401
+        QUERIES,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(30):  # bot: exact 60s cadence
+        rows.append((eid, 1, "click", base + dt.timedelta(seconds=60 * i), 1.0))
+        eid += 1
+    gaps = [1, 1, 2, 3, 500, 1, 9000, 2, 1, 600] * 3  # bursty human
+    t = base
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        rows.append((eid, 2, "click", t, 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_interarrival_regularity"](spark, d).collect()
+        }
+    assert out[1]["is_regular"] == 1 and out[1]["cv2_millis"] == 0
+    assert out[2]["is_regular"] == 0
