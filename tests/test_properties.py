@@ -231,3 +231,50 @@ def test_prefix_filter_lossless_python_model(docs):
             if 9 * ub >= 4 * (len(a) + len(b)):
                 cand.add((i, j))
     assert brute <= cand  # lossless: every true pair survives
+
+
+# ---------------------------------------------------------------------------
+# Round-7 rational-rounding helpers: DuckDB evaluation must equal the
+# Fraction-exact half-up reference on random inputs (the Spark side is
+# pinned against DuckDB in test_new_ops_r11; this closes the
+# helper-vs-mathematics leg without a SparkSession per example).
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    num=st.integers(min_value=0, max_value=4_000_000_000_000),
+    den=st.integers(min_value=1, max_value=1_000_000_000),
+    mult=st.sampled_from([1, 1000, 10_000, 1_000_000]),
+)
+def test_sql_ratio_units_is_exact_half_up(num, den, mult):
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.functions.rounding import sql_ratio_units
+
+    got = duckdb.sql(f"SELECT {sql_ratio_units(str(num), str(den), mult)}").fetchone()[0]
+    x = Fraction(mult * num, den)
+    want = (x + Fraction(1, 2)).__floor__()  # half-up
+    assert got == want, (num, den, mult)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    units=st.integers(min_value=-(10**17), max_value=10**17),
+    n=st.sampled_from([0, 1, 2, 4, 6]),
+)
+def test_sql_pround_dec_matches_decimal_half_up(units, n):
+    """pround_dec on a DECIMAL(38,6) value == exact half-up (toward
+    +inf) rounding of the true rational, for any sign."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.functions.rounding import sql_pround_dec
+
+    d = Decimal(units).scaleb(-6)  # exact 6-decimal value
+    got = duckdb.sql(
+        f"SELECT {sql_pround_dec(f'CAST({d} AS DECIMAL(38,6))', n)}"
+    ).fetchone()[0]
+    x = Fraction(units, 10**6)
+    scale = 10**n
+    want = float((x * scale + Fraction(1, 2)).__floor__()) / scale
+    assert got == want, (units, n)
