@@ -193,6 +193,7 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_logreg_auc",
     "dedup_winnowing_clusters",
     "events_interarrival_regularity",
+    "profile_key_skew",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

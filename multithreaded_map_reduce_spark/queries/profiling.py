@@ -379,3 +379,65 @@ ORACLES["stats_gini"] = f"""
                        ' / CAST(n * s AS DOUBLE)', 6)} AS gini
     FROM m
 """
+
+
+# ---------------------------------------------------------- join-key skew map
+# The pre-join introspection a 100 TB operator runs BEFORE picking a
+# strategy (plain shuffle vs AQE skew-join vs explicit salting): per
+# join key of the fact table, the row count distribution summarized as
+# top-K heaviest keys + concentration ratios. All integer/rational:
+# share of the heaviest key and of the top-K in micro-units, plus the
+# count needed to justify salting (max key rows vs even-partition
+# size). One groupBy + a TakeOrdered(K) + a 1-row total broadcast —
+# the profile itself never shuffles more than the key aggregation.
+
+SKEW_TOP_K = 10
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = (
+        per_key.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(SKEW_TOP_K)
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        "key",
+        "n_rows",
+        "total_rows",
+        "n_keys",
+        ratio_units("n_rows", "total_rows").alias("share_micros"),
+        # rows-per-key if perfectly even — the salting decision compares
+        # n_rows against a multiple of this
+        F.expr("total_rows div n_keys").alias("even_rows_per_key"),
+        ratio_units("n_rows", "total_rows div n_keys", 1).alias("skew_x"),
+    )
+
+
+QUERIES["profile_key_skew"] = profile_key_skew
+
+ORACLES["profile_key_skew"] = f"""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ), totals AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               count(*) AS n_keys
+        FROM per_key
+    ), top AS (
+        SELECT key, n_rows FROM per_key
+        ORDER BY n_rows DESC, key ASC LIMIT {SKEW_TOP_K}
+    )
+    SELECT key, n_rows, total_rows, n_keys,
+           {sql_ratio_units('n_rows', 'total_rows')} AS share_micros,
+           total_rows // n_keys AS even_rows_per_key,
+           {sql_ratio_units('n_rows', 'total_rows // n_keys', 1)} AS skew_x
+    FROM top, totals
+"""

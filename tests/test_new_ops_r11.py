@@ -329,3 +329,18 @@ def test_regularity_flags_metronome(spark):
         }
     assert out[1]["is_regular"] == 1 and out[1]["cv2_millis"] == 0
     assert out[2]["is_regular"] == 0
+
+
+def test_key_skew_profile_properties(spark):
+    """Shares are consistent: descending rows, share ~ n_rows/total,
+    skew multiple >= 1 for the heaviest key (it is above the mean by
+    pigeonhole unless perfectly uniform)."""
+    from multithreaded_map_reduce_spark.queries.profiling import QUERIES
+
+    rows = QUERIES["profile_key_skew"](spark, SF_SMOKE).collect()
+    assert rows
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert abs(r["share_micros"] - round(1e6 * r["n_rows"] / r["total_rows"])) <= 1
+    assert rows[0]["skew_x"] >= 1
