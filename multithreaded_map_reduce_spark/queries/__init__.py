@@ -194,6 +194,7 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_winnowing_clusters",
     "events_interarrival_regularity",
     "profile_key_skew",
+    "events_behavior_entropy",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1082,3 +1082,81 @@ ORACLES["events_interarrival_regularity"] = f"""
     " + CAST((span_s * span_s) AS BIGINT))"
     " // (2 * CAST((span_s * span_s) AS BIGINT)))",
 )
+
+
+# ---------------------------------------------------- behavioral entropy
+# Per-user Shannon entropy of the (event_type -> next event_type)
+# transition distribution — the behavioral-fingerprint companion to
+# events_interarrival_regularity: scripted agents cycle a fixed
+# transition loop (entropy near 0), humans wander (entropy toward
+# ln(T²)). Exact-integer discipline of text_entropy_by_lang:
+# H = ln N − Σ c·ln c / N with per-count logs snapped to nano-units
+# (c is a small integer, so ln(c) is the same double everywhere and
+# the snap is the only rounding). One lead window on the user timeline
+# + two aggregations.
+
+ENTROPY_MIN_N = 20
+
+
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("user_id", "event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = tr.groupBy("user_id").agg(
+        F.sum("c").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_patterns"),
+        F.sum(F.col("c") * iunits(F.log(F.col("c").cast("double")), 9)).alias(
+            "_clnc"
+        ),
+    )
+    h = F.log(F.col("n_transitions").cast("double")) - (
+        F.col("_clnc").cast("double") / F.lit(1e9)
+    ) / F.col("n_transitions").cast("double")
+    return per_user.filter(F.col("n_transitions") >= ENTROPY_MIN_N).select(
+        "user_id",
+        "n_transitions",
+        "n_patterns",
+        pround(h, 6).alias("entropy_nats"),
+    )
+
+
+QUERIES["events_behavior_entropy"] = events_behavior_entropy
+
+ORACLES["events_behavior_entropy"] = f"""
+    WITH tr AS (
+        SELECT user_id, event_type, next_type, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        WHERE next_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), per_user AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_transitions,
+               CAST(count(*) AS BIGINT) AS n_patterns,
+               CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS clnc
+        FROM tr GROUP BY 1
+    )
+    SELECT user_id, n_transitions, n_patterns,
+           {{pr}} AS entropy_nats
+    FROM per_user
+    WHERE n_transitions >= {ENTROPY_MIN_N}
+""".replace(
+    "{pr}",
+    "(floor((ln(CAST(n_transitions AS DOUBLE))"
+    " - (CAST(clnc AS DOUBLE) / 1000000000.0)"
+    " / CAST(n_transitions AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)",
+)

@@ -344,3 +344,37 @@ def test_key_skew_profile_properties(spark):
     for r in rows:
         assert abs(r["share_micros"] - round(1e6 * r["n_rows"] / r["total_rows"])) <= 1
     assert rows[0]["skew_x"] >= 1
+
+
+def test_behavior_entropy_separates_loop_from_organic(spark):
+    """A user cycling one fixed transition loop scores (near-)zero
+    entropy; a user with diverse transitions scores materially higher."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries.events import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(40):  # scripted: click -> click -> ... (one pattern)
+        rows.append((eid, 1, "click", base + dt.timedelta(seconds=i), 1.0))
+        eid += 1
+    kinds = ["click", "view", "purchase", "search", "scroll"]
+    for i in range(60):  # organic: varied transitions
+        rows.append(
+            (eid, 2, kinds[(i * i + i // 3) % 5], base + dt.timedelta(seconds=i), 1.0)
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz, value double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_behavior_entropy"](spark, d).collect()
+        }
+    assert out[1]["entropy_nats"] == 0.0
+    assert out[2]["entropy_nats"] > 1.0
