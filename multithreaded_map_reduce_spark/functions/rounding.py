@@ -90,7 +90,12 @@ def pround_dec(col: Column, n: int = 2) -> Column:
     multiply-add-floor runs in EXACT decimal arithmetic, so ties
     resolve exactly; the single final division is one correctly-rounded
     IEEE op — deterministic on any FMA/libm build (fused contraction
-    can only alter multi-op chains, never a lone division)."""
+    can only alter multi-op chains, never a lone division).
+
+    Domain contract: |x·10^n| < 2^53 (the snapped integer must be
+    exactly representable as a double — hypothesis-pinned in
+    tests/test_properties.py). Money sums stay far inside: 2^53 cents
+    ≈ $90 trillion."""
     scale = 10**n
     half = F.expr("CAST(0.5 AS DECIMAL(2,1))")
     return (F.floor(col * F.lit(scale) + half).cast("double") / F.lit(float(scale))).cast(
