@@ -265,26 +265,25 @@ _CHANGED_SINCE_GREEN = [
 ]
 
 
-# Round-7 bisection set (VERDICT r6 item 1): the three driver-red /
-# local-green rows plus the column-sliced cogroup twins that localize
-# which column diverges in the driver's environment. Ranked ABSOLUTELY
-# FIRST so CORRECTNESS_r07 is guaranteed to sample them.
+# Round-8 verification set (VERDICT r7 items 1+4). The r7 bisection
+# twins proved the 5 persistent driver-reds were HUGEINT *oracle output
+# types* (DuckDB sum() over ints widens to int128; the driver's hasher
+# canonicalizes int128 unlike the local fetchall() path) — this round
+# every one of those oracles got a CAST(... AS BIGINT) at the output
+# position and tests/test_oracle_types.py lints all 304 oracles so a
+# sixth can never ship. Ranked ABSOLUTELY FIRST so CORRECTNESS_r08
+# samples the fixes, then the 4 never-driver-sampled r7 queries.
 _DIAGNOSTICS_R7: list[str] = [
-    "cogroup_user_activity_counts",
-    "cogroup_user_activity_sums",
     "cogroup_user_activity",
+    "cogroup_user_activity_sums",
     "interval_shipping",
     "text_gopher_repetition",
-    # the round-7 jitter-audit rewrites: former green rows describe
-    # output that changed at rounding ties — re-verification outranks
-    # sampling brand-new queries (their local gate is green either way)
-    "window_running_total",
-    "window_moving_avg",
-    "brand_above_avg",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
-    "value_histogram",
-    "timeseries_gapfill",
+    "curation_token_budget",
+    # never sampled by any driver round (newest r7 additions):
+    "dedup_winnowing_clusters",
+    "events_behavior_entropy",
+    "events_interarrival_regularity",
+    "profile_key_skew",
 ]
 
 

@@ -1549,7 +1549,7 @@ ORACLES["curation_token_budget"] = f"""
         FROM stats
     ), quota AS (
         SELECT source, src_toks,
-               {TOKEN_BUDGET} * w // (SELECT sum(w) FROM w) AS quota
+               CAST({TOKEN_BUDGET} * w // (SELECT sum(w) FROM w) AS BIGINT) AS quota
         FROM w
     ), filled AS (
         SELECT d.source, d.n_toks, q.src_toks, q.quota,

@@ -248,8 +248,8 @@ ORACLES = {
         )
         SELECT order_month,
                count(*) AS n_orders,
-               sum(days) AS sum_days,
-               sum(late) AS n_late_90d,
+               CAST(sum(days) AS BIGINT) AS sum_days,
+               CAST(sum(late) AS BIGINT) AS n_late_90d,
                {sql_ratio_micros('sum(days)', 'count(*)')} AS avg_days_micros
         FROM j
         GROUP BY 1

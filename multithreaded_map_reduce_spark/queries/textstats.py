@@ -278,10 +278,14 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        # materialize while the cache is alive, then release executor
-        # storage (ADVICE r6 hygiene — same pattern as _finalize_logreg)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Materialize while the cache is alive WITHOUT routing the pair
+        # relation through the driver (VERDICT r7 item 3: at 100 TB the
+        # near-dup pair set is millions of rows — the old collect()/
+        # createDataFrame finalization was the one unbounded driver-side
+        # materialization in the repo). localCheckpoint(eager=True)
+        # pins the computed partitions executor-side — the same
+        # cache-release pattern connected_components already uses.
+        return out.localCheckpoint(eager=True)
     finally:
         w.unpersist()
 
@@ -1515,9 +1519,9 @@ def _sql_ngram_stat(n: int) -> str:
         f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
     )
     return f"""
-        SELECT doc_id, sum(c) AS n_grams,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
                max(c) AS top_c,
-               sum(c) - count(*) AS dup_c
+               CAST(sum(c) - count(*) AS BIGINT) AS dup_c
         FROM (
             SELECT doc_id, gram, count(*) AS c FROM (
                 SELECT doc_id, unnest({grams}) AS gram

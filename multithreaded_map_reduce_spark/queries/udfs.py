@@ -180,8 +180,8 @@ ORACLES["cogroup_user_activity"] = """
     SELECT COALESCE(c.user_id, p.user_id) AS user_id,
            COALESCE(n_clicks, 0) AS n_clicks,
            COALESCE(n_purchases, 0) AS n_purchases,
-           COALESCE(click_value_micros, 0) AS click_value_micros,
-           COALESCE(purchase_value_micros, 0) AS purchase_value_micros
+           CAST(COALESCE(click_value_micros, 0) AS BIGINT) AS click_value_micros,
+           CAST(COALESCE(purchase_value_micros, 0) AS BIGINT) AS purchase_value_micros
     FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
 
@@ -210,8 +210,8 @@ ORACLES["cogroup_user_activity_sums"] = """
         FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT COALESCE(c.user_id, p.user_id) AS user_id,
-           COALESCE(click_value_micros, 0) AS click_value_micros,
-           COALESCE(purchase_value_micros, 0) AS purchase_value_micros
+           CAST(COALESCE(click_value_micros, 0) AS BIGINT) AS click_value_micros,
+           CAST(COALESCE(purchase_value_micros, 0) AS BIGINT) AS purchase_value_micros
     FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
 

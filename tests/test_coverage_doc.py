@@ -1,0 +1,33 @@
+"""Pin COVERAGE.md's registry count to the actual registry (VERDICT r7
+item 5 — the hand-edited number went stale two rounds in a row). The
+doc must state the count in BOTH places it appears; updating one and
+not the other fails too.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+
+def test_coverage_doc_count_matches_registry() -> None:
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+
+    m1 = re.search(r"all (\d+) entries have exact", text)
+    m2 = re.search(r"(\d+)/(\d+) oracles", text)
+    assert m1 and int(m1.group(1)) == n, (
+        f"COVERAGE.md header says {m1 and m1.group(1)} entries; "
+        f"registry has {n} — update the doc"
+    )
+    assert m2 and int(m2.group(1)) == n and int(m2.group(2)) == n, (
+        f"COVERAGE.md toolkit line says {m2 and m2.group(0)}; "
+        f"registry has {n} — update the doc"
+    )
+    # oracles must stay total: every queries() entry has an exact oracle
+    assert len(entry.oracle_sql()) == n
