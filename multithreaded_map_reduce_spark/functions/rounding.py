@@ -78,6 +78,39 @@ def sql_ratio_units(num: str, den: str, mult: int = 1_000_000) -> str:
     return f"(CASE WHEN {d} = 0 THEN NULL ELSE (2 * {mult} * {n} + {d}) // (2 * {d}) END)"
 
 
+def ratio_units_dec(num: str, den: str, mult: int = 1_000_000) -> Column:
+    """``round(mult * num/den)`` half-up as BIGINT with the rational
+    evaluated in DECIMAL(38,0) — the wide-intermediate twin of
+    :func:`ratio_units` for second-moment rationals (ADVICE r7:
+    ``n·Σg² − (Σg)²`` times the 2·mult factor exceeds int64 well inside
+    plausible data domains; Spark non-ANSI then WRAPS silently while
+    DuckDB raises — a cross-engine divergence, not just a wrong
+    number). DECIMAL(38,0) holds ±10^38 ≈ 2^126: a moment product of
+    two 2^60 sums times 2·10^6 still fits. Spark ``div`` on decimals
+    returns the integral BIGINT quotient, so only the FINAL quotient
+    must fit int64 — true by construction when mult·num/den is a
+    bounded ratio (CV²·mult ≤ mult·n_gaps, AUC·mult ≤ mult).
+    Non-negative domain; NULL on den=0 (Spark div-by-zero is NULL)."""
+    n = f"CAST(({num}) AS DECIMAL(38,0))"
+    d = f"CAST(({den}) AS DECIMAL(38,0))"
+    return F.expr(
+        f"(CAST(2 * {mult} AS DECIMAL(38,0)) * {n} + {d}) div (2 * {d})"
+    )
+
+
+def sql_ratio_units_dec(num: str, den: str, mult: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`ratio_units_dec` — evaluates in HUGEINT
+    (int128, same ±2^127 headroom class) and CASTs the bounded final
+    quotient back to BIGINT so the oracle output type stays vetted
+    (tests/test_oracle_types.py)."""
+    n = f"CAST(({num}) AS HUGEINT)"
+    d = f"CAST(({den}) AS HUGEINT)"
+    return (
+        f"(CASE WHEN {d} = 0 THEN NULL ELSE "
+        f"CAST((2 * {mult} * {n} + {d}) // (2 * {d}) AS BIGINT) END)"
+    )
+
+
 def pround_dec(col: Column, n: int = 2) -> Column:
     """Exact half-up rounding of a DECIMAL column to ``n`` digits,
     emitted as DOUBLE.
@@ -118,10 +151,19 @@ def ratio_micros(num: str, den: str) -> Column:
 
     ``round(1e6 * num/den)`` computed as pure BIGINT rational
     arithmetic: ``(2*1e6*num + den) div (2*den)``. Bit-identical in any
-    IEEE/FMA/libm environment because no float ever exists (VERDICT r6
-    items 1-2: ``pround(num/den, 6)`` snapped a double that can land
-    within an ulp of the rounding boundary on a different libm/FMA
-    build; this formula cannot). Spark's ``div`` is INTEGRAL division
+    IEEE/FMA/libm environment because no float ever exists —
+    ``pround(num/den, 6)`` snaps a double that can land within an ulp
+    of the rounding boundary on a different libm/FMA build; this
+    formula cannot. Historical record (VERDICT r7): the r5-r7 driver
+    reds that motivated the FP-free sweep turned out to be a DIFFERENT
+    defect — DuckDB ``sum()`` over integers widening the ORACLE's
+    output column to HUGEINT, which the driver's hasher canonicalizes
+    unlike the local ``fetchall()`` path (fixed by CAST AS BIGINT at
+    the output; linted by tests/test_oracle_types.py). The FP
+    hypothesis was disproven for those rows, but the jitter audit it
+    spawned (tests/boundary_audit.py) independently found and fixed 7
+    genuinely boundary-fragile queries — both rails stay.
+    Spark's ``div`` is INTEGRAL division
     (long in, long out) — ``/`` on longs would promote to DOUBLE and
     lose exactness past 2^53, so it must not appear here.
 

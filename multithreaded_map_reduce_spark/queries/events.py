@@ -899,6 +899,15 @@ ORACLES["events_cuped"] = f"""
 # deterministic remainder rule is bit-exact and sums back to the
 # purchase total by construction.
 #
+# Domain contract (ADVICE r7, enforced structurally): purchase value
+# >= 0. The remainder-to-earliest rule presumes a non-negative
+# remainder (r_early <= negative remainder never fires, breaking the
+# credits-sum-to-total invariant), and Spark div/% vs DuckDB //,%
+# differ in sign convention on negatives — so refunds/chargebacks are
+# FILTERED OUT in both engines, not silently mis-credited. A refund-
+# aware variant would credit sign-symmetrically (remainder to earliest
+# by |value|) — out of scope for this op.
+#
 # Scale: one user-keyed equi-join (the natural partitioning key) with
 # the time window as a pushed residual filter — per-user fan-in is
 # bounded by activity, not corpus size; both window ranks ride the
@@ -918,11 +927,16 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         epoch_micros(F.col("ts")).alias("c_us"),
     )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        epoch_micros(F.col("ts")).alias("p_us"),
-        iunits(F.col("value")).alias("v_micros"),
+    purch = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 0)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            epoch_micros(F.col("ts")).alias("p_us"),
+            iunits(F.col("value")).alias("v_micros"),
+        )
     )
     pairs = purch.join(clicks, "user_id").filter(
         (F.col("c_us") < F.col("p_us"))
@@ -974,7 +988,7 @@ ORACLES["events_attribution"] = f"""
         SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
                CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
                    AS v_micros
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND value >= 0
     ), pairs AS (
         SELECT p.purchase_id, c.click_id, p.user_id, p.v_micros,
                row_number() OVER (PARTITION BY p.purchase_id
@@ -1008,19 +1022,22 @@ ORACLES["events_attribution"] = f"""
 # Bot/automation detection for training-data hygiene: human activity
 # has bursty inter-arrival gaps (CV² ≈ 1 for Poisson, > 1 for bursty);
 # scripted traffic is metronomic (CV² ≪ 1). Per user with >= REG_MIN_N
-# events: gaps at SECOND resolution (integer epoch subtraction — the
-# documented rail: per-user moments are bounded by the OBSERVATION
-# SPAN, not event count, so n·Σg² − (Σg)² ≈ CV²·span² stays < 2^63 at
-# ANY corpus scale with span up to ~decades), CV² as a pure-BIGINT
-# milli-unit rational, the flag an integer compare. One user-keyed
-# window + one aggregation.
+# events: gaps at SECOND resolution (integer epoch subtraction), CV²
+# as an exact milli-unit rational with the second-moment arithmetic in
+# DECIMAL(38,0)/HUGEINT (ADVICE r7 medium: the earlier BIGINT rail
+# ignored the 2·1000 multiplier inside the rational AND that CV² ≫ 1
+# for bursty users — 2000·CV²·span² passes 2^63 at span ≈ 2 years with
+# CV² ≈ 1, where Spark non-ANSI wraps silently while DuckDB raises;
+# the 38-digit rail holds far beyond any physical span). The final
+# CV²·1000 quotient is ≤ 1000·n_gaps, comfortably BIGINT. One
+# user-keyed window + one aggregation.
 
 REG_MIN_N = 20
 REG_CV2_MAX_MILLIS = 100  # CV² < 0.1 → metronomic
 
 
 def events_interarrival_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.rounding import ratio_units
+    from ..functions.rounding import ratio_units_dec
 
     ev = load_table(spark, sf_dir, "events")
     secs = (epoch_micros(F.col("ts")) / F.lit(1_000_000)).cast("long")
@@ -1036,8 +1053,14 @@ def events_interarrival_regularity(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("g") * F.col("g")).alias("_sgg"),
         F.count(F.lit(1)).alias("_ng"),
     )
-    cv2 = ratio_units(
-        "_ng * _sgg - span_s * span_s", "span_s * span_s", 1000
+    # second moment in DECIMAL(38,0): _ng·_sgg and span² individually
+    # overflow int64 at multi-year spans (ADVICE r7) — widen BEFORE the
+    # products, not after
+    cv2 = ratio_units_dec(
+        "CAST(_ng AS DECIMAL(38,0)) * CAST(_sgg AS DECIMAL(38,0))"
+        " - CAST(span_s AS DECIMAL(38,0)) * CAST(span_s AS DECIMAL(38,0))",
+        "CAST(span_s AS DECIMAL(38,0)) * CAST(span_s AS DECIMAL(38,0))",
+        1000,
     )
     return (
         agg.filter((F.col("n_events") >= REG_MIN_N) & (F.col("span_s") > 0))
@@ -1077,10 +1100,14 @@ ORACLES["events_interarrival_regularity"] = f"""
     FROM agg
     WHERE n_events >= {REG_MIN_N} AND span_s > 0
 """.replace(
+    # HUGEINT moments — the int128 twin of the Spark DECIMAL(38,0)
+    # rail (ADVICE r7 medium); only the bounded final quotient is cast
+    # back to the vetted BIGINT output type
     "{cv2}",
-    "((2 * 1000 * CAST((ng * sgg - span_s * span_s) AS BIGINT)"
-    " + CAST((span_s * span_s) AS BIGINT))"
-    " // (2 * CAST((span_s * span_s) AS BIGINT)))",
+    "CAST(((2 * 1000 * (CAST(ng AS HUGEINT) * sgg"
+    " - CAST(span_s AS HUGEINT) * span_s)"
+    " + CAST(span_s AS HUGEINT) * span_s)"
+    " // (2 * CAST(span_s AS HUGEINT) * span_s)) AS BIGINT)",
 )
 
 

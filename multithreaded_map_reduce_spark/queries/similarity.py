@@ -1392,9 +1392,50 @@ def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mmr_greedy(key, cands, prs):
+    """Per-query MMR greedy (module-level so the edge cases are unit-
+    testable — ADVICE r7). NULL micros (zero-norm embedding -> NULL
+    cosine) would make int(...) raise and fail the whole job: a null
+    relevance drops the candidate; a null pair-sim is treated as 0 by
+    simply not entering the dict (max(..., default=0)). A pool smaller
+    than MMR_K emits what exists instead of del-ing a None key."""
     import pandas as pd
 
+    rel = {
+        int(r.neighbor_id): int(r.rel_micros)
+        for r in cands.itertuples()
+        if pd.notna(r.rel_micros)
+    }
+    sim: dict[tuple[int, int], int] = {}
+    for r in prs.itertuples():
+        if pd.isna(r.sim_micros):
+            continue
+        ia, ib, s = int(r.id_a), int(r.id_b), int(r.sim_micros)
+        sim[(ia, ib)] = s
+        sim[(ib, ia)] = s
+    selected: list[int] = []
+    rows = []
+    remaining = dict(rel)
+    for step in range(1, MMR_K + 1):
+        if not remaining:  # < MMR_K candidates: emit what exists
+            break
+        best_id, best_score = None, None
+        for i in sorted(remaining):  # sorted => min-id tie-break
+            mx = max((sim.get((i, s), 0) for s in selected), default=0)
+            score = MMR_LAM_NUM * remaining[i] - (
+                MMR_LAM_DEN - MMR_LAM_NUM
+            ) * mx
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        rows.append((key[0], best_id, step, best_score))
+        selected.append(best_id)
+        del remaining[best_id]
+    return pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "mmr_rank", "score_units"]
+    )
+
+
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
     from ..functions.vectors import cosine
 
@@ -1416,40 +1457,12 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def greedy(key, cands: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
-        rel = {
-            int(r.neighbor_id): int(r.rel_micros) for r in cands.itertuples()
-        }
-        sim: dict[tuple[int, int], int] = {}
-        for r in prs.itertuples():
-            ia, ib, s = int(r.id_a), int(r.id_b), int(r.sim_micros)
-            sim[(ia, ib)] = s
-            sim[(ib, ia)] = s
-        selected: list[int] = []
-        rows = []
-        remaining = dict(rel)
-        for step in range(1, MMR_K + 1):
-            best_id, best_score = None, None
-            for i in sorted(remaining):  # sorted ⇒ min-id tie-break
-                mx = max((sim[(i, s)] for s in selected), default=0)
-                score = MMR_LAM_NUM * remaining[i] - (
-                    MMR_LAM_DEN - MMR_LAM_NUM
-                ) * mx
-                if best_score is None or score > best_score:
-                    best_id, best_score = i, score
-            rows.append((key[0], best_id, step, best_score))
-            selected.append(best_id)
-            del remaining[best_id]
-        return pd.DataFrame(
-            rows, columns=["query_id", "neighbor_id", "mmr_rank", "score_units"]
-        )
-
     return (
         cand.select("query_id", "neighbor_id", "rel_micros")
         .groupBy("query_id")
         .cogroup(pairs.groupBy("query_id"))
         .applyInPandas(
-            greedy,
+            _mmr_greedy,
             "query_id long, neighbor_id long, mmr_rank int, score_units long",
         )
     )

@@ -2087,6 +2087,47 @@ def _lr_step(zfeat: DataFrame, w: DataFrame) -> DataFrame:
     )
 
 
+_LR_WEIGHTS_CACHE: dict[str, tuple[float, ...]] = {}
+
+
+def _lr_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once shared model for the four batch gate queries
+    (VERDICT r7 item 6): ``quality_logreg{,_pr,_calibration,_auc}``
+    each re-ran the IDENTICAL ``LOGREG_ITERS`` full-batch GD chain —
+    4× the training cost per bench session for one model. The trained
+    weight vector is a pure function of the documents table and every
+    step is 1e-9-snapped, so the collected doubles are exact k/1e9
+    values; caching the ONE row per fixture dir and re-materializing
+    via ``F.lit`` reproduces bit-identical scores while eliminating
+    3×LOGREG_ITERS corpus passes. Same staleness contract as
+    ``_LOGREG_MODEL_PATHS``: keyed by immutable fixture dir for the
+    process lifetime."""
+    if sf_dir not in _LR_WEIGHTS_CACHE:
+        from pyspark import StorageLevel
+
+        zfeat = _lr_standardize(
+            _lr_features(load_table(spark, sf_dir, "documents"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            w = spark.range(1).select(
+                *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
+            )
+            for _ in range(LOGREG_ITERS):
+                w = _lr_step(zfeat, w)
+            row = w.collect()[0]  # exactly ONE row: the weight vector
+        finally:
+            zfeat.unpersist()
+        _LR_WEIGHTS_CACHE[sf_dir] = tuple(
+            float(row[f"w{j}"]) for j in range(_LR_NX + 1)
+        )
+    return spark.range(1).select(
+        *[
+            F.lit(v).alias(f"w{j}")
+            for j, v in enumerate(_LR_WEIGHTS_CACHE[sf_dir])
+        ]
+    )
+
+
 def _finalize_logreg(spark: SparkSession, out: DataFrame, zfeat: DataFrame) -> DataFrame:
     """Materialize the tiny final aggregate (≤ len(thresholds) rows),
     then UNPERSIST the feature relation in a finally — the bench runs
@@ -2102,18 +2143,15 @@ def _finalize_logreg(spark: SparkSession, out: DataFrame, zfeat: DataFrame) -> D
 
 
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from ..functions.rounding import iunits
 
+    # scoring is now the only zfeat consumer (weights come from the
+    # shared train-once artifact) — no persist needed for a single pass
     zfeat = _lr_standardize(
         _lr_features(load_table(spark, sf_dir, "documents"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
     )
-    for _ in range(LOGREG_ITERS):
-        w = _lr_step(zfeat, w)
+    w = _lr_trained_weights(spark, sf_dir)
     scored = zfeat.crossJoin(F.broadcast(w)).select(
         "keep",
         *[F.col(f"w{j}") for j in range(_LR_NX + 1)],
@@ -2323,17 +2361,10 @@ LOGREG_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7]
 
 
 def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
-    )
-    for _ in range(LOGREG_ITERS):
-        w = _lr_step(zfeat, w)
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
     scored = zfeat.crossJoin(F.broadcast(w)).select(
         "keep", _lr_p(_lr_z()).alias("p")
     )
@@ -2419,19 +2450,12 @@ def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both rates are BIGINT rationals (``ratio_units``) — no doubles
     anywhere past the model itself. Scale: one aggregate over the
     scored relation, 10 output rows."""
-    from pyspark import StorageLevel
 
     from ..functions.rounding import iunits, ratio_units
 
     feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
-    )
-    for _ in range(LOGREG_ITERS):
-        w = _lr_step(zfeat, w)
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
     scored = zfeat.crossJoin(F.broadcast(w)).select(
         "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
     )
@@ -2649,26 +2673,23 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-averaged ranks, ALL integer: scores are already 1e-9-unit
     BIGINTs, rank groups come from one aggregate over distinct scores
     (2·avg_rank = lo + hi, an integer), U2 = Σ n_pos·(lo+hi), and
-    AUC_micros = half-up BIGINT rational of (U2 − n1(n1+1)) / (2·n1·n0).
+    AUC_micros = half-up rational of (U2 − n1(n1+1)) / (2·n1·n0) with
+    the arithmetic in DECIMAL(38,0)/HUGEINT (ADVICE r7: u2 grows ~n²,
+    so the 2e6-scaled numerator wraps int64 past ~2e6 scored rows).
+    Remaining documented bound: u2 ITSELF is BIGINT, exact to ~3e9
+    rows; past that, widen the u2/hi aggregates to DECIMAL too.
 
     Scale: the rank window orders DISTINCT SCORE VALUES (bounded by the
     score quantization, ≤ 1e9 and in practice thousands), not rows —
     the partition-less window is over that tiny relation; everything
     row-sized is map-side-combined aggregation."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     from ..functions.rounding import iunits
 
     feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(f"w{j}") for j in range(_LR_NX + 1)]
-    )
-    for _ in range(LOGREG_ITERS):
-        w = _lr_step(zfeat, w)
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
     scored = zfeat.crossJoin(F.broadcast(w)).select(
         "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
     )
@@ -2686,13 +2707,20 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").alias("n1"),
         F.sum(F.col("n") - F.col("n_pos")).alias("n0"),
     )
+    # Final rational in DECIMAL(38,0) (ADVICE r7): u2 grows ~n² (ranks
+    # are cumulative row counts), so 2e6·(u2 − n1(n1+1)) passes 2^63
+    # once the scored corpus passes ~2e6 rows — Spark non-ANSI would
+    # wrap silently while DuckDB raises. The 38-digit rail holds to
+    # ~10^15 rows; the quotient itself is ≤ 1e6, trivially BIGINT.
+    d = "CAST({} AS DECIMAL(38,0))"
+    u2d, n1d, n0d = d.format("u2"), d.format("n1"), d.format("n0")
     out = agg.select(
         "n0",
         "n1",
         "u2",
         F.expr(
-            "(2000000 * (u2 - n1 * (n1 + 1)) + (2 * n1 * n0))"
-            " div (2 * (2 * n1 * n0))"
+            f"(2000000 * ({u2d} - {n1d} * ({n1d} + 1)) + (2 * {n1d} * {n0d}))"
+            f" div (2 * (2 * {n1d} * {n0d}))"
         ).alias("auc_micros"),
     )
     return _finalize_logreg(spark, out, zfeat)
@@ -2718,7 +2746,8 @@ ORACLES["quality_logreg_auc"] = f"""
         FROM ranked
     )
     SELECT n0, n1, u2,
-           (2000000 * (u2 - n1 * (n1 + 1)) + (2 * n1 * n0))
-               // (2 * (2 * n1 * n0)) AS auc_micros
+           CAST((2000000 * (CAST(u2 AS HUGEINT) - CAST(n1 AS HUGEINT) * (n1 + 1))
+                     + (2 * CAST(n1 AS HUGEINT) * n0))
+               // (2 * (2 * CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS auc_micros
     FROM agg
 """

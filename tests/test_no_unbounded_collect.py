@@ -33,6 +33,11 @@ _WHITELIST: list[tuple[str, str, str]] = [
         "_finalize_logreg: ≤ len(thresholds) aggregate rows by construction",
     ),
     (
+        "queries/textstats.py",
+        r"row = w\.collect\(\)\[0\]  # exactly ONE row",
+        "_lr_trained_weights: the 1-row trained weight vector",
+    ),
+    (
         "queries/connectors.py",
         r"\.collect\(\):  # fixture setup only",
         "labeled fixture writer over the bounded test corpus",
