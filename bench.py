@@ -123,6 +123,11 @@ HEADLINE = [
     "curation_anneal_schedule",
     "timeseries_acf",
     "events_attribution",
+    # round 8: first-occurrence novelty, LSH recall eval, DoReMi-style
+    # EG mixture weights
+    "text_ngram_novelty",
+    "dedup_lsh_recall",
+    "curation_doremi_weights",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -195,6 +195,10 @@ _NEW_THIS_ROUND: list[str] = [
     "events_interarrival_regularity",
     "profile_key_skew",
     "events_behavior_entropy",
+    # round 8:
+    "text_ngram_novelty",
+    "dedup_lsh_recall",
+    "curation_doremi_weights",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1763,3 +1763,165 @@ ORACLES["curation_anneal_schedule"] = f"""
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM drawn WHERE draw_rank <= quota GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------- DoReMi-style weights
+# Domain-mixture reweighting by exponentiated gradient (round 8): the
+# group-DRO outer loop of DoReMi (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining") with a FROZEN
+# per-domain difficulty proxy standing in for the trained reference/
+# proxy model pair (proxy training is a GPU job, out of scope for the
+# engine; the mixture algebra is not). Proxy: mean type-token ratio
+# per source — lexically diverse domains read as "hard" (higher
+# excess loss), repetitive ones as "easy".
+#
+# Update (all snapped integers, logreg exp discipline):
+#   mix_t   = round(Σ w_d·l_d / Σ w_d)                 (BIGINT rational)
+#   raw_d   = snap9( w_d · exp(η · (l_d − mix_t)/1e6) ) (one exp, 1e-9)
+#   w_{t+1} = round(1e9 · raw_d / Σ raw)               (BIGINT rational)
+# iterated DOREMI_ITERS times from uniform nano-weights. Mass flows
+# monotonically toward above-average-loss domains; with frozen losses
+# this converges toward the argmax set — exactly EG on the minimax
+# objective, the verifiable engine-side contract.
+#
+# Scale: per-doc proxy is one scan (map-side combine into the per-
+# source agg); the EG loop runs on a |domains|-row relation (tiny,
+# broadcast either way) — corpus size only touches the first scan.
+
+DOREMI_ITERS = 5
+DOREMI_ETA = 1.0
+
+
+def curation_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import (
+        from_iunits,
+        iunits,
+        ratio_micros,
+        ratio_units,
+    )
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    perdoc = docs.select(
+        "source",
+        F.size(toks).alias("_nt"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+    ).filter(F.col("_nt") > 0)
+    dom = perdoc.select(
+        "source", ratio_micros("_nd", "_nt").alias("_ttr")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ttr").alias("_sum_ttr"),
+    ).select(
+        "source", "n_docs", ratio_units("_sum_ttr", "n_docs", 1).alias("loss_micros")
+    )
+    # one corpus scan total: the per-domain relation is ~|sources|
+    # rows — localCheckpoint it (and each EG iterate) so the lazy loop
+    # doesn't re-derive the scan per level reference. Without this the
+    # final plan re-executes the tokenize+agg subtree 2^ITERS times
+    # (first cut measured 132 s at sf0.01; checkpointed: ~2 s).
+    dom = dom.localCheckpoint()
+    n_dom = dom.agg(F.count(F.lit(1)).alias("_k"))
+    w = dom.crossJoin(F.broadcast(n_dom)).select(
+        "source",
+        "n_docs",
+        "loss_micros",
+        ratio_units("1", "_k", 10**9).alias("w_nanos"),
+    ).localCheckpoint()
+    for _ in range(DOREMI_ITERS):
+        mix = w.agg(
+            F.sum(F.col("w_nanos") * F.col("loss_micros")).alias("_wl"),
+            F.sum("w_nanos").alias("_tw"),
+        ).select(ratio_units("_wl", "_tw", 1).alias("_mix"))
+        raw = w.crossJoin(F.broadcast(mix)).select(
+            "source",
+            "n_docs",
+            "loss_micros",
+            iunits(
+                from_iunits(F.col("w_nanos"), 9)
+                * F.exp(
+                    F.lit(DOREMI_ETA)
+                    * from_iunits(F.col("loss_micros") - F.col("_mix"), 6)
+                ),
+                9,
+            ).alias("_raw"),
+        )
+        tot = raw.agg(F.sum("_raw").alias("_tot"))
+        w = raw.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "loss_micros",
+            ratio_units("_raw", "_tot", 10**9).alias("w_nanos"),
+        ).localCheckpoint()
+    return w.select("source", "n_docs", "loss_micros", F.col("w_nanos").alias("weight_nanos"))
+
+
+QUERIES["curation_doremi_weights"] = curation_doremi_weights
+
+
+def _sql_doremi() -> str:
+    """Linear CTE chain: every level references its predecessor exactly
+    ONCE, with the cross-domain scalars (mixture loss, normalizer,
+    domain count) as ``OVER ()`` window aggregates instead of scalar
+    subqueries — DuckDB INLINES non-materialized CTEs, so a chain
+    whose levels reference the previous level twice expands the base
+    parquet scan exponentially in DOREMI_ITERS (observed: "Too many
+    open files" at 5 iterations)."""
+    from ..functions.rounding import (
+        sql_from_iunits,
+        sql_iunits,
+        sql_ratio_micros,
+        sql_ratio_units,
+    )
+
+    ttr = sql_ratio_micros("len(list_distinct(t))", "len(t)")
+    ctes = [
+        f"""perdoc AS (
+            SELECT source, {ttr} AS ttr FROM (
+                SELECT source, {sql_tokens('text')} AS t FROM documents
+            ) WHERE len(t) > 0
+        )""",
+        f"""dom AS (
+            SELECT source, count(*) AS n_docs,
+                   {sql_ratio_units('sum(ttr)', 'count(*)', 1)} AS loss
+            FROM perdoc GROUP BY 1
+        )""",
+        f"""w0 AS (
+            SELECT source, n_docs, loss,
+                   {sql_ratio_units('1', 'count(*) OVER ()', 10**9)} AS w
+            FROM dom
+        )""",
+    ]
+    mix = sql_ratio_units("sum(w * loss) OVER ()", "sum(w) OVER ()", 1)
+    for t in range(DOREMI_ITERS):
+        exc = sql_from_iunits("loss - mix", 6)
+        raw = sql_iunits(
+            f"{sql_from_iunits('w', 9)} * exp({DOREMI_ETA} * {exc})", 9
+        )
+        ctes.append(
+            f"""r{t} AS (
+            SELECT source, n_docs, loss, {raw} AS raw FROM (
+                SELECT source, n_docs, loss, w, {mix} AS mix FROM w{t}
+            )
+        )"""
+        )
+        ctes.append(
+            f"""w{t + 1} AS (
+            SELECT source, n_docs, loss,
+                   {sql_ratio_units('raw', 'sum(raw) OVER ()', 10**9)} AS w
+            FROM r{t}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT source, n_docs, CAST(loss AS BIGINT) AS loss_micros,
+           CAST(w AS BIGINT) AS weight_nanos
+    FROM w{DOREMI_ITERS}
+"""
+    )
+
+
+ORACLES["curation_doremi_weights"] = _sql_doremi()

@@ -33,7 +33,7 @@ from ..functions.hashing import (
     sql_token_hash_array,
     sql_tokens,
 )
-from ..functions.rounding import sql_pround
+from ..functions.rounding import sql_pround, sql_ratio_micros
 from ..functions.vectors import sql_as_double, sql_cosine
 from ..operators.dedup import (
     DEFAULT_MAX_BUCKET,
@@ -973,4 +973,104 @@ ORACLES["dedup_cross_source_matrix"] = f"""
     JOIN documents da ON p.id_a = da.doc_id
     JOIN documents db ON p.id_b = db.doc_id
     GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------ LSH recall eval
+# The dedup analog of ann_recall_report (round 8): measure the 8x4
+# minhash-LSH CANDIDATE stage against exact ground truth, making the
+# rail's recall a verified number instead of an s-curve argument.
+#
+# Truth protocol (bounded by construction): exact word-bigram Jaccard
+# >= 0.5 over SAME-LANG blocked pairs — the standard eval shape at
+# scale is exact truth on an explicit block/sample, never corpus-wide
+# all-pairs; here the whole fixture is the sample and lang is the
+# block (cross-lang word-bigram near-dups are not representable: the
+# token spaces are disjoint by construction of the measure, so the
+# block loses no truth pairs by design).
+#
+# One row out: truth size, candidate size, hits, recall, and candidate
+# "efficiency" (hits/candidates — the verify stage's hit rate; LOW by
+# design at thresholds below the s-curve midpoint). The shingle
+# relation is persisted and feeds signatures + verify sets exactly as
+# the production pipeline does (minhash_dedup_pairs discipline).
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.rounding import pround, ratio_micros
+    from ..operators.dedup import (
+        candidates_from_signatures,
+        jaccard_of,
+        minhash_signatures_agg,
+        shingle_hash_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows_rel = shingle_hash_rows(docs, "doc_id", "text", 2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_agg(rows_rel, num=32)
+    cand = candidates_from_signatures(sigs, 8, 4, 100).select(
+        "id_a", "id_b", F.lit(1).alias("is_cand")
+    )
+    hashed = rows_rel.groupBy("id").agg(F.collect_set("h").alias("hashes"))
+    hl = hashed.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    a = hl.select(
+        F.col("id").alias("id_a"), F.col("hashes").alias("h_a"), "lang"
+    )
+    b = hl.select(
+        F.col("id").alias("id_b"), F.col("hashes").alias("h_b"), "lang"
+    )
+    truth = (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pround(jaccard_of(F.col("h_a"), F.col("h_b")), 6) >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    return joined.agg(
+        F.sum("is_true").alias("n_true"),
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum(F.col("is_true") * F.col("is_cand")).alias("n_hits"),
+    ).select(
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        ratio_micros("n_hits", "n_true").alias("recall_micros"),
+        ratio_micros("n_hits", "n_candidates").alias("efficiency_micros"),
+    )
+
+
+QUERIES["dedup_lsh_recall"] = dedup_lsh_recall
+
+ORACLES["dedup_lsh_recall"] = f"""
+    WITH {_MH_CTES}, truth AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM (SELECT h.id, h.hashes, d.lang
+              FROM hashed h JOIN documents d ON h.id = d.doc_id) a
+        JOIN (SELECT h.id, h.hashes, d.lang
+              FROM hashed h JOIN documents d ON h.id = d.doc_id) b
+          ON a.lang = b.lang AND a.id < b.id
+        WHERE {sql_pround(_JACCARD, 6)} >= 0.5
+    ), joined AS (
+        SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(is_true * is_cand) AS BIGINT) AS n_hits,
+           {sql_ratio_micros('sum(is_true * is_cand)', 'sum(is_true)')}
+               AS recall_micros,
+           {sql_ratio_micros('sum(is_true * is_cand)', 'sum(is_cand)')}
+               AS efficiency_micros
+    FROM joined
 """

@@ -2751,3 +2751,82 @@ ORACLES["quality_logreg_auc"] = f"""
                // (2 * (2 * CAST(n1 AS HUGEINT) * n0)) AS BIGINT) AS auc_micros
     FROM agg
 """
+
+
+# ------------------------------------------------------- n-gram novelty
+# First-occurrence novelty scoring for curriculum/curation (round 8):
+# per document, the fraction of its DISTINCT word-bigrams whose global
+# first occurrence (min doc_id over the corpus) is this document. High
+# novelty = the doc contributes n-grams the corpus hasn't seen in any
+# earlier doc — the dedup-aware "information contribution" signal used
+# to order or down-weight crawl snapshots (later mirrors of the same
+# content score near 0 without being exact/near duplicates).
+#
+# Scale: shingle_hash_rows is the shared codegen'd zero-shuffle shingle
+# relation (same as minhash); then ONE (id,h) distinct, ONE groupBy(h)
+# with a map-side-combinable min, and per-doc counts that reuse the
+# distinct relation's partitioning. No joins on the gram axis are
+# needed at all: n_novel per doc falls out of re-grouping the per-gram
+# argmin by its OWNING doc — O(distinct grams) shuffle rows, never
+# O(docs × grams). The ratio is the exact BIGINT rational.
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+    from ..operators.dedup import shingle_hash_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = shingle_hash_rows(docs, "doc_id", "text", 2).distinct()
+    n_distinct = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_distinct"))
+    n_novel = (
+        g.groupBy("h")
+        .agg(F.min("id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        n_distinct.join(
+            n_novel, n_distinct["id"] == n_novel["first_doc"], "left"
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_distinct",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_micros", ratio_micros("n_novel", "n_distinct")
+        )
+    )
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+
+from ..functions.hashing import (  # noqa: E402
+    sql_shingle_hashes_from_token_hashes,
+    sql_token_hash_array,
+)
+
+_SQL_TH = sql_token_hash_array(sql_tokens("text"))
+_SQL_GRAMS2 = sql_shingle_hashes_from_token_hashes("th", 2)
+
+ORACLES["text_ngram_novelty"] = f"""
+    WITH th AS (
+        SELECT doc_id, {_SQL_TH} AS th
+        FROM documents
+        WHERE length(text) > 0 AND len({sql_tokens('text')}) > 0
+    ), g AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_GRAMS2}) AS h FROM th
+    ), nd AS (
+        SELECT doc_id, count(*) AS n_distinct FROM g GROUP BY 1
+    ), nv AS (
+        SELECT first_doc, count(*) AS n_novel FROM (
+            SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1
+        ) GROUP BY 1
+    )
+    SELECT nd.doc_id,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           {sql_ratio_micros('COALESCE(n_novel, 0)', 'n_distinct')}
+               AS novelty_micros
+    FROM nd LEFT JOIN nv ON nd.doc_id = nv.first_doc
+"""

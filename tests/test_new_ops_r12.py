@@ -150,3 +150,69 @@ def test_round8_fixed_oracles_gate(spark):
         "curation_token_budget",
     ):
         compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_ngram_novelty_semantics(spark):
+    """doc 1 introduces everything (novelty 1); doc 2 repeats doc 1
+    verbatim (novelty 0); doc 3 is all-new (novelty 1); doc 4 mixes
+    half old / half new bigrams."""
+    import tempfile
+
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        text_ngram_novelty,
+    )
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c d", "en", "s", 7),
+        (3, "x y z w", "en", "s", 7),
+        (4, "a b q r", "en", "s", 7),  # bigrams: ab(old) bq(new) qr(new)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r for r in text_ngram_novelty(spark, d).collect()
+        }
+    assert out[1]["n_novel"] == 3 and out[1]["novelty_micros"] == 1_000_000
+    assert out[2]["n_novel"] == 0 and out[2]["novelty_micros"] == 0
+    assert out[3]["novelty_micros"] == 1_000_000
+    assert out[4]["n_distinct"] == 3 and out[4]["n_novel"] == 2
+    assert out[4]["novelty_micros"] == 666_667  # round(2/3 * 1e6) half-up
+
+
+def test_doremi_mass_moves_to_hard_domains(spark):
+    """EG with frozen losses must move mass toward above-average-loss
+    domains monotonically in iterations: the argmax-loss source ends
+    above uniform, the argmin below; weights stay a distribution."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_doremi_weights,
+    )
+
+    rows = curation_doremi_weights(spark, SF_SMOKE).collect()
+    k = len(rows)
+    total = sum(r["weight_nanos"] for r in rows)
+    assert abs(total - 1_000_000_000) <= k  # rounding slack only
+    hi = max(rows, key=lambda r: r["loss_micros"])
+    lo = min(rows, key=lambda r: r["loss_micros"])
+    uniform = 1_000_000_000 // k
+    assert hi["loss_micros"] > lo["loss_micros"]  # fixture has spread
+    assert hi["weight_nanos"] > uniform > lo["weight_nanos"]
+
+
+def test_lsh_recall_gate_and_bounds(spark):
+    from multithreaded_map_reduce_spark.queries.dedup import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(spark, QUERIES["dedup_lsh_recall"], ORACLES["dedup_lsh_recall"], SF_SMOKE)
+    r = QUERIES["dedup_lsh_recall"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["n_hits"] <= r["n_true"]
+    assert r["n_hits"] <= r["n_candidates"]
+    if r["n_true"]:
+        assert r["recall_micros"] == round(
+            1_000_000 * r["n_hits"] / r["n_true"]
+        )
