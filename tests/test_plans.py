@@ -610,3 +610,38 @@ def test_mmr_candidate_pool_is_bounded_and_query_side_broadcast(spark):
     assert "BroadcastExchange" in txt or "BroadcastNestedLoopJoin" in txt
     rows = df.groupBy("query_id").count().collect()
     assert rows and all(r["count"] <= MMR_R for r in rows)
+
+
+def test_ngram_novelty_no_gram_axis_join(spark):
+    """Round 8: novelty must stay join-free on the gram axis — the
+    only join is the per-doc (id-keyed) combine of n_distinct with the
+    regrouped argmin counts; no cartesian, scan prunes to (doc_id,
+    text)."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("text_ngram_novelty")(spark, SF_SMOKE))
+    assert not rep.cartesian
+    assert rep.read_schemas
+    for schema in rep.read_schemas:
+        assert "lang" not in schema and "source" not in schema
+
+
+def test_lsh_recall_no_cartesian(spark):
+    """The truth stage is lang-BLOCKED (equi-join on lang with the
+    id_a<id_b residual) and candidates are bucket-capped — no
+    CartesianProduct may appear anywhere."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("dedup_lsh_recall")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_doremi_single_corpus_scan(spark):
+    """The EG loop runs on localCheckpointed |sources|-row iterates —
+    the final plan must contain NO live documents scan at all (the one
+    corpus scan happened eagerly at checkpoint time)."""
+    from multithreaded_map_reduce_spark.plans import explain_formatted
+
+    plan = explain_formatted(_q("curation_doremi_weights")(spark, SF_SMOKE))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
