@@ -199,6 +199,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_ngram_novelty",
     "dedup_lsh_recall",
     "curation_doremi_weights",
+    "streaming_novelty_probe",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

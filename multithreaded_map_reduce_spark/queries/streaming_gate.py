@@ -1036,3 +1036,108 @@ def _streaming_winnow_oracle() -> str:
 
 
 ORACLES["streaming_winnowing_probe"] = _streaming_winnow_oracle()
+
+
+def streaming_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING first-occurrence novelty at ingest (round 8): the
+    day-2 doc stream is scored against the PERSISTED day-1 distinct
+    word-bigram index — the streaming twin of ``text_ngram_novelty``
+    and the fourth member of the day-2 stream-static family
+    (dedup/DSIR/winnowing/novelty). Per-row array expressions compute
+    each arriving doc's distinct bigram hashes (streaming-safe, no
+    state); the gram index joins stream-static LEFT OUTER (static
+    right side — supported and stateless); the only stateful operator
+    is the per-doc count aggregation, bounded by the probe batch.
+
+    A high-novelty arriving doc carries n-grams the training corpus
+    has never seen — the ingest-time "is this worth keeping" signal;
+    near-zero novelty flags mirrors/recrawls cheaper than any pair
+    computation."""
+    from ..functions.hashing import (
+        shingle_hashes_from_token_hashes,
+        token_hash,
+    )
+    from ..functions.rounding import ratio_micros
+    from ..functions.text import tokenize
+    from ..streaming.events import stream_documents
+    from .textstats import _novelty_index_path
+
+    path = _novelty_index_path(spark, sf_dir)
+    idx = spark.read.parquet(path).select("g", F.lit(1).alias("_seen"))
+    toks = tokenize(F.col("text"))
+    stream = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .filter(F.size(toks) > 0)
+    )
+    grams = shingle_hashes_from_token_hashes(
+        F.transform(toks, lambda t: token_hash(t)), 2
+    )
+    ex = stream.select(
+        F.col("doc_id").alias("new_id"), F.explode(grams).alias("g")
+    )
+    scored = (
+        ex.join(idx, "g", "left_outer")
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+        .select(
+            "new_id",
+            "n_grams",
+            "n_novel",
+            ratio_micros("n_novel", "n_grams").alias("novelty_micros"),
+        )
+    )
+    name = _sink("st_novelty")
+    run_stream_to_memory(scored, name, output_mode="complete")
+    return spark.table(name)
+
+
+QUERIES["streaming_novelty_probe"] = streaming_novelty_probe
+
+
+def _streaming_novelty_oracle() -> str:
+    from ..functions.hashing import (
+        sql_shingle_hashes_from_token_hashes,
+        sql_token_hash_array,
+        sql_tokens,
+    )
+    from ..functions.rounding import sql_ratio_micros
+
+    th = sql_token_hash_array(sql_tokens("text"))
+    grams = sql_shingle_hashes_from_token_hashes("th", 2)
+    return f"""
+    WITH d1 AS MATERIALIZED (
+        SELECT DISTINCT unnest(grams) AS g FROM (
+            SELECT {grams} AS grams FROM (
+                SELECT {th} AS th FROM documents
+                WHERE doc_id % 10 != 0 AND length(text) > 0
+                  AND len({sql_tokens('text')}) > 0
+            )
+        )
+    ), sex AS (
+        SELECT new_id, unnest(grams) AS g FROM (
+            SELECT doc_id AS new_id, {grams} AS grams FROM (
+                SELECT doc_id, {th} AS th FROM documents
+                WHERE doc_id % 10 = 0 AND length(text) > 0
+                  AND len({sql_tokens('text')}) > 0
+            )
+        )
+    )
+    SELECT new_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN d1.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           {sql_ratio_micros(
+               "sum(CASE WHEN d1.g IS NULL THEN 1 ELSE 0 END)", "count(*)"
+           )} AS novelty_micros
+    FROM sex LEFT JOIN d1 ON sex.g = d1.g
+    GROUP BY 1
+"""
+
+
+ORACLES["streaming_novelty_probe"] = _streaming_novelty_oracle()

@@ -2830,3 +2830,27 @@ ORACLES["text_ngram_novelty"] = f"""
                AS novelty_micros
     FROM nd LEFT JOIN nv ON nd.doc_id = nv.first_doc
 """
+
+
+# Persisted day-1 gram index for the STREAMING novelty scorer — the
+# novelty twin of _winnow_index_path: the corpus's distinct word-bigram
+# hash set as ONE parquet column, built once per fixture dir, probed
+# stream-static at ingest. Same staleness contract as
+# _LOGREG_MODEL_PATHS (immutable fixture dir for the process lifetime).
+_NOVELTY_INDEX_PATHS: dict[str, str] = {}
+
+
+def _novelty_index_path(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _NOVELTY_INDEX_PATHS:
+        from ..operators.dedup import shingle_hash_rows
+        from .connectors import _fixture_path
+
+        path = _fixture_path("novelty_grams")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        shingle_hash_rows(docs, "doc_id", "text", 2).select(
+            F.col("h").alias("g")
+        ).distinct().write.mode("overwrite").parquet(path)
+        _NOVELTY_INDEX_PATHS[sf_dir] = path
+    return _NOVELTY_INDEX_PATHS[sf_dir]
