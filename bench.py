@@ -128,6 +128,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_lsh_recall",
     "curation_doremi_weights",
+    "text_encoding_quality",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

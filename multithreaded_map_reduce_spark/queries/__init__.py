@@ -200,6 +200,7 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_lsh_recall",
     "curation_doremi_weights",
     "streaming_novelty_probe",
+    "text_encoding_quality",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

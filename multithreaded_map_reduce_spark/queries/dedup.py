@@ -30,6 +30,7 @@ from ..functions.hashing import (
     sql_minhash_signature,
     sql_shingle_hashes_from_token_hashes,
     sql_simhash32,
+    sql_token_hash,
     sql_token_hash_array,
     sql_tokens,
 )
@@ -982,12 +983,17 @@ ORACLES["dedup_cross_source_matrix"] = f"""
 # rail's recall a verified number instead of an s-curve argument.
 #
 # Truth protocol (bounded by construction): exact word-bigram Jaccard
-# >= 0.5 over SAME-LANG blocked pairs — the standard eval shape at
-# scale is exact truth on an explicit block/sample, never corpus-wide
-# all-pairs; here the whole fixture is the sample and lang is the
-# block (cross-lang word-bigram near-dups are not representable: the
-# token spaces are disjoint by construction of the measure, so the
-# block loses no truth pairs by design).
+# >= 0.5 over SAME-LANG blocked pairs WITHIN a deterministic per-lang
+# eval sample of LSH_EVAL_N docs (portable-hash rank) — the standard
+# eval shape at scale is exact truth on an explicit sample, never
+# corpus-wide all-pairs: the truth stage is quadratic in the sample,
+# so the sample cap is what makes the op corpus-size-independent
+# (unsampled at sf0.1 the truth stage measured 21.9 s warm; capped it
+# is ~2 s and CONSTANT in corpus size). LSH_EVAL_N = 256 keeps every
+# lang of the sf0.01 gate fixture complete, so the gate still sees the
+# full planted-duplicate truth set. Lang is the block (cross-lang
+# word-bigram near-dups are not representable: the token spaces are
+# disjoint by construction of the measure).
 #
 # One row out: truth size, candidate size, hits, recall, and candidate
 # "efficiency" (hits/candidates — the verify stage's hit rate; LOW by
@@ -996,9 +1002,14 @@ ORACLES["dedup_cross_source_matrix"] = f"""
 # the production pipeline does (minhash_dedup_pairs discipline).
 
 
+LSH_EVAL_N = 256  # per-lang eval sample cap (full sf0.01 gate fixture)
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
+    from ..functions.hashing import token_hash
     from ..functions.rounding import pround, ratio_micros
     from ..operators.dedup import (
         candidates_from_signatures,
@@ -1007,7 +1018,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_hash_rows,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    alldocs = load_table(spark, sf_dir, "documents")
+    rk = W.partitionBy("lang").orderBy(
+        token_hash(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    docs = (
+        alldocs.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= LSH_EVAL_N)
+        .drop("_rk")
+    )
     rows_rel = shingle_hash_rows(docs, "doc_id", "text", 2).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1050,13 +1069,24 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_lsh_recall"] = dedup_lsh_recall
 
+_LSH_EVAL_SAMPLE = f"""
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY {sql_token_hash('CAST(doc_id AS VARCHAR)')}, doc_id
+            ) AS _rk
+            FROM documents
+        ) WHERE _rk <= 256
+"""
+
 ORACLES["dedup_lsh_recall"] = f"""
-    WITH {_MH_CTES}, truth AS (
+    WITH documents_s AS MATERIALIZED ({_LSH_EVAL_SAMPLE}),
+    {_MH_CTES.replace("FROM documents", "FROM documents_s")}, truth AS (
         SELECT a.id AS id_a, b.id AS id_b
         FROM (SELECT h.id, h.hashes, d.lang
-              FROM hashed h JOIN documents d ON h.id = d.doc_id) a
+              FROM hashed h JOIN documents_s d ON h.id = d.doc_id) a
         JOIN (SELECT h.id, h.hashes, d.lang
-              FROM hashed h JOIN documents d ON h.id = d.doc_id) b
+              FROM hashed h JOIN documents_s d ON h.id = d.doc_id) b
           ON a.lang = b.lang AND a.id < b.id
         WHERE {sql_pround(_JACCARD, 6)} >= 0.5
     ), joined AS (

@@ -2854,3 +2854,71 @@ def _novelty_index_path(spark: SparkSession, sf_dir: str) -> str:
         ).distinct().write.mode("overwrite").parquet(path)
         _NOVELTY_INDEX_PATHS[sf_dir] = path
     return _NOVELTY_INDEX_PATHS[sf_dir]
+
+
+# ------------------------------------------------- encoding quality
+# Mojibake / encoding-damage detection (round 8): the hygiene pass
+# that catches UTF-8-decoded-as-Latin-1 artifacts ("caf\u00c3\u00a9"-
+# class digraphs: \u00c2/\u00c3 followed by a Latin-1 continuation
+# character) and U+FFFD replacement characters (lossy transcoding).
+# The fixture corpus is clean ASCII, so -- the privacy_redact_pii
+# discipline -- damage is PLANTED deterministically per doc_id residue
+# class in BOTH engines and must be found by the detector under the
+# gate, proving the patterns fire identically (Java regex vs RE2:
+# literal characters and literal-char classes only; the \u escapes
+# below are PYTHON escapes, resolved to literal chars before either
+# regex engine parses the pattern).
+#
+# Scale: stateless per-row regexp_count scan -- zero shuffle,
+# codegen'd, pushdown/pruning untouched. keep=1 is the filter bit.
+
+_MOJI_RE = "[\u00c2\u00c3][\u0080-\u00ff]"
+_REPL_CH = "\ufffd"
+_MOJI_PLANT = " caf\u00c3\u00a9"
+_REPL_PLANT = " bad\ufffdseq"
+
+
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(_MOJI_PLANT)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(_REPL_PLANT)
+        ).otherwise(F.lit("")),
+    )
+    n_moji = F.regexp_count(planted, F.lit(_MOJI_RE))
+    n_repl = F.regexp_count(planted, F.lit(_REPL_CH))
+    return docs.select(
+        "doc_id",
+        n_moji.cast("long").alias("n_mojibake"),
+        n_repl.cast("long").alias("n_replacement"),
+        ((n_moji + n_repl) == 0).cast("int").alias("keep"),
+    )
+
+
+QUERIES["text_encoding_quality"] = text_encoding_quality
+
+ORACLES["text_encoding_quality"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0 THEN '{moji_plant}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '{repl_plant}' ELSE '' END
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{moji}')) AS BIGINT)
+               AS n_mojibake,
+           CAST(len(regexp_extract_all(t, '{repl}')) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(t, '{moji}'))
+                + len(regexp_extract_all(t, '{repl}')) = 0 AS INTEGER)
+               AS keep
+    FROM planted
+""".replace("{moji_plant}", _MOJI_PLANT).replace(
+    "{repl_plant}", _REPL_PLANT
+).replace("{moji}", _MOJI_RE).replace("{repl}", _REPL_CH)
