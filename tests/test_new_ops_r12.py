@@ -216,3 +216,45 @@ def test_lsh_recall_gate_and_bounds(spark):
         assert r["recall_micros"] == round(
             1_000_000 * r["n_hits"] / r["n_true"]
         )
+
+
+def test_encoding_quality_semantics(spark):
+    """Planted mojibake/replacement chars are found; clean docs keep."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["text_encoding_quality"],
+        ORACLES["text_encoding_quality"],
+        SF_SMOKE,
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_encoding_quality"](spark, SF_SMOKE).collect()
+    }
+    assert rows[0]["n_mojibake"] == 1 and rows[0]["n_replacement"] == 1
+    assert rows[7]["n_mojibake"] == 1 and rows[7]["keep"] == 0
+    assert rows[11]["n_replacement"] == 1 and rows[11]["keep"] == 0
+    assert rows[1]["keep"] == 1 and rows[1]["n_mojibake"] == 0
+
+
+def test_streaming_novelty_probe_gate(spark):
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["streaming_novelty_probe"],
+        ORACLES["streaming_novelty_probe"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["streaming_novelty_probe"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["new_id"] % 10 == 0  # day-2 slice only
+        assert 0 <= r["n_novel"] <= r["n_grams"]
