@@ -201,6 +201,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_doremi_weights",
     "streaming_novelty_probe",
     "text_encoding_quality",
+    "dedup_minhash_accuracy",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

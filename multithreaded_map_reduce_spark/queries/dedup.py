@@ -1104,3 +1104,100 @@ ORACLES["dedup_lsh_recall"] = f"""
                AS efficiency_micros
     FROM joined
 """
+
+
+# -------------------------------------------- minhash estimator accuracy
+# Quantization-accuracy eval for the minhash rail (round 8, the
+# signature-level companion to dedup_lsh_recall's candidate-level
+# recall): over every LSH candidate pair, compare the 32-permutation
+# signature agreement estimate ĵ = matches/32 against the exact
+# shingle-set Jaccard, and report the pair count plus mean/max
+# absolute error in micros. E[ĵ] = J with sd ≈ sqrt(J(1-J)/32) ≈ 0.09
+# — the eval verifies the configured signature width is delivering
+# that, continuously, on the live corpus (the number that justifies
+# 32 longs/doc of signature storage at 100 TB).
+#
+# Scale: candidates are the bucket-capped LSH pair relation; the two
+# id-keyed joins attach signatures + verify sets; one final aggregate.
+# Nothing quadratic, nothing new to shuffle beyond the production
+# pipeline itself.
+
+
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.rounding import ratio_units
+    from ..operators.dedup import (
+        candidates_from_signatures,
+        minhash_signatures_agg,
+        shingle_hash_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows_rel = shingle_hash_rows(docs, "doc_id", "text", 2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_agg(rows_rel, num=32)
+    cand = candidates_from_signatures(sigs, 8, 4, 100)
+    hashed = rows_rel.groupBy("id").agg(F.collect_set("h").alias("hashes"))
+    side = sigs.join(hashed, "id")
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("hashes").alias("h_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("hashes").alias("h_b"),
+    )
+    matches = (
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    inter = "size(array_intersect(h_a, h_b))"
+    uni = f"size(h_a) + size(h_b) - {inter}"
+    per = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            ratio_units(matches, "32").alias("est_micros"),
+            ratio_units(inter, uni).alias("exact_micros"),
+        )
+        .select(
+            F.abs(F.col("est_micros") - F.col("exact_micros")).alias("err")
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        ratio_units("sum(err)", "count(1)", 1).alias("mean_abs_err_micros"),
+        F.max("err").alias("max_abs_err_micros"),
+    )
+
+
+QUERIES["dedup_minhash_accuracy"] = dedup_minhash_accuracy
+
+ORACLES["dedup_minhash_accuracy"] = f"""
+    WITH {_MH_CTES}, per AS (
+        SELECT abs(
+            (2 * 1000000 * CAST(len(list_filter(
+                 list_transform(range(1, 33),
+                     i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+                 v -> v = 1)) AS BIGINT) + 32) // (2 * 32)
+            -
+            (2 * 1000000 * CAST(len(list_intersect(a.hashes, b.hashes)) AS BIGINT)
+               + CAST(len(a.hashes) + len(b.hashes)
+                      - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+            // (2 * CAST(len(a.hashes) + len(b.hashes)
+                      - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+        ) AS err
+        FROM cand
+        JOIN sigs a ON cand.id_a = a.id
+        JOIN sigs b ON cand.id_b = b.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2 * 1 * CAST(sum(err) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mean_abs_err_micros,
+           CAST(max(err) AS BIGINT) AS max_abs_err_micros
+    FROM per
+"""

@@ -258,3 +258,24 @@ def test_streaming_novelty_probe_gate(spark):
     for r in rows:
         assert r["new_id"] % 10 == 0  # day-2 slice only
         assert 0 <= r["n_novel"] <= r["n_grams"]
+
+
+def test_minhash_accuracy_bounds(spark):
+    """Estimator error is a probability-difference in micros: bounded
+    by 1e6, mean <= max, and the expected-order sanity that mean error
+    stays under 3 sigma of the 32-permutation estimator (~0.27)."""
+    from multithreaded_map_reduce_spark.queries.dedup import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["dedup_minhash_accuracy"],
+        ORACLES["dedup_minhash_accuracy"],
+        SF_SMOKE,
+    )
+    r = QUERIES["dedup_minhash_accuracy"](spark, SF_SMOKE).collect()[0]
+    assert r["n_pairs"] > 0
+    assert 0 <= r["mean_abs_err_micros"] <= r["max_abs_err_micros"] <= 1_000_000
+    assert r["mean_abs_err_micros"] < 270_000
