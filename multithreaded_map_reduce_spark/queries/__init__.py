@@ -202,6 +202,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_novelty_probe",
     "text_encoding_quality",
     "dedup_minhash_accuracy",
+    "streaming_ann_probe",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;
@@ -280,7 +281,7 @@ _CHANGED_SINCE_GREEN = [
 # position and tests/test_oracle_types.py lints all 304 oracles so a
 # sixth can never ship. Ranked ABSOLUTELY FIRST so CORRECTNESS_r08
 # samples the fixes, then the 4 never-driver-sampled r7 queries.
-_DIAGNOSTICS_R7: list[str] = [
+_DIAGNOSTICS: list[str] = [
     "cogroup_user_activity",
     "cogroup_user_activity_sums",
     "interval_shipping",
@@ -298,7 +299,7 @@ def _rerank() -> None:
     global ALL_QUERIES, ALL_ORACLES
     verified = _driver_verified()
     new = set(_NEW_THIS_ROUND)
-    diag = [n for n in _DIAGNOSTICS_R7 if n in ALL_QUERIES]
+    diag = [n for n in _DIAGNOSTICS if n in ALL_QUERIES]
     dset = set(diag)
     backlog = [
         n

@@ -1551,3 +1551,54 @@ def _sql_mmr() -> str:
 
 
 ORACLES["sim_topk_mmr"] = _sql_mmr()
+
+
+# ----------------------------------------------- day-2 streaming ANN index
+# Persisted day-1 IVF artifact for the STREAMING similarity scorer
+# (round 8): centroids = the first ANNP_CELLS corpus vectors by vec_id
+# (the sim_topk_ivf deterministic-centroid convention), assignments =
+# argmax-cosine cell per corpus vector — both parquet, built once per
+# fixture dir (the _LOGREG_MODEL_PATHS staleness contract). cid IS the
+# centroid's vec_id (no synthetic numbering to keep in sync).
+
+_ANN_INDEX_PATHS: dict[str, tuple[str, str]] = {}
+ANNP_CELLS = 4
+ANNP_NPROBE = 2
+ANNP_K = 3
+
+
+def ann_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir not in _ANN_INDEX_PATHS:
+        from pyspark.sql import Window as W
+
+        from ..functions.vectors import as_double, cosine
+        from .connectors import _fixture_path
+
+        cent_path = _fixture_path("ann_centroids")
+        idx_path = _fixture_path("ann_index")
+        corpus = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 10 != 0)
+            .select("vec_id", as_double("embedding").alias("cv"))
+        )
+        cents = (
+            corpus.orderBy("vec_id")
+            .limit(ANNP_CELLS)
+            .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
+        )
+        cents.write.mode("overwrite").parquet(cent_path)
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(
+                F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
+            )
+        )
+        (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .select("cid", F.col("vec_id").alias("neighbor_id"), "cv")
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+        _ANN_INDEX_PATHS[sf_dir] = (cent_path, idx_path)
+    return _ANN_INDEX_PATHS[sf_dir]

@@ -1141,3 +1141,124 @@ def _streaming_novelty_oracle() -> str:
 
 
 ORACLES["streaming_novelty_probe"] = _streaming_novelty_oracle()
+
+
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING similarity search at ingest (round 8): arriving
+    vectors (vec_id % 10 == 0, the day-2 slice) are scored against the
+    PERSISTED day-1 IVF index — the fifth member of the day-2
+    stream-static family (dedup/DSIR/winnowing/novelty/ANN) and the
+    streaming twin of sim_topk_ivf.
+
+    Streaming-legal plan: cell ROUTING is a per-row expression over
+    the collected centroid constants (≤ ANNP_CELLS rows — the 1-row
+    broadcast-weights discipline from the logreg scorer; windows are
+    illegal on streams, literals are free), postings join is
+    stream-static on cid, and the ONE stateful operator is the per-
+    query top-k aggregation (collect_list bounded by the probed cells'
+    postings). The sink table is batch — the final sort/slice/explode
+    into ranked rows runs batch-side on it."""
+    from ..functions.vectors import as_double, cosine
+    from ..streaming.events import stream_embeddings
+    from .similarity import ANNP_K, ANNP_NPROBE, ann_index_paths
+
+    cent_path, idx_path = ann_index_paths(spark, sf_dir)
+    cents = spark.read.parquet(cent_path).orderBy("cid").collect()  # <= ANNP_CELLS rows
+    postings = spark.read.parquet(idx_path)
+    qv = as_double("embedding")
+    stream = stream_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    cell_structs = [
+        F.struct(
+            (-cosine(qv, F.array(*[F.lit(float(x)) for x in r["centroid"]]))).alias(
+                "nc"
+            ),
+            F.lit(r["cid"]).cast("long").alias("cid"),
+        )
+        for r in cents
+    ]
+    routed = stream.select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("qv"),
+        F.explode(
+            F.slice(F.sort_array(F.array(*cell_structs)), 1, ANNP_NPROBE)
+        ).alias("cell"),
+    ).select("query_id", "qv", F.col("cell.cid").alias("cid"))
+    scored = routed.join(postings, "cid").select(
+        "query_id",
+        F.struct(
+            (-cosine(F.col("qv"), F.col("cv"))).alias("nc"),
+            F.col("neighbor_id").alias("neighbor_id"),
+        ).alias("s"),
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.collect_list("s")), 1, ANNP_K).alias("topk")
+    )
+    name = _sink("st_ann")
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select("query_id", F.posexplode("topk").alias("pos0", "s"))
+        .select(
+            "query_id",
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            pround(-F.col("s.nc"), 6).alias("cos_sim"),
+            (F.col("pos0") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+QUERIES["streaming_ann_probe"] = streaming_ann_probe
+
+
+def _streaming_ann_oracle() -> str:
+    from ..functions.vectors import sql_as_double, sql_cosine
+    from .similarity import ANNP_CELLS, ANNP_K, ANNP_NPROBE
+
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id % 10 != 0
+    ), cents AS MATERIALIZED (
+        SELECT vec_id AS cid, cv AS centroid
+        FROM corpus ORDER BY vec_id LIMIT {ANNP_CELLS}
+    ), cells AS MATERIALIZED (
+        SELECT cid, vec_id AS neighbor_id, cv FROM (
+            SELECT corpus.vec_id, corpus.cv, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY corpus.vec_id
+                       ORDER BY {sql_cosine('corpus.cv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM corpus, cents
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {sql_cosine('q.qv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM q, cents
+        ) WHERE rn <= {ANNP_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               {sql_cosine('p.qv', 'c.cv')} AS cos
+        FROM probes p JOIN cells c ON p.cid = c.cid
+    )
+    SELECT query_id, neighbor_id,
+           {sql_pround('cos', 6)} AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {ANNP_K}
+"""
+
+
+ORACLES["streaming_ann_probe"] = _streaming_ann_oracle()

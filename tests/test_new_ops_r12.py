@@ -279,3 +279,29 @@ def test_minhash_accuracy_bounds(spark):
     assert r["n_pairs"] > 0
     assert 0 <= r["mean_abs_err_micros"] <= r["max_abs_err_micros"] <= 1_000_000
     assert r["mean_abs_err_micros"] < 270_000
+
+
+def test_streaming_ann_probe_gate_and_shape(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import ANNP_K
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["streaming_ann_probe"],
+        ORACLES["streaming_ann_probe"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["streaming_ann_probe"](spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] % 10 == 0  # day-2 slice only
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= ANNP_K
+        sims = [x["cos_sim"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)

@@ -43,6 +43,11 @@ _WHITELIST: list[tuple[str, str, str]] = [
         "labeled fixture writer over the bounded test corpus",
     ),
     (
+        "queries/streaming_gate.py",
+        r"cents = spark\.read\.parquet\(cent_path\)\.orderBy\(\"cid\"\)\.collect\(\)",
+        "ANN probe centroid constants: ≤ ANNP_CELLS rows by construction",
+    ),
+    (
         "operators/graph.py",
         r"\)\.collect\(\)\[0\]",
         "connected-components convergence probe: 1 aggregate row per round",
