@@ -203,6 +203,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_encoding_quality",
     "dedup_minhash_accuracy",
     "streaming_ann_probe",
+    "text_textrank_keywords",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

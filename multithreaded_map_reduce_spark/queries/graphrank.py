@@ -596,3 +596,155 @@ def _ppr_sql(num_iter: int = NUM_ITER, s: int = N_RESTART) -> str:
 
 
 ORACLES["ppr_region_nations"] = _ppr_sql()
+
+
+# ------------------------------------------------------------- TextRank
+# Keyword extraction as PageRank over the corpus word co-occurrence
+# graph (Mihalcea & Tarau 2004, "TextRank: Bringing Order into Text")
+# — the composition showcase: the exact-fixed-point pagerank operator
+# runs unchanged on a graph built from text instead of trade flows.
+# Nodes = the top-TR_VOCAB corpus tokens by frequency (deterministic
+# count-desc/token-asc cap — bounds the graph at a CONSTANT regardless
+# of corpus size, the scale contract); edges = adjacent-token
+# co-occurrence counts, symmetrized, self-loops dropped. 10 damped
+# iterations in 1/SCALE integer units; output = top TR_TOPK keywords.
+#
+# The oracle cannot bake |nodes| into literals the way pagerank_nations
+# does (the vocabulary cap may not bind on small fixtures), so every
+# unrolled round cross-joins a 1-row params CTE carrying n — the same
+# integer arithmetic, n resolved at bind time.
+
+TR_VOCAB = 200
+TR_TOPK = 20
+TR_ITERS = 10
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    words = toks.select(F.explode("t").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(TR_VOCAB)
+        .select("w")
+    )
+    # adjacent pairs via the zip-at-explode idiom (no window, no HOF)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "a")), "a")
+        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).groupBy("a", "b").agg(F.sum("w").alias("w"))
+    pr = pagerank(
+        vocab.select(F.col("w").alias("id")),
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w"),
+        num_iter=TR_ITERS,
+    )
+    return (
+        pr.orderBy(F.desc("rank_units"), F.asc("id"))
+        .limit(TR_TOPK)
+        .select(F.col("id").alias("keyword"), "rank_units")
+    )
+
+
+QUERIES["text_textrank_keywords"] = text_textrank_keywords
+
+
+def _sql_textrank() -> str:
+    from ..functions.hashing import sql_tokens
+
+    ctes = [
+        f"""toks AS MATERIALIZED (
+            SELECT {sql_tokens('text')} AS t FROM documents
+            WHERE len({sql_tokens('text')}) > 0
+        ),
+        vocab AS MATERIALIZED (
+            SELECT w FROM (
+                SELECT unnest(t) AS w FROM toks
+            ) GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT {TR_VOCAB}
+        ),
+        rawpairs AS (
+            SELECT p['a'] AS a, p['b'] AS b FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                    i -> {{'a': t[i], 'b': t[i + 1]}})) AS p
+                FROM toks
+            ) WHERE p['a'] != p['b']
+        ),
+        dpairs AS (
+            SELECT a, b, count(*) AS w FROM rawpairs
+            WHERE a IN (SELECT w FROM vocab) AND b IN (SELECT w FROM vocab)
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst, CAST(sum(w) AS BIGINT) AS w FROM (
+                SELECT a, b, w FROM dpairs
+                UNION ALL SELECT b AS a, a AS b, w FROM dpairs
+            ) GROUP BY 1, 2
+        ),
+        params AS MATERIALIZED (
+            SELECT count(*) AS n,
+                   CAST({SCALE} AS BIGINT) // count(*) AS r_init,
+                   CAST({SCALE * (DAMPING_DEN - DAMPING_NUM)} AS BIGINT)
+                       // ({DAMPING_DEN} * count(*)) AS base
+            FROM vocab
+        ),
+        outw AS MATERIALIZED (
+            SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src
+        ),
+        r0 AS MATERIALIZED (
+            SELECT w AS id, (SELECT r_init FROM params) AS rank FROM vocab
+        )"""
+    ]
+    for i in range(1, TR_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT COALESCE(sum(rank), 0) // (SELECT n FROM params) AS dm
+            FROM r{p} WHERE id NOT IN (SELECT src FROM outw)
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS id, sum((r.rank * e.w) // o.ow) AS cin
+            FROM edges e
+            JOIN r{p} r ON e.src = r.id
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT v.w AS id,
+                   pp.base + ({DAMPING_NUM} * (COALESCE(c.cin, 0) + d.dm))
+                       // {DAMPING_DEN} AS rank
+            FROM vocab v
+            LEFT JOIN c{i} c ON v.w = c.id
+            CROSS JOIN d{i} d CROSS JOIN params pp
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS keyword, CAST(rank AS BIGINT) AS rank_units
+        FROM r{TR_ITERS}
+        ORDER BY rank DESC, id ASC LIMIT {TR_TOPK}"""
+    )
+
+
+ORACLES["text_textrank_keywords"] = _sql_textrank()

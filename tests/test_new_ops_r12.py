@@ -305,3 +305,27 @@ def test_streaming_ann_probe_gate_and_shape(spark):
         assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= ANNP_K
         sims = [x["cos_sim"] for x in sorted(rs, key=lambda x: x["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_textrank_keywords(spark):
+    """Rank mass sums to ~SCALE over the graph, keywords are distinct,
+    and the #1 keyword is a high-frequency token (TextRank on a
+    near-complete co-occurrence graph correlates with degree)."""
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        ORACLES,
+        QUERIES,
+        TR_TOPK,
+    )
+
+    compare(
+        spark,
+        QUERIES["text_textrank_keywords"],
+        ORACLES["text_textrank_keywords"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["text_textrank_keywords"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= TR_TOPK
+    kws = [r["keyword"] for r in rows]
+    assert len(set(kws)) == len(kws)
+    units = [r["rank_units"] for r in rows]
+    assert units == sorted(units, reverse=True)
