@@ -129,6 +129,8 @@ HEADLINE = [
     "dedup_lsh_recall",
     "curation_doremi_weights",
     "text_encoding_quality",
+    "dedup_minhash_accuracy",
+    "text_textrank_keywords",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
