@@ -204,6 +204,8 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_minhash_accuracy",
     "streaming_ann_probe",
     "text_textrank_keywords",
+    "curation_doremi_draw",
+    "text_novelty_by_source",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

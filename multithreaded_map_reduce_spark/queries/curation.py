@@ -1860,7 +1860,7 @@ def curation_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["curation_doremi_weights"] = curation_doremi_weights
 
 
-def _sql_doremi() -> str:
+def _sql_doremi_ctes() -> str:
     """Linear CTE chain: every level references its predecessor exactly
     ONCE, with the cross-domain scalars (mixture loss, normalizer,
     domain count) as ``OVER ()`` window aggregates instead of scalar
@@ -1913,9 +1913,13 @@ def _sql_doremi() -> str:
             FROM r{t}
         )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _sql_doremi() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _sql_doremi_ctes()
         + f"""
     SELECT source, n_docs, CAST(loss AS BIGINT) AS loss_micros,
            CAST(w AS BIGINT) AS weight_nanos
@@ -1925,3 +1929,94 @@ def _sql_doremi() -> str:
 
 
 ORACLES["curation_doremi_weights"] = _sql_doremi()
+
+
+# ----------------------------------------------- DoReMi quota draw
+# The weights being USED (round 8): turn the EG mixture weights into
+# per-source document quotas over a fixed budget and make the exact
+# deterministic hash draw — the same bottom-k-by-md5 rail as
+# curation_mixture, with quota ∝ weight_nanos instead of isqrt(n).
+# Small-but-hard domains get upsampled exactly as DoReMi prescribes;
+# a quota exceeding a source's population truncates to the population
+# (the draw rank can't exceed n_docs), which is the correct clamp.
+# Domain rail: quota arithmetic is (n_total·PCT div 100)·w_nanos with
+# w_nanos <= 1e9, so it stays int64 to ~3e10 corpus docs; past that,
+# route through ratio_units_dec like the CV^2 rail.
+
+DOREMI_BUDGET_PCT = 30
+
+
+def curation_doremi_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = curation_doremi_weights(spark, sf_dir)  # tiny, checkpointed
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = weights.agg(
+        F.sum("weight_nanos").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    quota = weights.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "weight_nanos",
+        F.expr(
+            f"(n_total * {DOREMI_BUDGET_PCT} div 100) * weight_nanos div sum_w"
+        ).alias("quota"),
+    )
+    win = W.partitionBy("source").orderBy(F.asc("draw_hash"), F.asc("doc_id"))
+    drawn = (
+        docs.withColumn(
+            "draw_hash",
+            token_hash(F.concat(F.lit("doremi"), F.col("doc_id").cast("string"))),
+        )
+        .join(F.broadcast(quota), "source")
+        .withColumn("draw_rank", F.row_number().over(win))
+        .filter(F.col("draw_rank") <= F.col("quota"))
+    )
+    return drawn.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("weight_nanos").alias("weight_nanos"),
+        F.min("quota").alias("quota"),
+        F.count(F.lit(1)).alias("n_drawn"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["curation_doremi_draw"] = curation_doremi_draw
+
+
+def _sql_doremi_draw() -> str:
+    from ..functions.hashing import sql_token_hash
+
+    h = sql_token_hash("'doremi' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH {_sql_doremi_ctes()},
+    weights AS (
+        SELECT source, n_docs, loss, w AS weight_nanos FROM w{DOREMI_ITERS}
+    ),
+    totals AS (
+        SELECT CAST(sum(weight_nanos) AS BIGINT) AS sum_w,
+               CAST(sum(n_docs) AS BIGINT) AS n_total
+        FROM weights
+    ),
+    quota AS (
+        SELECT source, n_docs, weight_nanos,
+               (n_total * {DOREMI_BUDGET_PCT} // 100)
+                   * weight_nanos // sum_w AS quota
+        FROM weights CROSS JOIN totals
+    ),
+    drawn AS (
+        SELECT d.source, d.doc_id, q.n_docs, q.weight_nanos, q.quota,
+               row_number() OVER (
+                   PARTITION BY d.source ORDER BY {h} ASC, d.doc_id ASC
+               ) AS draw_rank
+        FROM documents d JOIN quota q ON d.source = q.source
+    )
+    SELECT source,
+           CAST(min(n_docs) AS BIGINT) AS n_docs,
+           CAST(min(weight_nanos) AS BIGINT) AS weight_nanos,
+           CAST(min(quota) AS BIGINT) AS quota,
+           count(*) AS n_drawn,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM drawn WHERE draw_rank <= quota GROUP BY 1
+"""
+
+
+ORACLES["curation_doremi_draw"] = _sql_doremi_draw()

@@ -2922,3 +2922,51 @@ ORACLES["text_encoding_quality"] = """
 """.replace("{moji_plant}", _MOJI_PLANT).replace(
     "{repl_plant}", _REPL_PLANT
 ).replace("{moji}", _MOJI_RE).replace("{repl}", _REPL_CH)
+
+
+# Per-source novelty rollup (round 8): the snapshot-level curation
+# signal on top of text_ngram_novelty — "which sources still add new
+# n-grams" is the number that decides recrawl cadence and mixture
+# down-weighting of mirror-heavy sources. One doc-keyed join for the
+# source label + one map-side-combined aggregate over the per-doc
+# novelty relation.
+
+
+def text_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    nov = text_ngram_novelty(spark, sf_dir)
+    return (
+        nov.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_distinct").alias("n_grams_distinct"),
+            F.sum("n_novel").alias("n_grams_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams_distinct",
+            "n_grams_novel",
+            ratio_micros("n_grams_novel", "n_grams_distinct").alias(
+                "novelty_micros"
+            ),
+        )
+    )
+
+
+QUERIES["text_novelty_by_source"] = text_novelty_by_source
+
+ORACLES["text_novelty_by_source"] = f"""
+    WITH nov AS ({ORACLES['text_ngram_novelty']})
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(n_distinct) AS BIGINT) AS n_grams_distinct,
+           CAST(sum(n_novel) AS BIGINT) AS n_grams_novel,
+           {sql_ratio_micros('sum(n_novel)', 'sum(n_distinct)')}
+               AS novelty_micros
+    FROM nov JOIN documents d ON nov.doc_id = d.doc_id
+    GROUP BY 1
+"""

@@ -329,3 +329,50 @@ def test_textrank_keywords(spark):
     assert len(set(kws)) == len(kws)
     units = [r["rank_units"] for r in rows]
     assert units == sorted(units, reverse=True)
+
+
+def test_doremi_draw_invariants(spark):
+    """Draw counts respect quotas, quotas clamp at population, and the
+    drawn total is within rounding slack of the 30% budget whenever no
+    source clamps."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        DOREMI_BUDGET_PCT,
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["curation_doremi_draw"],
+        ORACLES["curation_doremi_draw"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["curation_doremi_draw"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_drawn"] == min(r["quota"], r["n_docs"])
+    n_total = sum(r["n_docs"] for r in rows)
+    budget = n_total * DOREMI_BUDGET_PCT // 100
+    if all(r["quota"] <= r["n_docs"] for r in rows):
+        drawn = sum(r["n_drawn"] for r in rows)
+        assert budget - len(rows) <= drawn <= budget
+
+
+def test_novelty_by_source_consistency(spark):
+    """Source rollup must re-aggregate the per-doc novelty exactly."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["text_novelty_by_source"],
+        ORACLES["text_novelty_by_source"],
+        SF_SMOKE,
+    )
+    per_doc = QUERIES["text_ngram_novelty"](spark, SF_SMOKE).collect()
+    by_src = QUERIES["text_novelty_by_source"](spark, SF_SMOKE).collect()
+    assert sum(r["n_grams_novel"] for r in by_src) == sum(
+        r["n_novel"] for r in per_doc
+    )
