@@ -206,6 +206,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_textrank_keywords",
     "curation_doremi_draw",
     "text_novelty_by_source",
+    "quality_srm_check",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -942,3 +942,70 @@ ORACLES["quality_psi"] = f"""
            {_sql_pr_psi(_sql_fiu_psi("CAST(sum(tu) AS BIGINT)", 9), 6)} AS psi
     FROM terms GROUP BY na, nb
 """
+
+
+# --------------------------------------------- sample-ratio mismatch
+# The A/B guardrail that runs before any treatment-effect readout
+# (round 8): users are hashed into two arms 50/50; a chi-square
+# statistic over the realized arm counts far above the 95% critical
+# value (3.841) means the assignment itself is broken and every
+# downstream metric is invalid. chi2 = (n0 - n1)^2 / (n0 + n1) on an
+# equal-split design, computed as an exact micro-unit rational with
+# the square in DECIMAL(38,0)/HUGEINT (the ratio_units_dec rail:
+# (n0-n1)^2 wraps int64 past ~3e9 users; arms of a 100 TB event log
+# can get there). One map-side-combined aggregate over user ids.
+
+SRM_CRIT_MICROS = 3_841_459  # chi-square(1 df) 95% critical value
+
+
+def quality_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_units_dec
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = (
+        token_hash(F.concat(F.lit("srm"), F.col("user_id").cast("string")))
+        % 2
+    )
+    counts = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    chi2 = ratio_units_dec(
+        "CAST(n0 - n1 AS DECIMAL(38,0)) * CAST(n0 - n1 AS DECIMAL(38,0))",
+        "CAST(n0 + n1 AS DECIMAL(38,0))",
+        1_000_000,
+    )
+    return counts.select(
+        "n0",
+        "n1",
+        chi2.alias("chi2_micros"),
+    ).withColumn(
+        "srm_flag",
+        (F.col("chi2_micros") > SRM_CRIT_MICROS).cast("int"),
+    )
+
+
+QUERIES["quality_srm_check"] = quality_srm_check
+
+from ..functions.hashing import sql_token_hash as _sql_th_srm  # noqa: E402
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud  # noqa: E402
+
+ORACLES["quality_srm_check"] = f"""
+    WITH arms AS (
+        SELECT ({_sql_th_srm("'srm' || CAST(user_id AS VARCHAR)")}) % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM arms
+    )
+    SELECT n0, n1,
+           {_sql_rud("(CAST(n0 AS HUGEINT) - n1) * (CAST(n0 AS HUGEINT) - n1)",
+                     "n0 + n1", 1_000_000)} AS chi2_micros,
+           CAST({_sql_rud("(CAST(n0 AS HUGEINT) - n1) * (CAST(n0 AS HUGEINT) - n1)",
+                          "n0 + n1", 1_000_000)} > {SRM_CRIT_MICROS}
+               AS INTEGER) AS srm_flag
+    FROM counts
+"""

@@ -376,3 +376,21 @@ def test_novelty_by_source_consistency(spark):
     assert sum(r["n_grams_novel"] for r in by_src) == sum(
         r["n_novel"] for r in per_doc
     )
+
+
+def test_srm_check(spark):
+    """Gate + invariants: a hash split is ~50/50 so the fixture must
+    NOT flag; chi2 formula cross-checked in Python exact ints."""
+    from multithreaded_map_reduce_spark.queries.quality import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark, QUERIES["quality_srm_check"], ORACLES["quality_srm_check"], SF_SMOKE
+    )
+    r = QUERIES["quality_srm_check"](spark, SF_SMOKE).collect()[0]
+    n0, n1 = r["n0"], r["n1"]
+    expected = (2 * 1_000_000 * (n0 - n1) ** 2 + (n0 + n1)) // (2 * (n0 + n1))
+    assert r["chi2_micros"] == expected
+    assert r["srm_flag"] == 0  # an honest hash split must not trip SRM
