@@ -439,3 +439,58 @@ def extract_image_dhash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "dhash_lo": lo, "dhash_hi": hi})
 
     return media.mapInPandas(batches, "media_id long, dhash_lo long, dhash_hi long")
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id long, n_frames long, fp_bits int, fingerprint long"
+)
+
+
+def audio_fingerprint_features(
+    media: DataFrame, frame: int = 8, bits: int = 32
+) -> DataFrame:
+    """Shazam-lite audio fingerprint (round 8): decode each WAV, frame
+    the PCM into ``frame``-sample windows (full frames only), compute
+    per-frame energy (sum of uint8 samples), and pack the first
+    ``bits`` energy-DELTA signs (E[t+1] > E[t]) into one BIGINT — the
+    classic sign-of-slope fingerprint that survives gain changes
+    (energy offsets cancel in the delta). Integer arithmetic on decoded
+    bytes end-to-end, so the differential oracle replays it straight
+    from (doc_id, text); the decode layer itself is already proven by
+    multimodal_audio."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_frames": [],
+                "fp_bits": [],
+                "fingerprint": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                nf = len(arr) // frame
+                e = (
+                    arr[: nf * frame]
+                    .reshape(nf, frame)
+                    .astype("int64")
+                    .sum(axis=1)
+                )
+                nb = min(bits, max(nf - 1, 0))
+                fp = 0
+                for t in range(nb):
+                    if e[t + 1] > e[t]:
+                        fp |= 1 << t
+                out["media_id"].append(mid)
+                out["n_frames"].append(nf)
+                out["fp_bits"].append(nb)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -207,6 +207,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_doremi_draw",
     "text_novelty_by_source",
     "quality_srm_check",
+    "multimodal_audio_fingerprint",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

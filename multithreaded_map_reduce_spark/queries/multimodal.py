@@ -524,3 +524,54 @@ ORACLES["multimodal_phash_clusters"] = f"""
     SELECT m.media_id, coalesce(r.root, m.media_id) AS canonical_id
     FROM media m LEFT JOIN roots r USING (media_id)
 """
+
+
+# ------------------------------------------------ audio fingerprinting
+# round 8 — see operators/multimodal.audio_fingerprint_features.
+
+_FP_FRAME = 8
+_FP_BITS = 32
+
+
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_fingerprint_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_fingerprint_features(
+        documents_as_wav_audio(docs), frame=_FP_FRAME, bits=_FP_BITS
+    )
+
+
+QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
+
+# energies: E_t = sum of 8 pcm bytes, pcm[j] = text byte (j % _tb);
+# bits: sign of E[t+1] - E[t] packed little-endian
+_FP_ENERGY = (
+    "list_transform(range(0, CAST(n_samples // 8 AS INTEGER)),"
+    " t -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(range(0, 8), k -> {_byte_at('(t * 8 + k) % _tb')})),"
+    " (x, y) -> x + y))"
+)
+
+ORACLES["multimodal_audio_fingerprint"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), framed AS (
+        SELECT doc_id AS media_id,
+               n_samples // 8 AS n_frames,
+               least(32, greatest(n_samples // 8 - 1, 0)) AS fp_bits,
+               {_FP_ENERGY} AS e
+        FROM sized
+    )
+    SELECT media_id, n_frames, CAST(fp_bits AS INTEGER) AS fp_bits,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, CAST(fp_bits AS INTEGER)),
+                   t -> CASE WHEN e[t + 2] > e[t + 1]
+                        THEN (CAST(1 AS BIGINT) << t) ELSE CAST(0 AS BIGINT) END)),
+               (x, y) -> x + y) AS fingerprint
+    FROM framed
+"""

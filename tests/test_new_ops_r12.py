@@ -394,3 +394,35 @@ def test_srm_check(spark):
     expected = (2 * 1_000_000 * (n0 - n1) ** 2 + (n0 + n1)) // (2 * (n0 + n1))
     assert r["chi2_micros"] == expected
     assert r["srm_flag"] == 0  # an honest hash split must not trip SRM
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    """The delta-sign fingerprint must be invariant to a constant gain
+    offset on the PCM (the property that makes it a fingerprint):
+    Python-model check against the operator's own numpy path."""
+    import numpy as np
+
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["multimodal_audio_fingerprint"],
+        ORACLES["multimodal_audio_fingerprint"],
+        SF_SMOKE,
+    )
+
+    def fp(arr, frame=8, bits=32):
+        nf = len(arr) // frame
+        e = arr[: nf * frame].reshape(nf, frame).astype("int64").sum(axis=1)
+        out = 0
+        for t in range(min(bits, nf - 1)):
+            if e[t + 1] > e[t]:
+                out |= 1 << t
+        return out
+
+    rng = np.arange(200) * 37 % 199  # deterministic pseudo-PCM
+    base = (rng % 200).astype("int64")
+    assert fp(base) == fp(base + 50)  # constant gain offset cancels
