@@ -208,6 +208,8 @@ _NEW_THIS_ROUND: list[str] = [
     "text_novelty_by_source",
     "quality_srm_check",
     "multimodal_audio_fingerprint",
+    "text_langid_confusion",
+    "multimodal_audio_fp_neardup",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

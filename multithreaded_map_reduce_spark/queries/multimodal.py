@@ -575,3 +575,33 @@ ORACLES["multimodal_audio_fingerprint"] = f"""
                (x, y) -> x + y) AS fingerprint
     FROM framed
 """
+
+
+def multimodal_audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup grouping by the energy-slope fingerprint — the
+    audio twin of exact dedup's hash-groupBy (gain-shifted re-encodes
+    of the same material collide by construction of the delta-sign
+    fingerprint). Groups on (fingerprint, fp_bits) so short clips with
+    fewer compared frames never collide with full-length ones; min
+    media_id is the canonical survivor. One groupBy over the
+    fingerprint relation — no pairwise work at any scale."""
+    fps = multimodal_audio_fingerprint(spark, sf_dir)
+    return (
+        fps.groupBy("fingerprint", "fp_bits")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 2)
+    )
+
+
+QUERIES["multimodal_audio_fp_neardup"] = multimodal_audio_fp_neardup
+
+ORACLES["multimodal_audio_fp_neardup"] = f"""
+    WITH fps AS ({ORACLES['multimodal_audio_fingerprint']})
+    SELECT fingerprint, fp_bits,
+           min(media_id) AS keep_id,
+           count(*) AS n_matches
+    FROM fps GROUP BY 1, 2 HAVING count(*) >= 2
+"""

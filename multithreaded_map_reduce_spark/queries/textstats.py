@@ -2970,3 +2970,72 @@ ORACLES["text_novelty_by_source"] = f"""
     FROM nov JOIN documents d ON nov.doc_id = d.doc_id
     GROUP BY 1
 """
+
+
+# Language-ID evaluation (round 8): confusion matrix + per-true-lang
+# precision/recall of the stopword-signature classifier against the
+# fixture's labeled lang column — the eval row that turns "we have a
+# lang-ID heuristic" into a measured number (the routing decision a
+# multilingual pipeline makes with it needs the per-lang recall, not
+# vibes). One groupBy over the per-doc prediction relation.
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    pred = text_lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    true_tot = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    pred_tot = pred.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    return (
+        cells.join(true_tot, "lang")
+        .join(pred_tot, "predicted_lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            "n_true",
+            "n_pred",
+            F.when(
+                F.col("lang") == F.col("predicted_lang"),
+                ratio_micros("n", "n_true"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("recall_micros"),
+            F.when(
+                F.col("lang") == F.col("predicted_lang"),
+                ratio_micros("n", "n_pred"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("precision_micros"),
+        )
+    )
+
+
+QUERIES["text_langid_confusion"] = text_langid_confusion
+
+ORACLES["text_langid_confusion"] = f"""
+    WITH pred AS ({ORACLES['text_lang_id']}),
+    cells AS (
+        SELECT lang, predicted_lang, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    ), tt AS (
+        SELECT lang, count(*) AS n_true FROM pred GROUP BY 1
+    ), pt AS (
+        SELECT predicted_lang, count(*) AS n_pred FROM pred GROUP BY 1
+    )
+    SELECT c.lang, c.predicted_lang,
+           c.n, tt.n_true, pt.n_pred,
+           CASE WHEN c.lang = c.predicted_lang
+                THEN {sql_ratio_micros('c.n', 'tt.n_true')}
+                ELSE NULL END AS recall_micros,
+           CASE WHEN c.lang = c.predicted_lang
+                THEN {sql_ratio_micros('c.n', 'pt.n_pred')}
+                ELSE NULL END AS precision_micros
+    FROM cells c JOIN tt ON c.lang = tt.lang
+    JOIN pt ON c.predicted_lang = pt.predicted_lang
+"""

@@ -426,3 +426,50 @@ def test_audio_fingerprint_gain_invariance(spark):
     rng = np.arange(200) * 37 % 199  # deterministic pseudo-PCM
     base = (rng % 200).astype("int64")
     assert fp(base) == fp(base + 50)  # constant gain offset cancels
+
+
+def test_langid_confusion_mass(spark):
+    """Cell mass per true lang sums to n_true; the diagonal carries
+    exact half-up recall rationals."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["text_langid_confusion"],
+        ORACLES["text_langid_confusion"],
+        SF_SMOKE,
+    )
+    rows = QUERIES["text_langid_confusion"](spark, SF_SMOKE).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_true.items():
+        assert sum(r["n"] for r in rs) == rs[0]["n_true"]
+        diag = [r for r in rs if r["predicted_lang"] == lang]
+        if diag:
+            r = diag[0]
+            # exact half-up rational — the eval reports the truth, it
+            # does not promise the heuristic is good (on this synthetic
+            # shared-vocabulary fixture recall is genuinely low for
+            # non-dominant langs; that IS the measured number)
+            expected = (2_000_000 * r["n"] + r["n_true"]) // (2 * r["n_true"])
+            assert r["recall_micros"] == expected
+
+
+def test_audio_fp_neardup_gate(spark):
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["multimodal_audio_fp_neardup"],
+        ORACLES["multimodal_audio_fp_neardup"],
+        SF_SMOKE,
+    )
+    for r in QUERIES["multimodal_audio_fp_neardup"](spark, SF_SMOKE).collect():
+        assert r["n_matches"] >= 2
