@@ -210,6 +210,7 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_audio_fingerprint",
     "text_langid_confusion",
     "multimodal_audio_fp_neardup",
+    "dq_referential_integrity",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1009,3 +1009,63 @@ ORACLES["quality_srm_check"] = f"""
                AS INTEGER) AS srm_flag
     FROM counts
 """
+
+
+# ---------------------------------------------- referential integrity
+# FK orphan audit across the star schema (round 8): the DQ pass a
+# warehouse runs after every load — per relationship, how many child
+# rows reference a parent key that does not exist. Each check is ONE
+# broadcast/shuffle anti-join aggregated to a count (never a row dump
+# — the quarantine op is dq_quarantine_orders); the relations union
+# into one fixed-size report. At 100 TB each anti-join is key-local
+# and the small parent sides broadcast.
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child_t, fk, parent_t, pk in checks:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("_pk")
+        )
+        rep = (
+            child.select(F.col(fk).alias("_fk"))
+            .join(parent, F.col("_fk") == F.col("_pk"), "left_anti")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["dq_referential_integrity"] = dq_referential_integrity
+
+_RI_CHECKS_SQL = " UNION ALL ".join(
+    f"""SELECT '{name}' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM {child} c WHERE NOT EXISTS (
+        SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+    )"""
+    for name, child, fk, parent, pk in [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+)
+
+ORACLES["dq_referential_integrity"] = _RI_CHECKS_SQL
