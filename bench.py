@@ -131,6 +131,13 @@ HEADLINE = [
     "text_encoding_quality",
     "dedup_minhash_accuracy",
     "text_textrank_keywords",
+    "text_novelty_by_source",
+    "quality_srm_check",
+    "text_langid_confusion",
+    "dq_referential_integrity",
+    "multimodal_audio_fingerprint",
+    "curation_doremi_draw",
+    "curation_pack_efficiency",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -211,6 +211,8 @@ _NEW_THIS_ROUND: list[str] = [
     "text_langid_confusion",
     "multimodal_audio_fp_neardup",
     "dq_referential_integrity",
+    "streaming_srm_monitor",
+    "curation_pack_efficiency",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -2020,3 +2020,64 @@ def _sql_doremi_draw() -> str:
 
 
 ORACLES["curation_doremi_draw"] = _sql_doremi_draw()
+
+
+# Packing-efficiency report (round 8): the one-row answer to "how much
+# of every pretraining batch is real tokens" — bin count, token mass,
+# fill ratio vs the PACK_BUDGET capacity, and the under/overfull bin
+# split (bins can exceed budget when a doc straddles the boundary —
+# the documented truncation semantics). One aggregate over the pack
+# relation; exact BIGINT rationals.
+
+
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    bins = curation_pack(spark, sf_dir)
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.min("bin_tokens").alias("min_bin_tokens"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+        F.sum(
+            F.when(F.col("bin_tokens") < PACK_BUDGET, 1).otherwise(0)
+        ).alias("n_underfull"),
+        F.sum(
+            F.when(F.col("bin_tokens") > PACK_BUDGET, 1).otherwise(0)
+        ).alias("n_overfull"),
+    ).select(
+        "n_bins",
+        "total_tokens",
+        "min_bin_tokens",
+        "max_bin_tokens",
+        "n_underfull",
+        "n_overfull",
+        ratio_micros("total_tokens", f"n_bins * {PACK_BUDGET}").alias(
+            "fill_micros"
+        ),
+    )
+
+
+QUERIES["curation_pack_efficiency"] = curation_pack_efficiency
+
+
+def _sql_pack_efficiency() -> str:
+    from ..functions.rounding import sql_ratio_micros
+
+    return f"""
+    WITH bins AS ({ORACLES['curation_pack']})
+    SELECT count(*) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(bin_tokens) AS BIGINT) AS min_bin_tokens,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           CAST(sum(CASE WHEN bin_tokens < {PACK_BUDGET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_underfull,
+           CAST(sum(CASE WHEN bin_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overfull,
+           {sql_ratio_micros('sum(bin_tokens)', f'count(*) * {PACK_BUDGET}')}
+               AS fill_micros
+    FROM bins
+"""
+
+
+ORACLES["curation_pack_efficiency"] = _sql_pack_efficiency()

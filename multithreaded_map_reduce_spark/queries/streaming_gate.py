@@ -1262,3 +1262,53 @@ def _streaming_ann_oracle() -> str:
 
 
 ORACLES["streaming_ann_probe"] = _streaming_ann_oracle()
+
+
+def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sample-ratio-mismatch monitor (round 8): the SRM
+    guardrail running at ingest — arm assignment is the same keyed
+    hash as the batch check (stateless per row), the one stateful op
+    is the global distinct-user arm-count aggregation (dropDuplicates
+    on user_id bounds state at |users|; production adds an ingest-time
+    watermark exactly like the other probes), and the chi-square snaps
+    on the wide-rational rail batch-side after the sink."""
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_units_dec
+    from ..streaming.events import stream_events
+    from .quality import SRM_CRIT_MICROS
+
+    ev = stream_events(spark, sf_dir)
+    arm = (
+        token_hash(F.concat(F.lit("srm"), F.col("user_id").cast("string")))
+        % 2
+    )
+    counts = (
+        ev.select("user_id", arm.alias("arm"))
+        .dropDuplicates(["user_id"])
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    name = _sink("st_srm")
+    run_stream_to_memory(counts, name, output_mode="complete")
+    chi2 = ratio_units_dec(
+        "CAST(n0 - n1 AS DECIMAL(38,0)) * CAST(n0 - n1 AS DECIMAL(38,0))",
+        "CAST(n0 + n1 AS DECIMAL(38,0))",
+        1_000_000,
+    )
+    return (
+        spark.table(name)
+        .select("n0", "n1", chi2.alias("chi2_micros"))
+        .withColumn(
+            "srm_flag",
+            (F.col("chi2_micros") > SRM_CRIT_MICROS).cast("int"),
+        )
+    )
+
+
+QUERIES["streaming_srm_monitor"] = streaming_srm_monitor
+
+from .quality import ORACLES as _Q_ORACLES  # noqa: E402
+
+ORACLES["streaming_srm_monitor"] = _Q_ORACLES["quality_srm_check"]
