@@ -213,6 +213,7 @@ _NEW_THIS_ROUND: list[str] = [
     "dq_referential_integrity",
     "streaming_srm_monitor",
     "curation_pack_efficiency",
+    "events_dau_wau",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

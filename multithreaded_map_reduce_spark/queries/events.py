@@ -1187,3 +1187,78 @@ ORACLES["events_behavior_entropy"] = f"""
     " - (CAST(clnc AS DOUBLE) / 1000000000.0)"
     " / CAST(n_transitions AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)",
 )
+
+
+# ----------------------------------------------------- DAU/WAU stickiness
+# The canonical engagement ratio (round 8): per day, distinct active
+# users that day over distinct users in the trailing 7 days. Sliding
+# distinct does NOT decompose into daily sums, so WAU is computed
+# exactly by COVERAGE EXPANSION: each (user, active_day) pair covers
+# the 7 report days [day, day+6]; distinct (user, covered_day) then
+# counts per covered day — a bounded 7× row amplification instead of
+# any re-scan-per-day window, the shape that holds at 100 TB (compare
+# events_rolling_distinct, which pins the same trick for value keys).
+# All-integer day buckets; the ratio is the exact BIGINT rational.
+
+DAY_US = 86_400_000_000
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        (epoch_micros(F.col("ts")) / F.lit(DAY_US))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(covered, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            ratio_micros("dau", "wau").alias("stickiness_micros"),
+        )
+    )
+
+
+QUERIES["events_dau_wau"] = events_dau_wau
+
+ORACLES["events_dau_wau"] = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {DAY_US} AS day
+        FROM events
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY 1
+    ), covered AS (
+        SELECT day, count(*) AS wau FROM (
+            SELECT DISTINCT user_id, day + k AS day
+            FROM ud, (SELECT unnest(range(0, 7)) AS k)
+        ) GROUP BY 1
+    )
+    SELECT dau.day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(covered.wau AS BIGINT) AS wau,
+           {{r}} AS stickiness_micros
+    FROM dau JOIN covered ON dau.day = covered.day
+""".replace(
+    "{r}",
+    "(CASE WHEN CAST(covered.wau AS BIGINT) = 0 THEN NULL ELSE"
+    " (2000000 * CAST(dau.dau AS BIGINT) + CAST(covered.wau AS BIGINT))"
+    " // (2 * CAST(covered.wau AS BIGINT)) END)",
+)

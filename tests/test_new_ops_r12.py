@@ -473,3 +473,25 @@ def test_audio_fp_neardup_gate(spark):
     )
     for r in QUERIES["multimodal_audio_fp_neardup"](spark, SF_SMOKE).collect():
         assert r["n_matches"] >= 2
+
+
+def test_dau_wau_invariants(spark):
+    """DAU <= WAU always; stickiness = exact half-up rational; a day's
+    WAU >= max DAU over its trailing week (coverage is a superset)."""
+    from multithreaded_map_reduce_spark.queries.events import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(spark, QUERIES["events_dau_wau"], ORACLES["events_dau_wau"], SF_SMOKE)
+    rows = QUERIES["events_dau_wau"](spark, SF_SMOKE).collect()
+    assert rows
+    dau_by_day = {r["day"]: r["dau"] for r in rows}
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        expected = (2_000_000 * r["dau"] + r["wau"]) // (2 * r["wau"])
+        assert r["stickiness_micros"] == expected
+        week_max = max(
+            (dau_by_day.get(r["day"] - k, 0) for k in range(7)), default=0
+        )
+        assert r["wau"] >= week_max
