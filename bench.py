@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "curation_doremi_draw",
     "curation_pack_efficiency",
+    "events_dau_wau",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
