@@ -214,6 +214,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_srm_monitor",
     "curation_pack_efficiency",
     "events_dau_wau",
+    "text_seqlen_histogram",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

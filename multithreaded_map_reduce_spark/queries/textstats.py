@@ -3039,3 +3039,76 @@ ORACLES["text_langid_confusion"] = f"""
     FROM cells c JOIN tt ON c.lang = tt.lang
     JOIN pt ON c.predicted_lang = pt.predicted_lang
 """
+
+
+# Sequence-length distribution (round 8): per power-of-2 token-length
+# bucket, doc count + token mass + corpus share — the input that sizes
+# context windows and packing budgets (and the fastest way to see a
+# truncation cliff after a bad extraction run). Buckets via an exact
+# integer CASE over fixed edges — floor(log2(n)) through a double log
+# is boundary-fragile at exact powers of two; a compare chain is not.
+
+_SEQLEN_EDGES = [1 << k for k in range(0, 12)]  # 1 .. 2048
+
+
+def _seqlen_bucket(n):
+    b = F.when(n >= F.lit(_SEQLEN_EDGES[-1]), F.lit(len(_SEQLEN_EDGES) - 1))
+    for i in range(len(_SEQLEN_EDGES) - 2, -1, -1):
+        b = b.when(n >= F.lit(_SEQLEN_EDGES[i]), F.lit(i))
+    return b.otherwise(F.lit(-1))  # n == 0
+
+
+def text_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize(F.col("text")))
+    per = docs.select(
+        _seqlen_bucket(n).alias("bucket"), n.alias("n_tokens")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "token_mass",
+            ratio_micros("n_docs", "_n").alias("share_micros"),
+        )
+    )
+
+
+QUERIES["text_seqlen_histogram"] = text_seqlen_histogram
+
+
+def _sql_seqlen() -> str:
+    from ..functions.rounding import sql_ratio_micros
+
+    edges = _SEQLEN_EDGES
+    case = "CASE "
+    case += f"WHEN n >= {edges[-1]} THEN {len(edges) - 1} "
+    for i in range(len(edges) - 2, -1, -1):
+        case += f"WHEN n >= {edges[i]} THEN {i} "
+    case += "ELSE -1 END"
+    return f"""
+    WITH per AS (
+        SELECT {case} AS bucket, n AS n_tokens FROM (
+            SELECT len({sql_tokens('text')}) AS n FROM documents
+        )
+    ), tot AS (SELECT count(*) AS _n FROM per)
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+           {sql_ratio_micros('count(*)', '(SELECT _n FROM tot)')}
+               AS share_micros
+    FROM per GROUP BY 1
+"""
+
+
+ORACLES["text_seqlen_histogram"] = _sql_seqlen()
