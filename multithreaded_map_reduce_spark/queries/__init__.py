@@ -215,6 +215,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_pack_efficiency",
     "events_dau_wau",
     "text_seqlen_histogram",
+    "embedding_norm_stats",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

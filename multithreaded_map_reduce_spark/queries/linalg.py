@@ -353,3 +353,70 @@ from ..operators.powerit import sql_power_iteration2 as _sql_pi2  # noqa: E402
 ORACLES["embedding_pca2"] = _sql_pi2(
     "embeddings", "vec_id", "embedding", dim=DIM, rounds=ROUNDS
 )
+
+
+# ------------------------------------------------- embedding norm audit
+# Zero/degenerate-norm audit (round 8): the hazard class ADVICE r7
+# flagged in the MMR greedy (a zero-norm embedding yields NULL cosine
+# and can crash or silently skew any consumer) becomes a first-class
+# per-label report: norm² distribution in exact micro-units plus the
+# zero-norm count. One scan, fold-ordered dot products, no sqrt — the
+# audit stays all-integer after the snap.
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import iunits, ratio_units
+    from ..functions.vectors import as_double, norm_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ns = iunits(norm_sq(as_double("embedding")), 6)
+    per = emb.select("label", ns.alias("ns_micros"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("ns_micros").alias("min_normsq_micros"),
+            F.max("ns_micros").alias("max_normsq_micros"),
+            F.sum("ns_micros").alias("_sum"),
+            F.sum(
+                F.when(F.col("ns_micros") == 0, 1).otherwise(0)
+            ).alias("n_zero_norm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "min_normsq_micros",
+            "max_normsq_micros",
+            ratio_units("_sum", "n_vecs", 1).alias("mean_normsq_micros"),
+            "n_zero_norm",
+        )
+    )
+
+
+QUERIES["embedding_norm_stats"] = embedding_norm_stats
+
+
+def _sql_norm_stats() -> str:
+    from ..functions.rounding import sql_iunits, sql_ratio_units
+    from ..functions.vectors import sql_as_double, sql_norm_sq
+
+    ns = sql_iunits(sql_norm_sq(sql_as_double("embedding")), 6)
+    return f"""
+    WITH per AS (
+        SELECT label, {ns} AS ns_micros FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(min(ns_micros) AS BIGINT) AS min_normsq_micros,
+           CAST(max(ns_micros) AS BIGINT) AS max_normsq_micros,
+           {sql_ratio_units('sum(ns_micros)', 'count(*)', 1)}
+               AS mean_normsq_micros,
+           CAST(sum(CASE WHEN ns_micros = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm
+    FROM per GROUP BY 1
+"""
+
+
+ORACLES["embedding_norm_stats"] = _sql_norm_stats()
