@@ -139,6 +139,8 @@ HEADLINE = [
     "curation_doremi_draw",
     "curation_pack_efficiency",
     "events_dau_wau",
+    "text_seqlen_histogram",
+    "embedding_norm_stats",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
