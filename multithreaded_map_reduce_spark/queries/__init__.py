@@ -216,6 +216,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_dau_wau",
     "text_seqlen_histogram",
     "embedding_norm_stats",
+    "timeseries_mad_anomaly",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -738,3 +738,78 @@ ORACLES["timeseries_acf"] = f"""
            )} AS acf
     FROM m
 """
+
+
+# ------------------------------------------------ robust MAD anomaly
+# Median/MAD outlier flagging per day (round 8) — the ROBUST
+# complement to timeseries_anomaly's rolling z-score (one fat-finger
+# order shifts a mean and its sigma; it barely moves a median). The
+# whole statistic is EXACT INTEGERS via the doubled-median trick:
+# percentile(2v, 0.5) interpolates (a+b)/2 on the DOUBLED values, so
+# even-count medians land on integers (a+b), never .5 — med2 = 2·med
+# and mad4 = 4·MAD are integer-valued doubles < 2^53, cast exactly in
+# both engines, and the flag |v−med| > 3·MAD becomes the pure-integer
+# compare 2·|2v − med2| > 3·mad4 (d = 2·dev and mad4 = 4·MAD, so
+# 2d > 3·mad4 ⟺ 4·dev > 12·MAD ⟺ dev > 3·MAD). Scale: percentile is a per-group
+# (per-day) aggregate — at extreme per-day volumes swap in the
+# two-pass histogram refinement (exact_median_twopass) for the same
+# exact result without per-group value buffers.
+
+
+def timeseries_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        (epoch_micros(F.col("ts")) / F.lit(DAY_US)).cast("long").alias("day"),
+        iunits(F.col("value"), 2).alias("v"),
+    )
+    med = per.groupBy("day").agg(
+        F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = per.join(med, "day").select(
+        "day", "v", "med2", F.abs(2 * F.col("v") - F.col("med2")).alias("d")
+    )
+    mad = dev.groupBy("day").agg(
+        F.expr("CAST(percentile(2 * d, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(mad, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med2").alias("med2_cents"),
+            F.min("mad4").alias("mad4_cents"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_anomalous"),
+        )
+    )
+
+
+QUERIES["timeseries_mad_anomaly"] = timeseries_mad_anomaly
+
+ORACLES["timeseries_mad_anomaly"] = """
+    WITH per AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), med AS (
+        SELECT day, CAST(median(2 * v) AS BIGINT) AS med2 FROM per GROUP BY 1
+    ), dev AS (
+        SELECT per.day, v, med2, abs(2 * v - med2) AS d
+        FROM per JOIN med ON per.day = med.day
+    ), mad AS (
+        SELECT day, CAST(median(2 * d) AS BIGINT) AS mad4 FROM dev GROUP BY 1
+    )
+    SELECT dev.day,
+           count(*) AS n_events,
+           CAST(min(med2) AS BIGINT) AS med2_cents,
+           CAST(min(mad4) AS BIGINT) AS mad4_cents,
+           CAST(sum(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalous
+    FROM dev JOIN mad ON dev.day = mad.day
+    GROUP BY 1
+"""

@@ -495,3 +495,45 @@ def test_dau_wau_invariants(spark):
             (dau_by_day.get(r["day"] - k, 0) for k in range(7)), default=0
         )
         assert r["wau"] >= week_max
+
+
+def test_mad_anomaly_integer_exactness(spark):
+    """med2/mad4 are exactly 2x/4x the true medians (doubled-median
+    interpolation trick) — cross-checked in Python on one day's data."""
+    import statistics
+
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    compare(
+        spark,
+        QUERIES["timeseries_mad_anomaly"],
+        ORACLES["timeseries_mad_anomaly"],
+        SF_SMOKE,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT epoch_us(ts) // 86400000000 AS day,"
+        " CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v"
+        f" FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    con.close()
+    by_day = {}
+    for day, v in rows:
+        by_day.setdefault(day, []).append(v)
+    out = {
+        r["day"]: r
+        for r in QUERIES["timeseries_mad_anomaly"](spark, SF_SMOKE).collect()
+    }
+    day, vs = next(iter(sorted(by_day.items())))
+    med = statistics.median(vs)
+    mad = statistics.median([abs(v - med) for v in vs])
+    assert out[day]["med2_cents"] == int(2 * med)
+    assert out[day]["mad4_cents"] == int(4 * mad)
+    assert out[day]["n_anomalous"] == sum(
+        1 for v in vs if abs(v - med) > 3 * mad
+    )
