@@ -141,6 +141,11 @@ HEADLINE = [
     "events_dau_wau",
     "text_seqlen_histogram",
     "embedding_norm_stats",
+    "timeseries_mad_anomaly",
+    # multimodal_audio_fp_neardup excluded deliberately: it is the same
+    # WAV-decode scan as multimodal_audio_fingerprint (already timed
+    # above) plus one hash-groupBy — benching both double-counts the
+    # decode and adds no signal.
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

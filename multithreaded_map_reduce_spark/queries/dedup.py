@@ -1076,7 +1076,7 @@ _LSH_EVAL_SAMPLE = f"""
                 ORDER BY {sql_token_hash('CAST(doc_id AS VARCHAR)')}, doc_id
             ) AS _rk
             FROM documents
-        ) WHERE _rk <= 256
+        ) WHERE _rk <= {LSH_EVAL_N}
 """
 
 ORACLES["dedup_lsh_recall"] = f"""

@@ -1571,15 +1571,23 @@ def ann_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if sf_dir not in _ANN_INDEX_PATHS:
         from pyspark.sql import Window as W
 
-        from ..functions.vectors import as_double, cosine
+        from ..functions.vectors import as_double, cosine, norm_sq
         from .connectors import _fixture_path
 
         cent_path = _fixture_path("ann_centroids")
         idx_path = _fixture_path("ann_index")
+        # norm² > 0 filter: a zero-norm vector makes cosine 0/0, which
+        # is NaN in Spark (sorts FIRST under desc) but NULL in DuckDB
+        # (sorts LAST under DESC) — such a vector would land in the
+        # OPPOSITE cell per engine. Excluding degenerate vectors on
+        # both sides makes the argmax ordering key total and
+        # engine-identical (embedding_norm_stats is the audit that
+        # counts them).
         corpus = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") % 10 != 0)
             .select("vec_id", as_double("embedding").alias("cv"))
+            .filter(norm_sq(F.col("cv")) > 0)
         )
         cents = (
             corpus.orderBy("vec_id")

@@ -1158,7 +1158,7 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     query top-k aggregation (collect_list bounded by the probed cells'
     postings). The sink table is batch — the final sort/slice/explode
     into ranked rows runs batch-side on it."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, cosine, norm_sq
     from ..streaming.events import stream_embeddings
     from .similarity import ANNP_K, ANNP_NPROBE, ann_index_paths
 
@@ -1166,7 +1166,13 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.read.parquet(cent_path).orderBy("cid").collect()  # <= ANNP_CELLS rows
     postings = spark.read.parquet(idx_path)
     qv = as_double("embedding")
-    stream = stream_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    # zero-norm queries excluded on both sides (same NaN-vs-NULL
+    # ordering hazard as the index build — see ann_index_paths).
+    stream = (
+        stream_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 == 0)
+        .filter(norm_sq(qv) > 0)
+    )
     cell_structs = [
         F.struct(
             (-cosine(qv, F.array(*[F.lit(float(x)) for x in r["centroid"]]))).alias(
@@ -1211,13 +1217,15 @@ QUERIES["streaming_ann_probe"] = streaming_ann_probe
 
 
 def _streaming_ann_oracle() -> str:
-    from ..functions.vectors import sql_as_double, sql_cosine
+    from ..functions.vectors import sql_as_double, sql_cosine, sql_norm_sq
     from .similarity import ANNP_CELLS, ANNP_K, ANNP_NPROBE
 
     return f"""
     WITH corpus AS MATERIALIZED (
-        SELECT vec_id, {sql_as_double('embedding')} AS cv
-        FROM embeddings WHERE vec_id % 10 != 0
+        SELECT vec_id, cv FROM (
+            SELECT vec_id, {sql_as_double('embedding')} AS cv
+            FROM embeddings WHERE vec_id % 10 != 0
+        ) WHERE {sql_norm_sq('cv')} > 0
     ), cents AS MATERIALIZED (
         SELECT vec_id AS cid, cv AS centroid
         FROM corpus ORDER BY vec_id LIMIT {ANNP_CELLS}
@@ -1232,8 +1240,10 @@ def _streaming_ann_oracle() -> str:
             FROM corpus, cents
         ) WHERE rn = 1
     ), q AS (
-        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
-        FROM embeddings WHERE vec_id % 10 = 0
+        SELECT query_id, qv FROM (
+            SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+            FROM embeddings WHERE vec_id % 10 = 0
+        ) WHERE {sql_norm_sq('qv')} > 0
     ), probes AS (
         SELECT query_id, qv, cid FROM (
             SELECT q.query_id, q.qv, cents.cid,

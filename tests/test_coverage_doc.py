@@ -31,3 +31,14 @@ def test_coverage_doc_count_matches_registry() -> None:
     )
     # oracles must stay total: every queries() entry has an exact oracle
     assert len(entry.oracle_sql()) == n
+
+    # SCALE.md's closing-state registry counts went stale in round 8
+    # (ADVICE r8 item 3): pin every "registry A → B" arrow so the
+    # NEWEST one always lands on the live registry size.
+    scale = (Path(__file__).resolve().parents[1] / "SCALE.md").read_text()
+    arrows = re.findall(r"registry \d+ → (\d+)", scale)
+    assert arrows, "SCALE.md lost its registry-count arrows"
+    assert int(arrows[-1]) == n, (
+        f"SCALE.md newest registry arrow says {arrows[-1]}; "
+        f"registry has {n} — update the doc"
+    )

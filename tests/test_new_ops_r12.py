@@ -146,7 +146,9 @@ def test_round8_fixed_oracles_gate(spark):
     qs, os_ = entry.queries(), entry.oracle_sql()
     for name in (
         "cogroup_user_activity",
+        "cogroup_user_activity_sums",
         "interval_shipping",
+        "text_gopher_repetition",
         "curation_token_budget",
     ):
         compare(spark, qs[name], os_[name], SF_SMOKE)
