@@ -217,6 +217,10 @@ _NEW_THIS_ROUND: list[str] = [
     "text_seqlen_histogram",
     "embedding_norm_stats",
     "timeseries_mad_anomaly",
+    # round 9:
+    "quality_cohens_kappa",
+    "dedup_semantic",
+    "curation_unimax",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;
@@ -284,6 +288,10 @@ _CHANGED_SINCE_GREEN = [
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "curation_decontaminate",
+    # round 9: zero-norm guard added to the ANN index build + probe
+    # (filter on both engines) — same results on the fixture (no
+    # zero-norm vectors exist), but the plan and oracle text changed:
+    "streaming_ann_probe",
 ]
 
 

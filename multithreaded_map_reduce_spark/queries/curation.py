@@ -2081,3 +2081,144 @@ def _sql_pack_efficiency() -> str:
 
 
 ORACLES["curation_pack_efficiency"] = _sql_pack_efficiency()
+
+
+# --------------------------------------------------------------- UniMax
+# UniMax sampling (Chung et al. 2023, ICLR — "UniMax: Fairer and More
+# Effective Language Sampling for Large-Scale Multilingual
+# Pretraining"): spread a token/doc budget as UNIFORMLY as possible
+# across sources, but never take more than UNIMAX_EPOCHS passes over
+# any source's data — the epoch cap is what stops temperature-style
+# upsampling from looping a tiny source hundreds of times. This is
+# exact integer waterfilling: sort sources ascending by capacity
+# cap_s = E·n_s; the first k sources (those whose capacity sits below
+# the shared water level) are fully capped, the rest all get the level
+# L = (B − Σ_{j≤k} cap_j) div (S − k), with the division remainder
+# handed to the first `rem` uncapped sources in the same (cap, source)
+# order — fully deterministic, no floats anywhere. The breakpoint k is
+# the largest i whose capacity fits under the level that WOULD hold if
+# the first i were capped: cap_i·(S−i) ≤ B − pc_i — a multiplication
+# compare, so no negative-division truncation semantics are ever
+# exercised (hypothesis-pinned against the sequential greedy reference
+# in tests).
+#
+# Scale: one corpus aggregation to n_s; everything else lives on the
+# |sources| relation (bounded vocabulary — the doremi/mixture
+# precedent), where a single-partition window over thousands of rows
+# is free. Int64 audit: cap·(S−i) ≤ E·total·S — wraps only past
+# ~9e18/(E·S) docs per the srm-style wide-rail note; at that corpus
+# scale the compare moves to DECIMAL(38,0) unchanged.
+
+UNIMAX_EPOCHS = 2  # per-source epoch cap
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2  # B = 3·total div 2 (1.5 epochs)
+
+
+def curation_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("S")
+    )
+    wo = W.orderBy("cap", "source")
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.lit(UNIMAX_EPOCHS) * F.col("n_docs")).alias("cap"),
+            F.expr(
+                f"{UNIMAX_BUDGET_NUM} * total div {UNIMAX_BUDGET_DEN}"
+            ).alias("B"),
+            "S",
+        )
+        .select(
+            "*",
+            F.row_number().over(wo).alias("i"),
+            F.sum("cap").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("pc"),
+        )
+    )
+    kr = ranked.filter(
+        (F.col("i") < F.col("S"))
+        & (F.col("cap") * (F.col("S") - F.col("i")) <= F.col("B") - F.col("pc"))
+    ).agg(F.max(F.struct(F.col("i"), F.col("pc"))).alias("m"))
+    out = ranked.crossJoin(F.broadcast(kr)).select(
+        "*",
+        F.coalesce(F.col("m.i"), F.lit(0)).alias("k"),
+        F.coalesce(F.col("m.pc"), F.lit(0)).alias("pck"),
+    )
+    L = F.expr("(B - pck) div (S - k)")
+    rem = F.col("B") - F.col("pck") - L * (F.col("S") - F.col("k"))
+    alloc = (
+        F.when(F.col("B") >= F.lit(UNIMAX_EPOCHS) * F.col("total"), F.col("cap"))
+        .when(F.col("i") <= F.col("k"), F.col("cap"))
+        .otherwise(
+            L + F.when(F.col("i") - F.col("k") <= rem, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(tot.select(F.col("total"))))
+        .withColumn("alloc_docs", alloc)
+        .select(
+            "source",
+            "n_docs",
+            F.col("cap").alias("cap_docs"),
+            "alloc_docs",
+            (F.col("alloc_docs") >= F.col("cap"))
+            .cast("int")
+            .alias("capped"),
+            ratio_micros("alloc_docs", "n_docs").alias("epochs_micros"),
+        )
+    )
+
+
+QUERIES["curation_unimax"] = curation_unimax
+
+
+def _sql_unimax() -> str:
+    from ..functions.rounding import sql_ratio_micros
+
+    E = UNIMAX_EPOCHS
+    return f"""
+    WITH src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS S
+        FROM src
+    ), ranked AS (
+        SELECT source, n_docs, {E} * n_docs AS cap,
+               {UNIMAX_BUDGET_NUM} * total // {UNIMAX_BUDGET_DEN} AS B,
+               S, total,
+               row_number() OVER (ORDER BY {E} * n_docs, source) AS i,
+               sum({E} * n_docs) OVER (
+                   ORDER BY {E} * n_docs, source ROWS UNBOUNDED PRECEDING
+               ) AS pc
+        FROM src, tot
+    ), kr AS (
+        SELECT coalesce(max_by(i, i), 0) AS k,
+               coalesce(max_by(pc, i), 0) AS pck
+        FROM ranked
+        WHERE i < S AND cap * (S - i) <= B - pc
+    )
+    SELECT source, n_docs, CAST(cap AS BIGINT) AS cap_docs,
+           CAST(alloc AS BIGINT) AS alloc_docs,
+           CAST(CASE WHEN alloc >= cap THEN 1 ELSE 0 END AS INTEGER) AS capped,
+           {sql_ratio_micros('alloc', 'n_docs')} AS epochs_micros
+    FROM (
+        SELECT r.*,
+               CASE WHEN B >= {E} * total THEN cap
+                    WHEN i <= k THEN cap
+                    ELSE (B - pck) // (S - k)
+                         + (CASE WHEN i - k <=
+                                B - pck - ((B - pck) // (S - k)) * (S - k)
+                            THEN 1 ELSE 0 END)
+               END AS alloc
+        FROM ranked r, kr
+    )
+"""
+
+
+ORACLES["curation_unimax"] = _sql_unimax()

@@ -1201,3 +1201,144 @@ ORACLES["dedup_minhash_accuracy"] = f"""
            CAST(max(err) AS BIGINT) AS max_abs_err_micros
     FROM per
 """
+
+
+# ------------------------------------------------------------- SemDeDup
+# Embedding-space semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"):
+# cluster the corpus in embedding space, then inside each cluster drop
+# every vector that has a higher-similarity twin with a smaller id —
+# paraphrase-level duplicates that no lexical rail (minhash/simhash/
+# winnowing) can see. Clustering reuses the deterministic-centroid IVF
+# convention (first SEMD_CELLS vectors by id are the centroids, argmax
+# cosine assigns — sim_topk_ivf / ann_index_paths precedent); the
+# keep/drop rule is the greedy-by-id tournament: drop b iff some a < b
+# in the same cell has snapped cosine ≥ SEMD_TAU_MICROS. Zero-norm
+# vectors are excluded on BOTH engines before any cosine ordering
+# (NaN-vs-NULL sort divergence — the ann_index_paths hazard class).
+#
+# Scale: the within-cell pair join is the quadratic stage; production
+# SemDeDup sizes the k-means codebook at k ∝ √n so expected cell size
+# is √n and total pair work stays ~n·√n/k ≈ LINEAR per cell-keyed
+# shuffle (the embedding_neardup_ivf_auto adaptive-k subquery is the
+# in-repo rail for exactly that). The cell constant here matches the
+# fixture; the report is |cells| rows, the per-vector verdict never
+# leaves the executors.
+
+SEMD_CELLS = 8
+SEMD_TAU_MICROS = 300_000  # snapped-cosine keep/drop threshold (0.30)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, ratio_micros
+    from ..functions.vectors import as_double, cosine, norm_sq
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("cv"))
+        .filter(norm_sq(F.col("cv")) > 0)
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(SEMD_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
+        )
+    )
+    cell = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("cid", "vec_id", "cv")
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(
+        iunits(cosine(F.col("a.cv"), F.col("b.cv")), 6)
+        >= F.lit(SEMD_TAU_MICROS)
+    )
+    npairs = pairs.groupBy(F.col("a.cid").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    dropped = (
+        pairs.select(F.col("a.cid").alias("cid"), F.col("b.vec_id").alias("v"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        cell.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(npairs, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+            ratio_micros(
+                "coalesce(n_dropped, 0)", "n_vectors"
+            ).alias("drop_rate_micros"),
+        )
+    )
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+
+ORACLES["dedup_semantic"] = f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, cv FROM (
+            SELECT vec_id, {sql_as_double('embedding')} AS cv FROM embeddings
+        ) WHERE {{NSQ}} > 0
+    ), cents AS MATERIALIZED (
+        SELECT vec_id AS cid, cv AS centroid
+        FROM emb ORDER BY vec_id LIMIT {SEMD_CELLS}
+    ), cell AS MATERIALIZED (
+        SELECT cid, vec_id, cv FROM (
+            SELECT emb.vec_id, emb.cv, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY emb.vec_id
+                       ORDER BY {sql_cosine('emb.cv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM emb, cents
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+        FROM cell a JOIN cell b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(floor({sql_cosine('a.cv', 'b.cv')} * 1000000.0 + 0.5)
+                   AS BIGINT) >= {SEMD_TAU_MICROS}
+    ), np AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1
+    ), dr AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped
+        FROM (SELECT DISTINCT cid, vb FROM pairs) GROUP BY 1
+    )
+    SELECT c.cid,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(min(np.n_pairs), 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(min(dr.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(count(*) - coalesce(min(dr.n_dropped), 0) AS BIGINT) AS n_kept,
+           {sql_ratio_micros('coalesce(min(dr.n_dropped), 0)', 'count(*)')}
+               AS drop_rate_micros
+    FROM cell c
+    LEFT JOIN np ON c.cid = np.cid
+    LEFT JOIN dr ON c.cid = dr.cid
+    GROUP BY 1
+""".replace(
+    "{NSQ}",
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(cv, x -> x * x)), (x, y) -> x + y)",
+)

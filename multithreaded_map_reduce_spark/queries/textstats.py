@@ -3112,3 +3112,111 @@ def _sql_seqlen() -> str:
 
 
 ORACLES["text_seqlen_histogram"] = _sql_seqlen()
+
+
+# ------------------------------------------------------- Cohen's kappa
+# Chance-corrected agreement between the stopword-signature classifier
+# and the labeled lang column — the single-number companion to
+# text_langid_confusion (a 95%-accurate classifier on a 90%-one-class
+# corpus can still have near-zero kappa; this is the statistic that
+# catches it). κ = (p_o − p_e)/(1 − p_e) cleared of denominators:
+# num = N·D − P, den = N² − P with D = Σ diagonal, P = Σ_k row_k·col_k
+# — every term an exact integer, the final κ a half-up signed rational
+# in micros. N² and the row·col products run on the round-8
+# DECIMAL(38,0)/HUGEINT wide rail (N² wraps int64 past ~3e9 docs — the
+# quality_srm_check precedent); only the bounded κ·1e6 quotient lands
+# back in BIGINT. Sign is split explicitly because Spark ``div`` and
+# DuckDB ``//`` both truncate toward zero — half-up via the
+# (2·m·n + d) trick is only round-half-up on the non-negative domain,
+# so negative κ negates the absolute-value rational.
+#
+# Scale: one corpus scan (the classifier), a |langs|² cell aggregate,
+# and |langs|-row marginal joins — everything after the scan is
+# constant-size.
+
+
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_agree"),
+    )
+    rk = cells.groupBy("lang").agg(F.sum("n").alias("rk"))
+    ck = cells.groupBy("predicted_lang").agg(F.sum("n").alias("ck"))
+    pe = (
+        rk.join(ck, rk["lang"] == ck["predicted_lang"])
+        .select(
+            (F.col("rk").cast("decimal(38,0)") * F.col("ck")).alias("p")
+        )
+        .agg(
+            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(38,0)")).alias(
+                "pe_mass"
+            )
+        )
+    )
+    return (
+        tot.crossJoin(pe)
+        .withColumn(
+            "kappa_micros",
+            F.expr(
+                "CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_mass = 0"
+                " THEN NULL"
+                " WHEN CAST(n_docs AS DECIMAL(38,0)) * n_agree - pe_mass >= 0"
+                " THEN CAST((2000000 * (CAST(n_docs AS DECIMAL(38,0)) * n_agree - pe_mass)"
+                "      + (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_mass))"
+                "  div (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_mass)) AS BIGINT)"
+                " ELSE -CAST((2000000 * (pe_mass - CAST(n_docs AS DECIMAL(38,0)) * n_agree)"
+                "      + (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_mass))"
+                "  div (2 * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_mass)) AS BIGINT)"
+                " END"
+            ),
+        )
+        .select(
+            "n_docs",
+            "n_agree",
+            F.col("pe_mass").cast("long").alias("pe_mass"),
+            "kappa_micros",
+        )
+    )
+
+
+QUERIES["quality_cohens_kappa"] = quality_cohens_kappa
+
+ORACLES["quality_cohens_kappa"] = f"""
+    WITH pred AS ({{LANGID}}),
+    cells AS (
+        SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM cells
+    ), pe AS (
+        SELECT CAST(coalesce(sum(CAST(rk.rk AS HUGEINT) * ck.ck), 0) AS HUGEINT)
+               AS pe_mass
+        FROM (SELECT lang, sum(n) AS rk FROM cells GROUP BY 1) rk
+        JOIN (SELECT predicted_lang, sum(n) AS ck FROM cells GROUP BY 1) ck
+          ON rk.lang = ck.predicted_lang
+    )
+    SELECT n_docs, n_agree, CAST(pe_mass AS BIGINT) AS pe_mass,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_mass = 0 THEN NULL
+                WHEN CAST(n_docs AS HUGEINT) * n_agree - pe_mass >= 0
+                THEN CAST((2000000 * (CAST(n_docs AS HUGEINT) * n_agree - pe_mass)
+                     + (CAST(n_docs AS HUGEINT) * n_docs - pe_mass))
+                 // (2 * (CAST(n_docs AS HUGEINT) * n_docs - pe_mass)) AS BIGINT)
+                ELSE -CAST((2000000 * (pe_mass - CAST(n_docs AS HUGEINT) * n_agree)
+                     + (CAST(n_docs AS HUGEINT) * n_docs - pe_mass))
+                 // (2 * (CAST(n_docs AS HUGEINT) * n_docs - pe_mass)) AS BIGINT)
+           END AS kappa_micros
+    FROM tot, pe
+""".replace(
+    "{LANGID}", ORACLES["text_lang_id"]
+)
