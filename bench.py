@@ -146,6 +146,14 @@ HEADLINE = [
     # WAV-decode scan as multimodal_audio_fingerprint (already timed
     # above) plus one hash-groupBy — benching both double-counts the
     # decode and adds no signal.
+    # round 9 (ann_ndcg_report excluded like ann_recall_report — both
+    # re-run every sim_topk rung and would double-count the ladder):
+    "quality_cohens_kappa",
+    "dedup_semantic",
+    "curation_unimax",
+    "sim_topk_maxsim",
+    "embedding_drift_cells",
+    "timeseries_backtest_mase",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -221,6 +221,11 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_cohens_kappa",
     "dedup_semantic",
     "curation_unimax",
+    "ann_ndcg_report",
+    "sim_topk_maxsim",
+    "embedding_drift_cells",
+    "timeseries_backtest_mase",
+    "streaming_semdedup_probe",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -420,3 +420,140 @@ def _sql_norm_stats() -> str:
 
 
 ORACLES["embedding_norm_stats"] = _sql_norm_stats()
+
+
+# ---------------------------------------------- embedding-space drift
+# Covariate-shift monitor in REPRESENTATION space: the day-1 corpus
+# (vec_id % 10 != 0) defines deterministic IVF cells (first
+# EDRIFT_CELLS day-1 vectors by id are centroids — the sim_topk_ivf /
+# dedup_semantic convention); both days' vectors are argmax-assigned,
+# and the day-2 cell histogram is scored against day-1 proportions
+# with exact per-cell chi-square terms. This is the embedding-space
+# complement of streaming_drift_monitor's token-hash JS divergence —
+# token drift catches vocabulary change, cell drift catches the
+# upstream encoder or content distribution moving even when the
+# vocabulary doesn't. Zero-norm vectors are excluded on both engines
+# before any cosine ordering (the ann_index_paths hazard class).
+#
+# Exactness: with o = day-2 count, n1 = day-1 count, T1/T2 the day
+# totals, the term (o − e)²/e under e = T2·n1/T1 equals
+# (o·T1 − n1·T2)² / (T1·T2·n1) — all integers; the square runs on the
+# DECIMAL(38,0)/HUGEINT wide rail (it wraps int64 past ~3e9-vector
+# days) and only the bounded nano-scaled quotient lands in BIGINT.
+# Cells with n1 = 0 cannot exist (centroids are day-1 members and
+# every day-1 vector assigns somewhere), so the denominator is never
+# zero by construction.
+#
+# Scale: one corpus scan per day slice against a broadcast
+# EDRIFT_CELLS-row centroid relation, one cell-keyed count — the
+# report is |cells| rows. Production sizes cells at √n like the IVF
+# rail; the chi-square tail runs on the constant |cells| relation.
+
+EDRIFT_CELLS = 8
+
+
+def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.vectors import as_double, cosine, norm_sq
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            as_double("embedding").alias("cv"),
+            (F.col("vec_id") % 10 == 0).cast("int").alias("is_day2"),
+        )
+        .filter(norm_sq(F.col("cv")) > 0)
+    )
+    cents = (
+        emb.filter(F.col("is_day2") == 0)
+        .orderBy("vec_id")
+        .limit(EDRIFT_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("cid", "is_day2")
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.sum(1 - F.col("is_day2")).alias("n_day1"),
+        F.sum("is_day2").alias("n_day2"),
+    )
+    tot = counts.agg(
+        F.sum("n_day1").alias("T1"), F.sum("n_day2").alias("T2")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_day1",
+        "n_day2",
+        ratio_units_dec(
+            "(n_day2 * T1 - n_day1 * T2) * (n_day2 * T1 - n_day1 * T2)",
+            "T1 * T2 * n_day1",
+            1_000_000_000,
+        ).alias("chi2_term_nanos"),
+    )
+
+
+QUERIES["embedding_drift_cells"] = embedding_drift_cells
+
+
+def _edrift_oracle() -> str:
+    from ..functions.rounding import sql_ratio_units_dec
+    from ..functions.vectors import sql_as_double, sql_cosine
+
+    nsq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(cv, x -> x * x)), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, cv,
+               CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_day2
+        FROM (
+            SELECT vec_id, {sql_as_double('embedding')} AS cv FROM embeddings
+        ) WHERE {nsq} > 0
+    ), cents AS MATERIALIZED (
+        SELECT vec_id AS cid, cv AS centroid
+        FROM emb WHERE is_day2 = 0 ORDER BY vec_id LIMIT {EDRIFT_CELLS}
+    ), assigned AS (
+        SELECT cid, is_day2 FROM (
+            SELECT emb.is_day2, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY emb.vec_id
+                       ORDER BY {sql_cosine('emb.cv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM emb, cents
+        ) WHERE rn = 1
+    ), counts AS (
+        SELECT cid,
+               CAST(sum(1 - is_day2) AS BIGINT) AS n_day1,
+               CAST(sum(is_day2) AS BIGINT) AS n_day2
+        FROM assigned GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_day1) AS BIGINT) AS T1,
+               CAST(sum(n_day2) AS BIGINT) AS T2
+        FROM counts
+    )
+    SELECT cid, n_day1, n_day2,
+           {sql_ratio_units_dec(
+               '(n_day2 * T1 - n_day1 * T2) * (n_day2 * T1 - n_day1 * T2)',
+               'T1 * T2 * n_day1',
+               1_000_000_000,
+           )} AS chi2_term_nanos
+    FROM counts, tot
+"""
+
+
+ORACLES["embedding_drift_cells"] = _edrift_oracle()

@@ -8,6 +8,8 @@ operators/similarity.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1610,3 +1612,234 @@ def ann_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         _ANN_INDEX_PATHS[sf_dir] = (cent_path, idx_path)
     return _ANN_INDEX_PATHS[sf_dir]
+
+
+# ---------------------------------------------------------- NDCG report
+# Position-sensitive companion to ann_recall_report: binary-relevance
+# NDCG@K of every ANN rung against the exact brute-force top-K. Recall
+# says WHETHER the true neighbors were returned; NDCG says whether they
+# were returned EARLY — a rung that finds all K neighbors but ranks
+# them bottom-of-list scores recall 1.0 and NDCG well under 1.0, which
+# is exactly the serving-quality difference between an index that
+# needs a re-rank stage and one that doesn't (ivfpq vs ivfpq_rerank
+# makes the pair visible). Determinism rail: the discount weights
+# W_i = round(1e9 / log2(i+1)) are PYTHON-precomputed integer literals
+# shared verbatim by both engines — no runtime log/division exists —
+# so DCG is an exact BIGINT sum and NDCG the house half-up rational
+# (IDCG = ΣW is a constant: binary relevance makes the ideal ranking
+# any permutation of the K true neighbors).
+#
+# Scale: per rung one (query_id, neighbor_id) hash join against the
+# brute-force relation and one per-query sum — the report costs K rows
+# per query per rung beyond the rungs themselves.
+
+_NDCG_RUNGS: list[str] = ["lsh", "ivf2", "pq", "ivfpq", "ivfpq_rerank"]
+_NDCG_W: list[int] = [
+    int(math.floor(1e9 / math.log2(i + 1) + 0.5)) for i in range(1, K + 1)
+]
+_NDCG_IDCG: int = sum(_NDCG_W)
+
+
+def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    rung_fns = {
+        "lsh": sim_topk_lsh,
+        "ivf2": sim_topk_ivf2,
+        "pq": sim_topk_pq,
+        "ivfpq": sim_topk_ivfpq,
+        "ivfpq_rerank": sim_topk_ivfpq_rerank,
+    }
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    base = bf.select("query_id").distinct()
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    out = None
+    for rung in _NDCG_RUNGS:
+        ap = rung_fns[rung](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        dcg = (
+            ap.join(bf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hit"),
+                F.sum(F.element_at(warr, F.col("rank"))).alias("dcg_units"),
+            )
+        )
+        rep = base.join(dcg, "query_id", "left").select(
+            F.lit(rung).alias("rung"),
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce("dcg_units", F.lit(0)).cast("long").alias("dcg_units"),
+            ratio_micros(
+                "coalesce(dcg_units, 0)", str(_NDCG_IDCG)
+            ).alias("ndcg_micros"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["ann_ndcg_report"] = ann_ndcg_report
+
+
+def _ndcg_oracle() -> str:
+    from ..functions.rounding import sql_ratio_micros
+
+    wlist = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+    rung_ctes = ",\n".join(
+        f"""napp_{rung} AS ({ORACLES['sim_topk_' + rung]}),
+    ndcg_{rung} AS (
+        SELECT bf.query_id, count(*) AS n_hit,
+               sum({wlist}[a.rank]) AS dcg_units
+        FROM bf JOIN napp_{rung} a
+          ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+        GROUP BY 1
+    )"""
+        for rung in _NDCG_RUNGS
+    )
+    per_rung = "\nUNION ALL\n".join(
+        f"""
+    SELECT '{rung}' AS rung, q.query_id,
+           CAST(coalesce(n.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(n.dcg_units, 0) AS BIGINT) AS dcg_units,
+           {sql_ratio_micros('coalesce(n.dcg_units, 0)', str(_NDCG_IDCG))}
+               AS ndcg_micros
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN ndcg_{rung} n ON q.query_id = n.query_id"""
+        for rung in _NDCG_RUNGS
+    )
+    return f"""
+    WITH bf AS ({ORACLES['sim_topk_bruteforce']}),
+    {rung_ctes}
+    {per_rung}
+"""
+
+
+ORACLES["ann_ndcg_report"] = _ndcg_oracle()
+
+
+# ------------------------------------------------- late-interaction MaxSim
+# ColBERT-style late interaction (Khattab & Zaharia 2020) re-expressed
+# on the fixture's single-vector schema: each 64-d embedding is read as
+# 4 contiguous 16-d sub-vectors ("token" vectors), and relevance is
+# MaxSim — for every query sub-vector take its best cosine over the
+# candidate's sub-vectors, then SUM the four maxima. The multi-vector
+# plumbing (slice → per-sub cosine → greatest → snapped sum) is exactly
+# what a real token-level late-interaction scorer runs per (query,
+# candidate) pair; only the sub-vector source is simulated, which keeps
+# the op under the exact differential gate. Each per-sub maximum is
+# snapped to integer micros BEFORE the sum, so the score is an exact
+# BIGINT and the (score desc, neighbor_id) ranking is total. A
+# zero-norm SUB-vector (possible even when the whole vector passes the
+# norm audit) scores 0.0 via an explicit CASE on both engines — the
+# NaN-vs-NULL ordering hazard (ann_index_paths) cannot reach the sort.
+#
+# Scale: brute MaxSim is the crossJoin rail (broadcast queries ×
+# candidate scan — linear per query, SUBS² cosines per pair); the
+# serving path composes with the IVF router unchanged (route on the
+# whole vector or a pooled centroid, MaxSim-score the probed cells
+# only), which is how ColBERT-v2/PLAID deploy it.
+
+MAXSIM_SUBS = 4
+MAXSIM_SUBDIM = 16
+
+
+def sim_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits
+    from ..functions.vectors import as_double, cosine, norm_sq
+
+    q, c = _split(spark, sf_dir)
+    qd = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    cd = c.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+
+    def sub(col: str, j: int):
+        return F.slice(F.col(col), 1 + MAXSIM_SUBDIM * j, MAXSIM_SUBDIM)
+
+    def safe_cos(a, b):
+        return F.when(
+            (norm_sq(a) > F.lit(0.0)) & (norm_sq(b) > F.lit(0.0)), cosine(a, b)
+        ).otherwise(F.lit(0.0))
+
+    score = None
+    for j in range(MAXSIM_SUBS):
+        best = F.greatest(
+            *[safe_cos(sub("qv", j), sub("cv", l)) for l in range(MAXSIM_SUBS)]
+        )
+        term = iunits(best, 6)
+        score = term if score is None else score + term
+    scored = cd.crossJoin(F.broadcast(qd)).select(
+        "query_id", "neighbor_id", score.alias("score_micros")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= K)
+
+
+QUERIES["sim_topk_maxsim"] = sim_topk_maxsim
+
+
+def _maxsim_oracle() -> str:
+    def s_sub(col: str, j: int) -> str:
+        return f"list_slice({col}, {1 + MAXSIM_SUBDIM * j}, {MAXSIM_SUBDIM * (j + 1)})"
+
+    def s_nsq(e: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({e}, x -> x * x)), (x, y) -> x + y)"
+        )
+
+    def s_safe_cos(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {s_nsq(a)} > 0 AND {s_nsq(b)} > 0"
+            f" THEN {sql_cosine(a, b)} ELSE 0.0 END)"
+        )
+
+    terms = []
+    for j in range(MAXSIM_SUBS):
+        cands = ", ".join(
+            s_safe_cos(f"qs{j}", f"cs{l}") for l in range(MAXSIM_SUBS)
+        )
+        terms.append(
+            f"CAST(floor(greatest({cands}) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+    score = " + ".join(f"({t})" for t in terms)
+    qsubs = ", ".join(
+        f"{s_sub('qv', j)} AS qs{j}" for j in range(MAXSIM_SUBS)
+    )
+    csubs = ", ".join(
+        f"{s_sub('cv', j)} AS cs{j}" for j in range(MAXSIM_SUBS)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {sql_as_double('embedding')} AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, {sql_as_double('embedding')} AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), qs AS (
+        SELECT query_id, {qsubs} FROM q
+    ), cs AS (
+        SELECT neighbor_id, {csubs} FROM c
+    ), scored AS (
+        SELECT query_id, neighbor_id, {score} AS score_micros
+        FROM cs, qs
+    )
+    SELECT query_id, neighbor_id, score_micros,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_micros DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+"""
+
+ORACLES["sim_topk_maxsim"] = _maxsim_oracle()

@@ -1322,3 +1322,215 @@ QUERIES["streaming_srm_monitor"] = streaming_srm_monitor
 from .quality import ORACLES as _Q_ORACLES  # noqa: E402
 
 ORACLES["streaming_srm_monitor"] = _Q_ORACLES["quality_srm_check"]
+
+
+# ----------------------------------------------- day-2 semantic dedup probe
+# Persisted day-1 SemDeDup artifact for the STREAMING admission scorer:
+# centroids = first SEMD_CELLS day-1 vectors by id, kept set = day-1
+# survivors of the greedy-by-id within-cell rule (dedup_semantic's
+# contract applied to the day-1 slice) — both parquet, built once per
+# fixture dir (the ann_index_paths staleness discipline). Zero-norm
+# vectors excluded on both engines before any cosine ordering.
+
+_SEMD_INDEX_PATHS: dict[str, tuple[str, str]] = {}
+
+
+def semdedup_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir not in _SEMD_INDEX_PATHS:
+        from pyspark.sql import Window as W
+
+        from ..functions.rounding import iunits
+        from ..functions.vectors import as_double, cosine, norm_sq
+        from .connectors import _fixture_path
+        from .dedup import SEMD_CELLS, SEMD_TAU_MICROS
+
+        cent_path = _fixture_path("semdedup_centroids")
+        kept_path = _fixture_path("semdedup_kept")
+        day1 = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 10 != 0)
+            .select("vec_id", as_double("embedding").alias("cv"))
+            .filter(norm_sq(F.col("cv")) > 0)
+        )
+        cents = (
+            day1.orderBy("vec_id")
+            .limit(SEMD_CELLS)
+            .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
+        )
+        cents.write.mode("overwrite").parquet(cent_path)
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(
+                F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
+            )
+        )
+        cell = (
+            day1.crossJoin(F.broadcast(cents))
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .select("cid", "vec_id", "cv")
+        )
+        a, b = cell.alias("a"), cell.alias("b")
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.cid") == F.col("b.cid"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(
+                iunits(cosine(F.col("a.cv"), F.col("b.cv")), 6)
+                >= F.lit(SEMD_TAU_MICROS)
+            )
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        (
+            cell.join(dropped, "vec_id", "left_anti")
+            .select("cid", F.col("vec_id").alias("kept_id"), "cv")
+            .write.mode("overwrite")
+            .parquet(kept_path)
+        )
+        _SEMD_INDEX_PATHS[sf_dir] = (cent_path, kept_path)
+    return _SEMD_INDEX_PATHS[sf_dir]
+
+
+def streaming_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic-dedup admission (round 9): arriving day-2
+    vectors are routed to their IVF cell and scored against the
+    PERSISTED day-1 SemDeDup survivors — "is this embedding a
+    paraphrase-level duplicate of anything we already kept" decided at
+    ingest latency, the sixth member of the day-2 stream-static family
+    (dedup/DSIR/winnowing/novelty/ANN/semantic).
+
+    Streaming-legal plan: cell routing is a per-row expression over the
+    collected centroid constants (≤ SEMD_CELLS rows — windows are
+    illegal on streams, literals are free), the kept-set join is
+    stream-static on cid, and the ONE stateful operator is the bounded
+    per-vector aggregation (each arriving vector scans only its own
+    cell's survivors). Every cell keeps ≥ 1 survivor (the min-id
+    vector is never dropped), so the inner postings join can never
+    lose an arriving vector."""
+    from ..functions.rounding import iunits
+    from ..functions.vectors import as_double, cosine, norm_sq
+    from ..streaming.events import stream_embeddings
+    from .dedup import SEMD_TAU_MICROS
+
+    cent_path, kept_path = semdedup_index_paths(spark, sf_dir)
+    cents = spark.read.parquet(cent_path).orderBy("cid").collect()
+    kept = spark.read.parquet(kept_path)
+    qv = as_double("embedding")
+    stream = (
+        stream_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") % 10 == 0)
+        .filter(norm_sq(qv) > 0)
+    )
+    cell_structs = [
+        F.struct(
+            (-cosine(qv, F.array(*[F.lit(float(x)) for x in r["centroid"]]))).alias(
+                "nc"
+            ),
+            F.lit(r["cid"]).cast("long").alias("cid"),
+        )
+        for r in cents
+    ]
+    routed = stream.select(
+        F.col("vec_id").alias("new_id"),
+        qv.alias("qv"),
+        F.sort_array(F.array(*cell_structs))[0]["cid"].alias("cid"),
+    )
+    scored = routed.join(kept, "cid").select(
+        "new_id",
+        "cid",
+        (
+            iunits(cosine(F.col("qv"), F.col("cv")), 6)
+            >= F.lit(SEMD_TAU_MICROS)
+        )
+        .cast("long")
+        .alias("hit"),
+    )
+    agg = scored.groupBy("new_id", "cid").agg(
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum("hit").alias("n_matches"),
+    )
+    name = _sink("st_semdedup")
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "new_id",
+        "cid",
+        "n_scanned",
+        "n_matches",
+        (F.col("n_matches") > 0).cast("int").alias("drop_flag"),
+    )
+
+
+QUERIES["streaming_semdedup_probe"] = streaming_semdedup_probe
+
+
+def _streaming_semdedup_oracle() -> str:
+    from ..functions.vectors import sql_as_double, sql_cosine
+    from .dedup import SEMD_CELLS, SEMD_TAU_MICROS
+
+    nsq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(cv, x -> x * x)), (x, y) -> x + y)"
+    )
+    nsq_q = nsq.replace("cv", "qv")
+    snap = "CAST(floor({c} * 1000000.0 + 0.5) AS BIGINT)"
+    return f"""
+    WITH day1 AS MATERIALIZED (
+        SELECT vec_id, cv FROM (
+            SELECT vec_id, {sql_as_double('embedding')} AS cv
+            FROM embeddings WHERE vec_id % 10 != 0
+        ) WHERE {nsq} > 0
+    ), cents AS MATERIALIZED (
+        SELECT vec_id AS cid, cv AS centroid
+        FROM day1 ORDER BY vec_id LIMIT {SEMD_CELLS}
+    ), cell AS MATERIALIZED (
+        SELECT cid, vec_id, cv FROM (
+            SELECT day1.vec_id, day1.cv, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY day1.vec_id
+                       ORDER BY {sql_cosine('day1.cv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM day1, cents
+        ) WHERE rn = 1
+    ), dropped AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id
+        FROM cell a JOIN cell b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {snap.format(c=sql_cosine('a.cv', 'b.cv'))}
+              >= {SEMD_TAU_MICROS}
+    ), kept AS MATERIALIZED (
+        SELECT cid, vec_id AS kept_id, cv FROM cell
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ), q AS (
+        SELECT new_id, qv FROM (
+            SELECT vec_id AS new_id, {sql_as_double('embedding')} AS qv
+            FROM embeddings WHERE vec_id % 10 = 0
+        ) WHERE {nsq_q} > 0
+    ), routed AS (
+        SELECT new_id, qv, cid FROM (
+            SELECT q.new_id, q.qv, cents.cid,
+                   row_number() OVER (
+                       PARTITION BY q.new_id
+                       ORDER BY {sql_cosine('q.qv', 'cents.centroid')} DESC,
+                                cents.cid ASC
+                   ) AS rn
+            FROM q, cents
+        ) WHERE rn = 1
+    )
+    SELECT new_id, cid,
+           CAST(count(*) AS BIGINT) AS n_scanned,
+           CAST(sum(CASE WHEN {snap.format(c=sql_cosine('r.qv', 'k.cv'))}
+                    >= {SEMD_TAU_MICROS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+           CAST(CASE WHEN sum(CASE WHEN
+                    {snap.format(c=sql_cosine('r.qv', 'k.cv'))}
+                    >= {SEMD_TAU_MICROS} THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS drop_flag
+    FROM routed r JOIN kept k USING (cid)
+    GROUP BY 1, 2
+"""
+
+
+ORACLES["streaming_semdedup_probe"] = _streaming_semdedup_oracle()

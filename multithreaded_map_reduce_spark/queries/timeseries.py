@@ -813,3 +813,132 @@ ORACLES["timeseries_mad_anomaly"] = """
     FROM dev JOIN mad ON dev.day = mad.day
     GROUP BY 1
 """
+
+
+# --------------------------------------------------- Holt backtest (MASE)
+# Rolling-origin backtest of the Holt forecaster: at every observed
+# bucket t (past the HOLT_TAPS warm-up, so the truncated filter is
+# fully populated) the 1-step-ahead prediction made at t−1 is scored
+# against the realized x_t, and per user the mean-absolute-error ratio
+# to the naive last-value forecaster is reported — MASE (Hyndman &
+# Koehler 2006), the scale-free "is the model beating persistence"
+# number every forecasting deployment tracks. Exactness: holt_num is
+# already an integer in (milli-units × den) with den a power of two,
+# so e_model = |den·x_t − holt_num_{t−1}| and e_naive = den·|x_t −
+# x_{t−1}| are exact BIGINTs and MASE is the house half-up rational;
+# no doubles exist anywhere. A constant series (Σe_naive = 0) yields
+# NULL MASE — the div-by-zero contract, identical on both engines.
+# Series semantics: lags step over OBSERVED buckets (the as-observed
+# contract of timeseries_holt itself); gap-sensitive deployments run
+# resample_gapfill first.
+#
+# Scale: the same one user-keyed shuffle + single sorted-window pass
+# as timeseries_holt (the lag terms share one frame), then a per-user
+# aggregate — nothing beyond the forecaster's own profile.
+
+
+def timeseries_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    weights, den = _holt_int_weights()
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_micros("ts") / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 3).alias("v"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("v").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    s = None
+    for j, wj in enumerate(weights):
+        term = F.coalesce(F.lag("x", j).over(w), F.lit(0)) * F.lit(wj)
+        s = term if s is None else s + term
+    hn = b.select(
+        "user_id", "b", "x", s.cast("long").alias("holt_num")
+    )
+    staged = hn.select(
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.lag("holt_num", 1).over(w).alias("fprev"),
+        F.lag("x", 1).over(w).alias("xprev"),
+    ).filter(F.col("rn") > F.lit(HOLT_TAPS))
+    return (
+        staged.select(
+            "user_id",
+            F.abs(F.lit(den) * F.col("x") - F.col("fprev")).alias("em"),
+            (F.lit(den) * F.abs(F.col("x") - F.col("xprev"))).alias("en"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_evals"),
+            F.sum("em").alias("err_model_units"),
+            F.sum("en").alias("err_naive_units"),
+        )
+        .withColumn(
+            # den-scaled error sums reach ~den·Σ|x|·TAPS ≈ 1e13 at
+            # sf0.1 — the 2e6·num rational must run on the wide rail.
+            # A constant series has Σe_naive = 0: ANSI mode raises on
+            # the division, so the NULL contract needs an explicit
+            # short-circuiting CASE (the oracle's CASE twin).
+            "mase_micros",
+            F.when(
+                F.col("err_naive_units") == 0, F.lit(None).cast("long")
+            ).otherwise(
+                ratio_units_dec("err_model_units", "err_naive_units")
+            ),
+        )
+    )
+
+
+QUERIES["timeseries_backtest_mase"] = timeseries_backtest_mase
+
+
+def _mase_oracle() -> str:
+    from ..functions.rounding import sql_iunits, sql_ratio_units_dec
+
+    weights, den = _holt_int_weights()
+    terms = " + ".join(
+        f"COALESCE(lag(x, {j}) OVER w, 0) * ({wj})" for j, wj in enumerate(weights)
+    )
+    return f"""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+                   CAST(sum({sql_iunits('value', 3)}) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), hn AS (
+            SELECT user_id, b, x, CAST(({terms}) AS BIGINT) AS holt_num
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY b)
+        ), staged AS (
+            SELECT user_id, x,
+                   row_number() OVER w2 AS rn,
+                   lag(holt_num, 1) OVER w2 AS fprev,
+                   lag(x, 1) OVER w2 AS xprev
+            FROM hn
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY b)
+        ), ev AS (
+            SELECT user_id,
+                   abs({den} * x - fprev) AS em,
+                   {den} * abs(x - xprev) AS en
+            FROM staged WHERE rn > {HOLT_TAPS}
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               CAST(sum(em) AS BIGINT) AS err_model_units,
+               CAST(sum(en) AS BIGINT) AS err_naive_units,
+               {sql_ratio_units_dec('sum(em)', 'sum(en)')} AS mase_micros
+        FROM ev GROUP BY 1
+    """
+
+
+ORACLES["timeseries_backtest_mase"] = _mase_oracle()

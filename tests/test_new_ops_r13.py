@@ -173,3 +173,145 @@ def test_kappa_consistent_with_confusion(spark):
     assert row["n_docs"] == n and row["n_agree"] == d and row["pe_mass"] == p
     assert row["kappa_micros"] == want
     assert -1_000_000 <= row["kappa_micros"] <= 1_000_000
+
+
+# ----------------------------------------------------- round-9 batch 2
+
+
+def test_round9_batch2_gate_smoke(spark):
+    """NDCG, MaxSim, embedding drift, MASE backtest, and the streaming
+    SemDeDup probe hash-match their oracles at sf0.001."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in (
+        "ann_ndcg_report",
+        "sim_topk_maxsim",
+        "embedding_drift_cells",
+        "timeseries_backtest_mase",
+        "streaming_semdedup_probe",
+    ):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_ndcg_bounds_and_rerank_dominance(spark):
+    """NDCG is in [0, 1e6]; the exact re-rank rung's MEAN NDCG is >=
+    plain ivfpq's on the fixture (same candidate pool, exact-cosine
+    ordering — the serving-quality gain the two-stage design buys).
+    Fixture-level pin, not a per-query theorem: a non-neighbor scoring
+    between two true neighbors can still reorder single queries."""
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        ann_ndcg_report,
+    )
+
+    rows = ann_ndcg_report(spark, SF_SMOKE).collect()
+    assert rows, "empty NDCG report"
+    by_rung: dict[str, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["ndcg_micros"] <= 1_000_000
+        assert r["n_hit"] <= 5
+        by_rung.setdefault(r["rung"], []).append(r["ndcg_micros"])
+    assert sum(by_rung["ivfpq_rerank"]) >= sum(by_rung["ivfpq"])
+
+
+def test_maxsim_identity_and_orthogonal(spark, tmp_path):
+    """An identical candidate scores the maximum 4e6 (every sub-vector
+    maxes at cosine 1); an everywhere-orthogonal candidate scores 0.
+    Query ids < N_QUERIES, candidates >= N_QUERIES (the _split rule);
+    sub-vector layout is 4 x 16 contiguous dims."""
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        MAXSIM_SUBDIM,
+        MAXSIM_SUBS,
+        N_QUERIES,
+        sim_topk_maxsim,
+    )
+
+    # MaxSim pairs EVERY query sub-vector with every candidate
+    # sub-vector, so "orthogonal" must hold under all cross pairings:
+    # tile one 16-d block v in the query and one block w ⊥ v in the
+    # candidate — then qs_j · cs_l = v·w = 0 for all (j, l).
+    v = [float(i % 7 + 1) for i in range(MAXSIM_SUBDIM)]
+    w = []
+    for j in range(0, MAXSIM_SUBDIM, 2):
+        w += [-v[j + 1], v[j]]
+    base = v * MAXSIM_SUBS
+    orth = w * MAXSIM_SUBS
+    rows = [
+        (0, base, 0),
+        (N_QUERIES, base, 0),  # identical twin
+        (N_QUERIES + 1, orth, 1),  # orthogonal per sub-slice
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["neighbor_id"]: r for r in sim_topk_maxsim(spark, d).collect()}
+    # float32 storage: cosine of the identical twin is 1.0 exactly
+    # (same bits), so the snapped score is exactly 4e6
+    assert out[N_QUERIES]["score_micros"] == MAXSIM_SUBS * 1_000_000
+    assert out[N_QUERIES]["rank"] == 1
+    assert out[N_QUERIES + 1]["score_micros"] == 0
+
+
+def test_embedding_drift_invariants(spark):
+    """Cell populations partition both day slices; chi-square terms are
+    non-negative and never NULL (every cell holds >= 1 day-1 vector:
+    centroids assign to themselves)."""
+    from multithreaded_map_reduce_spark.queries.linalg import (
+        embedding_drift_cells,
+    )
+
+    rows = embedding_drift_cells(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_day1"] >= 1
+        assert r["chi2_term_nanos"] is not None
+        assert r["chi2_term_nanos"] >= 0
+
+
+def test_mase_constant_and_trend_series(spark, tmp_path):
+    """A constant series has zero naive error -> NULL MASE (div-by-zero
+    contract); eval count excludes the HOLT_TAPS warm-up rows."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        HOLT_TAPS,
+        timeseries_backtest_mase,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    n = HOLT_TAPS + 8
+    for h in range(n):
+        ts = base + dt.timedelta(hours=h)
+        rows.append((h, ts, 1, "view", 5.0, "{}"))  # constant user 1
+        rows.append((1000 + h, ts, 2, "view", float(h), "{}"))  # trend user 2
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in timeseries_backtest_mase(spark, d).collect()}
+    assert out[1]["n_evals"] == n - HOLT_TAPS
+    assert out[1]["err_naive_units"] == 0 and out[1]["mase_micros"] is None
+    assert out[2]["err_naive_units"] > 0 and out[2]["mase_micros"] is not None
+
+
+def test_streaming_semdedup_probe_invariants(spark):
+    """Every day-2 vector (zero-norm excluded) gets exactly one verdict
+    row; matches never exceed the scanned survivor count; at least one
+    cell survivor exists for every routed vector."""
+    from multithreaded_map_reduce_spark.queries.streaming_gate import (
+        streaming_semdedup_probe,
+    )
+
+    rows = streaming_semdedup_probe(spark, SF_SMOKE).collect()
+    ids = [r["new_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert 0 <= r["n_matches"] <= r["n_scanned"]
+        assert r["n_scanned"] >= 1
+        assert r["drop_flag"] == (1 if r["n_matches"] > 0 else 0)
