@@ -154,6 +154,9 @@ HEADLINE = [
     "sim_topk_maxsim",
     "embedding_drift_cells",
     "timeseries_backtest_mase",
+    "events_cohort_ltv",
+    "dq_freshness",
+    "quality_anova_sources",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

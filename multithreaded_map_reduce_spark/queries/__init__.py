@@ -226,6 +226,9 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_drift_cells",
     "timeseries_backtest_mase",
     "streaming_semdedup_probe",
+    "events_cohort_ltv",
+    "dq_freshness",
+    "quality_anova_sources",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

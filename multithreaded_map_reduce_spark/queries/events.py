@@ -1262,3 +1262,202 @@ ORACLES["events_dau_wau"] = f"""
     " (2000000 * CAST(dau.dau AS BIGINT) + CAST(covered.wau AS BIGINT))"
     " // (2 * CAST(covered.wau AS BIGINT)) END)",
 )
+
+
+# ----------------------------------------------------------- cohort LTV
+# The revenue dimension of events_retention: per (cohort_date,
+# day_offset), the purchase revenue cohort members generated that day
+# and its running total — the cohort lifetime-value curve behind every
+# payback-period decision. Revenue is exact integer cents; the running
+# total is a per-cohort window over the |cohorts|×|offsets| relation,
+# which is calendar-bounded (≤ 31×31 here) regardless of event volume.
+# The per-member LTV ratio splits sign explicitly (refunds can drive a
+# day — or a whole cohort — negative, and the half-up rational trick
+# is half-up only on the non-negative domain; div/`//` truncate toward
+# zero, the kappa precedent).
+#
+# Scale: one user-keyed aggregation for cohorts (one row per user),
+# one (cohort, offset)-keyed aggregation of the pre-joined events, the
+# constant-size window. Every cohort join is on user_id — AQE reuses
+# the cohort relation's partitioning for both consumers.
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.when(
+            F.col("event_type") == "purchase", iunits(F.col("value"), 2)
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = cohort.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    daily = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        W.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "cohort_date",
+        "day_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+    return cum.join(sizes, "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "rev_cents",
+        "cum_rev_cents",
+        "cohort_size",
+        F.expr(
+            "CASE WHEN cum_rev_cents >= 0"
+            " THEN (2000000 * cum_rev_cents + cohort_size)"
+            "      div (2 * cohort_size)"
+            " ELSE -((2000000 * (-cum_rev_cents) + cohort_size)"
+            "        div (2 * cohort_size)) END"
+        ).alias("ltv_micros"),
+    )
+
+
+QUERIES["events_cohort_ltv"] = events_cohort_ltv
+
+ORACLES["events_cohort_ltv"] = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CASE WHEN event_type = 'purchase'
+                    THEN {sql_iunits('value', 2)} ELSE 0 END AS cents
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY 1
+    ), daily AS (
+        SELECT c.cohort_date,
+               CAST(date_diff('day', c.cohort_date, ev.d) AS INTEGER)
+                   AS day_offset,
+               CAST(sum(ev.cents) AS BIGINT) AS rev_cents
+        FROM ev JOIN cohort c ON ev.user_id = c.user_id
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_date, day_offset, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                   PARTITION BY cohort_date ORDER BY day_offset
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_rev_cents
+        FROM daily
+    )
+    SELECT cum.cohort_date, day_offset, rev_cents, cum_rev_cents,
+           cohort_size,
+           CASE WHEN cum_rev_cents >= 0
+                THEN (2000000 * cum_rev_cents + cohort_size)
+                     // (2 * cohort_size)
+                ELSE -((2000000 * (-cum_rev_cents) + cohort_size)
+                       // (2 * cohort_size)) END AS ltv_micros
+    FROM cum JOIN sizes ON cum.cohort_date = sizes.cohort_date
+"""
+
+
+# --------------------------------------------------- freshness/volume DQ
+# The fourth standard data-quality monitor next to dq_orders_constraints
+# (values), dq_referential_integrity (links), dq_quarantine_orders
+# (row dumps): per event stream, WHEN did data last arrive and did the
+# latest day's VOLUME collapse. Staleness is an exact integer-minute
+# lag behind the freshest stream (the pipeline-stuck alarm); the volume
+# check scores the global-latest-day count against the stream's own
+# trailing daily mean as the exact rational n_latest·days_prior /
+# total_prior (a silent-upstream-drop shows up as vol_ratio ≪ 1e6
+# with zero staleness — the failure freshness alone misses).
+#
+# Scale: one (type, day) pre-aggregation (map-side partials collapse
+# the event volume), then everything runs on the |types|×|days|
+# relation — calendar-bounded. The 1-row global-max relation is a
+# broadcast crossJoin, never a re-scan.
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_micros(F.col("ts")).alias("tus"),
+    )
+    td = ev.groupBy(
+        "event_type", (F.col("tus") / F.lit(DAY_US)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("tus").alias("last_tus"))
+    g = td.agg(
+        F.max("day").alias("gday"), F.max("last_tus").alias("gmax_tus")
+    )
+    per = (
+        td.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.max("last_tus").alias("last_tus"),
+            F.max(F.col("gmax_tus")).alias("gmax_tus"),
+            F.sum(F.when(F.col("day") == F.col("gday"), F.col("n")).otherwise(0)).alias(
+                "n_latest_day"
+            ),
+            F.sum(F.when(F.col("day") < F.col("gday"), F.col("n")).otherwise(0)).alias(
+                "total_prior"
+            ),
+            F.sum(
+                F.when(F.col("day") < F.col("gday"), F.lit(1)).otherwise(0)
+            ).alias("days_prior"),
+        )
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        F.expr("(gmax_tus - last_tus) div 60000000").alias("staleness_min"),
+        "n_latest_day",
+        ratio_micros("n_latest_day * days_prior", "total_prior").alias(
+            "vol_ratio_micros"
+        ),
+    )
+
+
+QUERIES["dq_freshness"] = dq_freshness
+
+ORACLES["dq_freshness"] = """
+    WITH td AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS last_tus
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT max(day) AS gday, max(last_tus) AS gmax_tus FROM td
+    ), per AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(last_tus) AS BIGINT) AS last_tus,
+               CAST(max(gmax_tus) AS BIGINT) AS gmax_tus,
+               CAST(sum(CASE WHEN day = gday THEN n ELSE 0 END) AS BIGINT)
+                   AS n_latest_day,
+               CAST(sum(CASE WHEN day < gday THEN n ELSE 0 END) AS BIGINT)
+                   AS total_prior,
+               CAST(sum(CASE WHEN day < gday THEN 1 ELSE 0 END) AS BIGINT)
+                   AS days_prior
+        FROM td, g GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           (gmax_tus - last_tus) // 60000000 AS staleness_min,
+           n_latest_day,
+           (CASE WHEN total_prior = 0 THEN NULL ELSE
+            (2000000 * (n_latest_day * days_prior) + total_prior)
+            // (2 * total_prior) END) AS vol_ratio_micros
+    FROM per
+"""

@@ -1069,3 +1069,135 @@ _RI_CHECKS_SQL = " UNION ALL ".join(
 )
 
 ORACLES["dq_referential_integrity"] = _RI_CHECKS_SQL
+
+
+# --------------------------------------------------- one-way ANOVA (F)
+# "Do sources differ in mean document length" as a single F statistic —
+# the k-group generalization completing the two-sample battery
+# (ks/psi/srm/cuped/correlation). Between/within sums of squares from
+# exact integer group moments (n_g, S_g = Σx, Q_g = Σx²); the only
+# non-integer quantities are the per-group S_g²/n_g quotients, which
+# are snapped HALF-UP TO NANO-UNITS before the sums — the
+# quality_psi per-bucket-snap contract, making every downstream value
+# a defined exact integer on both engines. Snapping can leave
+# ssb_nanos a few nanos negative when true SSB ≈ 0, so the F
+# numerator clamps at zero (documented domain guard, not a fudge: F=0
+# is the correct report for "no between-group variance"). All squares
+# and cross products run on the DECIMAL(38,0)/HUGEINT wide rail; the
+# bounded F·1e6 quotient lands in BIGINT; ssw = 0 (every group
+# constant) NULLs through the rail's den-guard.
+#
+# Scale: one tokenize scan (map-side count), one |sources| group
+# aggregate, then constant-size arithmetic — the doremi/unimax
+# bounded-vocabulary profile.
+
+
+def quality_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.size(tokenize(F.col("text"))).cast("long").alias("x")
+    )
+    grp = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    terms = grp.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        ratio_units_dec("s_g * s_g", "n_g", 1_000_000_000).alias("term_nanos"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k_sources"),
+        F.sum("n_g").alias("n_docs"),
+        F.sum("s_g").alias("t_sum"),
+        F.sum("q_g").alias("q_sum"),
+        F.sum("term_nanos").alias("sum_terms_nanos"),
+    )
+    return tot.select(
+        "k_sources",
+        "n_docs",
+        F.greatest(
+            F.col("sum_terms_nanos")
+            - ratio_units_dec("t_sum * t_sum", "n_docs", 1_000_000_000),
+            F.lit(0),
+        ).alias("ssb_nanos"),
+        (F.col("q_sum") * F.lit(1_000_000_000) - F.col("sum_terms_nanos")).alias(
+            "ssw_nanos"
+        ),
+    ).select(
+        "k_sources",
+        "n_docs",
+        "ssb_nanos",
+        "ssw_nanos",
+        F.when(
+            (F.col("ssw_nanos") == 0) | (F.col("k_sources") <= 1),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec(
+                "ssb_nanos * (n_docs - k_sources)",
+                "ssw_nanos * (k_sources - 1)",
+            )
+        )
+        .alias("f_micros"),
+    )
+
+
+QUERIES["quality_anova_sources"] = quality_anova_sources
+
+
+def _anova_oracle() -> str:
+    from ..functions.hashing import sql_tokens
+    from ..functions.rounding import sql_ratio_units_dec
+
+    return f"""
+    WITH per_doc AS (
+        SELECT source, CAST(len({sql_tokens('text')}) AS BIGINT) AS x
+        FROM documents
+    ), grp AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(x) AS BIGINT) AS s_g,
+               CAST(sum(x * x) AS BIGINT) AS q_g
+        FROM per_doc GROUP BY 1
+    ), terms AS (
+        SELECT n_g, s_g, q_g,
+               {sql_ratio_units_dec('s_g * s_g', 'n_g', 1_000_000_000)}
+                   AS term_nanos
+        FROM grp
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_sources,
+               CAST(sum(n_g) AS BIGINT) AS n_docs,
+               CAST(sum(s_g) AS BIGINT) AS t_sum,
+               CAST(sum(q_g) AS BIGINT) AS q_sum,
+               CAST(sum(term_nanos) AS BIGINT) AS sum_terms_nanos
+        FROM terms
+    ), ss AS (
+        SELECT k_sources, n_docs,
+               greatest(
+                   sum_terms_nanos
+                   - {sql_ratio_units_dec('t_sum * t_sum', 'n_docs',
+                                          1_000_000_000)},
+                   0
+               ) AS ssb_nanos,
+               q_sum * 1000000000 - sum_terms_nanos AS ssw_nanos
+        FROM tot
+    )
+    SELECT k_sources, n_docs,
+           CAST(ssb_nanos AS BIGINT) AS ssb_nanos,
+           CAST(ssw_nanos AS BIGINT) AS ssw_nanos,
+           CASE WHEN ssw_nanos = 0 OR k_sources <= 1 THEN NULL
+                ELSE {sql_ratio_units_dec(
+                    'ssb_nanos * (n_docs - k_sources)',
+                    'ssw_nanos * (k_sources - 1)')}
+           END AS f_micros
+    FROM ss
+"""
+
+
+ORACLES["quality_anova_sources"] = _anova_oracle()

@@ -315,3 +315,105 @@ def test_streaming_semdedup_probe_invariants(spark):
         assert 0 <= r["n_matches"] <= r["n_scanned"]
         assert r["n_scanned"] >= 1
         assert r["drop_flag"] == (1 if r["n_matches"] > 0 else 0)
+
+
+# ----------------------------------------------------- round-9 batch 3
+
+
+def test_round9_batch3_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in ("events_cohort_ltv", "dq_freshness", "quality_anova_sources"):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_cohort_ltv_refund_sign(spark, tmp_path):
+    """A refund-heavy cohort goes NEGATIVE: the signed LTV rational
+    must round half-up on the magnitude (kappa's sign-split contract),
+    and the running total telescopes to the cohort's net revenue."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries.events import events_cohort_ltv
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # cohort of 2 users starting day 0; purchases then a big refund
+        (1, base, 10, "purchase", 10.0, "{}"),
+        (2, base, 11, "purchase", 4.0, "{}"),
+        (3, base + dt.timedelta(days=1), 10, "purchase", -20.0, "{}"),
+        (4, base + dt.timedelta(days=1), 11, "view", 99.0, "{}"),  # not revenue
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["day_offset"]: r for r in events_cohort_ltv(spark, d).collect()}
+    assert out[0]["rev_cents"] == 1400 and out[0]["cohort_size"] == 2
+    assert out[1]["rev_cents"] == -2000
+    assert out[1]["cum_rev_cents"] == -600
+    # -600 cents over 2 users -> -300 cents/user -> -300e4 micros? No:
+    # ltv_micros is micros of (cum_cents / size) = round(1e6 * -600/2)
+    assert out[1]["ltv_micros"] == -300_000_000
+    assert out[0]["ltv_micros"] == 700_000_000
+
+
+def test_dq_freshness_stale_stream(spark, tmp_path):
+    """A stream that stops sending shows positive staleness and a
+    collapsed volume ratio; the freshest stream shows staleness 0."""
+    import datetime as dt
+
+    from multithreaded_map_reduce_spark.queries.events import dq_freshness
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(5):
+        for _ in range(10):  # 'view' sends every day
+            rows.append((eid, base + dt.timedelta(days=day), 1, "view", 1.0, "{}"))
+            eid += 1
+        if day < 3:  # 'click' goes silent after day 2
+            rows.append((eid, base + dt.timedelta(days=day), 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in dq_freshness(spark, d).collect()}
+    assert out["view"]["staleness_min"] == 0
+    assert out["view"]["vol_ratio_micros"] == 1_000_000  # steady volume
+    assert out["click"]["staleness_min"] == 2 * 24 * 60
+    # click sent nothing on the global latest day
+    assert out["click"]["n_latest_day"] == 0
+    assert out["click"]["vol_ratio_micros"] == 0
+
+
+def test_anova_between_vs_within(spark, tmp_path):
+    """Two sources with very different mean lengths -> large F; two
+    identically-distributed sources -> ssb 0 (clamped) and F 0."""
+    from multithreaded_map_reduce_spark.queries.quality import (
+        quality_anova_sources,
+    )
+
+    def run(docs):
+        rows = [
+            (i, " ".join(["w"] * n), "en", s, 1) for i, (s, n) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / f"c{len(docs)}_{docs[0][1]}")
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return quality_anova_sources(spark, d).collect()[0]
+
+    sep = run([("a", 5), ("a", 6), ("a", 5), ("b", 50), ("b", 51), ("b", 50)])
+    assert sep["f_micros"] is not None and sep["f_micros"] > 100 * 1_000_000
+    same = run([("a", 5), ("a", 7), ("b", 5), ("b", 7)])
+    assert same["ssb_nanos"] == 0
+    assert same["f_micros"] == 0
