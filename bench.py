@@ -157,6 +157,8 @@ HEADLINE = [
     "events_cohort_ltv",
     "dq_freshness",
     "quality_anova_sources",
+    "graph_link_prediction",
+    "dedup_banding_sweep",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -229,6 +229,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_cohort_ltv",
     "dq_freshness",
     "quality_anova_sources",
+    "graph_link_prediction",
+    "dedup_banding_sweep",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1342,3 +1342,146 @@ ORACLES["dedup_semantic"] = f"""
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(cv, x -> x * x)), (x, y) -> x + y)",
 )
+
+
+# --------------------------------------------------- LSH banding sweep
+# The tuning table behind dedup_lsh_recall's single operating point:
+# the SAME 32-permutation signatures re-banded at (16,2) / (8,4) /
+# (4,8) and every configuration scored against the SAME exact truth
+# set (same-lang word-bigram Jaccard ≥ 0.5 on the LSH_EVAL_N per-lang
+# sample). The s-curve midpoint (1/b)^(1/r) moves 0.25 → 0.59 → 0.71
+# across the sweep, so the table shows the real recall/efficiency
+# trade a banding change would buy BEFORE anyone re-runs the corpus —
+# the measured version of the analytic s-curve argument, and the eval
+# a production dedup pipeline re-runs whenever the dup-rate regime
+# shifts. One row per configuration; truth and signatures are computed
+# once and shared (the sweep costs 3 band-explosions over the bounded
+# sample, nothing corpus-proportional beyond the one sample scan).
+
+LSH_SWEEP_CONFIGS: list[tuple[int, int]] = [(16, 2), (8, 4), (4, 8)]
+
+
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import pround, ratio_micros
+    from ..operators.dedup import (
+        candidates_from_signatures,
+        jaccard_of,
+        minhash_signatures_agg,
+        shingle_hash_rows,
+    )
+
+    alldocs = load_table(spark, sf_dir, "documents")
+    rk = W.partitionBy("lang").orderBy(
+        token_hash(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    docs = (
+        alldocs.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= LSH_EVAL_N)
+        .drop("_rk")
+    )
+    rows_rel = shingle_hash_rows(docs, "doc_id", "text", 2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_agg(rows_rel, num=32)
+    hashed = rows_rel.groupBy("id").agg(F.collect_set("h").alias("hashes"))
+    hl = hashed.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    a = hl.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"), "lang")
+    b = hl.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"), "lang")
+    truth = (
+        a.join(b, "lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pround(jaccard_of(F.col("h_a"), F.col("h_b")), 6) >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+    )
+    out = None
+    for bands, rpb in LSH_SWEEP_CONFIGS:
+        cand = candidates_from_signatures(sigs, bands, rpb, 100).select(
+            "id_a", "id_b", F.lit(1).alias("is_cand")
+        )
+        joined = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+            F.coalesce("is_true", F.lit(0)).alias("is_true"),
+            F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        )
+        rep = (
+            joined.agg(
+                F.sum("is_true").alias("n_true"),
+                F.sum("is_cand").alias("n_candidates"),
+                F.sum(F.col("is_true") * F.col("is_cand")).alias("n_hits"),
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                "n_true",
+                "n_candidates",
+                "n_hits",
+                ratio_micros("n_hits", "n_true").alias("recall_micros"),
+                ratio_micros("n_hits", "n_candidates").alias(
+                    "efficiency_micros"
+                ),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["dedup_banding_sweep"] = dedup_banding_sweep
+
+
+def _banding_sweep_oracle() -> str:
+    per_cfg = []
+    cfg_ctes = []
+    for bands, rpb in LSH_SWEEP_CONFIGS:
+        tag = f"{bands}x{rpb}"
+        cfg_ctes.append(
+            f"""bands_{tag} AS (
+        SELECT id, unnest({sql_band_hashes('sig', bands, rpb)}) AS bh
+        FROM sigs
+    ), buckets_{tag} AS (
+        SELECT bh, list_distinct(list(id)) AS ids
+        FROM bands_{tag} GROUP BY bh
+    ), cand_{tag} AS (
+        SELECT DISTINCT p['a'] AS id_a, p['b'] AS id_b FROM (
+            SELECT unnest(flatten(list_transform(ids, x ->
+                list_transform(list_filter(ids, y -> y > x),
+                               y -> {{'a': x, 'b': y}})))) AS p
+            FROM buckets_{tag} WHERE len(ids) BETWEEN 2 AND 100)
+    ), joined_{tag} AS (
+        SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+               CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+        FROM truth t FULL OUTER JOIN cand_{tag} c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )"""
+        )
+        per_cfg.append(
+            f"""
+    SELECT CAST({bands} AS INTEGER) AS bands,
+           CAST({rpb} AS INTEGER) AS rows_per_band,
+           CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(is_true * is_cand) AS BIGINT) AS n_hits,
+           {sql_ratio_micros('sum(is_true * is_cand)', 'sum(is_true)')}
+               AS recall_micros,
+           {sql_ratio_micros('sum(is_true * is_cand)', 'sum(is_cand)')}
+               AS efficiency_micros
+    FROM joined_{tag}"""
+        )
+    return f"""
+    WITH documents_s AS MATERIALIZED ({_LSH_EVAL_SAMPLE}),
+    {_MH_CTES.replace("FROM documents", "FROM documents_s")}, truth AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM (SELECT h.id, h.hashes, d.lang
+              FROM hashed h JOIN documents_s d ON h.id = d.doc_id) a
+        JOIN (SELECT h.id, h.hashes, d.lang
+              FROM hashed h JOIN documents_s d ON h.id = d.doc_id) b
+          ON a.lang = b.lang AND a.id < b.id
+        WHERE {sql_pround(_JACCARD, 6)} >= 0.5
+    ), {", ".join(cfg_ctes)}
+    {" UNION ALL ".join(per_cfg)}
+"""
+
+
+ORACLES["dedup_banding_sweep"] = _banding_sweep_oracle()

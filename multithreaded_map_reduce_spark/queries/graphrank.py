@@ -748,3 +748,156 @@ def _sql_textrank() -> str:
 
 
 ORACLES["text_textrank_keywords"] = _sql_textrank()
+
+
+# ------------------------------------------------------- link prediction
+# Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg
+# 2003) on the co-purchase part graph: for every NON-adjacent pair
+# reachable through at least one shared neighbor, score = |N(x)∩N(z)| /
+# |N(x)∪N(z)| — the classic "parts bought together with the same third
+# parts will co-occur next" recommender signal, and the graph-ML
+# baseline every embedding link predictor is measured against. Edge
+# set reuses copurchase_pairs' exact rail (distinct basket pairs,
+# MAX_BASKET cap, MIN_SUPPORT ≥ 2), so the graph contract is already
+# driver-verified. Scores are exact BIGINT rationals; ranking breaks
+# ties (score desc, x, z) — total.
+#
+# Scale: candidate generation is the wedge join (Σ_y deg(y)² pairs) —
+# the same profile as triangle counting; the basket cap upstream is
+# the hub-buster (a part in B baskets has deg ≤ B·MAX_BASKET), and
+# production graphs add a degree cap before wedging (documented, same
+# discipline as the LSH hot-bucket cap). The anti-join against the
+# edge set and the TakeOrdered top-K avoid any global sort.
+
+LINKPRED_TOPK = 50
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_micros
+    from .mining import MAX_BASKET, MIN_SUPPORT
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    opc = op.join(small, "l_orderkey")
+    pa, pb = opc.alias("pa"), opc.alias("pb")
+    e = (
+        pa.join(
+            pb,
+            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
+        )
+        .groupBy(
+            F.col("pa.l_partkey").alias("a"),
+            F.col("pb.l_partkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SUPPORT)
+        .select("a", "b")
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = (
+        l.join(
+            r,
+            (F.col("l.v") == F.col("r.u")) & (F.col("l.u") < F.col("r.v")),
+        )
+        .groupBy(F.col("l.u").alias("x"), F.col("r.v").alias("z"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        e, (wedges["x"] == e["a"]) & (wedges["z"] == e["b"]), "left_anti"
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("deg").alias("deg_x"))
+    dz = deg.select(F.col("u").alias("z"), F.col("deg").alias("deg_z"))
+    scored = (
+        cand.join(dx, "x")
+        .join(dz, "z")
+        .select(
+            "x",
+            "z",
+            "cn",
+            "deg_x",
+            "deg_z",
+            ratio_micros("cn", "deg_x + deg_z - cn").alias("jaccard_micros"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jaccard_micros"), F.asc("x"), F.asc("z"))
+        .limit(LINKPRED_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                W.orderBy(F.desc("jaccard_micros"), F.asc("x"), F.asc("z"))
+            )
+            .cast("int"),
+        )
+    )
+
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+
+
+def _linkpred_oracle() -> str:
+    from ..functions.rounding import sql_ratio_micros
+    from .mining import MAX_BASKET, MIN_SUPPORT
+
+    return f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), small AS (
+        SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
+    ), opc AS (
+        SELECT op.* FROM op JOIN small USING (l_orderkey)
+    ), e AS (
+        SELECT pa.l_partkey AS a, pb.l_partkey AS b
+        FROM opc pa JOIN opc pb
+          ON pa.l_orderkey = pb.l_orderkey
+         AND pa.l_partkey < pb.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    ), adj AS (
+        SELECT a AS u, b AS v FROM e
+        UNION ALL SELECT b AS u, a AS v FROM e
+    ), deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+    ), wedges AS (
+        SELECT l.u AS x, r.v AS z, CAST(count(*) AS BIGINT) AS cn
+        FROM adj l JOIN adj r ON l.v = r.u AND l.u < r.v
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT w.* FROM wedges w
+        LEFT JOIN e ON w.x = e.a AND w.z = e.b
+        WHERE e.a IS NULL
+    ), scored AS (
+        SELECT x, z, cn, dx.deg AS deg_x, dz.deg AS deg_z,
+               {sql_ratio_micros('cn', 'dx.deg + dz.deg - cn')}
+                   AS jaccard_micros
+        FROM cand
+        JOIN deg dx ON cand.x = dx.u
+        JOIN deg dz ON cand.z = dz.u
+    )
+    SELECT x, z, cn, deg_x, deg_z, jaccard_micros,
+           CAST(row_number() OVER (
+               ORDER BY jaccard_micros DESC, x ASC, z ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+    ORDER BY jaccard_micros DESC, x ASC, z ASC
+    LIMIT {LINKPRED_TOPK}
+"""
+
+
+ORACLES["graph_link_prediction"] = _linkpred_oracle()

@@ -417,3 +417,66 @@ def test_anova_between_vs_within(spark, tmp_path):
     same = run([("a", 5), ("a", 7), ("b", 5), ("b", 7)])
     assert same["ssb_nanos"] == 0
     assert same["f_micros"] == 0
+
+
+# ----------------------------------------------------- round-9 batch 4
+
+
+def test_round9_batch4_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in ("graph_link_prediction", "dedup_banding_sweep"):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_link_prediction_never_predicts_existing_edge(spark, tmp_path):
+    """A 4-path a-b-c-d: predicted links are exactly the non-adjacent
+    wedge endpoints (a,c) and (b,d) with Jaccard 1/3, plus (a,d)?
+    No — a and d share no neighbor. Existing edges never appear."""
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        graph_link_prediction,
+    )
+
+    # orders are baskets; build edges a-b, b-c, c-d with support 2
+    rows = []
+    k = 0
+    for pair in [(1, 2), (2, 3), (3, 4)]:
+        for _ in range(2):  # MIN_SUPPORT
+            for p in pair:
+                rows.append((k, p))
+            k += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {(r["x"], r["z"]): r for r in graph_link_prediction(spark, d).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    # deg(1)=1, deg(3)=2, cn=1 -> J = 1/(1+2-1) = 1/2 (and symmetrically
+    # for (2,4))
+    for r in out.values():
+        assert r["cn"] == 1 and r["jaccard_micros"] == 500000
+
+
+def test_banding_sweep_monotone_candidates(spark):
+    """More rows per band -> stricter AND within bands -> candidates
+    shrink monotonically (16x2 >= 8x4 >= 4x8 on any input); truth is
+    identical across configurations; hits never exceed candidates."""
+    from multithreaded_map_reduce_spark.queries.dedup import (
+        dedup_banding_sweep,
+    )
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in dedup_banding_sweep(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {(16, 2), (8, 4), (4, 8)}
+    truths = {r["n_true"] for r in rows.values()}
+    assert len(truths) == 1
+    assert (
+        rows[(16, 2)]["n_candidates"]
+        >= rows[(8, 4)]["n_candidates"]
+        >= rows[(4, 8)]["n_candidates"]
+    )
+    for r in rows.values():
+        assert r["n_hits"] <= r["n_candidates"]
+        assert r["n_hits"] <= r["n_true"]
