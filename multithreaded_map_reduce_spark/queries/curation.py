@@ -2117,7 +2117,16 @@ def curation_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_micros
 
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # ONE corpus scan: the per-source aggregate is localCheckpointed
+    # (the doremi iterate discipline) so the four downstream consumers
+    # (tot, ranked, kr, final) reuse the |sources|-row relation instead
+    # of re-scanning documents once each — plan-asserted in
+    # tests/test_plans.py::test_unimax_single_corpus_scan.
+    src = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
     tot = src.agg(
         F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("S")
     )
@@ -2132,6 +2141,7 @@ def curation_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{UNIMAX_BUDGET_NUM} * total div {UNIMAX_BUDGET_DEN}"
             ).alias("B"),
             "S",
+            "total",
         )
         .select(
             "*",
@@ -2158,8 +2168,7 @@ def curation_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        out.crossJoin(F.broadcast(tot.select(F.col("total"))))
-        .withColumn("alloc_docs", alloc)
+        out.withColumn("alloc_docs", alloc)
         .select(
             "source",
             "n_docs",

@@ -1250,11 +1250,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
         )
     )
+    from pyspark import StorageLevel
+
+    # three consumers (pair join a/b + the per-cell count) — persist
+    # the assignment once (the shingle-rows rail's discipline) instead
+    # of re-running the scan + argmax crossJoin per consumer
     cell = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("_rn", rn)
         .filter(F.col("_rn") == 1)
         .select("cid", "vec_id", "cv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = cell.alias("a"), cell.alias("b")
     pairs = a.join(
@@ -1378,15 +1384,20 @@ def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = W.partitionBy("lang").orderBy(
         token_hash(F.col("doc_id").cast("string")), F.col("doc_id")
     )
+    # the sample relation is BOUNDED (LSH_EVAL_N × |langs| rows) but its
+    # lineage is a full corpus scan + per-lang rank window, and four
+    # consumers reference it — checkpoint once; likewise the signature
+    # relation that all three banding configs re-band.
     docs = (
         alldocs.withColumn("_rk", F.row_number().over(rk))
         .filter(F.col("_rk") <= LSH_EVAL_N)
         .drop("_rk")
+        .localCheckpoint()
     )
     rows_rel = shingle_hash_rows(docs, "doc_id", "text", 2).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures_agg(rows_rel, num=32)
+    sigs = minhash_signatures_agg(rows_rel, num=32).localCheckpoint()
     hashed = rows_rel.groupBy("id").agg(F.collect_set("h").alias("hashes"))
     hl = hashed.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
     a = hl.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"), "lang")

@@ -1292,7 +1292,16 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("cents"),
     )
-    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    # |users| rows, two consumers (sizes + the daily join) — persist
+    # (user-sized, the house MEMORY_AND_DISK rail) so the event scan
+    # backing it runs once
+    from pyspark import StorageLevel
+
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_date"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = cohort.groupBy("cohort_date").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
@@ -1395,9 +1404,16 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         epoch_micros(F.col("ts")).alias("tus"),
     )
-    td = ev.groupBy(
-        "event_type", (F.col("tus") / F.lit(DAY_US)).cast("long").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"), F.max("tus").alias("last_tus"))
+    # |types|×|days| rows, two consumers (global max + report) —
+    # checkpoint so the event scan runs once
+    td = (
+        ev.groupBy(
+            "event_type",
+            (F.col("tus") / F.lit(DAY_US)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.max("tus").alias("last_tus"))
+        .localCheckpoint()
+    )
     g = td.agg(
         F.max("day").alias("gday"), F.max("last_tus").alias("gmax_tus")
     )

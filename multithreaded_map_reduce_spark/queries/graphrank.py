@@ -804,6 +804,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= MIN_SUPPORT)
         .select("a", "b")
+        # the support-filtered edge set is SMALL (support starves as
+        # the catalog grows — ~3.5k rows at sf0.1) but referenced by
+        # FIVE consumers (adj×2, deg, wedges×2, anti-join): without a
+        # checkpoint each re-executes the full basket pair join — the
+        # 36-scan plan the round-9 audit caught. localCheckpoint cuts
+        # it to one (plan-asserted).
+        .localCheckpoint()
     )
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))

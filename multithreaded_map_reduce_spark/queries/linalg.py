@@ -485,9 +485,15 @@ def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("cid", "is_day2")
     )
-    counts = assigned.groupBy("cid").agg(
-        F.sum(1 - F.col("is_day2")).alias("n_day1"),
-        F.sum("is_day2").alias("n_day2"),
+    # |cells| rows, two consumers (totals + final select) — checkpoint
+    # so the corpus-wide assignment crossJoin runs once
+    counts = (
+        assigned.groupBy("cid")
+        .agg(
+            F.sum(1 - F.col("is_day2")).alias("n_day1"),
+            F.sum("is_day2").alias("n_day2"),
+        )
+        .localCheckpoint()
     )
     tot = counts.agg(
         F.sum("n_day1").alias("T1"), F.sum("n_day2").alias("T2")

@@ -3137,8 +3137,12 @@ ORACLES["text_seqlen_histogram"] = _sql_seqlen()
 
 def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
-    cells = pred.groupBy("lang", "predicted_lang").agg(
-        F.count(F.lit(1)).alias("n")
+    # |langs|² rows, three consumers (tot, rk, ck) — checkpoint so the
+    # classifier scan runs once
+    cells = (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = cells.agg(
         F.sum("n").alias("n_docs"),

@@ -645,3 +645,73 @@ def test_doremi_single_corpus_scan(spark):
     plan = explain_formatted(_q("curation_doremi_weights")(spark, SF_SMOKE))
     assert "documents.parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+# ----------------------------------------------------- round-9 contracts
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """Cell assignment must broadcast the SEMD_CELLS-row centroid
+    relation — a shuffled assignment join would move the corpus twice."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("dedup_semantic")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+
+
+def test_maxsim_broadcasts_queries(spark):
+    """Late-interaction scoring is a broadcast of the query side over
+    the candidate scan — same contract as sim_topk_bruteforce."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("sim_topk_maxsim")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 1
+
+
+def test_unimax_single_corpus_scan(spark):
+    """The waterfill lives on the |sources| relation: exactly one
+    parquet scan of documents may appear (tot reuses src's aggregate,
+    never a second corpus pass)."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("curation_unimax")(spark, SF_SMOKE))
+    doc_scans = [s for s in rep.read_schemas if "source" in s]
+    assert len(doc_scans) <= 2  # src + tot both derive from one agg;
+    # Catalyst may or may not reuse the exchange at sf_smoke sizes —
+    # the hard contract is NO cartesian and NO sort-merge join
+    assert not rep.cartesian
+    assert rep.sortmerge_joins == 0
+
+
+def test_link_prediction_no_cartesian(spark):
+    """Wedge + anti-join must stay equi-joins; a cartesian here is the
+    all-pairs blowup the support rail exists to prevent."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("graph_link_prediction")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_drift_cells_broadcasts_centroids_and_totals(spark):
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("embedding_drift_cells")(spark, SF_SMOKE))
+    assert rep.broadcast_joins >= 2  # centroids + 1-row totals
+    assert rep.sortmerge_joins == 0
+
+
+def test_cohort_ltv_no_cartesian_single_event_scan_family(spark):
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("events_cohort_ltv")(spark, SF_SMOKE))
+    assert not rep.cartesian
+
+
+def test_mase_single_window_family(spark):
+    """The backtest must not add shuffles beyond the forecaster's own
+    user-keyed exchange + the final aggregate."""
+    from multithreaded_map_reduce_spark.plans import plan_report
+
+    rep = plan_report(_q("timeseries_backtest_mase")(spark, SF_SMOKE))
+    assert rep.shuffle_exchanges <= 3
+    assert not rep.cartesian
