@@ -159,6 +159,8 @@ HEADLINE = [
     "quality_anova_sources",
     "graph_link_prediction",
     "dedup_banding_sweep",
+    "text_burstiness",
+    "search_prf_expansion",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

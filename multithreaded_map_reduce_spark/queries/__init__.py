@@ -231,6 +231,9 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_anova_sources",
     "graph_link_prediction",
     "dedup_banding_sweep",
+    "text_burstiness",
+    "streaming_freshness_monitor",
+    "search_prf_expansion",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1534,3 +1534,64 @@ def _streaming_semdedup_oracle() -> str:
 
 
 ORACLES["streaming_semdedup_probe"] = _streaming_semdedup_oracle()
+
+
+def streaming_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING freshness/volume DQ monitor (round 9): dq_freshness
+    running at ingest. The ONE stateful operator is the (type, day)
+    count/max aggregation — state bounded at |types|×|days| rows
+    forever (the drift monitor's 64-bucket discipline); staleness and
+    the trailing-mean volume ratio snap batch-side on the sink table.
+    Event-time here is the batch catalog's NTZ values (epoch micros of
+    the stored naive timestamp), so the oracle is shared verbatim with
+    dq_freshness."""
+    from ..functions.rounding import ratio_micros
+    from ..streaming.events import stream_events
+
+    DAY_US = 86_400_000_000
+    ev = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("tus"),
+    )
+    td = ev.groupBy(
+        "event_type",
+        (F.col("tus") / F.lit(DAY_US)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("tus").alias("last_tus"))
+    name = _sink("st_fresh")
+    run_stream_to_memory(td, name, output_mode="complete")
+    tdb = spark.table(name)
+    g = tdb.agg(F.max("day").alias("gday"), F.max("last_tus").alias("gmax_tus"))
+    per = (
+        tdb.crossJoin(F.broadcast(g))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.max("last_tus").alias("last_tus"),
+            F.max(F.col("gmax_tus")).alias("gmax_tus"),
+            F.sum(
+                F.when(F.col("day") == F.col("gday"), F.col("n")).otherwise(0)
+            ).alias("n_latest_day"),
+            F.sum(
+                F.when(F.col("day") < F.col("gday"), F.col("n")).otherwise(0)
+            ).alias("total_prior"),
+            F.sum(
+                F.when(F.col("day") < F.col("gday"), F.lit(1)).otherwise(0)
+            ).alias("days_prior"),
+        )
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        F.expr("(gmax_tus - last_tus) div 60000000").alias("staleness_min"),
+        "n_latest_day",
+        ratio_micros("n_latest_day * days_prior", "total_prior").alias(
+            "vol_ratio_micros"
+        ),
+    )
+
+
+QUERIES["streaming_freshness_monitor"] = streaming_freshness_monitor
+
+from .events import ORACLES as _EV_ORACLES  # noqa: E402
+
+ORACLES["streaming_freshness_monitor"] = _EV_ORACLES["dq_freshness"]

@@ -3224,3 +3224,223 @@ ORACLES["quality_cohens_kappa"] = f"""
 """.replace(
     "{LANGID}", ORACLES["text_lang_id"]
 )
+
+
+# ------------------------------------------------------- word burstiness
+# Church & Gale (1995): content words are BURSTY — once a document
+# uses a word it tends to reuse it — while function words arrive
+# ~Poisson. The statistic is the variance-to-mean ratio (VMR) of the
+# per-document count, over ALL documents including the zeros:
+# VMR = (N·Σc² − (Σc)²) / (N·Σc). The zero documents never
+# materialize — Σc and Σc² come from the word's own occurrence rows
+# and N is the corpus count (the text_js_by_source closed-form-tail
+# trick), so no docs × vocab join exists at any scale. Everything is
+# an exact integer: the square runs on the DECIMAL(38,0)/HUGEINT rail
+# ((Σc)² wraps int64 for corpus-dominant words past ~3e9 total
+# occurrences), and the VMR is the house half-up micros rational.
+# VMR ≈ 1e6 → Poissonian (function word); ≫ 1e6 → bursty (content
+# word) — the signal separating topical vocabulary from glue without
+# any stopword list, and a direct input to tf-idf-style weighting
+# decisions. Vocabulary is capped at the top BURST_TOP by corpus
+# frequency (word-asc tiebreak) — the TakeOrdered constant-size
+# discipline of text_zipf_fit.
+
+BURST_TOP = 200
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # literal, not a join (1-row driver scalar)
+    per = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("word").agg(
+        F.sum("c").alias("total_count"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    top = stats.orderBy(F.desc("total_count"), F.asc("word")).limit(BURST_TOP)
+    return top.select(
+        "word",
+        "total_count",
+        "df",
+        ratio_units_dec(
+            f"CAST({n_docs} AS BIGINT) * sum_c2 - total_count * total_count",
+            f"CAST({n_docs} AS BIGINT) * total_count",
+        ).alias("vmr_micros"),
+    )
+
+
+QUERIES["text_burstiness"] = text_burstiness
+
+
+def _burstiness_oracle() -> str:
+    from ..functions.rounding import sql_ratio_units_dec
+
+    return f"""
+    WITH nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), per AS (
+        SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS word
+            FROM documents
+        ) GROUP BY 1, 2
+    ), stats AS (
+        SELECT word,
+               CAST(sum(c) AS BIGINT) AS total_count,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c * c) AS BIGINT) AS sum_c2
+        FROM per GROUP BY 1
+    )
+    SELECT word, total_count, df,
+           {sql_ratio_units_dec(
+               'n * sum_c2 - total_count * total_count',
+               'n * total_count')} AS vmr_micros
+    FROM stats, nd
+    ORDER BY total_count DESC, word ASC LIMIT {BURST_TOP}
+"""
+
+
+ORACLES["text_burstiness"] = _burstiness_oracle()
+
+
+# ------------------------------------------- pseudo-relevance feedback
+# RM3-style query expansion (Lavrenko & Croft 2001 / Abdul-Jaleel 2004
+# lite): retrieve with the base query, mine expansion terms from the
+# top-PRF_FB feedback documents (highest cumulative tf, original terms
+# and sub-3-char tokens excluded, term-asc tiebreak), re-score the
+# corpus on the expansion terms with the SAME BM25 formula, and blend
+# 1.0·original + 0.5·expansion. PRF is definitionally a TWO-PASS
+# retrieval — the second scan is the algorithm, not an accident. The
+# blend runs in exact integers: both BM25 scores are pround(6) grid
+# doubles, so iunits() recovers them exactly and the combined score
+# 2·orig + exp is a total-ordered BIGINT (the ×2 clears the ½ weight).
+#
+# Scale: pass 1 is search_bm25's profile (query-term filter prunes the
+# tf relation pre-shuffle); the feedback set is PRF_FB rows and the
+# expansion vocabulary PRF_EXP rows (checkpointed, broadcast back);
+# pass 2 repeats the profile with the expansion-term filter as a
+# broadcast semi-join instead of a literal IN. Nothing quadratic.
+
+PRF_FB = 10  # feedback depth
+PRF_EXP = 5  # expansion terms
+
+
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    orig = bm25_scored(docs).localCheckpoint()
+    fb = (
+        orig.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(PRF_FB)
+        .select("doc_id")
+    )
+    exp = (
+        terms.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*BM25_QUERY))
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(PRF_EXP)
+        .select("term")
+        .localCheckpoint()
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    etf = (
+        terms.join(F.broadcast(exp), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    edf = etf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.select(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    escored = (
+        etf.join(edf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(n_docs)
+        .crossJoin(avgdl)
+        .groupBy("doc_id")
+        .agg(pround(F.sum(contrib), 6).alias("bm25x"))
+    )
+    comb = (
+        orig.join(escored, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.lit(2) * iunits(F.coalesce(F.col("bm25"), F.lit(0.0)), 6)
+                + iunits(F.coalesce(F.col("bm25x"), F.lit(0.0)), 6)
+            ).alias("combined_units"),
+        )
+    )
+    top = comb.orderBy(F.desc("combined_units"), F.asc("doc_id")).limit(
+        BM25_TOPK
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("combined_units"), F.asc("doc_id")))
+        .cast("int"),
+    )
+
+
+QUERIES["search_prf_expansion"] = search_prf_expansion
+
+ORACLES["search_prf_expansion"] = f"""
+    WITH {sql_bm25_ctes()},
+    fb AS (
+        SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT {PRF_FB}
+    ), exp AS (
+        SELECT term FROM terms JOIN fb USING (doc_id)
+        WHERE term NOT IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+          AND length(term) >= 3
+        GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT {PRF_EXP}
+    ), etf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE term IN (SELECT term FROM exp)
+        GROUP BY 1, 2
+    ), edf AS (
+        SELECT term, count(*) AS df FROM etf GROUP BY 1
+    ), escored AS (
+        SELECT tf.doc_id,
+               {sql_pround(
+                   f'sum({_BM25_IDF} * (tf.tf * {BM25_K1 + 1.0}) / ({_BM25_DENOM}))',
+                   6,
+               )} AS bm25x
+        FROM etf tf
+        JOIN edf df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, n, a
+        GROUP BY 1
+    ), comb AS (
+        SELECT coalesce(s.doc_id, e.doc_id) AS doc_id,
+               2 * {sql_iunits('coalesce(s.bm25, 0.0)')}
+                 + {sql_iunits('coalesce(e.bm25x, 0.0)')} AS combined_units
+        FROM scored s FULL OUTER JOIN escored e ON s.doc_id = e.doc_id
+    )
+    SELECT doc_id, combined_units,
+           CAST(row_number() OVER (
+               ORDER BY combined_units DESC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM comb
+    ORDER BY combined_units DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+"""

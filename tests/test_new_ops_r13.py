@@ -480,3 +480,65 @@ def test_banding_sweep_monotone_candidates(spark):
     for r in rows.values():
         assert r["n_hits"] <= r["n_candidates"]
         assert r["n_hits"] <= r["n_true"]
+
+
+# ----------------------------------------------------- round-9 batch 5
+
+
+def test_round9_batch5_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in (
+        "text_burstiness",
+        "streaming_freshness_monitor",
+        "search_prf_expansion",
+    ):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_burstiness_poisson_vs_bursty(spark, tmp_path):
+    """A word appearing once in every doc is sub-Poisson (VMR < 1);
+    a word concentrated in one doc is bursty (VMR > 1). Exact values:
+    uniform c=1 over N docs -> VMR = 0? No: all docs have c=1 ->
+    variance 0 -> VMR 0. Concentrated: c=(4,0,0,0) over N=4 ->
+    mean 1, E[c^2]=4 -> VMR = (4*4 - 16)/(4*4) = 0?? No:
+    VMR = (N*sum_c2 - total^2)/(N*total) = (4*16-16)/(4*4) = 3."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        text_burstiness,
+    )
+
+    rows = [
+        (0, "uniform uniform uniform uniform bursty bursty bursty bursty", "en", "s", 1),
+        (1, "uniform", "en", "s", 1),
+        (2, "uniform", "en", "s", 1),
+        (3, "uniform", "en", "s", 1),
+    ]
+    # 'uniform': c = (4,1,1,1), total 7, sum_c2 19 over N=4
+    #   VMR = (4*19 - 49) / (4*7) = 27/28 -> 964286 micros
+    # 'bursty': c = (4,0,0,0), total 4, sum_c2 16
+    #   VMR = (4*16 - 16) / (4*4) = 3 -> 3_000_000 micros
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["word"]: r for r in text_burstiness(spark, d).collect()}
+    assert out["bursty"]["vmr_micros"] == 3_000_000
+    assert out["uniform"]["vmr_micros"] == 964286
+    assert out["bursty"]["df"] == 1 and out["uniform"]["df"] == 4
+
+
+def test_prf_expansion_contains_base_semantics(spark):
+    """Expanded ranking stays BM25_TOPK rows, rank is dense 1..k, and
+    scores are non-negative (idf variant is non-negative; weights are
+    positive)."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        BM25_TOPK,
+        search_prf_expansion,
+    )
+
+    rows = search_prf_expansion(spark, SF_SMOKE).collect()
+    assert len(rows) == BM25_TOPK
+    assert sorted(r["rank"] for r in rows) == list(range(1, BM25_TOPK + 1))
+    assert all(r["combined_units"] >= 0 for r in rows)
