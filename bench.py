@@ -161,6 +161,8 @@ HEADLINE = [
     "dedup_banding_sweep",
     "text_burstiness",
     "search_prf_expansion",
+    "events_rfm",
+    "quality_spearman",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -234,6 +234,8 @@ _NEW_THIS_ROUND: list[str] = [
     "text_burstiness",
     "streaming_freshness_monitor",
     "search_prf_expansion",
+    "events_rfm",
+    "quality_spearman",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

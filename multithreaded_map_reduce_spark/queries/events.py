@@ -1477,3 +1477,90 @@ ORACLES["dq_freshness"] = """
             // (2 * total_prior) END) AS vol_ratio_micros
     FROM per
 """
+
+
+# -------------------------------------------------------------- RFM
+# Recency/Frequency/Monetary segmentation (the classic CRM cube): per
+# purchasing user, days since last purchase, purchase count, and net
+# spend in exact cents, each cut into quintiles by ntile(5) over a
+# TOTAL order ((metric, user_id) — ntile's bucket boundaries are pure
+# row arithmetic, so a total order makes the assignment engine-exact;
+# recency orders ASCENDING on staleness so R=5 is "purchased
+# yesterday", the marketing convention). Output is the per-user
+# segment row — the relation every campaign query joins against.
+#
+# Scale: one purchase-filtered scan → one user aggregate; the three
+# ntile windows are global but run on the |purchasing users| relation
+# AFTER aggregation, and each carries only (metric, user_id) — at the
+# sizes where a single-partition window would hurt, the standard move
+# is percentile cuts from a histogram instead (value_histogram's
+# two-pass rail); ntile is the exact-contract form.
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("gmax"))
+    per = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            epoch_micros(F.col("ts")).alias("tus"),
+            iunits(F.col("value"), 2).alias("cents"),
+        )
+        .crossJoin(F.broadcast(g))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((min(gmax) - max(tus)) div 86400000000 AS BIGINT)"
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    r = F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+    fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+    return per.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - r).cast("int").alias("r_score"),
+        (F.lit(6) - fq).cast("int").alias("f_score"),
+        (F.lit(6) - m).cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+QUERIES["events_rfm"] = events_rfm
+
+ORACLES["events_rfm"] = f"""
+    WITH g AS (
+        SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS gmax FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST((min(gmax) - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum({sql_iunits('value', 2)}) AS BIGINT) AS monetary_cents
+        FROM events, g
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+                AS INTEGER) AS r_score,
+           CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+                AS INTEGER) AS f_score,
+           CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+                AS INTEGER) AS m_score,
+           CAST((6 - ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)) * 100
+              + (6 - ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)) * 10
+              + (6 - ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC))
+                AS INTEGER) AS rfm_code
+    FROM per
+"""

@@ -1201,3 +1201,127 @@ def _anova_oracle() -> str:
 
 
 ORACLES["quality_anova_sources"] = _anova_oracle()
+
+
+# --------------------------------------------------- Spearman rank rho
+# Rank correlation between document character length and token count —
+# the monotone-association complement to quality_correlation's Pearson
+# r (Pearson sees only LINEAR association; a length-vs-tokens
+# relationship curved by long-word dialects still ranks monotonically).
+# Classical d² form on tie-AVERAGED ranks, everything integer: the
+# average rank of a tie group is 2r = 2·rank() + cnt − 1 (the doubled-
+# median trick — rank() is the tie group's first position, cnt its
+# size), d = 2rx − 2ry is an exact integer, and
+# rho = (4·n(n²−1) − 6·Σd²) / (4·n(n²−1)) is a signed half-up micros
+# rational with the kappa sign-split. Σd² ≤ 4n³ wraps int64 past ~1.3e6
+# rows, and n(n²−1) past ~2e6 — both run on the DECIMAL(38,0)/HUGEINT
+# rail; the output Σd² column is BIGINT (fixture-bounded, the vetted
+# type set), rho is bounded by construction. (With ties the d² form is
+# the CLASSICAL uncorrected statistic, not Pearson-on-ranks — that
+# choice is the cross-engine contract and is documented here.)
+#
+# Scale: ranks are global windows over the |docs| relation carrying
+# two BIGINT columns; past single-partition-window sizes the standard
+# move is histogram-based ranks (value_histogram's two-pass rail) —
+# the statistic itself is one aggregate either way.
+
+
+def quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("y"),
+    )
+    rx = (
+        F.lit(2) * F.rank().over(W.orderBy("x"))
+        + F.count(F.lit(1)).over(W.partitionBy("x"))
+        - F.lit(1)
+    )
+    ry = (
+        F.lit(2) * F.rank().over(W.orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("y"))
+        - F.lit(1)
+    )
+    d = per.select((rx - ry).alias("d"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("d").cast("decimal(38,0)") * F.col("d")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sum_d2"),
+    )
+    return agg.select(
+        "n_docs",
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        F.expr(
+            "CASE WHEN CAST(n_docs AS DECIMAL(38,0))"
+            "          * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1) = 0"
+            " THEN NULL"
+            " WHEN 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1)"
+            "      - 6 * sum_d2 >= 0"
+            " THEN CAST((2000000 * (4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1) - 6 * sum_d2)"
+            "   + 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1))"
+            "  div (2 * 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1)) AS BIGINT)"
+            " ELSE -CAST((2000000 * (6 * sum_d2 - 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1))"
+            "   + 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1))"
+            "  div (2 * 4 * CAST(n_docs AS DECIMAL(38,0))"
+            "        * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1)) AS BIGINT)"
+            " END"
+        ).alias("rho_micros"),
+    )
+
+
+QUERIES["quality_spearman"] = quality_spearman
+
+
+def _spearman_oracle() -> str:
+    from ..functions.hashing import sql_tokens
+
+    den = (
+        "4 * CAST(n_docs AS HUGEINT)"
+        " * (CAST(n_docs AS HUGEINT) * n_docs - 1)"
+    )
+    num = f"{den.replace('4 * ', '')} * 4 - 6 * sum_d2"
+    return f"""
+    WITH per AS (
+        SELECT n_chars AS x,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS y
+        FROM documents
+    ), ranked AS (
+        SELECT (2 * rank() OVER (ORDER BY x)
+                + count(*) OVER (PARTITION BY x) - 1)
+             - (2 * rank() OVER (ORDER BY y)
+                + count(*) OVER (PARTITION BY y) - 1) AS d
+        FROM per
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sum_d2
+        FROM ranked
+    )
+    SELECT n_docs, CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CASE WHEN CAST(n_docs AS HUGEINT)
+                     * (CAST(n_docs AS HUGEINT) * n_docs - 1) = 0 THEN NULL
+                WHEN {num} >= 0
+                THEN CAST((2000000 * ({num}) + {den}) // (2 * ({den}))
+                     AS BIGINT)
+                ELSE -CAST((2000000 * (6 * sum_d2
+                        - CAST(n_docs AS HUGEINT)
+                          * (CAST(n_docs AS HUGEINT) * n_docs - 1) * 4)
+                     + {den}) // (2 * ({den})) AS BIGINT)
+           END AS rho_micros
+    FROM agg
+"""
+
+
+ORACLES["quality_spearman"] = _spearman_oracle()

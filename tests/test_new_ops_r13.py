@@ -542,3 +542,56 @@ def test_prf_expansion_contains_base_semantics(spark):
     assert len(rows) == BM25_TOPK
     assert sorted(r["rank"] for r in rows) == list(range(1, BM25_TOPK + 1))
     assert all(r["combined_units"] >= 0 for r in rows)
+
+
+# ----------------------------------------------------- round-9 batch 6
+
+
+def test_round9_batch6_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in ("events_rfm", "quality_spearman"):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_rfm_scores_are_quintiles(spark):
+    """Scores live in 1..5; the best-recency user scores R=5; code
+    digits reconstruct the three scores."""
+    from multithreaded_map_reduce_spark.queries.events import events_rfm
+
+    rows = events_rfm(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    best = min(rows, key=lambda r: (r["recency_days"], r["user_id"]))
+    assert best["r_score"] == 5
+
+
+def test_spearman_perfect_and_reversed(spark, tmp_path):
+    """A strictly increasing char->token relationship gives rho = 1e6;
+    reversing one variable gives exactly -1e6 (no ties, classical d²
+    form is exact)."""
+    from multithreaded_map_reduce_spark.queries.quality import (
+        quality_spearman,
+    )
+
+    def run(tag, pairs):
+        rows = [
+            (i, " ".join(["w"] * t), "en", "s", c)
+            for i, (c, t) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / tag)
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return quality_spearman(spark, d).collect()[0]
+
+    inc = run("inc", [(10, 1), (20, 2), (30, 3), (40, 4)])
+    assert inc["rho_micros"] == 1_000_000 and inc["sum_d2"] == 0
+    rev = run("rev", [(10, 4), (20, 3), (30, 2), (40, 1)])
+    assert rev["rho_micros"] == -1_000_000
