@@ -163,6 +163,7 @@ HEADLINE = [
     "search_prf_expansion",
     "events_rfm",
     "quality_spearman",
+    "curation_mixture_dedupaware",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

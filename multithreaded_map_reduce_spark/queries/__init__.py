@@ -236,6 +236,7 @@ _NEW_THIS_ROUND: list[str] = [
     "search_prf_expansion",
     "events_rfm",
     "quality_spearman",
+    "curation_mixture_dedupaware",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -2231,3 +2231,85 @@ def _sql_unimax() -> str:
 
 
 ORACLES["curation_unimax"] = _sql_unimax()
+
+
+# ------------------------------------------- dedup-aware mixture sizing
+# curation_mixture's quota rail with DEDUP-AWARE source sizes: a source
+# whose volume is mostly copies of earlier sources should not earn
+# quota for the copies. Effective size n_eff = number of unique texts
+# whose CANONICAL copy (min doc_id corpus-wide — dedup_exact's survivor
+# rule) lives in the source; duplicated mass counts once, credited to
+# the earliest source (the provenance convention of
+# dedup_cross_source_matrix). Weights are isqrt(n_eff) (the mixture
+# temperature rail), the budget is MIX_BUDGET_PCT of the UNIQUE corpus,
+# and every step is the same integer-div chain as curation_mixture.
+# This is the composition a production pipeline actually runs — dedup
+# BEFORE mixture sizing — expressed as one declarative plan.
+#
+# Scale: the canonical-owner relation is dedup_exact's one text-keyed
+# aggregate; crediting joins back on doc_id (join key is the survivor
+# id — no text column ever shuffles twice); everything after is the
+# |sources| relation.
+
+
+def curation_mixture_dedupaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    eff = (
+        canon.select("keep_id")
+        .join(docs.select("doc_id", "source"), canon["keep_id"] == docs["doc_id"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_eff"))
+    )
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = stats.join(eff, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_eff", F.lit(0)).alias("n_eff"),
+        F.floor(
+            F.sqrt(F.coalesce("n_eff", F.lit(0)).cast("double"))
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    totals = w.agg(F.sum("w").alias("sum_w"), F.sum("n_eff").alias("eff_total"))
+    return w.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_eff",
+        "w",
+        F.expr(
+            f"(eff_total * {MIX_BUDGET_PCT} div 100) * w div sum_w"
+        ).alias("quota"),
+    )
+
+
+QUERIES["curation_mixture_dedupaware"] = curation_mixture_dedupaware
+
+ORACLES["curation_mixture_dedupaware"] = f"""
+    WITH canon AS (
+        SELECT min(doc_id) AS keep_id FROM documents GROUP BY text
+    ), eff AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_eff
+        FROM canon c JOIN documents d ON c.keep_id = d.doc_id
+        GROUP BY 1
+    ), stats AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ), w AS (
+        SELECT s.source, s.n_docs,
+               CAST(coalesce(e.n_eff, 0) AS BIGINT) AS n_eff,
+               CAST(floor(sqrt(CAST(coalesce(e.n_eff, 0) AS DOUBLE)))
+                    AS BIGINT) AS w
+        FROM stats s LEFT JOIN eff e ON s.source = e.source
+    ), totals AS (
+        SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+               CAST(sum(n_eff) AS BIGINT) AS eff_total
+        FROM w
+    )
+    SELECT source, n_docs, n_eff, w,
+           (eff_total * {MIX_BUDGET_PCT} // 100) * w // sum_w AS quota
+    FROM w, totals
+"""

@@ -595,3 +595,38 @@ def test_spearman_perfect_and_reversed(spark, tmp_path):
     assert inc["rho_micros"] == 1_000_000 and inc["sum_d2"] == 0
     rev = run("rev", [(10, 4), (20, 3), (30, 2), (40, 1)])
     assert rev["rho_micros"] == -1_000_000
+
+
+def test_round9_batch7_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(
+        spark,
+        qs["curation_mixture_dedupaware"],
+        os_["curation_mixture_dedupaware"],
+        SF_SMOKE,
+    )
+
+
+def test_mixture_dedupaware_credits_earliest_source(spark, tmp_path):
+    """Copies add to n_docs but not n_eff; the unique text is credited
+    to the source of its min-doc_id copy."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_mixture_dedupaware,
+    )
+
+    rows = [
+        (0, "alpha", "en", "a", 5),
+        (1, "alpha", "en", "b", 5),  # copy, later id -> credits 'a'
+        (2, "beta", "en", "b", 4),
+        (3, "gamma", "en", "b", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in curation_mixture_dedupaware(spark, d).collect()}
+    assert out["a"]["n_docs"] == 1 and out["a"]["n_eff"] == 1
+    assert out["b"]["n_docs"] == 3 and out["b"]["n_eff"] == 2
