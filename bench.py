@@ -164,6 +164,8 @@ HEADLINE = [
     "events_rfm",
     "quality_spearman",
     "curation_mixture_dedupaware",
+    "text_code_detection",
+    "multimodal_bmp_histogram",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -494,3 +494,35 @@ def audio_fingerprint_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def extract_bmp_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Arrow-batched strict BMP decode → per-image channel-byte
+    histogram (bucket = byte div 32 for 8 buckets): the image-side
+    feature a vision intake computes before resize/dedup decisions
+    (exposure/blank-frame screens). One row per (image, bucket),
+    zero-count buckets included — the fixed-width histogram spine."""
+    import pandas as pd
+
+    from .codecs import decode_bmp
+
+    width = 256 // n_buckets
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "bucket": [], "n_bytes": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _, _, _, pixels = decode_bmp(bytes(blob))
+                counts = np.bincount(
+                    np.frombuffer(pixels, dtype=np.uint8) // width,
+                    minlength=n_buckets,
+                )
+                for b in range(n_buckets):
+                    out["media_id"].append(mid)
+                    out["bucket"].append(b)
+                    out["n_bytes"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, "media_id long, bucket int, n_bytes long")

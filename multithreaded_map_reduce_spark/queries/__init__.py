@@ -237,6 +237,8 @@ _NEW_THIS_ROUND: list[str] = [
     "events_rfm",
     "quality_spearman",
     "curation_mixture_dedupaware",
+    "text_code_detection",
+    "multimodal_bmp_histogram",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -605,3 +605,72 @@ ORACLES["multimodal_audio_fp_neardup"] = f"""
            count(*) AS n_matches
     FROM fps GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+# ----------------------------------------------- image byte histogram
+# Round 9: per-image channel-byte histogram through the REAL BMP
+# round-trip (encode → strict decode → bincount) — the
+# exposure/blank-frame screen a vision intake runs before
+# resize/near-dup. The oracle never decodes: raster bytes are the
+# UTF-8 text bytes cycled to w·h·3 (the synthesis contract), so
+# bucket counts are (need div L) full text-histograms plus the
+# rem-byte prefix histogram, recomputed arithmetically from the hex
+# machinery — one wrong byte anywhere in encoder or decoder shifts a
+# bucket and fails the hash. All 8 buckets emitted per image (fixed
+# spine, zero-count included).
+#
+# Scale: Arrow-batched mapInPandas decode (the multimodal rail),
+# per-image work linear in raster bytes; the oracle-side closed form
+# is why the gate stays exact without a second decoder.
+
+
+def multimodal_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        documents_as_bmp_images,
+        extract_bmp_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_bmp_histogram(documents_as_bmp_images(docs))
+
+
+QUERIES["multimodal_bmp_histogram"] = multimodal_bmp_histogram
+
+
+def _bmp_hist_oracle() -> str:
+    # bucket histogram of the text's bytes: full-cycle count × per-text
+    # histogram + prefix histogram of the first rem bytes
+    return f"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L,
+               CAST((doc_id % 13 + 1) * (doc_id % 9 + 1) * 3 AS BIGINT)
+                   AS need
+        FROM documents WHERE length(text) > 0
+    ), by AS (
+        SELECT doc_id, need, L, i, ({_BYTE_AT}) // 32 AS bucket
+        FROM (
+            SELECT doc_id, _hx, need, L,
+                   unnest(range(1, CAST(L AS INTEGER) + 1)) AS i
+            FROM d
+        )
+    ), per AS (
+        SELECT doc_id, need, L, bucket,
+               CAST(count(*) AS BIGINT) AS full_cnt,
+               CAST(sum(CASE WHEN i <= need % L THEN 1 ELSE 0 END)
+                    AS BIGINT) AS prefix_cnt
+        FROM by GROUP BY 1, 2, 3, 4
+    ), spine AS (
+        SELECT d.doc_id, d.need, d.L, k.bucket
+        FROM d, (SELECT unnest(range(0, 8)) AS bucket) k
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(s.bucket AS INTEGER) AS bucket,
+           CAST(coalesce((s.need // s.L) * p.full_cnt + p.prefix_cnt, 0)
+                AS BIGINT) AS n_bytes
+    FROM spine s
+    LEFT JOIN per p ON s.doc_id = p.doc_id AND s.bucket = p.bucket
+"""
+
+
+ORACLES["multimodal_bmp_histogram"] = _bmp_hist_oracle()

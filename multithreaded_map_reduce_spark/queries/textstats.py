@@ -3444,3 +3444,79 @@ ORACLES["search_prf_expansion"] = f"""
     ORDER BY combined_units DESC, doc_id ASC
     LIMIT {BM25_TOPK}
 """
+
+
+# -------------------------------------------------- code/prose routing
+# The code-vs-prose router every pretraining pipeline runs before
+# choosing a tokenizer/quality battery (StarCoder/StackV2 intake
+# shape): classify by symbol density + code-keyword hits. The fixture
+# corpus is pure prose, so the detector is graded by PLANTING: docs
+# with doc_id % 7 == 3 get a deterministic code snippet appended
+# in-query on BOTH engines (text_encoding_quality's plant-and-detect
+# discipline — Java-regex/RE2 agreement on the symbol classes becomes
+# hash-proven instead of assumed). Rules (all integer counts over the
+# planted text): symbol chars {}();=<>[] per 100 chars ≥ 3, or ≥ 2
+# keyword hits among def/return/void/import/class. Output is the
+# per-doc verdict plus the rule counters — stateless single scan,
+# keep/route is the filter bit.
+
+_CODE_PLANT = " def f(x): return (x == 1); class T { void g() { y[0] = 2; } }"
+_CODE_SYM_RE = r"[{}();=<>\[\]]"
+_CODE_KW_RE = r"\b(def|return|void|import|class)\b"
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CODE_PLANT)).otherwise(
+            F.lit("")
+        ),
+    )
+    n_sym = F.regexp_count(planted, F.lit(_CODE_SYM_RE)).cast("long")
+    n_kw = F.regexp_count(planted, F.lit(_CODE_KW_RE)).cast("long")
+    n_chars = F.length(planted).cast("long")
+    is_code = (
+        (n_sym * F.lit(100) >= F.lit(3) * n_chars) | (n_kw >= F.lit(2))
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_sym.alias("n_symbols"),
+        n_kw.alias("n_keywords"),
+        n_chars.alias("n_chars_planted"),
+        is_code.alias("is_code"),
+        (F.col("doc_id") % 7 == 3).cast("int").alias("was_planted"),
+    )
+
+
+QUERIES["text_code_detection"] = text_code_detection
+
+ORACLES["text_code_detection"] = r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 3 THEN '{plant}' ELSE '' END
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[{{}}();=<>\[\]]')) AS BIGINT)
+               AS n_symbols,
+           CAST(len(regexp_extract_all(t, '\b(def|return|void|import|class)\b'))
+               AS BIGINT) AS n_keywords,
+           CAST(length(t) AS BIGINT) AS n_chars_planted,
+           CAST(CASE WHEN
+                    len(regexp_extract_all(t, '[{{}}();=<>\[\]]')) * 100
+                        >= 3 * length(t)
+                    OR len(regexp_extract_all(t,
+                        '\b(def|return|void|import|class)\b')) >= 2
+                THEN 1 ELSE 0 END AS INTEGER) AS is_code,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS INTEGER)
+               AS was_planted
+    FROM planted
+""".replace(
+    "{plant}", _CODE_PLANT
+).replace(
+    "{{", "{"
+).replace(
+    "}}", "}"
+)

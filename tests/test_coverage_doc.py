@@ -42,3 +42,20 @@ def test_coverage_doc_count_matches_registry() -> None:
         f"SCALE.md newest registry arrow says {arrows[-1]}; "
         f"registry has {n} — update the doc"
     )
+
+
+def test_readme_count_matches_registry() -> None:
+    """README's architecture tree states the registry size; pin it like
+    COVERAGE.md/SCALE.md (ADVICE r8 discipline: hand-edited counts go
+    stale)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    text = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"registry: (\d+) named queries", text)
+    assert m and int(m.group(1)) == n, (
+        f"README says {m and m.group(1)} queries; registry has {n}"
+    )

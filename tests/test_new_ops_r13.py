@@ -630,3 +630,45 @@ def test_mixture_dedupaware_credits_earliest_source(spark, tmp_path):
     out = {r["source"]: r for r in curation_mixture_dedupaware(spark, d).collect()}
     assert out["a"]["n_docs"] == 1 and out["a"]["n_eff"] == 1
     assert out["b"]["n_docs"] == 3 and out["b"]["n_eff"] == 2
+
+
+def test_round9_batch8_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in ("text_code_detection", "multimodal_bmp_histogram"):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_code_detection_perfect_separation(spark):
+    """On the prose fixture the planted snippets are exactly the
+    detected set — zero false positives, zero misses (the rule battery
+    earns its thresholds)."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        text_code_detection,
+    )
+
+    rows = text_code_detection(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["is_code"] == r["was_planted"]
+
+
+def test_bmp_histogram_mass_conservation(spark):
+    """Per image, bucket counts sum to the raster size w*h*3 (the
+    synthesis geometry) — decode loses no byte; all 8 buckets present."""
+    from collections import defaultdict
+
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        multimodal_bmp_histogram,
+    )
+
+    rows = multimodal_bmp_histogram(spark, SF_SMOKE).collect()
+    per = defaultdict(int)
+    buckets = defaultdict(set)
+    for r in rows:
+        per[r["media_id"]] += r["n_bytes"]
+        buckets[r["media_id"]].add(r["bucket"])
+    for mid, total in per.items():
+        w, h = mid % 13 + 1, mid % 9 + 1
+        assert total == w * h * 3
+        assert buckets[mid] == set(range(8))
