@@ -166,6 +166,11 @@ HEADLINE = [
     "curation_mixture_dedupaware",
     "text_code_detection",
     "multimodal_bmp_histogram",
+    "privacy_t_closeness",
+    "timeseries_deseasonal_anomaly",
+    # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
+    # two-pass (both already timed) — the shift arithmetic itself is
+    # a 105-pair constant.
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

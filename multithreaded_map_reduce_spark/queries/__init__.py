@@ -239,6 +239,9 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_mixture_dedupaware",
     "text_code_detection",
     "multimodal_bmp_histogram",
+    "privacy_t_closeness",
+    "search_rank_shift",
+    "timeseries_deseasonal_anomaly",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

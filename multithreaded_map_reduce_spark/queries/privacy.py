@@ -294,3 +294,167 @@ ORACLES["privacy_l_diversity"] = f"""
                    < {L_DIVERSITY} AS INTEGER) AS suppress
     FROM customer GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------- t-closeness
+# The third rung of the anonymity ladder (Li, Li & Venkatasubramanian
+# 2007) after k-anonymity (group size) and l-diversity (sensitive
+# variety): a group fails t-closeness when its sensitive-attribute
+# DISTRIBUTION sits too far from the global one — the attack l-diversity
+# misses is a group whose values are varied but all extreme. For an
+# ordered sensitive attribute (the l_diversity balance bands) the
+# distance is the Earth Mover's Distance with unit ground spacing,
+# which has the exact closed form EMD = Σ_i |cumP_i − cumQ_i| / (m−1).
+# Everything is integer: with group cumulative CG_i (count G) and
+# global CT_i (count T), each term is |T·CG_i − G·CT_i| / (G·T), so
+# EMD_micros = round(1e6 · Σ|T·CG_i − G·CT_i| / (G·T·(m−1))) — the
+# products run on the DECIMAL(38,0)/HUGEINT rail (T·CG wraps int64
+# past ~3e9 rows) and a single-band domain (m = 1) is distance 0 by
+# convention. Suppress when EMD > T_CLOSE_MICROS or the k rung fails.
+#
+# Scale: one global band histogram (|bands| rows, checkpointed), one
+# (group, band) aggregate, a |groups|×|bands| spine with a per-group
+# cumulative window — everything after the two scans is
+# group-cardinality work, the k_anonymity profile.
+
+T_CLOSE_MICROS = 200_000  # t = 0.2
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(iunits(F.col("c_acctbal"), 2) / F.lit(100_000)).alias("band"),
+    )
+    glob = (
+        c.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("t_i"))
+        .localCheckpoint()
+    )
+    gsum = glob.agg(
+        F.sum("t_i").alias("T"), F.count(F.lit(1)).alias("m")
+    )
+    grp = c.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("g_i")
+    )
+    groups = grp.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("g_i").alias("G")
+    )
+    spine = groups.crossJoin(F.broadcast(glob)).join(
+        grp, ["c_nationkey", "c_mktsegment", "band"], "left"
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = spine.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "G",
+        F.sum(F.coalesce("g_i", F.lit(0))).over(w).alias("CG"),
+        F.sum("t_i").over(w).alias("CT"),
+    ).crossJoin(F.broadcast(gsum))
+    per = cum.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "G",
+        "T",
+        "m",
+        F.expr(
+            "abs(CAST(T AS DECIMAL(38,0)) * CG"
+            " - CAST(G AS DECIMAL(38,0)) * CT)"
+        ).alias("term"),
+    )
+    agg = per.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("G").alias("group_size"),
+        F.max("T").alias("T"),
+        F.max("m").alias("m"),
+        F.sum("term").alias("S"),
+    )
+    emd = F.when(F.col("m") <= 1, F.lit(0)).otherwise(
+        ratio_units_dec(
+            "S",
+            "CAST(group_size AS DECIMAL(38,0)) * T * (m - 1)",
+        )
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        emd.cast("long").alias("emd_micros"),
+        (
+            (F.col("group_size") < K_ANON)
+            | (emd > F.lit(T_CLOSE_MICROS))
+        )
+        .cast("int")
+        .alias("suppress"),
+    )
+
+
+QUERIES["privacy_t_closeness"] = privacy_t_closeness
+
+
+def _t_closeness_oracle() -> str:
+    from ..functions.rounding import sql_iunits, sql_ratio_units_dec
+
+    emd = sql_ratio_units_dec(
+        "S", "CAST(group_size AS HUGEINT) * T * (m - 1)"
+    )
+    return f"""
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor({sql_iunits('c_acctbal', 2)} / 100000.0) AS BIGINT)
+                   AS band
+        FROM customer
+    ), gband AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS t_i FROM c GROUP BY 1
+    ), gsum AS (
+        SELECT CAST(sum(t_i) AS BIGINT) AS T,
+               CAST(count(*) AS BIGINT) AS m
+        FROM gband
+    ), grp AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(count(*) AS BIGINT) AS g_i
+        FROM c GROUP BY 1, 2, 3
+    ), grps AS (
+        SELECT c_nationkey, c_mktsegment, CAST(sum(g_i) AS BIGINT) AS G
+        FROM grp GROUP BY 1, 2
+    ), cum AS (
+        SELECT s.c_nationkey, s.c_mktsegment, s.G,
+               sum(coalesce(g.g_i, 0)) OVER w AS CG,
+               sum(s.t_i) OVER w AS CT
+        FROM (SELECT grps.*, gband.* FROM grps, gband) s
+        LEFT JOIN grp g
+          ON s.c_nationkey = g.c_nationkey
+         AND s.c_mktsegment = g.c_mktsegment
+         AND s.band = g.band
+        WINDOW w AS (
+            PARTITION BY s.c_nationkey, s.c_mktsegment
+            ORDER BY s.band ROWS UNBOUNDED PRECEDING
+        )
+    ), agg AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(max(G) AS BIGINT) AS group_size,
+               CAST(sum(abs(CAST(T AS HUGEINT) * CG
+                            - CAST(G AS HUGEINT) * CT)) AS HUGEINT) AS S,
+               CAST(max(T) AS BIGINT) AS T, CAST(max(m) AS BIGINT) AS m
+        FROM cum, gsum
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST(CASE WHEN m <= 1 THEN 0 ELSE {emd} END AS BIGINT)
+               AS emd_micros,
+           CAST(CASE WHEN group_size < {K_ANON}
+                      OR (CASE WHEN m <= 1 THEN 0 ELSE {emd} END)
+                         > {T_CLOSE_MICROS}
+                THEN 1 ELSE 0 END AS INTEGER) AS suppress
+    FROM agg
+"""
+
+
+ORACLES["privacy_t_closeness"] = _t_closeness_oracle()

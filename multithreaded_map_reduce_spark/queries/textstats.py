@@ -3520,3 +3520,109 @@ ORACLES["text_code_detection"] = r"""
 ).replace(
     "}}", "}"
 )
+
+
+# ------------------------------------------------ ranking-shift report
+# "How much did query expansion change the answer" as exact numbers —
+# the eval that tells an IR team whether PRF is a no-op, a reshuffle,
+# or a replacement on their corpus. Compares search_bm25's top-k with
+# search_prf_expansion's: set overlap, Spearman footrule Σ|rA − rB|
+# and Kendall concordant/discordant pair counts over the COMMON
+# documents (ranks are distinct integers, so tau = (nc − nd)/C(n,2)
+# needs no tie handling — signed half-up micros with the kappa sign
+# split). The pair stage is C(k,2) ≤ 105 rows — constant whatever the
+# corpus size; both input rankings carry their own scale contracts.
+
+
+def search_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = search_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("ra")
+    )
+    b = search_prf_expansion(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rb")
+    )
+    common = a.join(b, "doc_id").localCheckpoint()
+    x, y = common.alias("x"), common.alias("y")
+    pairs = x.join(
+        y, F.col("x.doc_id") < F.col("y.doc_id")
+    ).select(
+        (
+            (F.col("x.ra") < F.col("y.ra")) == (F.col("x.rb") < F.col("y.rb"))
+        )
+        .cast("long")
+        .alias("conc")
+    )
+    pa = pairs.agg(
+        F.coalesce(F.sum("conc"), F.lit(0)).alias("n_concordant"),
+        F.coalesce(F.sum(F.lit(1) - F.col("conc")), F.lit(0)).alias(
+            "n_discordant"
+        ),
+    )
+    ca = common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.coalesce(
+            F.sum(F.abs(F.col("ra") - F.col("rb"))), F.lit(0)
+        ).alias("footrule"),
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_base"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_expanded"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(ca)
+        .crossJoin(pa)
+        .select(
+            "n_base",
+            "n_expanded",
+            "n_common",
+            "footrule",
+            "n_concordant",
+            "n_discordant",
+            F.expr(
+                "CASE WHEN n_concordant + n_discordant = 0 THEN NULL"
+                " WHEN n_concordant >= n_discordant"
+                " THEN (2000000 * (n_concordant - n_discordant)"
+                "       + (n_concordant + n_discordant))"
+                "      div (2 * (n_concordant + n_discordant))"
+                " ELSE -((2000000 * (n_discordant - n_concordant)"
+                "       + (n_concordant + n_discordant))"
+                "      div (2 * (n_concordant + n_discordant))) END"
+            ).alias("tau_micros"),
+        )
+    )
+
+
+QUERIES["search_rank_shift"] = search_rank_shift
+
+ORACLES["search_rank_shift"] = f"""
+    WITH base AS ({ORACLES['search_bm25']}),
+    expd AS ({ORACLES['search_prf_expansion']}),
+    common AS (
+        SELECT base.doc_id, base.rank AS ra, expd.rank AS rb
+        FROM base JOIN expd ON base.doc_id = expd.doc_id
+    ), pairs AS (
+        SELECT CAST(CASE WHEN (x.ra < y.ra) = (x.rb < y.rb)
+                    THEN 1 ELSE 0 END AS BIGINT) AS conc
+        FROM common x JOIN common y ON x.doc_id < y.doc_id
+    ), pa AS (
+        SELECT CAST(coalesce(sum(conc), 0) AS BIGINT) AS n_concordant,
+               CAST(coalesce(sum(1 - conc), 0) AS BIGINT) AS n_discordant
+        FROM pairs
+    ), ca AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common,
+               CAST(coalesce(sum(abs(ra - rb)), 0) AS BIGINT) AS footrule
+        FROM common
+    ), na AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM base),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_expanded FROM expd)
+    SELECT n_base, n_expanded, n_common, footrule,
+           n_concordant, n_discordant,
+           CASE WHEN n_concordant + n_discordant = 0 THEN NULL
+                WHEN n_concordant >= n_discordant
+                THEN (2000000 * (n_concordant - n_discordant)
+                      + (n_concordant + n_discordant))
+                     // (2 * (n_concordant + n_discordant))
+                ELSE -((2000000 * (n_discordant - n_concordant)
+                      + (n_concordant + n_discordant))
+                     // (2 * (n_concordant + n_discordant))) END
+               AS tau_micros
+    FROM na, nb, ca, pa
+"""

@@ -942,3 +942,106 @@ def _mase_oracle() -> str:
 
 
 ORACLES["timeseries_backtest_mase"] = _mase_oracle()
+
+
+# ------------------------------------------- deseasonalized anomalies
+# The seasonal complement of timeseries_mad_anomaly: remove the
+# day-of-week profile FIRST, then flag residual outliers with the
+# robust median/MAD rule — a Monday sales spike is normal, the same
+# spike on a Sunday is not; raw-value MAD can't tell them apart.
+# Exactness chain: per-dow mean value is snapped HALF-UP TO MICROS
+# (ratio_units — the defined seasonal profile contract), residuals
+# r = 10⁴·cents − mean_micros are exact integers, and the global
+# median/MAD run on the doubled-value rail (med2 = percentile(2r, .5)
+# is integer-valued for integer r; flag is the pure compare
+# 2·|2r − med2| > 3·mad4 — timeseries_mad_anomaly's discipline on the
+# residual axis). Output per dow: profile + anomaly count after
+# deseasonalization.
+#
+# Scale: one event scan → |dow|=7-row profile (broadcast back), one
+# residual re-scan, two tiny global percentile aggregates. Exact
+# medians over the full corpus are the stated fixture-scale contract;
+# the extreme-scale path is the two-pass histogram refinement
+# documented at timeseries_mad_anomaly.
+
+
+def timeseries_deseasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units
+    from ..functions.time import epoch_micros
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        (
+            ((epoch_micros(F.col("ts")) / F.lit(DAY_US)).cast("long") + 4) % 7
+        ).alias("dow"),
+        iunits(F.col("value"), 2).alias("v"),
+    )
+    prof = (
+        per.groupBy("dow")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "dow",
+            "c",
+            ratio_units("s", "c", 10_000).alias("mean_micros"),
+        )
+        .localCheckpoint()
+    )
+    res = per.join(F.broadcast(prof), "dow").select(
+        "dow",
+        (F.col("v") * F.lit(10_000) - F.col("mean_micros")).alias("r"),
+    )
+    med = res.agg(
+        F.expr("CAST(percentile(2 * r, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = res.crossJoin(F.broadcast(med)).select(
+        "dow", "r", "med2", F.abs(2 * F.col("r") - F.col("med2")).alias("d")
+    )
+    mad = dev.agg(
+        F.expr("CAST(percentile(2 * d, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(2 * F.col("d") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_anomalous"),
+        )
+        .join(prof.select("dow", "mean_micros"), "dow")
+        .select("dow", "n_events", "mean_micros", "n_anomalous")
+    )
+
+
+QUERIES["timeseries_deseasonal_anomaly"] = timeseries_deseasonal_anomaly
+
+ORACLES["timeseries_deseasonal_anomaly"] = """
+    WITH per AS (
+        SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), prof AS (
+        SELECT dow,
+               (CASE WHEN CAST(count(*) AS BIGINT) = 0 THEN NULL ELSE
+                (2 * 10000 * CAST(sum(v) AS BIGINT) + CAST(count(*) AS BIGINT))
+                // (2 * CAST(count(*) AS BIGINT)) END) AS mean_micros
+        FROM per GROUP BY 1
+    ), res AS (
+        SELECT per.dow, per.v * 10000 - prof.mean_micros AS r
+        FROM per JOIN prof ON per.dow = prof.dow
+    ), med AS (
+        SELECT CAST(median(2 * r) AS BIGINT) AS med2 FROM res
+    ), dev AS (
+        SELECT dow, abs(2 * r - med2) AS d FROM res, med
+    ), mad AS (
+        SELECT CAST(median(2 * d) AS BIGINT) AS mad4 FROM dev
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(prof.mean_micros) AS BIGINT) AS mean_micros,
+           CAST(sum(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalous
+    FROM dev JOIN prof USING (dow), mad
+    GROUP BY 1
+"""

@@ -672,3 +672,77 @@ def test_bmp_histogram_mass_conservation(spark):
         w, h = mid % 13 + 1, mid % 9 + 1
         assert total == w * h * 3
         assert buckets[mid] == set(range(8))
+
+
+def test_round9_batch9_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in (
+        "privacy_t_closeness",
+        "search_rank_shift",
+        "timeseries_deseasonal_anomaly",
+    ):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_t_closeness_extremes(spark, tmp_path):
+    """A group distributed exactly like the global mixture has EMD 0;
+    fully-concentrated groups score the mixture's full mass. Two
+    equal-size groups alone CANNOT differ (their deviations mirror),
+    so the scenario needs a balanced third group. Bands are
+    floor(acctbal_cents/1e5), i.e. 1000.00-wide."""
+    from multithreaded_map_reduce_spark.queries.privacy import (
+        privacy_t_closeness,
+    )
+
+    rows = []
+    k = 0
+    for bal in [0.0] * 10 + [9500.0] * 10:  # group A: 50/50 (= global)
+        rows.append((k, f"c{k}", 0, bal, "A")); k += 1
+    for _ in range(10):  # group B: all at band 9
+        rows.append((k, f"c{k}", 1, 9500.0, "B")); k += 1
+    for _ in range(10):  # group C: all at band 0 (balances B)
+        rows.append((k, f"c{k}", 2, 0.0, "C")); k += 1
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    out = {
+        r["c_mktsegment"]: r for r in privacy_t_closeness(spark, d).collect()
+    }
+    # global = 20 at band 0 / 20 at band 9 (50/50, m=2)
+    assert out["A"]["emd_micros"] == 0 and out["A"]["suppress"] == 0
+    assert out["B"]["emd_micros"] == 500_000 and out["B"]["suppress"] == 1
+    assert out["C"]["emd_micros"] == 500_000 and out["C"]["suppress"] == 1
+
+
+def test_rank_shift_self_comparison_bounds(spark):
+    """tau in [-1e6, 1e6]; footrule 0 iff tau == 1e6 on the common set
+    (identical orderings); counts consistent."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        search_rank_shift,
+    )
+
+    r = search_rank_shift(spark, SF_SMOKE).collect()[0]
+    assert r["n_common"] <= min(r["n_base"], r["n_expanded"])
+    npairs = r["n_common"] * (r["n_common"] - 1) // 2
+    assert r["n_concordant"] + r["n_discordant"] == npairs
+    if r["tau_micros"] is not None:
+        assert -1_000_000 <= r["tau_micros"] <= 1_000_000
+    if r["footrule"] == 0 and npairs > 0:
+        assert r["tau_micros"] == 1_000_000
+
+
+def test_deseasonal_profile_shape(spark):
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        timeseries_deseasonal_anomaly,
+    )
+
+    rows = timeseries_deseasonal_anomaly(spark, SF_SMOKE).collect()
+    assert {r["dow"] for r in rows} <= set(range(7))
+    for r in rows:
+        assert 0 <= r["n_anomalous"] <= r["n_events"]
