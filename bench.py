@@ -168,6 +168,7 @@ HEADLINE = [
     "multimodal_bmp_histogram",
     "privacy_t_closeness",
     "timeseries_deseasonal_anomaly",
+    "embedding_mmd_drift",
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.

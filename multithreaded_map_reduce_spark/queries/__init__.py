@@ -242,6 +242,7 @@ _NEW_THIS_ROUND: list[str] = [
     "privacy_t_closeness",
     "search_rank_shift",
     "timeseries_deseasonal_anomaly",
+    "embedding_mmd_drift",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

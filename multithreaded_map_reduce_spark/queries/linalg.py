@@ -563,3 +563,107 @@ def _edrift_oracle() -> str:
 
 
 ORACLES["embedding_drift_cells"] = _edrift_oracle()
+
+
+# ------------------------------------------------ mean-embedding drift
+# Linear-kernel MMD between the day-1 and day-2 embedding populations:
+# with a linear kernel, MMD² collapses to ‖μ₁ − μ₂‖² exactly, so the
+# classic two-sample representation-drift test becomes pure integer
+# arithmetic — per dimension d = (s1·n2 − s2·n1)/(n1·n2) over exact
+# micro-unit sums, reported as the signed snapped mean gap and its
+# squared contribution (products on the DECIMAL(38,0)/HUGEINT rail:
+# s·n reaches ~2.5e13 at sf0.1 and its square ~6e26). The global
+# ‖μ₁−μ₂‖² is the column sum. This is the per-DIMENSION lens on the
+# same hazard embedding_drift_cells covers per-CELL: cells catch
+# reassignment (direction changes), the mean gap catches uniform
+# translation/scaling cells can miss — production monitors run both.
+# Zero-norm vectors are legitimate population members here (means,
+# not cosine ordering), so nothing is excluded.
+#
+# Scale: one posexplode scan with conditional map-side sums into
+# 64 groups — no join, no quadratic term, the embedding_standardize
+# profile.
+
+
+def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 10 == 0).cast("int").alias("is_day2"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    cells = emb.select(
+        "dim", "is_day2", iunits(F.col("val").cast("double"), 6).alias("v")
+    )
+    stats = cells.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_day2") == 0, F.col("v")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("is_day2") == 1, F.col("v")).otherwise(0)).alias("s2"),
+        F.sum(1 - F.col("is_day2")).alias("n1"),
+        F.sum("is_day2").alias("n2"),
+    )
+    num = "CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1"
+    den = "CAST(n1 AS DECIMAL(38,0)) * n2"
+    return stats.select(
+        "dim",
+        "n1",
+        "n2",
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" WHEN {num} >= 0"
+            f" THEN CAST((2 * ({num}) + ({den})) div (2 * ({den})) AS BIGINT)"
+            f" ELSE -CAST((2 * (-({num})) + ({den})) div (2 * ({den})) AS BIGINT)"
+            " END"
+        ).alias("gap_units"),
+        ratio_units_dec(f"({num}) * ({num})", f"({den}) * ({den})", 1).alias(
+            "contrib_units2"
+        ),
+    )
+
+
+QUERIES["embedding_mmd_drift"] = embedding_mmd_drift
+
+
+def _mmd_oracle() -> str:
+    from ..functions.rounding import sql_ratio_units_dec
+
+    num = "CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1"
+    den = "CAST(n1 AS HUGEINT) * n2"
+    return f"""
+    WITH cells AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_day2,
+               CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS v
+        FROM (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+    ), stats AS (
+        SELECT dim,
+               CAST(sum(CASE WHEN is_day2 = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS s1,
+               CAST(sum(CASE WHEN is_day2 = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS s2,
+               CAST(sum(1 - is_day2) AS BIGINT) AS n1,
+               CAST(sum(is_day2) AS BIGINT) AS n2
+        FROM cells GROUP BY 1
+    )
+    SELECT dim, n1, n2,
+           CASE WHEN {den} = 0 THEN NULL
+                WHEN {num} >= 0
+                THEN CAST((2 * ({num}) + ({den})) // (2 * ({den})) AS BIGINT)
+                ELSE -CAST((2 * (-({num})) + ({den})) // (2 * ({den}))
+                     AS BIGINT)
+           END AS gap_units,
+           {sql_ratio_units_dec(f'({num}) * ({num})', f'({den}) * ({den})', 1)}
+               AS contrib_units2
+    FROM stats
+"""
+
+
+ORACLES["embedding_mmd_drift"] = _mmd_oracle()

@@ -746,3 +746,47 @@ def test_deseasonal_profile_shape(spark):
     assert {r["dow"] for r in rows} <= set(range(7))
     for r in rows:
         assert 0 <= r["n_anomalous"] <= r["n_events"]
+
+
+def test_round9_batch10_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(
+        spark, qs["embedding_mmd_drift"], os_["embedding_mmd_drift"], SF_SMOKE
+    )
+
+
+def test_mmd_drift_zero_on_identical_populations(spark, tmp_path):
+    """Identical day-1/day-2 populations give gap 0 in every dimension;
+    a translated day-2 population shows the exact translation."""
+    from multithreaded_map_reduce_spark.queries.linalg import (
+        embedding_mmd_drift,
+    )
+
+    vec = [0.5, -0.25, 0.0, 1.0]
+    rows = []
+    for i in range(20):
+        # vec_id % 10 == 0 -> day2; ids 0,10 are day2 with SAME vector
+        rows.append((i, vec if i % 10 == 0 else vec, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "same")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    for r in embedding_mmd_drift(spark, d).collect():
+        assert r["gap_units"] == 0 and r["contrib_units2"] == 0
+
+    shifted = [
+        (i, [v + 0.125 for v in vec] if i % 10 == 0 else vec, 0)
+        for i in range(20)
+    ]
+    df2 = spark.createDataFrame(
+        shifted, "vec_id long, embedding array<float>, label int"
+    )
+    d2 = str(tmp_path / "shift")
+    df2.write.mode("overwrite").parquet(f"{d2}/embeddings.parquet")
+    for r in embedding_mmd_drift(spark, d2).collect():
+        # day1 mean - day2 mean = -0.125 -> gap -125000 micro-units
+        assert r["gap_units"] == -125_000
+        assert r["contrib_units2"] == 125_000 * 125_000
