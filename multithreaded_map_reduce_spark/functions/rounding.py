@@ -192,3 +192,41 @@ def sql_ratio_micros(num: str, den: str) -> str:
     n = f"CAST(({num}) AS BIGINT)"
     d = f"CAST(({den}) AS BIGINT)"
     return f"(CASE WHEN {d} = 0 THEN NULL ELSE (2000000 * {n} + {d}) // (2 * {d}) END)"
+
+
+def iunits_grid(col: Column, n: int = 6, guard: int = 1) -> Column:
+    """Float input → exact integer units of 10^-n for inputs whose TRUE
+    decimal granularity is finer than 10^-n but no finer than
+    10^-(n+guard) — the round-9 fix for the REAL-tie class the jitter
+    audit caught on the embeddings fixture (values like -0.0170775 tie
+    exactly at the micro half-grid, so ``iunits`` floor(x·1e6 + 0.5)
+    sits within float32-noise of its boundary). Two stages: the
+    FLOAT-domain snap runs at the guard scale, where grid data lands
+    ~0.5 away from any floor boundary (robust under FMA/libm ulp), and
+    the 10^guard→1 reduction is PURE-INTEGER half-up via an offset
+    truncating division (offset makes the operand positive, where
+    Spark ``div`` and DuckDB ``//`` agree; floor==truncate there).
+    Domain: |value·10^(n+guard)| < 10^9 (embeddings are unit-scale)."""
+    g = 10**guard
+    off = 10_000_000_000
+    v7 = F.floor(col * F.lit(float(10 ** (n + guard))) + F.lit(0.5)).cast("long")
+    # offset-shifted reduction: the operand is a positive exact integer
+    # < 1.1e11 (< 2^53, exactly representable), the /g quotient is
+    # correctly rounded and its floor boundaries fall only on exact
+    # multiples — deterministic on any IEEE build
+    return (
+        F.floor((v7 + F.lit(g // 2) + F.lit(off * g)) / F.lit(float(g))).cast(
+            "long"
+        )
+        - F.lit(off)
+    )
+
+
+def sql_iunits_grid(expr: str, n: int = 6, guard: int = 1) -> str:
+    g = 10**guard
+    off = 10_000_000_000
+    v7 = f"CAST(floor(({expr}) * {float(10 ** (n + guard))} + 0.5) AS BIGINT)"
+    return (
+        f"(CAST(floor((({v7}) + {g // 2} + {off * g}) / {float(g)}) AS BIGINT)"
+        f" - {off})"
+    )

@@ -45,6 +45,7 @@ EPS = 2.0**-20
 
 _ORIG_PROUND = R.pround
 _ORIG_IUNITS = R.iunits
+_ORIG_IUNITS_GRID = R.iunits_grid
 
 
 def _locations() -> list[tuple[object, str]]:
@@ -56,7 +57,11 @@ def _locations() -> list[tuple[object, str]]:
     for name, mod in list(sys.modules.items()):
         if not name.startswith("multithreaded_map_reduce_spark"):
             continue
-        for attr, orig in (("pround", _ORIG_PROUND), ("iunits", _ORIG_IUNITS)):
+        for attr, orig in (
+            ("pround", _ORIG_PROUND),
+            ("iunits", _ORIG_IUNITS),
+            ("iunits_grid", _ORIG_IUNITS_GRID),
+        ):
             if getattr(mod, attr, None) is orig:
                 locs.append((mod, attr))
     return locs
@@ -73,7 +78,21 @@ def _jittered(delta: float):
         scale = float(10**n)
         return F.floor(col * F.lit(scale) + F.lit(0.5 + delta)).cast("long")
 
-    return {"pround": pround, "iunits": iunits}
+    def iunits_grid(col: Column, n: int = 6, guard: int = 1) -> Column:
+        # jitter the FLOAT-domain stage only; the reduction is integer
+        g = 10**guard
+        off = 10_000_000_000
+        v7 = F.floor(
+            col * F.lit(float(10 ** (n + guard))) + F.lit(0.5 + delta)
+        ).cast("long")
+        return (
+            F.floor(
+                (v7 + F.lit(g // 2) + F.lit(off * g)) / F.lit(float(g))
+            ).cast("long")
+            - F.lit(off)
+        )
+
+    return {"pround": pround, "iunits": iunits, "iunits_grid": iunits_grid}
 
 
 class patched:
@@ -90,10 +109,13 @@ class patched:
         return self
 
     def __exit__(self, *exc):
+        originals = {
+            "pround": _ORIG_PROUND,
+            "iunits": _ORIG_IUNITS,
+            "iunits_grid": _ORIG_IUNITS_GRID,
+        }
         for mod, attr in self.locs:
-            setattr(
-                mod, attr, _ORIG_PROUND if attr == "pround" else _ORIG_IUNITS
-            )
+            setattr(mod, attr, originals[attr])
         return False
 
 
@@ -106,7 +128,11 @@ def _counting(counter: dict):
         counter["n"] += 1
         return _ORIG_IUNITS(col, n)
 
-    return {"pround": pround, "iunits": iunits}
+    def iunits_grid(col: Column, n: int = 6, guard: int = 1) -> Column:
+        counter["n"] += 1
+        return _ORIG_IUNITS_GRID(col, n, guard)
+
+    return {"pround": pround, "iunits": iunits, "iunits_grid": iunits_grid}
 
 
 def uses_rounding(spark, fn, sf_dir: str) -> bool:
