@@ -526,3 +526,63 @@ def extract_bmp_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, "media_id long, bucket int, n_bytes long")
+
+
+def audio_activity_segments(
+    media: DataFrame, frame: int = 8, thresh: int = 900
+) -> DataFrame:
+    """Energy-gated activity segmentation (VAD-lite, round 9): decode
+    each WAV, frame the PCM into ``frame``-sample windows, mark frames
+    whose uint8-sum energy clears ``thresh``, and report the RUN
+    structure — active frames, contiguous segments, longest run. This
+    is the segmentation primitive under diarization/silence-trim
+    pipelines; like the fingerprint it is pure integer arithmetic on
+    decoded bytes, so the oracle replays it straight from
+    (doc_id, text) and one wrong byte anywhere breaks the hash."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_frames": [],
+                "n_active": [],
+                "n_segments": [],
+                "longest_run": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                nf = len(arr) // frame
+                e = (
+                    arr[: nf * frame]
+                    .reshape(nf, frame)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                act = e >= thresh
+                n_active = int(act.sum())
+                starts = int(
+                    (act & ~np.concatenate(([False], act[:-1]))).sum()
+                )
+                longest = 0
+                cur = 0
+                for a in act:
+                    cur = cur + 1 if a else 0
+                    longest = max(longest, cur)
+                out["media_id"].append(mid)
+                out["n_frames"].append(nf)
+                out["n_active"].append(n_active)
+                out["n_segments"].append(starts)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_frames long, n_active long,"
+        " n_segments long, longest_run long",
+    )

