@@ -170,6 +170,7 @@ HEADLINE = [
     "timeseries_deseasonal_anomaly",
     "embedding_mmd_drift",
     "multimodal_audio_segments",
+    "mr_grep",
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.

@@ -116,3 +116,36 @@ def run_chained_freq_of_freq(docs: DataFrame) -> DataFrame:
         combine_fn=lambda acc, v: acc + v,
         out_schema=FOF_SCHEMA,
     )
+
+
+GREP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_matches", T.LongType(), False),
+    ]
+)
+
+
+def run_grep(docs: DataFrame, pattern: str) -> DataFrame:
+    """Distributed grep — the third canonical MapReduce program from
+    Dean & Ghemawat 2004 §2.3 alongside word count and the inverted
+    index (the reference ships only the latter two): map emits
+    (doc_id, 1) per token equal to the pattern, reduce sums — i.e.,
+    "which documents mention X and how often". The map function is
+    ordinary Python running through the generic ``map_fn`` adapter,
+    exactly the client surface the reference exposes."""
+
+    def map_fn(doc_id, text):
+        for tok in text.split():
+            if tok == pattern:
+                yield (int(doc_id), 1)
+
+    prog = MapReduce(map_fn, None, name="Grep")
+    return prog.run_with_combiner(
+        docs,
+        "doc_id",
+        "text",
+        zero=0,
+        combine_fn=lambda acc, v: acc + v,
+        out_schema=GREP_SCHEMA,
+    )

@@ -244,6 +244,7 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_deseasonal_anomaly",
     "embedding_mmd_drift",
     "multimodal_audio_segments",
+    "mr_grep",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

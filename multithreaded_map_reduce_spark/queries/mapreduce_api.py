@@ -47,3 +47,31 @@ ORACLES["mr_chained_freq_of_freq"] = f"""
     SELECT cnt AS freq, count(*) AS n_words
     FROM wc GROUP BY 1
 """
+
+
+GREP_PATTERN = "merge"  # fixed needle, present across the fixture corpus
+
+
+def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep through the reference-parity MapReduce API —
+    completes the Dean & Ghemawat 2004 §2.3 canonical program set
+    (grep + word count + inverted index + reverse web-link graph, the
+    last already realized as ``reverse_graph``)."""
+    from ..operators.programs import run_grep
+
+    return run_grep(load_table(spark, sf_dir, "documents"), GREP_PATTERN)
+
+
+QUERIES["mr_grep"] = mr_grep
+
+ORACLES["mr_grep"] = """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    WHERE tok = '{P}'
+    GROUP BY 1
+""".replace(
+    "{P}", GREP_PATTERN
+)

@@ -828,3 +828,38 @@ def test_audio_segments_invariants(spark):
         if 0 < r["n_active"] < r["n_frames"]:
             saw_mixed = True
     assert saw_mixed, "threshold produced no active/inactive mix"
+
+
+def test_mr_grep_gate_and_parity(spark):
+    """mr_grep matches its oracle AND a declarative recount — the MR
+    adapter path and the Spark-first path agree."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from multithreaded_map_reduce_spark.queries.mapreduce_api import (
+        GREP_PATTERN,
+        mr_grep,
+    )
+    from multithreaded_map_reduce_spark.sources.catalog import load_table
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(spark, qs["mr_grep"], os_["mr_grep"], SF_SMOKE)
+    got = {
+        r["doc_id"]: r["n_matches"] for r in mr_grep(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size(
+                F.filter("toks", lambda t: t == F.lit(GREP_PATTERN))
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert got == want
