@@ -171,6 +171,8 @@ HEADLINE = [
     "embedding_mmd_drift",
     "multimodal_audio_segments",
     "mr_grep",
+    "curation_dataset_card",
+    "events_bounce_rate",
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.

@@ -245,6 +245,8 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_mmd_drift",
     "multimodal_audio_segments",
     "mr_grep",
+    "curation_dataset_card",
+    "events_bounce_rate",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

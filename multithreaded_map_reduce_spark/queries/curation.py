@@ -2313,3 +2313,88 @@ ORACLES["curation_mixture_dedupaware"] = f"""
            (eff_total * {MIX_BUDGET_PCT} // 100) * w // sum_w AS quota
     FROM w, totals
 """
+
+
+# ----------------------------------------------------------- dataset card
+# The one-row summary every released dataset ships (Gebru et al.
+# "Datasheets for Datasets"; HF dataset cards): corpus size, token
+# mass, language/source breadth, exact-duplicate rate, and mean doc
+# length — each number computed on the SAME rails the dedicated
+# operators use (dedup_exact's min-id survivors, the tokenizer
+# contract), so the card can never drift from the pipeline it
+# describes. All exact integers / half-up micros.
+#
+# Scale: one tokenize scan (map-side token counts), one text-keyed
+# dedup aggregate, two tiny distinct-counts — every stage is an
+# aggregation with map-side partials; the card is ONE row.
+
+
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    base = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    uniq = per.groupBy("text").agg(F.lit(1).alias("_o")).agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    return (
+        base.crossJoin(uniq)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "n_unique",
+            ratio_micros("n_docs - n_unique", "n_docs").alias(
+                "dup_rate_micros"
+            ),
+            ratio_micros("n_tokens", "n_docs").alias("mean_doc_tokens_micros"),
+        )
+    )
+
+
+QUERIES["curation_dataset_card"] = curation_dataset_card
+
+
+def _dataset_card_oracle() -> str:
+    from ..functions.hashing import sql_tokens
+    from ..functions.rounding import sql_ratio_micros
+
+    return f"""
+    WITH per AS (
+        SELECT doc_id, text, lang, source,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks
+        FROM documents
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM per
+    ), uniq AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_unique
+        FROM (SELECT 1 FROM per GROUP BY text)
+    )
+    SELECT n_docs, n_tokens, n_langs, n_sources, n_unique,
+           {sql_ratio_micros('n_docs - n_unique', 'n_docs')}
+               AS dup_rate_micros,
+           {sql_ratio_micros('n_tokens', 'n_docs')}
+               AS mean_doc_tokens_micros
+    FROM base, uniq
+"""
+
+
+ORACLES["curation_dataset_card"] = _dataset_card_oracle()

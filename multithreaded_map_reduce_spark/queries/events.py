@@ -1564,3 +1564,67 @@ ORACLES["events_rfm"] = f"""
                 AS INTEGER) AS rfm_code
     FROM per
 """
+
+
+# ------------------------------------------------------- bounce rate
+# Single-event sessions over total sessions per day — the classic web
+# engagement KPI, computed on the SAME session contract as
+# events_session (10-minute-gap session windows per user). Gaps-and-
+# islands on the oracle side matches session_window semantics exactly
+# (session end = last event + gap), so the KPI is hash-pinned to the
+# session operator it summarizes. One user-keyed shuffle + one
+# day-keyed aggregate; sessions are attributed to their START day.
+
+
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "10 minutes")
+    sess = ev.groupBy(sw, "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    per_day = sess.select(
+        F.to_date(F.col("session_window.start")).alias("day"),
+        (F.col("n_events") == 1).cast("long").alias("bounce"),
+    )
+    return per_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("bounce").alias("n_bounces"),
+    ).withColumn("bounce_rate_micros", ratio_micros("n_bounces", "n_sessions"))
+
+
+QUERIES["events_bounce_rate"] = events_bounce_rate
+
+ORACLES["events_bounce_rate"] = """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL '10 minutes'
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, sid,
+               CAST(min(ts) AS DATE) AS day,
+               count(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           (CASE WHEN count(*) = 0 THEN NULL ELSE
+            (2000000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) + CAST(count(*) AS BIGINT))
+            // (2 * CAST(count(*) AS BIGINT)) END) AS bounce_rate_micros
+    FROM sess GROUP BY 1
+"""

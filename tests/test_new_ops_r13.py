@@ -863,3 +863,37 @@ def test_mr_grep_gate_and_parity(spark):
         .collect()
     }
     assert got == want
+
+
+def test_round9_batch12_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    for name in ("curation_dataset_card", "events_bounce_rate"):
+        compare(spark, qs[name], os_[name], SF_SMOKE)
+
+
+def test_dataset_card_consistency(spark):
+    """Card numbers agree with the dedicated rails they summarize."""
+    from multithreaded_map_reduce_spark.queries.curation import (
+        curation_dataset_card,
+    )
+    from multithreaded_map_reduce_spark.queries.dedup import dedup_exact
+
+    card = curation_dataset_card(spark, SF_SMOKE).collect()[0]
+    n_unique = dedup_exact(spark, SF_SMOKE).count()
+    assert card["n_unique"] == n_unique
+    assert 0 <= card["dup_rate_micros"] <= 1_000_000
+    assert card["n_docs"] >= card["n_unique"]
+
+
+def test_bounce_rate_bounds(spark):
+    from multithreaded_map_reduce_spark.queries.events import (
+        events_bounce_rate,
+    )
+
+    rows = events_bounce_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0 <= r["bounce_rate_micros"] <= 1_000_000
