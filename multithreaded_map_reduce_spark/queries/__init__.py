@@ -252,6 +252,15 @@ _NEW_THIS_ROUND: list[str] = [
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
+    # round 9 FIRST (freshest change = oldest evidence gap for the
+    # CURRENT code; the round-7/5/4 entries below were all re-verified
+    # green in rounds 7-8 and only remain as belt-and-braces):
+    # zero-norm guard added to the ANN index build + probe — same
+    # fixture results, but plan and oracle text changed:
+    "streaming_ann_probe",
+    # iunits_grid input snap + exact integer-decided z (values can
+    # shift one micro at the former tie cells):
+    "embedding_standardize",
     # round 7: the jitter audit (tests/boundary_audit.py) flagged these
     # as rounding-boundary fragile; all were converted to exact
     # decimal/integer snaps with one final display division — values
@@ -314,15 +323,6 @@ _CHANGED_SINCE_GREEN = [
     "dedup_clusters",
     "dedup_clusters_bigstar",
     "curation_decontaminate",
-    # round 9: zero-norm guard added to the ANN index build + probe
-    # (filter on both engines) — same results on the fixture (no
-    # zero-norm vectors exist), but the plan and oracle text changed:
-    "streaming_ann_probe",
-    # round 9: the jitter audit caught a REAL micro-half-grid tie in
-    # the current embeddings fixture — the input snap moved to
-    # iunits_grid and the z output to an exact integer-decided
-    # rational; values change at the former tie cells:
-    "embedding_standardize",
 ]
 
 
@@ -367,10 +367,19 @@ def _rerank() -> None:
         for n in _NEW_THIS_ROUND
         if n in ALL_QUERIES and n not in dset and n not in verified
     ]
+    # exclude duplicates with the FRESH list (not the whole
+    # _NEW_THIS_ROUND set: an entry introduced in an old round, since
+    # verified, then CHANGED again must re-enter through this lane —
+    # round 9's streaming_ann_probe was silently deprioritized by the
+    # broader exclusion)
+    fset = set(fresh)
     changed = [
         n
         for n in _CHANGED_SINCE_GREEN
-        if n in ALL_QUERIES and n not in backlog and n not in new and n not in dset
+        if n in ALL_QUERIES
+        and n not in backlog
+        and n not in fset
+        and n not in dset
     ]
     head = diag + backlog + fresh + changed
     order = head + [n for n in ALL_QUERIES if n not in head]
