@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import iunits
+from ..functions.rounding import iunits_grid
 
 VSCALE = 1_000_000  # fixed-point scale of the iterate v
 
@@ -56,7 +56,7 @@ def power_iteration(
     spark = emb.sparkSession
     vecs = emb.select(
         F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: iunits(x, 6)).alias("qvec"),
+        F.transform(vec_col, lambda x: iunits_grid(x, 6)).alias("qvec"),
     )
     v_df = spark.range(1).select(
         F.array(*[F.lit(VSCALE).cast("long") for _ in range(dim)]).alias("varr")
@@ -111,8 +111,10 @@ def sql_power_iteration(
     ctes = [
         f"""q AS MATERIALIZED (
             SELECT {id_col} AS id, generate_subscripts({vec_col}, 1) - 1 AS i,
-                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1000000.0
-                              + 0.5) AS BIGINT) AS qx
+                   (CAST(floor(((CAST(floor(CAST(unnest({vec_col}) AS DOUBLE)
+                              * 10000000.0 + 0.5) AS BIGINT))
+                              + 5 + 100000000000) / 10.0) AS BIGINT)
+                              - 10000000000) AS qx
             FROM {table}
         ),
         v0 AS (SELECT CAST(range AS INTEGER) AS i, CAST({VSCALE} AS HUGEINT) AS v
@@ -190,7 +192,7 @@ def power_iteration2(
     )
     vecs = emb.select(
         F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: iunits(x, 6)).alias("qvec"),
+        F.transform(vec_col, lambda x: iunits_grid(x, 6)).alias("qvec"),
     )
     w_df = spark.range(1).select(
         F.array(*[F.lit(VSCALE).cast("long") for _ in range(dim)]).alias("warr")

@@ -810,32 +810,43 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
         F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("sxy"),
     )
-    theta = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
-    gx = F.col("sx").cast("double") / F.col("n").cast("double")
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast(dec).alias("na"),
         F.sum(F.col("x").cast(dec)).alias("ax"),
         F.sum(F.col("y").cast(dec)).alias("ay"),
     )
+    # round 9: the adjusted mean was a multi-op double chain
+    # (theta regression + two divisions) under pround — the full-sweep
+    # jitter audit caught a real 1e-4 tie on the regenerated fixture.
+    # Now the ENTIRE estimator is one signed rational of exact DECIMAL
+    # moments: with D = n·sxx − sx², N = n·sxy − sx·sy,
+    # cuped = [ay·D·n − N·(ax·n − na·sx)] / (na·n·D · 1e6), snapped
+    # half-up to 4 dp in integer arithmetic; raw_mean likewise. The
+    # only doubles are the final /1e4 displays of exact BIGINTs.
+    # D = 0 (constant covariate) yields NULL — the defined contract.
+    def _signed_ratio4(num: str, den: str) -> "F.Column":
+        return F.expr(
+            f"CASE WHEN ({den}) = 0 THEN NULL"
+            f" WHEN ({num}) >= 0"
+            f" THEN CAST((2 * ({num}) + ({den})) div (2 * ({den})) AS BIGINT)"
+            f" ELSE -CAST((2 * (-({num})) + ({den})) div (2 * ({den}))"
+            " AS BIGINT) END"
+        )
+
+    Dt = "(n * sxx - sx * sx)"
+    Nt = "(n * sxy - sx * sy)"
+    num_c = f"(ay * {Dt} * n - {Nt} * (ax * n - na * sx))"
+    den_c = f"(na * n * {Dt} * 100)"
     return (
         arms.crossJoin(F.broadcast(mom))
         .select(
             F.col("arm").cast("long").alias("arm"),
             F.col("na").cast("long").alias("n_users"),
-            pround(
-                F.col("ay").cast("double") / F.col("na").cast("double") / 1e6, 4
+            (
+                _signed_ratio4("ay", "na * 100").cast("double") / F.lit(1e4)
             ).alias("raw_mean"),
-            pround(
-                (
-                    F.col("ay").cast("double") / F.col("na").cast("double")
-                    - theta
-                    * (F.col("ax").cast("double") / F.col("na").cast("double") - gx)
-                )
-                / 1e6,
-                4,
+            (
+                _signed_ratio4(num_c, den_c).cast("double") / F.lit(1e4)
             ).alias("cuped_mean"),
         )
     )
@@ -875,17 +886,33 @@ ORACLES["events_cuped"] = f"""
                sum(CAST(y AS DECIMAL(38,0))) AS ay
         FROM per_user GROUP BY arm
     )
-    SELECT CAST(arm AS BIGINT) AS arm,
+    , h AS (
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(na AS HUGEINT) AS na, CAST(ax AS HUGEINT) AS ax,
+               CAST(ay AS HUGEINT) AS ay, CAST(n AS HUGEINT) AS n,
+               CAST(sx AS HUGEINT) AS sx, CAST(sy AS HUGEINT) AS sy,
+               CAST(sxx AS HUGEINT) AS sxx, CAST(sxy AS HUGEINT) AS sxy
+        FROM arms, mom
+    )
+    SELECT arm,
            CAST(na AS BIGINT) AS n_users,
-           {_sql_pr_cuped('CAST(ay AS DOUBLE) / CAST(na AS DOUBLE) / 1e6', 4)} AS raw_mean,
-           {_sql_pr_cuped(
-               '(CAST(ay AS DOUBLE) / CAST(na AS DOUBLE)'
-               ' - (CAST(n * sxy - sx * sy AS DOUBLE)'
-               '    / CAST(n * sxx - sx * sx AS DOUBLE))'
-               '   * (CAST(ax AS DOUBLE) / CAST(na AS DOUBLE)'
-               '      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6', 4)}
-               AS cuped_mean
-    FROM arms, mom
+           CAST(CASE WHEN ay >= 0
+                THEN CAST((2 * ay + na * 100) // (2 * na * 100) AS BIGINT)
+                ELSE -CAST((2 * (-ay) + na * 100) // (2 * na * 100)
+                     AS BIGINT) END AS DOUBLE) / 1e4 AS raw_mean,
+           CAST(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                WHEN (ay * (n * sxx - sx * sx) * n
+                      - (n * sxy - sx * sy) * (ax * n - na * sx)) >= 0
+                THEN CAST((2 * (ay * (n * sxx - sx * sx) * n
+                        - (n * sxy - sx * sy) * (ax * n - na * sx))
+                      + na * n * (n * sxx - sx * sx) * 100)
+                     // (2 * na * n * (n * sxx - sx * sx) * 100) AS BIGINT)
+                ELSE -CAST((2 * (-(ay * (n * sxx - sx * sx) * n
+                        - (n * sxy - sx * sy) * (ax * n - na * sx)))
+                      + na * n * (n * sxx - sx * sx) * 100)
+                     // (2 * na * n * (n * sxx - sx * sx) * 100) AS BIGINT)
+           END AS DOUBLE) / 1e4 AS cuped_mean
+    FROM h
 """
 
 

@@ -33,7 +33,7 @@ from ..functions.money import (
     sql_dsum,
     sql_money,
 )
-from ..functions.rounding import pround, sql_pround
+from ..functions.rounding import pround, pround_dec, sql_pround, sql_pround_dec
 from ..sources.catalog import load_table
 
 
@@ -51,9 +51,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(dsum(money("l_extendedprice")), 2).alias("sum_base_price"),
-            pround(dsum(revenue()), 2).alias("sum_disc_price"),
-            pround(dsum(charge()), 2).alias("sum_charge"),
+            # money sums snap in EXACT decimal domain (round 9: the
+            # regenerated fixture put sum_disc_price on a real x.xx5
+            # tie — the r7 pround_dec class; dsum's double cast before
+            # the snap was the leak)
+            pround_dec(F.sum(money("l_extendedprice")), 2).alias(
+                "sum_base_price"
+            ),
+            pround_dec(F.sum(revenue()), 2).alias("sum_disc_price"),
+            pround_dec(F.sum(charge()), 2).alias("sum_charge"),
             pround(F.avg("l_quantity"), 6).alias("avg_qty"),
             pround(davg(money("l_extendedprice")), 6).alias("avg_price"),
             pround(davg(money("l_discount")), 6).alias("avg_disc"),
@@ -360,9 +366,9 @@ ORACLES = {
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_pround('sum(l_quantity)', 2)} AS sum_qty,
-               {sql_pround(sql_dsum(sql_money('l_extendedprice')), 2)} AS sum_base_price,
-               {sql_pround(sql_dsum(SQL_REVENUE), 2)} AS sum_disc_price,
-               {sql_pround(sql_dsum(SQL_CHARGE), 2)} AS sum_charge,
+               {sql_pround_dec(f"sum({sql_money('l_extendedprice')})", 2)} AS sum_base_price,
+               {sql_pround_dec(f"sum({SQL_REVENUE})", 2)} AS sum_disc_price,
+               {sql_pround_dec(f"sum({SQL_CHARGE})", 2)} AS sum_charge,
                {sql_pround('avg(l_quantity)', 6)} AS avg_qty,
                {sql_pround(sql_davg(sql_money('l_extendedprice')), 6)} AS avg_price,
                {sql_pround(sql_davg(sql_money('l_discount')), 6)} AS avg_disc,

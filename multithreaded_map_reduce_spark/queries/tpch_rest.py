@@ -100,7 +100,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").alias("cust_nation"),
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(pround(dsum(revenue()), 2).alias("volume"))
+        # exact decimal snap (round 9: the regenerated fixture put one
+        # volume cell on a real x.xx5 tie — the q1/pround_dec class)
+        .agg(pround_dec(F.sum(revenue()), 2).alias("volume"))
     )
 
 
@@ -418,7 +420,7 @@ ORACLES = {
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               {sql_pround(f'CAST(sum({SQL_REVENUE}) AS DOUBLE)', 2)} AS volume
+               {sql_pround_dec(f'sum({SQL_REVENUE})', 2)} AS volume
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -36,9 +36,13 @@ def test_power_iteration_matches_numpy(spark):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()
-    X = np.array(
-        [np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5) for r in rows]
-    ).astype(object)
+    # iunits_grid twin (round 9): guard-scale snap at 1e7, then the
+    # offset integer half-up reduction — the boundary-free contract
+    def grid(a):
+        v7 = np.floor(np.array(a, dtype=np.float64) * 1e7 + 0.5)
+        return np.floor((v7 + 5 + 1e11) / 10.0) - 1e10
+
+    X = np.array([grid(r["embedding"]) for r in rows]).astype(object)
     G = X.T @ X
     w, V = np.linalg.eigh(G.astype(np.float64))
     top = V[:, np.argmax(w)]
