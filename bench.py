@@ -173,6 +173,7 @@ HEADLINE = [
     "mr_grep",
     "curation_dataset_card",
     "events_bounce_rate",
+    "quality_permutation_test",
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.

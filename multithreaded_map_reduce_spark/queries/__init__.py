@@ -247,6 +247,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mr_grep",
     "curation_dataset_card",
     "events_bounce_rate",
+    "quality_permutation_test",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1325,3 +1325,150 @@ def _spearman_oracle() -> str:
 
 
 ORACLES["quality_spearman"] = _spearman_oracle()
+
+
+# --------------------------------------------- permutation test (A/B)
+# Fisher-style permutation test for the arm difference in per-user
+# purchase spend — the nonparametric significance check next to
+# quality_srm_check (assignment integrity) and events_cuped (variance
+# reduction). Permutations are DETERMINISTIC pseudo-randomizations:
+# re-assignment k hashes the user with salt "perm{k}" (the portable
+# hash family), the observed split uses the srm/cuped "srm" salt, so
+# both engines walk the identical 64-permutation ensemble. The test
+# statistic |mean₁ − mean₀| is compared WITHOUT division:
+# |s₁·n₀ − s₀·n₁| / (n₀·n₁) ≥ obs cross-multiplies to
+# |num_k|·den_obs ≥ |num_obs|·den_k — exact integers on the
+# DECIMAL(38,0)/HUGEINT rail. p = (1 + #extreme) / (K + 1), the
+# standard add-one permutation p-value, as half-up micros.
+#
+# Scale: ONE corpus scan to per-user spend; the (K+1)-fold hash
+# re-assignment explodes the |users| relation ×65 with map-side
+# partial sums into 65 groups — no repeated scans, no sort. K is a
+# constant dial; the ensemble relation is 65 rows.
+
+PERM_K = 64
+
+
+def quality_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits, ratio_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(iunits(F.col("value"), 2)).alias("cents"))
+    )
+    salts = F.array(
+        F.lit("srm"), *[F.lit(f"perm{k}") for k in range(PERM_K)]
+    )
+    assigned = per_user.select(
+        "user_id",
+        "cents",
+        F.explode(salts).alias("salt"),
+    ).select(
+        "salt",
+        "cents",
+        (
+            token_hash(F.concat(F.col("salt"), F.col("user_id").cast("string")))
+            % 2
+        ).alias("arm"),
+    )
+    stats = assigned.groupBy("salt").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+    ).select(
+        "salt",
+        "n0",
+        "n1",
+        F.expr(
+            "abs(CAST(s1 AS DECIMAL(38,0)) * n0"
+            " - CAST(s0 AS DECIMAL(38,0)) * n1)"
+        ).alias("anum"),
+        F.expr("CAST(n0 AS DECIMAL(38,0)) * n1").alias("den"),
+    )
+    obs = stats.filter(F.col("salt") == "srm").select(
+        F.col("n0").alias("obs_n0"),
+        F.col("n1").alias("obs_n1"),
+        F.col("anum").alias("obs_num"),
+        F.col("den").alias("obs_den"),
+    )
+    perms = stats.filter(F.col("salt") != "srm")
+    extreme = (
+        perms.crossJoin(F.broadcast(obs))
+        .select(
+            (
+                F.col("anum") * F.col("obs_den")
+                >= F.col("obs_num") * F.col("den")
+            )
+            .cast("long")
+            .alias("ex"),
+            "obs_n0",
+            "obs_n1",
+        )
+        .groupBy("obs_n0", "obs_n1")
+        .agg(F.sum("ex").alias("n_extreme"), F.count(F.lit(1)).alias("k"))
+    )
+    return extreme.select(
+        F.col("obs_n0").alias("n0"),
+        F.col("obs_n1").alias("n1"),
+        "n_extreme",
+        ratio_micros("1 + n_extreme", "k + 1").alias("p_micros"),
+    )
+
+
+QUERIES["quality_permutation_test"] = quality_permutation_test
+
+
+def _perm_test_oracle() -> str:
+    from ..functions.hashing import sql_token_hash
+    from ..functions.rounding import sql_iunits, sql_ratio_micros
+
+    th = sql_token_hash("salt || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum({sql_iunits('value', 2)}) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), salts AS (
+        SELECT 'srm' AS salt
+        UNION ALL
+        SELECT 'perm' || CAST(range AS VARCHAR) FROM range({PERM_K})
+    ), assigned AS (
+        SELECT salt, cents, ({th}) % 2 AS arm
+        FROM per_user, salts
+    ), stats AS (
+        SELECT salt,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s0,
+               CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS s1
+        FROM assigned GROUP BY 1
+    ), scored AS (
+        SELECT salt, n0, n1,
+               abs(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+                   AS anum,
+               CAST(n0 AS HUGEINT) * n1 AS den
+        FROM stats
+    ), obs AS (
+        SELECT n0 AS obs_n0, n1 AS obs_n1, anum AS obs_num, den AS obs_den
+        FROM scored WHERE salt = 'srm'
+    )
+    SELECT obs_n0 AS n0, obs_n1 AS n1,
+           CAST(sum(CASE WHEN anum * obs_den >= obs_num * den
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           {sql_ratio_micros(
+               "1 + sum(CASE WHEN anum * obs_den >= obs_num * den"
+               " THEN 1 ELSE 0 END)",
+               'count(*) + 1')} AS p_micros
+    FROM scored, obs
+    WHERE salt != 'srm'
+    GROUP BY 1, 2
+"""
+
+
+ORACLES["quality_permutation_test"] = _perm_test_oracle()

@@ -897,3 +897,29 @@ def test_bounce_rate_bounds(spark):
     for r in rows:
         assert 0 <= r["n_bounces"] <= r["n_sessions"]
         assert 0 <= r["bounce_rate_micros"] <= 1_000_000
+
+
+def test_round9_batch13_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(
+        spark,
+        qs["quality_permutation_test"],
+        os_["quality_permutation_test"],
+        SF_SMOKE,
+    )
+
+
+def test_permutation_test_pvalue_bounds(spark):
+    from multithreaded_map_reduce_spark.queries.quality import (
+        PERM_K,
+        quality_permutation_test,
+    )
+
+    r = quality_permutation_test(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["n_extreme"] <= PERM_K
+    # add-one p in [1/(K+1), 1]
+    lo = (2_000_000 * 1 + (PERM_K + 1)) // (2 * (PERM_K + 1))
+    assert lo <= r["p_micros"] <= 1_000_000
+    assert r["n0"] > 0 and r["n1"] > 0
