@@ -174,6 +174,7 @@ HEADLINE = [
     "curation_dataset_card",
     "events_bounce_rate",
     "quality_permutation_test",
+    "events_survival_km",
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.

@@ -248,6 +248,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_dataset_card",
     "events_bounce_rate",
     "quality_permutation_test",
+    "events_survival_km",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

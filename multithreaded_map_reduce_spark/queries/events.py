@@ -1655,3 +1655,149 @@ ORACLES["events_bounce_rate"] = """
             // (2 * CAST(count(*) AS BIGINT)) END) AS bounce_rate_micros
     FROM sess GROUP BY 1
 """
+
+
+# ------------------------------------------- Kaplan–Meier (sessions)
+# Survival analysis over SESSION DURATION — the estimator behind
+# "how long do sessions last" with CENSORING done right: a session
+# whose last event sits within the 10-minute gap of the global stream
+# end may still be open, so it is censored at its observed duration
+# rather than counted as ended (naive duration histograms conflate
+# the two; user-level churn is degenerate on this fixture — every
+# user is active in the final days — so duration survival is the
+# non-trivial subject). Sessions are the events_session contract
+# (10-minute gaps); duration is integer minutes. Per duration t with
+# endings: risk set n_t = sessions with duration ≥ t, deaths d_t,
+# and ln S(t) = Σ_{s ≤ t} ln((n_s − d_s)/n_s) carried as EXACT
+# integer nano-units (the behavior-entropy ln-snap contract; the
+# cumulative sum is pure BIGINT — no exp() ever runs, the hashed
+# column IS the log-survival).
+#
+# Scale: one user-keyed session aggregation, one duration-keyed
+# aggregate, suffix/cumulative windows over the |durations| relation
+# (bounded by the session cap, not data volume).
+
+KM_GAP_MIN = 10
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("gmax_us"))
+    sw = F.session_window("ts", f"{KM_GAP_MIN} minutes")
+    sess = ev.groupBy(sw, "user_id").agg(
+        F.max(epoch_micros(F.col("ts"))).alias("last_us"),
+        F.min(epoch_micros(F.col("ts"))).alias("first_us"),
+    )
+    marked = sess.crossJoin(F.broadcast(g)).select(
+        F.expr("(last_us - first_us) div 60000000").alias("t"),
+        (
+            F.col("last_us")
+            < F.col("gmax_us") - F.lit(KM_GAP_MIN * 60_000_000)
+        )
+        .cast("long")
+        .alias("death"),
+    )
+    days = marked.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.sum("death").alias("n_deaths"),
+    )
+    w_suffix = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    risk = days.select(
+        "t",
+        "n_deaths",
+        (F.col("n_exit") - F.col("n_deaths")).alias("n_censored"),
+        F.sum("n_exit").over(w_suffix).alias("n_risk"),
+    )
+    # the terminal step where EVERY remaining session ends drives
+    # S(t) to exactly zero — ln is undefined there, so the cumulative
+    # log-survival is NULL from that step on (the honest convention;
+    # S = 0 is recoverable from n_risk == n_deaths itself)
+    term = F.when(
+        (F.col("n_deaths") > 0) & (F.col("n_risk") > F.col("n_deaths")),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_deaths")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    hit_zero = F.max(
+        (F.col("n_risk") == F.col("n_deaths")).cast("int")
+    ).over(w_cum)
+    return risk.select(
+        "t",
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.when(hit_zero == 1, F.lit(None).cast("long"))
+        .otherwise(F.sum(term).over(w_cum))
+        .alias("cum_lnS_nanos"),
+    ).filter(F.col("n_deaths") > 0)
+
+
+QUERIES["events_survival_km"] = events_survival_km
+
+ORACLES["events_survival_km"] = f"""
+    WITH g AS (
+        SELECT max(epoch_us(ts)) AS gmax_us FROM events
+    ), ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL '{KM_GAP_MIN} minutes'
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, sid,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM numbered GROUP BY 1, 2
+    ), marked AS (
+        SELECT (last_us - first_us) // 60000000 AS t,
+               CASE WHEN last_us < gmax_us - {KM_GAP_MIN * 60_000_000}
+                    THEN 1 ELSE 0 END AS death
+        FROM sess, g
+    ), days AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_exit,
+               CAST(sum(death) AS BIGINT) AS n_deaths
+        FROM marked GROUP BY 1
+    ), risk AS (
+        SELECT t, n_deaths, n_exit - n_deaths AS n_censored,
+               CAST(sum(n_exit) OVER (
+                   ORDER BY t DESC ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS n_risk
+        FROM days
+    ), terms AS (
+        SELECT t, n_risk, n_deaths, n_censored,
+               CASE WHEN n_deaths > 0 AND n_risk > n_deaths THEN
+                    CAST(floor(ln(CAST(n_risk - n_deaths AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)) * 1000000000.0
+                               + 0.5) AS BIGINT)
+               ELSE 0 END AS term,
+               CASE WHEN n_risk = n_deaths THEN 1 ELSE 0 END AS z
+        FROM risk
+    )
+    SELECT t, n_risk, n_deaths, CAST(n_censored AS BIGINT) AS n_censored,
+           CASE WHEN max(z) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                THEN NULL
+                ELSE CAST(sum(term) OVER (
+                    ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           END AS cum_lnS_nanos
+    FROM terms
+    QUALIFY n_deaths > 0
+"""

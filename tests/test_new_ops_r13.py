@@ -923,3 +923,37 @@ def test_permutation_test_pvalue_bounds(spark):
     lo = (2_000_000 * 1 + (PERM_K + 1)) // (2 * (PERM_K + 1))
     assert lo <= r["p_micros"] <= 1_000_000
     assert r["n0"] > 0 and r["n1"] > 0
+
+
+def test_round9_batch14_gate_smoke(spark):
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    compare(
+        spark, qs["events_survival_km"], os_["events_survival_km"], SF_SMOKE
+    )
+
+
+def test_survival_km_monotone(spark):
+    """Risk sets shrink as duration grows; log-survival is
+    non-increasing; the terminal S=0 step (if present) is NULL."""
+    from multithreaded_map_reduce_spark.queries.events import (
+        events_survival_km,
+    )
+
+    rows = sorted(
+        events_survival_km(spark, SF_SMOKE).collect(), key=lambda r: r["t"]
+    )
+    assert rows
+    prev_risk, prev_ln = None, 0
+    for r in rows:
+        assert r["n_deaths"] >= 1
+        assert r["n_risk"] >= r["n_deaths"]
+        if prev_risk is not None:
+            assert r["n_risk"] <= prev_risk
+        prev_risk = r["n_risk"]
+        if r["cum_lnS_nanos"] is not None:
+            assert r["cum_lnS_nanos"] <= prev_ln
+            prev_ln = r["cum_lnS_nanos"]
+        else:
+            assert r["n_risk"] == r["n_deaths"] or rows.index(r) > 0
