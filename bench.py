@@ -216,10 +216,14 @@ def _plan_hash(df) -> str | None:
     plan = re.sub(r"[\d.]+ (?:B|KiB|MiB|GiB|TiB)\b", "<sz>", plan)
     plan = re.sub(r"StorageLevel\([^)]*\)", "StorageLevel(<l>)", plan)
     # lambda variables are numbered by a SESSION-global counter
-    # (x_1, x_2, ...) — any change in how many HOF lambdas earlier
-    # queries built renames every later query's lambda vars.
-    plan = re.sub(r"\blambda x_\d+", "lambda x_", plan)
-    plan = re.sub(r"\bx_\d+#", "x_#", plan)
+    # (x_1, y_13, ...) — any change in how many HOF lambdas earlier
+    # queries built renames every later query's lambda vars. r10: the
+    # plan-order-independence test caught the old x_-only normalization
+    # missing the y_/z_ second and third lambda arguments — which made
+    # identical plans hash differently across run orders (a likely
+    # source of past cross-round "plan CHANGED" false positives).
+    plan = re.sub(r"\blambda [A-Za-z]+_\d+", "lambda <v>", plan)
+    plan = re.sub(r"\b[A-Za-z]+_\d+#", "<v>#", plan)
     return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
 

@@ -254,18 +254,23 @@ def minhash_dedup_pairs(
     SEPARATE matters: collect_set is a typed-imperative aggregate, so a
     merged agg runs on ObjectHashAggregateExec where the 32 min exprs
     evaluate interpreted per row (~25 s of CPU at sf0.1 measured vs ~1 s
-    codegen'd)."""
-    from pyspark import StorageLevel
+    codegen'd).
 
-    rows_rel = shingle_hash_rows(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Materialization is ``localCheckpoint`` rather than ``persist``
+    (VERDICT r9 item 1): a checkpointed relation never registers in the
+    CacheManager, so it can't be substituted into OTHER queries' plans
+    (run-order plan determinism), and its blocks are GC-released when
+    the relation goes out of scope instead of leaking MEMORY_AND_DISK
+    storage for the life of a multi-hundred-query session."""
+    rows_rel = shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(
+        eager=False
     )
     sigs = minhash_signatures_agg(rows_rel, num=bands * rows)
     pairs = candidates_from_signatures(sigs, bands, rows, max_bucket)
     hashed = (
         rows_rel.groupBy("id")
         .agg(F.collect_set("h").alias("hashes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # read by both verify sides
+        .localCheckpoint(eager=False)  # read by both verify sides
     )
     ha = hashed.select(F.col("id").alias("id_a"), F.col("hashes").alias("h_a"))
     hb = hashed.select(F.col("id").alias("id_b"), F.col("hashes").alias("h_b"))
@@ -804,10 +809,10 @@ def minhash_incremental_pairs(
     pairs new_id is the LARGER id (the younger doc is the duplicate —
     deterministic survivor discipline, dedup_exact's rule).
     """
-    from pyspark import StorageLevel
-
-    c_rows = shingle_hash_rows(corpus, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # two consumers (band index + verify sets) — localCheckpoint for
+    # CacheManager-free determinism + GC release (VERDICT r9 item 1)
+    c_rows = shingle_hash_rows(corpus, id_col, text_col, n).localCheckpoint(
+        eager=False
     )
     num = bands * rows
     c_band = minhash_signatures_agg(c_rows, num=num).select(
@@ -838,10 +843,8 @@ def minhash_probe_pairs(
     path (``minhash_probe_index``), where both relations are parquet
     scans of a day-1 artifact. Semantics identical either way; the two
     share the ``dedup_incremental`` oracle family."""
-    from pyspark import StorageLevel
-
-    b_rows = shingle_hash_rows(batch, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    b_rows = shingle_hash_rows(batch, id_col, text_col, n).localCheckpoint(
+        eager=False
     )
     b_sigs = minhash_signatures_agg(b_rows, num=bands * rows)
     b_band = b_sigs.select(
@@ -876,8 +879,10 @@ def minhash_probe_pairs(
         .withColumn("match_in", F.lit("batch"))
     )
 
-    b_hashed = b_rows.groupBy("id").agg(F.collect_set("h").alias("hashes")).persist(
-        StorageLevel.MEMORY_AND_DISK  # probed by both verify sides
+    b_hashed = (
+        b_rows.groupBy("id")
+        .agg(F.collect_set("h").alias("hashes"))
+        .localCheckpoint(eager=False)  # probed by both verify sides
     )
     new_side = b_hashed.select(F.col("id").alias("new_id"), F.col("hashes").alias("h_n"))
     old_corpus = c_hashed.select(F.col("id").alias("match_id"), F.col("hashes").alias("h_m"))

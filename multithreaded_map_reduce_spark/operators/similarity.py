@@ -700,40 +700,25 @@ def pq_topk(
     ).filter(F.col("rank") <= k)
 
 
-def ivfpq_topk(
-    queries: DataFrame,
+def ivfpq_index(
     candidates: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 5,
     n_cells: int = 4,
-    nprobe: int = 2,
     m: int = 16,
     ksub: int = 32,
     dim: int = 64,
-) -> DataFrame:
-    """IVF + residual PQ — the actual FAISS IVFPQ composition of the
-    two dials this family exposes separately: ``ivf_topk`` prunes WHICH
-    candidates get scored (probe nprobe/n_cells inverted lists),
-    ``pq_topk`` shrinks what each scoring COSTS (m one-byte codes,
-    O(m) ADC per pair). Here candidates are routed to cells, the PQ
-    codebook quantizes the RESIDUAL v − centroid (residuals concentrate
-    around 0, so an untrained codebook wastes less of its dynamic range
-    — the reason IVFPQ encodes residuals), and the query-side score is
-
-        <q, v> ≈ <q, centroid(cell)>  +  Σ_j lut[j][code_j]
-
-    with the first term exact (one O(dim) dot per (query, probed cell)
-    — nprobe·n_cells tiny) and the second the O(m) residual ADC. For
-    inner-product search the LUT <q_sub, codebook_cent> is
-    cell-independent, so each query builds ONE m×ksub table regardless
-    of nprobe. At 100 TB the scoring stage streams n·(m+4) bytes of
-    codes+cell-ids instead of n·dim floats AND only nprobe/n_cells of
-    them — both dials at once. Every stage (routing, residual,
-    codebook, encode, LUT, fold) is order-pinned and replayed by the
-    DuckDB oracle; ranking is under the exact gate."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus-side IVFPQ index build — (cents, codebook, codes), the
+    query-independent 80% of ``ivfpq_topk``'s cost: cell routing,
+    residual computation, codebook derivation, and PQ encoding. Split
+    out (VERDICT r9 item 3) so the four queries that search the same
+    corpus (sim_topk_ivfpq, sim_topk_ivfpq_rerank, and the recall/NDCG
+    reports that run both) can train ONCE per fixture and share the
+    materialized artifacts — the FAISS deployment shape, where the
+    index is built offline and only the probe/LUT/ADC stages run per
+    query batch. Deterministic throughout, so sharing is value-exact."""
     dsub = dim // m
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
@@ -802,6 +787,67 @@ def ivfpq_topk(
             F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
         ).alias("codes")
     )
+    return cents, codebook, codes
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 32,
+    dim: int = 64,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF + residual PQ — the actual FAISS IVFPQ composition of the
+    two dials this family exposes separately: ``ivf_topk`` prunes WHICH
+    candidates get scored (probe nprobe/n_cells inverted lists),
+    ``pq_topk`` shrinks what each scoring COSTS (m one-byte codes,
+    O(m) ADC per pair). Here candidates are routed to cells, the PQ
+    codebook quantizes the RESIDUAL v − centroid (residuals concentrate
+    around 0, so an untrained codebook wastes less of its dynamic range
+    — the reason IVFPQ encodes residuals), and the query-side score is
+
+        <q, v> ≈ <q, centroid(cell)>  +  Σ_j lut[j][code_j]
+
+    with the first term exact (one O(dim) dot per (query, probed cell)
+    — nprobe·n_cells tiny) and the second the O(m) residual ADC. For
+    inner-product search the LUT <q_sub, codebook_cent> is
+    cell-independent, so each query builds ONE m×ksub table regardless
+    of nprobe. At 100 TB the scoring stage streams n·(m+4) bytes of
+    codes+cell-ids instead of n·dim floats AND only nprobe/n_cells of
+    them — both dials at once. Every stage (routing, residual,
+    codebook, encode, LUT, fold) is order-pinned and replayed by the
+    DuckDB oracle; ranking is under the exact gate.
+
+    ``index``: optional prebuilt (cents, codebook, codes) from
+    ``ivfpq_index`` — pass it to amortize the corpus-side build across
+    query batches (the queries layer shares one checkpointed index per
+    fixture dir)."""
+    dsub = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cents, codebook, codes = (
+        index
+        if index is not None
+        else ivfpq_index(candidates, id_col, vec_col, n_cells, m, ksub, dim)
+    )
+
+    def subspaces(vec: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec), j * dsub + 1, dsub).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
 
     wq = W.partitionBy("query_id").orderBy(F.desc("q_sim"), F.asc("cid"))
     probes = (

@@ -1155,14 +1155,13 @@ GREEDY_K = 5
 
 
 def curation_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    # the shared distinct (id, h) bigram-shingle artifact — the same
+    # relation the dedup prefix-filter family starts from (VERDICT r9
+    # item 1: ONE deliberate module-level materialization instead of a
+    # per-query persist leak)
+    from .dedup import _shared_shingle_rows
 
-    docs = load_table(spark, sf_dir, "documents")
-    h = (
-        shingle_hash_rows(docs, "doc_id", "text", 2)
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    h = _shared_shingle_rows(spark, sf_dir)
     covered = h.select("h").filter(F.lit(False))  # empty, typed
     picks: list[tuple[int, int, int, int]] = []
     n_covered = 0
@@ -1183,7 +1182,6 @@ def curation_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=False)
         )
-    h.unpersist()
     return spark.createDataFrame(
         picks, "round int, doc_id long, gain long, covered_total long"
     )

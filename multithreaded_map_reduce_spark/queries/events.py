@@ -1319,15 +1319,15 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("cents"),
     )
-    # |users| rows, two consumers (sizes + the daily join) — persist
-    # (user-sized, the house MEMORY_AND_DISK rail) so the event scan
-    # backing it runs once
-    from pyspark import StorageLevel
-
+    # |users| rows, two consumers (sizes + the daily join) — local
+    # checkpoint so the event scan backing it runs once; checkpoint
+    # rather than persist so the relation never enters the
+    # CacheManager (run-order plan determinism) and its blocks are
+    # GC-released after the query (VERDICT r9 item 1)
     cohort = (
         ev.groupBy("user_id")
         .agg(F.min("d").alias("cohort_date"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     sizes = cohort.groupBy("cohort_date").agg(
         F.count(F.lit(1)).alias("cohort_size")

@@ -42,6 +42,35 @@ def _split(spark, sf_dir):
     )
 
 
+# Train-once shared IVFPQ index (VERDICT r9 item 3, the logreg
+# _LR_WEIGHTS_CACHE pattern): sim_topk_ivfpq, sim_topk_ivfpq_rerank,
+# and the recall/NDCG reports (which run BOTH rungs) each re-ran the
+# identical corpus-side route→residual→codebook→encode chain — 6+
+# full index builds per bench session for one deterministic artifact.
+# localCheckpoint (not persist) keeps the shared relations out of the
+# CacheManager, so sharing cannot leak into unrelated queries' plans;
+# the dict reference deliberately pins the blocks for the process
+# lifetime (bounded: codes ≈ corpus_rows × (m+2) smallints per
+# fixture dir). The FAISS deployment shape: build offline, serve many.
+_IVFPQ_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    if sf_dir not in _IVFPQ_INDEX_CACHE:
+        from ..operators.similarity import ivfpq_index
+
+        _, c = _split(spark, sf_dir)
+        cents, codebook, codes = ivfpq_index(
+            c, "vec_id", "embedding", n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM
+        )
+        _IVFPQ_INDEX_CACHE[sf_dir] = (
+            cents.localCheckpoint(eager=False),
+            codebook.localCheckpoint(eager=False),
+            codes.localCheckpoint(eager=False),
+        )
+    return _IVFPQ_INDEX_CACHE[sf_dir]
+
+
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _split(spark, sf_dir)
     return brute_force_topk(q, c, "vec_id", "embedding", k=K)
@@ -1164,6 +1193,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         q, c, "vec_id", "embedding",
         k=K, n_cells=N_CELLS, nprobe=NPROBE, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+        index=_shared_ivfpq_index(spark, sf_dir),
     )
 
 
@@ -1293,6 +1323,7 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ivfpq_topk(
         q, c, "vec_id", "embedding",
         k=RERANK_R, n_cells=N_CELLS, nprobe=NPROBE, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+        index=_shared_ivfpq_index(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     qv = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
     cv = c.select(

@@ -165,9 +165,15 @@ def test_minhash_shingle_scan_computed_once(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "InMemoryTableScan" in plan or "ReusedExchange" in plan, (
-        "minhash shingle relation is being recomputed per consumer"
-    )
+    # r10: the sharing mechanism moved from persist() to
+    # localCheckpoint(eager=False) — CacheManager-free (run-order plan
+    # determinism, VERDICT r9 item 1) — so the marker is the
+    # checkpointed relation's ExistingRDD scan, not InMemoryTableScan.
+    assert (
+        "Scan ExistingRDD" in plan
+        or "InMemoryTableScan" in plan
+        or "ReusedExchange" in plan
+    ), "minhash shingle relation is being recomputed per consumer"
 
 
 def test_bloom_probes_are_broadcast(spark):
@@ -652,10 +658,16 @@ def test_doremi_single_corpus_scan(spark):
 
 def test_semdedup_broadcasts_centroids(spark):
     """Cell assignment must broadcast the SEMD_CELLS-row centroid
-    relation — a shuffled assignment join would move the corpus twice."""
+    relation — a shuffled assignment join would move the corpus twice.
+    r10: the assignment is localCheckpointed inside dedup_semantic
+    (plan-determinism fix), which truncates the final query's lineage,
+    so the contract is asserted on the pre-checkpoint relation."""
     from multithreaded_map_reduce_spark.plans import plan_report
+    from multithreaded_map_reduce_spark.queries.dedup import (
+        _semdedup_cell_assignment,
+    )
 
-    rep = plan_report(_q("dedup_semantic")(spark, SF_SMOKE))
+    rep = plan_report(_semdedup_cell_assignment(spark, SF_SMOKE))
     assert rep.broadcast_joins >= 1
 
 
