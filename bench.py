@@ -178,6 +178,18 @@ HEADLINE = [
     # search_rank_shift excluded: it re-runs search_bm25 AND the PRF
     # two-pass (both already timed) — the shift arithmetic itself is
     # a 105-pair constant.
+    # round 10: binaryFile connector intake, sequential-path mining,
+    # MATTR diversity, Mann-Whitney/Brown-Forsythe tests, degree
+    # assortativity, Theil-Sen robust trend. (binaryfile_quarantine
+    # excluded: same 7-file binaryFile scan as the histogram already
+    # timed, plus a constant-size status map.)
+    "multimodal_binaryfile_histogram",
+    "events_top_paths",
+    "text_mattr_diversity",
+    "quality_mannwhitney",
+    "quality_levene",
+    "graph_degree_assortativity",
+    "timeseries_theil_sen",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -28,6 +28,7 @@ from ..functions.rounding import (
     sql_from_iunits,
     sql_iunits,
     sql_pround,
+    sql_ratio_micros,
 )
 from ..sources.catalog import load_table
 
@@ -1800,4 +1801,92 @@ ORACLES["events_survival_km"] = f"""
            END AS cum_lnS_nanos
     FROM terms
     QUALIFY n_deaths > 0
+"""
+
+
+# --------------------------------------------------- top onboarding paths
+# Round 10: sequential-pattern mining's serving query — the exact count
+# of each user's FIRST-3-EVENT path (the onboarding flow), ranked by
+# frequency with its share of path-complete users. This is the "what
+# do new users actually do" Sankey feed, and the exact-count baseline a
+# PrefixSpan-style miner would be validated against. Only users with
+# ≥ 3 events qualify (partial paths are a different population —
+# events_bounce_rate covers them).
+#
+# Determinism: per-user ordering is (ts, event_id) — event_id is unique
+# so the sort key is total; ranking ties break on path ascending.
+# Scale: one per-user row_number window (early-filtered to rn ≤ 3 rows
+# per user), one |users|-row path aggregation, and a ≤ |event_types|³
+# path-count relation; the total is a 1-row broadcast. Nothing is
+# corpus-quadratic and no stage exceeds |users| rows.
+
+TOP_PATHS_K = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    paths = (
+        first3.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))).alias(
+                "arr"
+            ),
+        )
+        .filter(F.col("k") == 3)
+        .select(
+            F.concat_ws(
+                ">", F.transform("arr", lambda s: s["event_type"])
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = counts.agg(F.sum("n_users").alias("n_total"))
+    rk = W.orderBy(F.desc("n_users"), F.asc("path"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_users",
+            ratio_micros("n_users", "n_total").alias("share_micros"),
+            F.row_number().over(rk).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_PATHS_K)
+    )
+
+
+QUERIES["events_top_paths"] = events_top_paths
+
+ORACLES["events_top_paths"] = f"""
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ), p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id HAVING count(*) = 3
+    ), c AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM c
+    )
+    SELECT path, n_users, share_micros, rank FROM (
+        SELECT c.path, c.n_users,
+               {sql_ratio_micros('c.n_users', 'tot.n_total')} AS share_micros,
+               CAST(row_number() OVER (
+                   ORDER BY c.n_users DESC, c.path ASC
+               ) AS INTEGER) AS rank
+        FROM c, tot
+    ) WHERE rank <= {TOP_PATHS_K}
 """

@@ -908,3 +908,86 @@ def _linkpred_oracle() -> str:
 
 
 ORACLES["graph_link_prediction"] = _linkpred_oracle()
+
+
+# --------------------------------------------- degree assortativity
+# Round 10: Newman's degree-assortativity coefficient over the
+# part–supplier procurement graph (distinct (l_partkey, l_suppkey)
+# edges) — the one-number answer to "do high-degree vertices attach to
+# high-degree vertices", the structural summary used to pick
+# partitioning and sampling strategies before running heavier graph
+# algorithms (hub-and-spoke vs mesh changes both). Computed as the
+# Pearson correlation of (deg(part), deg(supplier)) across edges.
+#
+# Exactness rail: degrees are exact distinct counts; all six moments
+# accumulate in DECIMAL(38,0)/HUGEINT (quality_correlation's rail —
+# Σd² over edges passes int64 at scale); the ONLY doubles are the
+# final sqrt·sqrt·divide chain under pround(…, 6), the vetted Pearson
+# finalization.
+#
+# Scale: one distinct on the fact-table edge pair (a shuffle keyed on
+# the pair), two degree aggregations (each one exchange over the edge
+# relation), two id-keyed joins to attach degrees, one global
+# aggregate. Nothing quadratic; the joins broadcast when a side is
+# dim-sized and shuffle otherwise — AQE's call.
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dx"))
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("dy"))
+    dec = "decimal(38,0)"
+    e = edges.join(dp, "p").join(ds, "s")
+    agg = e.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        pround(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+
+ORACLES["graph_degree_assortativity"] = """
+    WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), dp AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS dx FROM edges GROUP BY p
+    ), ds AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS dy FROM edges GROUP BY s
+    ), e AS (
+        SELECT dx, dy
+        FROM edges JOIN dp ON edges.p = dp.p JOIN ds ON edges.s = ds.s
+    ), agg AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+               sum(CAST(dy AS DECIMAL(38,0))) AS sy,
+               sum(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+               sum(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+               sum(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+        FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+    FROM agg
+"""

@@ -1472,3 +1472,246 @@ def _perm_test_oracle() -> str:
 
 
 ORACLES["quality_permutation_test"] = _perm_test_oracle()
+
+
+# --------------------------------------------- Mann–Whitney U (rank-sum)
+# Round 10: the nonparametric two-sample location test the quality
+# battery was missing — KS compares whole distributions, ANOVA/t need
+# normality; Mann–Whitney is the default "is metric X shifted between
+# cohort A and B" test on skewed pipeline metrics (doc lengths here:
+# en vs de). Tie handling is the real midrank method, done in EXACT
+# integers: for a value v, twice its midrank is
+# 2·(#values < v) + (#values = v) + 1 — an integer — so 2·R₁ and the
+# statistics derived from it never touch a double. Reported: the group
+# sizes, 2·U for both directions (U₁ + U₂ = n₁n₂ invariant, doubled),
+# the tie-correction term Σ(t³−t), and the common-language effect size
+# U₁/(n₁n₂) in micros (the probability a random en doc is longer than
+# a random de doc, ties counted half — micro-snapped rational of
+# integers, no doubles).
+#
+# Scale: ONE groupBy on the distinct metric values (two conditional
+# counts), one value-ordered cumulative window over the |distinct
+# values| relation — lengths collapse to ≤ a few thousand distinct
+# values regardless of corpus size — and one final aggregate. The
+# corpus-sized stage is a single scan.
+
+MW_LANG_A, MW_LANG_B = "en", "de"
+
+
+def quality_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.filter(F.col("lang").isin(MW_LANG_A, MW_LANG_B)).select(
+        (F.col("lang") == MW_LANG_A).cast("long").alias("is_a"),
+        F.length("text").cast("long").alias("x"),
+    )
+    cnt = v.groupBy("x").agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n_b"),
+    )
+    cw = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    per = cnt.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("n_a") + F.col("n_b")).over(cw), F.lit(0)
+        ).alias("c_less"),
+    )
+    agg = per.agg(
+        F.sum("n_a").alias("n1"),
+        F.sum("n_b").alias("n2"),
+        # 2·R₁ = Σ_values n_a(v) · (2·c_less(v) + t(v) + 1)
+        F.sum(
+            F.col("n_a") * (2 * F.col("c_less") + F.col("t") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        ).alias("u2_x2"),
+        F.col("tie_sum"),
+        ratio_micros(
+            "r1_x2 - n1 * (n1 + 1)", "2 * n1 * n2"
+        ).alias("cles_micros"),
+    )
+
+
+QUERIES["quality_mannwhitney"] = quality_mannwhitney
+
+from ..functions.rounding import sql_ratio_micros as _sql_rm  # noqa: E402
+
+ORACLES["quality_mannwhitney"] = f"""
+    WITH v AS (
+        SELECT CASE WHEN lang = '{MW_LANG_A}' THEN 1 ELSE 0 END AS is_a,
+               CAST(length(text) AS BIGINT) AS x
+        FROM documents WHERE lang IN ('{MW_LANG_A}', '{MW_LANG_B}')
+    ), cnt AS (
+        SELECT x, CAST(sum(is_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - is_a) AS BIGINT) AS n_b
+        FROM v GROUP BY x
+    ), per AS (
+        SELECT n_a, n_b, n_a + n_b AS t,
+               CAST(coalesce(sum(n_a + n_b) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS c_less
+        FROM cnt
+    ), agg AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS n1,
+               CAST(sum(n_b) AS BIGINT) AS n2,
+               CAST(sum(n_a * (2 * c_less + t + 1)) AS BIGINT) AS r1_x2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM per
+    )
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           tie_sum,
+           {_sql_rm('r1_x2 - n1 * (n1 + 1)', '2 * n1 * n2')} AS cles_micros
+    FROM agg
+"""
+
+
+# ------------------------------------- Brown–Forsythe (Levene) test
+# Round 10: the variance-homogeneity companion to
+# quality_anova_sources — ANOVA asks "do sources differ in MEAN
+# length", Brown–Forsythe asks "do they differ in SPREAD" (the
+# robust-center Levene variant: deviations from the group MEDIAN, the
+# form recommended for skewed data). A pipeline runs it before
+# trusting pooled-variance statistics across sources.
+#
+# Exactness rail: group medians are exact lower medians of integer
+# lengths (sorted-array element — the discrete-median idiom both
+# engines share); deviations z = |x − med| are then integers, and the
+# entire F machinery reuses the ANOVA decomposition verbatim —
+# DECIMAL(38,0)/HUGEINT second moments, ssb/ssw in exact nano-units,
+# final W in micros via the wide-rational divide. Zero doubles.
+#
+# Scale: the collect_list median is per-GROUP (|source| lists of group
+# size); past per-group-collect scale the median comes from a value
+# histogram (value_histogram's rail, the events_rfm note) — the
+# decomposition after it is one scan + one 20-row broadcast join.
+
+def quality_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("source", F.length("text").cast("long").alias("x"))
+    med = per_doc.groupBy("source").agg(
+        F.element_at(
+            F.sort_array(F.collect_list("x")),
+            ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("med")
+    )
+    z = per_doc.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    dec = "decimal(38,0)"
+    grp = z.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum((F.col("z") * F.col("z")).cast(dec)).alias("q_g"),
+    )
+    terms = grp.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        ratio_units_dec("s_g * s_g", "n_g", 1_000_000_000).alias(
+            "term_nanos"
+        ),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k_sources"),
+        F.sum("n_g").alias("n_docs"),
+        F.sum("s_g").alias("t_sum"),
+        F.sum("q_g").alias("q_sum"),
+        F.sum("term_nanos").alias("sum_terms_nanos"),
+    )
+    return tot.select(
+        "k_sources",
+        "n_docs",
+        F.greatest(
+            F.col("sum_terms_nanos")
+            - ratio_units_dec("t_sum * t_sum", "n_docs", 1_000_000_000),
+            F.lit(0),
+        ).alias("ssb_nanos"),
+        (
+            F.col("q_sum") * F.lit(1_000_000_000) - F.col("sum_terms_nanos")
+        ).cast("long").alias("ssw_nanos"),
+    ).select(
+        "k_sources",
+        "n_docs",
+        "ssb_nanos",
+        "ssw_nanos",
+        F.when(
+            (F.col("ssw_nanos") == 0) | (F.col("k_sources") <= 1),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec(
+                "ssb_nanos * (n_docs - k_sources)",
+                "ssw_nanos * (k_sources - 1)",
+            )
+        )
+        .alias("w_micros"),
+    )
+
+
+QUERIES["quality_levene"] = quality_levene
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud  # noqa: E402
+
+ORACLES["quality_levene"] = f"""
+    WITH per_doc AS (
+        SELECT source, CAST(length(text) AS BIGINT) AS x FROM documents
+    ), med AS (
+        SELECT source,
+               list_sort(list(x))[CAST((count(*) + 1) // 2 AS INTEGER)]
+                   AS med
+        FROM per_doc GROUP BY source
+    ), z AS (
+        SELECT per_doc.source, abs(per_doc.x - med.med) AS z
+        FROM per_doc JOIN med ON per_doc.source = med.source
+    ), grp AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(z) AS BIGINT) AS s_g,
+               CAST(sum(z * z) AS HUGEINT) AS q_g
+        FROM z GROUP BY source
+    ), terms AS (
+        SELECT n_g, s_g, q_g,
+               {_sql_rud('s_g * s_g', 'n_g', 1_000_000_000)} AS term_nanos
+        FROM grp
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_sources,
+               CAST(sum(n_g) AS BIGINT) AS n_docs,
+               CAST(sum(s_g) AS BIGINT) AS t_sum,
+               CAST(sum(q_g) AS HUGEINT) AS q_sum,
+               CAST(sum(term_nanos) AS BIGINT) AS sum_terms_nanos
+        FROM terms
+    )
+    SELECT k_sources, n_docs, ssb_nanos, ssw_nanos,
+           CASE WHEN ssw_nanos = 0 OR k_sources <= 1 THEN NULL
+                ELSE {_sql_rud('ssb_nanos * (n_docs - k_sources)',
+                               'ssw_nanos * (k_sources - 1)')}
+           END AS w_micros
+    FROM (
+        SELECT k_sources, n_docs,
+               CAST(greatest(sum_terms_nanos
+                    - {_sql_rud('t_sum * t_sum', 'n_docs', 1_000_000_000)},
+                    0) AS BIGINT) AS ssb_nanos,
+               CAST(q_sum * 1000000000 - sum_terms_nanos AS BIGINT)
+                   AS ssw_nanos
+        FROM tot
+    )
+"""

@@ -3626,3 +3626,106 @@ ORACLES["search_rank_shift"] = f"""
                AS tau_micros
     FROM na, nb, ca, pa
 """
+
+
+# ------------------------------------------------- MATTR lexical diversity
+# Round 10: Moving-Average Type-Token Ratio (Covington & McFall 2010) —
+# the length-robust lexical-diversity score (plain TTR collapses as
+# docs grow; MATTR averages TTR over every W-token sliding window, so
+# scores are comparable across lengths — the diversity feature quality
+# classifiers actually use). W = 20.
+#
+# Exactness: window distinct counts are integers; MATTR =
+# Σ_w distinct_w / (n_windows · W) goes through ratio_micros — zero
+# doubles. Docs shorter than W get their single full-length window
+# (TTR = |types|/n), the reference MATTR convention.
+#
+# Scale: the naive per-window array_distinct(slice(toks, i, W)) would
+# re-evaluate the tokenizer inside every window lambda (projection
+# collapse re-inlines it — the winnowing O(n²) lesson). Instead the
+# window fold runs on the PREV-OCCURRENCE array: prev[p] = last
+# position q < p with the same token (0 if none), computed with one
+# (doc, token)-keyed lag window; distinct_w(i) is then
+# #{p ∈ [i, i+W−1] : prev[p] < i} — an O(n·W) integer fold per doc
+# over a shuffle-materialized int array, no string ops inside lambdas.
+# One posexplode + one window shuffle + one id-keyed agg, all bounded
+# by total token count.
+
+MATTR_W = 20
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    lw = W.partitionBy("doc_id", "tok").orderBy("p")
+    prev = pos.select(
+        "doc_id",
+        "p",
+        F.coalesce(F.lag("p").over(lw), F.lit(0)).alias("prev"),
+    )
+    arr = prev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "prev"))),
+            lambda s: s["prev"],
+        ).alias("pv"),
+    )
+    n = F.col("n")
+    nw = F.greatest(n - F.lit(MATTR_W - 1), F.lit(1))
+    # Σ_w distinct_w: for each window start i, count prev[j] < i over
+    # the window slice — pure integer HOF fold on the materialized
+    # prev array
+    sum_d = F.aggregate(
+        F.sequence(F.lit(1), nw),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.slice(F.col("pv"), i, F.least(F.lit(MATTR_W), n)),
+            F.lit(0).cast("long"),
+            lambda a, v: a + F.when(v < i, 1).otherwise(0),
+        ),
+    )
+    from ..functions.rounding import ratio_micros
+
+    return arr.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        nw.cast("long").alias("n_windows"),
+        sum_d.alias("sum_distinct"),
+        ratio_micros(
+            "sum_distinct", f"n_windows * least({MATTR_W}, n)"
+        ).alias("mattr_micros"),
+    ).withColumn("sum_distinct", F.col("sum_distinct").cast("long"))
+
+
+QUERIES["text_mattr_diversity"] = text_mattr_diversity
+
+ORACLES["text_mattr_diversity"] = f"""
+    WITH t AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks
+        FROM documents
+        WHERE len({sql_tokens('text')}) > 0
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               greatest(len(toks) - {MATTR_W - 1}, 1) AS n_windows,
+               least({MATTR_W}, len(toks)) AS w
+        FROM t
+    ), summed AS (
+        SELECT doc_id, n, n_windows, w,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, n_windows + 1),
+                       i -> CAST(len(list_distinct(toks[i:i+w-1]))
+                                 AS BIGINT))),
+                   (x, y) -> x + y) AS sum_distinct
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           sum_distinct,
+           {sql_ratio_micros('sum_distinct', 'n_windows * w')} AS mattr_micros
+    FROM summed
+"""

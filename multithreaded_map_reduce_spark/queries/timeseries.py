@@ -1045,3 +1045,81 @@ ORACLES["timeseries_deseasonal_anomaly"] = """
     FROM dev JOIN prof USING (dow), mad
     GROUP BY 1
 """
+
+
+# ------------------------------------------------ Theil–Sen robust trend
+# Round 10: the median-of-pairwise-slopes trend estimator — the robust
+# alternative to the OLS slope (ols_by_flag): up to ~29% of the series
+# can be arbitrarily corrupted (outage days, backfill spikes) without
+# moving the estimate, which is why monitoring pipelines prefer it for
+# "is this metric drifting" questions over noisy daily counts.
+#
+# Exactness rail: slopes are snapped FIRST — slope_micros =
+# (1_000_000 · Δy) div Δx in pure BIGINT (both engines' integer
+# division truncates toward zero, so the snap is portable on the
+# signed domain) — and the median is then the exact lower median of an
+# integer list (the discrete-median idiom). Zero doubles anywhere.
+#
+# Scale: the pair stage is C(n,2) per series where n = #days — bounded
+# by the calendar (≤ 435 pairs for a 30-day window), NOT by event
+# volume; the per-day aggregation underneath is the only
+# corpus-proportional stage. The per-series collect_list holds ≤
+# C(n,2) integers. For multi-year series, Theil–Sen degrades to the
+# repeated-median or a slope histogram — noted, out of fixture scope.
+
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(
+        "event_type", F.col("d").alias("di"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("dj"), F.col("y").alias("yj")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("dj") > F.col("di"))
+    slopes = pairs.select(
+        "event_type",
+        F.expr(
+            "(1000000 * (yj - yi)) div (dj - di)"
+        ).alias("slope_micros"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.element_at(
+                F.sort_array(F.collect_list("slope_micros")),
+                ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+            ).alias("sen_slope_micros"),
+        )
+        .select("event_type", "n_pairs", "sen_slope_micros")
+    )
+
+
+QUERIES["timeseries_theil_sen"] = timeseries_theil_sen
+
+ORACLES["timeseries_theil_sen"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               (1000000 * (b.y - a.y)) // (b.d - a.d) AS slope_micros
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           list_sort(list(slope_micros))[CAST((count(*) + 1) // 2
+                                              AS INTEGER)]
+               AS sen_slope_micros
+    FROM pairs GROUP BY event_type
+"""
