@@ -190,6 +190,7 @@ HEADLINE = [
     "quality_levene",
     "graph_degree_assortativity",
     "timeseries_theil_sen",
+    "graph_modularity",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

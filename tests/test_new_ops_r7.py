@@ -151,9 +151,15 @@ def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
     from multithreaded_map_reduce_spark.sources import catalog
 
     orig = catalog.load_table
+    # r10: the query starts from the module-level shared shingle
+    # artifact (_SHINGLE_ROWS_CACHE) — swap the cache entry for the
+    # synthetic corpus too, else a previously-cached real-corpus
+    # artifact bypasses the load_table monkeypatch entirely
+    saved_cache = dict(dd._SHINGLE_ROWS_CACHE)
     try:
         catalog.load_table = lambda sp, sf, name: docs  # noqa: E731
         dd.load_table = catalog.load_table
+        dd._SHINGLE_ROWS_CACHE.clear()
         out = {
             (r.id_a, r.id_b): r.jaccard
             for r in dedup_jaccard_prefix(spark, SF_SMOKE).collect()
@@ -161,6 +167,8 @@ def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
     finally:
         catalog.load_table = orig
         dd.load_table = orig
+        dd._SHINGLE_ROWS_CACHE.clear()
+        dd._SHINGLE_ROWS_CACHE.update(saved_cache)
     assert out[(1, 2)] == 1.0
     # docs 4,5: 9 bigrams each, 8 shared -> J = 8/(9+9-8) = 0.8 exactly
     assert abs(out[(4, 5)] - 0.8) < 1e-9
