@@ -89,6 +89,41 @@ def _shared_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_ROWS_CACHE[sf_dir]
 
 
+# The df-ranked shingle-array relation (id, ordered, sz) both
+# prefix-filter queries (jaccard + containment) derive from the shared
+# rows — itself a pure corpus function and the actual PREFIX-FILTER
+# INDEX a production dedup deployment persists (build_minhash_index's
+# artifact discipline). Shared for the same reasons as the rows:
+# deliberate once-per-process materialization, CacheManager-free.
+_RANKED_SHINGLES_CACHE: dict[str, DataFrame] = {}
+
+
+def _shared_ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _RANKED_SHINGLES_CACHE:
+        rows = _shared_shingle_rows(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        _RANKED_SHINGLES_CACHE[sf_dir] = (
+            rows.join(dfreq, "h")
+            .groupBy("id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr")
+            )
+            .select(
+                "id",
+                F.transform("arr", lambda s: s["h"]).alias("ordered"),
+                F.size("arr").alias("sz"),
+            )
+            # lang rides in the index (one short string per row): the
+            # containment query blocks on it, and carrying corpus
+            # metadata in the persisted index is exactly what the
+            # production artifact would do
+            .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+            .localCheckpoint(eager=False)
+        )
+    return _RANKED_SHINGLES_CACHE[sf_dir]
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup, deterministic survivor = min(doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -437,35 +472,30 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.rounding import pround
 
-    # (id, h) distinct shingle-hash rows — the shared module artifact
-    # (three aggregations here consume it: sets, df, ranking)
-    rows = _shared_shingle_rows(spark, sf_dir)
-    dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # ranked doubles as the verify-side set relation (ordered = the
-    # full distinct hash set) — one id-keyed aggregation, not two
-    ranked = (
-        rows.join(dfreq, "h")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda s: s["h"]).alias("ordered"),
-            F.size("arr").alias("sz"),
-        )
-        # two consumers (prefix explode + both verify sides) — local
-        # checkpoint, not persist: materialized once for this query,
-        # never enters the CacheManager (plan-order determinism), and
-        # the blocks are GC-released when the relation goes out of
-        # scope instead of leaking for the session
-        .localCheckpoint(eager=False)
-    )
+    # the shared df-ranked prefix-filter index (module artifact —
+    # ranked doubles as the verify-side set relation: ordered = the
+    # full distinct hash set in ascending-df order)
+    ranked = _shared_ranked_shingles(spark, sf_dir)
     # t = 0.8 → prefix length = sz - ceil(4·sz/5) + 1
     plen = (F.col("sz") - F.floor((4 * F.col("sz") + 4) / 5) + 1).cast("int")
-    pre = ranked.select(
-        "id",
-        "sz",
-        F.posexplode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("pos0", "h"),
-    ).select("id", "sz", (F.col("pos0") + 1).alias("p"), "h")
+    pre = (
+        ranked.select(
+            "id",
+            "sz",
+            F.posexplode(F.slice(F.col("ordered"), F.lit(1), plen)).alias(
+                "pos0", "h"
+            ),
+        )
+        .select("id", "sz", (F.col("pos0") + 1).alias("p"), "h")
+        # USER repartition on the join key: the candidate self-join's
+        # shuffle is tiny in BYTES but heavy in per-row CPU (positional
+        # filter + downstream array_intersect fanout), so AQE's
+        # byte-based coalescing collapses it to ~2 tasks — the same
+        # output-fanout blindness the dedup_semantic salt works around.
+        # A user-specified repartition is exempt from AQE coalescing
+        # and already satisfies the join's required distribution.
+        .repartition(32, "h")
+    )
     a, b = pre.alias("a"), pre.alias("b")
     # POSITIONAL filter (Xiao et al. PPJoin): both prefixes are sorted
     # by the same global (df, h) order, so common tokens appear in the
@@ -828,31 +858,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     id)."""
     from ..functions.rounding import pround
 
-    docs = load_table(spark, sf_dir, "documents")
-    rows = _shared_shingle_rows(spark, sf_dir)
-    dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    lang = docs.select(F.col("doc_id").alias("id"), "lang")
-    ranked = (
-        rows.join(dfreq, "h")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda s: s["h"]).alias("ordered"),
-            F.size("arr").alias("sz"),
-        )
-        .join(lang, "id")
-        # three consumers (prefix + full explodes + both verify sides)
-        # — localCheckpoint for the same determinism/GC reasons as the
-        # jaccard-prefix ranked relation above
-        .localCheckpoint(eager=False)
-    )
+    # the shared prefix-filter index (lang blocking column rides in it)
+    ranked = _shared_ranked_shingles(spark, sf_dir)
     # t = 0.9 → prefix length = sz − ⌈9·sz/10⌉ + 1 (≥ 1)
     plen = (F.col("sz") - F.floor((9 * F.col("sz") + 9) / 10) + 1).cast("int")
+    # USER repartition on the probe join key — same AQE output-fanout
+    # blindness note as dedup_jaccard_prefix's candidate stage
     pre = ranked.select(
         "id", "lang", "sz", F.explode(F.slice(F.col("ordered"), F.lit(1), plen)).alias("h")
-    )
-    full = ranked.select("id", "lang", "sz", F.explode("ordered").alias("h"))
+    ).repartition(32, "h")
+    full = ranked.select(
+        "id", "lang", "sz", F.explode("ordered").alias("h")
+    ).repartition(32, "h")
     a, b = pre.alias("a"), full.alias("b")
     cand = (
         a.join(
@@ -1312,25 +1329,47 @@ def _semdedup_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMD_SALT = 8  # within-cell pair-join fanout salt (knn_join_ivf's rail)
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, ratio_micros
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm_sq
 
     # three consumers (pair join a/b + the per-cell count) — checkpoint
     # the assignment once instead of re-running the scan + argmax
     # crossJoin per consumer; localCheckpoint (not persist) so the
     # relation never enters the CacheManager and its blocks GC-release
-    # after the query (VERDICT r9 item 1)
-    cell = _semdedup_cell_assignment(spark, sf_dir).localCheckpoint(eager=False)
-    a, b = cell.alias("a"), cell.alias("b")
+    # after the query (VERDICT r9 item 1). Norm² is hoisted into the
+    # checkpoint so the pair stage evaluates ONE dot per pair —
+    # dot/sqrt(nsq_a·nsq_b) is bit-equal to cosine()'s single-sqrt
+    # form (the knn_join_ivf contract).
+    cell = (
+        _semdedup_cell_assignment(spark, sf_dir)
+        .withColumn("nsq", norm_sq(F.col("cv")))
+        .localCheckpoint(eager=False)
+    )
+    # SALT the pair join (knn_join_ivf's rail): only |cells| distinct
+    # join keys exist, and the r10 bench caught AQE coalescing the
+    # tiny-input/huge-CPU-fanout pair shuffle to ONE task (12.7 s warm
+    # at sf0.1 — the r9 persist had masked this by disabling adaptive
+    # re-planning below the cached scan). b-side takes hash(id)%S,
+    # a-side replicates ×S: parallelism |cells|×S, work unchanged.
+    a = cell.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SEMD_SALT - 1)))
+    ).alias("a")
+    b = cell.withColumn(
+        "_salt", F.pmod(F.hash("vec_id"), F.lit(SEMD_SALT))
+    ).alias("b")
+    pair_cos = dot(F.col("a.cv"), F.col("b.cv")) / F.sqrt(
+        F.col("a.nsq") * F.col("b.nsq")
+    )
     pairs = a.join(
         b,
         (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a._salt") == F.col("b._salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(
-        iunits(cosine(F.col("a.cv"), F.col("b.cv")), 6)
-        >= F.lit(SEMD_TAU_MICROS)
-    )
+    ).filter(iunits(pair_cos, 6) >= F.lit(SEMD_TAU_MICROS))
     npairs = pairs.groupBy(F.col("a.cid").alias("cid")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )

@@ -155,11 +155,13 @@ def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
     # artifact (_SHINGLE_ROWS_CACHE) — swap the cache entry for the
     # synthetic corpus too, else a previously-cached real-corpus
     # artifact bypasses the load_table monkeypatch entirely
-    saved_cache = dict(dd._SHINGLE_ROWS_CACHE)
+    saved_rows = dict(dd._SHINGLE_ROWS_CACHE)
+    saved_ranked = dict(dd._RANKED_SHINGLES_CACHE)
     try:
         catalog.load_table = lambda sp, sf, name: docs  # noqa: E731
         dd.load_table = catalog.load_table
         dd._SHINGLE_ROWS_CACHE.clear()
+        dd._RANKED_SHINGLES_CACHE.clear()
         out = {
             (r.id_a, r.id_b): r.jaccard
             for r in dedup_jaccard_prefix(spark, SF_SMOKE).collect()
@@ -168,7 +170,9 @@ def test_prefix_filter_is_lossless_on_adversarial_sets(spark):
         catalog.load_table = orig
         dd.load_table = orig
         dd._SHINGLE_ROWS_CACHE.clear()
-        dd._SHINGLE_ROWS_CACHE.update(saved_cache)
+        dd._SHINGLE_ROWS_CACHE.update(saved_rows)
+        dd._RANKED_SHINGLES_CACHE.clear()
+        dd._RANKED_SHINGLES_CACHE.update(saved_ranked)
     assert out[(1, 2)] == 1.0
     # docs 4,5: 9 bigrams each, 8 shared -> J = 8/(9+9-8) = 0.8 exactly
     assert abs(out[(4, 5)] - 0.8) < 1e-9
