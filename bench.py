@@ -191,6 +191,10 @@ HEADLINE = [
     "graph_degree_assortativity",
     "timeseries_theil_sen",
     "graph_modularity",
+    # warm reps probe the parquet-persisted IVFPQ artifacts (built on
+    # the cold rep) - the serving-tier cost, mirroring
+    # dedup_incremental_day2's headline convention
+    "sim_topk_ivfpq_persisted",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

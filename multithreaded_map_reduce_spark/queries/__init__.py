@@ -260,6 +260,7 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_degree_assortativity",
     "timeseries_theil_sen",
     "graph_modularity",
+    "sim_topk_ivfpq_persisted",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1874,3 +1874,61 @@ def _maxsim_oracle() -> str:
 """
 
 ORACLES["sim_topk_maxsim"] = _maxsim_oracle()
+
+
+# -------------------------------------- persisted-IVFPQ day-2 serving
+# Round 10: the batch twin of the dedup day-2 discipline
+# (dedup_incremental_day2 / minhash_probe_index) on the ANN rail — the
+# IVFPQ index artifacts (centroids, PQ codebook, PQ codes) are WRITTEN
+# ONCE as parquet and every later query batch PROBES the files: zero
+# corpus scans, zero training per batch, which is the actual FAISS
+# production separation (train offline, mmap + serve). The cold bench
+# rep pays the one-time build+write; warm reps measure the probe-only
+# cost a serving tier would see. Bit-identical to sim_topk_ivfpq
+# (doubles round-trip parquet exactly; same oracle text) — the gate
+# proves the persisted artifacts ARE the in-memory index.
+
+_IVFPQ_PARQUET_PATHS: dict[str, tuple[str, str, str]] = {}
+
+
+def ivfpq_parquet_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    if sf_dir not in _IVFPQ_PARQUET_PATHS:
+        from ..operators.similarity import ivfpq_index
+        from .connectors import _fixture_path
+
+        _, c = _split(spark, sf_dir)
+        cents, codebook, codes = ivfpq_index(
+            c, "vec_id", "embedding", n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM
+        )
+        paths = (
+            _fixture_path("ivfpq_cents"),
+            _fixture_path("ivfpq_codebook"),
+            _fixture_path("ivfpq_codes"),
+        )
+        cents.write.mode("overwrite").parquet(paths[0])
+        codebook.write.mode("overwrite").parquet(paths[1])
+        codes.write.mode("overwrite").parquet(paths[2])
+        _IVFPQ_PARQUET_PATHS[sf_dir] = paths
+    return _IVFPQ_PARQUET_PATHS[sf_dir]
+
+
+def sim_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    cp, bp, dp = ivfpq_parquet_paths(spark, sf_dir)
+    index = (
+        spark.read.parquet(cp),
+        spark.read.parquet(bp),
+        spark.read.parquet(dp),
+    )
+    q, c = _split(spark, sf_dir)
+    return ivfpq_topk(
+        q, c, "vec_id", "embedding",
+        k=K, n_cells=N_CELLS, nprobe=NPROBE, m=PQ_M, ksub=PQ_KSUB, dim=DIM,
+        index=index,
+    )
+
+
+QUERIES["sim_topk_ivfpq_persisted"] = sim_topk_ivfpq_persisted
+
+ORACLES["sim_topk_ivfpq_persisted"] = _sql_ivfpq()

@@ -297,3 +297,22 @@ def test_modularity_hand_check(spark):
     assert row.internal_edges == sum(e_in.values())
     assert row.q_micros == q
     assert -1_000_000 <= row.q_micros <= 1_000_000
+
+
+# ------------------------------------------- persisted IVFPQ serving
+
+
+def test_ivfpq_persisted_matches_inmemory_and_probes_files(spark):
+    """Same rows as sim_topk_ivfpq (the artifacts ARE the index), and
+    the warm plan reads the parquet artifacts instead of rebuilding."""
+    a = sorted(
+        map(tuple, _q("sim_topk_ivfpq")(spark, SF_SMOKE).collect())
+    )
+    b = sorted(
+        map(tuple, _q("sim_topk_ivfpq_persisted")(spark, SF_SMOKE).collect())
+    )
+    assert a == b
+    df = _q("sim_topk_ivfpq_persisted")(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivfpq_codes" in plan and "ivfpq_codebook" in plan
