@@ -195,6 +195,7 @@ HEADLINE = [
     # the cold rep) - the serving-tier cost, mirroring
     # dedup_incremental_day2's headline convention
     "sim_topk_ivfpq_persisted",
+    "events_funnel_dwell",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

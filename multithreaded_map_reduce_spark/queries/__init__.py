@@ -261,6 +261,7 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_theil_sen",
     "graph_modularity",
     "sim_topk_ivfpq_persisted",
+    "events_funnel_dwell",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

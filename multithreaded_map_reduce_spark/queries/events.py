@@ -29,6 +29,7 @@ from ..functions.rounding import (
     sql_iunits,
     sql_pround,
     sql_ratio_micros,
+    sql_ratio_units,
 )
 from ..sources.catalog import load_table
 
@@ -1889,4 +1890,97 @@ ORACLES["events_top_paths"] = f"""
                ) AS INTEGER) AS rank
         FROM c, tot
     ) WHERE rank <= {TOP_PATHS_K}
+"""
+
+
+# ----------------------------------------------- funnel dwell times
+# Round 10: events_funnel answers WHO converts; this answers HOW FAST
+# — the dwell-time distribution of each funnel transition (view→click,
+# click→purchase) among converters: n, exact lower-median, p90 (the
+# ceil(0.9·n)-th order statistic), and the half-up mean, all in
+# integer microseconds. The latency KPI growth teams read next to the
+# conversion rate, and the input to any "where does the funnel stall"
+# decision.
+#
+# Exactness: dwells are BIGINT epoch-microsecond differences of the
+# funnel relation's stage minima; median/p90 are exact order
+# statistics (the discrete sorted-list idiom); the mean is
+# ratio_units. Zero doubles.
+#
+# Scale: rides the funnel relation (per-user rows); the per-transition
+# collect_list is bounded by converter count — past per-group-collect
+# scale the order statistics come from a value histogram
+# (value_histogram's rail, the events_rfm note).
+
+def events_funnel_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    f = events_funnel(spark, sf_dir)
+    dw = f.select(
+        F.lit("view_to_click").alias("transition"),
+        (F.col("click_us") - F.col("view_us")).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull()).unionByName(
+        f.select(
+            F.lit("click_to_purchase").alias("transition"),
+            (F.col("purchase_us") - F.col("click_us")).alias("dwell_us"),
+        ).filter(F.col("dwell_us").isNotNull())
+    )
+    g = dw.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum("dwell_us").alias("_sum"),
+        F.sort_array(F.collect_list("dwell_us")).alias("_arr"),
+    )
+    return g.select(
+        "transition",
+        "n_converted",
+        F.element_at(
+            F.col("_arr"), ((F.col("n_converted") + 1) / 2).cast("int")
+        ).alias("median_us"),
+        # pure-integer ceil(9n/10) = (9n + 9) div 10 on the positive
+        # domain — no doubles anywhere in the order-statistic indices
+        F.element_at(
+            F.col("_arr"),
+            F.expr("(9 * n_converted + 9) div 10").cast("int"),
+        ).alias("p90_us"),
+        ratio_units("_sum", "n_converted", 1).alias("mean_us"),
+    )
+
+
+QUERIES["events_funnel_dwell"] = events_funnel_dwell
+
+ORACLES["events_funnel_dwell"] = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ), v AS (
+        SELECT user_id, min(tus) AS view_us
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.tus) AS click_us
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.tus > v.view_us AND e.tus <= v.view_us + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.tus) AS purchase_us
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.tus > c.click_us AND e.tus <= c.click_us + {FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ), dw AS (
+        SELECT 'view_to_click' AS transition,
+               c.click_us - v.view_us AS dwell_us
+        FROM v JOIN c ON v.user_id = c.user_id
+        UNION ALL
+        SELECT 'click_to_purchase' AS transition,
+               p.purchase_us - c.click_us AS dwell_us
+        FROM c JOIN p ON c.user_id = p.user_id
+    )
+    SELECT transition,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           list_sort(list(dwell_us))[CAST((count(*) + 1) // 2 AS INTEGER)]
+               AS median_us,
+           list_sort(list(dwell_us))[CAST((9 * count(*) + 9) // 10
+                                          AS INTEGER)] AS p90_us,
+           {sql_ratio_units('sum(dwell_us)', 'count(*)', 1)} AS mean_us
+    FROM dw GROUP BY transition
 """

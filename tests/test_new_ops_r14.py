@@ -316,3 +316,34 @@ def test_ivfpq_persisted_matches_inmemory_and_probes_files(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ivfpq_codes" in plan and "ivfpq_codebook" in plan
+
+
+# --------------------------------------------------- funnel dwell
+
+
+def test_funnel_dwell_consistent_with_funnel(spark):
+    """Dwells recomputed from the funnel relation itself; order
+    statistics match a python sort."""
+    import __spark_entry__ as entry
+
+    f = {r.user_id: r for r in entry.queries()["events_funnel"](spark, SF_SMOKE).collect()}
+    by_tr = {"view_to_click": [], "click_to_purchase": []}
+    for r in f.values():
+        if r.click_us is not None:
+            by_tr["view_to_click"].append(r.click_us - r.view_us)
+        if r.purchase_us is not None and r.click_us is not None:
+            by_tr["click_to_purchase"].append(r.purchase_us - r.click_us)
+    rows = {
+        r.transition: r
+        for r in _q("events_funnel_dwell")(spark, SF_SMOKE).collect()
+    }
+    for tr, dws in by_tr.items():
+        if not dws:
+            assert tr not in rows
+            continue
+        dws.sort()
+        r = rows[tr]
+        assert r.n_converted == len(dws)
+        assert r.median_us == dws[(len(dws) + 1) // 2 - 1]
+        assert r.p90_us == dws[(9 * len(dws) + 9) // 10 - 1]
+        assert r.mean_us == (2 * sum(dws) + len(dws)) // (2 * len(dws))
