@@ -196,6 +196,9 @@ HEADLINE = [
     # dedup_incremental_day2's headline convention
     "sim_topk_ivfpq_persisted",
     "events_funnel_dwell",
+    "events_growth_accounting",
+    # embedding_knn_outliers excluded: it re-runs knn_join_embeddings
+    # (already timed) plus a 20-row TakeOrdered.
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

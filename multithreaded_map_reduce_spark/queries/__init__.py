@@ -262,6 +262,8 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_modularity",
     "sim_topk_ivfpq_persisted",
     "events_funnel_dwell",
+    "embedding_knn_outliers",
+    "events_growth_accounting",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

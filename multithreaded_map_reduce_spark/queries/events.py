@@ -1984,3 +1984,133 @@ ORACLES["events_funnel_dwell"] = f"""
            {sql_ratio_units('sum(dwell_us)', 'count(*)', 1)} AS mean_us
     FROM dw GROUP BY transition
 """
+
+
+# -------------------------------------------------- growth accounting
+# Round 10: the weekly growth-accounting decomposition (the
+# new/retained/resurrected/churned ledger every growth team maintains,
+# one step past events_new_vs_returning's new/returning split):
+# active(w) = new(w) + retained(w) + resurrected(w), churned(w) =
+# users active in w−1 but not w, and the quick ratio
+# (new+resurrected)/churned — micro-snapped exact rational. Weeks are
+# the pure-integer epoch_days div 7 bucket (identical truncating
+# semantics both engines on the positive domain; no ISO-week
+# divergence risk).
+#
+# Scale: one distinct to (user, week), one lag/lead window per user
+# over their WEEK rows (≤ |weeks| per user), one |weeks|-row rollup.
+# Never a running COUNT(DISTINCT).
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_micros
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-01') div 7"
+        ).cast("long").alias("w"),
+    )
+    uw = ev.distinct()
+    lw = W.partitionBy("user_id").orderBy("w")
+    flags = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(lw).alias("prev_w"),
+        F.lead("w").over(lw).alias("next_w"),
+    )
+    maxw = uw.agg(F.max("w").alias("max_w"))
+    flows = (
+        flags.select(
+            F.col("w").alias("week"),
+            F.when(F.col("prev_w").isNull(), 1).otherwise(0).alias("is_new"),
+            F.when(F.col("prev_w") == F.col("w") - 1, 1)
+            .otherwise(0)
+            .alias("is_retained"),
+            F.when(
+                F.col("prev_w").isNotNull() & (F.col("prev_w") < F.col("w") - 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_resurrected"),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("is_new").alias("new_users"),
+            F.sum("is_retained").alias("retained_users"),
+            F.sum("is_resurrected").alias("resurrected_users"),
+        )
+    )
+    churn = (
+        flags.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("next_w").isNull() | (F.col("next_w") > F.col("w") + 1))
+            & (F.col("w") + 1 <= F.col("max_w"))
+        )
+        .groupBy((F.col("w") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("churned_users"))
+    )
+    return (
+        flows.join(churn, "week", "left")
+        .select(
+            "week",
+            "new_users",
+            "retained_users",
+            "resurrected_users",
+            F.coalesce("churned_users", F.lit(0)).alias("churned_users"),
+            F.when(
+                F.coalesce("churned_users", F.lit(0)) == 0,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                ratio_micros(
+                    "new_users + resurrected_users",
+                    "coalesce(churned_users, 0)",
+                )
+            )
+            .alias("quick_ratio_micros"),
+        )
+    )
+
+
+QUERIES["events_growth_accounting"] = events_growth_accounting
+
+ORACLES["events_growth_accounting"] = f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                   AS w
+        FROM events
+    ), flags AS (
+        SELECT user_id, w,
+               lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+               lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+        FROM uw
+    ), maxw AS (SELECT max(w) AS max_w FROM uw),
+    flows AS (
+        SELECT w AS week,
+               CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN prev_w = w - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS retained_users,
+               CAST(sum(CASE WHEN prev_w IS NOT NULL AND prev_w < w - 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+        FROM flags GROUP BY w
+    ), churn AS (
+        SELECT w + 1 AS week, CAST(count(*) AS BIGINT) AS churned_users
+        FROM flags, maxw
+        WHERE (next_w IS NULL OR next_w > w + 1) AND w + 1 <= max_w
+        GROUP BY w + 1
+    )
+    SELECT f.week,
+           f.new_users,
+           f.retained_users,
+           f.resurrected_users,
+           CAST(coalesce(c.churned_users, 0) AS BIGINT) AS churned_users,
+           CASE WHEN coalesce(c.churned_users, 0) = 0 THEN NULL
+                ELSE {sql_ratio_micros('f.new_users + f.resurrected_users',
+                                       'c.churned_users')}
+           END AS quick_ratio_micros
+    FROM flows f LEFT JOIN churn c ON f.week = c.week
+"""

@@ -1932,3 +1932,70 @@ def sim_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sim_topk_ivfpq_persisted"] = sim_topk_ivfpq_persisted
 
 ORACLES["sim_topk_ivfpq_persisted"] = _sql_ivfpq()
+
+
+# ------------------------------------------- kNN-distance outlier report
+# Round 10: distance-based outlier mining on the embedding corpus —
+# the curation screen that drops vectors nothing else resembles
+# (mislabeled scrapes, encoding failures, off-distribution content)
+# before they poison nearest-neighbor training signals. Score = the
+# k-th-NN cosine from the knn_join rail (lower = more isolated), with
+# probe underfill surfaced (n_found < K) and never-matched vectors
+# ranked MOST isolated (NULLS FIRST) instead of silently dropped — the
+# report's whole point is the vectors retrieval can't reach.
+#
+# Scale: rides knn_join_ivf (salted cell join, norms hoisted — the
+# bench's 2.8 s rail); the report adds one per-query aggregate, a
+# |vectors|-row left join, and a TakeOrdered(OUTLIER_N).
+
+OUTLIER_N = 20
+
+
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    knn = knn_join_embeddings(spark, sf_dir)
+    agg = knn.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.min("cos_sim").alias("kth_cos_sim"),
+    )
+    spine = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    scored = spine.join(agg, "query_id", "left").select(
+        F.col("query_id").alias("vec_id"),
+        F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+        "kth_cos_sim",
+    )
+    w = W.orderBy(
+        F.asc_nulls_first("kth_cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= OUTLIER_N)
+    )
+
+
+QUERIES["embedding_knn_outliers"] = embedding_knn_outliers
+
+ORACLES["embedding_knn_outliers"] = f"""
+    WITH knn AS ({ORACLES['knn_join_embeddings']}),
+    agg AS (
+        SELECT query_id,
+               CAST(count(*) AS BIGINT) AS n_found,
+               min(cos_sim) AS kth_cos_sim
+        FROM knn GROUP BY query_id
+    ), scored AS (
+        SELECT e.vec_id,
+               CAST(coalesce(agg.n_found, 0) AS BIGINT) AS n_found,
+               agg.kth_cos_sim
+        FROM embeddings e LEFT JOIN agg ON e.vec_id = agg.query_id
+    )
+    SELECT vec_id, n_found, kth_cos_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            ORDER BY kth_cos_sim ASC NULLS FIRST, vec_id ASC
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {OUTLIER_N}
+"""

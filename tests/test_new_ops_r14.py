@@ -347,3 +347,68 @@ def test_funnel_dwell_consistent_with_funnel(spark):
         assert r.median_us == dws[(len(dws) + 1) // 2 - 1]
         assert r.p90_us == dws[(9 * len(dws) + 9) // 10 - 1]
         assert r.mean_us == (2 * sum(dws) + len(dws)) // (2 * len(dws))
+
+
+# ------------------------------------------------- kNN outliers
+
+
+def test_knn_outliers_ranks_isolated_first(spark):
+    rows = _q("embedding_knn_outliers")(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    scored = [r for r in sorted(rows, key=lambda r: r.rank)]
+    # NULLS FIRST: any never-matched vectors lead, then ascending kth sim
+    seen_nonnull = False
+    prev = None
+    for r in scored:
+        if r.kth_cos_sim is None:
+            assert not seen_nonnull
+            assert r.n_found == 0
+        else:
+            if prev is not None:
+                assert r.kth_cos_sim >= prev
+            prev = r.kth_cos_sim
+            seen_nonnull = True
+
+
+# --------------------------------------------- growth accounting
+
+
+def test_growth_accounting_identity(spark):
+    """active(w) = new + retained + resurrected, recomputed
+    brute-force; churn(w) = active(w-1) - retained(w)."""
+    import duckdb
+    from collections import defaultdict
+
+    uw = duckdb.sql(
+        "SELECT DISTINCT user_id, "
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w "
+        f"FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    weeks = defaultdict(set)
+    for u, w in uw:
+        weeks[w].add(u)
+    first = {}
+    for u, w in sorted(uw, key=lambda t: t[1]):
+        first.setdefault(u, w)
+    rows = {
+        r.week: r
+        for r in _q("events_growth_accounting")(spark, SF_SMOKE).collect()
+    }
+    wmax = max(weeks)
+    for w in weeks:
+        r = rows[w]
+        active = weeks[w]
+        new = {u for u in active if first[u] == w}
+        retained = active & weeks.get(w - 1, set())
+        res = active - new - retained
+        assert r.new_users == len(new)
+        assert r.retained_users == len(retained)
+        assert r.resurrected_users == len(res)
+        if w - 1 in weeks:
+            churned = weeks[w - 1] - active
+            assert r.churned_users == len(churned)
+        if r.churned_users:
+            assert r.quick_ratio_micros == (
+                2 * 1_000_000 * (len(new) + len(res)) + r.churned_users
+            ) // (2 * r.churned_users)
+    assert wmax in rows
