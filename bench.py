@@ -197,6 +197,7 @@ HEADLINE = [
     "sim_topk_ivfpq_persisted",
     "events_funnel_dwell",
     "events_growth_accounting",
+    "timeseries_seasonal_strength",
     # embedding_knn_outliers excluded: it re-runs knn_join_embeddings
     # (already timed) plus a 20-row TakeOrdered.
 ]

@@ -264,6 +264,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_funnel_dwell",
     "embedding_knn_outliers",
     "events_growth_accounting",
+    "timeseries_seasonal_strength",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1123,3 +1123,103 @@ ORACLES["timeseries_theil_sen"] = """
                AS sen_slope_micros
     FROM pairs GROUP BY event_type
 """
+
+
+# --------------------------------------------- seasonal strength (STL F_s)
+# Round 10: the one-number answer to "is the day-of-week profile worth
+# modeling" — Hyndman's seasonal-strength statistic F_s = max(0,
+# 1 − Var(residual)/Var(raw)) on the deseasonalized rail
+# (timeseries_deseasonal_anomaly's exact contract: dow means snapped
+# half-up to micros, residuals r = 10⁴·cents − mean_micros exact
+# integers). F_s ≈ 0 → seasonality explains nothing (drop the profile
+# from the anomaly model); F_s → 1 → the profile carries the signal.
+#
+# Exactness: both variances share n, so F_s = 1 − num_r/num_x with
+# num = n·Σz² − (Σz)² — a ratio of two exact integers; the wide
+# moments run on the DECIMAL(38,0)/HUGEINT rail (Σx² passes int64 at
+# sf0.1 already) and the two reported micro-ratios are half-up wide
+# rationals. Zero doubles.
+#
+# Scale: one event scan for the 7-row profile (broadcast back), one
+# residual re-scan with a single global aggregate.
+
+def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        (
+            ((epoch_micros(F.col("ts")) / F.lit(DAY_US)).cast("long") + 4) % 7
+        ).alias("dow"),
+        iunits(F.col("value"), 2).alias("v"),
+    )
+    prof = (
+        per.groupBy("dow")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select("dow", ratio_units("s", "c", 10_000).alias("mean_micros"))
+    )
+    dec = "decimal(38,0)"
+    both = per.join(F.broadcast(prof), "dow").select(
+        (F.col("v") * F.lit(10_000)).alias("x"),
+        (F.col("v") * F.lit(10_000) - F.col("mean_micros")).alias("r"),
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("sxx"),
+        F.sum(F.col("r").cast(dec)).alias("sr"),
+        F.sum((F.col("r").cast(dec) * F.col("r").cast(dec))).alias("srr"),
+    )
+    num_x = F.col("n_events").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    num_r = F.col("n_events").cast(dec) * F.col("srr") - F.col("sr") * F.col("sr")
+    return agg.select(
+        "n_events",
+        num_x.alias("_nx"),
+        num_r.alias("_nr"),
+    ).select(
+        "n_events",
+        ratio_units_dec("_nr", "_nx").alias("resid_var_share_micros"),
+        F.greatest(
+            F.lit(1_000_000) - ratio_units_dec("_nr", "_nx"), F.lit(0)
+        ).cast("long").alias("seasonal_strength_micros"),
+    )
+
+
+QUERIES["timeseries_seasonal_strength"] = timeseries_seasonal_strength
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud,
+)
+
+ORACLES["timeseries_seasonal_strength"] = f"""
+    WITH per AS (
+        SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+               {sql_iunits('value', 2)} AS v
+        FROM events
+    ), prof AS (
+        SELECT dow, {sql_ratio_units('sum(v)', 'count(*)', 10_000)}
+                   AS mean_micros
+        FROM per GROUP BY dow
+    ), xr AS (
+        SELECT per.v * 10000 AS x,
+               per.v * 10000 - prof.mean_micros AS r
+        FROM per JOIN prof ON per.dow = prof.dow
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(r AS HUGEINT)) AS sr,
+               sum(CAST(r AS HUGEINT) * r) AS srr
+        FROM xr
+    )
+    SELECT n_events,
+           {_sql_rud('n_events * srr - sr * sr', 'n_events * sxx - sx * sx')}
+               AS resid_var_share_micros,
+           CAST(greatest(1000000 -
+               {_sql_rud('n_events * srr - sr * sr',
+                         'n_events * sxx - sx * sx')}, 0) AS BIGINT)
+               AS seasonal_strength_micros
+    FROM agg
+"""

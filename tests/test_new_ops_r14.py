@@ -412,3 +412,18 @@ def test_growth_accounting_identity(spark):
                 2 * 1_000_000 * (len(new) + len(res)) + r.churned_users
             ) // (2 * r.churned_users)
     assert wmax in rows
+
+
+# --------------------------------------------- seasonal strength
+
+
+def test_seasonal_strength_bounds_and_identity(spark):
+    row = _q("timeseries_seasonal_strength")(spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.seasonal_strength_micros <= 1_000_000
+    assert row.resid_var_share_micros >= 0
+    # identity: strength + resid share = 1e6 when share <= 1e6
+    if row.resid_var_share_micros <= 1_000_000:
+        assert (
+            row.seasonal_strength_micros + row.resid_var_share_micros
+            == 1_000_000
+        )
