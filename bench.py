@@ -200,6 +200,21 @@ HEADLINE = [
     "timeseries_seasonal_strength",
     # embedding_knn_outliers excluded: it re-runs knn_join_embeddings
     # (already timed) plus a 20-row TakeOrdered.
+    # round-10 batch 3: rank/inequality stats, changepoint locator,
+    # Dirichlet QL retrieval, RAKE phrases, HITS fixed point
+    "quality_kruskal_wallis",
+    "stats_theil_by_region",
+    "timeseries_changepoint",
+    "search_ql_dirichlet",
+    "text_rake_keywords",
+    "graph_hits_nations",
+    # round-10 batch 4: causal DiD, temperature mixture, ViT patchify
+    "events_diff_in_diff",
+    "curation_temperature_mixture",
+    "multimodal_image_patches",
+    # round-10 batch 5: lakehouse log replay, LPA communities
+    "connector_txlog_replay",
+    "graph_labelprop_communities",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

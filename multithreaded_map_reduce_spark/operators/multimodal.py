@@ -586,3 +586,62 @@ def audio_activity_segments(
         "media_id long, n_frames long, n_active long,"
         " n_segments long, longest_run long",
     )
+
+
+def extract_bmp_patches(media: DataFrame, patch: int = 4) -> DataFrame:
+    """Arrow-batched strict BMP decode → ViT-style PATCHIFY: the
+    top-down raster tiles into ``patch``×``patch`` pixel patches (edge
+    patches truncated, never padded — deterministic), one row per
+    (image, patch_row, patch_col) with exact integer pixel count,
+    channel-byte sum and half-up mean in milli-units. This is the
+    geometry step under every vision-transformer intake (an image
+    becomes a patch sequence before embedding); downstream stages key
+    on (media_id, py, px) exactly like token positions.
+
+    Pure integer arithmetic on decoded bytes — the oracle replays the
+    byte cycle from (doc_id, text) and one wrong byte in the stride
+    unpadding breaks the hash."""
+    import pandas as pd
+
+    from .codecs import decode_bmp
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "py": [],
+                "px": [],
+                "n_px": [],
+                "sum_bytes": [],
+                "mean_milli": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, _, pixels = decode_bmp(bytes(blob))
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                for py in range((h + patch - 1) // patch):
+                    for px in range((w + patch - 1) // patch):
+                        tile = arr[
+                            py * patch : (py + 1) * patch,
+                            px * patch : (px + 1) * patch,
+                        ]
+                        n_px = tile.shape[0] * tile.shape[1]
+                        s = int(tile.sum())
+                        out["media_id"].append(mid)
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["n_px"].append(n_px)
+                        out["sum_bytes"].append(s)
+                        # half-up milli-mean over the 3·n_px bytes —
+                        # the pure-integer rational both engines share
+                        out["mean_milli"].append(
+                            (2000 * s + 3 * n_px) // (6 * n_px)
+                        )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, py int, px int, n_px long, sum_bytes long,"
+        " mean_milli long",
+    )

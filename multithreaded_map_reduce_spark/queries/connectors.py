@@ -615,3 +615,116 @@ ORACLES["connector_python_stream"] = f"""
            {sql_pround(_sql_fiu(f"sum({_sql_iu2('value', 2)})", 2), 2)} AS sum_value
     FROM gen GROUP BY user_bucket
 """
+
+
+# ------------------------------------------- transaction-log replay
+# The lakehouse table-format primitive (Delta/Iceberg's core idea): a
+# table IS an ordered log of add/remove file actions, and a snapshot
+# is the log folded up to a version. This op builds a deterministic
+# action log from orders (every order adds a "file"; finished orders
+# remove it a few versions later), round-trips it through JSON-lines
+# on disk (the log is a real on-disk artifact, like the binaryFile
+# rail), and REPLAYS it: per version, action counts plus the
+# cumulative live-file count and live bytes — the table-state ledger
+# a lakehouse reader derives before planning a scan.
+#
+# Exactness: file sizes are exact BIGINT cents; the fold is two window
+# prefix sums over the |versions|-row per-version aggregate. The JSON
+# round-trip must preserve every count bit-exactly for the oracle
+# (which replays the same derivations from orders directly) to match.
+#
+# Scale: the log write/read is one fact-table pass; the replay
+# aggregates to |versions| rows before any window runs. Real Delta
+# checkpoints amortize exactly this fold — the per-version relation
+# here IS that checkpoint's content.
+
+def connector_txlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        (F.col("o_orderkey") % 7).alias("v_add"),
+        iunits(F.col("o_totalprice"), 2).alias("size_bytes"),
+        (F.col("o_orderstatus") == "F").alias("finished"),
+    )
+    adds = base.select(
+        F.lit("add").alias("action"),
+        "file_id",
+        F.col("v_add").alias("version"),
+        "size_bytes",
+    )
+    removes = base.filter("finished").select(
+        F.lit("remove").alias("action"),
+        "file_id",
+        (F.col("v_add") + 1 + F.col("file_id") % 3).alias("version"),
+        "size_bytes",
+    )
+    path = _fixture_path("txlog")
+    adds.unionByName(removes).write.mode("overwrite").json(path)
+    log = spark.read.schema(
+        "action string, file_id long, version long, size_bytes long"
+    ).json(path)
+    per_v = log.groupBy("version").agg(
+        F.sum(F.when(F.col("action") == "add", 1).otherwise(0)).alias(
+            "n_adds"
+        ),
+        F.sum(F.when(F.col("action") == "remove", 1).otherwise(0)).alias(
+            "n_removes"
+        ),
+        F.sum(
+            F.when(F.col("action") == "add", F.col("size_bytes")).otherwise(
+                -F.col("size_bytes")
+            )
+        ).alias("delta_bytes"),
+    )
+    w = W.orderBy("version").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_v.select(
+        "version",
+        "n_adds",
+        "n_removes",
+        F.sum(F.col("n_adds") - F.col("n_removes")).over(w).alias(
+            "live_files"
+        ),
+        F.sum("delta_bytes").over(w).alias("live_bytes"),
+    )
+
+
+QUERIES["connector_txlog_replay"] = connector_txlog_replay
+
+from ..functions.rounding import sql_iunits as _sql_iu_tx  # noqa: E402
+
+ORACLES["connector_txlog_replay"] = f"""
+    WITH base AS (
+        SELECT o_orderkey AS file_id,
+               o_orderkey % 7 AS v_add,
+               {_sql_iu_tx('o_totalprice', 2)} AS size_bytes,
+               o_orderstatus = 'F' AS finished
+        FROM orders
+    ), log AS (
+        SELECT 'add' AS action, file_id, v_add AS version, size_bytes
+        FROM base
+        UNION ALL
+        SELECT 'remove', file_id, v_add + 1 + file_id % 3, size_bytes
+        FROM base WHERE finished
+    ), per_v AS (
+        SELECT version,
+               CAST(sum(CASE WHEN action = 'add' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_adds,
+               CAST(sum(CASE WHEN action = 'remove' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removes,
+               CAST(sum(CASE WHEN action = 'add' THEN size_bytes
+                             ELSE -size_bytes END) AS BIGINT) AS delta_bytes
+        FROM log GROUP BY version
+    )
+    SELECT version, n_adds, n_removes,
+           CAST(sum(n_adds - n_removes) OVER (
+               ORDER BY version ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS live_files,
+           CAST(sum(delta_bytes) OVER (
+               ORDER BY version ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS live_bytes
+    FROM per_v
+"""

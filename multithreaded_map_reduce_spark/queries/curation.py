@@ -2396,3 +2396,97 @@ def _dataset_card_oracle() -> str:
 
 
 ORACLES["curation_dataset_card"] = _dataset_card_oracle()
+
+
+# ----------------------------------------- Temperature-scaled mixture
+# The multilingual sampling standard between proportional (T=1) and
+# uniform (T=∞): source weights ∝ n_s^(1/T) (Conneau & Lample 2019,
+# XLM-R's data recipe; T=2 here so the exponent is an exact sqrt —
+# IEEE-754 sqrt is CORRECTLY ROUNDED, the one portable transcendental,
+# so no grid-snap fragility is possible on the power step). Reported
+# next to the raw proportional share so the boost each tail source
+# receives is explicit — the quantity a mixture reviewer checks.
+#
+# Exactness: n_s are BIGINTs; sqrt(n_s) snaps to exact micro-units;
+# both share columns are half-up rationals of exact integers. The
+# boost ratio divides two already-rounded micro-shares (the contract:
+# oracle replays the identical chain).
+#
+# Scale: one corpus scan → |sources| rows; everything after is
+# constant-size arithmetic on the broadcast totals.
+
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = per.select(
+        "lang",
+        "n_docs",
+        iunits(F.sqrt(F.col("n_docs").cast("double")), 6).alias("w_units"),
+    )
+    tot = scaled.agg(
+        F.sum("n_docs").alias("n_tot"), F.sum("w_units").alias("w_tot")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            ratio_units_dec("n_docs", "n_tot", 1_000_000).alias(
+                "raw_share_micros"
+            ),
+            ratio_units_dec("w_units", "w_tot", 1_000_000).alias(
+                "temp_share_micros"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_share_micros",
+            "temp_share_micros",
+            F.when(F.col("raw_share_micros") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                ratio_units_dec(
+                    "temp_share_micros * 1000000", "raw_share_micros", 1
+                )
+            )
+            .alias("boost_micros"),
+        )
+    )
+
+
+QUERIES["curation_temperature_mixture"] = curation_temperature_mixture
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_temp,
+    sql_ratio_units_dec as _sql_rud_temp,
+)
+
+ORACLES["curation_temperature_mixture"] = f"""
+    WITH per AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ), scaled AS (
+        SELECT lang, n_docs,
+               {_sql_iu_temp('sqrt(CAST(n_docs AS DOUBLE))', 6)} AS w_units
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+               CAST(sum(w_units) AS BIGINT) AS w_tot
+        FROM scaled
+    ), shares AS (
+        SELECT lang, n_docs,
+               {_sql_rud_temp('n_docs', 'n_tot', 1_000_000)}
+                   AS raw_share_micros,
+               {_sql_rud_temp('w_units', 'w_tot', 1_000_000)}
+                   AS temp_share_micros
+        FROM scaled CROSS JOIN tot
+    )
+    SELECT lang, n_docs, raw_share_micros, temp_share_micros,
+           CASE WHEN raw_share_micros = 0 THEN NULL
+                ELSE {_sql_rud_temp('temp_share_micros * 1000000',
+                                    'raw_share_micros', 1)}
+           END AS boost_micros
+    FROM shares
+"""

@@ -2114,3 +2114,111 @@ ORACLES["events_growth_accounting"] = f"""
            END AS quick_ratio_micros
     FROM flows f LEFT JOIN churn c ON f.week = c.week
 """
+
+
+# --------------------------------------------- Difference-in-differences
+# The quasi-experimental companion of events_cuped: when assignment
+# isn't randomized, the causal effect is estimated as (treated post −
+# treated pre) − (control post − control pre) — parallel-trends
+# differencing that cancels both the group gap and the common time
+# shock (Card & Krueger 1994). Same deterministic rails as CUPED: arm
+# = token_hash(user_id) % 2, period split at the hour-snapped midpoint
+# of the observed window.
+#
+# Exactness: per-cell sums are BIGINT micro-units; the four cell means
+# are half-up rationals; DiD is a difference of those exact integers.
+# One corpus scan, a 4-row aggregate, zero doubles.
+#
+# Scale: single groupBy(arm, period) over the fact table (map-side
+# combinable) + a broadcast 1-row window-bounds relation.
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_units
+
+    ev = load_table(spark, sf_dir, "events")
+    HOUR_US = 3_600_000_000
+    b = ev.agg(
+        F.min(epoch_micros("ts")).alias("lo"),
+        F.max(epoch_micros("ts")).alias("hi"),
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            (token_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+            (
+                epoch_micros("ts")
+                >= F.expr(f"((lo + hi) div 2 div {HOUR_US}) * {HOUR_US}")
+            )
+            .cast("int")
+            .alias("post"),
+            iunits(F.col("value"), 6).alias("v"),
+        )
+        .groupBy("arm", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(
+            "arm", "post", "n", ratio_units("s", "n", 1).alias("mean_micros")
+        )
+    )
+    wide = cells.agg(
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("n"))).alias("n_c_pre"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("n"))).alias("n_c_post"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("n"))).alias("n_t_pre"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("n"))).alias("n_t_post"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("mean_micros"))).alias("m_c_pre"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("mean_micros"))).alias("m_c_post"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("mean_micros"))).alias("m_t_pre"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("mean_micros"))).alias("m_t_post"),
+    )
+    return wide.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        "m_c_pre",
+        "m_c_post",
+        "m_t_pre",
+        "m_t_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_micros"),
+    )
+
+
+QUERIES["events_diff_in_diff"] = events_diff_in_diff
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_did  # noqa: E402
+
+ORACLES["events_diff_in_diff"] = f"""
+    WITH b AS (
+        SELECT ((epoch_us(min(ts)) + epoch_us(max(ts))) // 2 // 3600000000)
+                   * 3600000000 AS mid_us
+        FROM events
+    ), cells AS (
+        SELECT {_sql_th_cuped("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({_sql_iu_cuped('value', 6)}) AS BIGINT) AS s
+        FROM events CROSS JOIN b
+        GROUP BY 1, 2
+    ), means AS (
+        SELECT arm, post, n, {_sql_ru_did('s', 'n', 1)} AS mean_micros
+        FROM cells
+    )
+    SELECT
+        max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+        max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+        max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+        max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+        max(CASE WHEN arm = 0 AND post = 0 THEN mean_micros END) AS m_c_pre,
+        max(CASE WHEN arm = 0 AND post = 1 THEN mean_micros END) AS m_c_post,
+        max(CASE WHEN arm = 1 AND post = 0 THEN mean_micros END) AS m_t_pre,
+        max(CASE WHEN arm = 1 AND post = 1 THEN mean_micros END) AS m_t_post,
+        CAST((max(CASE WHEN arm = 1 AND post = 1 THEN mean_micros END)
+              - max(CASE WHEN arm = 1 AND post = 0 THEN mean_micros END))
+             - (max(CASE WHEN arm = 0 AND post = 1 THEN mean_micros END)
+                - max(CASE WHEN arm = 0 AND post = 0 THEN mean_micros END))
+             AS BIGINT) AS did_micros
+    FROM means
+"""

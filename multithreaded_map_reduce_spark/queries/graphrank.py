@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pagerank import DAMPING_DEN, DAMPING_NUM, SCALE, pagerank
+from ..operators.pagerank import DAMPING_DEN, DAMPING_NUM, SCALE, hits, pagerank
 from ..sources.catalog import load_table
 
 N_NATIONS = 25
@@ -1164,3 +1164,243 @@ def _modularity_oracle() -> str:
 
 
 ORACLES["graph_modularity"] = _modularity_oracle()
+
+
+# ---------------------------------------------------------- HITS
+HITS_ITER = 4
+
+
+def graph_hits_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hubs & authorities on the nation trade graph —
+    the mutual-reinforcement companion of pagerank_nations: a nation
+    is a strong HUB when it supplies nations that are strong
+    AUTHORITIES (heavy buyers from strong suppliers), the classic
+    bipartite-flavor ranking PageRank's single score conflates
+    (Kleinberg 1999, the reference's MapReduce workload class).
+
+    Exact fixed-point integer iteration (operators/pagerank.py:hits);
+    the oracle unrolls the identical 4-round chain as CTEs with
+    HUGEINT accumulation and the same half-up normalization rational.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    ha = hits(
+        nodes, _trade_edges(spark, sf_dir), num_iter=HITS_ITER
+    )
+    return ha.join(F.broadcast(nation), ha.id == nation.n_nationkey).select(
+        F.col("id").alias("nationkey"), "n_name", "auth_units", "hub_units"
+    )
+
+
+QUERIES["graph_hits_nations"] = graph_hits_nations
+
+
+def _hits_sql(num_iter: int = HITS_ITER, n: int = N_NATIONS) -> str:
+    """Unrolled-CTE twin of the HITS fixed-point loop (same constants,
+    HUGEINT accumulation, identical half-up normalization)."""
+
+    def norm(raw: str, col: str) -> str:
+        return f"""(
+            SELECT nodes.id,
+                   CAST((2 * {SCALE}::HUGEINT
+                         * coalesce({raw}.{col}, 0) + t.tot)
+                        // (2 * t.tot) AS BIGINT) AS {col}
+            FROM nodes
+            LEFT JOIN {raw} ON nodes.id = {raw}.id
+            CROSS JOIN (SELECT sum({col}) AS tot FROM {raw}) t
+        )"""
+
+    ctes = [
+        f"""nodes AS (SELECT n_nationkey AS id FROM nation),
+        edges AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        h0 AS MATERIALIZED (
+            SELECT id, CAST({SCALE // n} AS BIGINT) AS h FROM nodes)"""
+    ]
+    for i in range(1, num_iter + 1):
+        p = i - 1
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(CAST(r.h AS HUGEINT) * e.w) AS a
+            FROM edges e JOIN h{p} r ON e.src = r.id GROUP BY e.dst
+        ),
+        a{i} AS MATERIALIZED {norm(f'ar{i}', 'a')},
+        hr{i} AS MATERIALIZED (
+            SELECT e.src AS id, sum(CAST(r.a AS HUGEINT) * e.w) AS h
+            FROM edges e JOIN a{i} r ON e.dst = r.id GROUP BY e.src
+        ),
+        h{i} AS MATERIALIZED {norm(f'hr{i}', 'h')}"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a.id AS nationkey, n.n_name,
+               a.a AS auth_units, h.h AS hub_units
+        FROM a{num_iter} a
+        JOIN h{num_iter} h ON a.id = h.id
+        JOIN nation n ON a.id = n.n_nationkey"""
+    )
+
+
+ORACLES["graph_hits_nations"] = _hits_sql()
+
+
+# --------------------------------------------- label propagation (LPA)
+LPA_ROUNDS = 4
+
+
+def graph_labelprop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan 2007) on the
+    undirected trade graph — the linear-time community DETECTOR next
+    to graph_modularity's community SCORER (score a given partition)
+    and dedup_clusters' connected components (communities ignore
+    density; LPA follows it). Deterministic variant: fixed rounds,
+    every node updates simultaneously to the label with the highest
+    incident edge weight, ties broken on the SMALLEST label — no
+    randomness, so the oracle unrolls the identical chain as CTEs.
+
+    Scale: per round one O(edges) join + groupBy + per-node argmax
+    window (partitioned by node — never global); lineage truncated per
+    round with localCheckpoint. Self-loops are excluded so a node's
+    own label never votes for itself (the standard formulation).
+    """
+    from pyspark.sql import Window as W
+
+    nation = load_table(spark, sf_dir, "nation")
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und0 = (
+        e.select("src", "dst", "w")
+        .unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        # one fact scan: the undirected relation feeds BOTH the mean
+        # threshold and the filtered edge set
+        .localCheckpoint()
+    )
+    # sparsify to ABOVE-AVERAGE edges before propagating — production
+    # LPA on a near-complete weighted graph always thresholds first
+    # (propagation on a dense graph collapses to one label in O(1)
+    # rounds); w·|E| > Σw is the integer-exact above-mean test
+    tot = und0.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("w").alias("sw")
+    )
+    und = (
+        und0.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("m") > F.col("sw"))
+        .select("src", "dst", "w")
+        .localCheckpoint()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("id")).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    rw = W.partitionBy("src").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        support = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        winner = (
+            support.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("label").alias("new"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce("new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    sized = labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(W.partitionBy("label")),
+    )
+    return sized.join(
+        F.broadcast(nation), sized.id == nation.n_nationkey
+    ).select(
+        F.col("id").alias("nationkey"),
+        "n_name",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+QUERIES["graph_labelprop_communities"] = graph_labelprop_communities
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [
+        """nodes AS (SELECT n_nationkey AS id FROM nation),
+        e AS MATERIALIZED (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2
+        ),
+        und0 AS MATERIALIZED (
+            SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+                SELECT src, dst, w FROM e
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM e
+            ) GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM und0
+        ),
+        und AS MATERIALIZED (
+            SELECT src, dst, w FROM und0 CROSS JOIN tot
+            WHERE w * m > sw
+        ),
+        l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+            SELECT und.src, l.label, sum(und.w) AS wsum
+            FROM und JOIN l{p} l ON und.dst = l.id
+            GROUP BY 1, 2
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT src AS id, label AS new FROM (
+                SELECT src, label,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY wsum DESC, label ASC) AS rn
+                FROM s{i}
+            ) WHERE rn = 1
+        ),
+        l{i} AS MATERIALIZED (
+            SELECT nodes.id, coalesce(w.new, l.label) AS label
+            FROM nodes
+            JOIN l{p} l ON nodes.id = l.id
+            LEFT JOIN w{i} w ON nodes.id = w.id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT l.id AS nationkey, n.n_name,
+               CAST(l.label AS BIGINT) AS community,
+               CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+                   AS community_size
+        FROM l{rounds} l JOIN nation n ON l.id = n.n_nationkey"""
+    )
+
+
+ORACLES["graph_labelprop_communities"] = _lpa_sql()

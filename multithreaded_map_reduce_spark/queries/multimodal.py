@@ -978,3 +978,63 @@ def _binaryfile_quarantine_oracle() -> str:
 
 
 ORACLES["multimodal_binaryfile_quarantine"] = _binaryfile_quarantine_oracle()
+
+
+# --------------------------------------------------- ViT-style patchify
+# Round 10: the geometry step under every vision-transformer intake —
+# an image becomes a sequence of PATCH×PATCH tiles before embedding.
+# Runs on the REAL BMP rail (synth → strict stride-unpadding decode →
+# numpy tiling in Arrow batches); the oracle never decodes: it replays
+# the raster byte cycle straight from (doc_id, text) — pixel p of a
+# w×h image reads bytes tb[(3p+c) mod L] — and re-derives every
+# per-tile count/sum/mean with pure integer arithmetic, so one wrong
+# byte in the decoder's row-stride undo breaks the hash.
+
+PATCH = 4
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        documents_as_bmp_images,
+        extract_bmp_patches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_bmp_patches(documents_as_bmp_images(docs), patch=PATCH)
+
+
+QUERIES["multimodal_image_patches"] = multimodal_image_patches
+
+
+def _bmp_patches_oracle(patch: int = PATCH) -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L,
+               CAST(doc_id % 13 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 9 + 1 AS BIGINT) AS h
+        FROM documents WHERE length(text) > 0
+    ), px3 AS (
+        -- (pixel, channel) grid; i is the 1-based byte position the
+        -- shared _BYTE_AT macro expects
+        SELECT doc_id, (p // w) // {patch} AS py, (p % w) // {patch} AS px,
+               p, ((3 * p + c) % L) + 1 AS i, _hx
+        FROM (
+            SELECT doc_id, _hx, L, w,
+                   unnest(range(0, CAST(w * h AS INTEGER))) AS p
+            FROM d
+        ), (SELECT unnest(range(0, 3)) AS c)
+    )
+    SELECT doc_id AS media_id,
+           CAST(py AS INTEGER) AS py,
+           CAST(px AS INTEGER) AS px,
+           CAST(count(*) // 3 AS BIGINT) AS n_px,
+           CAST(sum({_BYTE_AT}) AS BIGINT) AS sum_bytes,
+           CAST((2000 * sum({_BYTE_AT}) + count(*))
+                // (2 * count(*)) AS BIGINT) AS mean_milli
+    FROM px3
+    GROUP BY doc_id, py, px
+"""
+
+
+ORACLES["multimodal_image_patches"] = _bmp_patches_oracle()

@@ -441,3 +441,119 @@ ORACLES["profile_key_skew"] = f"""
            {sql_ratio_units('n_rows', 'total_rows // n_keys', 1)} AS skew_x
     FROM top, totals
 """
+
+
+# ------------------------------------------------ Theil T inequality
+# Theil's T index of revenue concentration across supplier nations,
+# per region — the entropy-based inequality measure that DECOMPOSES
+# (unlike stats_gini's rank form): T = Σ (x_i/S)·ln(n·x_i/S) over the
+# region's n member nations, 0 when every nation earns the region's
+# mean, ln(n) under total concentration. The curation reading: "how
+# lopsided is this source-group's contribution" with an additive
+# between/within split available downstream.
+#
+# Exactness rail: revenue lands as exact BIGINT cents; both ln
+# arguments are EXACT INTEGERS (n·x_i and S) so each ln() sees a
+# bit-identical double in any engine and snaps to nano-units
+# (events_behavior_entropy's ln-snap contract). The x_i-weighted sum
+# of snapped logs accumulates in DECIMAL(38,0), and one wide rational
+# divide by S yields T in nanos — no unsnapped float ever crosses an
+# engine boundary.
+#
+# Scale: one fact-scan aggregate (broadcast supplier/nation dims) to
+# 25 rows; everything after is constant-size. The ln-arg ceiling is
+# 2^53 cents ≈ $90 T per region-nation — past that, rescale cents to
+# whole currency units upstream (same contract, shifted grid).
+
+def stats_theil_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(iunits(F.col("l_extendedprice"), 2)).alias("x"))
+    )
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    per_nation = rev.join(F.broadcast(dim), rev.s_nationkey == dim.n_nationkey)
+    sized = per_nation.withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("r_name"))
+    ).withColumn(
+        "s_tot", F.sum("x").over(Window.partitionBy("r_name"))
+    )
+    ln9 = lambda c: iunits(F.log(c.cast("double")), 9)  # noqa: E731
+    dec = "decimal(38,0)"
+    terms = sized.select(
+        "r_name",
+        "k",
+        "s_tot",
+        (
+            F.col("x").cast(dec)
+            * (ln9(F.col("k") * F.col("x")) - ln9(F.col("s_tot"))).cast(dec)
+        ).alias("t_num"),
+    )
+    return (
+        terms.groupBy("r_name")
+        .agg(
+            F.max("k").alias("k_nations"),
+            F.max("s_tot").alias("revenue_cents"),
+            F.sum("t_num").alias("t_sum"),
+        )
+        .select(
+            "r_name",
+            "k_nations",
+            "revenue_cents",
+            # true T ≥ 0; snapped-ln dust could dip a hair below —
+            # clamp keeps the rational on the div///-agreeing domain
+            ratio_units_dec(
+                f"greatest(t_sum, CAST(0 AS {dec}))", "revenue_cents", 1
+            ).alias("theil_nanos"),
+        )
+    )
+
+
+QUERIES["stats_theil_by_region"] = stats_theil_by_region
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_profiling,
+)
+
+ORACLES["stats_theil_by_region"] = f"""
+    WITH rev AS (
+        SELECT s_nationkey,
+               CAST(sum({sql_iunits('l_extendedprice', 2)}) AS BIGINT) AS x
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    ), dim AS (
+        SELECT n_nationkey, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ), sized AS (
+        SELECT r_name, x,
+               CAST(count(*) OVER (PARTITION BY r_name) AS BIGINT) AS k,
+               CAST(sum(x) OVER (PARTITION BY r_name) AS BIGINT) AS s_tot
+        FROM rev JOIN dim ON s_nationkey = n_nationkey
+    ), terms AS (
+        SELECT r_name, k, s_tot,
+               CAST(x AS HUGEINT) * (
+                   CAST(floor(ln(CAST(k * x AS DOUBLE)) * 1000000000.0
+                              + 0.5) AS BIGINT)
+                   - CAST(floor(ln(CAST(s_tot AS DOUBLE)) * 1000000000.0
+                                + 0.5) AS BIGINT)
+               ) AS t_num
+        FROM sized
+    )
+    SELECT r_name,
+           CAST(max(k) AS BIGINT) AS k_nations,
+           CAST(max(s_tot) AS BIGINT) AS revenue_cents,
+           {_sql_rud_profiling('greatest(sum(t_num), 0)', 'max(s_tot)', 1)}
+               AS theil_nanos
+    FROM terms
+    GROUP BY r_name
+"""

@@ -1715,3 +1715,164 @@ ORACLES["quality_levene"] = f"""
         FROM tot
     )
 """
+
+
+# ------------------------------------------ Kruskal–Wallis rank test
+# The k-group generalization of quality_mannwhitney: "does document
+# length differ across ALL sources at once" on ranks — the
+# distribution-free companion to quality_anova_sources (means) and
+# quality_levene (spreads); a curation pass runs it before pooling
+# sources whose length profiles may differ in shape, not just mean.
+#
+# Exactness rail (the mannwhitney c_less trick, extended per group):
+# group ranks never materialize per row. For each distinct value v,
+# c_less(v) = #obs < v and t(v) = #obs = v come from ONE value-grouped
+# relation; the doubled mid-rank sum per group g is then
+#   2·R_g = Σ_v n_gv · (2·c_less(v) + t(v) + 1)
+# — pure BIGINT. H = 3/(N(N+1)) · Σ_g (2R_g)²/n_g − 3(N+1) with the
+# squared term in DECIMAL(38,0) (2R_g ~ N² at worst) and each
+# (2R_g)²/n_g quotient half-up-rounded to integer UNITS via the wide
+# rational divide (the rounded quotient IS the contract — the oracle
+# replays it). Tie correction C = 1 − Σ(t³−t)/(N³−N) applied as one
+# more exact rational. Zero doubles anywhere.
+#
+# Scale: one corpus scan → value-grouped counts (|distinct lengths|
+# rows, tiny); the per-(value, source) relation is |distinct|×k. The
+# (2R_g)² DECIMAL headroom holds to N ≈ 10^9 ranks per run (beyond
+# that, rank statistics move to the banded-histogram rail — the
+# stats_gini note).
+
+def quality_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select("source", F.length("text").cast("long").alias("x"))
+    # per (value, group) counts + per-value totals in one pass each
+    gv = v.groupBy("x", "source").agg(F.count(F.lit(1)).alias("n_gv"))
+    per_v = gv.groupBy("x").agg(F.sum("n_gv").alias("t"))
+    cw = W.orderBy("x").rowsBetween(W.unboundedPreceding, -1)
+    per_v = per_v.select(
+        "x",
+        "t",
+        F.coalesce(F.sum("t").over(cw), F.lit(0)).alias("c_less"),
+    )
+    grp = (
+        gv.join(per_v, "x")
+        .groupBy("source")
+        .agg(
+            F.sum("n_gv").alias("n_g"),
+            F.sum(
+                F.col("n_gv") * (2 * F.col("c_less") + F.col("t") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    dec = "decimal(38,0)"
+    terms = grp.select(
+        "n_g",
+        # (2R_g)²/(4·n_g) in half-up integer units, DECIMAL-wide
+        ratio_units_dec(
+            f"CAST(r2_g AS {dec}) * CAST(r2_g AS {dec})", "4 * n_g", 1
+        ).alias("term_units"),
+    )
+    ties = per_v.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_sum"
+        )
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_g").alias("n_total"),
+        F.sum(F.col("term_units").cast(dec)).alias("s_units"),
+    ).crossJoin(F.broadcast(ties))
+    h = tot.select(
+        "k_groups",
+        "n_total",
+        "tie_sum",
+        (
+            # true H ≥ 0; per-term rounding dust could dip a hair
+            # below — clamp so the downstream rational stays on the
+            # non-negative domain where div/// agree (both engines
+            # apply the identical clamp)
+            F.greatest(
+                ratio_units_dec(
+                    "12 * s_units", "n_total * (n_total + 1)", 1_000_000
+                )
+                - 3 * (F.col("n_total") + 1) * F.lit(1_000_000),
+                F.lit(0),
+            )
+        ).alias("h_micros"),
+    )
+    return h.select(
+        "k_groups",
+        "n_total",
+        "tie_sum",
+        "h_micros",
+        F.when(
+            F.col("tie_sum")
+            == F.col("n_total") * F.col("n_total") * F.col("n_total")
+            - F.col("n_total"),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec(
+                "h_micros * (n_total * n_total * n_total - n_total)",
+                "n_total * n_total * n_total - n_total - tie_sum",
+                1,
+            )
+        )
+        .alias("h_tie_micros"),
+    )
+
+
+QUERIES["quality_kruskal_wallis"] = quality_kruskal_wallis
+
+ORACLES["quality_kruskal_wallis"] = f"""
+    WITH v AS (
+        SELECT source, CAST(length(text) AS BIGINT) AS x FROM documents
+    ), gv AS (
+        SELECT x, source, CAST(count(*) AS BIGINT) AS n_gv
+        FROM v GROUP BY x, source
+    ), per_v AS (
+        SELECT x, t,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS c_less
+        FROM (SELECT x, CAST(sum(n_gv) AS BIGINT) AS t FROM gv GROUP BY x)
+    ), grp AS (
+        SELECT gv.source,
+               CAST(sum(n_gv) AS BIGINT) AS n_g,
+               CAST(sum(n_gv * (2 * c_less + t + 1)) AS BIGINT) AS r2_g
+        FROM gv JOIN per_v ON gv.x = per_v.x
+        GROUP BY gv.source
+    ), terms AS (
+        SELECT n_g,
+               {_sql_rud('CAST(r2_g AS HUGEINT) * CAST(r2_g AS HUGEINT)',
+                         '4 * n_g', 1)} AS term_units
+        FROM grp
+    ), ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum FROM per_v
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum(n_g) AS BIGINT) AS n_total,
+               CAST(sum(CAST(term_units AS HUGEINT)) AS HUGEINT) AS s_units
+        FROM terms
+    ), h AS (
+        SELECT k_groups, n_total, tie_sum,
+               CAST(greatest({_sql_rud('12 * s_units',
+                                       'n_total * (n_total + 1)',
+                                       1_000_000)}
+                    - 3 * (n_total + 1) * 1000000, 0) AS BIGINT) AS h_micros
+        FROM tot CROSS JOIN ties
+    )
+    SELECT k_groups, n_total, tie_sum, h_micros,
+           CASE WHEN tie_sum = n_total * n_total * n_total - n_total
+                THEN NULL
+                ELSE {_sql_rud(
+                    'h_micros * (CAST(n_total AS HUGEINT) * n_total * n_total - n_total)',
+                    'CAST(n_total AS HUGEINT) * n_total * n_total - n_total - tie_sum',
+                    1)}
+           END AS h_tie_micros
+    FROM h
+"""

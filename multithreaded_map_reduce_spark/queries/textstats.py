@@ -3729,3 +3729,251 @@ ORACLES["text_mattr_diversity"] = f"""
            {sql_ratio_micros('sum_distinct', 'n_windows * w')} AS mattr_micros
     FROM summed
 """
+
+
+# ------------------------------------ Query likelihood (Dirichlet) IR
+QL_MU = 2000  # Dirichlet smoothing pseudo-count (Zhai & Lafferty 2001)
+QL_TOPK = 15
+
+
+def search_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-modeling counterpart of search_bm25 (Zhai & Lafferty
+    2001): score(d) = Σ_{w∈Q} ln((tf_{w,d} + μ·cf_w/|C|)/(|d| + μ)),
+    the second classic lexical ranker an IR stack serves next to BM25
+    (and a different idf-free statistic, so RRF fusion over the pair
+    is meaningful).
+
+    Exactness rail — tighter than bm25's pround(6): with μ integer the
+    per-term log factors as ln(tf·|C| + μ·cf_w) − ln(|C|) − ln(|d|+μ),
+    EVERY argument an exact integer, so each ln() is snapped to
+    nano-units (the behavior-entropy ln contract) and the score is a
+    pure BIGINT sum — engine-exact, no pround boundary anywhere.
+    Docs missing a query term still pay that term's smoothed cost
+    (tf = 0), which is what separates QL from a tf-filter: the
+    candidate×term grid is built by crossJoin against the 3-row
+    broadcast query relation, candidates = docs matching ≥ 1 term.
+
+    Scale: one tokenize/explode scan feeds tf (pre-filtered to query
+    terms), dl, and the two corpus scalars (cf_w — 3 rows, |C| — 1
+    row, both broadcast); the grid is |candidates|×|Q|. Integer-ln
+    ceiling: tf·|C| < 2^53 holds to ~10^12-token corpora per run —
+    past that, rescale |C| to kilo-token units on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    c_tot = terms.agg(F.count(F.lit(1)).alias("c"))
+    qt = terms.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = qt.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    cand = tf.select("doc_id").distinct()
+    grid = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(tf, ["doc_id", "term"], "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            "cf",
+            "dl",
+            "c",
+        )
+    )
+    from ..functions.rounding import iunits
+
+    ln9 = lambda c: iunits(F.log(c.cast("double")), 9)  # noqa: E731
+    scored = grid.groupBy("doc_id").agg(
+        F.sum(
+            ln9(F.col("tf") * F.col("c") + F.lit(QL_MU) * F.col("cf"))
+            - ln9(F.col("c"))
+            - ln9(F.col("dl") + F.lit(QL_MU))
+        ).alias("ql_nanos")
+    )
+    top = scored.orderBy(F.desc("ql_nanos"), F.asc("doc_id")).limit(QL_TOPK)
+    w = W.orderBy(F.desc("ql_nanos"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "ql_nanos", "rank"
+    )
+
+
+QUERIES["search_ql_dirichlet"] = search_ql_dirichlet
+
+_QL_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+_SQL_LN9 = lambda e: (  # noqa: E731
+    f"CAST(floor(ln(CAST(({e}) AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+ORACLES["search_ql_dirichlet"] = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM terms GROUP BY doc_id
+    ), c_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM terms
+    ), qt AS (
+        SELECT doc_id, term FROM terms WHERE term IN ({_QL_TERMS_SQL})
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM qt GROUP BY doc_id, term
+    ), cf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cf FROM qt GROUP BY term
+    ), cand AS (
+        SELECT DISTINCT doc_id FROM tf
+    ), grid AS (
+        SELECT cand.doc_id,
+               CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+               cf.cf, dl.dl, c_tot.c
+        FROM cand
+        CROSS JOIN cf
+        LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+        JOIN dl ON dl.doc_id = cand.doc_id
+        CROSS JOIN c_tot
+    ), scored AS (
+        SELECT doc_id,
+               CAST(sum({_SQL_LN9(f'tf * c + {QL_MU} * cf')}
+                        - {_SQL_LN9('c')}
+                        - {_SQL_LN9(f'dl + {QL_MU}')}) AS BIGINT) AS ql_nanos
+        FROM grid GROUP BY doc_id
+    )
+    SELECT doc_id, ql_nanos,
+           CAST(row_number() OVER (ORDER BY ql_nanos DESC, doc_id ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY ql_nanos DESC, doc_id ASC
+    LIMIT {QL_TOPK}
+"""
+
+
+# ----------------------------------------------- RAKE keyword phrases
+RAKE_MAX_LEN = 4  # candidate phrases longer than this are dropped
+RAKE_TOPK = 15
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the phrase-level
+    counterpart of text_textrank_keywords: candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on positions),
+    each word scores degree/frequency over the candidate set (degree =
+    Σ length of phrases containing the word, multiplicity included),
+    and a phrase scores the sum of its words' scores. Runs longer than
+    RAKE_MAX_LEN are dropped as non-keyword-like (the standard cap).
+
+    Exactness: degree and frequency are BIGINT counts; word scores are
+    half-up micro-rationals (zero doubles); phrase scores are BIGINT
+    sums of those. Ties break on phrase text.
+
+    Scale: one tokenize/posexplode scan; islands come from ONE
+    per-document window (partitioned — no global sort); word stats
+    aggregate to |vocab| rows; the phrase relation re-aggregates the
+    same member rows. All shuffles are doc- or token-keyed.
+    """
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    members = (
+        toks.filter(~F.col("tok").isin(*GR_STOPWORDS))
+        .withColumn("island", F.col("pos") - F.row_number().over(dw))
+        .withColumn(
+            "plen",
+            F.count(F.lit(1)).over(W.partitionBy("doc_id", "island")),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_LEN)
+    )
+    wstats = members.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = wstats.select(
+        "tok", ratio_micros("deg", "freq").alias("wscore")
+    )
+    phrases = members.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    iscore = (
+        members.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("wscore").alias("score_micros"))
+    )
+    dist = (
+        phrases.join(iscore, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.max("score_micros").alias("score_micros"),
+        )
+    )
+    top = dist.orderBy(
+        F.desc("score_micros"), F.asc("phrase")
+    ).limit(RAKE_TOPK)
+    w = W.orderBy(F.desc("score_micros"), F.asc("phrase"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "phrase", "n_occur", "score_micros", "rank"
+    )
+
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+
+_RAKE_STOPS_SQL = ", ".join(f"'{s}'" for s in GR_STOPWORDS)
+
+ORACLES["text_rake_keywords"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(t) AS tok,
+               generate_subscripts(t, 1) AS pos
+        FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+    ), isl AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS island
+        FROM toks WHERE tok NOT IN ({_RAKE_STOPS_SQL})
+    ), members AS (
+        SELECT * FROM (
+            SELECT doc_id, pos, tok, island,
+                   CAST(count(*) OVER (
+                       PARTITION BY doc_id, island) AS BIGINT) AS plen
+            FROM isl
+        ) WHERE plen <= {RAKE_MAX_LEN}
+    ), wscore AS (
+        SELECT tok,
+               {sql_ratio_micros('CAST(sum(plen) AS BIGINT)',
+                                 'CAST(count(*) AS BIGINT)')} AS wscore
+        FROM members GROUP BY tok
+    ), phrases AS (
+        SELECT doc_id, island,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM members GROUP BY doc_id, island
+    ), iscore AS (
+        SELECT m.doc_id, m.island,
+               CAST(sum(w.wscore) AS BIGINT) AS score_micros
+        FROM members m JOIN wscore w ON m.tok = w.tok
+        GROUP BY m.doc_id, m.island
+    ), dist AS (
+        SELECT p.phrase,
+               CAST(count(*) AS BIGINT) AS n_occur,
+               CAST(max(s.score_micros) AS BIGINT) AS score_micros
+        FROM phrases p JOIN iscore s
+          ON p.doc_id = s.doc_id AND p.island = s.island
+        GROUP BY p.phrase
+    )
+    SELECT phrase, n_occur, score_micros,
+           CAST(row_number() OVER (
+               ORDER BY score_micros DESC, phrase ASC) AS INTEGER) AS rank
+    FROM dist
+    ORDER BY score_micros DESC, phrase ASC
+    LIMIT {RAKE_TOPK}
+"""

@@ -1223,3 +1223,126 @@ ORACLES["timeseries_seasonal_strength"] = f"""
                AS seasonal_strength_micros
     FROM agg
 """
+
+
+# --------------------------------------------- Single-changepoint scan
+# Binary-segmentation step 1 on the daily event count: the split day τ
+# that MINIMIZES total within-segment squared error — equivalently
+# maximizes gain(τ) = S_L²/n_L + S_R²/n_R (the constant Σx² drops out)
+# — the level-shift LOCATOR that complements timeseries_cusum's level-
+# shift DETECTOR. A pipeline health monitor runs it when CUSUM alarms
+# to date the regime change; recursing on the two halves is classic
+# binary segmentation (Scott & Knott 1974).
+#
+# Exactness: daily counts are BIGINTs; prefix sums over the day-grain
+# relation give (n_L, S_L) per candidate τ; each S²/n quotient rounds
+# half-up to MILLI-units via the wide rational divide (DECIMAL —
+# S_L² overflows int64 well inside real event volumes), and the argmax
+# runs on those exact integers with the earliest-day tiebreak. Zero
+# doubles end-to-end.
+#
+# Scale: the corpus-sized work is ONE grouped count; the candidate
+# scan is |days| rows (broadcast-tiny at any volume) with two window
+# prefix sums and a TakeOrdered(1).
+
+def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_micros, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("n_l"),
+        F.sum("n_events").over(w).alias("s_l"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n_events").alias("s_tot")
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n_days"))
+        .select(
+            "day",
+            "n_l",
+            "s_l",
+            "n_days",
+            "s_tot",
+            (
+                ratio_units_dec("s_l * s_l", "n_l", 1000)
+                + ratio_units_dec(
+                    "(s_tot - s_l) * (s_tot - s_l)", "n_days - n_l", 1000
+                )
+            ).alias("fit_milli"),
+        )
+        .withColumn(
+            "gain_milli",
+            F.col("fit_milli")
+            - ratio_units_dec("s_tot * s_tot", "n_days", 1000),
+        )
+    )
+    best = cand.orderBy(F.desc("gain_milli"), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("tau_day"),
+        "n_days",
+        F.col("n_l").alias("n_left"),
+        (F.col("n_days") - F.col("n_l")).alias("n_right"),
+        ratio_micros("s_l", "n_l").alias("mean_left_micros"),
+        ratio_micros("s_tot - s_l", "n_days - n_l").alias(
+            "mean_right_micros"
+        ),
+        "gain_milli",
+    )
+
+
+QUERIES["timeseries_changepoint"] = timeseries_changepoint
+
+from ..functions.rounding import sql_ratio_micros as _sql_rm_ts  # noqa: E402
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_ts  # noqa: E402
+
+ORACLES["timeseries_changepoint"] = f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS n_l,
+               CAST(sum(n_events) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS s_l
+        FROM daily
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS s_tot
+        FROM daily
+    ), cand AS (
+        SELECT day, n_l, s_l, n_days, s_tot,
+               CAST({_sql_rud_ts('s_l * s_l', 'n_l', 1000)}
+                    + {_sql_rud_ts('(s_tot - s_l) * (s_tot - s_l)',
+                                   'n_days - n_l', 1000)}
+                    - {_sql_rud_ts('s_tot * s_tot', 'n_days', 1000)}
+                    AS BIGINT) AS gain_milli
+        FROM pre CROSS JOIN tot
+        WHERE n_l < n_days
+    )
+    SELECT day AS tau_day, n_days, n_l AS n_left,
+           CAST(n_days - n_l AS BIGINT) AS n_right,
+           {_sql_rm_ts('s_l', 'n_l')} AS mean_left_micros,
+           {_sql_rm_ts('s_tot - s_l', 'n_days - n_l')} AS mean_right_micros,
+           gain_milli
+    FROM cand
+    ORDER BY gain_milli DESC, day ASC
+    LIMIT 1
+"""

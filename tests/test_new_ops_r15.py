@@ -1,0 +1,423 @@
+"""Round-10 batch 3: Kruskal-Wallis rank test, Theil T inequality,
+single-changepoint scan, query-likelihood (Dirichlet) retrieval, RAKE
+keyword phrases, and weighted HITS. Differential correctness is the
+gate's job; these tests pin SEMANTICS the gate can't see —
+hand-computed miniatures, invariants, and statistic contracts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    import __spark_entry__ as entry
+
+    return entry.queries()[name]
+
+
+# ------------------------------------------------------ Kruskal-Wallis
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    """Recompute H with float mid-ranks in plain python from the raw
+    fixture and require agreement to ~1e-4 relative (the micro-grid of
+    the exact rational vs the float reference)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT source, length(text) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    vals = sorted(x for _, x in rows)
+    # mid-rank per value
+    cnt = Counter(vals)
+    rank = {}
+    c = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = c + (t + 1) / 2
+        c += t
+    by_g = defaultdict(list)
+    for g, x in rows:
+        by_g[g].append(rank[x])
+    n = len(rows)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(r) ** 2 / len(r) for r in by_g.values()
+    ) - 3 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    h_tie = h / (1 - tie / (n**3 - n))
+
+    out = _q("quality_kruskal_wallis")(spark, SF_SMOKE).collect()[0]
+    assert out.k_groups == len(by_g) and out.n_total == n
+    assert out.tie_sum == tie
+    assert math.isclose(out.h_micros / 1e6, h, rel_tol=1e-4)
+    assert math.isclose(out.h_tie_micros / 1e6, h_tie, rel_tol=1e-4)
+
+
+def test_kruskal_wallis_tie_term_exceeds_h(spark):
+    """h_tie >= h always (C <= 1), and both are non-negative."""
+    out = _q("quality_kruskal_wallis")(spark, SF_SMOKE).collect()[0]
+    assert 0 <= out.h_micros <= out.h_tie_micros
+
+
+# ------------------------------------------------------------ Theil T
+
+
+def test_theil_zero_for_singleton_and_bounded_by_ln_k(spark):
+    rows = _q("stats_theil_by_region")(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r.k_nations == 1:
+            assert r.theil_nanos == 0
+        assert 0 <= r.theil_nanos <= math.log(r.k_nations) * 1e9 + 1
+
+
+def test_theil_matches_float_reference(spark):
+    import duckdb
+
+    ref = duckdb.sql(f"""
+        WITH rev AS (
+            SELECT s_nationkey,
+                   sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                  + 0.5) AS BIGINT)) AS x
+            FROM '{SF_SMOKE}/lineitem.parquet'
+            JOIN '{SF_SMOKE}/supplier.parquet' ON l_suppkey = s_suppkey
+            GROUP BY 1)
+        SELECT r_name, list(CAST(x AS DOUBLE))
+        FROM rev
+        JOIN '{SF_SMOKE}/nation.parquet' ON s_nationkey = n_nationkey
+        JOIN '{SF_SMOKE}/region.parquet' ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """).fetchall()
+    want = {}
+    for name, xs in ref:
+        s = sum(xs)
+        want[name] = sum(x / s * math.log(len(xs) * x / s) for x in xs)
+    got = {
+        r.r_name: r.theil_nanos / 1e9
+        for r in _q("stats_theil_by_region")(spark, SF_SMOKE).collect()
+    }
+    for name in want:
+        assert math.isclose(got[name], want[name], abs_tol=1e-5), name
+
+
+# -------------------------------------------------------- changepoint
+
+
+def test_changepoint_maximizes_gain_brute_force(spark):
+    """Brute-force the argmax over the daily series in python and
+    require the same split day."""
+    import duckdb
+
+    daily = duckdb.sql(f"""
+        SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    ns = [n for _, n in daily]
+    s_tot, d = sum(ns), len(ns)
+    best, best_day = None, None
+    s_l = 0
+    for i, (day, n) in enumerate(daily[:-1], start=1):
+        s_l += n
+        gain = s_l**2 / i + (s_tot - s_l) ** 2 / (d - i)
+        if best is None or gain > best + 1e-9:
+            best, best_day = gain, day
+    out = _q("timeseries_changepoint")(spark, SF_SMOKE).collect()[0]
+    assert out.tau_day == best_day
+    assert out.n_left + out.n_right == out.n_days == d
+
+
+# ------------------------------------------------------- QL retrieval
+
+
+def test_ql_scores_are_proper_log_likelihoods(spark):
+    """Every score must equal the float QL formula within the nano
+    snap, and the full ranking must be monotone."""
+    import duckdb
+
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        BM25_QUERY,
+        QL_MU,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    toks = {d: t.split() for d, t in docs}
+    c = sum(len(t) for t in toks.values())
+    cf = {
+        w: sum(t.count(w) for t in toks.values()) for w in BM25_QUERY
+    }
+    out = _q("search_ql_dirichlet")(spark, SF_SMOKE).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    prev = None
+    for r in out:
+        t = toks[r.doc_id]
+        want = sum(
+            math.log((t.count(w) + QL_MU * cf[w] / c) / (len(t) + QL_MU))
+            for w in BM25_QUERY
+        )
+        assert math.isclose(r.ql_nanos / 1e9, want, abs_tol=1e-5)
+        assert prev is None or r.ql_nanos <= prev
+        prev = r.ql_nanos
+
+
+def test_ql_candidates_require_a_query_term(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import BM25_QUERY
+
+    import duckdb
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in _q("search_ql_dirichlet")(spark, SF_SMOKE).collect():
+        assert any(w in docs[r.doc_id].split() for w in BM25_QUERY)
+
+
+# ---------------------------------------------------------------- RAKE
+
+
+def test_rake_phrases_are_stopword_free_and_capped(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        GR_STOPWORDS,
+        RAKE_MAX_LEN,
+    )
+
+    rows = _q("text_rake_keywords")(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= RAKE_MAX_LEN
+        assert not set(words) & set(GR_STOPWORDS)
+        assert r.n_occur >= 1 and r.score_micros > 0
+
+
+def test_rake_hand_miniature(spark):
+    """Two tiny docs, scores folded by hand through degree/frequency."""
+    df = spark.createDataFrame(
+        [(1, "deep learning of the deep net"), (2, "deep learning")],
+        ["doc_id", "text"],
+    )
+    import multithreaded_map_reduce_spark.queries.textstats as ts
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        ratio_micros,
+    )
+    from pyspark.sql import functions as F, Window as W
+
+    # islands: [deep learning], [deep net], [deep learning]
+    # freq: deep=3 learning=2 net=1; deg: deep=6 learning=4 net=2
+    # wscore: deep=2.0 learning=2.0 net=2.0 (all in micros)
+    # phrase scores: "deep learning"=4.0 (x2), "deep net"=4.0
+    out = {
+        (r.phrase, r.n_occur, r.score_micros)
+        for r in _rake_on(df).collect()
+    }
+    assert out == {
+        ("deep learning", 2, 4_000_000),
+        ("deep net", 1, 4_000_000),
+    }
+
+
+def _rake_on(docs_df):
+    """Run the text_rake_keywords chain on an arbitrary documents
+    relation (the query fn reads from parquet, so the miniature
+    re-derives the same chain via a monkeypatched loader)."""
+    import multithreaded_map_reduce_spark.queries.textstats as ts
+    from unittest import mock
+
+    with mock.patch.object(
+        ts, "load_table", lambda spark, sf, name: docs_df
+    ):
+        return ts.text_rake_keywords(docs_df.sparkSession, "ignored")
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_mass_conservation_and_hub_auth_split(spark):
+    rows = _q("graph_hits_nations")(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    # L1-normalized: both vectors carry ~SCALE total mass (half-up
+    # rounding drift < n units per round)
+    assert abs(sum(r.auth_units for r in rows) - 10**12) <= 200
+    assert abs(sum(r.hub_units for r in rows) - 10**12) <= 200
+    assert all(r.auth_units >= 0 and r.hub_units >= 0 for r in rows)
+
+
+def test_hits_miniature_star_graph(spark):
+    """Star: 0->1, 0->2 (w=1). Hub mass concentrates on 0, authority
+    splits evenly on 1,2 — exact fixed point from round 1."""
+    from multithreaded_map_reduce_spark.operators.pagerank import hits
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1)], ["src", "dst", "w"]
+    )
+    out = {r.id: (r.auth_units, r.hub_units) for r in hits(
+        nodes, edges, num_iter=2
+    ).collect()}
+    assert out[0][1] == 10**12  # sole hub
+    assert out[0][0] == 0
+    assert out[1][0] == out[2][0] == 5 * 10**11  # even authority split
+    assert out[1][1] == out[2][1] == 0
+
+
+# ------------------------------------------------ diff-in-differences
+
+
+def test_did_identity_from_cell_means(spark):
+    out = _q("events_diff_in_diff")(spark, SF_SMOKE).collect()[0]
+    assert out.did_micros == (out.m_t_post - out.m_t_pre) - (
+        out.m_c_post - out.m_c_pre
+    )
+    assert min(out.n_c_pre, out.n_c_post, out.n_t_pre, out.n_t_post) > 0
+
+
+def test_did_cells_partition_the_events(spark):
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    out = _q("events_diff_in_diff")(spark, SF_SMOKE).collect()[0]
+    assert out.n_c_pre + out.n_c_post + out.n_t_pre + out.n_t_post == n
+
+
+# ------------------------------------------- temperature mixture (T=2)
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    rows = _q("curation_temperature_mixture")(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    # shares sum to ~1 on both scales
+    assert abs(sum(r.raw_share_micros for r in rows) - 1_000_000) <= 5
+    assert abs(sum(r.temp_share_micros for r in rows) - 1_000_000) <= 5
+    for r in rows:
+        # sqrt scaling moves every share TOWARD uniform (1/5), never past
+        lo, hi = sorted((r.raw_share_micros, 200_000))
+        assert lo - 5 <= r.temp_share_micros <= hi + 5
+        # boost is the reported ratio of the two rounded shares
+        assert abs(
+            r.boost_micros
+            - round(1_000_000 * r.temp_share_micros / r.raw_share_micros)
+        ) <= 1
+
+
+# -------------------------------------------------------- patchify
+
+
+def test_patchify_tiles_cover_every_pixel_once(spark):
+    """Per image: Σ n_px over tiles == w·h, Σ sum_bytes == raster sum;
+    tile grid dims match ceil(w/4)·ceil(h/4)."""
+    rows = _q("multimodal_image_patches")(spark, SF_SMOKE).collect()
+    import duckdb
+    from collections import defaultdict
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        " WHERE length(text) > 0"
+    ).fetchall()
+    per = defaultdict(lambda: [0, 0, 0])  # n_px, sum, n_tiles
+    for r in rows:
+        per[r.media_id][0] += r.n_px
+        per[r.media_id][1] += r.sum_bytes
+        per[r.media_id][2] += 1
+    assert len(per) == len(docs)
+    for doc_id, text in docs[:50]:
+        w, h = doc_id % 13 + 1, doc_id % 9 + 1
+        tb = text.encode()
+        need = 3 * w * h
+        raster = (tb * (need // len(tb) + 1))[:need]
+        got = per[doc_id]
+        assert got[0] == w * h
+        assert got[1] == sum(raster)
+        assert got[2] == -(-w // 4) * -(-h // 4)
+
+
+def test_patchify_mean_is_halfup_milli(spark):
+    rows = _q("multimodal_image_patches")(spark, SF_SMOKE).collect()
+    for r in rows[:200]:
+        assert r.mean_milli == (2000 * r.sum_bytes + 3 * r.n_px) // (
+            6 * r.n_px
+        )
+        assert 0 <= r.mean_milli <= 255_000
+
+
+# ------------------------------------------------ tx-log replay
+
+
+def test_txlog_final_state_matches_set_algebra(spark):
+    """The last version's live_files/live_bytes must equal adds minus
+    removes computed directly from orders."""
+    import duckdb
+
+    want = duckdb.sql(f"""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS cents,
+                   o_orderstatus = 'F' AS fin
+            FROM '{SF_SMOKE}/orders.parquet')
+        SELECT count(*) - sum(CASE WHEN fin THEN 1 ELSE 0 END),
+               sum(cents) - sum(CASE WHEN fin THEN cents ELSE 0 END)
+        FROM base
+    """).fetchone()
+    rows = sorted(
+        _q("connector_txlog_replay")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.version,
+    )
+    assert rows[-1].live_files == want[0]
+    assert rows[-1].live_bytes == want[1]
+    # ledger is internally consistent: live_files telescopes
+    run = 0
+    for r in rows:
+        run += r.n_adds - r.n_removes
+        assert r.live_files == run
+
+
+# ---------------------------------------------------------- LPA
+
+
+def test_lpa_miniature_two_cliques(spark):
+    """Two weighted triangles joined by one weak edge → two
+    communities labeled by each triangle's smallest member."""
+    from multithreaded_map_reduce_spark.queries import graphrank as gr
+    from unittest import mock
+
+    edges = [
+        (0, 1, 10), (1, 2, 10), (0, 2, 10),
+        (3, 4, 10), (4, 5, 10), (3, 5, 10),
+        (2, 3, 1),
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    nation = spark.createDataFrame(
+        [(i, f"N{i}") for i in range(6)], ["n_nationkey", "n_name"]
+    )
+    with mock.patch.object(gr, "_trade_edges", lambda s, sf: e), \
+         mock.patch.object(gr, "load_table", lambda s, sf, t: nation):
+        out = {
+            r.nationkey: (r.community, r.community_size)
+            for r in gr.graph_labelprop_communities(
+                e.sparkSession, "ignored"
+            ).collect()
+        }
+    # the weak bridge (w=1) falls below the mean and is pruned
+    assert {out[i] for i in (0, 1, 2)} == {(0, 3)}
+    assert {out[i] for i in (3, 4, 5)} == {(3, 3)}
+
+
+def test_lpa_partition_is_total(spark):
+    rows = _q("graph_labelprop_communities")(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    from collections import Counter
+
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community_size == sizes[r.community]
