@@ -215,6 +215,9 @@ HEADLINE = [
     # round-10 batch 5: lakehouse log replay, LPA communities
     "connector_txlog_replay",
     "graph_labelprop_communities",
+    # round-10 batch 6: MRL truncation eval, streaming log tail
+    "sim_matryoshka_report",
+    "streaming_txlog_tail",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -1999,3 +1999,113 @@ ORACLES["embedding_knn_outliers"] = f"""
         FROM scored
     ) WHERE rank <= {OUTLIER_N}
 """
+
+
+# ------------------------------------------- Matryoshka truncation
+MRL_DIMS = [8, 16, 32]
+
+
+def sim_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation eval (Kusupati 2022): recall@K of
+    brute-force cosine retrieval when vectors are truncated to their
+    first d dimensions, against the full-dim truth — the table that
+    decides how small an MRL-trained embedding can serve at (d/D)× the
+    index cost. A dimension prefix IS the MRL contract; no re-embed,
+    just `slice`.
+
+    Exactness: every rung is the exact brute-force rail (pround-6
+    cosine, (score, id) tiebreak); recall counts are pure pair-set
+    intersections. Scale: each rung is one broadcast-queries scan of
+    the candidate set — at production scale the truncated rungs are
+    the CHEAP ones (O(d) arithmetic per pair)."""
+    from ..functions.rounding import pround as _pr
+
+    q, c = _split(spark, sf_dir)
+    full = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    base = full.select("query_id").distinct()
+    out = None
+    for d in MRL_DIMS:
+        qd = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        ap = brute_force_topk(qd, cd, "vec_id", "embedding", k=K).select(
+            "query_id", "neighbor_id"
+        )
+        n_hit = (
+            full.intersect(ap)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        rep = base.join(n_hit, "query_id", "left").select(
+            F.lit(d).alias("dim"),
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            _pr(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(K), 6
+            ).alias("recall_at_k"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["sim_matryoshka_report"] = sim_matryoshka_report
+
+
+def _mrl_oracle() -> str:
+    def rung(d: int) -> str:
+        cos = sql_pround(sql_cosine("q.qv", "c.cv"), 6)
+        return f"""
+    SELECT {d} AS dim, b.query_id,
+           coalesce(h_{d}.n_hit, 0) AS n_hit,
+           {sql_pround(f'coalesce(h_{d}.n_hit, 0)::DOUBLE / {K}', 6)}
+               AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM full_topk) b
+    LEFT JOIN (
+        SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM full_topk f
+        JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY {sql_pround('cos_sim_raw', 6)} DESC,
+                                    neighbor_id ASC) AS rank
+                FROM (
+                    SELECT q.query_id, c.neighbor_id,
+                           {sql_cosine("q.qv", "c.cv")} AS cos_sim_raw
+                    FROM (SELECT vec_id AS query_id,
+                                 {sql_as_double(f'embedding[1:{d}]')} AS qv
+                          FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+                         (SELECT vec_id AS neighbor_id,
+                                 {sql_as_double(f'embedding[1:{d}]')} AS cv
+                          FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+                )
+            ) WHERE rank <= {K}
+        ) a ON f.query_id = a.query_id AND f.neighbor_id = a.neighbor_id
+        GROUP BY f.query_id
+    ) h_{d} ON b.query_id = h_{d}.query_id"""
+
+    rungs = "\nUNION ALL\n".join(rung(d) for d in MRL_DIMS)
+    cos_full = sql_pround(sql_cosine("q.qv", "c.cv"), 6)
+    return f"""
+    WITH full_topk AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM (
+                SELECT q.query_id, c.neighbor_id, {cos_full} AS cos_sim
+                FROM (SELECT vec_id AS query_id,
+                             {sql_as_double('embedding')} AS qv
+                      FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+                     (SELECT vec_id AS neighbor_id,
+                             {sql_as_double('embedding')} AS cv
+                      FROM embeddings WHERE vec_id >= {N_QUERIES}) c
+            )
+        ) WHERE rank <= {K}
+    )
+    {rungs}
+"""
+
+
+ORACLES["sim_matryoshka_report"] = _mrl_oracle()

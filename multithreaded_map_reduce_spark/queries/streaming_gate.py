@@ -1595,3 +1595,76 @@ QUERIES["streaming_freshness_monitor"] = streaming_freshness_monitor
 from .events import ORACLES as _EV_ORACLES  # noqa: E402
 
 ORACLES["streaming_freshness_monitor"] = _EV_ORACLES["dq_freshness"]
+
+
+# ------------------------------------------- STREAMING tx-log tail
+# The streaming twin of connector_txlog_replay: a lakehouse reader
+# that TAILS the transaction log as new commits land instead of
+# refolding it from version 0 — the structured-streaming file source
+# discovers log files incrementally, the ONE stateful operator is the
+# per-version action aggregate (state bounded at |versions| rows
+# forever), and the cumulative live-file/live-byte ledger folds
+# batch-side on the sink table. Same oracle as the batch replay: the
+# tail must converge to the identical snapshot ledger.
+
+def streaming_txlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from .connectors import _fixture_path
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        (F.col("o_orderkey") % 7).alias("v_add"),
+        iunits(F.col("o_totalprice"), 2).alias("size_bytes"),
+        (F.col("o_orderstatus") == "F").alias("finished"),
+    )
+    adds = base.select(
+        F.lit("add").alias("action"),
+        "file_id",
+        F.col("v_add").alias("version"),
+        "size_bytes",
+    )
+    removes = base.filter("finished").select(
+        F.lit("remove").alias("action"),
+        "file_id",
+        (F.col("v_add") + 1 + F.col("file_id") % 3).alias("version"),
+        "size_bytes",
+    )
+    path = _fixture_path("txlog_stream")
+    adds.unionByName(removes).write.mode("overwrite").json(path)
+    log = spark.readStream.schema(
+        "action string, file_id long, version long, size_bytes long"
+    ).json(path)
+    per_v = log.groupBy("version").agg(
+        F.sum(F.when(F.col("action") == "add", 1).otherwise(0)).alias(
+            "n_adds"
+        ),
+        F.sum(F.when(F.col("action") == "remove", 1).otherwise(0)).alias(
+            "n_removes"
+        ),
+        F.sum(
+            F.when(F.col("action") == "add", F.col("size_bytes")).otherwise(
+                -F.col("size_bytes")
+            )
+        ).alias("delta_bytes"),
+    )
+    name = _sink("st_txlog")
+    run_stream_to_memory(per_v, name, output_mode="complete")
+    snap = spark.table(name)
+    w = W.orderBy("version").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return snap.select(
+        "version",
+        "n_adds",
+        "n_removes",
+        F.sum(F.col("n_adds") - F.col("n_removes")).over(w).alias(
+            "live_files"
+        ),
+        F.sum("delta_bytes").over(w).alias("live_bytes"),
+    )
+
+
+QUERIES["streaming_txlog_tail"] = streaming_txlog_tail
+
+from .connectors import ORACLES as _CONN_ORACLES  # noqa: E402
+
+ORACLES["streaming_txlog_tail"] = _CONN_ORACLES["connector_txlog_replay"]

@@ -421,3 +421,69 @@ def test_lpa_partition_is_total(spark):
     sizes = Counter(r.community for r in rows)
     for r in rows:
         assert r.community_size == sizes[r.community]
+
+
+# --------------------------------------------------- Matryoshka report
+
+
+def test_matryoshka_recall_at_full_prefix_would_be_one(spark):
+    """Slicing to the FULL dim must reproduce the truth set exactly —
+    guard that the truncation plumbing (not embedding noise) drives
+    the reported recall."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        DIM,
+        K,
+        _split,
+        sim_topk_bruteforce,
+    )
+
+    q, c = _split(spark, SF_SMOKE)
+    qd = q.select("vec_id", F.slice("embedding", 1, DIM).alias("embedding"))
+    cd = c.select("vec_id", F.slice("embedding", 1, DIM).alias("embedding"))
+    sliced = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(qd, cd, "vec_id", "embedding", k=K).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    assert sliced == full
+
+
+def test_matryoshka_report_shape(spark):
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        K,
+        MRL_DIMS,
+        N_QUERIES,
+    )
+
+    rows = _q("sim_matryoshka_report")(spark, SF_SMOKE).collect()
+    assert len(rows) == len(MRL_DIMS) * N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hit <= K
+        assert abs(r.recall_at_k - r.n_hit / K) < 1e-9
+
+
+# ------------------------------------------------ streaming tx-log tail
+
+
+def test_streaming_txlog_converges_to_batch_replay(spark):
+    batch = sorted(
+        (
+            (r.version, r.n_adds, r.n_removes, r.live_files, r.live_bytes)
+            for r in _q("connector_txlog_replay")(spark, SF_SMOKE).collect()
+        )
+    )
+    tail = sorted(
+        (
+            (r.version, r.n_adds, r.n_removes, r.live_files, r.live_bytes)
+            for r in _q("streaming_txlog_tail")(spark, SF_SMOKE).collect()
+        )
+    )
+    assert batch == tail
