@@ -218,6 +218,9 @@ HEADLINE = [
     # round-10 batch 6: MRL truncation eval, streaming log tail
     "sim_matryoshka_report",
     "streaming_txlog_tail",
+    # round-10 batch 7: seasonal smoothing, sequential testing
+    "timeseries_holt_winters",
+    "quality_msprt_monitor",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -1876,3 +1876,202 @@ ORACLES["quality_kruskal_wallis"] = f"""
            END AS h_tie_micros
     FROM h
 """
+
+
+# --------------------------------------- mSPRT always-valid A/B test
+# The sequential-testing counterpart of events_cuped/events_diff_in_diff:
+# the mixture SPRT (Johari, Koomen, Pekelis & Walsh 2017 — "peeking"-
+# safe A/B inference) evaluated at every DAY of the experiment. With
+# the mixture variance set to the pooled variance (τ² = σ², the
+# standard default) the log likelihood ratio collapses to
+#   ln Λ_n = ½·[ln 2 − ln(2+n)] + n²·δ²/(4σ²(2+n)),
+# so DOUBLING it makes every piece exact-integer computable:
+#   2·ln Λ = (ln2 − ln(2+n)) snapped to nanos (integer ln arguments)
+#          + n²δ²/(2σ²(2+n)) as one wide rational.
+# Reject when 2·lnΛ ≥ 2·ln(1/α) — an integer compare against a
+# precomputed literal. No floor-of-negative ever crosses an engine
+# boundary (the one negative quantity, term1, is a DIFFERENCE of two
+# snapped non-negative integers).
+#
+# Scale: one fact scan → per-(day, arm) moments; the cumulative fold
+# and the test statistic run on the CALENDAR-bounded day relation.
+
+def quality_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits, ratio_units, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    rows = ev.select(
+        (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        (token_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        iunits(F.col("value"), 3).alias("v"),
+    )
+    daily = rows.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("dn_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v")).otherwise(0)).alias("ds_a"),
+        F.sum(
+            F.when(F.col("arm") == 0, (F.col("v") * F.col("v")).cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("dq_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("dn_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0)).alias("ds_b"),
+        F.sum(
+            F.when(F.col("arm") == 1, (F.col("v") * F.col("v")).cast(dec))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("dq_b"),
+    )
+    cw = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        *[
+            F.sum(f"d{c}").over(cw).alias(c)
+            for c in ("n_a", "s_a", "q_a", "n_b", "s_b", "q_b")
+        ],
+    )
+    means = cum.select(
+        "day",
+        "n_a",
+        "n_b",
+        "q_a",
+        "q_b",
+        "s_a",
+        "s_b",
+        ratio_units("s_a", "n_a", 1).alias("m_a"),
+        ratio_units("s_b", "n_b", 1).alias("m_b"),
+        # per-arm SSW in milli² units: q·n − s² ≥ 0 exactly (Cauchy–
+        # Schwarz on integers), so the rational stays non-negative
+        ratio_units_dec("q_a * n_a - CAST(s_a AS decimal(38,0)) * s_a", "n_a", 1).alias("ssw_a"),
+        ratio_units_dec("q_b * n_b - CAST(s_b AS decimal(38,0)) * s_b", "n_b", 1).alias("ssw_b"),
+    )
+    stat = means.select(
+        "day",
+        "n_a",
+        "n_b",
+        (F.col("m_a") - F.col("m_b")).alias("d_milli"),
+        (F.col("n_a") + F.col("n_b")).alias("n"),
+        F.when(
+            F.col("n_a") + F.col("n_b") <= 2, F.lit(None).cast("long")
+        )
+        .otherwise(
+            ratio_units_dec("ssw_a + ssw_b", "n_a + n_b - 2", 1)
+        )
+        .alias("v_milli2"),
+    )
+    ln9 = lambda c: iunits(F.log(c.cast("double")), 9)  # noqa: E731
+    out = stat.select(
+        "day",
+        "n_a",
+        "n_b",
+        "d_milli",
+        "v_milli2",
+        F.when(
+            (F.col("v_milli2").isNull()) | (F.col("v_milli2") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.lit(_LN2_NANOS)
+            - ln9(F.col("n") + 2)
+            + ratio_units_dec(
+                "CAST(n AS decimal(38,0)) * n * d_milli * d_milli",
+                "2 * v_milli2 * (n + 2)",
+                1_000_000_000,
+            )
+        )
+        .alias("lnlam_x2_nanos"),
+    )
+    return out.select(
+        "day",
+        "n_a",
+        "n_b",
+        "d_milli",
+        "v_milli2",
+        "lnlam_x2_nanos",
+        (F.col("lnlam_x2_nanos") >= F.lit(_MSPRT_THRESH_X2_NANOS)).alias(
+            "reject_null"
+        ),
+    )
+
+
+import math as _math  # noqa: E402
+
+_LN2_NANOS = int(_math.floor(_math.log(2.0) * 1e9 + 0.5))
+_MSPRT_ALPHA = 0.05
+_MSPRT_THRESH_X2_NANOS = int(
+    _math.floor(2.0 * _math.log(1.0 / _MSPRT_ALPHA) * 1e9 + 0.5)
+)
+
+QUERIES["quality_msprt_monitor"] = quality_msprt_monitor
+
+from ..functions.hashing import sql_token_hash as _sql_th_msprt  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_msprt,
+    sql_ratio_units as _sql_ru_msprt,
+)
+
+ORACLES["quality_msprt_monitor"] = f"""
+    WITH rows_ AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               {_sql_th_msprt("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               {_sql_iu_msprt('value', 3)} AS v
+        FROM events
+    ), daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+               CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS ds_a,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT) * v
+                             ELSE 0 END) AS HUGEINT) AS dq_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+               CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS ds_b,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) * v
+                             ELSE 0 END) AS HUGEINT) AS dq_b
+        FROM rows_ GROUP BY day
+    ), cum AS (
+        SELECT day,
+               CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+               CAST(sum(ds_a) OVER w AS BIGINT) AS s_a,
+               sum(dq_a) OVER w AS q_a,
+               CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+               CAST(sum(ds_b) OVER w AS BIGINT) AS s_b,
+               sum(dq_b) OVER w AS q_b
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), means AS (
+        SELECT day, n_a, n_b,
+               {_sql_ru_msprt('s_a', 'n_a', 1)} AS m_a,
+               {_sql_ru_msprt('s_b', 'n_b', 1)} AS m_b,
+               {_sql_rud('q_a * n_a - CAST(s_a AS HUGEINT) * s_a', 'n_a', 1)} AS ssw_a,
+               {_sql_rud('q_b * n_b - CAST(s_b AS HUGEINT) * s_b', 'n_b', 1)} AS ssw_b
+        FROM cum
+    ), stat AS (
+        SELECT day, n_a, n_b,
+               CAST(m_a - m_b AS BIGINT) AS d_milli,
+               n_a + n_b AS n,
+               CASE WHEN n_a + n_b <= 2 THEN NULL
+                    ELSE {_sql_rud('ssw_a + ssw_b', 'n_a + n_b - 2', 1)}
+               END AS v_milli2
+        FROM means
+    )
+    SELECT day, n_a, n_b, d_milli, v_milli2,
+           lnlam_x2_nanos,
+           lnlam_x2_nanos >= {_MSPRT_THRESH_X2_NANOS} AS reject_null
+    FROM (
+        SELECT day, n_a, n_b, d_milli, v_milli2,
+               CASE WHEN v_milli2 IS NULL OR v_milli2 = 0 THEN NULL
+                    ELSE {_LN2_NANOS}
+                         - CAST(floor(ln(CAST(n + 2 AS DOUBLE))
+                                      * 1000000000.0 + 0.5) AS BIGINT)
+                         + {_sql_rud(
+                             'CAST(n AS HUGEINT) * n * d_milli * d_milli',
+                             '2 * CAST(v_milli2 AS HUGEINT) * (n + 2)',
+                             1_000_000_000)}
+               END AS lnlam_x2_nanos
+        FROM stat
+    )
+"""

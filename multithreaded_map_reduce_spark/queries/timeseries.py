@@ -1346,3 +1346,144 @@ ORACLES["timeseries_changepoint"] = f"""
     ORDER BY gain_milli DESC, day ASC
     LIMIT 1
 """
+
+
+# ------------------------------------------ Holt–Winters (additive)
+# Triple exponential smoothing — the seasonal completion of the
+# ewma → holt ladder: level + trend + ADDITIVE m=24-hour seasonal
+# component over the gapfilled global hourly count series. Same
+# exactness device as timeseries_holt: with α = β = γ = 1/2 and zero
+# init the HW_TAPS-truncated recursion is a LINEAR filter whose
+# weights are exact dyadic rationals (derived by Fraction unrolling at
+# import), so the one-step-ahead forecast numerator Σ x_{t−j}·w_j is
+# pure integer arithmetic — here accumulated in DECIMAL(38,0)/HUGEINT
+# because the 2^~36 weight scale times production hourly volumes
+# exceeds int64. The truncated filter IS the contract.
+#
+# Scale: one corpus scan → hourly counts; the spine/lag window runs on
+# the CALENDAR-bounded global series (≤ |span hours| rows at any data
+# volume — the cusum/daily discipline).
+
+HW_TAPS = 36
+HW_SEASON = 24
+
+
+def _hw_int_weights(taps: int = HW_TAPS, m: int = HW_SEASON) -> tuple[list[int], int]:
+    """Integer forecast-filter weights (and their power-of-two common
+    denominator) for x̂_{T+1} = l_T + b_T + s_{T+1−m} under the additive
+    HW recursion with α = β = γ = 1/2, zero init, taps-step unroll.
+    weights[j] multiplies lag(x, j) (j = 0 is the newest bucket)."""
+    from fractions import Fraction
+
+    half = Fraction(1, 2)
+    zero = [Fraction(0)] * taps
+    lprev, bprev = zero[:], zero[:]
+    s_hist: list[list[Fraction]] = []
+    for t in range(1, taps + 1):
+        xt = [Fraction(1) if i == t - 1 else Fraction(0) for i in range(taps)]
+        s_tm = s_hist[t - m - 1] if t - m >= 1 else zero
+        lt = [
+            half * (xt[i] - s_tm[i]) + half * (lprev[i] + bprev[i])
+            for i in range(taps)
+        ]
+        bt = [half * (lt[i] - lprev[i]) + half * bprev[i] for i in range(taps)]
+        st = [half * (xt[i] - lt[i]) + half * s_tm[i] for i in range(taps)]
+        s_hist.append(st)
+        lprev, bprev = lt, bt
+    s_fore = s_hist[taps - m] if taps + 1 - m >= 1 else zero
+    fw = [lprev[i] + bprev[i] + s_fore[i] for i in range(taps)]
+    den = 1
+    for f in fw:
+        den = max(den, f.denominator)
+    assert den & (den - 1) == 0  # dyadic by construction
+    # weights[j] pairs with lag j: newest observation is x_taps
+    return [int(fw[taps - 1 - j] * den) for j in range(taps)], den
+
+
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_micros
+
+    weights, den = _hw_int_weights()
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            F.floor(epoch_micros("ts") / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = cnt.agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+    )
+    x = grid.join(cnt, "b", "left").select(
+        "b", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("b").rowsBetween(-(len(weights) - 1), 0)
+    dec = "decimal(38,0)"
+    # ONE trailing-frame collect + one array fold instead of 36
+    # separate lag() expressions — the wide-lag form codegen'd a
+    # ~36-term DECIMAL product chain whose plan build dominated
+    # runtime (~6 s fixed at any SF); this form is a single window
+    # pass + an interpreted HOF over ≤36 elements per calendar row.
+    # Weights exceed int64 (den = 2^72) — decimal literals.
+    warr = "array({})".format(
+        ", ".join(f"CAST('{wj}' AS {dec})" for wj in weights)
+    )
+    trail = F.reverse(F.collect_list("x").over(w))  # [lag0, lag1, …]
+    s = F.aggregate(
+        F.zip_with(
+            trail,
+            F.expr(warr),
+            lambda x, wc: F.coalesce(x.cast(dec), F.lit(0).cast(dec)) * wc,
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, t: acc + F.coalesce(t, F.lit(0).cast(dec)),
+    )
+    # the 72+-bit numerator→double conversion is NOT correctly
+    # rounded in every engine (observed 1-ulp diffs vs HUGEINT→DOUBLE),
+    # so the forecast goes through the standard pround(6) snap — the
+    # bm25 discipline, jitter-audited like every pround user
+    return x.select(
+        "b",
+        "x",
+        pround(s.cast("double") / F.lit(float(den)), 6).alias("forecast"),
+    )
+
+
+QUERIES["timeseries_holt_winters"] = timeseries_holt_winters
+
+
+def _hw_oracle() -> str:
+    weights, den = _hw_int_weights()
+    terms = " + ".join(
+        f"COALESCE(lag(x, {j}) OVER w, 0)::HUGEINT * ({wj})"
+        for j, wj in enumerate(weights)
+    )
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT)
+                       AS b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), span AS (
+            SELECT min(b) AS b0, max(b) AS b1 FROM cnt
+        ), grid AS (
+            SELECT unnest(generate_series(b0, b1)) AS b FROM span
+        ), x AS (
+            SELECT grid.b, CAST(coalesce(cnt.n, 0) AS BIGINT) AS x
+            FROM grid LEFT JOIN cnt ON grid.b = cnt.b
+        )
+        SELECT b, x,
+               {sql_pround(f"CAST(({terms}) AS DOUBLE) / {float(den)}", 6)}
+                   AS forecast
+        FROM x
+        WINDOW w AS (ORDER BY b)
+    """
+
+
+ORACLES["timeseries_holt_winters"] = _hw_oracle()

