@@ -221,6 +221,9 @@ HEADLINE = [
     # round-10 batch 7: seasonal smoothing, sequential testing
     "timeseries_holt_winters",
     "quality_msprt_monitor",
+    # round-10 batch 8: MDE planning, AMS F2 sketch
+    "quality_mde_power",
+    "sketch_ams_f2",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -2075,3 +2075,138 @@ ORACLES["quality_msprt_monitor"] = f"""
         FROM stat
     )
 """
+
+
+# ------------------------------------------------- MDE / power planning
+# The experiment-PLANNING companion of quality_msprt_monitor's
+# monitoring: the minimum detectable effect at 80% power / α=0.05
+# two-sided, MDE = (z_{α/2} + z_β)·√(2σ²/n̄), per day of accumulated
+# data — the "how much longer must this test run" curve. z constants
+# are precomputed python literals shared by both engines; σ² is the
+# same pooled-variance wide rational as mSPRT; the single √ is the one
+# correctly-rounded IEEE transcendental, and the final value snaps
+# under pround(6) (jitter-audited).
+
+def quality_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits, pround, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    rows = ev.select(
+        (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        (token_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+        iunits(F.col("value"), 3).alias("v"),
+    )
+    daily = rows.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("dn_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("dn_b"),
+        F.sum(F.col("v")).alias("ds"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("dq"),
+    )
+    cw = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        *[
+            F.sum(f"d{c}").over(cw).alias(c)
+            for c in ("n_a", "n_b", "s", "q")
+        ],
+    )
+    stat = cum.select(
+        "day",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") + F.col("n_b") <= 1, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                f"(q * (n_a + n_b) - CAST(s AS {dec}) * s)",
+                "(n_a + n_b) * (n_a + n_b - 1)",
+                1,
+            )
+        )
+        .alias("v_milli2"),
+    )
+    # harmonic per-arm n: 2/(1/n_a + 1/n_b) = 2·n_a·n_b/(n_a+n_b) —
+    # the unbalanced-arms form of "n per group", exact milli-rational
+    nbar = ratio_units_dec("2 * n_a * n_b", "(n_a + n_b)", 1000)
+    return stat.select(
+        "day",
+        "n_a",
+        "n_b",
+        "v_milli2",
+        nbar.alias("nbar_milli"),
+        F.when(
+            F.col("v_milli2").isNull()
+            | (F.col("n_a") == 0)
+            | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            pround(
+                F.lit(_Z_SUM)
+                * F.sqrt(
+                    F.lit(2000.0)
+                    * F.col("v_milli2").cast("double")
+                    / nbar.cast("double")
+                )
+                / F.lit(1000.0),
+                6,
+            )
+        )
+        .alias("mde"),
+    )
+
+
+_Z_ALPHA2 = 1.959963984540054  # Φ⁻¹(0.975)
+_Z_BETA = 0.8416212335729143  # Φ⁻¹(0.80)
+_Z_SUM = _Z_ALPHA2 + _Z_BETA
+
+QUERIES["quality_mde_power"] = quality_mde_power
+
+from ..functions.rounding import sql_pround as _sql_pr_mde  # noqa: E402
+
+ORACLES["quality_mde_power"] = f"""
+    WITH rows_ AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               {_sql_th_msprt("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               {_sql_iu_msprt('value', 3)} AS v
+        FROM events
+    ), daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+               CAST(sum(v) AS BIGINT) AS ds,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS dq
+        FROM rows_ GROUP BY day
+    ), cum AS (
+        SELECT day,
+               CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+               CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+               CAST(sum(ds) OVER w AS BIGINT) AS s,
+               sum(dq) OVER w AS q
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), stat AS (
+        SELECT day, n_a, n_b,
+               CASE WHEN n_a + n_b <= 1 THEN NULL
+                    ELSE {_sql_rud(
+                        '(q * (n_a + n_b) - CAST(s AS HUGEINT) * s)',
+                        '(n_a + n_b) * (n_a + n_b - 1)', 1)}
+               END AS v_milli2,
+               {_sql_rud('2 * n_a * n_b', '(n_a + n_b)', 1000)} AS nbar_milli
+        FROM cum
+    )
+    SELECT day, n_a, n_b, v_milli2, nbar_milli,
+           CASE WHEN v_milli2 IS NULL OR n_a = 0 OR n_b = 0 THEN NULL
+                ELSE {_sql_pr_mde(
+                    f"{_Z_SUM} * sqrt(2000.0 * CAST(v_milli2 AS DOUBLE)"
+                    " / CAST(nbar_milli AS DOUBLE)) / 1000.0", 6)}
+           END AS mde
+    FROM stat
+"""

@@ -729,3 +729,108 @@ ORACLES["mg_top_words"] = f"""
         FROM merged, total_t
     ) WHERE rank <= {MG_TOPK}
 """
+
+
+# --------------------------------------------------- AMS F₂ sketch
+# Alon–Matias–Szegedy second frequency moment: F₂ = Σ_k f_k² of the
+# lineitem part-key stream — the SELF-JOIN SIZE statistic a cost-based
+# optimizer wants before picking a join strategy, estimated in ONE
+# pass with 16 counters instead of a full groupBy. Each estimator
+# Z_r = Σ_rows h_r(key) with a deterministic ±1 hash satisfies
+# E[Z²] = F₂; the report carries the 16-way mean estimate NEXT TO the
+# exact F₂ (one extra groupBy the production path would skip) plus
+# the relative error, all as exact integers: Z_r are BIGINT sums,
+# squares/mean on the DECIMAL wide rail, the final gap a micro
+# rational. Deterministic hash family = token_hash(seed || ':' || key).
+#
+# Scale: the sketch is 16 map-side-combinable sums over one scan (16
+# md5s per row — the CPU dial a production deployment would trade
+# down to xxhash); the exact side is the one shuffle.
+
+AMS_SEEDS = 16
+
+
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_micros, ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    # ONE hash per row; estimator r reads bit r of it (the classic
+    # one-hash-many-bits trick — 16 md5s/row profiled 6× wall at 100×;
+    # this form is a single md5 + 16 shifts)
+    hashed = li.select(token_hash(F.col("k")).alias("h"))
+    sign = lambda r: (  # noqa: E731
+        (F.shiftright(F.col("h"), r) % 2) * 2 - 1
+    )
+    sk = hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(sign(r)).alias(f"z{r}") for r in range(AMS_SEEDS)],
+    )
+    dec = "decimal(38,0)"
+    z2_sum = " + ".join(
+        f"CAST(z{r} AS {dec}) * z{r}" for r in range(AMS_SEEDS)
+    )
+    est = sk.select(
+        "n_rows",
+        ratio_units_dec(z2_sum, str(AMS_SEEDS), 1).alias("f2_est"),
+    )
+    true = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum((F.col("f") * F.col("f")).cast(dec))
+            .cast("long")
+            .alias("f2_true")
+        )
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "n_rows",
+        "f2_true",
+        "f2_est",
+        ratio_micros(
+            "abs(f2_est - f2_true)", "f2_true"
+        ).alias("rel_err_micros"),
+    )
+
+
+QUERIES["sketch_ams_f2"] = sketch_ams_f2
+
+from ..functions.hashing import sql_token_hash as _sql_th_ams  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_micros as _sql_rm_ams,
+    sql_ratio_units_dec as _sql_rud_ams,
+)
+
+_AMS_Z_COLS = ",\n               ".join(
+    f"CAST(sum(CASE WHEN (h // {1 << r}) % 2 = 1"
+    f" THEN 1 ELSE -1 END) AS BIGINT) AS z{r}"
+    for r in range(AMS_SEEDS)
+)
+_AMS_Z2_SUM = " + ".join(
+    f"CAST(z{r} AS HUGEINT) * z{r}" for r in range(AMS_SEEDS)
+)
+
+ORACLES["sketch_ams_f2"] = f"""
+    WITH s AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+    ), hashed AS (
+        SELECT {_sql_th_ams('k')} AS h FROM s
+    ), sk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {_AMS_Z_COLS}
+        FROM hashed
+    ), est AS (
+        SELECT n_rows,
+               {_sql_rud_ams(_AMS_Z2_SUM, str(AMS_SEEDS), 1)} AS f2_est
+        FROM sk
+    ), tru AS (
+        SELECT CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_true
+        FROM (SELECT count(*) AS f FROM s GROUP BY k)
+    )
+    SELECT n_rows, f2_true, f2_est,
+           {_sql_rm_ams('abs(f2_est - f2_true)', 'f2_true')}
+               AS rel_err_micros
+    FROM est CROSS JOIN tru
+"""

@@ -592,3 +592,43 @@ def test_msprt_monotone_day_coverage_and_reject_rule(spark):
             assert r.reject_null == (
                 r.lnlam_x2_nanos >= _MSPRT_THRESH_X2_NANOS
             )
+
+
+# ---------------------------------------------------------- MDE / power
+
+
+def test_mde_shrinks_as_data_accumulates(spark):
+    rows = sorted(
+        _q("quality_mde_power")(spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) >= 25
+    assert rows[-1].mde < rows[0].mde  # more data -> smaller MDE
+    last = rows[-1]
+    # closed-form check at the final day
+    want = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        2 * (last.v_milli2 / 1e6) / (last.nbar_milli / 1e3)
+    )
+    assert math.isclose(last.mde, want, rel_tol=1e-5)
+
+
+# ------------------------------------------------------------- AMS F2
+
+
+def test_ams_f2_true_and_estimator_contract(spark):
+    import duckdb
+
+    out = _q("sketch_ams_f2")(spark, SF_SMOKE).collect()[0]
+    want = duckdb.sql(f"""
+        SELECT sum(f * f) FROM (
+            SELECT count(*) AS f
+            FROM '{SF_SMOKE}/lineitem.parquet' GROUP BY l_partkey)
+    """).fetchone()[0]
+    assert out.f2_true == want
+    assert out.f2_est > 0
+    # AMS with 16 counters: relative error concentrated ~ sqrt(2/16);
+    # allow a loose 3-sigma band so the test pins sanity, not luck
+    assert out.rel_err_micros <= 1_500_000
+    assert out.rel_err_micros == round(
+        1e6 * abs(out.f2_est - out.f2_true) / out.f2_true
+    )
