@@ -224,6 +224,9 @@ HEADLINE = [
     # round-10 batch 8: MDE planning, AMS F2 sketch
     "quality_mde_power",
     "sketch_ams_f2",
+    # round-10 batch 9: dependence statistics
+    "quality_xi_correlation",
+    "quality_mutual_information",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -2210,3 +2210,233 @@ ORACLES["quality_mde_power"] = f"""
            END AS mde
     FROM stat
 """
+
+
+# ------------------------------------------- Chatterjee ξ correlation
+# The modern (2020) rank correlation that detects ARBITRARY functional
+# dependence, not just monotone trends — ξ ≈ 0 for independence, → 1
+# as y becomes a measurable function of x, and unlike Pearson/Spearman
+# it finds oscillating relationships. Computed per return flag on
+# (quantity, price) with the ties-correct form
+#   ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)),
+# r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i}, sequence ordered by x with
+# the deterministic (x, orderkey, linenumber) tiebreak. Every quantity
+# is an exact BIGINT/DECIMAL — the one subtraction at the end is of
+# two exact integers (ξ may legitimately be slightly negative).
+#
+# Scale: all four windows partition by the GROUP (never global); the
+# per-group sort is the same rail as stats_gini's ranks — at extreme
+# group sizes both move to the two-pass histogram rank machinery.
+
+def quality_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        iunits(F.col("l_extendedprice"), 2).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wy = W.partitionBy("g").orderBy("y")
+    n_w = W.partitionBy("g")
+    ranked = li.select(
+        "g",
+        "x",
+        "y",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.rank().over(wy)
+            + F.count(F.lit(1)).over(W.partitionBy("g", "y"))
+            - 1
+        ).alias("r"),
+        (F.count(F.lit(1)).over(n_w) - F.rank().over(wy) + 1).alias("l"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    # Chatterjee prescribes RANDOM x-tie-breaking (x = quantity is
+    # heavily tied here; breaking ties BY y leaks y-order and measured
+    # ξ ≈ 0.86 artifactually). The deterministic stand-in is a hash of
+    # the full row identity — pseudo-random w.r.t. y, reproducible in
+    # both engines. The fixture's (orderkey, linenumber) is NOT unique
+    # (observed), so y rides the hash input and the trailing keys;
+    # residual full ties carry EQUAL r, making Σ|Δr| invariant.
+    from ..functions.hashing import token_hash
+
+    tb = token_hash(
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"), F.col("y"))
+    )
+    wx = W.partitionBy("g").orderBy(
+        "x", tb, "l_orderkey", "l_linenumber", "y"
+    )
+    seq = ranked.select(
+        "g",
+        "n",
+        "r",
+        "l",
+        F.abs(F.col("r") - F.lag("r").over(wx)).alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    agg = seq.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dr").cast(dec)).alias("s1"),
+        F.sum((F.col("l") * (F.col("n") - F.col("l"))).cast(dec)).alias(
+            "s2"
+        ),
+    )
+    return agg.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.col("s1").cast("long").alias("sum_rank_jumps"),
+        F.when(F.col("s2") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.lit(1_000_000)
+            - ratio_units_dec("n * s1", "2 * s2", 1_000_000)
+        )
+        .alias("xi_micros"),
+    )
+
+
+QUERIES["quality_xi_correlation"] = quality_xi_correlation
+
+_XI_TB = _sql_th_msprt(
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    " || ':' || CAST(y AS VARCHAR)"
+)
+
+ORACLES["quality_xi_correlation"] = f"""
+    WITH li AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS x,
+               {_sql_iu_msprt('l_extendedprice', 2)} AS y,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), ranked AS (
+        SELECT g, x, y, l_orderkey, l_linenumber,
+               CAST(rank() OVER (PARTITION BY g ORDER BY y)
+                    + count(*) OVER (PARTITION BY g, y) - 1
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY g)
+                    - rank() OVER (PARTITION BY g ORDER BY y) + 1
+                    AS BIGINT) AS l,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM li
+    ), seq AS (
+        SELECT g, n, l,
+               abs(r - lag(r) OVER (
+                   PARTITION BY g
+                   ORDER BY x,
+                            {_XI_TB},
+                            l_orderkey, l_linenumber, y)) AS dr
+        FROM ranked
+    ), agg AS (
+        SELECT g,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CAST(dr AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(l AS HUGEINT) * (n - l)) AS HUGEINT) AS s2
+        FROM seq GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           CAST(s1 AS BIGINT) AS sum_rank_jumps,
+           CASE WHEN s2 = 0 THEN NULL
+                ELSE CAST(1000000
+                     - {_sql_rud('n * s1', '2 * s2', 1_000_000)} AS BIGINT)
+           END AS xi_micros
+    FROM agg
+"""
+
+
+# ------------------------------------------- discrete mutual information
+# MI(lang; source) over the document corpus — the feature-selection /
+# redundancy statistic that tells a curation pass whether two metadata
+# facets carry independent signal (MI ≈ 0 → stratify on both; MI high
+# → one is a proxy for the other). Exact-integer rail: with
+# p = n_xy/N, MI = Σ n_xy·[ln(n_xy·N) − ln(n_x·n_y)]/N — every ln
+# argument an exact integer (the ln-snap contract), the weighted sum
+# in DECIMAL, one wide rational divide to nanos. Integer-ln ceiling:
+# n_xy·N < 2^53 holds to ~10^8-doc corpora per run; past that, rescale
+# counts to kilo-units on both sides (same contract, shifted grid).
+#
+# Scale: one corpus scan → |lang×source| cells; marginals come from
+# the cell relation, not a rescan. MI ≥ 0 mathematically; snapped-ln
+# dust is clamped like stats_theil_by_region.
+
+def quality_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    ).localCheckpoint()
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(
+        F.sum("n_xy").alias("n_docs"),
+        F.count(F.lit(1)).alias("k_cells"),
+        F.countDistinct("lang").alias("k_lang"),
+        F.countDistinct("source").alias("k_source"),
+    )
+    ln9 = lambda c: iunits(F.log(c.cast("double")), 9)  # noqa: E731
+    dec = "decimal(38,0)"
+    terms = (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_docs",
+            "k_cells",
+            "k_lang",
+            "k_source",
+            (
+                F.col("n_xy").cast(dec)
+                * (
+                    ln9(F.col("n_xy") * F.col("n_docs"))
+                    - ln9(F.col("n_x") * F.col("n_y"))
+                ).cast(dec)
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("n_docs", "k_lang", "k_source", "k_cells").agg(
+        ratio_units_dec(
+            f"greatest(sum(t), CAST(0 AS {dec}))", "first(n_docs)", 1
+        ).alias("mi_nanos")
+    )
+
+
+QUERIES["quality_mutual_information"] = quality_mutual_information
+
+ORACLES["quality_mutual_information"] = f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY lang, source
+    ), mx AS (
+        SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY lang
+    ), my AS (
+        SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_xy) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS k_cells,
+               CAST(count(DISTINCT lang) AS BIGINT) AS k_lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS k_source
+        FROM cells
+    ), terms AS (
+        SELECT n_docs, k_lang, k_source, k_cells,
+               CAST(n_xy AS HUGEINT) * (
+                   CAST(floor(ln(CAST(n_xy * n_docs AS DOUBLE))
+                              * 1000000000.0 + 0.5) AS BIGINT)
+                   - CAST(floor(ln(CAST(n_x * n_y AS DOUBLE))
+                                * 1000000000.0 + 0.5) AS BIGINT)
+               ) AS t
+        FROM cells
+        JOIN mx USING (lang)
+        JOIN my USING (source)
+        CROSS JOIN tot
+    )
+    SELECT n_docs, k_lang, k_source, k_cells,
+           {_sql_rud('greatest(sum(t), 0)', 'first(n_docs)', 1)} AS mi_nanos
+    FROM terms
+    GROUP BY n_docs, k_lang, k_source, k_cells
+"""

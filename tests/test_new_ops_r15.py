@@ -632,3 +632,62 @@ def test_ams_f2_true_and_estimator_contract(spark):
     assert out.rel_err_micros == round(
         1e6 * abs(out.f2_est - out.f2_true) / out.f2_true
     )
+
+
+# ----------------------------------------------------- Chatterjee xi
+
+
+def test_xi_detects_perfect_dependence_miniature(spark):
+    """y = f(x) strictly -> xi -> (n-2)/(n+1); independence -> ~0.
+    Verified on a 60-row in-memory relation through the real chain."""
+    from unittest import mock
+
+    import multithreaded_map_reduce_spark.queries.quality as qq
+
+    n = 60
+    dep = spark.createDataFrame(
+        [(("G"), i, float(i * i), i, 1) for i in range(n)],
+        ["l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey",
+         "l_linenumber"],
+    )
+    with mock.patch.object(qq, "load_table", lambda s, sf, t: dep):
+        out = qq.quality_xi_correlation(dep.sparkSession, "x").collect()[0]
+    # strictly monotone functional dependence: r jumps are all 1 →
+    # xi = 1 − n(n−1)/(2·Σ l(n−l)); for distinct y this is (n−2)/(n+1)
+    want = round(1e6 * (n - 2) / (n + 1))
+    assert abs(out.xi_micros - want) <= 2
+
+
+def test_xi_near_zero_on_fixture_independence(spark):
+    rows = _q("quality_xi_correlation")(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.xi_micros) < 100_000  # |xi| < 0.1 ~ independence
+
+
+# ------------------------------------------------- mutual information
+
+
+def test_mi_matches_float_reference_and_bounds(spark):
+    import duckdb
+
+    cells = duckdb.sql(f"""
+        SELECT lang, source, count(*) FROM '{SF_SMOKE}/documents.parquet'
+        GROUP BY 1, 2
+    """).fetchall()
+    from collections import Counter
+
+    nx, ny, n = Counter(), Counter(), 0
+    for la, so, c in cells:
+        nx[la] += c
+        ny[so] += c
+        n += c
+    want = sum(
+        c / n * math.log(c * n / (nx[la] * ny[so])) for la, so, c in cells
+    )
+    out = _q("quality_mutual_information")(spark, SF_SMOKE).collect()[0]
+    assert out.n_docs == n
+    assert out.k_lang == len(nx) and out.k_source == len(ny)
+    assert math.isclose(out.mi_nanos / 1e9, want, abs_tol=1e-5)
+    # MI <= min(H(X), H(Y)) <= ln(min cardinality)
+    assert 0 <= out.mi_nanos <= math.log(min(len(nx), len(ny))) * 1e9
