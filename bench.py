@@ -227,6 +227,9 @@ HEADLINE = [
     # round-10 batch 9: dependence statistics
     "quality_xi_correlation",
     "quality_mutual_information",
+    # round-10 batch 10: KPI concordance, video container intake
+    "timeseries_kendall_comovement",
+    "multimodal_shot_detection",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -645,3 +645,105 @@ def extract_bmp_patches(media: DataFrame, patch: int = 4) -> DataFrame:
         "media_id long, py int, px int, n_px long, sum_bytes long,"
         " mean_milli long",
     )
+
+
+VIDEO_FRAMES = 8
+VIDEO_SHOT_LEN = 4  # frames per synthesized shot
+
+
+def documents_as_bmp_video(docs: DataFrame) -> DataFrame:
+    """Synthesize a VIDEO per document as a concatenated-BMP stream
+    (the MJPEG idea with the repo's strict codec as the frame format):
+    VIDEO_FRAMES full BMP files back-to-back, geometry from doc_id.
+    Frames within a shot share their raster source offset; the second
+    shot reads the text cycle from L//2 — a hard planted cut at the
+    shot boundary, everything byte-deterministic from (doc_id, text).
+    """
+    import pandas as pd
+
+    from .codecs import encode_bmp
+
+    def build(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 13 + 1
+                h = int(doc_id) % 9 + 1
+                need = w * h * 3
+                tb = text.encode("utf-8")
+                L = len(tb)
+                frames = []
+                for f in range(VIDEO_FRAMES):
+                    off = 0 if f < VIDEO_SHOT_LEN else L // 2
+                    cyc = tb * (need // L + 2)
+                    frames.append(encode_bmp(w, h, cyc[off : off + need]))
+                blobs.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "media": pd.Series(blobs, dtype=object)}
+            )
+
+    return docs.filter(F.length("text") > 0).mapInPandas(
+        build, "media_id long, media binary"
+    )
+
+
+def detect_bmp_shot_cuts(media: DataFrame, thresh: int = 0) -> DataFrame:
+    """Shot-boundary detection over a concatenated-BMP video stream:
+    STRICT sequential container split (each frame's length comes from
+    its own BMP file-size header field — one corrupt size desyncs the
+    whole stream, exactly like a real container), per-frame strict
+    decode, adjacent-frame L1 raster distance, cut when the distance
+    exceeds ``thresh``. Reports the run structure (the audio VAD
+    discipline applied to video): frame count, total inter-frame
+    distance, cut count, first cut index, longest shot."""
+    import struct
+
+    import pandas as pd
+
+    from .codecs import decode_bmp
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_frames": [],
+                "total_diff": [],
+                "n_cuts": [],
+                "first_cut": [],
+                "longest_shot": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                blob = bytes(blob)
+                rasters = []
+                pos = 0
+                while pos < len(blob):
+                    if blob[pos : pos + 2] != b"BM":
+                        raise ValueError("container desync (bad magic)")
+                    (fsize,) = struct.unpack_from("<I", blob, pos + 2)
+                    _, _, _, px = decode_bmp(blob[pos : pos + fsize])
+                    rasters.append(np.frombuffer(px, dtype=np.uint8))
+                    pos += fsize
+                diffs = [
+                    int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+                    for a, b in zip(rasters, rasters[1:])
+                ]
+                cuts = [i + 1 for i, d in enumerate(diffs) if d > thresh]
+                bounds = [0] + cuts + [len(rasters)]
+                longest = max(
+                    e - s for s, e in zip(bounds, bounds[1:])
+                )
+                out["media_id"].append(mid)
+                out["n_frames"].append(len(rasters))
+                out["total_diff"].append(sum(diffs))
+                out["n_cuts"].append(len(cuts))
+                out["first_cut"].append(cuts[0] if cuts else None)
+                out["longest_shot"].append(longest)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_frames int, total_diff long, n_cuts int,"
+        " first_cut int, longest_shot int",
+    )

@@ -1038,3 +1038,63 @@ def _bmp_patches_oracle(patch: int = PATCH) -> str:
 
 
 ORACLES["multimodal_image_patches"] = _bmp_patches_oracle()
+
+
+# ------------------------------------------------- video shot detection
+# Round 10: the video-intake segmentation primitive on a REAL
+# container structure — a concatenated-BMP stream split by each
+# frame's own file-size header (one wrong size desyncs the stream),
+# each frame strict-decoded, adjacent rasters compared in exact L1,
+# cuts = distances over threshold. The synthesis plants one hard cut
+# at the shot boundary (second shot reads the text cycle from L//2),
+# so the oracle can reproduce every distance arithmetically from
+# (doc_id, text): within-shot distances are 0 by construction and the
+# single boundary distance is Σ|tb[i mod L] − tb[(L//2 + i) mod L]|.
+
+def multimodal_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        detect_bmp_shot_cuts,
+        documents_as_bmp_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_bmp_shot_cuts(documents_as_bmp_video(docs))
+
+
+QUERIES["multimodal_shot_detection"] = multimodal_shot_detection
+
+
+def _shot_oracle() -> str:
+    from ..operators.multimodal import VIDEO_FRAMES, VIDEO_SHOT_LEN
+
+    d_expr = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, CAST(need AS INTEGER)), "
+        f"i -> abs({_byte_at('i % L')}"
+        f" - {_byte_at('(L // 2 + i) % L')}))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L,
+               CAST((doc_id % 13 + 1) * (doc_id % 9 + 1) * 3 AS BIGINT)
+                   AS need
+        FROM documents WHERE length(text) > 0
+    ), dist AS (
+        SELECT doc_id, {d_expr} AS boundary_diff FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST({VIDEO_FRAMES} AS INTEGER) AS n_frames,
+           CAST(boundary_diff AS BIGINT) AS total_diff,
+           CAST(CASE WHEN boundary_diff > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_cuts,
+           CAST(CASE WHEN boundary_diff > 0 THEN {VIDEO_SHOT_LEN}
+                END AS INTEGER) AS first_cut,
+           CAST(CASE WHEN boundary_diff > 0 THEN {VIDEO_SHOT_LEN}
+                     ELSE {VIDEO_FRAMES} END AS INTEGER) AS longest_shot
+    FROM dist
+"""
+
+
+ORACLES["multimodal_shot_detection"] = _shot_oracle()

@@ -1487,3 +1487,99 @@ def _hw_oracle() -> str:
 
 
 ORACLES["timeseries_holt_winters"] = _hw_oracle()
+
+
+# ------------------------------------------- Kendall τ KPI co-movement
+# Do two daily KPIs move together? Kendall's τ-b between the daily
+# event COUNT and the daily value SUM — the rank-concordance answer
+# that is robust to any monotone rescaling of either KPI (the
+# dashboards question "is volume driving value"). Same calendar-
+# bounded pair rail as timeseries_theil_sen: C(|days|, 2) pairs of
+# DAYS, never of rows, so the quadratic stage is bounded by the time
+# span at any data volume.
+#
+# Exactness: counts and micro-unit sums are BIGINTs; concordant/
+# discordant/tie classification is pure sign algebra on integer
+# differences; τ-b = (C − D)/√((n0 − t_x)(n0 − t_y)) spends one
+# correctly-rounded sqrt under the pround snap (the MDE discipline).
+
+def timeseries_kendall_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            iunits(F.col("value"), 6).alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("v").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+    )
+    cls = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") > 0)
+             | (F.col("dx") < 0) & (F.col("dy") < 0)).cast("long")
+        ).alias("conc"),
+        F.sum(
+            ((F.col("dx") > 0) & (F.col("dy") < 0)
+             | (F.col("dx") < 0) & (F.col("dy") > 0)).cast("long")
+        ).alias("disc"),
+        F.sum((F.col("dx") == 0).cast("long")).alias("tx"),
+        F.sum((F.col("dy") == 0).cast("long")).alias("ty"),
+    )
+    tau = (
+        (F.col("conc") - F.col("disc")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("tx")).cast("double")
+            * (F.col("n0") - F.col("ty")).cast("double")
+        )
+    )
+    return cls.select(
+        "n0",
+        "conc",
+        "disc",
+        "tx",
+        "ty",
+        pround(tau, 6).alias("tau_b"),
+    )
+
+
+QUERIES["timeseries_kendall_comovement"] = timeseries_kendall_comovement
+
+ORACLES["timeseries_kendall_comovement"] = f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum({sql_iunits('value', 6)}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        FROM daily a JOIN daily b ON a.day < b.day
+    ), cls AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN (dx > 0 AND dy > 0)
+                               OR (dx < 0 AND dy < 0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN (dx > 0 AND dy < 0)
+                               OR (dx < 0 AND dy > 0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n0, conc, disc, tx, ty,
+           {sql_pround(
+               "CAST(conc - disc AS DOUBLE)"
+               " / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))",
+               6)} AS tau_b
+    FROM cls
+"""

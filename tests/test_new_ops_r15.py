@@ -691,3 +691,71 @@ def test_mi_matches_float_reference_and_bounds(spark):
     assert math.isclose(out.mi_nanos / 1e9, want, abs_tol=1e-5)
     # MI <= min(H(X), H(Y)) <= ln(min cardinality)
     assert 0 <= out.mi_nanos <= math.log(min(len(nx), len(ny))) * 1e9
+
+
+# ------------------------------------------------------ Kendall tau-b
+
+
+def test_kendall_matches_scipy_style_reference(spark):
+    import duckdb
+    from itertools import combinations
+
+    daily = duckdb.sql(f"""
+        SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x,
+               sum(CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS y
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    conc = disc = tx = ty = 0
+    for (_, xa, ya), (_, xb, yb) in combinations(daily, 2):
+        dx, dy = xb - xa, yb - ya
+        if dx == 0:
+            tx += 1
+        if dy == 0:
+            ty += 1
+        if dx * dy > 0:
+            conc += 1
+        elif dx * dy < 0:
+            disc += 1
+    n0 = len(daily) * (len(daily) - 1) // 2
+    out = _q("timeseries_kendall_comovement")(spark, SF_SMOKE).collect()[0]
+    assert (out.n0, out.conc, out.disc, out.tx, out.ty) == (
+        n0, conc, disc, tx, ty
+    )
+    want = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert math.isclose(out.tau_b, want, abs_tol=1e-6)
+    assert -1 <= out.tau_b <= 1
+
+
+# ------------------------------------------------------ shot detection
+
+
+def test_shot_detection_finds_the_planted_cut(spark):
+    rows = _q("multimodal_shot_detection")(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_frames == 8
+        if r.total_diff > 0:
+            assert (r.n_cuts, r.first_cut, r.longest_shot) == (1, 4, 4)
+        else:
+            assert (r.n_cuts, r.first_cut, r.longest_shot) == (0, None, 8)
+
+
+def test_shot_container_split_is_strict(spark):
+    """Corrupting one frame's size field must desync the container."""
+    import pytest as _pytest
+
+    from multithreaded_map_reduce_spark.operators.multimodal import (
+        detect_bmp_shot_cuts,
+        documents_as_bmp_video,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    good = documents_as_bmp_video(docs).collect()[0].media
+    bad = bytearray(good)
+    bad[2] ^= 0xFF  # clobber frame 0's file-size field
+    bad_df = spark.createDataFrame(
+        [(1, bytes(bad))], "media_id long, media binary"
+    )
+    with _pytest.raises(Exception):
+        detect_bmp_shot_cuts(bad_df).collect()
