@@ -230,6 +230,8 @@ HEADLINE = [
     # round-10 batch 10: KPI concordance, video container intake
     "timeseries_kendall_comovement",
     "multimodal_shot_detection",
+    # round-10 batch 11: coherent hierarchical forecasts
+    "timeseries_hier_reconcile",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

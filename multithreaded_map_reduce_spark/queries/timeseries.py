@@ -1583,3 +1583,149 @@ ORACLES["timeseries_kendall_comovement"] = f"""
                6)} AS tau_b
     FROM cls
 """
+
+
+# --------------------------------------- hierarchical reconciliation
+# Hyndman's coherent-forecast problem: per-region daily forecasts and
+# the total-level forecast disagree unless reconciled. This op runs
+# the naive drift forecast at BOTH levels of the region hierarchy
+# (bottom = supplier nation region, top = all), then reconciles
+# TOP-DOWN by historical proportions — the additive-coherence
+# guarantee Σ_regions f̂_r = f̂_total that a capacity-planning consumer
+# requires. Forecast = last + mean daily increment (drift), exact
+# micro-rationals; proportions are historical order-count shares.
+#
+# Scale: one fact scan → (region, day) counts (calendar × 5 rows);
+# every step after is constant-size. The reconciliation algebra is
+# the same at a million-leaf hierarchy — proportions become a keyed
+# relation instead of 5 rows.
+
+def timeseries_hier_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units, ratio_units_dec
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("c_custkey").alias("ck"), "r_name")
+    )
+    daily = (
+        o.join(dim, o.o_custkey == dim.ck)
+        .groupBy(
+            "r_name",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    per_r = daily.groupBy("r_name").agg(
+        F.sum("x").alias("tot"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max_by("x", "day").alias("last_x"),
+        F.max("day").alias("last_day"),
+        F.min("day").alias("first_day"),
+        F.min_by("x", "day").alias("first_x"),
+    )
+    # drift forecast per region: last + (last − first)/span, with the
+    # drift a SIGNED rational — the OFFSET-shifted half-up divide is
+    # the negative-domain-safe form (floor == truncate once shifted
+    # positive, so Spark div and DuckDB // agree; the iunits_grid
+    # reduction trick)
+    # OFF must just dominate |last_x − first_x| (per-day counts), so
+    # the shifted numerator stays positive AND inside int64:
+    # 2e6·(OFF·span) at OFF=1e7, span≈2400 ⇒ ~5e16
+    OFF = 10**7
+    drift = per_r.select(
+        "r_name",
+        "tot",
+        "last_x",
+        (
+            F.expr(
+                f"(2 * 1000000 * (CAST(last_x - first_x AS BIGINT)"
+                f" + {OFF} * CAST(last_day - first_day AS BIGINT))"
+                f" + CAST(last_day - first_day AS BIGINT))"
+                f" div (2 * CAST(last_day - first_day AS BIGINT))"
+            )
+            - F.lit(1_000_000 * OFF)
+        ).alias("drift_micros"),
+    )
+    fc = drift.select(
+        "r_name",
+        "tot",
+        (F.col("last_x") * 1_000_000 + F.col("drift_micros")).alias(
+            "fc_bottom_micros"
+        ),
+    )
+    tots = fc.agg(
+        F.sum("tot").alias("g_tot"),
+        F.sum("fc_bottom_micros").alias("fc_bu_total_micros"),
+    )
+    return (
+        fc.crossJoin(F.broadcast(tots))
+        .select(
+            "r_name",
+            "tot",
+            "fc_bottom_micros",
+            ratio_units_dec("tot", "g_tot", 1_000_000).alias(
+                "share_micros"
+            ),
+            # top-down: the bottom-up TOTAL redistributed by share —
+            # coherent by construction (shares sum to 1e6 ± rounding)
+            ratio_units_dec(
+                "CAST(tot AS decimal(38,0)) * fc_bu_total_micros",
+                "g_tot",
+                1,
+            ).alias("fc_topdown_micros"),
+        )
+    )
+
+
+QUERIES["timeseries_hier_reconcile"] = timeseries_hier_reconcile
+
+ORACLES["timeseries_hier_reconcile"] = f"""
+    WITH dim AS (
+        SELECT c_custkey AS ck, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ), daily AS (
+        SELECT r_name,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM orders JOIN dim ON o_custkey = ck
+        GROUP BY 1, 2
+    ), per_r AS (
+        SELECT r_name,
+               CAST(sum(x) AS BIGINT) AS tot,
+               CAST(max(day) AS BIGINT) AS last_day,
+               CAST(min(day) AS BIGINT) AS first_day,
+               CAST(max_by(x, day) AS BIGINT) AS last_x,
+               CAST(min_by(x, day) AS BIGINT) AS first_x
+        FROM daily GROUP BY r_name
+    ), drift AS (
+        SELECT r_name, tot, last_x,
+               CAST((2 * 1000000 * (CAST(last_x - first_x AS BIGINT)
+                     + {10**7} * (last_day - first_day))
+                     + (last_day - first_day))
+                    // (2 * (last_day - first_day))
+                    - {1_000_000 * 10**7} AS BIGINT) AS drift_micros
+        FROM per_r
+    ), fc AS (
+        SELECT r_name, tot,
+               CAST(last_x * 1000000 + drift_micros AS BIGINT)
+                   AS fc_bottom_micros
+        FROM drift
+    ), tots AS (
+        SELECT CAST(sum(tot) AS BIGINT) AS g_tot,
+               CAST(sum(fc_bottom_micros) AS BIGINT) AS fc_bu_total_micros
+        FROM fc
+    )
+    SELECT r_name, tot, fc_bottom_micros,
+           {_sql_rud_ts('tot', 'g_tot', 1_000_000)} AS share_micros,
+           {_sql_rud_ts('CAST(tot AS HUGEINT) * fc_bu_total_micros',
+                        'g_tot', 1)} AS fc_topdown_micros
+    FROM fc CROSS JOIN tots
+"""

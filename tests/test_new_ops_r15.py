@@ -759,3 +759,22 @@ def test_shot_container_split_is_strict(spark):
     )
     with _pytest.raises(Exception):
         detect_bmp_shot_cuts(bad_df).collect()
+
+
+# --------------------------------------------- hierarchical reconcile
+
+
+def test_hier_reconcile_topdown_is_coherent(spark):
+    """Top-down forecasts must sum to the bottom-up total (within the
+    per-region half-up rounding), and shares must sum to ~1."""
+    rows = _q("timeseries_hier_reconcile")(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    bu_total = sum(r.fc_bottom_micros for r in rows)
+    td_total = sum(r.fc_topdown_micros for r in rows)
+    assert abs(td_total - bu_total) <= len(rows)  # coherence
+    assert abs(sum(r.share_micros for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        # share defines the top-down split of the bottom-up total
+        assert abs(
+            r.fc_topdown_micros - r.tot * bu_total / sum(x.tot for x in rows)
+        ) <= 1
