@@ -727,3 +727,52 @@ def test_mase_single_window_family(spark):
     rep = plan_report(_q("timeseries_backtest_mase")(spark, SF_SMOKE))
     assert rep.shuffle_exchanges <= 3
     assert not rep.cartesian
+
+
+def test_hits_rounds_run_on_checkpointed_edges(spark):
+    """HITS' returned plan must not re-derive the trade-edge build per
+    round: edges/nodes are localCheckpointed once, so the FINAL plan
+    contains no lineitem/orders fact scan — only the nation dim join
+    (the pagerank lineage-truncation discipline)."""
+    plan = (
+        _q("graph_hits_nations")(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lineitem" not in plan and "orders" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_rounds_run_on_checkpointed_edges(spark):
+    plan = (
+        _q("graph_labelprop_communities")(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lineitem" not in plan and "orders" not in plan
+
+
+def test_kruskal_windows_are_value_grained(spark):
+    """The rank machinery must aggregate to the distinct-value grain
+    BEFORE any window: the only unpartitioned window runs on the
+    value-grouped relation (tiny), never on per-document rows —
+    asserted by requiring both groupings below the window in the plan."""
+    df = _q("quality_kruskal_wallis")(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Window over x-ordered rows appears above an Aggregate on (x, source)
+    w = plan.find("Window")
+    agg = plan.rfind("Aggregate")
+    assert w != -1 and agg != -1 and w < agg
+
+
+def test_matryoshka_rungs_broadcast_queries(spark):
+    plan = (
+        _q("sim_matryoshka_report")(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
