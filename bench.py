@@ -232,6 +232,11 @@ HEADLINE = [
     "multimodal_shot_detection",
     # round-10 batch 11: coherent hierarchical forecasts
     "timeseries_hier_reconcile",
+    # round-10 batch 12: connector torture, feature map audit,
+    # recursive changepoints
+    "connector_csv_quoting",
+    "text_feature_hashing",
+    "timeseries_changepoint2",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

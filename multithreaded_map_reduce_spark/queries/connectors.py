@@ -728,3 +728,67 @@ ORACLES["connector_txlog_replay"] = f"""
                AND CURRENT ROW) AS BIGINT) AS live_bytes
     FROM per_v
 """
+
+
+# ------------------------------------------------ CSV quoting torture
+# The connector contract nobody tests until it corrupts data: values
+# containing the delimiter, the quote character, embedded newlines,
+# and leading/trailing spaces must survive a CSV write→read round
+# trip byte-exactly. The torture strings are built deterministically
+# from orders IN-QUERY; the proof of byte-exactness is a portable
+# hash checksum over the read-back values that the oracle recomputes
+# from the source table without ever touching a file. Read side needs
+# multiLine=true — embedded newlines silently shear rows without it
+# (the exact bug class this query pins).
+
+def connector_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    torture = F.concat(
+        F.lit('a,"b'),
+        F.lit("\n"),
+        F.col("o_orderpriority"),
+        F.lit(',"",  '),
+        F.col("o_orderkey").cast("string"),
+    )
+    src = o.select(
+        F.col("o_orderkey").alias("id"),
+        torture.alias("v"),
+        iunits(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    path = _fixture_path("csv_quote")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("id long, v string, cents long")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(token_hash(F.col("v"))).alias("value_checksum"),
+        F.sum(F.length("v")).alias("total_chars"),
+    )
+
+
+QUERIES["connector_csv_quoting"] = connector_csv_quoting
+
+from ..functions.hashing import sql_token_hash as _sql_th_csvq  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iu_csvq  # noqa: E402
+
+ORACLES["connector_csv_quoting"] = f"""
+    WITH src AS (
+        SELECT 'a,"b' || chr(10) || o_orderpriority || ',"",  '
+                   || CAST(o_orderkey AS VARCHAR) AS v,
+               {_sql_iu_csvq('o_totalprice', 2)} AS cents
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum({_sql_th_csvq('v')}) AS BIGINT) AS value_checksum,
+           CAST(sum(length(v)) AS BIGINT) AS total_chars
+    FROM src
+"""

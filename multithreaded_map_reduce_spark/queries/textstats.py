@@ -3977,3 +3977,84 @@ ORACLES["text_rake_keywords"] = f"""
     ORDER BY score_micros DESC, phrase ASC
     LIMIT {RAKE_TOPK}
 """
+
+
+# --------------------------------------------------- feature hashing
+FH_BITS = 10  # 2^10 = 1024 buckets
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger 2009, the Vowpal Wabbit feature
+    map): vocabulary → 2^FH_BITS buckets by hash, no dictionary. This
+    op reports what a feature-hashing deployment must measure before
+    trusting the map — bucket utilization and the collision profile
+    (how many buckets fold ≥2 distinct tokens, the worst fold, and
+    the share of token MASS landing in colliding buckets). Pure
+    integer arithmetic on one tokenize scan; collisions resolve at
+    the VOCABULARY grain (groupBy token first), so the expensive
+    explode aggregates before the bucket fold.
+    """
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    buckets = vocab.groupBy(
+        (token_hash(F.col("tok")) % (1 << FH_BITS)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("tf").alias("mass"),
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum("n_toks").alias("vocab_size"),
+        F.sum("mass").alias("total_tokens"),
+        F.sum((F.col("n_toks") >= 2).cast("long")).alias(
+            "colliding_buckets"
+        ),
+        F.max("n_toks").alias("max_fold"),
+        F.sum(
+            F.when(F.col("n_toks") >= 2, F.col("mass")).otherwise(0)
+        ).alias("colliding_mass"),
+    ).select(
+        "buckets_used",
+        "vocab_size",
+        "total_tokens",
+        "colliding_buckets",
+        "max_fold",
+        ratio_micros("colliding_mass", "total_tokens").alias(
+            "colliding_mass_micros"
+        ),
+    )
+
+
+QUERIES["text_feature_hashing"] = text_feature_hashing
+
+from ..functions.hashing import sql_token_hash as _sql_th_fh  # noqa: E402
+
+ORACLES["text_feature_hashing"] = f"""
+    WITH vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY tok
+    ), buckets AS (
+        SELECT {_sql_th_fh('tok')} % {1 << FH_BITS} AS b,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(tf) AS BIGINT) AS mass
+        FROM vocab GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(n_toks) AS BIGINT) AS vocab_size,
+           CAST(sum(mass) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_toks >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS colliding_buckets,
+           CAST(max(n_toks) AS BIGINT) AS max_fold,
+           {sql_ratio_micros(
+               'sum(CASE WHEN n_toks >= 2 THEN mass ELSE 0 END)',
+               'sum(mass)')} AS colliding_mass_micros
+    FROM buckets
+"""

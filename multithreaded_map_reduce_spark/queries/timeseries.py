@@ -1729,3 +1729,128 @@ ORACLES["timeseries_hier_reconcile"] = f"""
                         'g_tot', 1)} AS fc_topdown_micros
     FROM fc CROSS JOIN tots
 """
+
+
+# ------------------------------------- binary segmentation, depth 2
+# The recursion step timeseries_changepoint promised: after locating
+# the best split τ of the daily series, re-run the same exact-integer
+# argmax INSIDE each half — the top-3 changepoints a monitor reports
+# as "the regime history", all from ONE prefix-sum relation (no
+# rescan; segment-relative counts/sums are differences of global
+# prefixes against the broadcast root-split row).
+
+def timeseries_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("i"),
+        F.sum("n").over(w).alias("s"),
+    ).localCheckpoint()  # one day-grain relation feeds all three argmaxes
+    tot = pre.agg(F.max("i").alias("d"), F.max("s").alias("s_tot"))
+
+    def best(cand, n_expr, s_expr, len_expr, tot_expr, label):
+        scored = cand.select(
+            "day",
+            (
+                ratio_units_dec(f"({s_expr}) * ({s_expr})", n_expr, 1000)
+                + ratio_units_dec(
+                    f"(({tot_expr}) - ({s_expr})) * (({tot_expr}) - ({s_expr}))",
+                    f"({len_expr}) - ({n_expr})",
+                    1000,
+                )
+                - ratio_units_dec(
+                    f"({tot_expr}) * ({tot_expr})", len_expr, 1000
+                )
+            ).alias("gain_milli"),
+        )
+        top = scored.orderBy(F.desc("gain_milli"), F.asc("day")).limit(1)
+        return top.select(
+            F.lit(label).alias("segment"), "day", "gain_milli"
+        )
+
+    root_c = pre.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("d"))
+    root = best(root_c, "i", "s", "d", "s_tot", "root").localCheckpoint()
+    # root split position/prefix as a broadcast 1-row relation
+    rsplit = (
+        pre.join(root.select(F.col("day").alias("rday")),
+                 F.col("day") == F.col("rday"))
+        .select(F.col("i").alias("i1"), F.col("s").alias("s1"))
+    )
+    both = pre.crossJoin(F.broadcast(rsplit)).crossJoin(F.broadcast(tot))
+    left_c = both.filter(F.col("i") < F.col("i1"))
+    right_c = both.filter(
+        (F.col("i") > F.col("i1")) & (F.col("i") < F.col("d"))
+    )
+    left = best(left_c, "i", "s", "i1", "s1", "left")
+    right = best(
+        right_c, "i - i1", "s - s1", "d - i1", "s_tot - s1", "right"
+    )
+    return root.unionByName(left).unionByName(right)
+
+
+QUERIES["timeseries_changepoint2"] = timeseries_changepoint2
+
+ORACLES["timeseries_changepoint2"] = f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        FROM daily
+    ), tot AS (
+        SELECT CAST(max(i) AS BIGINT) AS d, CAST(max(s) AS BIGINT) AS s_tot
+        FROM pre
+    ), root AS (
+        SELECT 'root' AS segment, day,
+               CAST({_sql_rud_ts('s * s', 'i', 1000)}
+                    + {_sql_rud_ts('(s_tot - s) * (s_tot - s)', 'd - i', 1000)}
+                    - {_sql_rud_ts('s_tot * s_tot', 'd', 1000)}
+                    AS BIGINT) AS gain_milli
+        FROM pre CROSS JOIN tot WHERE i < d
+        ORDER BY gain_milli DESC, day ASC LIMIT 1
+    ), rsplit AS (
+        SELECT pre.i AS i1, pre.s AS s1
+        FROM pre JOIN root ON pre.day = root.day
+    ), lft AS (
+        SELECT 'left' AS segment, day,
+               CAST({_sql_rud_ts('s * s', 'i', 1000)}
+                    + {_sql_rud_ts('(s1 - s) * (s1 - s)', 'i1 - i', 1000)}
+                    - {_sql_rud_ts('s1 * s1', 'i1', 1000)}
+                    AS BIGINT) AS gain_milli
+        FROM pre CROSS JOIN rsplit CROSS JOIN tot WHERE i < i1
+        ORDER BY gain_milli DESC, day ASC LIMIT 1
+    ), rgt AS (
+        SELECT 'right' AS segment, day,
+               CAST({_sql_rud_ts('(s - s1) * (s - s1)', 'i - i1', 1000)}
+                    + {_sql_rud_ts(
+                        '(s_tot - s) * (s_tot - s)', 'd - i', 1000)}
+                    - {_sql_rud_ts(
+                        '(s_tot - s1) * (s_tot - s1)', 'd - i1', 1000)}
+                    AS BIGINT) AS gain_milli
+        FROM pre CROSS JOIN rsplit CROSS JOIN tot
+        WHERE i > i1 AND i < d
+        ORDER BY gain_milli DESC, day ASC LIMIT 1
+    )
+    SELECT * FROM root
+    UNION ALL SELECT * FROM lft
+    UNION ALL SELECT * FROM rgt
+"""

@@ -778,3 +778,59 @@ def test_hier_reconcile_topdown_is_coherent(spark):
         assert abs(
             r.fc_topdown_micros - r.tot * bu_total / sum(x.tot for x in rows)
         ) <= 1
+
+
+# ------------------------------------------------- CSV quoting torture
+
+
+def test_csv_quoting_roundtrip_is_byte_exact(spark):
+    """Read-back checksum must equal the source-side checksum computed
+    WITHOUT any file round trip — delimiters, quotes, and embedded
+    newlines all survive."""
+    import duckdb
+
+    out = _q("connector_csv_quoting")(spark, SF_SMOKE).collect()[0]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchone()[0]
+    assert out.n_rows == n
+    assert out.total_chars > 0 and out.value_checksum > 0
+
+
+# ----------------------------------------------------- feature hashing
+
+
+def test_feature_hashing_accounting_identities(spark):
+    import duckdb
+
+    out = _q("text_feature_hashing")(spark, SF_SMOKE).collect()[0]
+    vocab, total = duckdb.sql(f"""
+        SELECT count(DISTINCT tok), count(*) FROM (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t != '')) AS tok
+            FROM '{SF_SMOKE}/documents.parquet')
+    """).fetchone()
+    assert out.vocab_size == vocab
+    assert out.total_tokens == total
+    assert out.buckets_used <= min(1024, vocab)
+    assert out.colliding_buckets <= out.buckets_used
+    assert out.max_fold >= (vocab + 1023) // 1024  # pigeonhole
+    assert 0 <= out.colliding_mass_micros <= 1_000_000
+
+
+# ----------------------------------------------- changepoint depth 2
+
+
+def test_changepoint2_root_matches_single_and_children_are_inside(spark):
+    root1 = _q("timeseries_changepoint")(spark, SF_SMOKE).collect()[0]
+    rows = {
+        r.segment: r
+        for r in _q("timeseries_changepoint2")(spark, SF_SMOKE).collect()
+    }
+    assert rows["root"].day == root1.tau_day
+    if "left" in rows:
+        assert rows["left"].day < rows["root"].day
+    if "right" in rows:
+        assert rows["right"].day > rows["root"].day
+    for r in rows.values():
+        assert r.gain_milli >= 0 or r.segment != "root"
