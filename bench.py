@@ -237,6 +237,9 @@ HEADLINE = [
     "connector_csv_quoting",
     "text_feature_hashing",
     "timeseries_changepoint2",
+    # round-10 batch 13: KPI lead/lag, imbalance-honest classifier eval
+    "timeseries_xcorr",
+    "quality_logreg_mcc",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -4058,3 +4058,89 @@ ORACLES["text_feature_hashing"] = f"""
                'sum(mass)')} AS colliding_mass_micros
     FROM buckets
 """
+
+
+# ----------------------------------------- MCC / F1 threshold sweep
+def quality_logreg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + F1 per decision threshold — the
+    class-imbalance-honest pair that completes the PR sweep
+    (quality_logreg_pr): MCC is the single scalar that cannot be
+    gamed by predicting the majority class. Same scored relation and
+    confusion rail as the PR sweep (train-once shared weights); F1 is
+    a pure integer rational, MCC spends one double conversion per
+    exact confusion factor and one sqrt under pround."""
+    from ..functions.rounding import ratio_micros
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep", _lr_p(_lr_z()).alias("p")
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])
+    ).alias("threshold")
+    sweep = scored.select("keep", "p", thr)
+    pred = (F.col("p") >= F.col("threshold")).cast("long")
+    cm = sweep.groupBy("threshold").agg(
+        F.sum(pred * F.col("keep")).alias("tp"),
+        F.sum(pred * (F.lit(1) - F.col("keep"))).alias("fp"),
+        F.sum((F.lit(1) - pred) * F.col("keep")).alias("fn"),
+        F.sum((F.lit(1) - pred) * (F.lit(1) - F.col("keep"))).alias("tn"),
+    )
+    den = (
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn")).cast("double")
+        * (F.col("tn") + F.col("fp")).cast("double")
+        * (F.col("tn") + F.col("fn")).cast("double")
+    )
+    num = (
+        F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    ).cast("double")
+    return cm.select(
+        "threshold",
+        ratio_micros("2 * tp", "2 * tp + fp + fn").alias("f1_micros"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(pround(num / F.sqrt(den), 6))
+        .alias("mcc"),
+    )
+
+
+QUERIES["quality_logreg_mcc"] = quality_logreg_mcc
+
+
+def _sql_logreg_mcc() -> str:
+    thr_list = ", ".join(str(t) for t in LOGREG_THRESHOLDS)
+    return f"""
+    WITH perdoc AS ({_sql_logreg(mode="per_doc", score_where="TRUE")}),
+    sweep AS (
+        SELECT keep, CAST(score_units AS DOUBLE) / 1000000000.0 AS p,
+               CAST(t.threshold AS DOUBLE) AS threshold
+        FROM perdoc, (SELECT unnest([{thr_list}]) AS threshold) t
+    ), cm AS (
+        SELECT threshold,
+               CAST(sum(CAST(p >= threshold AS BIGINT) * keep) AS BIGINT) AS tp,
+               CAST(sum(CAST(p >= threshold AS BIGINT) * (1 - keep)) AS BIGINT) AS fp,
+               CAST(sum((1 - CAST(p >= threshold AS BIGINT)) * keep) AS BIGINT) AS fn,
+               CAST(sum((1 - CAST(p >= threshold AS BIGINT)) * (1 - keep)) AS BIGINT) AS tn
+        FROM sweep GROUP BY threshold
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           {sql_ratio_micros('2 * tp', '2 * tp + fp + fn')} AS f1_micros,
+           CASE WHEN CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                     * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)
+                     <= 0 THEN NULL
+                ELSE {sql_pround(
+                    "CAST(tp * tn - fp * fn AS DOUBLE)"
+                    " / sqrt(CAST(tp + fp AS DOUBLE)"
+                    " * CAST(tp + fn AS DOUBLE)"
+                    " * CAST(tn + fp AS DOUBLE)"
+                    " * CAST(tn + fn AS DOUBLE))", 6)}
+           END AS mcc
+    FROM cm
+"""
+
+
+ORACLES["quality_logreg_mcc"] = _sql_logreg_mcc()

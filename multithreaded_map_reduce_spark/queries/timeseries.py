@@ -1854,3 +1854,98 @@ ORACLES["timeseries_changepoint2"] = f"""
     UNION ALL SELECT * FROM lft
     UNION ALL SELECT * FROM rgt
 """
+
+
+# ----------------------------------------------- cross-correlation
+XCF_LAGS = 6
+
+
+def timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between the hourly event COUNT and the
+    hourly value SUM — timeseries_acf's two-series sibling and the
+    lead/lag diagnostic ("does volume lead value, and by how many
+    hours") a metrics pipeline runs before causal claims. Lags −XCF…
+    +XCF via one broadcast lag spine over the single hourly relation;
+    Pearson r per lag with the stats_covar exact-moment discipline
+    (DECIMAL(38,0) moments, one double conversion per exact factor,
+    portable rounding)."""
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            F.floor(epoch_micros(F.col("ts")) / F.lit(float(STEP_US)))
+            .cast("long")
+            .alias("b"),
+            iunits(F.col("value"), 2).alias("vc"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("vc").alias("y"))
+        .localCheckpoint()
+    )
+    lags = spark.range(-XCF_LAGS, XCF_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = ser.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("b") + F.col("lag")).alias("bj"), F.col("x").alias("xv")
+    )
+    bb = ser.select(F.col("b").alias("bj"), F.col("y").alias("yv"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        a.join(bb, "bj")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(d(F.col("xv"))).alias("sx"),
+            F.sum(d(F.col("yv"))).alias("sy"),
+            F.sum(d(F.col("xv")) * d(F.col("yv"))).alias("sxy"),
+            F.sum(d(F.col("xv")) * d(F.col("xv"))).alias("sxx"),
+            F.sum(d(F.col("yv")) * d(F.col("yv"))).alias("syy"),
+        )
+    )
+    n = d(F.col("n_pairs"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.when(
+            (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
+        ).otherwise(pround(num / F.sqrt(vx * vy), 6)).alias("xcorr"),
+    )
+
+
+QUERIES["timeseries_xcorr"] = timeseries_xcorr
+
+ORACLES["timeseries_xcorr"] = f"""
+    WITH ser AS (
+        SELECT CAST(floor(epoch_us(ts) / {float(STEP_US)}) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum({sql_iunits('value', 2)}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest(range(-{XCF_LAGS}, {XCF_LAGS + 1})) AS lag
+    ), agg AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               sum(CAST(a.x AS HUGEINT)) AS sx,
+               sum(CAST(b.y AS HUGEINT)) AS sy,
+               sum(CAST(a.x AS HUGEINT) * b.y) AS sxy,
+               sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+               sum(CAST(b.y AS HUGEINT) * b.y) AS syy
+        FROM ser a CROSS JOIN lags JOIN ser b ON a.b + lag = b.b
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS HUGEINT) * sxx - sx * sx <= 0
+                  OR CAST(n_pairs AS HUGEINT) * syy - sy * sy <= 0
+                THEN NULL
+                ELSE {sql_pround(
+                    "CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+                    " / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)"
+                    " * CAST(n_pairs * syy - sy * sy AS DOUBLE))", 6)}
+           END AS xcorr
+    FROM agg
+"""

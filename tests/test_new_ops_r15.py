@@ -834,3 +834,56 @@ def test_changepoint2_root_matches_single_and_children_are_inside(spark):
         assert rows["right"].day > rows["root"].day
     for r in rows.values():
         assert r.gain_milli >= 0 or r.segment != "root"
+
+
+# ------------------------------------------------------------ xcorr
+
+
+def test_xcorr_lag0_matches_direct_pearson_and_symmetric_pairs(spark):
+    import duckdb
+
+    rows = {r.lag: r for r in _q("timeseries_xcorr")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(-6, 7))
+    ser = duckdb.sql(f"""
+        SELECT floor(epoch_us(ts) / 3600000000.0) AS b, count(*) AS x,
+               sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT)) AS y
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    xs = [x for _, x, _ in ser]
+    ys = [y for _, _, y in ser]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert math.isclose(rows[0].xcorr, want, abs_tol=1e-6)
+    # every lag has n_pairs = n - |lag| on the gap-free hourly fixture
+    for k, r in rows.items():
+        assert r.n_pairs <= n - abs(k)
+        if r.xcorr is not None:
+            assert -1 <= r.xcorr <= 1
+
+
+# -------------------------------------------------------------- MCC
+
+
+def test_mcc_consistent_with_pr_confusions(spark):
+    pr = {
+        round(r.threshold, 2): r
+        for r in _q("quality_logreg_pr")(spark, SF_SMOKE).collect()
+    }
+    for r in _q("quality_logreg_mcc")(spark, SF_SMOKE).collect():
+        c = pr[round(r.threshold, 2)]
+        f1 = 2 * c.tp / (2 * c.tp + c.fp + c.fn)
+        assert abs(r.f1_micros - round(1e6 * f1)) <= 1
+        den = (
+            (c.tp + c.fp) * (c.tp + c.fn) * (c.tn + c.fp) * (c.tn + c.fn)
+        )
+        if den > 0:
+            want = (c.tp * c.tn - c.fp * c.fn) / math.sqrt(den)
+            assert math.isclose(r.mcc, want, abs_tol=1e-6)
+            assert -1 <= r.mcc <= 1
