@@ -887,3 +887,17 @@ def test_mcc_consistent_with_pr_confusions(spark):
             want = (c.tp * c.tn - c.fp * c.fn) / math.sqrt(den)
             assert math.isclose(r.mcc, want, abs_tol=1e-6)
             assert -1 <= r.mcc <= 1
+
+
+# --------------------------------------------- determinism insurance
+
+
+def test_xi_and_rake_are_run_stable(spark):
+    """Two materializations must hash identically — the regression
+    guard for the non-unique-(orderkey, linenumber) tiebreak class
+    this session found (a total ORDER BY key that isn't actually a
+    key makes window sequences run-order nondeterministic)."""
+    for name in ("quality_xi_correlation", "text_rake_keywords"):
+        a = sorted(map(tuple, _q(name)(spark, SF_SMOKE).collect()))
+        b = sorted(map(tuple, _q(name)(spark, SF_SMOKE).collect()))
+        assert a == b, name
