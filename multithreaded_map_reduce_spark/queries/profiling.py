@@ -557,3 +557,77 @@ ORACLES["stats_theil_by_region"] = f"""
     FROM terms
     GROUP BY r_name
 """
+
+
+# ------------------------------------------------ Herfindahl index
+def stats_herfindahl_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration across supplier
+    nations per region — the THIRD concentration lens next to
+    stats_gini (rank form) and stats_theil_by_region (entropy form);
+    HHI is the one antitrust/procurement reads (≥ 2500 basis points =
+    highly concentrated). Exact rational: HHI_bps = Σ x_i²·10⁴ / S²
+    on the DECIMAL wide rail, 10⁴/k at perfect equality, 10⁴ under
+    monopoly. HEADLINE-exempt: it rides stats_theil_by_region's
+    fact-scan aggregate (the double-counting convention)."""
+    from ..functions.rounding import ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(iunits(F.col("l_extendedprice"), 2)).alias("x"))
+    )
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        rev.join(F.broadcast(dim), rev.s_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("k_nations"),
+            F.sum("x").alias("revenue_cents"),
+            F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sq"),
+        )
+    )
+    return agg.select(
+        "r_name",
+        "k_nations",
+        "revenue_cents",
+        ratio_units_dec(
+            "sq * 10000",
+            f"CAST(revenue_cents AS {dec}) * revenue_cents",
+            1,
+        ).alias("hhi_bps"),
+    )
+
+
+QUERIES["stats_herfindahl_by_region"] = stats_herfindahl_by_region
+
+ORACLES["stats_herfindahl_by_region"] = f"""
+    WITH rev AS (
+        SELECT s_nationkey,
+               CAST(sum({sql_iunits('l_extendedprice', 2)}) AS BIGINT) AS x
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    ), dim AS (
+        SELECT n_nationkey, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ), agg AS (
+        SELECT r_name,
+               CAST(count(*) AS BIGINT) AS k_nations,
+               CAST(sum(x) AS BIGINT) AS revenue_cents,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq
+        FROM rev JOIN dim ON s_nationkey = n_nationkey
+        GROUP BY r_name
+    )
+    SELECT r_name, k_nations, revenue_cents,
+           {_sql_rud_profiling(
+               'sq * 10000',
+               'CAST(revenue_cents AS HUGEINT) * revenue_cents', 1)}
+               AS hhi_bps
+    FROM agg
+"""

@@ -4144,3 +4144,66 @@ def _sql_logreg_mcc() -> str:
 
 
 ORACLES["quality_logreg_mcc"] = _sql_logreg_mcc()
+
+
+# ------------------------------------------------- hapax legomena
+def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis-legomena profile per language — the Zipf-tail health
+    check next to text_zipf_fit (a natural corpus keeps roughly half
+    its vocabulary as hapaxes; templated/duplicated corpora collapse
+    the tail): vocabulary size, once- and twice-seen type counts, and
+    their micro-shares, from the same one-scan vocabulary aggregate
+    as the Zipf fit. HEADLINE-exempt: it duplicates text_zipf_fit's
+    vocabulary scan (the double-counting convention)."""
+    from ..functions.rounding import ratio_micros
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("hapax"),
+            F.sum((F.col("tf") == 2).cast("long")).alias("dis"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "n_tokens",
+            "hapax",
+            "dis",
+            ratio_micros("hapax", "vocab_size").alias("hapax_share_micros"),
+            ratio_micros("dis", "vocab_size").alias("dis_share_micros"),
+        )
+    )
+
+
+QUERIES["text_hapax_stats"] = text_hapax_stats
+
+ORACLES["text_hapax_stats"] = f"""
+    WITH vocab AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT lang, unnest({sql_tokens('text')}) AS tok
+              FROM documents)
+        GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           {sql_ratio_micros(
+               'sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)', 'count(*)')}
+               AS hapax_share_micros,
+           {sql_ratio_micros(
+               'sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)', 'count(*)')}
+               AS dis_share_micros
+    FROM vocab GROUP BY lang
+"""

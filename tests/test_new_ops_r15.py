@@ -901,3 +901,41 @@ def test_xi_and_rake_are_run_stable(spark):
         a = sorted(map(tuple, _q(name)(spark, SF_SMOKE).collect()))
         b = sorted(map(tuple, _q(name)(spark, SF_SMOKE).collect()))
         assert a == b, name
+
+
+# ------------------------------------------------ hapax / HHI
+
+
+def test_hapax_identities(spark):
+    import duckdb
+
+    ref = {
+        la: (v, t, h, d2)
+        for la, v, t, h, d2 in duckdb.sql(f"""
+            SELECT lang, count(*), sum(tf),
+                   sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)
+            FROM (
+                SELECT lang, tok, count(*) AS tf FROM (
+                    SELECT lang,
+                           unnest(list_filter(string_split_regex(text,
+                               '\\s+'), t -> t != '')) AS tok
+                    FROM '{SF_SMOKE}/documents.parquet')
+                GROUP BY lang, tok)
+            GROUP BY lang
+        """).fetchall()
+    }
+    for r in _q("text_hapax_stats")(spark, SF_SMOKE).collect():
+        v, t, h, d2 = ref[r.lang]
+        assert (r.vocab_size, r.n_tokens, r.hapax, r.dis) == (v, t, h, d2)
+        assert 0 <= r.hapax_share_micros <= 1_000_000
+
+
+def test_hhi_bounds_and_equality_floor(spark):
+    rows = _q("stats_herfindahl_by_region")(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # 1e4/k <= HHI <= 1e4 (basis points)
+        assert 10_000 // r.k_nations - 1 <= r.hhi_bps <= 10_000
+        if r.k_nations == 1:
+            assert r.hhi_bps == 10_000
