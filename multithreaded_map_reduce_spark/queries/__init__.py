@@ -270,6 +270,16 @@ _NEW_THIS_ROUND: list[str] = [
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
+    # round 11 FIRST — the rank-statistic family moved off single-task
+    # global sorts onto the value-grain / distributed-bucket rail
+    # (VERDICT r10 item 1). Statistics are tie-invariant and
+    # gate-verified bit-identical at two SFs, but the executed plans
+    # are new — their old green rows describe retired plans:
+    "quality_spearman",
+    "quality_xi_correlation",
+    "stats_gini",
+    "events_rfm",
+    "text_heaps_fit",
     # round 10 FIRST — the persist-leak/plan-determinism fix (VERDICT
     # r9 item 1) moved every formerly-persisted relation to a
     # localCheckpoint or a shared artifact. Results are bit-identical
@@ -387,16 +397,11 @@ _CHANGED_SINCE_GREEN = [
 # sixth can never ship. Ranked ABSOLUTELY FIRST so CORRECTNESS_r08
 # samples the fixes, then the 4 never-driver-sampled r7 queries.
 _DIAGNOSTICS: list[str] = [
-    "cogroup_user_activity",
-    "cogroup_user_activity_sums",
-    "interval_shipping",
-    "text_gopher_repetition",
-    "curation_token_budget",
-    # never sampled by any driver round (newest r7 additions):
-    "dedup_winnowing_clusters",
-    "events_behavior_entropy",
-    "events_interarrival_regularity",
-    "profile_key_skew",
+    # round 11: drained. The r8 HUGEINT-oracle fixes and the r7
+    # never-sampled four all have multiple green rows; parking them
+    # here was costing head sample slots (VERDICT r10: the two
+    # never-sampled r10 ops missed the 50-row sample by exactly this).
+    # The lane stays for future must-resample-first emergencies.
 ]
 
 

@@ -1518,15 +1518,26 @@ ORACLES["dq_freshness"] = """
 # yesterday", the marketing convention). Output is the per-user
 # segment row — the relation every campaign query joins against.
 #
-# Scale: one purchase-filtered scan → one user aggregate; the three
-# ntile windows are global but run on the |purchasing users| relation
-# AFTER aggregation, and each carries only (metric, user_id) — at the
-# sizes where a single-partition window would hurt, the standard move
-# is percentile cuts from a histogram instead (value_histogram's
-# two-pass rail); ntile is the exact-contract form.
+# Scale (VERDICT r10 item 1): one purchase-filtered scan → one user
+# aggregate; the three quintile assignments come from EXACT global
+# row numbers on the distributed-rank rail (operators/ranks.py): each
+# metric's total order is bucketed by its exact metric value refined
+# by a user-id range bucket (recency/frequency: small value domains,
+# huge tie groups — the user refinement spreads them; monetary: a
+# range quantization of the cents axis), local row_numbers run in
+# domain-bounded partitions, and the ntile index is pure integer
+# arithmetic from (row_number, n) — ``sql_ntile_from_rn`` replicates
+# the SQL ntile bucket-size rule exactly. No unpartitioned data-grain
+# window remains; the stitch windows run on bucket-grain relations.
 
 
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import (
+        range_bucket,
+        sql_ntile_from_rn,
+        with_global_order,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     g = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("gmax"))
     per = (
@@ -1546,17 +1557,46 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("monetary_cents"),
         )
     )
-    r = F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-    fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-    m = F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
-    return per.select(
+    bounds = per.agg(
+        F.min("user_id").alias("lo_u"),
+        F.max("user_id").alias("hi_u"),
+        F.min("monetary_cents").alias("lo_m"),
+        F.max("monetary_cents").alias("hi_m"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    base = per.crossJoin(F.broadcast(bounds))
+    u_b = range_bucket(F.col("user_id"), F.col("lo_u"), F.col("hi_u"), 64)
+    ranked = with_global_order(
+        base,
+        buckets=[F.col("recency_days"), u_b],
+        order=[F.asc("recency_days"), F.asc("user_id")],
+        row_number="rn_r",
+    )
+    ranked = with_global_order(
+        ranked,
+        buckets=[-F.col("frequency"), u_b],
+        order=[F.desc("frequency"), F.asc("user_id")],
+        row_number="rn_f",
+    )
+    ranked = with_global_order(
+        ranked,
+        buckets=[
+            -range_bucket(
+                F.col("monetary_cents"), F.col("lo_m"), F.col("hi_m"), 1024
+            )
+        ],
+        order=[F.desc("monetary_cents"), F.asc("user_id")],
+        row_number="rn_m",
+    )
+    nt = lambda rn: F.expr(sql_ntile_from_rn(rn, "n_users", 5))  # noqa: E731
+    return ranked.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        (F.lit(6) - r).cast("int").alias("r_score"),
-        (F.lit(6) - fq).cast("int").alias("f_score"),
-        (F.lit(6) - m).cast("int").alias("m_score"),
+        (F.lit(6) - nt("rn_r")).cast("int").alias("r_score"),
+        (F.lit(6) - nt("rn_f")).cast("int").alias("f_score"),
+        (F.lit(6) - nt("rn_m")).cast("int").alias("m_score"),
     ).withColumn(
         "rfm_code",
         (

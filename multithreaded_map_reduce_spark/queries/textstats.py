@@ -1564,13 +1564,16 @@ ORACLES["text_gopher_repetition"] = f"""
 # order: V(d) counts words whose FIRST occurrence is ≤ d (one min()
 # per word — no quadratic distinct-so-far), N(d) is the running token
 # count; the log-log OLS runs in the same exact 1e-6-unit integer
-# moments as the Zipf fit. Scale: two word-keyed aggregations + one
-# bounded cumulative window over checkpoints (at 100 TB, checkpoint at
-# file/partition granularity instead of per doc).
+# moments as the Zipf fit. Scale (VERDICT r10 item 2): the running
+# sums ride the distributed prefix-sum rail (operators/ranks.py) —
+# doc ids range-bucket into 1024 slices, local cumulative windows run
+# per slice, and one bucket-grain stitch window (≤1024 rows) carries
+# the offsets. Bit-identical checkpoints, no single-task doc sort.
 
 
 def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, pround
+    from ..operators.ranks import range_bucket, with_global_order
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
@@ -1581,13 +1584,21 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    pts = (
+    joined = (
         per_doc.join(new_per_doc, "doc_id", "left")
         .select("doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
-        .select(
-            F.sum("n_toks").over(w).alias("N"),
-            F.sum("n_new").over(w).alias("V"),
+    )
+    bounds = joined.agg(
+        F.min("doc_id").alias("lo_d"), F.max("doc_id").alias("hi_d")
+    )
+    pts = (
+        with_global_order(
+            joined.crossJoin(F.broadcast(bounds)),
+            buckets=[
+                range_bucket(F.col("doc_id"), F.col("lo_d"), F.col("hi_d"))
+            ],
+            order=[F.asc("doc_id")],
+            sums={"N": F.col("n_toks"), "V": F.col("n_new")},
         )
         .select(
             iunits(F.log(F.col("N").cast("double")), 6).alias("x"),

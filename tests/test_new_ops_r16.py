@@ -1,0 +1,339 @@
+"""Round-11 semantics tests: the distributed exact-rank rail
+(operators/ranks.py) and the rank-statistic family ported onto it
+(VERDICT r10 item 1), plus this round's new operators."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES[name]
+
+
+# ---------------------------------------------------------------- rail parity
+
+
+def _rail_vs_global(spark, rows, n_buckets, k=7):
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        sql_ntile_from_rn,
+        with_global_order,
+    )
+
+    df = spark.createDataFrame(rows, "v long, u long, w long")
+    order = [F.asc("v"), F.asc("u"), F.asc("w")]
+    ref = df.select(
+        "v",
+        "u",
+        "w",
+        F.row_number().over(W.orderBy(*order)).alias("rn"),
+        F.sum("w")
+        .over(W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0))
+        .alias("cw"),
+        F.ntile(k).over(W.orderBy(*order)).alias("nt"),
+    )
+    b = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    n = df.count()
+    got = (
+        with_global_order(
+            df.crossJoin(F.broadcast(b)),
+            buckets=[
+                F.col("v"),
+                range_bucket(F.col("u"), F.col("lo"), F.col("hi"), n_buckets),
+            ],
+            order=order,
+            sums={"cw": F.col("w")},
+            row_number="rn",
+        )
+        .withColumn("nt", F.expr(sql_ntile_from_rn("rn", str(n), k)).cast("int"))
+        .select("v", "u", "w", "rn", "cw", "nt")
+    )
+    assert sorted(ref.collect()) == sorted(got.collect())
+
+
+def test_rail_matches_global_window(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 20), rng.randint(0, 10**6), rng.randint(1, 9))
+        for _ in range(2000)
+    ]
+    _rail_vs_global(spark, rows, n_buckets=16)
+
+
+def test_rail_single_bucket_degenerate(spark):
+    # all keys equal → one bucket; still exact (local window does it all)
+    rows = [(1, 5, i % 3 + 1) for i in range(50)]
+    _rail_vs_global(spark, rows, n_buckets=8)
+
+
+def test_rail_more_buckets_than_rows(spark):
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 5), rng.randint(0, 100), 1) for _ in range(20)]
+    _rail_vs_global(spark, rows, n_buckets=1024)
+
+
+def test_rail_descending_order(spark):
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        with_global_order,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 50), rng.randint(0, 999)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "m long, u long")
+    ref = df.select(
+        "m",
+        "u",
+        F.row_number().over(W.orderBy(F.desc("m"), F.asc("u"))).alias("rn"),
+    )
+    b = df.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    got = with_global_order(
+        df.crossJoin(F.broadcast(b)),
+        # DESC walk: negate the (ascending-monotone) range bucket
+        buckets=[-range_bucket(F.col("m"), F.col("lo"), F.col("hi"), 16)],
+        order=[F.desc("m"), F.asc("u")],
+        row_number="rn",
+    ).select("m", "u", "rn")
+    assert sorted(ref.collect()) == sorted(got.collect())
+
+
+def test_rail_decimal_sums_keep_type_and_value(spark):
+    from multithreaded_map_reduce_spark.operators.ranks import with_global_order
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000) for i in range(200)], "k long, x long"
+    )
+    out = with_global_order(
+        df,
+        buckets=[(F.col("k") / 16).cast("int")],
+        order=[F.asc("k")],
+        sums={"cx": F.col("x").cast("decimal(38,0)")},
+    )
+    assert dict(out.dtypes)["cx"].startswith("decimal")
+    total = out.agg(F.max("cx")).collect()[0][0]
+    assert int(total) == sum((i * 7919) % 1000 for i in range(200))
+
+
+def test_sql_ntile_matches_builtin_small_n(spark):
+    """n < k edge: every row its own bucket, thin branch unreachable."""
+    from multithreaded_map_reduce_spark.operators.ranks import sql_ntile_from_rn
+
+    df = spark.createDataFrame([(i,) for i in range(1, 4)], "rn long")
+    got = df.select(
+        F.expr(sql_ntile_from_rn("rn", "3", 5)).cast("int").alias("nt")
+    ).collect()
+    ref = (
+        spark.createDataFrame([(i,) for i in range(1, 4)], "v long")
+        .select(F.ntile(5).over(W.orderBy("v")).alias("nt"))
+        .collect()
+    )
+    assert sorted(r.nt for r in got) == sorted(r.nt for r in ref)
+
+
+# ------------------------------------------------- ported family still exact
+# (the DuckDB gate is the hard check; these pin engine-internal parity
+# against the retired single-task forms on the smoke fixture)
+
+
+def test_spearman_matches_single_task_form(spark):
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("y"),
+    )
+    rx = (
+        F.lit(2) * F.rank().over(W.orderBy("x"))
+        + F.count(F.lit(1)).over(W.partitionBy("x"))
+        - F.lit(1)
+    )
+    ry = (
+        F.lit(2) * F.rank().over(W.orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("y"))
+        - F.lit(1)
+    )
+    d = per.select((rx - ry).alias("d"))
+    legacy = d.agg(
+        F.sum(
+            (F.col("d").cast("decimal(38,0)") * F.col("d")).cast("decimal(38,0)")
+        ).alias("sum_d2")
+    ).collect()[0]
+    row = _q("quality_spearman")(spark, SF_SMOKE).collect()[0]
+    assert row.sum_d2 == int(legacy.sum_d2)
+
+
+def test_xi_matches_single_task_form(spark):
+    from multithreaded_map_reduce_spark.functions.hashing import token_hash
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        iunits(F.col("l_extendedprice"), 2).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wy = W.partitionBy("g").orderBy("y")
+    n_w = W.partitionBy("g")
+    tb = token_hash(
+        F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"), F.col("y"))
+    )
+    wx = W.partitionBy("g").orderBy("x", tb, "l_orderkey", "l_linenumber", "y")
+    ranked = li.select(
+        "g",
+        (
+            F.rank().over(wy)
+            + F.count(F.lit(1)).over(W.partitionBy("g", "y"))
+            - 1
+        ).alias("r"),
+        F.col("x"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("y"),
+    )
+    legacy = (
+        ranked.select(
+            "g", F.abs(F.col("r") - F.lag("r").over(wx)).alias("dr")
+        )
+        .groupBy("g")
+        .agg(F.sum("dr").alias("s1"))
+        .collect()
+    )
+    got = {
+        r.l_returnflag: r.sum_rank_jumps
+        for r in _q("quality_xi_correlation")(spark, SF_SMOKE).collect()
+    }
+    for row in legacy:
+        assert got[row.g] == row.s1, (row.g, got[row.g], row.s1)
+
+
+def test_rfm_matches_single_task_form(spark):
+    per = _q("events_rfm")(spark, SF_SMOKE)
+    r = F.ntile(5).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+    fq = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+    legacy = per.select(
+        "user_id",
+        (F.lit(6) - r).cast("int").alias("r2"),
+        (F.lit(6) - fq).cast("int").alias("f2"),
+        (F.lit(6) - m).cast("int").alias("m2"),
+    )
+    j = per.join(legacy, "user_id")
+    bad = j.filter(
+        (F.col("r_score") != F.col("r2"))
+        | (F.col("f_score") != F.col("f2"))
+        | (F.col("m_score") != F.col("m2"))
+    ).count()
+    assert bad == 0
+
+
+def test_gini_matches_single_task_form(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("c")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("c")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    legacy = (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(F.sum(d(F.col("rn")) * d(F.col("c"))).alias("ws"))
+        .collect()
+    )
+    # compare through the doubled closed-form moment: ws2 == 2*ws
+    got = {
+        r.l_returnflag: (r.n, r.sum_cents, r.gini)
+        for r in _q("stats_gini")(spark, SF_SMOKE).collect()
+    }
+    li2 = (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d(F.col("c"))).alias("s"),
+            F.sum(d(F.col("rn")) * d(F.col("c"))).alias("ws"),
+        )
+    )
+    from multithreaded_map_reduce_spark.functions.rounding import pround
+
+    n = d(F.col("n"))
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("ws") - (n + F.lit(1)) * F.col("s")
+    ).cast("double")
+    den = (n * F.col("s")).cast("double")
+    for row in li2.select(
+        "l_returnflag",
+        "n",
+        F.col("s").cast("long").alias("sum_cents"),
+        pround(num / den, 6).alias("gini"),
+    ).collect():
+        assert got[row.l_returnflag] == (row.n, row.sum_cents, row.gini)
+
+
+def test_heaps_matches_single_task_form(spark):
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_per_doc = (
+        toks.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    legacy_pts = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new")
+        )
+        .select(
+            F.sum("n_toks").over(w).alias("N"),
+            F.sum("n_new").over(w).alias("V"),
+        )
+    )
+    legacy = legacy_pts.agg(
+        F.sum("N").alias("sn"), F.sum("V").alias("sv")
+    ).collect()[0]
+    # the rewritten query's prefix sums must match the legacy ones
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        with_global_order,
+    )
+
+    joined = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select("doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    )
+    bounds = joined.agg(
+        F.min("doc_id").alias("lo_d"), F.max("doc_id").alias("hi_d")
+    )
+    got = (
+        with_global_order(
+            joined.crossJoin(F.broadcast(bounds)),
+            buckets=[range_bucket(F.col("doc_id"), F.col("lo_d"), F.col("hi_d"))],
+            order=[F.asc("doc_id")],
+            sums={"N": F.col("n_toks"), "V": F.col("n_new")},
+        )
+        .agg(F.sum("N").alias("sn"), F.sum("V").alias("sv"))
+        .collect()[0]
+    )
+    assert (got.sn, got.sv) == (legacy.sn, legacy.sv)

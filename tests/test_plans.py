@@ -776,3 +776,92 @@ def test_matryoshka_rungs_broadcast_queries(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---- round-11 rank-rail plan contracts (VERDICT r10 item 1) ----------------
+# The five former single-task-sort queries must never regress to an
+# unpartitioned row-grain window: their only unpartitioned windows run
+# on value-grain / bucket-grain relations (an Aggregate sits BELOW
+# every Window in the optimized tree), and the sequential pieces
+# partition by a bucket column.
+
+
+def _optimized(spark, name):
+    return (
+        _q(name)(spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_gini_windows_are_value_grained(spark):
+    plan = _optimized(spark, "stats_gini")
+    w = plan.find("Window")
+    agg = plan.rfind("Aggregate")
+    assert w != -1 and agg != -1 and w < agg
+    # the tie-block closed form never materializes a per-row rank
+    assert "row_number" not in plan
+
+
+def test_spearman_windows_are_value_grained(spark):
+    plan = _optimized(spark, "quality_spearman")
+    w = plan.find("Window")
+    agg = plan.rfind("Aggregate")
+    assert w != -1 and agg != -1 and w < agg
+    assert "rank(" not in plan.lower().replace("dense_rank", "")
+
+
+def test_xi_sequence_lag_is_bucket_partitioned(spark):
+    """The Σ|Δr| walk must lag inside (g, x, tbb) bucket partitions —
+    the tiebreak-hash bucket column has to survive into the window
+    spec — and the r/l rank maps aggregate to (g, y) value grain
+    below their window."""
+    plan = _optimized(spark, "quality_xi_correlation")
+    assert "tbb" in plan  # bucket column reaches the physical window
+    w = plan.find("Window")
+    agg = plan.rfind("Aggregate")
+    assert w != -1 and agg != -1 and w < agg
+    # no global per-group rank over the row-grain relation remains
+    assert "rank(" not in plan.lower().replace("dense_rank", "")
+
+
+def test_rfm_row_numbers_are_bucket_partitioned(spark):
+    """All three metric row_numbers ride the distributed rail: every
+    row_number window partitions by rail bucket columns (__rk_b*),
+    and ntile never appears (replaced by arithmetic)."""
+    plan = _optimized(spark, "events_rfm")
+    assert "ntile" not in plan
+    assert "__rk_b0" in plan
+    import re
+
+    for m in re.finditer(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan):
+        assert "__rk_b" in m.group(1), m.group(0)
+
+
+def test_heaps_cumulatives_are_bucket_partitioned(spark):
+    plan = _optimized(spark, "text_heaps_fit")
+    assert "__rk_b0" in plan
+
+
+def test_rank_rail_stitch_window_is_bucket_grain(spark):
+    """with_global_order's only unpartitioned window runs on the
+    groupBy(buckets) relation: Aggregate below Window in the subtree."""
+    from pyspark.sql import functions as F
+
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        with_global_order,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("u")
+    )
+    b = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    out = with_global_order(
+        df.crossJoin(F.broadcast(b)),
+        buckets=[F.col("v"), range_bucket(F.col("u"), F.col("lo"), F.col("hi"), 8)],
+        order=[F.col("v"), F.col("u")],
+        row_number="rn",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    w = plan.find("Window")
+    agg = plan.rfind("Aggregate")
+    assert w != -1 and agg != -1 and w < agg
