@@ -54,6 +54,13 @@ def pagerank(
     of driver-side counts); otherwise one count() runs up front.
     """
     n = n_nodes if n_nodes is not None else nodes.count()
+    if n == 0:
+        # operator-level totality (ADVICE r10, shared with hits):
+        # empty node relation → empty ranks, not ZeroDivisionError
+        return nodes.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("long").alias("rank_units"),
+        )
     base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * n)
 
     nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
@@ -213,8 +220,18 @@ def hits(
             )
         )
 
+    if n == 0:
+        # operator-level totality (ADVICE r10): an empty node relation
+        # must degrade to an empty result, not ZeroDivisionError
+        return nodes.select(
+            "id",
+            F.lit(None).cast("long").alias("auth_units"),
+            F.lit(None).cast("long").alias("hub_units"),
+        )
     hubs = nodes.withColumn("h", F.lit(SCALE // n).cast("long"))
-    auths = None
+    # num_iter=0 degrades to the uniform fixed-point seed on both axes
+    # instead of AttributeError on a never-assigned auths
+    auths = nodes.withColumn("a", F.lit(SCALE // n).cast("long"))
     for _ in range(num_iter):
         a_raw = (
             edges.join(hubs, edges.src == hubs.id)

@@ -280,6 +280,16 @@ _CHANGED_SINCE_GREEN = [
     "stats_gini",
     "events_rfm",
     "text_heaps_fit",
+    # round 11 ADVICE fixes — overflow widening (decimal/HUGEINT-first
+    # squares and cubes) changed oracles+plans for the changepoint pair
+    # and the rank tests; the logreg sweeps now nano-snap p before
+    # thresholding on the Spark side (former near-tie exposure):
+    "timeseries_changepoint",
+    "timeseries_changepoint2",
+    "quality_kruskal_wallis",
+    "quality_mannwhitney",
+    "quality_logreg_pr",
+    "quality_logreg_mcc",
     # round 10 FIRST — the persist-leak/plan-determinism fix (VERDICT
     # r9 item 1) moved every formerly-persisted relation to a
     # localCheckpoint or a shared artifact. Results are bit-identical

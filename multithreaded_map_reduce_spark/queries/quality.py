@@ -1546,9 +1546,13 @@ def quality_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("n_a") * (2 * F.col("c_less") + F.col("t") + 1)
         ).alias("r1_x2"),
+        # t³ widens FIRST (ADVICE r10 same-class as kruskal's cube)
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
-        ).alias("tie_sum"),
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("long")
+        .alias("tie_sum"),
     )
     return agg.select(
         "n1",
@@ -1588,7 +1592,7 @@ ORACLES["quality_mannwhitney"] = f"""
         SELECT CAST(sum(n_a) AS BIGINT) AS n1,
                CAST(sum(n_b) AS BIGINT) AS n2,
                CAST(sum(n_a * (2 * c_less + t + 1)) AS BIGINT) AS r1_x2,
-               CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_sum
         FROM per
     )
     SELECT n1, n2,
@@ -1795,9 +1799,14 @@ def quality_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term_units"),
     )
     ties = per_v.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "tie_sum"
+        # t³ widens FIRST (ADVICE r10: a 2^21-row tie group wraps the
+        # int64 cube while the HUGEINT oracle keeps going); the output
+        # stays the vetted BIGINT (fixture-bounded)
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
         )
+        .cast("long")
+        .alias("tie_sum")
     )
     tot = terms.agg(
         F.count(F.lit(1)).alias("k_groups"),
@@ -1827,16 +1836,23 @@ def quality_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "tie_sum",
         "h_micros",
+        # the n³ terms widen BEFORE the cube (ADVICE r10: int64 wraps
+        # silently at n_total ≥ 2^21 docs while the oracle computes in
+        # HUGEINT — cross-engine divergence, not just a wrong number)
         F.when(
-            F.col("tie_sum")
-            == F.col("n_total") * F.col("n_total") * F.col("n_total")
+            F.col("tie_sum").cast(dec)
+            == F.col("n_total").cast(dec)
+            * F.col("n_total")
+            * F.col("n_total")
             - F.col("n_total"),
             F.lit(None).cast("long"),
         )
         .otherwise(
             ratio_units_dec(
-                "h_micros * (n_total * n_total * n_total - n_total)",
-                "n_total * n_total * n_total - n_total - tie_sum",
+                "h_micros * (CAST(n_total AS DECIMAL(38,0))"
+                " * n_total * n_total - n_total)",
+                "CAST(n_total AS DECIMAL(38,0)) * n_total * n_total"
+                " - n_total - tie_sum",
                 1,
             )
         )
@@ -1870,7 +1886,8 @@ ORACLES["quality_kruskal_wallis"] = f"""
                          '4 * n_g', 1)} AS term_units
         FROM grp
     ), ties AS (
-        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum FROM per_v
+        SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_sum
+        FROM per_v
     ), tot AS (
         SELECT CAST(count(*) AS BIGINT) AS k_groups,
                CAST(sum(n_g) AS BIGINT) AS n_total,

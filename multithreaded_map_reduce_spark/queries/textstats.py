@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import sql_char_shingles, sql_hash_array, sql_poly_hash, sql_token_hash, sql_tokens
 from ..functions.hashing import hash_array, poly_hash
 from ..functions.rounding import (
+    iunits,
     pround,
     sql_from_iunits,
     sql_iunits,
@@ -2376,8 +2377,12 @@ def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
     zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
     w = _lr_trained_weights(spark, sf_dir)
+    # nano-snap BEFORE thresholding (ADVICE r10): the oracle compares
+    # score_units/1e9, so an unsnapped p within 0.5e-9 of a threshold
+    # would classify differently across engines
     scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep", _lr_p(_lr_z()).alias("p")
+        "keep",
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
     )
     thr = F.explode(
         F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])
@@ -4087,8 +4092,10 @@ def quality_logreg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
     w = _lr_trained_weights(spark, sf_dir)
+    # nano-snap BEFORE thresholding (ADVICE r10) — the logreg_pr rail
     scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep", _lr_p(_lr_z()).alias("p")
+        "keep",
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
     )
     thr = F.explode(
         F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])

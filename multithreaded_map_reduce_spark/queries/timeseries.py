@@ -1280,16 +1280,26 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
             "s_tot",
             (
-                ratio_units_dec("s_l * s_l", "n_l", 1000)
+                # widen BEFORE the square (ADVICE r10): s_l² in BIGINT
+                # wraps past ~3.04e9 cumulative events while the
+                # HUGEINT oracle keeps going — DECIMAL-first on both
+                # sides, as quality_kruskal_wallis' (2R_g)² term does
+                ratio_units_dec(
+                    "CAST(s_l AS DECIMAL(38,0)) * s_l", "n_l", 1000
+                )
                 + ratio_units_dec(
-                    "(s_tot - s_l) * (s_tot - s_l)", "n_days - n_l", 1000
+                    "CAST(s_tot - s_l AS DECIMAL(38,0)) * (s_tot - s_l)",
+                    "n_days - n_l",
+                    1000,
                 )
             ).alias("fit_milli"),
         )
         .withColumn(
             "gain_milli",
             F.col("fit_milli")
-            - ratio_units_dec("s_tot * s_tot", "n_days", 1000),
+            - ratio_units_dec(
+                "CAST(s_tot AS DECIMAL(38,0)) * s_tot", "n_days", 1000
+            ),
         )
     )
     best = cand.orderBy(F.desc("gain_milli"), F.asc("day")).limit(1)
@@ -1329,10 +1339,10 @@ ORACLES["timeseries_changepoint"] = f"""
         FROM daily
     ), cand AS (
         SELECT day, n_l, s_l, n_days, s_tot,
-               CAST({_sql_rud_ts('s_l * s_l', 'n_l', 1000)}
-                    + {_sql_rud_ts('(s_tot - s_l) * (s_tot - s_l)',
+               CAST({_sql_rud_ts('CAST(s_l AS HUGEINT) * s_l', 'n_l', 1000)}
+                    + {_sql_rud_ts('CAST(s_tot - s_l AS HUGEINT) * (s_tot - s_l)',
                                    'n_days - n_l', 1000)}
-                    - {_sql_rud_ts('s_tot * s_tot', 'n_days', 1000)}
+                    - {_sql_rud_ts('CAST(s_tot AS HUGEINT) * s_tot', 'n_days', 1000)}
                     AS BIGINT) AS gain_milli
         FROM pre CROSS JOIN tot
         WHERE n_l < n_days
@@ -1764,17 +1774,26 @@ def timeseries_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pre.agg(F.max("i").alias("d"), F.max("s").alias("s_tot"))
 
     def best(cand, n_expr, s_expr, len_expr, tot_expr, label):
+        # widen BEFORE the square (ADVICE r10) — same rail as
+        # timeseries_changepoint
         scored = cand.select(
             "day",
             (
-                ratio_units_dec(f"({s_expr}) * ({s_expr})", n_expr, 1000)
+                ratio_units_dec(
+                    f"CAST(({s_expr}) AS DECIMAL(38,0)) * ({s_expr})",
+                    n_expr,
+                    1000,
+                )
                 + ratio_units_dec(
-                    f"(({tot_expr}) - ({s_expr})) * (({tot_expr}) - ({s_expr}))",
+                    f"CAST(({tot_expr}) - ({s_expr}) AS DECIMAL(38,0))"
+                    f" * (({tot_expr}) - ({s_expr}))",
                     f"({len_expr}) - ({n_expr})",
                     1000,
                 )
                 - ratio_units_dec(
-                    f"({tot_expr}) * ({tot_expr})", len_expr, 1000
+                    f"CAST(({tot_expr}) AS DECIMAL(38,0)) * ({tot_expr})",
+                    len_expr,
+                    1000,
                 )
             ).alias("gain_milli"),
         )
@@ -1821,9 +1840,9 @@ ORACLES["timeseries_changepoint2"] = f"""
         FROM pre
     ), root AS (
         SELECT 'root' AS segment, day,
-               CAST({_sql_rud_ts('s * s', 'i', 1000)}
-                    + {_sql_rud_ts('(s_tot - s) * (s_tot - s)', 'd - i', 1000)}
-                    - {_sql_rud_ts('s_tot * s_tot', 'd', 1000)}
+               CAST({_sql_rud_ts('CAST(s AS HUGEINT) * s', 'i', 1000)}
+                    + {_sql_rud_ts('CAST(s_tot - s AS HUGEINT) * (s_tot - s)', 'd - i', 1000)}
+                    - {_sql_rud_ts('CAST(s_tot AS HUGEINT) * s_tot', 'd', 1000)}
                     AS BIGINT) AS gain_milli
         FROM pre CROSS JOIN tot WHERE i < d
         ORDER BY gain_milli DESC, day ASC LIMIT 1
@@ -1832,19 +1851,20 @@ ORACLES["timeseries_changepoint2"] = f"""
         FROM pre JOIN root ON pre.day = root.day
     ), lft AS (
         SELECT 'left' AS segment, day,
-               CAST({_sql_rud_ts('s * s', 'i', 1000)}
-                    + {_sql_rud_ts('(s1 - s) * (s1 - s)', 'i1 - i', 1000)}
-                    - {_sql_rud_ts('s1 * s1', 'i1', 1000)}
+               CAST({_sql_rud_ts('CAST(s AS HUGEINT) * s', 'i', 1000)}
+                    + {_sql_rud_ts('CAST(s1 - s AS HUGEINT) * (s1 - s)', 'i1 - i', 1000)}
+                    - {_sql_rud_ts('CAST(s1 AS HUGEINT) * s1', 'i1', 1000)}
                     AS BIGINT) AS gain_milli
         FROM pre CROSS JOIN rsplit CROSS JOIN tot WHERE i < i1
         ORDER BY gain_milli DESC, day ASC LIMIT 1
     ), rgt AS (
         SELECT 'right' AS segment, day,
-               CAST({_sql_rud_ts('(s - s1) * (s - s1)', 'i - i1', 1000)}
+               CAST({_sql_rud_ts('CAST(s - s1 AS HUGEINT) * (s - s1)', 'i - i1', 1000)}
                     + {_sql_rud_ts(
-                        '(s_tot - s) * (s_tot - s)', 'd - i', 1000)}
+                        'CAST(s_tot - s AS HUGEINT) * (s_tot - s)',
+                        'd - i', 1000)}
                     - {_sql_rud_ts(
-                        '(s_tot - s1) * (s_tot - s1)', 'd - i1', 1000)}
+                        'CAST(s_tot - s1 AS HUGEINT) * (s_tot - s1)', 'd - i1', 1000)}
                     AS BIGINT) AS gain_milli
         FROM pre CROSS JOIN rsplit CROSS JOIN tot
         WHERE i > i1 AND i < d

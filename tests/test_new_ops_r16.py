@@ -337,3 +337,33 @@ def test_heaps_matches_single_task_form(spark):
         .collect()[0]
     )
     assert (got.sn, got.sv) == (legacy.sn, legacy.sv)
+
+
+# ------------------------------------------ operator totality (ADVICE r10)
+
+
+def test_hits_empty_nodes_and_zero_iters(spark):
+    from multithreaded_map_reduce_spark.operators.pagerank import SCALE, hits
+
+    empty_n = spark.createDataFrame([], "id long")
+    empty_e = spark.createDataFrame([], "src long, dst long, w long")
+    out = hits(empty_n, empty_e)
+    assert out.columns == ["id", "auth_units", "hub_units"]
+    assert out.count() == 0
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    zero = hits(nodes, edges, num_iter=0)
+    rows = {r.id: (r.auth_units, r.hub_units) for r in zero.collect()}
+    # uniform seed on both axes, no AttributeError
+    assert rows == {1: (SCALE // 2, SCALE // 2), 2: (SCALE // 2, SCALE // 2)}
+
+
+def test_pagerank_empty_nodes(spark):
+    from multithreaded_map_reduce_spark.operators.pagerank import pagerank
+
+    empty_n = spark.createDataFrame([], "id long")
+    empty_e = spark.createDataFrame([], "src long, dst long, w long")
+    out = pagerank(empty_n, empty_e)
+    assert out.columns == ["id", "rank_units"]
+    assert out.count() == 0
