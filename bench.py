@@ -472,10 +472,34 @@ def main() -> None:
     if len(line) > 1900:
         # round 9: the headline grew past what 1dp can fit — keep the
         # line PARSEABLE (r8's BENCH record was "parsed": null because
-        # the full dict overflowed the tail). Keep the most expensive
-        # queries until the budget is met and say how many were cut;
-        # the complete dict is always in BENCH_DETAIL.json.
-        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        # the full dict overflowed the tail). VERDICT r10 item 5: a
+        # FIXED top-by-cost subset gave the same 55 queries driver-side
+        # visibility every round while the other 95 depended on the
+        # side file. Rank by round-over-round SIGNAL instead: queries
+        # with no previous record (first driver sighting), then
+        # plan-CHANGED queries, then largest |warm delta| normalized by
+        # host speed, then cost. The emitted subset rotates as deltas
+        # move; the complete dict is always in BENCH_DETAIL.json.
+        import math
+
+        pw = prev[2] or prev[1] if prev is not None else {}
+        ph_prev = prev[3] if prev is not None else {}
+
+        def _prio(kv):
+            name, cold = kv
+            base = pw.get(name)
+            if base is None:
+                return (2, 0.0, cold)  # new: always emit first
+            changed = (
+                name in ph_prev
+                and name in plan_hashes
+                and ph_prev[name] != plan_hashes[name]
+            )
+            cur = warm.get(name) or cold
+            delta = abs(math.log(max(cur, 0.05) / max(base * host_ratio, 0.05)))
+            return (1 if changed else 0, delta, cold)
+
+        ranked = sorted(timings.items(), key=_prio, reverse=True)
         keep = len(ranked)
         while keep > 0:
             out["queries"] = {
