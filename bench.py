@@ -240,6 +240,9 @@ HEADLINE = [
     # round-10 batch 13: KPI lead/lag, imbalance-honest classifier eval
     "timeseries_xcorr",
     "quality_logreg_mcc",
+    # round-11 batch 1: paired rank test + exact multi-quantile rail
+    "quality_wilcoxon_signed_rank",
+    "stats_quantiles_exact",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

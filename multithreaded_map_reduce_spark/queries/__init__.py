@@ -265,6 +265,10 @@ _NEW_THIS_ROUND: list[str] = [
     "embedding_knn_outliers",
     "events_growth_accounting",
     "timeseries_seasonal_strength",
+    # round 11 — paired rank test + exact multi-quantile on the
+    # two-pass rail:
+    "quality_wilcoxon_signed_rank",
+    "stats_quantiles_exact",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -2517,3 +2517,142 @@ ORACLES["quality_mutual_information"] = f"""
     FROM terms
     GROUP BY n_docs, k_lang, k_source, k_cells
 """
+
+
+# ------------------------------------- Wilcoxon signed-rank (paired)
+# Round 11: the PAIRED-sample companion to quality_mannwhitney —
+# Mann-Whitney compares two independent cohorts; Wilcoxon asks "did
+# the SAME users' purchase spend shift between the first and second
+# half of the observation window" (the pre/post test a pipeline runs
+# after a change ships). Pairing: per purchasing user, spend in cents
+# before vs after the window midpoint; zero differences drop (the
+# classical Wilcoxon convention); ranks of |d| use the real midrank
+# tie method in EXACT integers on the value-grain c_less rail (this
+# round's rank discipline): for a distinct |d| value v,
+# 2·midrank(v) = 2·c_less(v) + t(v) + 1, so 2·W⁺ = Σ_{d>0} 2·midrank
+# never touches a double, and 2·W⁺ + 2·W⁻ = n(n+1) is an output-level
+# invariant the oracle replays. The tie correction Σ(t³−t) widens
+# before the cube (the ADVICE r10 rail) and the effect size
+# W⁺/(W⁺+W⁻) is a half-up micros rational of integers.
+#
+# Scale: one purchase-filtered scan → per-user halves; the only
+# unpartitioned window runs on DISTINCT |d| values (bounded by the
+# cents domain, the mannwhitney class), everything else aggregates.
+
+
+def quality_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, ratio_micros
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(epoch_micros(F.col("ts"))).alias("gmin"),
+        F.max(epoch_micros(F.col("ts"))).alias("gmax"),
+    ).select(F.expr("(gmin + gmax) div 2").alias("tsplit"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    epoch_micros(F.col("ts")) < F.col("tsplit"),
+                    iunits(F.col("value"), 2),
+                ).otherwise(0)
+            ).alias("spend1"),
+            F.sum(
+                F.when(
+                    epoch_micros(F.col("ts")) >= F.col("tsplit"),
+                    iunits(F.col("value"), 2),
+                ).otherwise(0)
+            ).alias("spend2"),
+        )
+    )
+    d = per_user.select(
+        (F.col("spend2") - F.col("spend1")).alias("d")
+    ).filter(F.col("d") != 0)
+    cnt = d.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum((F.col("d") > 0).cast("long")).alias("t_pos"),
+    )
+    cw = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    per_v = cnt.select(
+        "t",
+        "t_pos",
+        F.coalesce(F.sum("t").over(cw), F.lit(0)).alias("c_less"),
+    )
+    agg = per_v.agg(
+        F.sum("t").alias("n_nonzero"),
+        # 2·W⁺ = Σ_v t_pos(v) · (2·c_less(v) + t(v) + 1)
+        F.sum(
+            F.col("t_pos") * (2 * F.col("c_less") + F.col("t") + 1)
+        ).alias("w_plus_x2"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    return agg.select(
+        "n_nonzero",
+        "w_plus_x2",
+        (
+            F.col("n_nonzero") * (F.col("n_nonzero") + 1) - F.col("w_plus_x2")
+        ).alias("w_minus_x2"),
+        "tie_sum",
+        ratio_micros(
+            "w_plus_x2", "n_nonzero * (n_nonzero + 1)"
+        ).alias("effect_micros"),
+    )
+
+
+QUERIES["quality_wilcoxon_signed_rank"] = quality_wilcoxon_signed_rank
+
+from ..functions.rounding import sql_iunits as _sql_iu_wsr  # noqa: E402
+from ..functions.rounding import sql_ratio_micros as _sql_rm_wsr  # noqa: E402
+
+ORACLES["quality_wilcoxon_signed_rank"] = f"""
+    WITH span AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tsplit
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_us(ts) < tsplit
+                        THEN {_sql_iu_wsr('value', 2)} ELSE 0 END)
+                    AS BIGINT) AS spend1,
+               CAST(sum(CASE WHEN epoch_us(ts) >= tsplit
+                        THEN {_sql_iu_wsr('value', 2)} ELSE 0 END)
+                    AS BIGINT) AS spend2
+        FROM events, span
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), d AS (
+        SELECT spend2 - spend1 AS d FROM per_user WHERE spend2 != spend1
+    ), cnt AS (
+        SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_pos
+        FROM d GROUP BY 1
+    ), per_v AS (
+        SELECT t, t_pos,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS c_less
+        FROM cnt
+    ), agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n_nonzero,
+               CAST(sum(t_pos * (2 * c_less + t + 1)) AS BIGINT) AS w_plus_x2,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie_sum
+        FROM per_v
+    )
+    SELECT n_nonzero, w_plus_x2,
+           CAST(n_nonzero * (n_nonzero + 1) - w_plus_x2 AS BIGINT)
+               AS w_minus_x2,
+           tie_sum,
+           {_sql_rm_wsr('w_plus_x2', 'n_nonzero * (n_nonzero + 1)')}
+               AS effect_micros
+    FROM agg
+"""

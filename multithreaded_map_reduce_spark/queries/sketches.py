@@ -834,3 +834,101 @@ ORACLES["sketch_ams_f2"] = f"""
                AS rel_err_micros
     FROM est CROSS JOIN tru
 """
+
+
+# ------------------------------ exact multi-quantile, two-pass rail
+# Round 11: exact_median_twopass generalized to the full quantile
+# battery (P25/P50/P90/P99 per order priority) — the generalization
+# the r10 verdict nominated as the scale-safe replacement for global
+# rank sorts ("exact_median_twopass's histogram ranks"). Pass 1 is the
+# same mergeable 256-bin count vector; the rank→bin locate runs once
+# PER (group, quantile) on the bin-grain relation; pass 2 re-scans and
+# sorts only the located bins' rows (~1/256 selectivity per target)
+# inside (group, quantile)-partitioned windows. The target rank is
+# DuckDB's quantile_disc convention computed exactly:
+# k = ceil(q·n/100) = (q·n + 99) div 100 — verified to match
+# quantile_disc for every (n, q) shape including the float-noise
+# cells (0.9·10) where a naive double ceil would be off by one.
+
+
+QX_PCTS = (25, 50, 90, 99)
+
+
+def stats_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = iunits(F.col("o_totalprice"), 2)
+    bounds = o.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    ).select("lo", (F.col("hi") - F.col("lo") + 1).alias("span"))
+    binned = (
+        o.select(F.col("o_orderpriority").alias("prio"), cents.alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prio", "c", F.expr(f"(c - lo) * {HQ_BINS} div span").alias("bin")
+        )
+    )
+    hist = binned.groupBy("prio", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("prio")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("prio"))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in QX_PCTS])
+    ).alias("q_pct")
+    targets = (
+        ann.select("prio", "bin", "cnt", "cum", "n", qs)
+        .withColumn("k", F.expr("(q_pct * n + 99) div 100"))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("prio", "q_pct")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("bin").alias("tbin"),
+            F.max("k").alias("k"),
+        )
+        .join(
+            ann.select(
+                "prio", "bin", (F.col("cum") - F.col("cnt")).alias("cb")
+            ),
+            on=["prio"],
+        )
+        .filter(F.col("bin") == F.col("tbin"))
+        .select("prio", "q_pct", "n", "tbin", (F.col("k") - F.col("cb")).alias("r"))
+    )
+    wrank = Window.partitionBy("prio", "q_pct").orderBy("c")
+    return (
+        binned.join(F.broadcast(targets), "prio")
+        .filter(F.col("bin") == F.col("tbin"))
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("r"))
+        .select("prio", "q_pct", "n", F.col("c").alias("value_cents"))
+    )
+
+
+QUERIES["stats_quantiles_exact"] = stats_quantiles_exact
+
+
+def _qx_oracle() -> str:
+    from ..functions.rounding import sql_iunits
+
+    c = sql_iunits("o_totalprice", 2)
+    parts = [
+        f"""
+        SELECT o_orderpriority AS prio, CAST({q} AS INTEGER) AS q_pct,
+               count(*) AS n,
+               quantile_disc({c}, {q / 100}) AS value_cents
+        FROM orders GROUP BY 1
+        """
+        for q in QX_PCTS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["stats_quantiles_exact"] = _qx_oracle()

@@ -367,3 +367,105 @@ def test_pagerank_empty_nodes(spark):
     out = pagerank(empty_n, empty_e)
     assert out.columns == ["id", "rank_units"]
     assert out.count() == 0
+
+
+# ------------------------------------------------ round-11 new operators
+
+
+def test_wilcoxon_invariants(spark):
+    row = _q("quality_wilcoxon_signed_rank")(spark, SF_SMOKE).collect()[0]
+    n = row.n_nonzero
+    # doubled rank-sum invariant: 2W+ + 2W- = n(n+1)
+    assert row.w_plus_x2 + row.w_minus_x2 == n * (n + 1)
+    assert 0 <= row.w_plus_x2 <= n * (n + 1)
+    assert row.tie_sum >= 0
+    assert 0 <= row.effect_micros <= 1_000_000
+
+
+def test_wilcoxon_matches_rank_window_form(spark):
+    """Value-grain c_less midranks == per-row tie-averaged ranks."""
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.functions.time import epoch_micros
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    span = ev.agg(
+        F.min(epoch_micros(F.col("ts"))).alias("gmin"),
+        F.max(epoch_micros(F.col("ts"))).alias("gmax"),
+    ).select(F.expr("(gmin + gmax) div 2").alias("tsplit"))
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    epoch_micros(F.col("ts")) < F.col("tsplit"),
+                    iunits(F.col("value"), 2),
+                ).otherwise(0)
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    epoch_micros(F.col("ts")) >= F.col("tsplit"),
+                    iunits(F.col("value"), 2),
+                ).otherwise(0)
+            ).alias("s2"),
+        )
+        .select((F.col("s2") - F.col("s1")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    # per-row doubled midrank of |d|: 2*rank + cnt - 1
+    r2 = (
+        F.lit(2) * F.rank().over(W.orderBy(F.abs("d")))
+        + F.count(F.lit(1)).over(W.partitionBy(F.abs(F.col("d"))))
+        - F.lit(1)
+    )
+    legacy = (
+        d.select("d", r2.alias("r2"))
+        .agg(F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias("wp"))
+        .collect()[0]
+    )
+    row = _q("quality_wilcoxon_signed_rank")(spark, SF_SMOKE).collect()[0]
+    assert row.w_plus_x2 == legacy.wp
+
+
+def test_quantiles_exact_match_sort_based(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+    from multithreaded_map_reduce_spark.queries.sketches import QX_PCTS
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            iunits(F.col("o_totalprice"), 2).alias("c"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_prio = collections.defaultdict(list)
+    for r in rows:
+        by_prio[r.prio].append(r.c)
+    got = {
+        (r.prio, r.q_pct): (r.n, r.value_cents)
+        for r in _q("stats_quantiles_exact")(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(by_prio) * len(QX_PCTS)
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        for q in QX_PCTS:
+            k = (q * n + 99) // 100  # ceil(q*n/100), quantile_disc rank
+            assert got[(prio, q)] == (n, vals[k - 1]), (prio, q)
+
+
+def test_quantiles_exact_is_monotone_in_q(spark):
+    import collections
+
+    seen = collections.defaultdict(dict)
+    for r in _q("stats_quantiles_exact")(spark, SF_SMOKE).collect():
+        seen[r.prio][r.q_pct] = r.value_cents
+    for prio, d in seen.items():
+        qs = sorted(d)
+        assert all(d[a] <= d[b] for a, b in zip(qs, qs[1:])), prio
