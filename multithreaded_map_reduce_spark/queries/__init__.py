@@ -294,6 +294,10 @@ _CHANGED_SINCE_GREEN = [
     "quality_mannwhitney",
     "quality_logreg_pr",
     "quality_logreg_mcc",
+    # round 11 decade-probe fix — adaptive ⌈√n⌉ IVF cell count (same
+    # results at every fixture SF, but plan + oracle text changed):
+    "knn_join_embeddings",
+    "embedding_knn_outliers",
     # round 10 FIRST — the persist-leak/plan-determinism fix (VERDICT
     # r9 item 1) moved every formerly-persisted relation to a
     # localCheckpoint or a shared artifact. Results are bit-identical

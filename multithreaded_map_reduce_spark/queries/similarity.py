@@ -783,10 +783,25 @@ ORACLES["kmeans_quality_report"] = _kmeans_quality_oracle()
 # the all-pairs retrieval/index-build shape (operators/similarity.py
 # knn_join_ivf has the 100 TB argument: equi-join on cell id, no
 # broadcast of the data relation, n_cells ∝ √n).
+#
+# Round 11: the √n law is now APPLIED, not just documented — the r11
+# decade probe measured 6.4× wall at 10× vectors under the old FIXED
+# 32-cell grid (pair work n²/cells is quadratic when cells freeze).
+# n_cells = max(32, ⌈√n⌉) balances assignment (n·cells) against the
+# pair stage (n²·nprobe/cells) at the classic O(n^1.5) IVF point. The
+# count() is a bounded 1-row driver action (the sanctioned class); the
+# oracle replays the identical cell count via a LIMIT subquery, and
+# every fixture SF keeps ⌈√n⌉ ≤ 32 so gate results are unchanged.
 
 KNN_K = 3
 KNN_CELLS = 32
 KNN_NPROBE = 2
+
+
+def _knn_cells(n: int) -> int:
+    import math
+
+    return max(KNN_CELLS, math.isqrt(max(n, 1) - 1) + 1 if n else KNN_CELLS)
 
 
 def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,7 +813,7 @@ def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=KNN_K,
-        n_cells=KNN_CELLS,
+        n_cells=_knn_cells(emb.count()),
         nprobe=KNN_NPROBE,
         dim=DIM,
     )
@@ -810,7 +825,10 @@ ORACLES["knn_join_embeddings"] = f"""
     WITH v AS (
         SELECT vec_id AS id, {sql_as_double('embedding')} AS v FROM embeddings
     ), cents AS (
-        SELECT id AS cid, v AS centroid FROM v ORDER BY id LIMIT {KNN_CELLS}
+        SELECT id AS cid, v AS centroid FROM v ORDER BY id
+        LIMIT (SELECT greatest({KNN_CELLS},
+                               CAST(ceil(sqrt(count(*))) AS BIGINT))
+               FROM v)
     ), ranked AS (
         SELECT id, v, cid,
                row_number() OVER (
