@@ -243,6 +243,10 @@ HEADLINE = [
     # round-11 batch 1: paired rank test + exact multi-quantile rail
     "quality_wilcoxon_signed_rank",
     "stats_quantiles_exact",
+    # round-11 batch 2: Cramér's V, Yule's K spectrum, Lorenz top-share
+    "quality_cramers_v",
+    "text_yule_k",
+    "stats_lorenz_topshare",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

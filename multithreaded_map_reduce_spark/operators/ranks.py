@@ -78,6 +78,7 @@ def with_global_order(
     order: list[Column],
     sums: dict[str, Column] | None = None,
     row_number: str | None = None,
+    group: list[str] | None = None,
 ) -> DataFrame:
     """Append exact global-order columns without a global sort.
 
@@ -92,24 +93,33 @@ def with_global_order(
     INCLUSIVE global prefix sum under the total order. ``row_number``:
     name for the exact 1-based global row number.
 
+    ``group``: optional partition columns — the total order (and every
+    appended column) restarts per group; the stitch window partitions
+    by the group, so it stays bucket-grain per group.
+
     Shapes: one hash partition per bucket for the local windows, one
     #buckets-row stitch window, one broadcast join. No data-grain
     relation is ever sorted in a single task.
     """
     sums = sums or {}
+    group = group or []
     bnames = [_B.format(i=i) for i in range(len(buckets))]
     base = df
     for name, col in zip(bnames, buckets):
         base = base.withColumn(name, col)
 
-    per_bucket = base.groupBy(*bnames).agg(
+    per_bucket = base.groupBy(*group, *bnames).agg(
         F.count(F.lit(1)).alias(_CNT),
         *[F.sum(c).alias(f"__rk_s_{n}") for n, c in sums.items()],
     )
-    # The ONLY unpartitioned window: #buckets rows (dial-bounded, not
-    # data-grain — the whitelisted class in the window-shape lint).
-    wb = W.orderBy(*bnames).rowsBetween(W.unboundedPreceding, -1)
+    # The ONLY unpartitioned-within-group window: #buckets rows per
+    # group (dial-bounded, not data-grain — the whitelisted class in
+    # the window-shape lint).
+    wb = (
+        W.partitionBy(*group) if group else W
+    ).orderBy(*bnames).rowsBetween(W.unboundedPreceding, -1)
     off = per_bucket.select(
+        *group,
         *bnames,
         F.coalesce(F.sum(_CNT).over(wb), F.lit(0)).alias(_OFF_CNT),
         *[
@@ -122,8 +132,8 @@ def with_global_order(
             for n in sums
         ],
     )
-    out = base.join(F.broadcast(off), bnames)
-    wl = W.partitionBy(*bnames).orderBy(*order)
+    out = base.join(F.broadcast(off), [*group, *bnames])
+    wl = W.partitionBy(*group, *bnames).orderBy(*order)
     wcum = wl.rowsBetween(W.unboundedPreceding, 0)
     if row_number is not None:
         out = out.withColumn(

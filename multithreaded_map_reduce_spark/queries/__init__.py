@@ -269,6 +269,11 @@ _NEW_THIS_ROUND: list[str] = [
     # two-pass rail:
     "quality_wilcoxon_signed_rank",
     "stats_quantiles_exact",
+    # round 11 batch 2 — association, lexical concentration, Lorenz
+    # top-share on the grouped rail:
+    "quality_cramers_v",
+    "text_yule_k",
+    "stats_lorenz_topshare",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -646,3 +646,140 @@ ORACLES["stats_herfindahl_by_region"] = f"""
                AS hhi_bps
     FROM agg
 """
+
+
+# ------------------------------------------- Lorenz top-share (P1/P10)
+# Round 11: the direct concentration readout next to stats_gini —
+# Gini integrates the whole Lorenz curve into one scalar; campaign
+# and capacity questions need the curve's business points: "what
+# share of revenue comes from the top 1% / top 10% of customers" per
+# market segment. Exact integers end-to-end: per-customer spend in
+# cents, the top-k cut at k = ceil(p·n/100) (the quantile_disc rank
+# convention, exact integer form), and the cut TIE BLOCK handled
+# closed-form — top_cents = s_above + v_cut·(k − c_above), so the
+# result is invariant to which tied customers "count" (the same
+# tie-block argument as stats_gini). Share is a half-up micros
+# rational on the DECIMAL/HUGEINT rail.
+#
+# Scale: per-customer spends are near-UNIQUE (sums of order totals),
+# so a naive per-segment value window is a row-grain single-task sort
+# — exactly this round's banned shape. The cumulative counts/sums run
+# on the distributed prefix rail (operators/ranks.py, group=segment):
+# spend values range-bucket into 1024 slices per segment, local
+# windows per slice, one bucket-grain stitch per segment.
+
+
+LORENZ_PCTS = (1, 10)
+
+
+def stats_lorenz_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..operators.ranks import range_bucket, with_global_order
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(iunits(F.col("o_totalprice"), 2)).alias("v"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("segment", "v")
+    )
+    cnt = spend.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("t"))
+    dec = "decimal(38,0)"
+    bounds = cnt.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    cum = with_global_order(
+        cnt.crossJoin(F.broadcast(bounds)),
+        buckets=[-range_bucket(F.col("v"), F.col("lo"), F.col("hi"))],
+        order=[F.desc("v")],
+        sums={
+            "ct": F.col("t"),
+            "cs": (F.col("t").cast(dec) * F.col("v")).cast(dec),
+        },
+        group=["segment"],
+    ).select(
+        "segment",
+        "v",
+        "t",
+        (F.col("ct") - F.col("t")).alias("c_above"),
+        (F.col("cs") - F.col("t").cast(dec) * F.col("v")).alias("s_above"),
+    )
+    tot = cnt.groupBy("segment").agg(
+        F.sum("t").alias("n_customers"),
+        F.sum((F.col("t").cast(dec) * F.col("v")).cast(dec))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in LORENZ_PCTS])
+    ).alias("p_pct")
+    blocks = (
+        cum.join(F.broadcast(tot), "segment")
+        .select("segment", "v", "t", "c_above", "s_above",
+                "n_customers", "total_cents", pcts)
+        .withColumn("k", F.expr("(p_pct * n_customers + 99) div 100"))
+        .filter(
+            (F.col("c_above") < F.col("k"))
+            & (F.col("c_above") + F.col("t") >= F.col("k"))
+        )
+        .select(
+            "segment",
+            "p_pct",
+            "n_customers",
+            "total_cents",
+            (
+                F.col("s_above")
+                + F.col("v").cast(dec) * (F.col("k") - F.col("c_above"))
+            )
+            .cast("long")
+            .alias("top_cents"),
+        )
+    )
+    return blocks.withColumn(
+        "share_micros", ratio_units_dec("top_cents", "total_cents")
+    )
+
+
+QUERIES["stats_lorenz_topshare"] = stats_lorenz_topshare
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_lz  # noqa: E402
+
+ORACLES["stats_lorenz_topshare"] = f"""
+    WITH spend AS (
+        SELECT c_mktsegment AS segment,
+               CAST(sum({sql_iunits('o_totalprice', 2)}) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY segment, o_custkey
+    ), cnt AS (
+        SELECT segment, v, CAST(count(*) AS BIGINT) AS t
+        FROM spend GROUP BY segment, v
+    ), cum AS (
+        SELECT segment, v, t,
+               CAST(coalesce(sum(t) OVER w, 0) AS BIGINT) AS c_above,
+               CAST(coalesce(sum(CAST(t AS HUGEINT) * v) OVER w, 0)
+                    AS HUGEINT) AS s_above
+        FROM cnt
+        WINDOW w AS (PARTITION BY segment ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), tot AS (
+        SELECT segment, CAST(sum(t) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(t AS HUGEINT) * v) AS BIGINT) AS total_cents
+        FROM cnt GROUP BY segment
+    ), blocks AS (
+        SELECT segment, p_pct, n_customers, total_cents,
+               CAST(s_above + CAST(v AS HUGEINT)
+                    * ((p_pct * n_customers + 99) // 100 - c_above)
+                    AS BIGINT) AS top_cents
+        FROM cum
+        JOIN tot USING (segment)
+        CROSS JOIN (SELECT unnest([{', '.join(str(p) for p in LORENZ_PCTS)}])
+                    AS p_pct) p
+        WHERE c_above < (p_pct * n_customers + 99) // 100
+          AND c_above + t >= (p_pct * n_customers + 99) // 100
+    )
+    SELECT segment, CAST(p_pct AS INTEGER) AS p_pct, n_customers,
+           total_cents, top_cents,
+           {_sql_rud_lz('top_cents', 'total_cents')} AS share_micros
+    FROM blocks
+"""

@@ -2656,3 +2656,120 @@ ORACLES["quality_wilcoxon_signed_rank"] = f"""
                AS effect_micros
     FROM agg
 """
+
+
+# ----------------------------------------------------- Cramér's V
+# Round 11: the normalized-association companion to
+# quality_mutual_information on the same lang × source contingency
+# relation — MI is in nats (unbounded, hard to compare across
+# tables); V = sqrt(χ²/(N·min(r−1, k−1))) lands in [0, 1], the
+# feature-redundancy score a curation pass thresholds directly. Exact
+# rail: χ² = N·(Σ n_xy²/(n_x·n_y) − 1); each cell's rational is a
+# half-up NANO snap of exact integers (DECIMAL-widened square over
+# the marginal product — the per-term snap contract MI already uses
+# for its ln terms, replayed identically by the oracle), the cell sum
+# S is exact, χ²·1e9 = N·(S − 1e9) clamps the rounding dust at 0, and
+# V spends one double sqrt under pround.
+#
+# Scale: one corpus scan → |lang×source| cells; marginals from the
+# cell relation; everything after is cell-grain (≤ dozens of rows).
+
+
+def quality_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround, ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    ).localCheckpoint(eager=False)
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(
+        F.sum("n_xy").alias("n_docs"),
+        F.countDistinct("lang").alias("k_lang"),
+        F.countDistinct("source").alias("k_source"),
+    )
+    terms = (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .select(
+            ratio_units_dec(
+                "CAST(n_xy AS DECIMAL(38,0)) * n_xy",
+                "CAST(n_x AS DECIMAL(38,0)) * n_y",
+                1_000_000_000,
+            ).alias("cell_nanos")
+        )
+    )
+    s = terms.agg(F.sum("cell_nanos").alias("s_nanos")).crossJoin(
+        F.broadcast(tot)
+    )
+    out = s.select(
+        "n_docs",
+        "k_lang",
+        "k_source",
+        F.greatest(
+            F.col("s_nanos") - F.lit(1_000_000_000), F.lit(0)
+        ).alias("phi2_nanos"),
+    )
+    return out.select(
+        "n_docs",
+        "k_lang",
+        "k_source",
+        "phi2_nanos",
+        F.when(
+            F.least(F.col("k_lang"), F.col("k_source")) <= 1,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            pround(
+                F.sqrt(
+                    F.col("phi2_nanos").cast("double")
+                    / 1e9
+                    / (
+                        F.least(F.col("k_lang"), F.col("k_source")) - 1
+                    ).cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("cramers_v"),
+    )
+
+
+QUERIES["quality_cramers_v"] = quality_cramers_v
+
+from ..functions.rounding import sql_pround as _sql_pr_cv  # noqa: E402
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_cv  # noqa: E402
+
+ORACLES["quality_cramers_v"] = f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY lang, source
+    ), mx AS (
+        SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY lang
+    ), my AS (
+        SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_xy) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS k_lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS k_source
+        FROM cells
+    ), terms AS (
+        SELECT {_sql_rud_cv('CAST(n_xy AS HUGEINT) * n_xy',
+                            'CAST(n_x AS HUGEINT) * n_y',
+                            1_000_000_000)} AS cell_nanos
+        FROM cells JOIN mx USING (lang) JOIN my USING (source)
+    ), s AS (
+        SELECT CAST(greatest(sum(cell_nanos) - 1000000000, 0) AS BIGINT)
+                   AS phi2_nanos
+        FROM terms
+    )
+    SELECT n_docs, k_lang, k_source, phi2_nanos,
+           CASE WHEN least(k_lang, k_source) <= 1 THEN NULL
+                ELSE {_sql_pr_cv(
+                    'sqrt(CAST(phi2_nanos AS DOUBLE) / 1e9'
+                    ' / CAST(least(k_lang, k_source) - 1 AS DOUBLE))', 6)}
+           END AS cramers_v
+    FROM s CROSS JOIN tot
+"""

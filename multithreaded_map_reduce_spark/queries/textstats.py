@@ -4225,3 +4225,97 @@ ORACLES["text_hapax_stats"] = f"""
                AS dis_share_micros
     FROM vocab GROUP BY lang
 """
+
+
+# ------------------------------------------------ Yule's K / Simpson
+# Round 11: frequency-SPECTRUM lexical concentration per language —
+# the repetitiveness scalar the diversity battery lacked: MATTR/TTR
+# track type growth, hapax stats the tail, Yule's K the repeat MASS:
+#   K = 10⁴·(Σ_f f²·V(f) − N) / N²
+# (V(f) = #types occurring exactly f times, N = token count), with
+# Simpson's repeat rate D = (Σ f²V − N)/(N(N−1)) riding the same
+# aggregate. K is sample-size-invariant by construction (the classic
+# property vs raw TTR) — templated/duplicated corpora push K up an
+# order of magnitude. Pure integer moments: one vocab aggregate, one
+# spectrum aggregate, DECIMAL-widened squares (the ADVICE r10 rail),
+# half-up micros rationals. Scale: token-keyed shuffle → |vocab| →
+# |spectrum| (≤ max frequency) rows; no windows at all.
+
+
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    spectrum = vocab.groupBy("lang", "f").agg(F.count(F.lit(1)).alias("vf"))
+    dec = "decimal(38,0)"
+    agg = spectrum.groupBy("lang").agg(
+        F.sum(F.col("f") * F.col("vf")).alias("n_tokens"),
+        F.sum("vf").alias("vocab"),
+        F.sum((F.col("f").cast(dec) * F.col("f") * F.col("vf")).cast(dec))
+        .cast("long")
+        .alias("s2"),
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "s2",
+        F.when(F.col("n_tokens") <= 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                "(s2 - n_tokens) * 10000",
+                "CAST(n_tokens AS DECIMAL(38,0)) * n_tokens",
+                1_000_000,
+            )
+        )
+        .alias("yule_k_micros"),
+        F.when(F.col("n_tokens") <= 1, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                "s2 - n_tokens",
+                "CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)",
+                1_000_000,
+            )
+        )
+        .alias("simpson_micros"),
+    )
+
+
+QUERIES["text_yule_k"] = text_yule_k
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_yk  # noqa: E402
+
+ORACLES["text_yule_k"] = f"""
+    WITH vocab AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+        FROM (
+            SELECT lang, unnest({sql_tokens('text')}) AS tok FROM documents
+        ) GROUP BY lang, tok
+    ), spectrum AS (
+        SELECT lang, f, CAST(count(*) AS BIGINT) AS vf
+        FROM vocab GROUP BY lang, f
+    ), agg AS (
+        SELECT lang,
+               CAST(sum(f * vf) AS BIGINT) AS n_tokens,
+               CAST(sum(vf) AS BIGINT) AS vocab,
+               CAST(sum(CAST(f AS HUGEINT) * f * vf) AS BIGINT) AS s2
+        FROM spectrum GROUP BY lang
+    )
+    SELECT lang, n_tokens, vocab, s2,
+           CASE WHEN n_tokens <= 0 THEN NULL
+                ELSE {_sql_rud_yk('(s2 - n_tokens) * 10000',
+                                  'CAST(n_tokens AS HUGEINT) * n_tokens',
+                                  1_000_000)}
+           END AS yule_k_micros,
+           CASE WHEN n_tokens <= 1 THEN NULL
+                ELSE {_sql_rud_yk('s2 - n_tokens',
+                                  'CAST(n_tokens AS HUGEINT) * (n_tokens - 1)',
+                                  1_000_000)}
+           END AS simpson_micros
+    FROM agg
+"""

@@ -469,3 +469,100 @@ def test_quantiles_exact_is_monotone_in_q(spark):
     for prio, d in seen.items():
         qs = sorted(d)
         assert all(d[a] <= d[b] for a, b in zip(qs, qs[1:])), prio
+
+
+def test_cramers_v_bounds_and_known_association(spark):
+    row = _q("quality_cramers_v")(spark, SF_SMOKE).collect()[0]
+    assert row.phi2_nanos >= 0
+    if row.cramers_v is not None:
+        assert 0.0 <= row.cramers_v <= 1.0 + 1e-9
+
+
+def test_cramers_v_perfect_association(spark):
+    """On a synthetic table where source == f(lang), V must be 1."""
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        pround,
+        ratio_units_dec,
+    )
+
+    cells = spark.createDataFrame(
+        [("a", "x", 10), ("b", "y", 20), ("c", "z", 5)],
+        "lang string, source string, n_xy long",
+    )
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    n = cells.agg(F.sum("n_xy")).collect()[0][0]
+    s = (
+        cells.join(mx, "lang")
+        .join(my, "source")
+        .select(
+            ratio_units_dec(
+                "CAST(n_xy AS DECIMAL(38,0)) * n_xy",
+                "CAST(n_x AS DECIMAL(38,0)) * n_y",
+                1_000_000_000,
+            ).alias("c")
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    # diagonal table: sum n_xy^2/(n_x n_y) = k = 3 -> phi2 = k-1 = 2
+    # -> V = sqrt(2/(3-1)) = 1
+    assert abs(s - 3_000_000_000) <= 3  # one nano of dust per cell
+    del n, pround
+
+
+def test_yule_k_formula_and_template_sensitivity(spark):
+    rows = {r.lang: r for r in _q("text_yule_k")(spark, SF_SMOKE).collect()}
+    for lang, r in rows.items():
+        assert r.n_tokens >= r.vocab >= 1
+        assert r.s2 >= r.n_tokens  # sum f^2 V >= sum f V
+        # K recomputed from the emitted exact moments (round-trip)
+        want = round(
+            10_000 * 1_000_000 * (r.s2 - r.n_tokens)
+            / (r.n_tokens * r.n_tokens)
+        )
+        assert abs(r.yule_k_micros - want) <= 1, lang
+
+
+def test_lorenz_topshare_invariants(spark):
+    rows = _q("stats_lorenz_topshare")(spark, SF_SMOKE).collect()
+    by_seg = {}
+    for r in rows:
+        assert 0 < r.share_micros <= 1_000_000
+        # top share must be at least the population share p
+        assert r.share_micros >= r.p_pct * 10_000 * 0.999
+        by_seg.setdefault(r.segment, {})[r.p_pct] = r.share_micros
+    for seg, d in by_seg.items():
+        assert d[10] >= d[1], seg  # monotone in p
+
+
+def test_lorenz_topshare_matches_sorted_python(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(iunits(F.col("o_totalprice"), 2)).alias("v"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("segment", "v")
+        .collect()
+    )
+    import collections
+
+    by_seg = collections.defaultdict(list)
+    for r in spend:
+        by_seg[r.segment].append(r.v)
+    got = {
+        (r.segment, r.p_pct): (r.n_customers, r.total_cents, r.top_cents)
+        for r in _q("stats_lorenz_topshare")(spark, SF_SMOKE).collect()
+    }
+    for seg, vals in by_seg.items():
+        vals.sort(reverse=True)
+        n, tot = len(vals), sum(vals)
+        for p in (1, 10):
+            k = (p * n + 99) // 100
+            assert got[(seg, p)] == (n, tot, sum(vals[:k])), (seg, p)
