@@ -247,6 +247,11 @@ HEADLINE = [
     "quality_cramers_v",
     "text_yule_k",
     "stats_lorenz_topshare",
+    # round-11 batch 3: Ljung-Box whiteness, runs randomness.
+    # (quality_mcnemar excluded: same train-once logreg scoring scan
+    # as quality_logreg_mcc already timed, plus a 4-cell aggregate.)
+    "timeseries_ljung_box",
+    "timeseries_runs_test",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

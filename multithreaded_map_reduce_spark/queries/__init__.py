@@ -274,6 +274,11 @@ _NEW_THIS_ROUND: list[str] = [
     "quality_cramers_v",
     "text_yule_k",
     "stats_lorenz_topshare",
+    # round 11 batch 3 — residual whiteness, sign-runs randomness,
+    # paired classifier comparison:
+    "timeseries_ljung_box",
+    "timeseries_runs_test",
+    "quality_mcnemar",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

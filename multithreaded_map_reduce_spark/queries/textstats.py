@@ -4319,3 +4319,92 @@ ORACLES["text_yule_k"] = f"""
            END AS simpson_micros
     FROM agg
 """
+
+
+# --------------------------------------------- McNemar paired test
+# Round 11: the PAIRED classifier comparison the threshold sweeps
+# (quality_logreg_pr / _mcc) cannot answer — "is cutoff A actually
+# different from cutoff B on the SAME documents, or is the accuracy
+# gap within paired noise". McNemar looks only at the discordant
+# cells: b = #(A keeps, B drops), c = #(A drops, B keeps);
+# χ² = (b−c)²/(b+c) (and the continuity-corrected (|b−c|−1)²/(b+c)),
+# both exact half-up micros rationals of integer counts with the
+# square DECIMAL/HUGEINT-widened first. Scores nano-snap before
+# thresholding (the logreg_pr rail, ADVICE r10). One scored scan,
+# one 4-cell aggregate — no shuffle beyond the train-once weights.
+
+MCN_THR_A, MCN_THR_B = 0.4, 0.6
+
+
+def quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p")
+    )
+    pa = (F.col("p") >= F.lit(MCN_THR_A)).cast("int")
+    pb = (F.col("p") >= F.lit(MCN_THR_B)).cast("int")
+    cm = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pa * (1 - pb)).alias("b"),
+        F.sum((1 - pa) * pb).alias("c"),
+    )
+    return cm.select(
+        "n_docs",
+        F.col("b").alias("n_a_only"),
+        F.col("c").alias("n_b_only"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                "CAST(b - c AS DECIMAL(38,0)) * (b - c)", "b + c"
+            )
+        )
+        .alias("chi2_micros"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                "CAST(abs(b - c) - 1 AS DECIMAL(38,0))"
+                " * (abs(b - c) - 1)",
+                "b + c",
+            )
+        )
+        .alias("chi2_cc_micros"),
+    )
+
+
+QUERIES["quality_mcnemar"] = quality_mcnemar
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_mcn  # noqa: E402
+
+ORACLES["quality_mcnemar"] = f"""
+    WITH perdoc AS ({{_PD}}),
+    cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN p >= {MCN_THR_A} AND p < {MCN_THR_B}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN p < {MCN_THR_A} AND p >= {MCN_THR_B}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM (SELECT CAST(score_units AS DOUBLE) / 1000000000.0 AS p
+              FROM perdoc)
+    )
+    SELECT n_docs, b AS n_a_only, c AS n_b_only,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE {_sql_rud_mcn('CAST(b - c AS HUGEINT) * (b - c)',
+                                   'b + c')}
+           END AS chi2_micros,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE {_sql_rud_mcn(
+                    'CAST(abs(b - c) - 1 AS HUGEINT) * (abs(b - c) - 1)',
+                    'b + c')}
+           END AS chi2_cc_micros
+    FROM cells
+"""
+
+ORACLES["quality_mcnemar"] = ORACLES["quality_mcnemar"].replace(
+    "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
+)

@@ -1969,3 +1969,260 @@ ORACLES["timeseries_xcorr"] = f"""
            END AS xcorr
     FROM agg
 """
+
+
+# ---------------------------------------------- Ljung–Box portmanteau
+# Round 11: the "is there ANY autocorrelation left" test that turns
+# timeseries_acf's per-lag readout into one decision scalar — the
+# residual-whiteness check a forecasting pipeline (Holt/Holt-Winters/
+# backtest_mase) runs before trusting its error bars:
+#   Q = n(n+2)·Σ_{k=1..L} r̂_k²/(n−k),  r̂_k = c'_k/c'_0,
+# on the DAILY EVENT COUNT series. Exactness: with u_t = n·x_t − S
+# (exact integers; the n² factors cancel in the ratio), each term is
+# the non-negative rational n(n+2)·c'_k²/((n−k)·c'_0²) — squares
+# widen to DECIMAL(38,0)/HUGEINT FIRST (the ADVICE r10 rail), each
+# term half-up micro-snapped (the per-term snap contract MI and
+# Cramér's V use), Q is their exact sum. Integer ceiling: c'_k ~
+# days·(days·daily_count)² must stay inside 10^38 — true to ~1e9
+# events/day over a decade of days; past that, rescale counts to
+# kilo-units (the MI ln-ceiling convention). Lags follow the
+# calendar-join convention of timeseries_acf (missing days skip
+# pairs). The 5% decision compares against χ²(L) in exact micros.
+#
+# Scale: one corpus scan → |days| rows; lags are broadcast joins on
+# the calendar-bounded relation; no windows at all.
+
+LB_LAGS = 7
+LB_CHI2_5PCT_MICROS = 14_067_140  # χ²(7, 0.95) = 14.067140...
+
+
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (d(F.col("n")) * F.col("x") - F.col("s")).alias("u")
+    )
+    c0 = u.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("u") * F.col("u")).alias("c0"),
+    )
+    lags = spark.range(1, LB_LAGS + 1).select(F.col("id").alias("lag"))
+    x = u.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("dj"), F.col("u").alias("ux")
+    )
+    y = u.select(F.col("day").alias("dj"), F.col("u").alias("uy"))
+    ck = (
+        x.join(y, "dj")
+        .groupBy("lag")
+        .agg(F.sum(F.col("ux") * F.col("uy")).alias("ck"))
+    )
+    terms = ck.crossJoin(F.broadcast(c0)).filter(F.col("n") > F.col("lag")).select(
+        ratio_units_dec(
+            "CAST(n AS DECIMAL(38,0)) * (n + 2)"
+            " * (CAST(ck AS DECIMAL(38,0)) * ck)",
+            "(n - lag) * (CAST(c0 AS DECIMAL(38,0)) * c0)",
+            1_000_000,
+        ).alias("term_micros")
+    )
+    q = terms.agg(F.sum("term_micros").alias("q_micros")).crossJoin(
+        F.broadcast(c0.select("n"))
+    )
+    return q.select(
+        F.col("n").alias("n_days"),
+        F.lit(LB_LAGS).cast("int").alias("n_lags"),
+        F.col("q_micros").cast("long").alias("q_micros"),
+        (F.col("q_micros") > F.lit(LB_CHI2_5PCT_MICROS))
+        .cast("int")
+        .alias("reject_whiteness_5pct"),
+    )
+
+
+QUERIES["timeseries_ljung_box"] = timeseries_ljung_box
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_lb  # noqa: E402
+
+ORACLES["timeseries_ljung_box"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        FROM ser
+    ), u AS (
+        SELECT day, n, CAST(n AS HUGEINT) * x - s AS u FROM ser, tot
+    ), c0 AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(u * u) AS HUGEINT) AS c0
+        FROM u
+    ), ck AS (
+        SELECT l.lag, CAST(sum(x.u * y.u) AS HUGEINT) AS ck
+        FROM u x
+        JOIN (SELECT unnest(range(1, {LB_LAGS + 1})) AS lag) l ON TRUE
+        JOIN u y ON x.day + l.lag = y.day
+        GROUP BY 1
+    ), terms AS (
+        SELECT {_sql_rud_lb(
+            'CAST(n AS HUGEINT) * (n + 2) * (CAST(ck AS HUGEINT) * ck)',
+            '(n - lag) * (CAST(c0 AS HUGEINT) * c0)',
+            1_000_000)} AS term_micros
+        FROM ck CROSS JOIN c0
+        WHERE n > lag
+    )
+    SELECT (SELECT n FROM c0) AS n_days,
+           CAST({LB_LAGS} AS INTEGER) AS n_lags,
+           CAST(sum(term_micros) AS BIGINT) AS q_micros,
+           CAST(sum(term_micros) > {LB_CHI2_5PCT_MICROS} AS INTEGER)
+               AS reject_whiteness_5pct
+    FROM terms
+"""
+
+
+# ------------------------------------------- Wald–Wolfowitz runs test
+# Round 11: the randomness check orthogonal to Ljung–Box — LB sees
+# linear autocorrelation, the runs test sees ANY level-dependence in
+# the above/below-median SIGN sequence of daily event counts (trend,
+# regime stickiness, alternation). Classical form: drop days equal to
+# the median, count runs R of consecutive same signs; under H₀,
+#   μ_R = 1 + 2n₁n₂/n,  σ²_R = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)).
+# Exactness: the median is the exact LOWER median of daily counts
+# (discrete-median idiom both engines share); R, n₁, n₂ are integers;
+# μ is a half-up micros rational; z = (R − μ)/σ spends one double
+# sqrt under pround. The sign-walk lag runs on the CALENDAR-bounded
+# day relation (the whitelisted window class).
+
+
+def timeseries_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    med = ser.agg(
+        F.element_at(
+            F.sort_array(F.collect_list("x")),
+            ((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("med")
+    )
+    signed = (
+        ser.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).cast("int").alias("sgn"))
+    )
+    w = W.orderBy("day")
+    runs = signed.select(
+        "sgn",
+        (
+            F.when(
+                F.lag("sgn").over(w).isNull()
+                | (F.lag("sgn").over(w) != F.col("sgn")),
+                1,
+            ).otherwise(0)
+        ).alias("is_start"),
+    )
+    agg = runs.agg(
+        F.sum("sgn").alias("n1"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("n2"),
+        F.sum("is_start").alias("runs"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = F.col("n1") + F.col("n2")
+    two_n1n2 = F.lit(2).cast("decimal(38,0)") * d(F.col("n1")) * d(F.col("n2"))
+    var = (
+        (two_n1n2 * (two_n1n2 - d(n))).cast("double")
+        / (d(n) * d(n) * (d(n) - 1)).cast("double")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        (
+            F.lit(1_000_000)
+            + ratio_units_dec(
+                "2 * CAST(n1 AS DECIMAL(38,0)) * n2", "n1 + n2", 1_000_000
+            )
+        ).alias("mu_micros"),
+        F.when((n <= 1) | (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            pround(
+                (
+                    F.col("runs").cast("double")
+                    - (
+                        F.lit(1.0)
+                        + two_n1n2.cast("double") / n.cast("double")
+                    )
+                )
+                / F.sqrt(var),
+                6,
+            )
+        )
+        .alias("z"),
+    )
+
+
+QUERIES["timeseries_runs_test"] = timeseries_runs_test
+
+ORACLES["timeseries_runs_test"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), med AS (
+        SELECT CAST(quantile_disc(x, 0.5) AS BIGINT) AS med FROM ser
+    ), signed AS (
+        SELECT day, CAST(x > med AS INTEGER) AS sgn
+        FROM ser, med WHERE x != med
+    ), runs AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                    OR lag(sgn) OVER (ORDER BY day) != sgn
+               THEN 1 ELSE 0 END AS is_start
+        FROM signed
+    ), agg AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+               CAST(sum(1 - sgn) AS BIGINT) AS n2,
+               CAST(sum(is_start) AS BIGINT) AS runs
+        FROM runs
+    )
+    SELECT n1, n2, runs,
+           CAST(1000000 + {_sql_rud_lb('2 * CAST(n1 AS HUGEINT) * n2',
+                                       'n1 + n2', 1_000_000)} AS BIGINT)
+               AS mu_micros,
+           CASE WHEN n1 + n2 <= 1 OR n1 = 0 OR n2 = 0 THEN NULL
+                ELSE {sql_pround(
+                    '(CAST(runs AS DOUBLE) - (1.0'
+                    ' + CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE)'
+                    ' / CAST(n1 + n2 AS DOUBLE)))'
+                    ' / sqrt(CAST(2 * CAST(n1 AS HUGEINT) * n2'
+                    '      * (2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2))'
+                    '      AS DOUBLE)'
+                    ' / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)'
+                    '    * CAST(n1 + n2 - 1 AS DOUBLE)))', 6)}
+           END AS z
+    FROM agg
+"""

@@ -566,3 +566,99 @@ def test_lorenz_topshare_matches_sorted_python(spark):
         for p in (1, 10):
             k = (p * n + 99) // 100
             assert got[(seg, p)] == (n, tot, sum(vals[:k])), (seg, p)
+
+
+def test_ljung_box_structure(spark):
+    row = _q("timeseries_ljung_box")(spark, SF_SMOKE).collect()[0]
+    assert row.n_lags == 7
+    assert row.q_micros >= 0
+    assert row.reject_whiteness_5pct in (0, 1)
+    assert row.reject_whiteness_5pct == int(row.q_micros > 14_067_140)
+
+
+def test_ljung_box_white_noise_accepts(spark):
+    """A deterministic hash-noise series must NOT reject whiteness."""
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        ratio_units_dec,
+    )
+
+    ser = spark.range(200).select(
+        F.col("id").alias("day"),
+        (F.abs(F.hash(F.col("id").cast("string"))) % 100).alias("x"),
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (d(F.col("n")) * F.col("x") - F.col("s")).alias("u")
+    )
+    c0 = u.agg(F.max("n").alias("n"), F.sum(F.col("u") * F.col("u")).alias("c0"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    x = u.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("dj"), F.col("u").alias("ux")
+    )
+    y = u.select(F.col("day").alias("dj"), F.col("u").alias("uy"))
+    ck = x.join(y, "dj").groupBy("lag").agg(F.sum(F.col("ux") * F.col("uy")).alias("ck"))
+    q = (
+        ck.crossJoin(F.broadcast(c0))
+        .filter(F.col("n") > F.col("lag"))
+        .select(
+            ratio_units_dec(
+                "CAST(n AS DECIMAL(38,0)) * (n + 2)"
+                " * (CAST(ck AS DECIMAL(38,0)) * ck)",
+                "(n - lag) * (CAST(c0 AS DECIMAL(38,0)) * c0)",
+                1_000_000,
+            ).alias("t")
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    # hash noise: Q should sit well under the 5% critical value
+    assert q < 14_067_140, q
+
+
+def test_runs_test_invariants(spark):
+    row = _q("timeseries_runs_test")(spark, SF_SMOKE).collect()[0]
+    assert 1 <= row.runs <= row.n1 + row.n2
+    # runs count bounded by 2*min+1
+    assert row.runs <= 2 * min(row.n1, row.n2) + 1
+    assert row.mu_micros >= 1_000_000
+
+
+def test_runs_test_alternating_and_blocked(spark):
+    """Perfect alternation -> max runs; two blocks -> 2 runs."""
+    from pyspark.sql import Window as W2
+
+    def runs_of(seq):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seq)], "day long, sgn int"
+        )
+        w = W2.orderBy("day")
+        return (
+            df.select(
+                F.when(
+                    F.lag("sgn").over(w).isNull()
+                    | (F.lag("sgn").over(w) != F.col("sgn")),
+                    1,
+                )
+                .otherwise(0)
+                .alias("st")
+            )
+            .agg(F.sum("st"))
+            .collect()[0][0]
+        )
+
+    assert runs_of([0, 1] * 10) == 20
+    assert runs_of([0] * 10 + [1] * 10) == 2
+
+
+def test_mcnemar_cells(spark):
+    row = _q("quality_mcnemar")(spark, SF_SMOKE).collect()[0]
+    # thresholds 0.4 < 0.6: B-only cell is structurally impossible
+    assert row.n_b_only == 0
+    assert 0 <= row.n_a_only <= row.n_docs
+    if row.n_a_only > 0:
+        b = row.n_a_only
+        # with c=0: chi2 = b^2/b = b (in micros)
+        assert row.chi2_micros == b * 1_000_000
+        # half-up micros of (b-1)^2/b
+        assert row.chi2_cc_micros == (2 * 1_000_000 * (b - 1) ** 2 + b) // (2 * b)

@@ -57,10 +57,10 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "lists (ANNP/k dial)",
     ),
     "queries/timeseries.py": (
-        6,
+        7,
         "calendar-grain: day-axis cumulative/row_number windows on "
-        "groupBy(day) relations; the `b` window runs over the bounded "
-        "seasonal-block axis",
+        "groupBy(day) relations (incl. the runs-test sign walk); the "
+        "`b` window runs over the bounded seasonal-block axis",
     ),
     "queries/textstats.py": (
         7,
@@ -74,10 +74,10 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "calendar-grain: tx-log version axis (bounded by log length)",
     ),
     "queries/quality.py": (
-        7,
+        8,
         "value-grain c_less rails (spearman rank maps, mannwhitney, "
-        "kruskal — distinct metric values) + calendar-grain day "
-        "windows + the post-limit mahalanobis stamp (line ~529)",
+        "kruskal, wilcoxon — distinct metric values) + calendar-grain "
+        "day windows + the post-limit mahalanobis stamp (line ~529)",
     ),
     "queries/mining.py": (
         3,
