@@ -252,6 +252,12 @@ HEADLINE = [
     # as quality_logreg_mcc already timed, plus a 4-cell aggregate.)
     "timeseries_ljung_box",
     "timeseries_runs_test",
+    # round-11 batch 4: clustering coefficient (its own triangle
+    # explode beyond triangle_suppliers' count), SPC p-chart,
+    # fixed-width round-trip
+    "graph_clustering_coefficient",
+    "events_spc_chart",
+    "connector_fixedwidth",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

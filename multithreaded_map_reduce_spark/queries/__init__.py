@@ -279,6 +279,11 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_ljung_box",
     "timeseries_runs_test",
     "quality_mcnemar",
+    # round 11 batch 4 — node-level graph cohesion, SPC p-chart,
+    # fixed-width connector:
+    "graph_clustering_coefficient",
+    "events_spc_chart",
+    "connector_fixedwidth",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -792,3 +792,99 @@ ORACLES["connector_csv_quoting"] = f"""
            CAST(sum(length(v)) AS BIGINT) AS total_chars
     FROM src
 """
+
+
+# ---------------------------------------------- fixed-width connector
+# Round 11: the mainframe/export interchange format the connector
+# battery was missing next to CSV/JSON/ORC/binaryFile — fixed-width
+# records with NO delimiter: layout (orderkey 12 zero-pad)(status 1)
+# (cents 14 zero-pad)(priority 15 space-pad), 42 chars/record. The
+# writer synthesizes records from orders (so the oracle can replay
+# the byte-exact layout in SQL without touching the file), MUTILATES
+# every 97th record (truncation — the torture case), round-trips
+# through spark.read.text, and the reader demonstrates the production
+# contract: length-gate → substring-parse → quarantine count. All
+# outputs exact integers/checksums. Scale: text source splits by
+# line like any Spark text scan; the parse is per-row codegen.
+
+FW_REC_LEN = 42
+
+
+def connector_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import iunits
+
+    o = load_table(spark, sf_dir, "orders")
+    rec = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(iunits(F.col("o_totalprice"), 2).cast("string"), 14, "0"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0, F.substring(rec, 1, FW_REC_LEN - 7)
+    ).otherwise(rec)
+    path = _fixture_path("fixedwidth")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    good = F.length("value") == FW_REC_LEN
+    parsed = back.select(
+        good.alias("ok"),
+        F.when(good, F.substring("value", 1, 12).cast("long")).alias("okey"),
+        F.when(good, F.substring("value", 13, 1)).alias("status"),
+        F.when(good, F.substring("value", 14, 14).cast("long")).alias("cents"),
+        F.when(good, F.rtrim(F.substring("value", 28, 15))).alias("prio"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_quarantined"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("okey").alias("key_checksum"),
+        # F.concat (NOT concat_ws): NULL fields of quarantined records
+        # must propagate so both engines skip them in the sum
+        F.sum(
+            token_hash(F.concat(F.col("status"), F.lit("|"), F.col("prio")))
+        ).alias("field_checksum"),
+    )
+
+
+QUERIES["connector_fixedwidth"] = connector_fixedwidth
+
+from ..functions.hashing import sql_token_hash as _sql_th_fw  # noqa: E402
+from ..functions.rounding import sql_iunits as _sql_iu_fw  # noqa: E402
+
+ORACLES["connector_fixedwidth"] = f"""
+    WITH rec AS (
+        SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+               || o_orderstatus
+               || lpad(CAST({_sql_iu_fw('o_totalprice', 2)} AS VARCHAR),
+                       14, '0')
+               || rpad(o_orderpriority, 15, ' ') AS full_rec,
+               o_orderkey
+        FROM orders
+    ), lines AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0
+                    THEN substring(full_rec, 1, {FW_REC_LEN - 7})
+                    ELSE full_rec END AS value
+        FROM rec
+    ), parsed AS (
+        SELECT length(value) = {FW_REC_LEN} AS ok,
+               CASE WHEN length(value) = {FW_REC_LEN}
+                    THEN CAST(substring(value, 1, 12) AS BIGINT) END AS okey,
+               CASE WHEN length(value) = {FW_REC_LEN}
+                    THEN substring(value, 13, 1) END AS status,
+               CASE WHEN length(value) = {FW_REC_LEN}
+                    THEN CAST(substring(value, 14, 14) AS BIGINT) END AS cents,
+               CASE WHEN length(value) = {FW_REC_LEN}
+                    THEN rtrim(substring(value, 28, 15)) END AS prio
+        FROM lines
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(okey) AS BIGINT) AS key_checksum,
+           CAST(sum({_sql_th_fw("status || '|' || prio")}) AS BIGINT)
+               AS field_checksum
+    FROM parsed
+"""

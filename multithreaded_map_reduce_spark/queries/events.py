@@ -2262,3 +2262,98 @@ ORACLES["events_diff_in_diff"] = f"""
              AS BIGINT) AS did_micros
     FROM means
 """
+
+
+# --------------------------------------------------- SPC p-chart
+# Round 11: statistical process control over the daily purchase RATE —
+# the ops-monitoring primitive between dq_freshness (volume) and
+# timeseries_mad_anomaly (level): is each day's conversion p_i = x_i/n_i
+# inside the binomial 3σ band around the process rate p̄ = ΣX/ΣN?
+# The out-of-control decision is EXACT (no double ever decides):
+#   |p_i − p̄| > 3·√(p̄(1−p̄)/n_i)
+# cross-multiplies to (x_i·N − X·n_i)² > 9·X·(N−X)·n_i — pure
+# integers on the DECIMAL(38,0)/HUGEINT rail (the squares widen
+# first). The displayed rate/center/limits are micros rationals and
+# prounded doubles; only the flag is load-bearing.
+#
+# Scale: one scan → |days| rows; the 1-row process total broadcasts.
+
+
+def events_spc_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround, ratio_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_p").alias("x"))
+    )
+    tot = daily.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"))
+    dec = "decimal(38,0)"
+    j = daily.crossJoin(F.broadcast(tot))
+    dev = (F.col("x").cast(dec) * F.col("nn") - F.col("xx").cast(dec) * F.col("n"))
+    lhs = dev * dev
+    rhs = (
+        F.lit(9).cast(dec)
+        * F.col("xx")
+        * (F.col("nn") - F.col("xx")).cast(dec)
+        * F.col("n")
+    )
+    return j.select(
+        "day",
+        "n",
+        "x",
+        ratio_micros("x", "n").alias("rate_micros"),
+        ratio_micros("xx", "nn").alias("center_micros"),
+        (lhs > rhs).cast("int").alias("out_of_control"),
+        F.when(lhs <= rhs, F.lit(0))
+        .otherwise(F.when(dev > 0, F.lit(1)).otherwise(F.lit(-1)))
+        .cast("int")
+        .alias("side"),
+        pround(
+            F.sqrt(
+                (F.col("xx").cast("double") / F.col("nn").cast("double"))
+                * (1 - F.col("xx").cast("double") / F.col("nn").cast("double"))
+                / F.col("n").cast("double")
+            ) * F.lit(3.0),
+            6,
+        ).alias("band_3sigma"),
+    )
+
+
+QUERIES["events_spc_chart"] = events_spc_chart
+
+ORACLES["events_spc_chart"] = f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx
+        FROM daily
+    )
+    SELECT day, n, x,
+           {sql_ratio_micros('x', 'n')} AS rate_micros,
+           {sql_ratio_micros('xx', 'nn')} AS center_micros,
+           CAST((CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                * (CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                > 9 * CAST(xx AS HUGEINT) * (nn - xx) * n
+                AS INTEGER) AS out_of_control,
+           CAST(CASE WHEN (CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                          * (CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                          <= 9 * CAST(xx AS HUGEINT) * (nn - xx) * n THEN 0
+                     WHEN CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n > 0
+                     THEN 1 ELSE -1 END AS INTEGER) AS side,
+           {sql_pround(
+               '3.0 * sqrt((CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))'
+               ' * (1 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))'
+               ' / CAST(n AS DOUBLE))', 6)} AS band_3sigma
+    FROM daily CROSS JOIN tot
+"""

