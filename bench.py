@@ -258,6 +258,10 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "events_spc_chart",
     "connector_fixedwidth",
+    # round-11 batch 5: keyframe selection (its own per-shot argmin
+    # beyond shot detection's cut scan), streaming band router
+    "multimodal_keyframe_select",
+    "streaming_quantile_router",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

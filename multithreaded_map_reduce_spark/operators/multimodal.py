@@ -747,3 +747,79 @@ def detect_bmp_shot_cuts(media: DataFrame, thresh: int = 0) -> DataFrame:
         "media_id long, n_frames int, total_diff long, n_cuts int,"
         " first_cut int, longest_shot int",
     )
+
+
+def select_bmp_keyframes(media: DataFrame, thresh: int = 0) -> DataFrame:
+    """Keyframe selection per detected shot — the representative-frame
+    step a video curation pipeline runs AFTER ``detect_bmp_shot_cuts``
+    (one frame per shot feeds the expensive embedding/captioning
+    stage, not all frames). Same strict sequential container split;
+    shots are the cut-bounded runs; the keyframe is the shot frame
+    minimizing L1 distance to the SHOT MEAN raster (ties → earliest
+    frame — deterministic), reported with its exact byte checksum so
+    the oracle can replay the selection arithmetically."""
+    import struct
+
+    import pandas as pd
+
+    from .codecs import decode_bmp
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "shot_idx": [],
+                "start_frame": [],
+                "end_frame": [],
+                "keyframe_idx": [],
+                "key_checksum": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                blob = bytes(blob)
+                rasters = []
+                pos = 0
+                while pos < len(blob):
+                    if blob[pos : pos + 2] != b"BM":
+                        raise ValueError("container desync (bad magic)")
+                    (fsize,) = struct.unpack_from("<I", blob, pos + 2)
+                    _, _, _, px = decode_bmp(blob[pos : pos + fsize])
+                    rasters.append(np.frombuffer(px, dtype=np.uint8))
+                    pos += fsize
+                diffs = [
+                    int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+                    for a, b in zip(rasters, rasters[1:])
+                ]
+                cuts = [i + 1 for i, d in enumerate(diffs) if d > thresh]
+                bounds = [0] + cuts + [len(rasters)]
+                for si, (s, e) in enumerate(zip(bounds, bounds[1:])):
+                    shot = rasters[s:e]
+                    # exact integer mean comparison: minimize
+                    # Σ|k·frame − Σshot| (k = shot length) — no float
+                    k = len(shot)
+                    tot = np.zeros_like(shot[0], dtype=np.int64)
+                    for r in shot:
+                        tot += r
+                    best_i, best_d = s, None
+                    for fi, r in enumerate(shot):
+                        dist = int(
+                            np.abs(r.astype(np.int64) * k - tot).sum()
+                        )
+                        if best_d is None or dist < best_d:
+                            best_i, best_d = s + fi, dist
+                    out["media_id"].append(mid)
+                    out["shot_idx"].append(si)
+                    out["start_frame"].append(s)
+                    out["end_frame"].append(e - 1)
+                    out["keyframe_idx"].append(best_i)
+                    out["key_checksum"].append(
+                        int(rasters[best_i].astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, shot_idx int, start_frame int, end_frame int,"
+        " keyframe_idx int, key_checksum long",
+    )

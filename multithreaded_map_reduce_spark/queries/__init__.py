@@ -284,6 +284,9 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_clustering_coefficient",
     "events_spc_chart",
     "connector_fixedwidth",
+    # round 11 batch 5 — per-shot keyframes, online quantile routing:
+    "multimodal_keyframe_select",
+    "streaming_quantile_router",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1098,3 +1098,82 @@ def _shot_oracle() -> str:
 
 
 ORACLES["multimodal_shot_detection"] = _shot_oracle()
+
+
+# ------------------------------------------------- keyframe selection
+# Round 11: the step after multimodal_shot_detection in a real video
+# curation pipeline — one representative frame per shot feeds the
+# expensive downstream stage (embedding/captioning), not all frames.
+# The operator picks, per cut-bounded shot, the frame minimizing the
+# EXACT integer L1 distance to the shot mean (Σ|k·frame − Σshot|,
+# ties → earliest) and reports its byte checksum. On the synthesized
+# container every within-shot frame is identical, so the oracle
+# replays the selection arithmetically from (doc_id, text): keyframe
+# = shot start, checksum = the cycled text-byte sum at the shot's
+# offset — which makes the whole container-split → shot-group →
+# argmin chain hash-checkable.
+
+
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        documents_as_bmp_video,
+        select_bmp_keyframes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return select_bmp_keyframes(documents_as_bmp_video(docs))
+
+
+QUERIES["multimodal_keyframe_select"] = multimodal_keyframe_select
+
+
+def _keyframe_oracle() -> str:
+    from ..operators.multimodal import VIDEO_FRAMES, VIDEO_SHOT_LEN
+
+    bdiff = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, CAST(need AS INTEGER)), "
+        f"i -> abs({_byte_at('i % L')}"
+        f" - {_byte_at('(L // 2 + i) % L')}))), "
+        "(x, y) -> x + y)"
+    )
+    sum0 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, CAST(need AS INTEGER)), "
+        f"i -> {_byte_at('i % L')})), (x, y) -> x + y)"
+    )
+    sum1 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, CAST(need AS INTEGER)), "
+        f"i -> {_byte_at('(L // 2 + i) % L')})), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS L,
+               CAST((doc_id % 13 + 1) * (doc_id % 9 + 1) * 3 AS BIGINT)
+                   AS need
+        FROM documents WHERE length(text) > 0
+    ), m AS (
+        SELECT doc_id, {bdiff} AS boundary_diff,
+               {sum0} AS s0, {sum1} AS s1
+        FROM d
+    )
+    SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS shot_idx,
+           CAST(0 AS INTEGER) AS start_frame,
+           CAST(CASE WHEN boundary_diff > 0 THEN {VIDEO_SHOT_LEN - 1}
+                     ELSE {VIDEO_FRAMES - 1} END AS INTEGER) AS end_frame,
+           CAST(0 AS INTEGER) AS keyframe_idx,
+           CAST(s0 AS BIGINT) AS key_checksum
+    FROM m
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS shot_idx,
+           CAST({VIDEO_SHOT_LEN} AS INTEGER) AS start_frame,
+           CAST({VIDEO_FRAMES - 1} AS INTEGER) AS end_frame,
+           CAST({VIDEO_SHOT_LEN} AS INTEGER) AS keyframe_idx,
+           CAST(s1 AS BIGINT) AS key_checksum
+    FROM m WHERE boundary_diff > 0
+"""
+
+
+ORACLES["multimodal_keyframe_select"] = _keyframe_oracle()

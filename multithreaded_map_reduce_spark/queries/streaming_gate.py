@@ -1668,3 +1668,96 @@ QUERIES["streaming_txlog_tail"] = streaming_txlog_tail
 from .connectors import ORACLES as _CONN_ORACLES  # noqa: E402
 
 ORACLES["streaming_txlog_tail"] = _CONN_ORACLES["connector_txlog_replay"]
+
+
+# --------------------------------------------- quantile band router
+# Round 11: route arriving purchase events into EXACT value-quantile
+# bands computed from the batch history — the online tier of
+# stats_quantiles_exact: a serving pipeline pins band edges from
+# yesterday's exact distribution (P25/P50/P90 of purchase cents, the
+# value-grain c_less rail — one distinct-cents window, bounded by the
+# cents domain) and every arriving event classifies by two integer
+# comparisons. The thresholds join as a broadcast 1-row static
+# relation (stream-static, stateless — the unbounded side never
+# buffers); only the per-band aggregation keeps state. Differential
+# contract: band populations and sums equal the batch replay with
+# quantile_disc thresholds.
+
+QR_PCTS = (25, 50, 90)
+
+
+def streaming_quantile_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..streaming.events import run_stream_to_memory, stream_events
+    from .relational import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cents = iunits(F.col("value"), 2)
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(cents.alias("c"))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wv = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    ann = cnt.select(
+        "c", F.sum("t").over(wv).alias("cum")
+    ).crossJoin(
+        F.broadcast(cnt.agg(F.sum("t").alias("n")))
+    )
+    thr = ann.select(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                    F.col("c"),
+                )
+            ).alias(f"t{p}")
+            for p in QR_PCTS
+        ]
+    )
+    stream = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    routed = (
+        stream.select(iunits(F.col("value"), 2).alias("c"))
+        .join(F.broadcast(thr))
+        .select(
+            "c",
+            F.when(F.col("c") < F.col("t25"), F.lit(0))
+            .when(F.col("c") < F.col("t50"), F.lit(1))
+            .when(F.col("c") < F.col("t90"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int")
+            .alias("band"),
+        )
+    )
+    agg = routed.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("sum_cents"),
+    )
+    name = _sink("st_qr")
+    run_stream_to_memory(agg, name)
+    return spark.table(name)
+
+
+QUERIES["streaming_quantile_router"] = streaming_quantile_router
+
+ORACLES["streaming_quantile_router"] = f"""
+    WITH p AS (
+        SELECT {sql_iunits('value', 2)} AS c
+        FROM events WHERE event_type = 'purchase'
+    ), thr AS (
+        SELECT quantile_disc(c, 0.25) AS t25,
+               quantile_disc(c, 0.50) AS t50,
+               quantile_disc(c, 0.90) AS t90
+        FROM p
+    )
+    SELECT CAST(CASE WHEN c < t25 THEN 0
+                     WHEN c < t50 THEN 1
+                     WHEN c < t90 THEN 2
+                     ELSE 3 END AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM p CROSS JOIN thr
+    GROUP BY 1
+"""

@@ -728,3 +728,43 @@ def test_fixedwidth_quarantine_counts(spark):
     want_bad = o.filter(F.col("o_orderkey") % 97 == 0).count()
     assert row.n_quarantined == want_bad
     assert row.sum_cents > 0 and row.field_checksum > 0
+
+
+def test_keyframe_shots_align_with_shot_detection(spark):
+    kf = _q("multimodal_keyframe_select")(spark, SF_SMOKE).collect()
+    sd = {r.media_id: r for r in _q("multimodal_shot_detection")(spark, SF_SMOKE).collect()}
+    import collections
+
+    shots = collections.defaultdict(list)
+    for r in kf:
+        shots[r.media_id].append(r)
+    for mid, rows in shots.items():
+        rows.sort(key=lambda r: r.shot_idx)
+        # shot count = cuts + 1
+        assert len(rows) == sd[mid].n_cuts + 1
+        # shots tile the frame range with no gaps
+        assert rows[0].start_frame == 0
+        assert rows[-1].end_frame == sd[mid].n_frames - 1
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_frame == a.end_frame + 1
+        for r in rows:
+            assert r.start_frame <= r.keyframe_idx <= r.end_frame
+            assert r.key_checksum >= 0
+
+
+def test_quantile_router_bands_partition_stream(spark):
+    rows = _q("streaming_quantile_router")(spark, SF_SMOKE).collect()
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n = ev.count()
+    cents = ev.select(iunits(F.col("value"), 2).alias("c")).agg(F.sum("c")).collect()[0][0]
+    assert sum(r.n_events for r in rows) == n
+    assert sum(r.sum_cents for r in rows) == cents
+    bands = {r.band: r.n_events for r in rows}
+    # quartile-ish masses: band0 ~25%, band3 ~10% (exact cut semantics)
+    assert abs(bands.get(0, 0) - n * 0.25) <= max(3, n * 0.05)
+    assert abs(bands.get(3, 0) - n * 0.10) <= max(3, n * 0.05)

@@ -86,8 +86,10 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "class); two post-TakeOrdered rank stamps (pmi/lift top-K)",
     ),
     "queries/streaming_gate.py": (
-        1,
-        "calendar-grain: tx-log version axis tail (bounded)",
+        2,
+        "calendar-grain: tx-log version axis tail (bounded) + "
+        "value-grain: the quantile-router threshold build runs on "
+        "distinct purchase cents (the c_less rail)",
     ),
     "queries/graphrank.py": (
         1,
