@@ -262,6 +262,9 @@ HEADLINE = [
     # beyond shot detection's cut scan), streaming band router
     "multimodal_keyframe_select",
     "streaming_quantile_router",
+    # round-11 batch 6: Hurst R/S, int8 quantization audit
+    "timeseries_hurst_rs",
+    "embedding_quantize_int8",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -287,6 +287,9 @@ _NEW_THIS_ROUND: list[str] = [
     # round 11 batch 5 — per-shot keyframes, online quantile routing:
     "multimodal_keyframe_select",
     "streaming_quantile_router",
+    # round 11 batch 6 — long-range dependence, SQ8 serving audit:
+    "timeseries_hurst_rs",
+    "embedding_quantize_int8",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -758,3 +758,131 @@ from ..functions.rounding import sql_iunits_grid as _sql_ig  # noqa: E402
 ORACLES["embedding_mmd_drift"] = _mmd_oracle().replace(
     "{GRID}", _sql_ig("CAST(val AS DOUBLE)", 6)
 )
+
+
+# --------------------------------------- int8 scalar quantization eval
+# Round 11: the serving-tier compression audit the ANN ladder was
+# missing — per-DIMENSION int8 scalar quantization (the standard
+# "SQ8" storage mode of production vector stores: 4× smaller than
+# f32, decoded by one multiply-add): code = round(255·(v−lo)/(hi−lo))
+# with per-dim corpus [lo, hi]. Reported per dimension: the exact
+# range, the code mass, and the reconstruction-error profile —
+# exactly what decides whether SQ8 is safe for a given embedding
+# column before re-indexing 100 TB of vectors.
+#
+# Exactness rail: FLOAT columns cast to DOUBLE before ANY arithmetic
+# (the float×double-literal trap in DuckDB evaluates at FLOAT
+# precision otherwise); lo/hi are arithmetic-free min/max (exact);
+# the code and the per-element absolute reconstruction error are
+# iunits-SNAPPED (half-up integer grids, the jitter-audit contract),
+# after which every aggregate is integer. Constant dimensions
+# (hi = lo) define code 0 / error 0.
+#
+# Scale: one posexplode scan → (dim, value) keyed aggregate in two
+# passes (bounds, then codes against broadcast bounds) — dim-grain
+# relations (64 rows) everywhere after the scans.
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import iunits, ratio_units
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.posexplode("embedding").alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    bounds = dv.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    coded = dv.join(F.broadcast(bounds), "dim").select(
+        "dim",
+        "lo",
+        "hi",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            iunits(
+                (F.col("v") - F.col("lo"))
+                * F.lit(255.0)
+                / (F.col("hi") - F.col("lo")),
+                0,
+            )
+        )
+        .alias("code"),
+        F.col("v"),
+    )
+    err = coded.select(
+        "dim",
+        "code",
+        iunits(
+            F.abs(
+                F.col("v")
+                - (
+                    F.col("lo")
+                    + F.col("code").cast("double")
+                    * (F.col("hi") - F.col("lo"))
+                    / F.lit(255.0)
+                )
+            ),
+            9,
+        ).alias("err_nanos"),
+    )
+    agg = err.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("code").alias("sum_codes"),
+        F.sum("err_nanos").alias("sum_err_nanos"),
+        F.max("err_nanos").alias("max_err_nanos"),
+    )
+    return agg.join(F.broadcast(bounds), "dim").select(
+        "dim",
+        "n",
+        F.col("lo").alias("lo_val"),
+        F.col("hi").alias("hi_val"),
+        "sum_codes",
+        ratio_units("sum_err_nanos", "n", 1).alias("mean_err_nanos"),
+        "max_err_nanos",
+    )
+
+
+QUERIES["embedding_quantize_int8"] = embedding_quantize_int8
+
+from ..functions.rounding import sql_iunits as _sql_iu_q8  # noqa: E402
+from ..functions.rounding import sql_ratio_units as _sql_ru_q8  # noqa: E402
+
+ORACLES["embedding_quantize_int8"] = f"""
+    WITH dv AS (
+        SELECT i - 1 AS dim, CAST(val AS DOUBLE) AS v
+        FROM (
+            SELECT unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+    ), bounds AS (
+        SELECT dim, min(v) AS lo, max(v) AS hi FROM dv GROUP BY dim
+    ), coded AS (
+        SELECT dv.dim, lo, hi,
+               CASE WHEN hi = lo THEN 0
+                    ELSE {_sql_iu_q8('(v - lo) * 255.0 / (hi - lo)', 0)}
+               END AS code,
+               v
+        FROM dv JOIN bounds ON dv.dim = bounds.dim
+    ), err AS (
+        SELECT dim, code,
+               {_sql_iu_q8(
+                   'abs(v - (lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0))',
+                   9)} AS err_nanos
+        FROM coded
+    ), agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(code) AS BIGINT) AS sum_codes,
+               CAST(sum(err_nanos) AS BIGINT) AS sum_err_nanos,
+               CAST(max(err_nanos) AS BIGINT) AS max_err_nanos
+        FROM err GROUP BY dim
+    )
+    SELECT agg.dim AS dim, n,
+           lo AS lo_val, hi AS hi_val,
+           sum_codes,
+           {_sql_ru_q8('sum_err_nanos', 'n', 1)} AS mean_err_nanos,
+           max_err_nanos
+    FROM agg JOIN bounds ON agg.dim = bounds.dim
+"""

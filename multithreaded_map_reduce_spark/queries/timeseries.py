@@ -2226,3 +2226,205 @@ ORACLES["timeseries_runs_test"] = f"""
            END AS z
     FROM agg
 """
+
+
+# --------------------------------------------- Hurst exponent (R/S)
+# Round 11: long-range-dependence diagnostic on daily event counts —
+# the memory/persistence readout none of the existing battery gives
+# (ACF sees fixed lags, Ljung–Box aggregates them; H says whether
+# shocks persist (H>0.5), mean-revert (H<0.5), or random-walk (0.5)).
+# Classical rescaled-range: for block sizes m ∈ {4,8,16}, partition
+# the day-indexed series into FULL blocks, per block compute the
+# range of mean-centered partial sums R and the population std S,
+# take log(R/S), average per m, and fit log(R/S) ~ H·log m.
+#
+# Exactness rail: everything up to the logs is INTEGER —
+# m·Z_j = m·cumsum_j − (j+1)·S_m, R·m = max − min of those,
+# (S·m)² = m·Σx² − S_m², and log(R/S) = ½·[ln((Rm)²) − ln((Sm)²)]
+# with both ln arguments exact integers (the ln-snap contract,
+# nano-units). Degenerate blocks (zero range or zero variance) are
+# excluded by contract. The per-m means and the 3-point OLS run in
+# doubles built from exact integers with identical formulas both
+# engines (the text_heaps_fit pattern), pround(6).
+#
+# Scale: the day spine is calendar-bounded (whitelisted window
+# class); blocks for all three m values come from ONE pass over it.
+
+HURST_BLOCKS = (4, 8, 16)
+
+
+def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx = ser.select(
+        (F.row_number().over(W.orderBy("day")) - 1).alias("i"), "x"
+    )
+    ms = spark.range(0).sparkSession.createDataFrame(
+        [(m,) for m in HURST_BLOCKS], "m long"
+    )
+    b = idx.crossJoin(F.broadcast(ms)).select(
+        "m", F.expr("i div m").alias("blk"), (F.col("i") % F.col("m")).alias("j"), "x"
+    )
+    wb = (
+        W.partitionBy("m", "blk")
+        .orderBy("j")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    per_row = b.select(
+        "m",
+        "blk",
+        "j",
+        "x",
+        F.sum("x").over(wb).alias("cum"),
+        F.count(F.lit(1)).over(W.partitionBy("m", "blk")).alias("cnt"),
+        F.sum("x").over(W.partitionBy("m", "blk")).alias("sm"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec))
+        .over(W.partitionBy("m", "blk"))
+        .alias("sxx"),
+    ).filter(F.col("cnt") == F.col("m"))
+    z = per_row.select(
+        "m",
+        "blk",
+        "sm",
+        "sxx",
+        (
+            F.col("m").cast(dec) * F.col("cum")
+            - (F.col("j") + 1).cast(dec) * F.col("sm")
+        ).alias("mz"),
+    )
+    blocks = z.groupBy("m", "blk").agg(
+        (F.max("mz") - F.min("mz")).alias("rm"),
+        (
+            F.first("m").cast(dec) * F.first("sxx")
+            - F.first("sm").cast(dec) * F.first("sm")
+        ).alias("sm2"),
+    ).filter((F.col("rm") > 0) & (F.col("sm2") > 0))
+    # keep y = ln((R/S)²) = 2·ln(R/S): no halving of a signed integer
+    # (truncating div vs floor div diverge on negative odds — the
+    # exactness-rail trap) — the factor 2 moves into the final slope
+    ln9 = lambda c: iunits(F.log(c.cast("double")), 9)  # noqa: E731
+    per_block = blocks.select(
+        "m",
+        (ln9(F.col("rm") * F.col("rm")) - ln9(F.col("sm2"))).alias(
+            "lnrs2_nanos"
+        ),
+    )
+    per_m = per_block.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("lnrs2_nanos").alias("sum_lnrs2_nanos"),
+    )
+    pts = per_m.select(
+        "m",
+        "n_blocks",
+        "sum_lnrs2_nanos",
+        ln9(F.col("m")).alias("x_nanos"),
+        (
+            F.col("sum_lnrs2_nanos").cast("double")
+            / F.col("n_blocks").cast("double")
+        ).alias("y_nanos"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x_nanos").cast("double")).alias("sx"),
+        F.sum("y_nanos").alias("sy"),
+        F.sum(F.col("x_nanos").cast("double") * F.col("y_nanos")).alias("sxy"),
+        F.sum(
+            F.col("x_nanos").cast("double") * F.col("x_nanos").cast("double")
+        ).alias("sxx"),
+    ).select(
+        pround(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.lit(2.0),  # y was 2·ln(R/S)
+            6,
+        ).alias("hurst_h")
+    )
+    return (
+        pts.select(
+            "m",
+            "n_blocks",
+            "sum_lnrs2_nanos",
+        )
+        .crossJoin(F.broadcast(fit))
+    )
+
+
+QUERIES["timeseries_hurst_rs"] = timeseries_hurst_rs
+
+from ..functions.rounding import sql_iunits as _sql_iu_hr  # noqa: E402
+
+_HR_LN9 = lambda e: _sql_iu_hr(f"ln(CAST(({e}) AS DOUBLE))", 9)  # noqa: E731
+
+ORACLES["timeseries_hurst_rs"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i, x
+        FROM ser
+    ), b AS (
+        SELECT m, i // m AS blk, i % m AS j, x
+        FROM idx, (SELECT unnest([{', '.join(str(m) for m in HURST_BLOCKS)}])
+                   AS m) ms
+    ), per_row AS (
+        SELECT m, blk, j, x,
+               CAST(sum(x) OVER (PARTITION BY m, blk ORDER BY j
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+               CAST(count(*) OVER (PARTITION BY m, blk) AS BIGINT) AS cnt,
+               CAST(sum(x) OVER (PARTITION BY m, blk) AS HUGEINT) AS sm,
+               CAST(sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY m, blk)
+                    AS HUGEINT) AS sxx
+        FROM b
+    ), z AS (
+        SELECT m, blk, sm, sxx,
+               CAST(m AS HUGEINT) * cum - (j + 1) * sm AS mz
+        FROM per_row WHERE cnt = m
+    ), blocks AS (
+        SELECT m, blk,
+               CAST(max(mz) - min(mz) AS HUGEINT) AS rm,
+               CAST(first(m) * first(sxx) - first(sm) * first(sm)
+                    AS HUGEINT) AS sm2
+        FROM z GROUP BY m, blk
+        HAVING CAST(max(mz) - min(mz) AS HUGEINT) > 0
+           AND CAST(first(m) * first(sxx) - first(sm) * first(sm)
+                    AS HUGEINT) > 0
+    ), per_block AS (
+        SELECT m,
+               CAST({_HR_LN9('rm * rm')} - {_HR_LN9('sm2')}
+                    AS BIGINT) AS lnrs2_nanos
+        FROM blocks
+    ), per_m AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(lnrs2_nanos) AS BIGINT) AS sum_lnrs2_nanos
+        FROM per_block GROUP BY m
+    ), pts AS (
+        SELECT m, n_blocks, sum_lnrs2_nanos,
+               CAST({_HR_LN9('m')} AS DOUBLE) AS xn,
+               CAST(sum_lnrs2_nanos AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                   AS yn
+        FROM per_m
+    ), fit AS (
+        SELECT {sql_pround(
+            '(count(*) * sum(xn * yn) - sum(xn) * sum(yn))'
+            ' / (count(*) * sum(xn * xn) - sum(xn) * sum(xn)) / 2.0', 6)}
+            AS hurst_h
+        FROM pts
+    )
+    SELECT m, n_blocks, sum_lnrs2_nanos, hurst_h
+    FROM pts CROSS JOIN fit
+"""

@@ -768,3 +768,31 @@ def test_quantile_router_bands_partition_stream(spark):
     # quartile-ish masses: band0 ~25%, band3 ~10% (exact cut semantics)
     assert abs(bands.get(0, 0) - n * 0.25) <= max(3, n * 0.05)
     assert abs(bands.get(3, 0) - n * 0.10) <= max(3, n * 0.05)
+
+
+def test_hurst_block_accounting(spark):
+    rows = _q("timeseries_hurst_rs")(spark, SF_SMOKE).collect()
+    assert {r.m for r in rows} <= {4, 8, 16}
+    h = {r.hurst_h for r in rows}
+    assert len(h) == 1  # one fitted exponent broadcast to all rows
+    for r in rows:
+        assert r.n_blocks >= 1
+    # block counts shrink as m grows
+    by_m = sorted((r.m, r.n_blocks) for r in rows)
+    for (m1, b1), (m2, b2) in zip(by_m, by_m[1:]):
+        assert b1 >= b2
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    rows = _q("embedding_quantize_int8")(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.lo_val <= r.hi_val
+        assert 0 <= r.sum_codes <= 255 * r.n
+        # max SQ8 reconstruction error is half a quantization step
+        if r.hi_val > r.lo_val:
+            step = (r.hi_val - r.lo_val) / 255.0
+            assert r.max_err_nanos <= step / 2 * 1e9 + 1
+        else:
+            assert r.max_err_nanos == 0
+        assert 0 <= r.mean_err_nanos <= r.max_err_nanos
