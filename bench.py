@@ -265,6 +265,11 @@ HEADLINE = [
     # round-11 batch 6: Hurst R/S, int8 quantization audit
     "timeseries_hurst_rs",
     "embedding_quantize_int8",
+    # round-11 batch 7: shape moments, readability.
+    # (quality_brier_score excluded: same train-once logreg scoring
+    # scan as quality_logreg_mcc already timed, plus one aggregate.)
+    "stats_skewness_kurtosis",
+    "text_readability",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -290,6 +290,10 @@ _NEW_THIS_ROUND: list[str] = [
     # round 11 batch 6 — long-range dependence, SQ8 serving audit:
     "timeseries_hurst_rs",
     "embedding_quantize_int8",
+    # round 11 batch 7 — higher moments, proper scoring, readability:
+    "stats_skewness_kurtosis",
+    "quality_brier_score",
+    "text_readability",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -783,3 +783,112 @@ ORACLES["stats_lorenz_topshare"] = f"""
            {_sql_rud_lz('top_cents', 'total_cents')} AS share_micros
     FROM blocks
 """
+
+
+# ------------------------------------- exact skewness / excess kurtosis
+# Round 11: the third/fourth-moment completion of stats_covar's
+# second-moment rail — shape diagnostics per return flag on price
+# cents: a curation/monitoring pass reads g1 (asymmetry) and g2
+# (tail weight vs normal) before trusting mean±σ rules. Raw moments
+# Σx..Σx⁴ accumulate as EXACT DECIMAL(38,0) integers (order-free at
+# any parallelism; cents⁴ ≈ 10²⁸ × fixture rows stays far inside
+# 10³⁸ — at extreme volumes rescale cents to whole units, the MI
+# ln-ceiling convention); the central-moment closed forms
+#   n²·m2 = n·Σx² − S²
+#   n³·m3 = n²·Σx³ − 3n·S·Σx² + 2S³
+#   n⁴·m4 = n³·Σx⁴ − 4n²·S·Σx³ + 6n·S²·Σx² − 3S⁴
+# are exact integer combinations, and only the final
+# are exact integer combinations whose n-powers CANCEL in the
+# normalized shapes — g1 = (n³m3)/(n²m2)^(3/2), g2 = (n⁴m4)/(n²m2)² − 3
+# exactly — so those two expressions spend one double conversion per
+# exact factor under pround.
+
+
+def stats_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("x")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).alias("s1"),
+        F.sum((d(F.col("x")) * F.col("x")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(
+            (d(F.col("x")) * F.col("x") * F.col("x")).cast("decimal(38,0)")
+        ).alias("s3"),
+        F.sum(
+            (
+                d(F.col("x")) * F.col("x") * F.col("x") * F.col("x")
+            ).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    # population central moments scaled by powers of n (exact forms)
+    m2n2 = n * s2 - s1 * s1                       # n²·m2
+    m3n3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1  # n³·m3
+    m4n4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    )  # n⁴·m4
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.col("s1").cast("long").alias("sum_cents"),
+        pround(
+            m3n3 / F.sqrt(m2n2 * m2n2 * m2n2), 6
+        ).alias("skewness"),
+        pround(m4n4 / (m2n2 * m2n2) - F.lit(3.0), 6).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+QUERIES["stats_skewness_kurtosis"] = stats_skewness_kurtosis
+
+ORACLES["stats_skewness_kurtosis"] = f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+               CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+               CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+        FROM (SELECT l_returnflag, {sql_iunits('l_extendedprice', 2)} AS x
+              FROM lineitem)
+        GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(s1 AS BIGINT) AS sum_cents,
+           {sql_pround(
+               '(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)'
+               '    - 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '    + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+               ' / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+               '        * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+               '        * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))', 6)}
+               AS skewness,
+           {sql_pround(
+               '(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)'
+               '      * CAST(s4 AS DOUBLE)'
+               '    - 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)'
+               '      * CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)'
+               '    + 6 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)'
+               '      * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '    - 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)'
+               '      * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+               ' / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+               '    * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+               '       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) - 3.0', 6)}
+               AS excess_kurtosis
+    FROM m
+"""

@@ -4408,3 +4408,160 @@ ORACLES["quality_mcnemar"] = f"""
 ORACLES["quality_mcnemar"] = ORACLES["quality_mcnemar"].replace(
     "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
 )
+
+
+# ----------------------------------------------- Brier proper score
+# Round 11: the PROPER scoring rule over the distilled quality
+# classifier — quality_logreg_calibration bins reliability, AUC ranks,
+# MCC/F1 threshold; Brier = mean((p − y)²) is the single
+# decomposition-friendly scalar that punishes both miscalibration and
+# noise, reported next to its climatology reference p̄(1−p̄) (a model
+# worse than the base rate is instantly visible). Exact rail: p is
+# the nano-snapped score (the logreg_pr contract), so every term
+# (p_units − y·1e9)² is an exact widened integer; Brier·1e9 and the
+# reference are half-up integer rationals. One scored scan, one
+# aggregate.
+
+
+def quality_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        "keep", iunits(_lr_p(_lr_z()), 9).alias("p_units")
+    )
+    dec = "decimal(38,0)"
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+        F.sum(
+            (
+                (F.col("p_units") - F.col("keep") * F.lit(1_000_000_000)).cast(dec)
+                * (F.col("p_units") - F.col("keep") * F.lit(1_000_000_000))
+            ).cast(dec)
+        ).alias("sum_sq"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_keep",
+        ratio_units_dec(
+            "sum_sq", "CAST(n_docs AS DECIMAL(38,0)) * 1000000000", 1
+        ).alias("brier_nanos"),
+        ratio_units_dec(
+            "CAST(n_keep AS DECIMAL(38,0)) * (n_docs - n_keep)"
+            " * 1000000000",
+            "CAST(n_docs AS DECIMAL(38,0)) * n_docs",
+            1,
+        ).alias("climatology_nanos"),
+    )
+
+
+QUERIES["quality_brier_score"] = quality_brier_score
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_br  # noqa: E402
+
+ORACLES["quality_brier_score"] = f"""
+    WITH perdoc AS ({{_PD}}),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               CAST(sum(CAST(score_units - keep * 1000000000 AS HUGEINT)
+                        * (score_units - keep * 1000000000)) AS HUGEINT)
+                   AS sum_sq
+        FROM perdoc
+    )
+    SELECT n_docs, n_keep,
+           {_sql_rud_br('sum_sq', 'CAST(n_docs AS HUGEINT) * 1000000000', 1)}
+               AS brier_nanos,
+           {_sql_rud_br(
+               'CAST(n_keep AS HUGEINT) * (n_docs - n_keep) * 1000000000',
+               'CAST(n_docs AS HUGEINT) * n_docs', 1)}
+               AS climatology_nanos
+    FROM agg
+"""
+
+ORACLES["quality_brier_score"] = ORACLES["quality_brier_score"].replace(
+    "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
+)
+
+
+# ------------------------------------------------ readability profile
+# Round 11: Flesch–Kincaid-style readability per language — the
+# curation signal between gopher_rules (hard gates) and quality_logreg
+# (learned): word/sentence/syllable rates with the classic grade
+# formula. Deterministic proxies both engines share bit-for-bit:
+# sentences = count of maximal [.!?]+ runs (floored at 1 per doc),
+# syllables = count of maximal [aeiouy]+ runs in the lowercased text
+# (the standard vowel-run estimator), words = the engine's tokenize
+# contract. Counts are exact integers; the per-language rates are
+# half-up micros rationals; only the final grade spends doubles from
+# exact factors under pround. One scan, one aggregate, zero windows.
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(tokenize(F.col("text"))).cast("long").alias("w"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_sentences"),
+        F.sum("y").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        ratio_units_dec("n_words", "n_sentences").alias("wps_micros"),
+        ratio_units_dec("n_syllables", "n_words").alias("spw_micros"),
+        pround(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+QUERIES["text_readability"] = text_readability
+
+ORACLES["text_readability"] = f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ), agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(s) AS BIGINT) AS n_sentences,
+               CAST(sum(y) AS BIGINT) AS n_syllables
+        FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+           {_sql_rud_br('n_words', 'n_sentences')} AS wps_micros,
+           {_sql_rud_br('n_syllables', 'n_words')} AS spw_micros,
+           {sql_pround(
+               '0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))'
+               ' + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))'
+               ' - 15.59', 6)} AS fk_grade
+    FROM agg
+"""

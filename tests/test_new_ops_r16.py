@@ -796,3 +796,70 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
         else:
             assert r.max_err_nanos == 0
         assert 0 <= r.mean_err_nanos <= r.max_err_nanos
+
+
+def test_skewness_kurtosis_sanity(spark):
+    rows = _q("stats_skewness_kurtosis")(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # prices are right-skewed-ish but bounded; sane ranges
+        assert -10 < r.skewness < 10
+        assert -3 <= r.excess_kurtosis < 50
+
+
+def test_skewness_matches_python(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.queries.relational import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", iunits(F.col("l_extendedprice"), 2).alias("x")
+    ).collect()
+    import collections
+
+    by = collections.defaultdict(list)
+    for r in li:
+        by[r.l_returnflag].append(r.x)
+    got = {r.l_returnflag: r for r in _q("stats_skewness_kurtosis")(spark, SF_SMOKE).collect()}
+    for flag, xs in by.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((v - mu) ** 2 for v in xs) / n
+        m3 = sum((v - mu) ** 3 for v in xs) / n
+        m4 = sum((v - mu) ** 4 for v in xs) / n
+        assert abs(got[flag].skewness - m3 / m2**1.5) < 1e-3
+        assert abs(got[flag].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-3
+
+
+def test_brier_between_zero_and_quarter_ish(spark):
+    r = _q("quality_brier_score")(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.brier_nanos <= 1_000_000_000
+    assert 0 <= r.climatology_nanos <= 250_000_000
+    # the trained model must beat a coin at least on the fixture
+    assert r.brier_nanos < 500_000_000
+
+
+def test_readability_counts_known_text(spark):
+    from multithreaded_map_reduce_spark.queries.textstats import QUERIES as _TQ
+
+    del _TQ
+    df = spark.createDataFrame(
+        [("en", "Hi there. How are you?! ok")], "lang string, text string"
+    )
+    per = df.select(
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).alias("y"),
+    ).collect()[0]
+    assert per.s == 2
+    # vowel runs: i, e+e, o, a+e, ou, o -> count maximal runs
+    assert per.y == len(
+        __import__("re").findall(r"[aeiouy]+", "hi there. how are you?! ok")
+    )
+
+
+def test_readability_rates_consistent(spark):
+    for r in _q("text_readability")(spark, SF_SMOKE).collect():
+        assert r.n_sentences >= r.n_docs  # >= 1 per doc
+        assert r.n_syllables >= 1
+        assert r.wps_micros >= 1_000_000  # at least one word per sentence
