@@ -270,6 +270,9 @@ HEADLINE = [
     # scan as quality_logreg_mcc already timed, plus one aggregate.)
     "stats_skewness_kurtosis",
     "text_readability",
+    # round-11 batch 8: Pareto skyline, 1-bit minhash audit
+    "curation_quality_pareto",
+    "dedup_minhash_bbit",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

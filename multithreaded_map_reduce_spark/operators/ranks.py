@@ -79,6 +79,7 @@ def with_global_order(
     sums: dict[str, Column] | None = None,
     row_number: str | None = None,
     group: list[str] | None = None,
+    mins: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Append exact global-order columns without a global sort.
 
@@ -102,6 +103,7 @@ def with_global_order(
     relation is ever sorted in a single task.
     """
     sums = sums or {}
+    mins = mins or {}
     group = group or []
     bnames = [_B.format(i=i) for i in range(len(buckets))]
     base = df
@@ -111,6 +113,7 @@ def with_global_order(
     per_bucket = base.groupBy(*group, *bnames).agg(
         F.count(F.lit(1)).alias(_CNT),
         *[F.sum(c).alias(f"__rk_s_{n}") for n, c in sums.items()],
+        *[F.min(c).alias(f"__rk_m_{n}") for n, c in mins.items()],
     )
     # The ONLY unpartitioned-within-group window: #buckets rows per
     # group (dial-bounded, not data-grain — the whitelisted class in
@@ -131,6 +134,9 @@ def with_global_order(
             ).alias(f"__rk_off_{n}")
             for n in sums
         ],
+        # min offsets may stay NULL for the first bucket (identity of
+        # min) — F.least-with-null below treats NULL as +∞
+        *[F.min(f"__rk_m_{n}").over(wb).alias(f"__rk_moff_{n}") for n in mins],
     )
     out = base.join(F.broadcast(off), [*group, *bnames])
     wl = W.partitionBy(*group, *bnames).orderBy(*order)
@@ -142,7 +148,20 @@ def with_global_order(
         )
     for n, c in sums.items():
         out = out.withColumn(n, F.sum(c).over(wcum) + F.col(f"__rk_off_{n}"))
-    return out.drop(*bnames, _OFF_CNT, *[f"__rk_off_{n}" for n in sums])
+    for n, c in mins.items():
+        local = F.min(c).over(wcum)
+        out = out.withColumn(
+            n,
+            F.when(
+                F.col(f"__rk_moff_{n}").isNull(), local
+            ).otherwise(F.least(local, F.col(f"__rk_moff_{n}"))),
+        )
+    return out.drop(
+        *bnames,
+        _OFF_CNT,
+        *[f"__rk_off_{n}" for n in sums],
+        *[f"__rk_moff_{n}" for n in mins],
+    )
 
 
 def sql_ntile_from_rn(rn: str, n: str, k: int) -> str:

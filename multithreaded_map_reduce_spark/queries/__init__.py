@@ -294,6 +294,10 @@ _NEW_THIS_ROUND: list[str] = [
     "stats_skewness_kurtosis",
     "quality_brier_score",
     "text_readability",
+    # round 11 batch 8 — curation skyline on the rail, sketch
+    # compression audit:
+    "curation_quality_pareto",
+    "dedup_minhash_bbit",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

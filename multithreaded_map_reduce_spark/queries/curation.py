@@ -2490,3 +2490,97 @@ ORACLES["curation_temperature_mixture"] = f"""
            END AS boost_micros
     FROM shares
 """
+
+
+# --------------------------------------- quality/length Pareto frontier
+# Round 11: the curation skyline — "the highest-quality document at
+# every length budget": a doc is ON the frontier iff no other doc is
+# STRICTLY better on both axes (higher distilled-classifier score AND
+# fewer tokens; the both-strict dominance contract keeps ties
+# symmetric). Selection passes use the frontier as the spend-anything
+# anchor set before mixing.
+#
+# Scale shape: dominance collapses to SCORE GRAIN — P(s) = min tokens
+# over all scores > s — so the per-doc check is one broadcast-join
+# compare against the exclusive descending prefix-min of per-score
+# minima. Scores are near-unique (nano-snapped logreg outputs), so
+# the score-grain relation is data-grain: the prefix-min rides the
+# distributed rail (operators/ranks.py `mins` support, added this
+# round) — bucketed score slices, local cummins, one bucket-grain
+# stitch — and the exclusive shift is a row_number self-join at score
+# grain, never a single-task sort.
+
+
+def curation_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+    from ..operators.ranks import range_bucket, with_global_order
+    from .textstats import (
+        _lr_apply_stats,
+        _lr_features,
+        _lr_p,
+        _lr_stats,
+        _lr_trained_weights,
+        _lr_z,
+    )
+    from ..functions.rounding import iunits
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _lr_features(docs, extra=("doc_id",))
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    scored = (
+        zfeat.crossJoin(F.broadcast(w))
+        .select("doc_id", iunits(_lr_p(_lr_z()), 9).alias("score_units"))
+        .join(toks, "doc_id")
+    )
+    sg = scored.groupBy("score_units").agg(F.min("n_tokens").alias("mt"))
+    bounds = sg.agg(
+        F.min("score_units").alias("lo"), F.max("score_units").alias("hi")
+    )
+    ranked = with_global_order(
+        sg.crossJoin(F.broadcast(bounds)),
+        buckets=[
+            -range_bucket(F.col("score_units"), F.col("lo"), F.col("hi"))
+        ],
+        order=[F.desc("score_units")],
+        mins={"icm": F.col("mt")},
+        row_number="rn",
+    ).select("score_units", "rn", "icm")
+    prev = ranked.select(
+        (F.col("rn") + 1).alias("rn"), F.col("icm").alias("excl_min")
+    )
+    pfx = ranked.join(prev, "rn", "left").select("score_units", "excl_min")
+    out = scored.join(pfx, "score_units").filter(
+        F.col("excl_min").isNull()
+        | (F.col("n_tokens") <= F.col("excl_min"))
+    )
+    return out.select("doc_id", "score_units", "n_tokens")
+
+
+QUERIES["curation_quality_pareto"] = curation_quality_pareto
+
+from ..functions.hashing import sql_tokens as _sql_tok_qp  # noqa: E402
+from .textstats import _sql_logreg as _sql_lr_qp  # noqa: E402
+
+ORACLES["curation_quality_pareto"] = f"""
+    WITH perdoc AS ({{_PD}}),
+    d AS (
+        SELECT p.doc_id, p.score_units,
+               CAST(len({_sql_tok_qp('documents.text')}) AS BIGINT)
+                   AS n_tokens
+        FROM perdoc p JOIN documents ON p.doc_id = documents.doc_id
+    )
+    SELECT doc_id, score_units, n_tokens
+    FROM d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d o
+        WHERE o.score_units > d.score_units AND o.n_tokens < d.n_tokens
+    )
+"""
+
+ORACLES["curation_quality_pareto"] = ORACLES["curation_quality_pareto"].replace(
+    "{_PD}", _sql_lr_qp(mode="per_doc", score_where="TRUE")
+)

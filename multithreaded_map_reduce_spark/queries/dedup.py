@@ -1594,3 +1594,123 @@ def _banding_sweep_oracle() -> str:
 
 
 ORACLES["dedup_banding_sweep"] = _banding_sweep_oracle()
+
+
+# ------------------------------------------------- b-bit minhash (b=1)
+# Round 11: Li & König 2010 — store only the LOWEST BIT of each
+# minhash permutation (32× smaller sketches; the storage mode that
+# makes billion-doc signature tables fit an index tier) and estimate
+# Jaccard with the b=1 correction Ĵ ≈ 2·E − 1 (E = matching-bit
+# fraction; the r→0 form of their C-correction, the standard sparse-
+# shingle regime). This query AUDITS the compression on the real LSH
+# candidate pairs: per pair, the full-width estimate, the 1-bit
+# estimate (clamped at 0 — 2E−1 goes negative for unrelated pairs by
+# design), and the exact Jaccard, summarized as mean absolute errors
+# side by side — the number that decides whether the serving tier can
+# afford 1-bit sketches. Integer rail throughout: bit matches are
+# exact counts, estimates are half-up micros rationals on the shared
+# shingle artifact (duplicate-insensitive, localCheckpoint-backed).
+
+
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+    from ..operators.dedup import (
+        candidates_from_signatures,
+        minhash_signatures_agg,
+    )
+
+    rows_rel = _shared_shingle_rows(spark, sf_dir)
+    sigs = minhash_signatures_agg(rows_rel, num=32)
+    cand = candidates_from_signatures(sigs, 8, 4, 100)
+    hashed = rows_rel.groupBy("id").agg(F.collect_set("h").alias("hashes"))
+    side = sigs.join(hashed, "id")
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("hashes").alias("h_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("hashes").alias("h_b"),
+    )
+    full_m = (
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    bit_m = (
+        "aggregate(zip_with(sig_a, sig_b,"
+        " (x, y) -> CAST((x % 2) = (y % 2) AS INT)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    inter = "size(array_intersect(h_a, h_b))"
+    uni = f"size(h_a) + size(h_b) - {inter}"
+    per = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            ratio_units(full_m, "32").alias("full_micros"),
+            # Ĵ₁ = max(0, 2·E − 1) in micros: 2·(bit_m/32) − 1
+            F.greatest(
+                F.lit(2) * ratio_units(bit_m, "32") - F.lit(1_000_000),
+                F.lit(0),
+            ).alias("bbit_micros"),
+            ratio_units(inter, uni).alias("exact_micros"),
+        )
+        .select(
+            F.abs(F.col("full_micros") - F.col("exact_micros")).alias("ef"),
+            F.abs(F.col("bbit_micros") - F.col("exact_micros")).alias("eb"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        ratio_units("sum(ef)", "count(*)", 1).alias("full_mean_err_micros"),
+        ratio_units("sum(eb)", "count(*)", 1).alias("bbit_mean_err_micros"),
+        F.max("eb").alias("bbit_max_err_micros"),
+    )
+
+
+QUERIES["dedup_minhash_bbit"] = dedup_minhash_bbit
+
+ORACLES["dedup_minhash_bbit"] = f"""
+    WITH {_MH_CTES}, per AS (
+        SELECT
+            abs(
+              (2 * 1000000 * CAST(len(list_filter(
+                   list_transform(range(1, 33),
+                       i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END),
+                   v -> v = 1)) AS BIGINT) + 32) // (2 * 32)
+              -
+              (2 * 1000000 * CAST(len(list_intersect(a.hashes, b.hashes)) AS BIGINT)
+                 + CAST(len(a.hashes) + len(b.hashes)
+                        - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+              // (2 * CAST(len(a.hashes) + len(b.hashes)
+                        - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+            ) AS ef,
+            abs(
+              greatest(
+                2 * ((2 * 1000000 * CAST(len(list_filter(
+                     list_transform(range(1, 33),
+                         i -> CASE WHEN (a.sig[i] % 2) = (b.sig[i] % 2)
+                              THEN 1 ELSE 0 END),
+                     v -> v = 1)) AS BIGINT) + 32) // (2 * 32)) - 1000000,
+                0)
+              -
+              (2 * 1000000 * CAST(len(list_intersect(a.hashes, b.hashes)) AS BIGINT)
+                 + CAST(len(a.hashes) + len(b.hashes)
+                        - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+              // (2 * CAST(len(a.hashes) + len(b.hashes)
+                        - len(list_intersect(a.hashes, b.hashes)) AS BIGINT))
+            ) AS eb
+        FROM cand
+        JOIN sigs a ON cand.id_a = a.id
+        JOIN sigs b ON cand.id_b = b.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2 * 1 * CAST(sum(ef) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT) AS full_mean_err_micros,
+           CAST((2 * 1 * CAST(sum(eb) AS BIGINT) + count(*))
+                // (2 * count(*)) AS BIGINT) AS bbit_mean_err_micros,
+           CAST(max(eb) AS BIGINT) AS bbit_max_err_micros
+    FROM per
+"""

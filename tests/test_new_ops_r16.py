@@ -863,3 +863,47 @@ def test_readability_rates_consistent(spark):
         assert r.n_sentences >= r.n_docs  # >= 1 per doc
         assert r.n_syllables >= 1
         assert r.wps_micros >= 1_000_000  # at least one word per sentence
+
+
+def test_rail_mins_matches_global_window(spark):
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        with_global_order,
+    )
+
+    rng = random.Random(17)
+    rows = [(rng.randint(0, 10**6), rng.randint(0, 999)) for _ in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    ref = df.select(
+        "k",
+        "v",
+        F.min("v")
+        .over(W.orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cm"),
+    )
+    b = df.agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    got = with_global_order(
+        df.crossJoin(F.broadcast(b)),
+        buckets=[range_bucket(F.col("k"), F.col("lo"), F.col("hi"), 16)],
+        order=[F.asc("k")],
+        mins={"cm": F.col("v")},
+    ).select("k", "v", "cm")
+    assert sorted(ref.collect()) == sorted(got.collect())
+
+
+def test_pareto_frontier_is_exact_skyline(spark):
+    rows = _q("curation_quality_pareto")(spark, SF_SMOKE).collect()
+    assert rows
+    pts = [(r.score_units, r.n_tokens) for r in rows]
+    # no frontier point strictly dominates another
+    for s1, t1 in pts:
+        for s2, t2 in pts:
+            assert not (s2 > s1 and t2 < t1) or (s1, t1) == (s2, t2)
+
+
+def test_bbit_errors_dominate_full_width(spark):
+    r = _q("dedup_minhash_bbit")(spark, SF_SMOKE).collect()[0]
+    assert r.n_pairs > 0
+    # 1-bit sketches cannot beat full-width on average
+    assert r.bbit_mean_err_micros >= r.full_mean_err_micros
+    assert 0 <= r.bbit_max_err_micros <= 1_000_000
