@@ -273,6 +273,8 @@ HEADLINE = [
     # round-11 batch 8: Pareto skyline, 1-bit minhash audit
     "curation_quality_pareto",
     "dedup_minhash_bbit",
+    # round-11 batch 9: online SPC alerting
+    "streaming_spc_alert",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -298,6 +298,8 @@ _NEW_THIS_ROUND: list[str] = [
     # compression audit:
     "curation_quality_pareto",
     "dedup_minhash_bbit",
+    # round 11 batch 9 — the SPC chart's alerting tier:
+    "streaming_spc_alert",
 ]
 
 # Changed since their last green driver row. r4 verified linkage_customers;

@@ -1761,3 +1761,81 @@ ORACLES["streaming_quantile_router"] = f"""
     FROM p CROSS JOIN thr
     GROUP BY 1
 """
+
+
+# ---------------------------------------------- streaming SPC alerts
+# Round 11: events_spc_chart moved to the ONLINE tier — the process
+# parameters (Σ events N, Σ purchases X over the batch history) pin
+# as a broadcast 1-row static relation, and each day closing in the
+# stream raises its out-of-control flag by the same EXACT
+# cross-multiplied binomial inequality (xN − Xn)² > 9X(N−X)n — the
+# alerting shape: bounded per-day aggregation state, no doubles in
+# the decision, alerts joinable downstream. Batch-replay oracle.
+
+
+def streaming_spc_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_stream_to_memory, stream_events
+    from .relational import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("xx"),
+    )
+    from ..functions.time import epoch_micros
+
+    stream = stream_events(spark, sf_dir)
+    daily = (
+        stream.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_p").alias("x"))
+    )
+    dec = "decimal(38,0)"
+    j = daily.join(F.broadcast(tot))
+    dev = (
+        F.col("x").cast(dec) * F.col("nn") - F.col("xx").cast(dec) * F.col("n")
+    )
+    out = j.select(
+        "day",
+        "n",
+        "x",
+        (
+            dev * dev
+            > F.lit(9).cast(dec)
+            * F.col("xx")
+            * (F.col("nn") - F.col("xx")).cast(dec)
+            * F.col("n")
+        )
+        .cast("int")
+        .alias("out_of_control"),
+    )
+    name = _sink("st_spc")
+    run_stream_to_memory(out, name)
+    return spark.table(name)
+
+
+QUERIES["streaming_spc_alert"] = streaming_spc_alert
+
+ORACLES["streaming_spc_alert"] = """
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS xx
+        FROM daily
+    )
+    SELECT day, n, x,
+           CAST((CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                * (CAST(x AS HUGEINT) * nn - CAST(xx AS HUGEINT) * n)
+                > 9 * CAST(xx AS HUGEINT) * (nn - xx) * n
+                AS INTEGER) AS out_of_control
+    FROM daily CROSS JOIN tot
+"""

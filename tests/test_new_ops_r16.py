@@ -907,3 +907,9 @@ def test_bbit_errors_dominate_full_width(spark):
     # 1-bit sketches cannot beat full-width on average
     assert r.bbit_mean_err_micros >= r.full_mean_err_micros
     assert 0 <= r.bbit_max_err_micros <= 1_000_000
+
+
+def test_streaming_spc_matches_batch_chart(spark):
+    st = {r.day: r.out_of_control for r in _q("streaming_spc_alert")(spark, SF_SMOKE).collect()}
+    bt = {r.day: r.out_of_control for r in _q("events_spc_chart")(spark, SF_SMOKE).collect()}
+    assert st == bt
