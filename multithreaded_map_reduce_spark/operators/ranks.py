@@ -96,7 +96,10 @@ def with_global_order(
 
     ``group``: optional partition columns — the total order (and every
     appended column) restarts per group; the stitch window partitions
-    by the group, so it stays bucket-grain per group.
+    by the group, so it stays bucket-grain per group. ``mins``:
+    name → column, appended as the INCLUSIVE prefix MIN under the
+    total order (same stitch mechanics as ``sums``; NULL offsets from
+    the first bucket act as +∞).
 
     Shapes: one hash partition per bucket for the local windows, one
     #buckets-row stitch window, one broadcast join. No data-grain

@@ -57,10 +57,11 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "lists (ANNP/k dial)",
     ),
     "queries/timeseries.py": (
-        7,
+        8,
         "calendar-grain: day-axis cumulative/row_number windows on "
-        "groupBy(day) relations (incl. the runs-test sign walk); the "
-        "`b` window runs over the bounded seasonal-block axis",
+        "groupBy(day) relations (incl. the runs-test sign walk and "
+        "hurst's day-index stamp); the `b` window runs over the "
+        "bounded seasonal-block axis",
     ),
     "queries/textstats.py": (
         7,
