@@ -1557,6 +1557,12 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("monetary_cents"),
         )
     )
+    # materialize the user-grain aggregate ONCE (localCheckpoint —
+    # CacheManager-free): three rail passes each reference it for
+    # their main relation AND their bucket aggregate, so without this
+    # the events scan+groupBy would re-plan ~6x (the r11 bench caught
+    # exactly that as a 6x warm regression)
+    per = per.localCheckpoint(eager=False)
     bounds = per.agg(
         F.min("user_id").alias("lo_u"),
         F.max("user_id").alias("hi_u"),

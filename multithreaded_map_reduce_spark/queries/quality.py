@@ -1242,7 +1242,10 @@ def quality_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("x"),
         F.size(tokenize(F.col("text"))).cast("long").alias("y"),
     )
-    pairs = per.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m"))
+    # the distinct-pair artifact feeds BOTH rank maps and the final
+    # join — materialize once (CacheManager-free) so the tokenize scan
+    # doesn't re-plan three times
+    pairs = per.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(eager=False)
 
     def _rank_map(col: str, out: str) -> DataFrame:
         cnt = pairs.groupBy(col).agg(F.sum("m").alias("t"))
@@ -2295,6 +2298,8 @@ def quality_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("g").orderBy("y").rowsBetween(W.unboundedPreceding, -1)
     )
     dec = "decimal(38,0)"
+    # value-grain artifact consumed twice (the s2 aggregate and the
+    # row-side broadcast) — materialize once, CacheManager-free
     ymap = ycnt.select(
         "g",
         "y",
@@ -2308,7 +2313,7 @@ def quality_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("c_less") + F.col("t")).alias("r"),
         (F.col("n") - F.col("c_less")).alias("l"),
-    )
+    ).localCheckpoint(eager=False)
     vg = ymap.groupBy("g").agg(
         F.max("n").alias("n"),
         F.sum((F.col("t").cast(dec) * F.col("l") * (F.col("n") - F.col("l"))).cast(dec)).alias("s2"),
@@ -2337,31 +2342,43 @@ def quality_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordk = [F.col("tb"), F.col("l_orderkey"), F.col("l_linenumber"), F.col("y")]
     wloc = W.partitionBy("g", "x", "tbb").orderBy(*ordk)
-    local = rows.select(
-        "g",
-        F.abs(F.col("r") - F.lag("r").over(wloc)).alias("dr"),
-    ).groupBy("g").agg(F.sum(F.col("dr").cast(dec)).alias("s1_local"))
-    bnd = rows.groupBy("g", "x", "tbb").agg(
-        F.min_by("r", F.struct(*ordk)).alias("first_r"),
-        F.max_by("r", F.struct(*ordk)).alias("last_r"),
+    # SINGLE row-grain pass: the within-bucket lag sum AND the bucket
+    # boundary endpoints come out of one window + one aggregate (the
+    # r11 bench caught the two-consumer form re-scanning lineitem)
+    bnd = (
+        rows.select(
+            "g",
+            "x",
+            "tbb",
+            "r",
+            *ordk,
+            F.abs(F.col("r") - F.lag("r").over(wloc)).alias("dr"),
+        )
+        .groupBy("g", "x", "tbb")
+        .agg(
+            F.sum(F.col("dr").cast(dec)).alias("s1_local"),
+            F.min_by("r", F.struct(*ordk)).alias("first_r"),
+            F.max_by("r", F.struct(*ordk)).alias("last_r"),
+        )
     )
     wb = W.partitionBy("g").orderBy("x", "tbb")
     stitch = bnd.select(
         "g",
-        F.abs(F.col("first_r") - F.lag("last_r").over(wb)).alias("dr"),
-    ).groupBy("g").agg(F.sum(F.col("dr").cast(dec)).alias("s1_bnd"))
-    agg = (
-        vg.join(local, "g", "left")
-        .join(stitch, "g", "left")
-        .select(
-            "g",
-            "n",
-            "s2",
-            (
-                F.coalesce(F.col("s1_local"), F.lit(0).cast(dec))
-                + F.coalesce(F.col("s1_bnd"), F.lit(0).cast(dec))
-            ).alias("s1"),
-        )
+        "s1_local",
+        F.abs(F.col("first_r") - F.lag("last_r").over(wb))
+        .cast(dec)
+        .alias("dr_bnd"),
+    ).groupBy("g").agg(
+        (
+            F.coalesce(F.sum("s1_local"), F.lit(0).cast(dec))
+            + F.coalesce(F.sum("dr_bnd"), F.lit(0).cast(dec))
+        ).alias("s1")
+    )
+    agg = vg.join(stitch, "g", "left").select(
+        "g",
+        "n",
+        "s2",
+        F.coalesce(F.col("s1"), F.lit(0).cast(dec)).alias("s1"),
     )
     return agg.select(
         F.col("g").alias("l_returnflag"),
