@@ -5,9 +5,9 @@ Global-order statistics — ``row_number`` over a total order, running
 Spark form ``W.orderBy(key)`` with no ``partitionBy`` plans as a
 SINGLE-TASK global sort: correct at sf0.1, a scale-killer at 100 TB
 (the whole relation funnels through one window task). The reference
-engine never faces this (its two programs are per-key reduces,
-``/root/reference/src/worker.cpp``); this repo's rank-statistic
-family does.
+engine never faces this (its two programs are per-key reduces —
+the reducer loop in ``/root/reference/include/MapReduceMaster.h``,
+~lines 544-556); this repo's rank-statistic family does.
 
 The scale-safe equivalent implemented here is the classic distributed
 rank / prefix-sum decomposition (the shape external-sort engines use
@@ -63,11 +63,20 @@ def range_bucket(
     Column, so the bounds come from a 1-row aggregate broadcast, not
     a driver collect. Degenerate ``lo == hi`` relations land in one
     bucket (still correct: the local window covers everything).
+
+    The upper bound is ``max(hi + 1, hi + |hi|·1e-9)``: the absolute
+    +1 alone is absorbed by IEEE rounding once |hi| ≥ 2^53, which
+    with ``lo == hi`` would make the width_bucket bounds equal →
+    NULL buckets → rows silently dropped by the rail's equi-join
+    (ADVICE r11). The relative bump survives rounding at any finite
+    magnitude (1e-9 ≫ the 2^-52 relative ulp) and leaves the bound —
+    and therefore every bucket assignment — unchanged for |hi| < 1e9.
     """
+    hid = hi.cast("double")
     return F.width_bucket(
         col.cast("double"),
         lo.cast("double"),
-        (hi.cast("double") + F.lit(1.0)),
+        F.greatest(hid + F.lit(1.0), hid + F.abs(hid) * F.lit(1e-9)),
         F.lit(n_buckets),
     ).cast("int")
 
@@ -104,6 +113,12 @@ def with_global_order(
     Shapes: one hash partition per bucket for the local windows, one
     #buckets-row stitch window, one broadcast join. No data-grain
     relation is ever sorted in a single task.
+
+    Caller contract: bucket expressions must be NON-NULL for every
+    row — the offset join is a plain equi-join, so a NULL bucket
+    (e.g. a NULL sort key reaching ``range_bucket``) would silently
+    drop the row from the output instead of ranking it (ADVICE r11).
+    Enforced fail-fast below: a NULL bucket raises at execution time.
     """
     sums = sums or {}
     mins = mins or {}
@@ -111,7 +126,18 @@ def with_global_order(
     bnames = [_B.format(i=i) for i in range(len(buckets))]
     base = df
     for name, col in zip(bnames, buckets):
-        base = base.withColumn(name, col)
+        base = base.withColumn(
+            name,
+            F.when(col.isNotNull(), col).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "with_global_order: NULL bucket key — the rail "
+                        "requires non-null sort/bucket expressions "
+                        "(coalesce NULLs to a sentinel upstream)"
+                    )
+                )
+            ),
+        )
 
     per_bucket = base.groupBy(*group, *bnames).agg(
         F.count(F.lit(1)).alias(_CNT),

@@ -1518,17 +1518,25 @@ ORACLES["dq_freshness"] = """
 # yesterday", the marketing convention). Output is the per-user
 # segment row — the relation every campaign query joins against.
 #
-# Scale (VERDICT r10 item 1): one purchase-filtered scan → one user
-# aggregate; the three quintile assignments come from EXACT global
-# row numbers on the distributed-rank rail (operators/ranks.py): each
-# metric's total order is bucketed by its exact metric value refined
-# by a user-id range bucket (recency/frequency: small value domains,
-# huge tie groups — the user refinement spreads them; monetary: a
-# range quantization of the cents axis), local row_numbers run in
-# domain-bounded partitions, and the ntile index is pure integer
+# Scale (VERDICT r10 item 1; fused r12 per VERDICT r11 item 5): one
+# purchase-filtered scan → one user aggregate; the three quintile
+# assignments come from EXACT global row numbers on the
+# distributed-rank rail (operators/ranks.py) — and all three metrics
+# ride ONE rail pass: the user-grain relation unions 3 tagged copies
+# (each with its metric as an ascending sort key: recency, −frequency,
+# −monetary), and the rail's ``group=`` support restarts the total
+# order per tag. Buckets are per-tag CASE expressions honoring the
+# rail's refinement contract — recency/frequency use their EXACT
+# (small-domain) value refined by a user-id range bucket (huge tie
+# groups spread across partitions); monetary uses a range quantization
+# of the cents axis alone (a quantized SECONDARY bucket is only valid
+# under an exact leading bucket). The ntile index is pure integer
 # arithmetic from (row_number, n) — ``sql_ntile_from_rn`` replicates
-# the SQL ntile bucket-size rule exactly. No unpartitioned data-grain
-# window remains; the stitch windows run on bucket-grain relations.
+# the SQL ntile bucket-size rule exactly. The fusion cuts the
+# data-grain exchanges from 6 (3 passes × bucket-agg + local window)
+# to 3 (one bucket-agg, one local window, one pivot groupBy); no
+# unpartitioned data-grain window anywhere — stitch windows stay
+# bucket-grain per tag.
 
 
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,10 +1566,11 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # materialize the user-grain aggregate ONCE (localCheckpoint —
-    # CacheManager-free): three rail passes each reference it for
-    # their main relation AND their bucket aggregate, so without this
-    # the events scan+groupBy would re-plan ~6x (the r11 bench caught
-    # exactly that as a 6x warm regression)
+    # CacheManager-free): the tagged union references it 3x and the
+    # rail references the union for both its main relation and its
+    # bucket aggregate — without this the events scan+groupBy would
+    # re-plan ~6x (the r11 bench caught exactly that as a 6x warm
+    # regression)
     per = per.localCheckpoint(eager=False)
     bounds = per.agg(
         F.min("user_id").alias("lo_u"),
@@ -1570,32 +1579,43 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("monetary_cents").alias("hi_m"),
         F.count(F.lit(1)).alias("n_users"),
     )
-    base = per.crossJoin(F.broadcast(bounds))
+    carry = ["user_id", "recency_days", "frequency", "monetary_cents"]
+    tagged = (
+        per.select(*carry, F.lit("r").alias("tag"),
+                   F.col("recency_days").alias("skey"))
+        .unionByName(
+            per.select(*carry, F.lit("f").alias("tag"),
+                       (-F.col("frequency")).alias("skey"))
+        )
+        .unionByName(
+            per.select(*carry, F.lit("m").alias("tag"),
+                       (-F.col("monetary_cents")).alias("skey"))
+        )
+    )
+    base = tagged.crossJoin(F.broadcast(bounds))
     u_b = range_bucket(F.col("user_id"), F.col("lo_u"), F.col("hi_u"), 64)
+    m_b = -range_bucket(
+        F.col("monetary_cents"), F.col("lo_m"), F.col("hi_m"), 1024
+    )
+    b0 = F.when(F.col("tag") == "m", m_b.cast("long")).otherwise(F.col("skey"))
+    b1 = F.when(F.col("tag") == "m", F.lit(0)).otherwise(u_b)
     ranked = with_global_order(
         base,
-        buckets=[F.col("recency_days"), u_b],
-        order=[F.asc("recency_days"), F.asc("user_id")],
-        row_number="rn_r",
+        buckets=[b0, b1],
+        order=[F.asc("skey"), F.asc("user_id")],
+        row_number="rn",
+        group=["tag"],
     )
-    ranked = with_global_order(
-        ranked,
-        buckets=[-F.col("frequency"), u_b],
-        order=[F.desc("frequency"), F.asc("user_id")],
-        row_number="rn_f",
-    )
-    ranked = with_global_order(
-        ranked,
-        buckets=[
-            -range_bucket(
-                F.col("monetary_cents"), F.col("lo_m"), F.col("hi_m"), 1024
-            )
-        ],
-        order=[F.desc("monetary_cents"), F.asc("user_id")],
-        row_number="rn_m",
-    )
+    rns = ranked.groupBy("user_id").agg(
+        F.first("recency_days").alias("recency_days"),
+        F.first("frequency").alias("frequency"),
+        F.first("monetary_cents").alias("monetary_cents"),
+        F.max(F.when(F.col("tag") == "r", F.col("rn"))).alias("rn_r"),
+        F.max(F.when(F.col("tag") == "f", F.col("rn"))).alias("rn_f"),
+        F.max(F.when(F.col("tag") == "m", F.col("rn"))).alias("rn_m"),
+    ).crossJoin(F.broadcast(bounds.select("n_users")))
     nt = lambda rn: F.expr(sql_ntile_from_rn(rn, "n_users", 5))  # noqa: E731
-    return ranked.select(
+    return rns.select(
         "user_id",
         "recency_days",
         "frequency",

@@ -113,15 +113,30 @@ def _pagerank_sql(num_iter: int = NUM_ITER, n: int = N_NATIONS) -> str:
 ORACLES = {"pagerank_nations": _pagerank_sql()}
 
 
-def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count of the supplier co-shipment graph (edge =
-    two suppliers shipped lineitems of the same order's customer).
+#: Per-node degree cap of the supplier co-shipment projection: every
+#: supplier keeps its 50 strongest partners (union-kNN). A query
+#: constant, not data-derived — the triangle wedge space is then
+#: O(n·cap²) no matter how dense the raw projection gets.
+TRI_DEGREE_CAP = 50
 
-    The graph build is itself a scale-conscious operator: the bipartite
-    (supplier, customer) relation is deduped BEFORE the per-customer
-    pair expansion, so a customer with k suppliers contributes C(k,2)
-    edges from k rows, not from its raw lineitem count."""
-    from ..operators.graph import triangle_count
+
+def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered, degree-capped supplier co-shipment graph —
+    the SHARED projection behind triangle_suppliers and
+    graph_clustering_coefficient (their 3·total invariant needs one
+    edge set).
+
+    Build: dedup the bipartite (supplier, customer) relation BEFORE
+    the per-customer pair expansion (a customer with k suppliers
+    contributes C(k,2) pairs from k rows, not its raw lineitem count),
+    weight each pair by shared-customer count, keep above-mean-support
+    edges (w·|E| > Σw, the LPA sparsifier), then cap every node at its
+    TRI_DEGREE_CAP strongest partners. The raw projection of a market-
+    basket-shaped fact table is near-COMPLETE (at sf0.1 all C(1000,2)
+    supplier pairs co-occur), so unfiltered triangle work is Θ(n³)
+    under ANY join strategy — sparsify first, enumerate after
+    (VERDICT r11 item 1c)."""
+    from ..operators.graph import degree_cap_edges, support_filter_edges
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -131,29 +146,95 @@ def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     x, y = sc.alias("x"), sc.alias("y")
-    edges = (
+    pairs = (
         x.join(y, (F.col("x.c") == F.col("y.c")) & (F.col("x.s") < F.col("y.s")))
-        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
-        .distinct()
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    return triangle_count(edges)
+    return degree_cap_edges(support_filter_edges(pairs), TRI_DEGREE_CAP)
+
+
+def _cograph_sql_ctes() -> str:
+    """DuckDB CTE chain mirroring _supplier_cograph + the degree-
+    oriented triangle enumeration (operators/graph.py
+    degree_oriented_triangles) — shared by both triangle-family
+    oracles. Defines: e (edges), deg (v, d), tri (x1, x2, x3)."""
+    return f"""sc AS (
+        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pairs AS MATERIALIZED (
+        SELECT x.s AS a, y.s AS b, CAST(count(*) AS BIGINT) AS w
+        FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM pairs
+    ),
+    supp AS MATERIALIZED (
+        SELECT a, b, w FROM pairs CROSS JOIN tot WHERE w * m > sw
+    ),
+    und AS (
+        SELECT a AS v, b AS p, w FROM supp
+        UNION ALL
+        SELECT b AS v, a AS p, w FROM supp
+    ),
+    nom AS (
+        SELECT v, p FROM (
+            SELECT v, p,
+                   row_number() OVER (
+                       PARTITION BY v ORDER BY w DESC, p ASC) AS rn
+            FROM und
+        ) WHERE rn <= {TRI_DEGREE_CAP}
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT least(v, p) AS a, greatest(v, p) AS b FROM nom
+    ),
+    deg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+        ) GROUP BY v
+    ),
+    oe AS MATERIALIZED (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS x
+        FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS x1, e1.x AS x2, e2.x AS x3
+        FROM oe e1
+        JOIN oe e2 ON e1.x = e2.u
+        JOIN oe e3 ON e3.u = e1.u AND e3.x = e2.x
+    )"""
+
+
+def triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the support-filtered, degree-capped
+    supplier co-shipment graph (_supplier_cograph).
+
+    Triangles are enumerated once each through the degree-ordered
+    orientation (operators/graph.py degree_oriented_triangles) — the
+    wedge join orients by (degree, id), so hub nodes never pay
+    O(d_max²) wedges (VERDICT r11 item 1a)."""
+    from ..operators.graph import degree_oriented_triangles
+
+    tris, _ = degree_oriented_triangles(_supplier_cograph(spark, sf_dir))
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 QUERIES["triangle_suppliers"] = triangle_suppliers
 
-ORACLES["triangle_suppliers"] = """
-    WITH sc AS (
-        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), e AS (
-        SELECT DISTINCT x.s AS a, y.s AS b
-        FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
-    )
-    SELECT count(*) AS n_triangles
-    FROM e e1
-    JOIN e e2 ON e1.b = e2.a
-    WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+ORACLES["triangle_suppliers"] = (
+    "WITH "
+    + _cograph_sql_ctes()
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1407,64 +1488,44 @@ ORACLES["graph_labelprop_communities"] = _lpa_sql()
 
 
 # ------------------------------------- local clustering coefficient
-# Round 11: the node-level cohesion readout on the supplier
-# co-shipment graph — triangle_suppliers counts the global total;
-# curation/link-prediction passes want WHERE the graph is clique-like:
-# lc(v) = 2·T(v)/(d(v)·(d(v)−1)). Triangles enumerate once through
-# the oriented a<b<c wedge-close join (each triangle exactly once),
-# then explode to their three corners; degrees come from the
-# undirected edge relation. Exact integers throughout; lc is a
-# half-up micros rational. Scale: same support-filtered edge rail as
-# triangle_suppliers (dedup before pair expansion); the triangle join
-# is the standard oriented-edge equi-join — no node ever sees more
-# than its neighborhood.
+# Round 11 (re-planned round 12, VERDICT r11 item 1): the node-level
+# cohesion readout on the supplier co-shipment graph —
+# triangle_suppliers counts the global total; curation/link-prediction
+# passes want WHERE the graph is clique-like:
+# lc(v) = 2·T(v)/(d(v)·(d(v)−1)) over the support-filtered,
+# degree-capped projection (_supplier_cograph — the raw projection is
+# near-complete, so sparsify BEFORE any triangle work). Triangles
+# enumerate once each through the (degree, id)-oriented wedge-close
+# join (operators/graph.py degree_oriented_triangles); per-node counts
+# come from three per-corner-role groupBys on the localCheckpoint-ed
+# triangle relation — no ×3 corner explode (r11 item 1b). Exact
+# integers throughout; lc is a half-up micros rational; degrees are
+# the FILTERED graph's (the same graph the triangles live in).
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
+    from ..operators.graph import degree_oriented_triangles
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    sc = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-        .distinct()
-    )
-    x, y = sc.alias("x"), sc.alias("y")
-    edges = (
-        x.join(y, (F.col("x.c") == F.col("y.c")) & (F.col("x.s") < F.col("y.s")))
-        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x1"),
-            F.col("e1.b").alias("x2"),
-            F.col("e2.b").alias("x3"),
-        )
-    )
+    tris, deg = degree_oriented_triangles(_supplier_cograph(spark, sf_dir))
+    # one materialization feeds all three corner-role aggregates
+    # (exactness-rails rule f: multi-consumer relations checkpoint once)
+    tris = tris.localCheckpoint(eager=False)
     per_node = (
-        tris.select(F.explode(F.array("x1", "x2", "x3")).alias("v"))
+        tris.groupBy(F.col("x1").alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        .unionByName(
+            tris.groupBy(F.col("x2").alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        )
+        .unionByName(
+            tris.groupBy(F.col("x3").alias("v")).agg(F.count(F.lit(1)).alias("t"))
+        )
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum("t").alias("t"))
     )
     out = deg.join(per_node, "v", "left").select(
         F.col("v").alias("supplier"),
         F.col("d").alias("degree"),
-        F.coalesce("t", F.lit(0)).alias("n_triangles"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
         F.when(F.col("d") < 2, F.lit(None).cast("long"))
         .otherwise(
             ratio_units_dec("2 * coalesce(t, 0)", "CAST(d AS DECIMAL(38,0)) * (d - 1)")
@@ -1478,27 +1539,15 @@ QUERIES["graph_clustering_coefficient"] = graph_clustering_coefficient
 
 from ..functions.rounding import sql_ratio_units_dec as _sql_rud_cc  # noqa: E402
 
-ORACLES["graph_clustering_coefficient"] = f"""
-    WITH sc AS (
-        SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ), e AS (
-        SELECT DISTINCT x.s AS a, y.s AS b
-        FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
-    ), deg AS (
-        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
-            SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
-        ) GROUP BY v
-    ), tri AS (
-        SELECT e1.a AS x1, e1.b AS x2, e2.b AS x3
-        FROM e e1
-        JOIN e e2 ON e1.b = e2.a
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    ), per_node AS (
-        SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
-            SELECT x1 AS v FROM tri
-            UNION ALL SELECT x2 AS v FROM tri
-            UNION ALL SELECT x3 AS v FROM tri
+ORACLES["graph_clustering_coefficient"] = (
+    "WITH "
+    + _cograph_sql_ctes()
+    + f""",
+    per_node AS (
+        SELECT v, CAST(sum(t) AS BIGINT) AS t FROM (
+            SELECT x1 AS v, count(*) AS t FROM tri GROUP BY 1
+            UNION ALL SELECT x2 AS v, count(*) AS t FROM tri GROUP BY 1
+            UNION ALL SELECT x3 AS v, count(*) AS t FROM tri GROUP BY 1
         ) GROUP BY v
     )
     SELECT deg.v AS supplier, deg.d AS degree,
@@ -1509,3 +1558,4 @@ ORACLES["graph_clustering_coefficient"] = f"""
            END AS lc_micros
     FROM deg LEFT JOIN per_node ON deg.v = per_node.v
 """
+)

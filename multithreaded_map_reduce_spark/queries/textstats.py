@@ -4322,18 +4322,24 @@ ORACLES["text_yule_k"] = f"""
 
 
 # --------------------------------------------- McNemar paired test
-# Round 11: the PAIRED classifier comparison the threshold sweeps
-# (quality_logreg_pr / _mcc) cannot answer — "is cutoff A actually
-# different from cutoff B on the SAME documents, or is the accuracy
-# gap within paired noise". McNemar looks only at the discordant
-# cells: b = #(A keeps, B drops), c = #(A drops, B keeps);
-# χ² = (b−c)²/(b+c) (and the continuity-corrected (|b−c|−1)²/(b+c)),
-# both exact half-up micros rationals of integer counts with the
-# square DECIMAL/HUGEINT-widened first. Scores nano-snap before
-# thresholding (the logreg_pr rail, ADVICE r10). One scored scan,
-# one 4-cell aggregate — no shuffle beyond the train-once weights.
+# Round 11 (re-paired round 12, ADVICE r11): the PAIRED classifier
+# comparison the threshold sweeps (quality_logreg_pr / _mcc) cannot
+# answer. The r11 version compared two NESTED cutoffs of the same
+# score, so cell c (A drops, B keeps) was structurally zero and the
+# statistic degenerated to the one-sided count b. Now the pair is
+# genuinely different classifiers on the SAME documents: A = the
+# distilled logreg at 0.5, B = the incumbent Gopher keep rule it
+# distills — the standard "can the student model replace the
+# rule-based system" decision, where BOTH discordant cells are live.
+# McNemar looks only at those cells: b = #(model keeps, rule drops),
+# c = #(model drops, rule keeps); χ² = (b−c)²/(b+c) (and the
+# continuity-corrected (|b−c|−1)²/(b+c)), both exact half-up micros
+# rationals of integer counts with the square DECIMAL/HUGEINT-widened
+# first. Scores nano-snap before thresholding (the logreg_pr rail,
+# ADVICE r10). One scored scan, one 4-cell aggregate — no shuffle
+# beyond the train-once weights.
 
-MCN_THR_A, MCN_THR_B = 0.4, 0.6
+MCN_THR = 0.5
 
 
 def quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4345,10 +4351,11 @@ def quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
     w = _lr_trained_weights(spark, sf_dir)
     scored = zfeat.crossJoin(F.broadcast(w)).select(
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p")
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+        F.col("keep"),
     )
-    pa = (F.col("p") >= F.lit(MCN_THR_A)).cast("int")
-    pb = (F.col("p") >= F.lit(MCN_THR_B)).cast("int")
+    pa = (F.col("p") >= F.lit(MCN_THR)).cast("int")  # the student model
+    pb = F.col("keep")  # the incumbent rule
     cm = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(pa * (1 - pb)).alias("b"),
@@ -4385,11 +4392,12 @@ ORACLES["quality_mcnemar"] = f"""
     WITH perdoc AS ({{_PD}}),
     cells AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN p >= {MCN_THR_A} AND p < {MCN_THR_B}
+               CAST(sum(CASE WHEN p >= {MCN_THR} AND keep = 0
                         THEN 1 ELSE 0 END) AS BIGINT) AS b,
-               CAST(sum(CASE WHEN p < {MCN_THR_A} AND p >= {MCN_THR_B}
+               CAST(sum(CASE WHEN p < {MCN_THR} AND keep = 1
                         THEN 1 ELSE 0 END) AS BIGINT) AS c
-        FROM (SELECT CAST(score_units AS DOUBLE) / 1000000000.0 AS p
+        FROM (SELECT CAST(score_units AS DOUBLE) / 1000000000.0 AS p,
+                     keep
               FROM perdoc)
     )
     SELECT n_docs, b AS n_a_only, c AS n_b_only,

@@ -1978,16 +1978,23 @@ ORACLES["timeseries_xcorr"] = f"""
 # backtest_mase) runs before trusting its error bars:
 #   Q = n(n+2)·Σ_{k=1..L} r̂_k²/(n−k),  r̂_k = c'_k/c'_0,
 # on the DAILY EVENT COUNT series. Exactness: with u_t = n·x_t − S
-# (exact integers; the n² factors cancel in the ratio), each term is
-# the non-negative rational n(n+2)·c'_k²/((n−k)·c'_0²) — squares
-# widen to DECIMAL(38,0)/HUGEINT FIRST (the ADVICE r10 rail), each
-# term half-up micro-snapped (the per-term snap contract MI and
-# Cramér's V use), Q is their exact sum. Integer ceiling: c'_k ~
-# days·(days·daily_count)² must stay inside 10^38 — true to ~1e9
-# events/day over a decade of days; past that, rescale counts to
-# kilo-units (the MI ln-ceiling convention). Lags follow the
-# calendar-join convention of timeseries_acf (missing days skip
-# pairs). The 5% decision compares against χ²(L) in exact micros.
+# (exact integers; the n² factors cancel in the ratio), each term
+# snaps |r̂_k| = |c'_k|/c'_0 to NANO-units first (half-up; sign-free
+# since only r̂² enters; abs keeps the divide in ratio_units_dec's
+# non-negative domain), then squares the ≤1e9 integer — so c'_0
+# enters only LINEARLY and never gets squared (ADVICE r11: the
+# squared form halved the documented overflow ceiling, and on breach
+# Spark DECIMAL silently NULLs while DuckDB HUGEINT errors —
+# divergent failure modes). Each term is then the exact rational
+# n(n+2)·r̂²_nano/((n−k)·10^18), half-up micro-snapped (the per-term
+# snap contract MI and Cramér's V use); Q is their exact sum, within
+# one micro per term of the unsnapped statistic. Integer ceiling now:
+# 2e9·|c'_k| ≤ 10^38 → c'_0 ≤ 5e28, i.e. days³·daily² with a decade
+# of days allows ~1e9 events/day (the originally intended ceiling);
+# the n(n+2)·r̂²_nano product tops out at ~1.3e25·2e6 ≪ 10^38. Lags
+# follow the calendar-join convention of timeseries_acf (missing
+# days skip pairs). The 5% decision compares against χ²(L) in exact
+# micros.
 #
 # Scale: one corpus scan → |days| rows; lags are broadcast joins on
 # the calendar-bounded relation; no windows at all.
@@ -2031,11 +2038,25 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(F.sum(F.col("ux") * F.col("uy")).alias("ck"))
     )
-    terms = ck.crossJoin(F.broadcast(c0)).filter(F.col("n") > F.col("lag")).select(
+    rk = (
+        ck.crossJoin(F.broadcast(c0))
+        .filter(F.col("n") > F.col("lag"))
+        .select(
+            "lag",
+            "n",
+            # |r_k| in nano-units: c0 enters only linearly here
+            ratio_units_dec(
+                "abs(CAST(ck AS DECIMAL(38,0)))",
+                "CAST(c0 AS DECIMAL(38,0))",
+                1_000_000_000,
+            ).alias("rk_nano"),
+        )
+    )
+    terms = rk.select(
         ratio_units_dec(
             "CAST(n AS DECIMAL(38,0)) * (n + 2)"
-            " * (CAST(ck AS DECIMAL(38,0)) * ck)",
-            "(n - lag) * (CAST(c0 AS DECIMAL(38,0)) * c0)",
+            " * (CAST(rk_nano AS DECIMAL(38,0)) * rk_nano)",
+            "(n - lag) * CAST(1000000000000000000 AS DECIMAL(38,0))",
             1_000_000,
         ).alias("term_micros")
     )
@@ -2076,13 +2097,20 @@ ORACLES["timeseries_ljung_box"] = f"""
         JOIN (SELECT unnest(range(1, {LB_LAGS + 1})) AS lag) l ON TRUE
         JOIN u y ON x.day + l.lag = y.day
         GROUP BY 1
-    ), terms AS (
-        SELECT {_sql_rud_lb(
-            'CAST(n AS HUGEINT) * (n + 2) * (CAST(ck AS HUGEINT) * ck)',
-            '(n - lag) * (CAST(c0 AS HUGEINT) * c0)',
-            1_000_000)} AS term_micros
+    ), rk AS (
+        SELECT lag, n,
+               {_sql_rud_lb('abs(CAST(ck AS HUGEINT))',
+                            'CAST(c0 AS HUGEINT)',
+                            1_000_000_000)} AS rk_nano
         FROM ck CROSS JOIN c0
         WHERE n > lag
+    ), terms AS (
+        SELECT {_sql_rud_lb(
+            'CAST(n AS HUGEINT) * (n + 2)'
+            ' * (CAST(rk_nano AS HUGEINT) * rk_nano)',
+            '(n - lag) * CAST(1000000000000000000 AS HUGEINT)',
+            1_000_000)} AS term_micros
+        FROM rk
     )
     SELECT (SELECT n FROM c0) AS n_days,
            CAST({LB_LAGS} AS INTEGER) AS n_lags,

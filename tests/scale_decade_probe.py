@@ -14,6 +14,15 @@ vocabulary (the pair stage is the cost), shot detection 10× distinct
 docs through the container synth+parse chain, knn outliers 10× vectors
 on BOTH sides of the salted cell self-join (the quadratic suspect).
 
+Round 12 (VERDICT r11 item 3): the triangle family gets a
+SPARSITY-CONTROLLED amplification — lineitem shifts BOTH l_orderkey
+and l_suppkey, orders shifts o_orderkey (matching, so the join holds
+per copy) and o_custkey, so the amplified co-shipment projection is
+10 disjoint copies of the sf0.1 graph: 10× nodes, 10× edges, 10×
+triangles at CONSTANT density. A ~linear wall ratio then measures the
+PLAN, not the fixture's densification (the r11 defense conflated the
+two — the un-shifted amplification densified the projection 11,100×).
+
 Usage: python tests/scale_decade_probe.py [query ...]
 """
 
@@ -28,21 +37,29 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-AMP_DIR = "/tmp/sf0.1x10"
+# v2: r12 multi-column shifts (suppkey/custkey/orders) — new path so a
+# stale r11 cache (single-column lineitem shift) can't poison results
+AMP_DIR = "/tmp/sf0.1x10v2"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
 
-# table -> (id column, shift per copy) — shift clears the source id range
+# table -> [(id column, shift per copy), ...] — shifts clear the source
+# id ranges. l_orderkey/o_orderkey shift together so the orders join
+# holds within each copy; l_suppkey/o_custkey shifts keep each copy's
+# co-shipment projection DISJOINT from the others (constant density).
 AMPLIFIED = {
-    "lineitem": ("l_orderkey", 1_000_000),
-    "documents": ("doc_id", 100_000),
-    "embeddings": ("vec_id", 100_000),
+    "lineitem": [("l_orderkey", 1_000_000), ("l_suppkey", 1_000_000)],
+    "orders": [("o_orderkey", 1_000_000), ("o_custkey", 1_000_000)],
+    "documents": [("doc_id", 100_000)],
+    "embeddings": [("vec_id", 100_000)],
 }
 
 DEFAULT_QUERIES = [
     "graph_modularity",
     "multimodal_shot_detection",
     "embedding_knn_outliers",
+    "graph_clustering_coefficient",
+    "triangle_suppliers",
 ]
 
 
@@ -55,12 +72,13 @@ def build_amplified(spark) -> None:
         if name in AMPLIFIED:
             if dst.exists() and not dst.is_symlink():
                 continue  # built by a previous run
-            idc, shift = AMPLIFIED[name]
             src = spark.read.parquet(str(f))
-            parts = [
-                src.withColumn(idc, F.col(idc) + F.lit(k * shift))
-                for k in range(COPIES)
-            ]
+            parts = []
+            for k in range(COPIES):
+                p = src
+                for idc, shift in AMPLIFIED[name]:
+                    p = p.withColumn(idc, F.col(idc) + F.lit(k * shift))
+                parts.append(p)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)

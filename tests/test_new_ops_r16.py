@@ -652,16 +652,21 @@ def test_runs_test_alternating_and_blocked(spark):
 
 
 def test_mcnemar_cells(spark):
+    # ADVICE r11 re-pairing: model@0.5 vs the incumbent Gopher rule —
+    # BOTH discordant cells are live (the nested-cutoff version could
+    # never observe c > 0)
     row = _q("quality_mcnemar")(spark, SF_SMOKE).collect()[0]
-    # thresholds 0.4 < 0.6: B-only cell is structurally impossible
-    assert row.n_b_only == 0
-    assert 0 <= row.n_a_only <= row.n_docs
-    if row.n_a_only > 0:
-        b = row.n_a_only
-        # with c=0: chi2 = b^2/b = b (in micros)
-        assert row.chi2_micros == b * 1_000_000
-        # half-up micros of (b-1)^2/b
-        assert row.chi2_cc_micros == (2 * 1_000_000 * (b - 1) ** 2 + b) // (2 * b)
+    b, c = row.n_a_only, row.n_b_only
+    assert 0 <= b <= row.n_docs and 0 <= c <= row.n_docs
+    if b + c > 0:
+        # plain-Python third reference for the exact half-up micros
+        d = b + c
+        assert row.chi2_micros == (2 * 1_000_000 * (b - c) ** 2 + d) // (2 * d)
+        assert row.chi2_cc_micros == (
+            2 * 1_000_000 * (abs(b - c) - 1) ** 2 + d
+        ) // (2 * d)
+    else:
+        assert row.chi2_micros is None and row.chi2_cc_micros is None
 
 
 def test_clustering_coefficient_bounds_and_triangle_total(spark):

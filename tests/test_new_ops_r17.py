@@ -1,0 +1,250 @@
+"""Round-12 semantics tests, batch 1: the re-planned triangle family
+(VERDICT r11 item 1) — support-filtered, degree-capped co-shipment
+projection + degree-ordered orientation + explode-free per-corner
+counts — and the graph-operator helpers behind it."""
+
+from __future__ import annotations
+
+import inspect
+import random
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES[name]
+
+
+# ------------------------------------------------------- graph helpers
+
+
+def test_support_filter_edges_above_mean(spark):
+    from multithreaded_map_reduce_spark.operators.graph import (
+        support_filter_edges,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 10)], "a long, b long, w long"
+    )
+    # mean weight = 4; strictly-above keeps only w=10
+    kept = support_filter_edges(pairs).collect()
+    assert [(r.a, r.b, r.w) for r in kept] == [(2, 3, 10)]
+    # all-equal weights: w*m > sw is never strict — empty result, no error
+    flat = spark.createDataFrame([(1, 2, 5), (2, 3, 5)], "a long, b long, w long")
+    assert support_filter_edges(flat).count() == 0
+
+
+def test_degree_cap_union_knn(spark):
+    from multithreaded_map_reduce_spark.operators.graph import degree_cap_edges
+
+    # hub 0 with partners 1..5, weights 5..1; cap 2.
+    # hub nominates (1, 2); every leaf nominates its only partner (0),
+    # so union-kNN keeps ALL hub edges (either endpoint nominates).
+    pairs = spark.createDataFrame(
+        [(0, p, 6 - p) for p in range(1, 6)], "a long, b long, w long"
+    )
+    kept = sorted((r.a, r.b) for r in degree_cap_edges(pairs, 2).collect())
+    assert kept == [(0, p) for p in range(1, 6)]
+    # isolate the nomination side: two hubs sharing leaves — each leaf
+    # has degree 2 and cap 1 keeps only its stronger nomination, but
+    # hubs nominate their top-1 too.
+    pairs2 = spark.createDataFrame(
+        [(0, 10, 9), (0, 11, 1), (1, 10, 5), (1, 11, 7)],
+        "a long, b long, w long",
+    )
+    kept2 = sorted((r.a, r.b) for r in degree_cap_edges(pairs2, 1).collect())
+    # leaf 10 nominates hub 0 (w 9>5); leaf 11 nominates hub 1 (7>1);
+    # hub 0 nominates 10 (9); hub 1 nominates 11 (7) — union:
+    assert kept2 == [(0, 10), (1, 11)]
+    # deterministic tie-break: equal weights nominate the SMALLER id
+    ties = spark.createDataFrame(
+        [(0, 2, 3), (0, 1, 3)], "a long, b long, w long"
+    )
+    kept3 = sorted((r.a, r.b) for r in degree_cap_edges(ties, 1).collect())
+    # node 0 nominates partner 1 (tie -> smaller id); 1 and 2 each
+    # nominate their only partner 0 -> union keeps both edges
+    assert kept3 == [(0, 1), (0, 2)]
+
+
+def test_degree_oriented_triangles_known_graphs(spark):
+    from multithreaded_map_reduce_spark.operators.graph import (
+        degree_oriented_triangles,
+    )
+
+    # K4: 4 triangles, every node in 3 of them, degree 3
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    tris, deg = degree_oriented_triangles(k4)
+    rows = tris.collect()
+    assert len(rows) == 4
+    from collections import Counter
+
+    per = Counter()
+    for r in rows:
+        corners = {r.x1, r.x2, r.x3}
+        assert len(corners) == 3  # no degenerate triangle
+        per.update(corners)
+    assert dict(per) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert {(r.v, r.d) for r in deg.collect()} == {(v, 3) for v in range(4)}
+    # star K1,5: triangle-free; orientation must point every edge
+    # leaf -> hub ((degree, id) order), so the hub pays ZERO wedges
+    star = spark.createDataFrame([(9, p) for p in range(5)], "a long, b long")
+    tris_s, deg_s = degree_oriented_triangles(star)
+    assert tris_s.count() == 0
+    assert {(r.v, r.d) for r in deg_s.collect()} == {(9, 5)} | {
+        (p, 1) for p in range(5)
+    }
+
+
+def test_degree_oriented_matches_id_oriented_on_random_graph(spark):
+    """Independent cross-check (exactness-rails rule a): the NEW
+    degree-ordered enumerator against the OLD id-ordered
+    triangle_count on 30 random graphs — two different orientations
+    must agree on the exact triangle total, and the per-corner sum
+    must be 3x the total."""
+    from multithreaded_map_reduce_spark.operators.graph import (
+        degree_oriented_triangles,
+        triangle_count,
+    )
+
+    rng = random.Random(17)
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(14), 2))]
+        }
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    tris, _deg = degree_oriented_triangles(df)
+    rows = tris.collect()
+    expected = triangle_count(df).collect()[0]["n_triangles"]
+    assert len(rows) == expected
+    # plain-Python third reference: brute-force triangle count
+    es = set(edges)
+    n_brute = sum(
+        1
+        for i in range(14)
+        for j in range(i + 1, 14)
+        for k in range(j + 1, 14)
+        if (i, j) in es and (j, k) in es and (i, k) in es
+    )
+    assert expected == n_brute
+
+
+# ------------------------------------------- triangle-family contracts
+
+
+def test_triangle_projection_plan_degree_capped(spark):
+    """The shared projection's plan must show the per-node cap window
+    (partitioned row_number) and the broadcast support threshold —
+    and no cartesian anywhere."""
+    from multithreaded_map_reduce_spark.plans.audit import (
+        explain_formatted,
+        plan_report,
+    )
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        _supplier_cograph,
+    )
+
+    df = _supplier_cograph(spark, SF_SMOKE)
+    text = explain_formatted(df)
+    assert "__dc_rn" in text, "degree-cap window missing from plan"
+    rep = plan_report(df)
+    assert not rep.cartesian
+    assert rep.broadcast_joins >= 1  # the 1-row support threshold
+
+
+def test_clustering_coefficient_no_corner_explode(spark):
+    """VERDICT r11 item 1b: per-node counts must come from per-corner
+    aggregates, never an x3 corner explode of the triangle relation."""
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        graph_clustering_coefficient,
+    )
+
+    src = inspect.getsource(graph_clustering_coefficient)
+    assert "explode" not in src
+    assert src.count("groupBy") >= 4  # three corner roles + final sum
+
+
+def test_orientation_is_degree_ordered_source_pin(spark):
+    """VERDICT r11 item 1a: the wedge join orients by (degree, id),
+    not raw id — pin the orientation predicate."""
+    from multithreaded_map_reduce_spark.operators import graph
+
+    src = inspect.getsource(graph.degree_oriented_triangles)
+    assert 'F.col("da.d") < F.col("db.d")' in src
+    assert 'F.col("da.d") == F.col("db.d")' in src
+
+
+def test_triangle_family_consistency_smoke(spark):
+    """Both queries must run on the SAME filtered projection:
+    sum of per-node triangle counts == 3 x global count, and every
+    degree respects the cap-induced bound (d <= n-1 always; the cap
+    bounds NOMINATIONS, union-kNN degree can exceed the cap only up
+    to the node count)."""
+    rows = _q("graph_clustering_coefficient")(spark, SF_SMOKE).collect()
+    assert rows
+    total = _q("triangle_suppliers")(spark, SF_SMOKE).collect()[0][0]
+    assert sum(r.n_triangles for r in rows) == 3 * total
+    n = len(rows)
+    for r in rows:
+        assert 1 <= r.degree <= n - 1
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+        if r.lc_micros is not None:
+            assert 0 <= r.lc_micros <= 1_000_000
+
+
+# ------------------------------------------------- rank-rail guards (ADVICE r11)
+
+
+def test_rail_null_bucket_fails_fast(spark):
+    """ADVICE r11: a NULL bucket key must raise, not silently drop the
+    row from the offset equi-join."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        with_global_order,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    out = with_global_order(df, buckets=[F.col("k")], order=[F.asc("k")],
+                            row_number="rn")
+    with pytest.raises(Exception, match="NULL bucket key"):
+        out.collect()
+
+
+def test_range_bucket_huge_and_degenerate_bounds(spark):
+    """ADVICE r11: at |hi| >= 2^53 the absolute +1.0 upper-bound bump
+    is absorbed; with lo == hi that made width_bucket's bounds equal
+    -> NULL buckets. The relative-epsilon bound must keep buckets
+    non-NULL (and the rail lossless) at any magnitude."""
+    from multithreaded_map_reduce_spark.operators.ranks import (
+        range_bucket,
+        with_global_order,
+    )
+
+    big = 2**60
+    df = spark.createDataFrame([(big,), (big,), (big,)], "k long")
+    b = df.agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    got = with_global_order(
+        df.crossJoin(F.broadcast(b)),
+        buckets=[range_bucket(F.col("k"), F.col("lo"), F.col("hi"), 16)],
+        order=[F.asc("k")],
+        row_number="rn",
+    ).select("k", "rn")
+    rows = sorted(r.rn for r in got.collect())
+    assert rows == [1, 2, 3]  # no row dropped, exact global row numbers
+    # plain column check: bucket itself is non-NULL at huge magnitude
+    bk = (
+        df.crossJoin(F.broadcast(b))
+        .select(range_bucket(F.col("k"), F.col("lo"), F.col("hi"), 16).alias("bk"))
+        .collect()
+    )
+    assert all(r.bk is not None for r in bk)
