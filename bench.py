@@ -275,6 +275,13 @@ HEADLINE = [
     "dedup_minhash_bbit",
     # round-11 batch 9: online SPC alerting
     "streaming_spc_alert",
+    # round-12 batch 1: k-truss peel (rounds x support over the shared
+    # sparsified projection), Benford first-digit screen.
+    # (quality_cohens_kappa excluded: same train-once logreg scoring
+    # scan as quality_logreg_mcc already timed, plus a 4-cell
+    # aggregate.)
+    "graph_ktruss",
+    "stats_benford",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -98,6 +98,33 @@ def ratio_units_dec(num: str, den: str, mult: int = 1_000_000) -> Column:
     )
 
 
+def ratio_units_dec_signed(
+    num: str, den: str, mult: int = 1_000_000, off: int = 1_000
+) -> Column:
+    """Signed twin of :func:`ratio_units_dec` — half-up-toward-+∞
+    rounding of ``mult·num/den`` where ``num`` may be NEGATIVE
+    (``den`` must be > 0; NULL on den=0). The non-signed helpers are
+    positive-domain only because Spark ``div`` truncates toward zero
+    while DuckDB ``//`` floors — divergent on negatives. The classic
+    OFFSET shift fixes it: evaluate on ``num + off·den`` (positive by
+    construction when |mult·num/den| < off·mult, i.e. the result
+    magnitude in output units is < off·mult), floor there where both
+    engines agree, subtract ``off·mult`` back — the shift term is an
+    exact multiple of the divisor so it passes through the floor
+    untouched. Keep ``off`` as small as the bound allows: the shifted
+    numerator must still fit DECIMAL(38,0)."""
+    shifted = ratio_units_dec(f"(({num}) + {off} * ({den}))", den, mult)
+    return (shifted - F.lit(off * mult)).cast("long")
+
+
+def sql_ratio_units_dec_signed(
+    num: str, den: str, mult: int = 1_000_000, off: int = 1_000
+) -> str:
+    """DuckDB twin of :func:`ratio_units_dec_signed` (HUGEINT)."""
+    shifted = sql_ratio_units_dec(f"(({num}) + {off} * ({den}))", den, mult)
+    return f"CAST(({shifted}) - {off * mult} AS BIGINT)"
+
+
 def sql_ratio_units_dec(num: str, den: str, mult: int = 1_000_000) -> str:
     """DuckDB twin of :func:`ratio_units_dec` — evaluates in HUGEINT
     (int128, same ±2^127 headroom class) and CASTs the bounded final

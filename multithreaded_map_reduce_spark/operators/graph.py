@@ -261,7 +261,10 @@ def degree_cap_edges(
 
 
 def degree_oriented_triangles(
-    edges: DataFrame, src: str = "a", dst: str = "b"
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    assume_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Enumerate each triangle of an undirected simple graph exactly
     once via DEGREE-ORDERED edge orientation (Chiba–Nishizeki /
@@ -280,16 +283,25 @@ def degree_oriented_triangles(
     (degree, id)), and the per-node degree relation ``(v, d)`` of the
     canonical undirected edge set (computed here anyway for the
     orientation — callers reuse it instead of re-aggregating).
+
+    ``assume_canonical``: the caller guarantees ``edges`` is already
+    deduped canonical ``src < dst`` AND cheap-to-recompute-or-
+    materialized (e.g. the per-round localCheckpoint-ed relation of an
+    iterative peel) — skips the canonicalize distinct + checkpoint,
+    saving one shuffle + one materialization per call.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

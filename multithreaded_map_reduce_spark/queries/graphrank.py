@@ -1559,3 +1559,132 @@ ORACLES["graph_clustering_coefficient"] = (
     FROM deg LEFT JOIN per_node ON deg.v = per_node.v
 """
 )
+
+
+# ----------------------------------------------------------- k-truss
+# Round 12: the cohesion LADDER above the clustering coefficient —
+# lc(v) reads how clique-like a NODE's neighborhood is; the k-truss
+# extracts the SUBGRAPH where every edge participates in ≥ k−2
+# triangles (Cohen 2008), the standard community-core primitive a
+# pipeline runs before treating co-occurrence edges as trustworthy.
+# Deterministic bounded-round discipline (the pagerank/LPA house
+# style): KTRUSS_ROUNDS fixed support-peel rounds over the shared
+# support-filtered, degree-capped projection (_supplier_cograph),
+# then one support REPORT pass on the survivors — at fixpoint this
+# equals the exact k-truss, and the oracle unrolls the identical
+# chain as CTEs so even the non-converged prefix is differentially
+# exact. Per-edge supports come from the degree-oriented triangle
+# enumerator with per-corner-pair groupBys (no explode — the same
+# r12 discipline as graph_clustering_coefficient); each round
+# re-orients by the CURRENT (peeled) degrees, exactly as the oracle
+# does. Scale: rounds × O(m^1.5) wedge joins on an n·cap-bounded edge
+# relation, lineage truncated per round with localCheckpoint.
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support): triangles through each canonical edge, via the
+    degree-oriented enumerator + three corner-PAIR groupBys."""
+    from ..operators.graph import degree_oriented_triangles
+
+    tris, _ = degree_oriented_triangles(edges, assume_canonical=True)
+    tris = tris.localCheckpoint(eager=False)
+
+    def role(u: str, v: str) -> DataFrame:
+        return tris.groupBy(
+            F.least(F.col(u), F.col(v)).alias("a"),
+            F.greatest(F.col(u), F.col(v)).alias("b"),
+        ).agg(F.count(F.lit(1)).alias("t"))
+
+    return (
+        role("x1", "x2")
+        .unionByName(role("x1", "x3"))
+        .unionByName(role("x2", "x3"))
+        .groupBy("a", "b")
+        .agg(F.sum("t").alias("support"))
+    )
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _supplier_cograph(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(KTRUSS_ROUNDS):
+        sup = _edge_support(e)
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= KTRUSS_K - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    sup = _edge_support(e)
+    return e.join(sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
+QUERIES["graph_ktruss"] = graph_ktruss
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    parts = [
+        "WITH " + _cograph_sql_ctes(),
+        "e0 AS (SELECT a, b FROM e)",
+    ]
+    orient = (
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND s.a < s.b)"
+        " THEN s.{lo} ELSE s.{hi} END"
+    )
+    for i in range(rounds + 1):
+        parts.append(
+            f"""deg{i} AS MATERIALIZED (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+            ) GROUP BY v
+        ),
+        oe{i} AS MATERIALIZED (
+            SELECT {orient.format(lo='a', hi='b')} AS u,
+                   {orient.format(lo='b', hi='a')} AS x
+            FROM e{i} s
+            JOIN deg{i} da ON s.a = da.v JOIN deg{i} db ON s.b = db.v
+        ),
+        tri{i} AS MATERIALIZED (
+            SELECT e1.u AS x1, e1.x AS x2, e2.x AS x3
+            FROM oe{i} e1
+            JOIN oe{i} e2 ON e1.x = e2.u
+            JOIN oe{i} e3 ON e3.u = e1.u AND e3.x = e2.x
+        ),
+        sup{i} AS MATERIALIZED (
+            SELECT a, b, CAST(sum(t) AS BIGINT) AS support FROM (
+                SELECT least(x1, x2) AS a, greatest(x1, x2) AS b,
+                       count(*) AS t FROM tri{i} GROUP BY 1, 2
+                UNION ALL
+                SELECT least(x1, x3), greatest(x1, x3), count(*)
+                FROM tri{i} GROUP BY 1, 2
+                UNION ALL
+                SELECT least(x2, x3), greatest(x2, x3), count(*)
+                FROM tri{i} GROUP BY 1, 2
+            ) GROUP BY a, b
+        )"""
+        )
+        if i < rounds:
+            parts.append(
+                f"""e{i + 1} AS MATERIALIZED (
+                SELECT e{i}.a, e{i}.b FROM e{i}
+                LEFT JOIN sup{i} s ON e{i}.a = s.a AND e{i}.b = s.b
+                WHERE coalesce(s.support, 0) >= {k - 2}
+            )"""
+            )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT t.a, t.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM e{rounds} t
+        LEFT JOIN sup{rounds} s ON t.a = s.a AND t.b = s.b
+    """
+    )
+
+
+ORACLES["graph_ktruss"] = _ktruss_sql()

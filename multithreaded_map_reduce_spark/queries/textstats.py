@@ -4418,6 +4418,118 @@ ORACLES["quality_mcnemar"] = ORACLES["quality_mcnemar"].replace(
 )
 
 
+# ------------------------------------- model-vs-rule Cohen's kappa
+# Round 12: the AGREEMENT readout on the same classifier pair McNemar
+# tests for marginal difference — McNemar asks "do the student model
+# and the incumbent rule disagree asymmetrically?"; kappa asks "how
+# much of their agreement exceeds chance?" (Cohen 1960). Both cells
+# rails share one scored scan. Exactness: all four confusion cells are
+# integers; po and pe are half-up micros rationals; kappa uses the
+# closed form 2(tp·tn − fp·fn) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn)),
+# whose numerator is SIGNED — the first user of
+# ratio_units_dec_signed (the OFFSET-shifted divide: Spark decimal div
+# truncates toward zero, DuckDB // floors; shifting positive makes
+# them agree). |kappa| ≤ 1 so off=16 is ample headroom.
+
+
+def quality_kappa_model_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+        F.col("keep"),
+    )
+    pa = (F.col("p") >= F.lit(MCN_THR)).cast("long")
+    y = F.col("keep").cast("long")
+    cm = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pa * y).alias("tp"),
+        F.sum(pa * (1 - y)).alias("fp"),
+        F.sum((1 - pa) * y).alias("fn"),
+        F.sum((1 - pa) * (1 - y)).alias("tn"),
+    )
+    return cm.select(
+        F.col("n").alias("n_docs"),
+        (F.col("tp") + F.col("tn")).alias("n_agree"),
+        ratio_units_dec("tp + tn", "n").alias("po_micros"),
+        ratio_units_dec(
+            "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+            " + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn)",
+            "CAST(n AS DECIMAL(38,0)) * n",
+        ).alias("pe_micros"),
+        F.when(
+            F.expr(
+                "CAST(tp + fp AS DECIMAL(38,0)) * (fp + tn)"
+                " + CAST(tp + fn AS DECIMAL(38,0)) * (fn + tn)"
+            )
+            == 0,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec_signed(
+                "2 * (CAST(tp AS DECIMAL(38,0)) * tn"
+                " - CAST(fp AS DECIMAL(38,0)) * fn)",
+                "CAST(tp + fp AS DECIMAL(38,0)) * (fp + tn)"
+                " + CAST(tp + fn AS DECIMAL(38,0)) * (fn + tn)",
+                off=16,
+            )
+        )
+        .alias("kappa_micros"),
+    )
+
+
+QUERIES["quality_kappa_model_rule"] = quality_kappa_model_rule
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_qk,
+    sql_ratio_units_dec_signed as _sql_ruds_qk,
+)
+
+ORACLES["quality_kappa_model_rule"] = f"""
+    WITH perdoc AS ({{_PD}}),
+    cm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p >= {MCN_THR} AND keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p >= {MCN_THR} AND keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p < {MCN_THR} AND keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p < {MCN_THR} AND keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM (SELECT CAST(score_units AS DOUBLE) / 1000000000.0 AS p,
+                     keep
+              FROM perdoc)
+    )
+    SELECT n AS n_docs,
+           CAST(tp + tn AS BIGINT) AS n_agree,
+           {_sql_rud_qk('tp + tn', 'n')} AS po_micros,
+           {_sql_rud_qk(
+               'CAST(tp + fp AS HUGEINT) * (tp + fn)'
+               ' + CAST(fn + tn AS HUGEINT) * (fp + tn)',
+               'CAST(n AS HUGEINT) * n')} AS pe_micros,
+           CASE WHEN CAST(tp + fp AS HUGEINT) * (fp + tn)
+                   + CAST(tp + fn AS HUGEINT) * (fn + tn) = 0 THEN NULL
+                ELSE {_sql_ruds_qk(
+                    '2 * (CAST(tp AS HUGEINT) * tn'
+                    ' - CAST(fp AS HUGEINT) * fn)',
+                    'CAST(tp + fp AS HUGEINT) * (fp + tn)'
+                    ' + CAST(tp + fn AS HUGEINT) * (fn + tn)',
+                    off=16)}
+           END AS kappa_micros
+    FROM cm
+"""
+
+ORACLES["quality_kappa_model_rule"] = ORACLES["quality_kappa_model_rule"].replace(
+    "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
+)
+
+
 # ----------------------------------------------- Brier proper score
 # Round 11: the PROPER scoring rule over the distilled quality
 # classifier — quality_logreg_calibration bins reliability, AUC ranks,

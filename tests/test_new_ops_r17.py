@@ -248,3 +248,120 @@ def test_range_bucket_huge_and_degenerate_bounds(spark):
         .collect()
     )
     assert all(r.bk is not None for r in bk)
+
+
+# --------------------------------------------- round-12 batch 1 ops
+
+
+def test_edge_support_hand_graphs(spark):
+    from multithreaded_map_reduce_spark.queries.graphrank import _edge_support
+
+    # K4: every edge lies in exactly 2 triangles
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    sup = {(r.a, r.b): r.support for r in _edge_support(k4).collect()}
+    assert sup == {(a, b): 2 for a in range(4) for b in range(a + 1, 4)}
+    # triangle + pendant: triangle edges support 1; pendant edge absent
+    tp = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "a long, b long"
+    )
+    sup2 = {(r.a, r.b): r.support for r in _edge_support(tp).collect()}
+    assert sup2 == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+
+
+def test_ktruss_fixture_invariants(spark):
+    """Survivor edges are a subset of the projection; the support
+    column is cross-checked against an INDEPENDENT triangle count of
+    the surviving subgraph (sum of per-edge supports = 3x triangles,
+    each triangle counted on its three edges) via the id-oriented
+    enumerator."""
+    from multithreaded_map_reduce_spark.operators.graph import triangle_count
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        _supplier_cograph,
+    )
+
+    rows = _q("graph_ktruss")(spark, SF_SMOKE).collect()
+    assert rows
+    base = {(r.a, r.b) for r in _supplier_cograph(spark, SF_SMOKE).collect()}
+    assert {(r.a, r.b) for r in rows} <= base
+    surv = spark.createDataFrame(
+        [(r.a, r.b) for r in rows], "a long, b long"
+    )
+    n_tri = triangle_count(surv).collect()[0]["n_triangles"]
+    assert sum(r.support for r in rows) == 3 * n_tri
+
+
+def test_ratio_units_dec_signed_portable_rounding(spark):
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        ratio_units_dec_signed,
+    )
+
+    df = spark.range(1)
+    got = df.select(
+        ratio_units_dec_signed("-1", "3").alias("a"),      # -333333.3 -> half-up
+        ratio_units_dec_signed("-1", "2").alias("b"),      # exact -500000
+        ratio_units_dec_signed("-3", "2", mult=1).alias("c"),  # -1.5 tie -> -1
+        ratio_units_dec_signed("1", "3").alias("d"),       # positive path
+        ratio_units_dec_signed("3", "2", mult=1).alias("e"),   # 1.5 tie -> 2
+    ).collect()[0]
+    assert (got.a, got.b, got.c, got.d, got.e) == (
+        -333333, -500000, -1, 333333, 2
+    )
+    # DuckDB twin agrees on the same probes
+    import duckdb
+
+    from multithreaded_map_reduce_spark.functions.rounding import (
+        sql_ratio_units_dec_signed,
+    )
+
+    q = ", ".join(
+        sql_ratio_units_dec_signed(n, d, mult=m)
+        for n, d, m in [
+            ("-1", "3", 1_000_000),
+            ("-1", "2", 1_000_000),
+            ("-3", "2", 1),
+            ("1", "3", 1_000_000),
+            ("3", "2", 1),
+        ]
+    )
+    assert tuple(duckdb.sql(f"SELECT {q}").fetchone()) == (
+        -333333, -500000, -1, 333333, 2
+    )
+
+
+def test_kappa_model_rule_identity(spark):
+    """kappa must satisfy the defining identity (po - pe)/(1 - pe)
+    within micro double-rounding, and po must be the exact half-up of
+    n_agree/n — a plain-Python third reference."""
+    row = _q("quality_kappa_model_rule")(spark, SF_SMOKE).collect()[0]
+    n, agree = row.n_docs, row.n_agree
+    assert row.po_micros == (2 * 1_000_000 * agree + n) // (2 * n)
+    assert 0 <= row.pe_micros <= 1_000_000
+    if row.kappa_micros is not None and row.pe_micros < 1_000_000:
+        expect = (row.po_micros - row.pe_micros) / (1_000_000 - row.pe_micros)
+        assert abs(row.kappa_micros - expect * 1_000_000) <= 2_000
+        assert -1_000_000 <= row.kappa_micros <= 1_000_000
+
+
+def test_benford_exactness_and_totals(spark):
+    import math
+
+    from multithreaded_map_reduce_spark.queries.profiling import (
+        BENFORD_P_MICROS,
+    )
+
+    # the micro-quantized Benford law is a (near-)distribution
+    assert abs(sum(BENFORD_P_MICROS.values()) - 1_000_000) <= 3
+    for d in range(1, 10):
+        assert BENFORD_P_MICROS[d] == round(math.log10(1 + 1 / d) * 1e6)
+    rows = _q("stats_benford")(spark, SF_SMOKE).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    n = sum(r.n_obs for r in rows)
+    assert n > 0
+    for r in rows:
+        assert r.exp_micros == BENFORD_P_MICROS[r.digit] * n
+        # plain-Python recompute of the half-up chi-squared micros
+        num = (r.n_obs * 1_000_000 - r.exp_micros) ** 2
+        den = r.exp_micros * 1_000_000
+        assert r.chi2_micros == (2 * 1_000_000 * num + den) // (2 * den)
