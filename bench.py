@@ -282,6 +282,11 @@ HEADLINE = [
     # aggregate.)
     "graph_ktruss",
     "stats_benford",
+    # round-12 batch 2: corpus bigram-LM cross-entropy, Zipf rank-size
+    # fit, image byte entropy (per-image aggregate over the binaryFile
+    # histogram rail)
+    "text_bigram_lm_perplexity",
+    "multimodal_image_entropy",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

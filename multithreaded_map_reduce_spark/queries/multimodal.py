@@ -1177,3 +1177,65 @@ def _keyframe_oracle() -> str:
 
 
 ORACLES["multimodal_keyframe_select"] = _keyframe_oracle()
+
+
+# --------------------------------------------- image byte entropy
+# Round 12: the blank/flat-frame screen on top of the histogram rail —
+# Shannon entropy (nats) of each image's channel-byte bucket
+# distribution: ~0 for a constant image (drop before expensive decode
+# work), approaching ln(8) for balanced exposure. Pure relational
+# layer OVER multimodal_binaryfile_histogram (the strict binaryFile →
+# Arrow decode chain), so the decode plumbing is shared and this query
+# adds one per-image aggregate. Exactness: H = ln N − (Σ c·ln c)/N
+# with every ln taking an EXACT INTEGER argument, snapped to nanos
+# (the house ln contract); the division is the half-up integer
+# rational. Zero-count buckets contribute 0 (excluded; 0·ln 0 := 0).
+
+
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units
+
+    hist = multimodal_binaryfile_histogram(spark, sf_dir)
+    per = hist.groupBy("media_id").agg(
+        F.sum("n_bytes").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("n_bytes") > 0,
+                F.col("n_bytes") * iunits(F.log("n_bytes"), 9),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("clnc"),
+    )
+    return per.select(
+        "media_id",
+        F.col("n_total").cast("long").alias("n_bytes_total"),
+        (
+            iunits(F.log("n_total"), 9)
+            - ratio_units("clnc", "n_total", 1)
+        ).alias("entropy_nanos"),
+    )
+
+
+QUERIES["multimodal_image_entropy"] = multimodal_image_entropy
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_ent,
+    sql_ratio_units as _sql_ru_ent,
+)
+
+ORACLES["multimodal_image_entropy"] = f"""
+    WITH hist AS ({_binaryfile_hist_oracle()}),
+    per AS (
+        SELECT media_id,
+               CAST(sum(n_bytes) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN n_bytes > 0
+                        THEN n_bytes * {_sql_iu_ent('ln(n_bytes)', 9)}
+                        ELSE 0 END) AS BIGINT) AS clnc
+        FROM hist GROUP BY 1
+    )
+    SELECT media_id,
+           n_total AS n_bytes_total,
+           CAST({_sql_iu_ent('ln(n_total)', 9)}
+                - {_sql_ru_ent('clnc', 'n_total', 1)} AS BIGINT)
+               AS entropy_nanos
+    FROM per
+"""

@@ -24,6 +24,7 @@ from ..functions.hashing import hash_array, poly_hash
 from ..functions.rounding import (
     iunits,
     pround,
+    ratio_units,
     sql_from_iunits,
     sql_iunits,
     sql_pround,
@@ -4685,3 +4686,111 @@ ORACLES["text_readability"] = f"""
                ' - 15.59', 6)} AS fk_grade
     FROM agg
 """
+
+
+# --------------------------------------- bigram LM cross-entropy
+# Round 12: the intrinsic-fluency score a data pipeline uses to rank
+# corpora against a reference language model when no external LM is
+# available — train an add-one-smoothed bigram model ON the corpus
+# itself and report per-language cross-entropy (average negative
+# log-likelihood per bigram, in nats): boilerplate-heavy or repetitive
+# languages compress better (lower NLL), noisy ones worse. Exactness:
+# counts c₂(w₁,w₂), c₁(w₁) and vocabulary size V are exact integers;
+# each bigram's −ln p = ln(c₁+V) − ln(c₂+1) takes ln of EXACT INTEGER
+# arguments only, snapped to nano units (iunits 9 — the house ln
+# contract), so sums and the final per-bigram average are exact
+# integer arithmetic. Scale: one tokenize scan → bigram/unigram
+# aggregates (vocab-bounded), equi-joins on token keys, a 1-row V
+# broadcast — no window, no data-grain sort.
+
+
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", tokenize(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    k = F.greatest(F.size("tk") - 1, F.lit(0))
+    bi = toks.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, k),
+                F.slice("tk", 2, k),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("lang", "p.w1", "p.w2")
+    lb = (
+        bi.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    gb = lb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    vt = uni.agg(F.count(F.lit(1)).alias("v"))
+    per = (
+        lb.join(gb, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vt))
+        .select(
+            "lang",
+            "n",
+            (
+                F.col("n")
+                * (
+                    iunits(F.log(F.col("c1") + F.col("v")), 9)
+                    - iunits(F.log(F.col("c2") + F.lit(1)), 9)
+                )
+            ).alias("nll"),
+        )
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum("nll").alias("total_nll_nanos"),
+        ratio_units("sum(nll)", "sum(n)", 1).alias("avg_nll_nanos"),
+    )
+
+
+QUERIES["text_bigram_lm_perplexity"] = text_bigram_lm_perplexity
+
+ORACLES["text_bigram_lm_perplexity"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, {sql_tokens('text')} AS tk FROM documents
+    ), bi AS (
+        SELECT lang,
+               unnest(tk[1:len(tk) - 1]) AS w1,
+               unnest(tk[2:len(tk)]) AS w2
+        FROM t
+    ), lb AS (
+        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM bi GROUP BY 1, 2, 3
+    ), gb AS (
+        SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM lb GROUP BY 1, 2
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+            SELECT unnest(tk) AS w FROM t
+        ) GROUP BY 1
+    ), vt AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+    ), per AS (
+        SELECT lang, n,
+               n * ({sql_iunits('ln(c1 + v)', 9)}
+                    - {sql_iunits('ln(c2 + 1)', 9)}) AS nll
+        FROM lb
+        JOIN gb USING (w1, w2)
+        JOIN uni ON lb.w1 = uni.w
+        CROSS JOIN vt
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(sum(nll) AS BIGINT) AS total_nll_nanos,
+           {sql_ratio_units('sum(nll)', 'sum(n)', 1)} AS avg_nll_nanos
+    FROM per GROUP BY lang
+"""
+
+

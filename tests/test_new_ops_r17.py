@@ -365,3 +365,74 @@ def test_benford_exactness_and_totals(spark):
         num = (r.n_obs * 1_000_000 - r.exp_micros) ** 2
         den = r.exp_micros * 1_000_000
         assert r.chi2_micros == (2 * 1_000_000 * num + den) // (2 * den)
+
+
+# --------------------------------------------- round-12 batch 2 ops
+
+
+def test_bigram_lm_python_reference(spark):
+    """Plain-Python third reference: recompute per-lang add-one bigram
+    NLL from the engine's own token relation (shares ONLY the
+    tokenizer; counts, joins, smoothing and snaps re-derived in
+    Python with math.log)."""
+    import math
+    from collections import Counter
+
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = docs.select(
+        "lang", tokenize(F.col("text")).alias("tk")
+    ).collect()
+    uni, big, perlang = Counter(), Counter(), {}
+    for r in rows:
+        uni.update(r.tk)
+        for a, b in zip(r.tk, r.tk[1:]):
+            big[(a, b)] += 1
+            perlang.setdefault(r.lang, Counter())[(a, b)] += 1
+    v = len(uni)
+
+    def snap9(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    got = {r.lang: r for r in _q("text_bigram_lm_perplexity")(spark, SF_SMOKE).collect()}
+    assert set(got) == set(perlang)
+    for lang, cnt in perlang.items():
+        n = sum(cnt.values())
+        total = sum(
+            c * (snap9(math.log(uni[w1] + v)) - snap9(math.log(big[(w1, w2)] + 1)))
+            for (w1, w2), c in cnt.items()
+        )
+        assert got[lang].n_bigrams == n
+        assert got[lang].total_nll_nanos == total
+        assert got[lang].avg_nll_nanos == (2 * total + n) // (2 * n)
+        assert got[lang].avg_nll_nanos > 0  # smoothing keeps p < 1
+
+
+def test_image_entropy_python_reference(spark):
+    """Exact snap-replica recompute from the histogram query's own
+    rows, plus the unsnapped Shannon value within nano slack and the
+    [0, ln 8] range bound."""
+    import math
+    from collections import defaultdict
+
+    hist = defaultdict(dict)
+    for r in _q("multimodal_binaryfile_histogram")(spark, SF_SMOKE).collect():
+        hist[r.media_id][r.bucket] = r.n_bytes
+    got = {r.media_id: r for r in _q("multimodal_image_entropy")(spark, SF_SMOKE).collect()}
+    assert set(got) == set(hist)
+
+    def snap9(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    for mid, buckets in hist.items():
+        n = sum(buckets.values())
+        clnc = sum(c * snap9(math.log(c)) for c in buckets.values() if c > 0)
+        expect = snap9(math.log(n)) - (2 * clnc + n) // (2 * n)
+        assert got[mid].n_bytes_total == n
+        assert got[mid].entropy_nanos == expect
+        true_h = math.log(n) - sum(
+            (c / n) * math.log(c) for c in buckets.values() if c > 0
+        )
+        assert abs(got[mid].entropy_nanos - true_h * 1e9) <= 10
+        assert -5 <= got[mid].entropy_nanos <= math.log(8) * 1e9 + 5
