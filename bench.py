@@ -276,12 +276,11 @@ HEADLINE = [
     # round-11 batch 9: online SPC alerting
     "streaming_spc_alert",
     # round-12 batch 1: k-truss peel (rounds x support over the shared
-    # sparsified projection), Benford first-digit screen.
+    # sparsified projection).
     # (quality_cohens_kappa excluded: same train-once logreg scoring
     # scan as quality_logreg_mcc already timed, plus a 4-cell
     # aggregate.)
     "graph_ktruss",
-    "stats_benford",
     # round-12 batch 2: corpus bigram-LM cross-entropy, Zipf rank-size
     # fit, image byte entropy (per-image aggregate over the binaryFile
     # histogram rail)

@@ -892,99 +892,3 @@ ORACLES["stats_skewness_kurtosis"] = f"""
                AS excess_kurtosis
     FROM m
 """
-
-
-# ------------------------------------------------- Benford first-digit
-# Round 12: the fraud/synthetic-data screen a profiling pass runs on
-# monetary columns — the first significant digit of naturally-spanning
-# amounts should follow P(d) = log10(1 + 1/d) (Benford 1938; Hill
-# 1995); a synthetic or range-clamped generator (like TPC-H's uniform
-# prices — the point of the readout here) departs visibly, and the
-# per-digit chi-squared contributions say WHERE. Exactness: digits
-# come from the leading character of the exact integer cents string
-# (no float log); the nine Benford probabilities are PYTHON-computed
-# micro-integer literals embedded identically in both engines, so
-# expected counts are exact integers (n · p_micros, in count-micros),
-# and each chi-squared contribution is the non-negative rational
-# (obs·10⁶ − exp_micros)² / (exp_micros · 10⁶) in half-up micros —
-# the squared numerator DECIMAL/HUGEINT-widened first. One scan, one
-# 9-group aggregate against a constant 9-row spine.
-
-import math as _math
-
-BENFORD_P_MICROS = {
-    d: round(_math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)
-}
-
-
-def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.rounding import ratio_units_dec
-
-    o = load_table(spark, sf_dir, "orders")
-    cents = o.select(iunits(F.col("o_totalprice"), 2).alias("c"))
-    obs = (
-        cents.select(
-            F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias(
-                "digit"
-            )
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_obs"))
-    )
-    tot = cents.agg(F.count(F.lit(1)).alias("n"))
-    p_expr = "CASE digit " + " ".join(
-        f"WHEN {d} THEN {p}" for d, p in BENFORD_P_MICROS.items()
-    ) + " END"
-    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
-    return (
-        spine.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-            (F.expr(p_expr).cast("long") * F.col("n")).alias("exp_micros"),
-            ratio_units_dec(
-                f"(CAST(coalesce(n_obs, 0) AS DECIMAL(38,0)) * 1000000"
-                f" - CAST(({p_expr}) AS DECIMAL(38,0)) * n)"
-                f" * (CAST(coalesce(n_obs, 0) AS DECIMAL(38,0)) * 1000000"
-                f" - CAST(({p_expr}) AS DECIMAL(38,0)) * n)",
-                f"CAST(({p_expr}) AS DECIMAL(38,0)) * n * 1000000",
-            ).alias("chi2_micros"),
-        )
-    )
-
-
-QUERIES["stats_benford"] = stats_benford
-
-from ..functions.rounding import sql_ratio_units_dec as _sql_rud_bf  # noqa: E402
-
-_BF_CASE = "CASE spine.digit " + " ".join(
-    f"WHEN {d} THEN {p}" for d, p in BENFORD_P_MICROS.items()
-) + " END"
-
-ORACLES["stats_benford"] = f"""
-    WITH cents AS (
-        SELECT CAST({sql_iunits('o_totalprice', 2)} AS BIGINT) AS c
-        FROM orders
-    ), obs AS (
-        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-               CAST(count(*) AS BIGINT) AS n_obs
-        FROM cents GROUP BY 1
-    ), tot AS (
-        SELECT CAST(count(*) AS BIGINT) AS n FROM cents
-    ), spine AS (
-        SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit
-    )
-    SELECT spine.digit,
-           CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
-           CAST(({_BF_CASE}) * n AS BIGINT) AS exp_micros,
-           {_sql_rud_bf(
-               '(CAST(coalesce(obs.n_obs, 0) AS HUGEINT) * 1000000'
-               ' - CAST((' + _BF_CASE + ') AS HUGEINT) * n)'
-               ' * (CAST(coalesce(obs.n_obs, 0) AS HUGEINT) * 1000000'
-               ' - CAST((' + _BF_CASE + ') AS HUGEINT) * n)',
-               'CAST((' + _BF_CASE + ') AS HUGEINT) * n * 1000000')}
-               AS chi2_micros
-    FROM spine LEFT JOIN obs ON spine.digit = obs.digit
-    CROSS JOIN tot
-"""

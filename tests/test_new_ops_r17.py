@@ -344,29 +344,6 @@ def test_kappa_model_rule_identity(spark):
         assert -1_000_000 <= row.kappa_micros <= 1_000_000
 
 
-def test_benford_exactness_and_totals(spark):
-    import math
-
-    from multithreaded_map_reduce_spark.queries.profiling import (
-        BENFORD_P_MICROS,
-    )
-
-    # the micro-quantized Benford law is a (near-)distribution
-    assert abs(sum(BENFORD_P_MICROS.values()) - 1_000_000) <= 3
-    for d in range(1, 10):
-        assert BENFORD_P_MICROS[d] == round(math.log10(1 + 1 / d) * 1e6)
-    rows = _q("stats_benford")(spark, SF_SMOKE).collect()
-    assert sorted(r.digit for r in rows) == list(range(1, 10))
-    n = sum(r.n_obs for r in rows)
-    assert n > 0
-    for r in rows:
-        assert r.exp_micros == BENFORD_P_MICROS[r.digit] * n
-        # plain-Python recompute of the half-up chi-squared micros
-        num = (r.n_obs * 1_000_000 - r.exp_micros) ** 2
-        den = r.exp_micros * 1_000_000
-        assert r.chi2_micros == (2 * 1_000_000 * num + den) // (2 * den)
-
-
 # --------------------------------------------- round-12 batch 2 ops
 
 
