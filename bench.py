@@ -286,6 +286,11 @@ HEADLINE = [
     # histogram rail)
     "text_bigram_lm_perplexity",
     "multimodal_image_entropy",
+    # round-12 batch 3: Lo-MacKinlay variance ratio, angular
+    # concentration histogram, linear counting rung
+    "timeseries_variance_ratio",
+    "embedding_angular_histogram",
+    "sketch_linear_counting",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

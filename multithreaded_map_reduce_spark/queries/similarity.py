@@ -2145,3 +2145,81 @@ def _mrl_oracle() -> str:
 
 
 ORACLES["sim_matryoshka_report"] = _mrl_oracle()
+
+
+# ------------------------------------------- angular concentration histogram
+# Round 12: the embedding-geometry diagnostic a similarity pipeline
+# runs before trusting cosine thresholds — in high dimension random
+# pairs concentrate near cos ≈ 0 (the curse-of-dimensionality shell);
+# a histogram of pairwise cosines says whether dedup/ANN cutoffs sit
+# in the bulk or the tail, and a collapsed (anisotropic) embedding
+# space shows up as mass piled in the top bins. Pairs are a
+# DETERMINISTIC structured sample via id-lag equi-joins (vec_id + δ
+# for fixed deltas) — O(n·|δ|) rows and plain shuffles at any scale,
+# never an n² pair join, and fully replayable by the oracle (a hash
+# or random sample would be neither scale-safe nor exact). Cosines
+# snap to exact micro integers (iunits — the jitter-audit-patchable
+# grid); bins are pure integer arithmetic on the snapped value, so
+# bucket edges are engine-identical.
+
+ANG_DELTAS = [1, 7, 97]
+ANG_BINS = 10  # [-1, 1] in 0.2-wide bins
+
+
+def embedding_angular_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.vectors import cosine
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint(eager=False)  # one materialization, 2·|δ| join legs
+    )
+    pairs = None
+    for d in ANG_DELTAS:
+        a, b = emb.alias("a"), emb.alias("b")
+        p = a.join(b, F.col("a.vec_id") + F.lit(d) == F.col("b.vec_id")).select(
+            iunits(cosine(F.col("a.v"), F.col("b.v")), 6).alias("c6")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    binned = pairs.select(
+        F.least(
+            F.expr("(c6 + 1000000) div 200000").cast("int"),
+            F.lit(ANG_BINS - 1),
+        ).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    spine = spark.range(ANG_BINS).select(F.col("id").cast("int").alias("bin"))
+    return spine.join(binned, "bin", "left").select(
+        "bin",
+        (F.lit(-1_000_000) + F.col("bin") * F.lit(200_000))
+        .cast("long")
+        .alias("lo_micros"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+    )
+
+
+QUERIES["embedding_angular_histogram"] = embedding_angular_histogram
+
+from ..functions.rounding import sql_iunits as _sql_iu_ang  # noqa: E402
+
+ORACLES["embedding_angular_histogram"] = f"""
+    WITH e AS (
+        SELECT vec_id, {sql_as_double('embedding')} AS v FROM embeddings
+    ), deltas AS (
+        SELECT unnest([{', '.join(str(d) for d in ANG_DELTAS)}]) AS d
+    ), pairs AS (
+        SELECT {_sql_iu_ang(sql_cosine('a.v', 'b.v'), 6)} AS c6
+        FROM deltas, e a JOIN e b ON TRUE
+        WHERE b.vec_id = a.vec_id + d
+    ), binned AS (
+        SELECT least((c6 + 1000000) // 200000, {ANG_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    ), spine AS (
+        SELECT CAST(unnest(range(0, {ANG_BINS})) AS INTEGER) AS bin
+    )
+    SELECT spine.bin,
+           CAST(-1000000 + spine.bin * 200000 AS BIGINT) AS lo_micros,
+           CAST(coalesce(binned.n_pairs, 0) AS BIGINT) AS n_pairs
+    FROM spine LEFT JOIN binned ON spine.bin = binned.bin
+"""

@@ -932,3 +932,90 @@ def _qx_oracle() -> str:
 
 
 ORACLES["stats_quantiles_exact"] = _qx_oracle()
+
+
+# ------------------------------------------------- linear counting
+# Round 12: the small-cardinality rung UNDER the KMV/HLL ladder —
+# Whang et al. (1990) linear (bitmap) counting: hash every key into an
+# m-bit bitmap, estimate n̂ = m·ln(m/z) from the count z of still-zero
+# bits. For n ≲ m it beats HLL's error at the same memory, which is
+# why production pipelines route small partitions to linear counting
+# and switch to HLL past the load threshold — this query reports the
+# estimate NEXT TO the exact distinct so the error is part of the
+# differential contract (the dedup_minhash_accuracy pattern).
+# Exactness: the bitmap position is the house affine universal hash
+# (exact integers, shared constants); z is an exact integer; ln takes
+# EXACT-INTEGER arguments only (m literal, z column), nano-snapped;
+# the estimate m·(ln m − ln z) accumulates in exact nano integers and
+# lands as one half-up micros rational. Mergeable at scale: the bitmap
+# is a distinct-set of filled positions — union = distinct union, the
+# same merge algebra the HLL/KMV rows demonstrate.
+
+LC_M = 4096
+LC_A = 48_271  # minstd multiplier — fixed, shared with the oracle
+LC_B = 11
+
+
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import iunits, ratio_units
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.pmod(
+        F.pmod(F.col("l_partkey").cast("long"), F.lit(POLY_MOD)) * F.lit(LC_A)
+        + F.lit(LC_B),
+        F.lit(POLY_MOD),
+    )
+    agg = li.select(
+        (h % F.lit(LC_M)).alias("bit"), F.col("l_partkey").alias("k")
+    ).agg(
+        F.countDistinct("bit").alias("n_filled"),
+        F.countDistinct("k").alias("n_exact"),
+    )
+    z = (F.lit(LC_M) - F.col("n_filled")).cast("long")
+    dln_nanos = iunits(F.log(F.lit(float(LC_M))), 9) - iunits(
+        F.log(z.cast("double")), 9
+    )
+    staged = agg.select(
+        "n_filled",
+        "n_exact",
+        F.when(z > 0, F.lit(LC_M) * dln_nanos).alias("est_nanos"),
+    )
+    return staged.select(
+        F.lit(LC_M).cast("long").alias("m"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.when(F.col("est_nanos").isNull(), F.lit(None).cast("long"))
+        .otherwise(ratio_units("est_nanos", "1000", 1))
+        .alias("estimate_micros"),
+    )
+
+
+QUERIES["sketch_linear_counting"] = sketch_linear_counting
+
+from ..functions.hashing import POLY_MOD as _LC_MOD  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_lc,
+    sql_ratio_units as _sql_ru_lc,
+)
+
+ORACLES["sketch_linear_counting"] = f"""
+    WITH agg AS (
+        SELECT CAST(count(DISTINCT ((l_partkey % {_LC_MOD}) * {LC_A} + {LC_B})
+                    % {_LC_MOD} % {LC_M}) AS BIGINT) AS n_filled,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+        FROM lineitem
+    ), staged AS (
+        SELECT n_filled, n_exact,
+               CASE WHEN {LC_M} - n_filled > 0
+                    THEN {LC_M} * ({_sql_iu_lc(f'ln({LC_M})', 9)}
+                         - {_sql_iu_lc(f'ln({LC_M} - n_filled)', 9)})
+               END AS est_nanos
+        FROM agg
+    )
+    SELECT CAST({LC_M} AS BIGINT) AS m, n_filled, n_exact,
+           CASE WHEN est_nanos IS NULL THEN NULL
+                ELSE {_sql_ru_lc('est_nanos', '1000', 1)}
+           END AS estimate_micros
+    FROM staged
+"""

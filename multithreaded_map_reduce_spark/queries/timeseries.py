@@ -2456,3 +2456,111 @@ ORACLES["timeseries_hurst_rs"] = f"""
     SELECT m, n_blocks, sum_lnrs2_nanos, hurst_h
     FROM pts CROSS JOIN fit
 """
+
+
+# ------------------------------------------- Lo–MacKinlay variance ratio
+# Round 12: the random-walk diagnostic next to the runs test and
+# Ljung–Box — VR(q) = Var(q-period increments)/(q·Var(1-period
+# increments)) on the daily event-count series: ≈1 under independent
+# increments, >1 for trending (positively autocorrelated) series,
+# <1 for mean-reverting ones (Lo & MacKinlay 1988). Exactness: both
+# increment families come from CALENDAR self-joins (day+1 / day+q —
+# the timeseries_xcorr convention: missing days skip pairs, no
+# window), variances from the integer moment identity n·Σd² − (Σd)²
+# on the DECIMAL(38,0)/HUGEINT rail, and the ratio is one half-up
+# micros rational of exact integers. Ceiling: (n_q·Σd_q² − (Σd_q)²)
+# · n₁(n₁−1) · 2e6 must fit 10^38 — true to ~1e9 events/day over a
+# decade (the Ljung–Box class). Scale: one scan → day grain, two
+# broadcast-able self-joins on the calendar axis, 1-row output.
+
+VR_Q = 5
+
+
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)  # four consumers (both diff joins)
+    )
+
+    def diffs(lag: int) -> DataFrame:
+        a, b = ser.alias("a"), ser.alias("b")
+        return a.join(
+            b, F.col("a.day") + F.lit(lag) == F.col("b.day")
+        ).select((F.col("b.x") - F.col("a.x")).alias("d"))
+
+    def moments(df: DataFrame, pre: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n{pre}"),
+            F.sum("d").alias(f"s{pre}"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias(
+                f"q{pre}"
+            ),
+        )
+
+    m = moments(diffs(1), "1").crossJoin(moments(diffs(VR_Q), "q"))
+    var1 = "(CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+    varq = "(CAST(nq AS DECIMAL(38,0)) * qq - CAST(sq AS DECIMAL(38,0)) * sq)"
+    return m.select(
+        F.col("n1").cast("long").alias("n_1diffs"),
+        F.col("nq").cast("long").alias("n_qdiffs"),
+        F.when(
+            (F.col("n1") < 2) | (F.col("nq") < 2) | (F.expr(var1) == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec(
+                f"{varq} * (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))",
+                f"{VR_Q} * {var1}"
+                " * (CAST(nq AS DECIMAL(38,0)) * (nq - 1))",
+            )
+        )
+        .alias("vr_micros"),
+    )
+
+
+QUERIES["timeseries_variance_ratio"] = timeseries_variance_ratio
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_vr  # noqa: E402
+
+_VR_VAR1 = "(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)"
+_VR_VARQ = "(CAST(nq AS HUGEINT) * qq - CAST(sq AS HUGEINT) * sq)"
+
+ORACLES["timeseries_variance_ratio"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), d1 AS (
+        SELECT b.x - a.x AS d FROM ser a JOIN ser b ON a.day + 1 = b.day
+    ), dq AS (
+        SELECT b.x - a.x AS d FROM ser a JOIN ser b ON a.day + {VR_Q} = b.day
+    ), m AS (
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n1,
+            (SELECT CAST(coalesce(sum(d), 0) AS BIGINT) FROM d1) AS s1,
+            (SELECT CAST(coalesce(sum(CAST(d AS HUGEINT) * d), 0) AS HUGEINT)
+             FROM d1) AS q1,
+            (SELECT CAST(count(*) AS BIGINT) FROM dq) AS nq,
+            (SELECT CAST(coalesce(sum(d), 0) AS BIGINT) FROM dq) AS sq,
+            (SELECT CAST(coalesce(sum(CAST(d AS HUGEINT) * d), 0) AS HUGEINT)
+             FROM dq) AS qq
+    )
+    SELECT n1 AS n_1diffs, nq AS n_qdiffs,
+           CASE WHEN n1 < 2 OR nq < 2 OR {_VR_VAR1} = 0 THEN NULL
+                ELSE {_sql_rud_vr(
+                    f'{_VR_VARQ} * (CAST(n1 AS HUGEINT) * (n1 - 1))',
+                    f'{VR_Q} * {_VR_VAR1}'
+                    ' * (CAST(nq AS HUGEINT) * (nq - 1))')}
+           END AS vr_micros
+    FROM m
+"""

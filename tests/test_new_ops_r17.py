@@ -413,3 +413,124 @@ def test_image_entropy_python_reference(spark):
         )
         assert abs(got[mid].entropy_nanos - true_h * 1e9) <= 10
         assert -5 <= got[mid].entropy_nanos <= math.log(8) * 1e9 + 5
+
+
+# --------------------------------------------- round-12 batch 3 ops
+
+
+def test_variance_ratio_python_reference(spark):
+    """Exact-Fraction third reference: rebuild the day series, both
+    increment families and the half-up micros VR in plain Python."""
+    from fractions import Fraction
+
+    from multithreaded_map_reduce_spark.functions.time import epoch_micros
+    from multithreaded_map_reduce_spark.queries.timeseries import VR_Q
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ser = {
+        r.day: r.x
+        for r in ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+
+    def var_terms(lag):
+        ds = [ser[d + lag] - ser[d] for d in ser if d + lag in ser]
+        n = len(ds)
+        return n, sum(ds), sum(x * x for x in ds)
+
+    n1, s1, q1 = var_terms(1)
+    nq, sq, qq = var_terms(VR_Q)
+    row = _q("timeseries_variance_ratio")(spark, SF_SMOKE).collect()[0]
+    assert (row.n_1diffs, row.n_qdiffs) == (n1, nq)
+    var1 = n1 * q1 - s1 * s1
+    varq = nq * qq - sq * sq
+    if n1 >= 2 and nq >= 2 and var1 != 0:
+        num = varq * n1 * (n1 - 1)
+        den = VR_Q * var1 * nq * (nq - 1)
+        assert row.vr_micros == (2 * 1_000_000 * num + den) // (2 * den)
+        assert row.vr_micros >= 0
+    else:
+        assert row.vr_micros is None
+    del Fraction
+
+
+def test_angular_histogram_python_reference(spark):
+    """Plain-Python recompute: same delta pairs, same left-to-right
+    float64 dot/norm order, same snap and binning."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.similarity import (
+        ANG_BINS,
+        ANG_DELTAS,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    counts = [0] * ANG_BINS
+    for d in ANG_DELTAS:
+        for i, v in emb.items():
+            w = emb.get(i + d)
+            if w is None:
+                continue
+            dot = 0.0
+            for x, y in zip(v, w):
+                dot = dot + x * y
+            na = 0.0
+            for x in v:
+                na = na + x * x
+            nb = 0.0
+            for y in w:
+                nb = nb + y * y
+            c6 = math.floor(dot / math.sqrt(na * nb) * 1e6 + 0.5)
+            counts[min((c6 + 1_000_000) // 200_000, ANG_BINS - 1)] += 1
+    rows = _q("embedding_angular_histogram")(spark, SF_SMOKE).collect()
+    assert len(rows) == ANG_BINS
+    got = {r.bin: r.n_pairs for r in rows}
+    assert got == {b: counts[b] for b in range(ANG_BINS)}
+    assert {r.bin: r.lo_micros for r in rows} == {
+        b: -1_000_000 + 200_000 * b for b in range(ANG_BINS)
+    }
+    assert sum(counts) > 0
+
+
+def test_linear_counting_python_reference(spark):
+    """Bitmap, hash and snapped estimate replayed in plain Python;
+    estimate accuracy bound vs the exact distinct."""
+    import math
+
+    from multithreaded_map_reduce_spark.functions.hashing import POLY_MOD
+    from multithreaded_map_reduce_spark.queries.sketches import (
+        LC_A,
+        LC_B,
+        LC_M,
+    )
+
+    keys = {
+        r.l_partkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    }
+    bits = {((k % POLY_MOD) * LC_A + LC_B) % POLY_MOD % LC_M for k in keys}
+    row = _q("sketch_linear_counting")(spark, SF_SMOKE).collect()[0]
+    assert row.m == LC_M
+    assert row.n_filled == len(bits)
+    assert row.n_exact == len(keys)
+    z = LC_M - len(bits)
+    assert z > 0  # fixture far from saturation
+
+    def snap9(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    est_nanos = LC_M * (snap9(math.log(LC_M)) - snap9(math.log(z)))
+    assert row.estimate_micros == (2 * est_nanos + 1000) // 2000
+    # linear counting should be tight at this load factor
+    assert abs(row.estimate_micros / 1e6 - len(keys)) / len(keys) < 0.1
