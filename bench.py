@@ -291,6 +291,11 @@ HEADLINE = [
     "timeseries_variance_ratio",
     "embedding_angular_histogram",
     "sketch_linear_counting",
+    # round-12 batch 4: Hill tail index, Wilson keep-rate intervals,
+    # audio energy-ratio SNR over the WAV decode rail
+    "events_hill_tail_index",
+    "quality_wilson_interval",
+    "multimodal_audio_snr",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

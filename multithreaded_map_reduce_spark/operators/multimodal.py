@@ -823,3 +823,52 @@ def select_bmp_keyframes(media: DataFrame, thresh: int = 0) -> DataFrame:
         "media_id long, shot_idx int, start_frame int, end_frame int,"
         " keyframe_idx int, key_checksum long",
     )
+
+
+def audio_energy_ratio(
+    media: DataFrame, frame: int = 8, thresh: int = 900
+) -> DataFrame:
+    """Active/inactive energy split over the WAV decode rail (round
+    12): the SNR-style readout next to audio_activity_segments' run
+    structure — total frame energy above vs below the activity gate.
+    Pure integer arithmetic on decoded bytes (uint8 frame sums), so
+    the oracle replays it from the raw hex; one row per media with
+    exact BIGINT energy masses."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_active": [],
+                "n_inactive": [],
+                "act_energy": [],
+                "inact_energy": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                nf = len(arr) // frame
+                e = (
+                    arr[: nf * frame]
+                    .reshape(nf, frame)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                act = e >= thresh
+                out["media_id"].append(mid)
+                out["n_active"].append(int(act.sum()))
+                out["n_inactive"].append(int(nf - act.sum()))
+                out["act_energy"].append(int(e[act].sum()))
+                out["inact_energy"].append(int(e[~act].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_active long, n_inactive long,"
+        " act_energy long, inact_energy long",
+    )

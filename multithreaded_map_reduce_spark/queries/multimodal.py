@@ -1239,3 +1239,87 @@ ORACLES["multimodal_image_entropy"] = f"""
                AS entropy_nanos
     FROM per
 """
+
+
+# ------------------------------------------------- audio energy ratio
+# Round 12: the SNR-style readout next to multimodal_audio_segments'
+# run structure — total frame energy above vs below the VAD gate,
+# per media. A silence-trim pipeline uses this as its keep/drop
+# economics (how much signal mass would trimming at this threshold
+# discard), which the segment COUNTS alone cannot answer. Same strict
+# WAV decode rail and frame/threshold constants as the segments
+# query; energies are exact uint8-sum integers, the ratio of MEAN
+# active to MEAN inactive frame energy one half-up micros rational
+# (NULL when either side is empty). The oracle replays the framing
+# and gating from raw hex with no shared decoder.
+
+
+def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..operators.multimodal import audio_energy_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = audio_energy_ratio(
+        documents_as_wav_audio(docs), frame=_FP_FRAME, thresh=_VAD_THRESH
+    )
+    return per.select(
+        "media_id",
+        "n_active",
+        "n_inactive",
+        "act_energy",
+        "inact_energy",
+        F.when(
+            (F.col("n_active") == 0)
+            | (F.col("n_inactive") == 0)
+            | (F.col("inact_energy") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec(
+                "CAST(act_energy AS DECIMAL(38,0)) * n_inactive",
+                "CAST(inact_energy AS DECIMAL(38,0)) * n_active",
+            )
+        )
+        .alias("snr_micros"),
+    )
+
+
+QUERIES["multimodal_audio_snr"] = multimodal_audio_snr
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_snr,
+)
+
+ORACLES["multimodal_audio_snr"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), framed AS (
+        SELECT doc_id AS media_id, {_FP_ENERGY} AS e
+        FROM sized
+    ), split AS (
+        SELECT media_id,
+               CAST(len(list_filter(e, x -> x >= {_VAD_THRESH}))
+                    AS BIGINT) AS n_active,
+               CAST(len(list_filter(e, x -> x < {_VAD_THRESH}))
+                    AS BIGINT) AS n_inactive,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_filter(e, x -> x >= {_VAD_THRESH})),
+                    (x, y) -> x + y) AS BIGINT) AS act_energy,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_filter(e, x -> x < {_VAD_THRESH})),
+                    (x, y) -> x + y) AS BIGINT) AS inact_energy
+        FROM framed
+    )
+    SELECT media_id, n_active, n_inactive, act_energy, inact_energy,
+           CASE WHEN n_active = 0 OR n_inactive = 0 OR inact_energy = 0
+                THEN NULL
+                ELSE {_sql_rud_snr(
+                    'CAST(act_energy AS HUGEINT) * n_inactive',
+                    'CAST(inact_energy AS HUGEINT) * n_active')}
+           END AS snr_micros
+    FROM split
+"""

@@ -4794,3 +4794,125 @@ ORACLES["text_bigram_lm_perplexity"] = f"""
 """
 
 
+
+
+# --------------------------------------------- Wilson score interval
+# Round 12: the per-slice confidence interval a curation dashboard
+# puts around every keep-rate — the normal (Wald) interval collapses
+# at p̂ near 0/1 and small n, exactly where filter-rate monitoring
+# matters; Wilson (1927) stays inside [0, 1] and is the standard
+# production choice. Per language: n, k = Gopher-rule keeps, p̂ = k/n,
+# and the z = 1.96 Wilson bounds
+#   (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+# Exactness: counts are exact integers; the bounds are doubles built
+# from ONE fixed expression shape in both engines (single sqrt — the
+# portable transcendental — and pround(6), the quality_benford
+# discipline). One scan, one |langs|-row aggregate.
+
+WILSON_Z = 1.96
+WILSON_Z2 = 3.8416  # z² exact literal (1.96² in decimal)
+
+
+def quality_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("lang",)
+    )
+    agg = feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_keep").cast("double") / n
+    z, z2 = F.lit(WILSON_Z), F.lit(WILSON_Z2)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_keep").cast("long").alias("n_keep"),
+        pround(p, 6).alias("keep_rate"),
+        pround(center - half, 6).alias("wilson_lo"),
+        pround(center + half, 6).alias("wilson_hi"),
+    )
+
+
+QUERIES["quality_wilson_interval"] = quality_wilson_interval
+
+
+def _wilson_sql() -> str:
+    n = "CAST(n_docs AS DOUBLE)"
+    p = f"(CAST(n_keep AS DOUBLE) / {n})"
+    z, z2 = WILSON_Z, WILSON_Z2
+    denom = f"(1.0 + {z2} / {n})"
+    center = f"(({p} + {z2} / (2.0 * {n})) / {denom})"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z2} / (4.0 * {n} * {n})) / {denom})"
+    )
+    # the per_doc logreg CTE does not carry lang — re-derive the
+    # Gopher keep flag with lang directly (the text_gopher_rules SQL)
+    mwl = sql_pround(
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> CAST(len(x) AS BIGINT))), "
+        "(a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1)", 6)
+    sym = sql_pround(
+        "CAST((len(text) - len(replace(text, '#', ''))) "
+        "+ (len(text) - len(replace(text, '...', ''))) / 3 "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    alpha = sql_pround(
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    return f"""
+    WITH t AS (
+        SELECT lang, text, {{TOKS}} AS toks FROM documents
+    ), m AS (
+        SELECT lang,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               {mwl} AS mean_word_len,
+               {sym} AS symbol_ratio,
+               {alpha} AS alpha_frac,
+               CAST(len(list_filter(toks, x -> x IN ({{STOPS}})))
+                    AS BIGINT) AS n_stopwords
+        FROM t
+    ), perdoc AS (
+        SELECT lang,
+               CAST(n_words BETWEEN {{MINW}} AND {{MAXW}}
+                    AND mean_word_len BETWEEN {{MINM}} AND {{MAXM}}
+                    AND symbol_ratio <= {{MAXS}}
+                    AND alpha_frac >= {{MINA}}
+                    AND n_stopwords >= {{MINSTOP}} AS INTEGER) AS keep
+        FROM m
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep
+        FROM perdoc GROUP BY 1
+    )
+    SELECT lang, n_docs, n_keep,
+           {sql_pround(p, 6)} AS keep_rate,
+           {sql_pround(f'{center} - {half}', 6)} AS wilson_lo,
+           {sql_pround(f'{center} + {half}', 6)} AS wilson_hi
+    FROM agg
+"""
+
+
+ORACLES["quality_wilson_interval"] = (
+    _wilson_sql()
+    .replace("{TOKS}", sql_tokens("text"))
+    .replace("{STOPS}", _GR_STOPLIST_SQL)
+    .replace("{MINW}", str(GR_MIN_WORDS))
+    .replace("{MAXW}", str(GR_MAX_WORDS))
+    .replace("{MINM}", str(GR_MIN_MWL))
+    .replace("{MAXM}", str(GR_MAX_MWL))
+    .replace("{MAXS}", str(GR_MAX_SYMBOL))
+    .replace("{MINA}", str(GR_MIN_ALPHA))
+    .replace("{MINSTOP}", str(GR_MIN_STOP))
+)

@@ -534,3 +534,96 @@ def test_linear_counting_python_reference(spark):
     assert row.estimate_micros == (2 * est_nanos + 1000) // 2000
     # linear counting should be tight at this load factor
     assert abs(row.estimate_micros / 1e6 - len(keys)) / len(keys) < 0.1
+
+
+# --------------------------------------------- round-12 batch 4 ops
+
+
+def test_hill_tail_index_python_reference(spark):
+    """Plain-Python replay of the top-(k+1) order statistics, snapped
+    logs and half-up alpha."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.events import HILL_K
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    per = sorted(
+        ((r.user_id, r.n) for r in ev.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    row = _q("events_hill_tail_index")(spark, SF_SMOKE).collect()[0]
+    assert row.k == HILL_K
+    assert row.n_users == len(per)
+
+    def snap9(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    if len(per) < HILL_K + 1:
+        assert row.alpha_micros is None
+        return
+    top = [n for _, n in per[: HILL_K + 1]]
+    assert row.xk1 == top[HILL_K]
+    hill = sum(snap9(math.log(n)) for n in top[:HILL_K]) - HILL_K * snap9(
+        math.log(top[HILL_K])
+    )
+    if hill <= 0:
+        assert row.alpha_micros is None
+    else:
+        num = HILL_K * 1_000_000_000
+        assert row.alpha_micros == (2 * 1_000_000 * num + hill) // (2 * hill)
+        assert row.alpha_micros > 0
+
+
+def test_wilson_interval_python_reference(spark):
+    """Closed-form Wilson bounds recomputed in plain Python from the
+    exact (n, k) cells; bounds ordered and inside [0, 1]."""
+    import math
+
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        WILSON_Z,
+        WILSON_Z2,
+    )
+
+    rows = _q("quality_wilson_interval")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n, k = r.n_docs, r.n_keep
+        p = k / n
+        denom = 1.0 + WILSON_Z2 / n
+        center = (p + WILSON_Z2 / (2.0 * n)) / denom
+        half = (
+            WILSON_Z
+            * math.sqrt(p * (1.0 - p) / n + WILSON_Z2 / (4.0 * n * n))
+            / denom
+        )
+        assert abs(r.wilson_lo - (center - half)) < 2e-6
+        assert abs(r.wilson_hi - (center + half)) < 2e-6
+        assert 0.0 <= r.wilson_lo <= r.keep_rate <= r.wilson_hi <= 1.0
+
+
+def test_audio_snr_consistency_with_segments(spark):
+    """The SNR split must agree with the segments query on frame
+    counts, and every gated energy side must respect the threshold
+    arithmetic (mean active >= thresh > mean inactive)."""
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        _VAD_THRESH,
+    )
+
+    seg = {
+        r.media_id: r
+        for r in _q("multimodal_audio_segments")(spark, SF_SMOKE).collect()
+    }
+    rows = _q("multimodal_audio_snr")(spark, SF_SMOKE).collect()
+    assert rows and set(seg) == {r.media_id for r in rows}
+    for r in rows:
+        s = seg[r.media_id]
+        assert r.n_active == s.n_active
+        assert r.n_active + r.n_inactive == s.n_frames
+        if r.n_active:
+            assert r.act_energy >= _VAD_THRESH * r.n_active
+        if r.n_inactive:
+            assert r.inact_energy < _VAD_THRESH * r.n_inactive
+        if r.snr_micros is not None:
+            # mean-active / mean-inactive > 1 by the gate
+            assert r.snr_micros > 1_000_000

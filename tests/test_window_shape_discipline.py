@@ -103,10 +103,11 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "relations (≤ tens of rows)",
     ),
     "queries/events.py": (
-        4,
+        5,
         "calendar-grain: day-axis growth-accounting + KM survival "
         "day-grain suffix/cumulative windows; post-TakeOrdered path "
-        "rank stamp",
+        "rank stamp; post-limit Hill top-(k+1) order-statistic stamp "
+        "(k is a query constant)",
     ),
     "queries/similarity.py": (
         1,
