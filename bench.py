@@ -296,6 +296,10 @@ HEADLINE = [
     "events_hill_tail_index",
     "quality_wilson_interval",
     "multimodal_audio_snr",
+    # round-12 batch 5: streaming first-digit drift gate, rich-club
+    # curve on the shared sparsified projection
+    "streaming_digit_drift",
+    "graph_richclub",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -1688,3 +1688,89 @@ def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
 
 
 ORACLES["graph_ktruss"] = _ktruss_sql()
+
+
+# -------------------------------------------------- rich-club coefficient
+# Round 12: the hub-interconnection readout completing the cohesion
+# family (lc(v): node-local; k-truss: edge support; rich-club: do the
+# HIGH-DEGREE nodes preferentially wire to each other?) — Zhou &
+# Mondragón 2004: φ(k) = 2·E_k / (n_k·(n_k−1)) over the subgraph
+# induced by nodes of degree > k. On a co-shipment projection a high
+# φ at large k means the top suppliers form a near-clique (broadcast/
+# skew planning signal). Same shared support-filtered, degree-capped
+# projection as the other triangle-family queries; for each k the
+# induced-subgraph edge count is one semi-join pair, so the whole
+# curve is |K| broadcast-able passes over the n·cap-bounded edge
+# relation. Exact integers; φ in half-up micros.
+
+RICHCLUB_KS = [5, 10, 20, 40]
+
+
+def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    e = _supplier_cograph(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for k in RICHCLUB_KS:
+        rich = deg.filter(F.col("d") > k).select("v")
+        nk = rich.agg(F.count(F.lit(1)).alias("n_k"))
+        ek = (
+            e.join(rich.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("v", "b"), "b", "left_semi")
+            .agg(F.count(F.lit(1)).alias("e_k"))
+        )
+        row = nk.crossJoin(ek).select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_k").cast("long").alias("n_k"),
+            F.col("e_k").cast("long").alias("e_k"),
+            F.when(F.col("n_k") < 2, F.lit(None).cast("long"))
+            .otherwise(
+                ratio_units_dec(
+                    "2 * e_k", "CAST(n_k AS DECIMAL(38,0)) * (n_k - 1)"
+                )
+            )
+            .alias("phi_micros"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["graph_richclub"] = graph_richclub
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_rc  # noqa: E402
+
+
+def _richclub_sql() -> str:
+    rows = []
+    for k in RICHCLUB_KS:
+        rows.append(
+            f"""SELECT CAST({k} AS INTEGER) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > {k})
+                   AS n_k,
+               (SELECT CAST(count(*) AS BIGINT) FROM e
+                WHERE a IN (SELECT v FROM deg WHERE d > {k})
+                  AND b IN (SELECT v FROM deg WHERE d > {k})) AS e_k"""
+        )
+    return (
+        "WITH "
+        + _cograph_sql_ctes()
+        + f""",
+        curve AS ({' UNION ALL '.join(rows)})
+        SELECT k, n_k, e_k,
+               CASE WHEN n_k < 2 THEN NULL
+                    ELSE {_sql_rud_rc('2 * e_k',
+                                      'CAST(n_k AS HUGEINT) * (n_k - 1)')}
+               END AS phi_micros
+        FROM curve
+    """
+    )
+
+
+ORACLES["graph_richclub"] = _richclub_sql()

@@ -1839,3 +1839,130 @@ ORACLES["streaming_spc_alert"] = """
                 AS INTEGER) AS out_of_control
     FROM daily CROSS JOIN tot
 """
+
+
+# ---------------------------------------- streaming first-digit drift
+# Round 12: the VALUE-DISTRIBUTION drift gate next to
+# streaming_spc_alert's rate gate — purchase amounts' first-digit
+# profile is a cheap generator/unit-mix fingerprint (the
+# quality_benford batch audit), and a day whose digit counts deviate
+# from the batch profile beyond the exact 3σ binomial bound flags a
+# pipeline change (currency mixup, price-scale bug) the rate chart
+# cannot see. Per day d and digit k with batch profile (X_k of N):
+# binomial var(c_k) = n_d·p(1−p), p = X_k/N, so the 3σ gate in exact
+# cross-multiplied integers is
+# (c_k·N − X_k·n_d)² > 9·n_d·X_k·(N−X_k)·N. Bounded state: ONE
+# streaming groupBy(day) with the nine digit counts pivoted into
+# columns (no stream-stream join for n_d); the per-digit unpivot +
+# flag arithmetic run on the materialized result. Batch-replay
+# oracle; everything integer-exact.
+
+
+def streaming_digit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits
+    from ..functions.time import epoch_micros
+    from ..streaming.events import run_stream_to_memory, stream_events
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bdigit = F.substring(
+        iunits(F.col("value"), 2).cast("string"), 1, 1
+    ).cast("int")
+    tot = ev.select(bdigit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("xk")
+    )
+
+    stream = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    sdigit = F.substring(
+        iunits(F.col("value"), 2).cast("string"), 1, 1
+    ).cast("int")
+    daily = (
+        stream.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            sdigit.alias("digit"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("digit") == d).cast("long")).alias(f"c{d}")
+                for d in range(1, 10)
+            ],
+        )
+    )
+    name = _sink("st_digit")
+    run_stream_to_memory(daily, name)
+    mat = spark.table(name)
+    unpivot = mat.select(
+        "day",
+        "n",
+        F.expr(
+            "stack(9, "
+            + ", ".join(f"{d}, c{d}" for d in range(1, 10))
+            + ") AS (digit, c)"
+        ),
+    ).select("day", "n", "digit", "c")
+    nt = tot.agg(F.sum("xk").alias("nn"))
+    j = unpivot.join(F.broadcast(tot), "digit", "left").join(F.broadcast(nt))
+    dec = "decimal(38,0)"
+    xk = F.coalesce(F.col("xk"), F.lit(0))
+    dev = F.col("c").cast(dec) * F.col("nn") - xk.cast(dec) * F.col("n")
+    return j.select(
+        "day",
+        "digit",
+        F.col("c").cast("long").alias("n_obs"),
+        (
+            dev * dev
+            > F.lit(9).cast(dec)
+            * F.col("n")
+            * xk.cast(dec)
+            * (F.col("nn") - xk)
+            * F.col("nn")
+        )
+        .cast("int")
+        .alias("drift_flag"),
+    )
+
+
+QUERIES["streaming_digit_drift"] = streaming_digit_drift
+
+ORACLES["streaming_digit_drift"] = f"""
+    WITH p AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(substring(CAST({sql_iunits('value', 2)} AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM events WHERE event_type = 'purchase'
+    ), tot AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS xk FROM p GROUP BY 1
+    ), nt AS (
+        SELECT CAST(sum(xk) AS BIGINT) AS nn FROM tot
+    ), daily AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+    ), cells AS (
+        SELECT day, digit, CAST(count(*) AS BIGINT) AS c
+        FROM p GROUP BY 1, 2
+    ), spine AS (
+        SELECT d.day, d.n, k.digit
+        FROM daily d, (SELECT unnest(range(1, 10)) AS digit) k
+    )
+    SELECT s.day,
+           CAST(s.digit AS INTEGER) AS digit,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_obs,
+           CAST(
+             (CAST(coalesce(c.c, 0) AS HUGEINT) * nn
+              - CAST(coalesce(t.xk, 0) AS HUGEINT) * s.n)
+             * (CAST(coalesce(c.c, 0) AS HUGEINT) * nn
+                - CAST(coalesce(t.xk, 0) AS HUGEINT) * s.n)
+             > 9 * CAST(s.n AS HUGEINT) * coalesce(t.xk, 0)
+               * (nn - coalesce(t.xk, 0)) * nn
+             AS INTEGER) AS drift_flag
+    FROM spine s
+    LEFT JOIN cells c ON s.day = c.day AND s.digit = c.digit
+    LEFT JOIN tot t ON s.digit = t.digit
+    CROSS JOIN nt
+"""

@@ -627,3 +627,74 @@ def test_audio_snr_consistency_with_segments(spark):
         if r.snr_micros is not None:
             # mean-active / mean-inactive > 1 by the gate
             assert r.snr_micros > 1_000_000
+
+
+# --------------------------------------------- round-12 batch 5 ops
+
+
+def test_streaming_digit_drift_matches_batch_replay(spark):
+    """The stream result must equal a plain batch recompute (same
+    exact inequality), and the flag must replay in plain Python."""
+    from multithreaded_map_reduce_spark.functions.rounding import iunits
+    from multithreaded_map_reduce_spark.functions.time import epoch_micros
+
+    p = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            F.substring(iunits(F.col("value"), 2).cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    tot = Counter(r.digit for r in p)
+    nn = sum(tot.values())
+    daily_n = Counter(r.day for r in p)
+    cells = Counter((r.day, r.digit) for r in p)
+    rows = _q("streaming_digit_drift")(spark, SF_SMOKE).collect()
+    assert len(rows) == 9 * len(daily_n)
+    for r in rows:
+        c = cells.get((r.day, r.digit), 0)
+        xk = tot.get(r.digit, 0)
+        n = daily_n[r.day]
+        assert r.n_obs == c
+        dev = c * nn - xk * n
+        expect = int(dev * dev > 9 * n * xk * (nn - xk) * nn)
+        assert r.drift_flag == expect
+
+
+def test_richclub_python_reference(spark):
+    """Induced-subgraph density recomputed in plain Python from the
+    shared projection; monotone sanity on the k axis."""
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        RICHCLUB_KS,
+        _supplier_cograph,
+    )
+
+    edges = [(r.a, r.b) for r in _supplier_cograph(spark, SF_SMOKE).collect()]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    rows = {r.k: r for r in _q("graph_richclub")(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == RICHCLUB_KS
+    for k in RICHCLUB_KS:
+        rich = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in rich and b in rich)
+        r = rows[k]
+        assert r.n_k == len(rich)
+        assert r.e_k == ek
+        if len(rich) >= 2:
+            den = len(rich) * (len(rich) - 1)
+            assert r.phi_micros == (2 * 1_000_000 * 2 * ek + den) // (2 * den)
+            assert 0 <= r.phi_micros <= 1_000_000
+        else:
+            assert r.phi_micros is None
