@@ -1774,3 +1774,68 @@ def _richclub_sql() -> str:
 
 
 ORACLES["graph_richclub"] = _richclub_sql()
+
+
+# ------------------------------------------------ global transitivity
+# Round 12: the one-number closure of the cohesion family — local
+# clustering (per node), k-truss (per edge), rich-club (per degree
+# tier) all read SLICES of triangle structure; the global transitivity
+# ratio C = 3·Δ / W (Newman 2003; W = Σ_v C(d_v, 2) wedges) is the
+# whole-graph summary a pipeline dashboards next to them, and it is
+# NOT the mean of lc(v) (the two diverge on skewed degree sequences —
+# hubs dominate W but not the lc average). Rides the SHARED
+# support-filtered, degree-capped projection and the degree-oriented
+# enumerator, so the 3·Δ ≤ W invariant holds against
+# triangle_suppliers by construction. Exact integers end-to-end
+# (wedge sums in DECIMAL(38,0)/HUGEINT — Σd(d−1)/2 is quadratic in
+# degree); C is a half-up micros rational, NULL on a wedge-free graph.
+
+
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..operators.graph import degree_oriented_triangles
+
+    tris, deg = degree_oriented_triangles(_supplier_cograph(spark, sf_dir))
+    t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    w = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+        F.sum(
+            F.expr("(CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2")
+        ).alias("n_wedges"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.when(F.col("n_wedges") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec("3 * n_triangles", "n_wedges"))
+        .alias("transitivity_micros"),
+    )
+
+
+QUERIES["graph_transitivity"] = graph_transitivity
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_tr  # noqa: E402
+
+ORACLES["graph_transitivity"] = (
+    "WITH "
+    + _cograph_sql_ctes()
+    + f""",
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+    wd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+               CAST(sum(CAST(d AS HUGEINT) * (d - 1) // 2) AS HUGEINT)
+                   AS n_wedges
+        FROM deg
+    )
+    SELECT n_nodes, n_edges, n_triangles,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CASE WHEN n_wedges = 0 THEN NULL
+                ELSE {_sql_rud_tr('3 * n_triangles', 'n_wedges')}
+           END AS transitivity_micros
+    FROM wd CROSS JOIN t
+"""
+)

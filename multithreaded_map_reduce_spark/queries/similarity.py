@@ -2223,3 +2223,196 @@ ORACLES["embedding_angular_histogram"] = f"""
            CAST(coalesce(binned.n_pairs, 0) AS BIGINT) AS n_pairs
     FROM spine LEFT JOIN binned ON spine.bin = binned.bin
 """
+
+
+# ----------------------------------------------------------- hubness
+# Round 12: the k-occurrence skew audit of the kNN graph (Radovanović
+# et al., JMLR 2010) — in high-dimensional corpora a few "hub" points
+# appear in a disproportionate share of other points' neighbor lists
+# while "antihubs" appear in none, and a retrieval/dedup pipeline that
+# ignores this ships systematically biased neighbor evidence. N_k(x) =
+# |{q : x ∈ kNN(q)}| over the SAME deterministic IVF kNN self-join the
+# knn queries gate (so the audit reads the retriever actually
+# deployed, not an idealized one); the readout is the N_k distribution:
+# antihub/hub tallies (hub = N_k > 2k, the standard rule of thumb) and
+# its exact-moment skewness — the paper's headline statistic. Exact:
+# counts are integers, moment sums ride DECIMAL(38,0)/HUGEINT exactly
+# as stats_skewness_kurtosis, one pround(6) at the skewness output.
+# Scale: the kNN relation is n·k rows; everything after is one
+# groupBy + one broadcast-joined aggregate — the audit costs one scan
+# over the retriever's own output.
+
+
+def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import pround
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    knn = knn_join_embeddings(spark, sf_dir)
+    cnt = knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = emb.join(cnt, "vec_id", "left").select(
+        F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum((d(F.col("c")) * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(
+            (d(F.col("c")) * F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("s3"),
+        F.max("c").alias("max_k_occurrence"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("n_antihubs"),
+        F.sum(F.when(F.col("c") > 2 * KNN_K, 1).otherwise(0)).alias("n_hubs"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    m2n2 = n * s2 - s1 * s1
+    m3n3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(KNN_K).cast("int").alias("k"),
+        F.col("n_antihubs").cast("long").alias("n_antihubs"),
+        F.col("n_hubs").cast("long").alias("n_hubs"),
+        F.col("max_k_occurrence").cast("long").alias("max_k_occurrence"),
+        F.when(F.col("n").cast("decimal(38,0)") * F.col("s2") == d(F.col("s1")) * F.col("s1"), F.lit(None).cast("double"))
+        .otherwise(pround(m3n3 / F.sqrt(m2n2 * m2n2 * m2n2), 6))
+        .alias("skewness"),
+    )
+
+
+QUERIES["embedding_hubness"] = embedding_hubness
+
+ORACLES["embedding_hubness"] = f"""
+    WITH knn AS ({ORACLES['knn_join_embeddings']}),
+    per AS (
+        SELECT CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+        FROM (SELECT vec_id FROM embeddings) allv
+        LEFT JOIN (
+            SELECT neighbor_id AS vec_id, count(*) AS c
+            FROM knn GROUP BY 1
+        ) cnt USING (vec_id)
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+               CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
+               CAST(max(c) AS BIGINT) AS max_k_occurrence,
+               CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_antihubs,
+               CAST(sum(CASE WHEN c > {2 * KNN_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hubs
+        FROM per
+    )
+    SELECT n, CAST({KNN_K} AS INTEGER) AS k, n_antihubs, n_hubs,
+           max_k_occurrence,
+           CASE WHEN CAST(n AS HUGEINT) * s2 = CAST(s1 AS HUGEINT) * s1
+                THEN NULL
+                ELSE {sql_pround(
+                    '(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)'
+                    '   * CAST(s3 AS DOUBLE)'
+                    ' - 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)'
+                    '   * CAST(s2 AS DOUBLE)'
+                    ' + 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)'
+                    '   * CAST(s1 AS DOUBLE))'
+                    ' / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+                    '         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+                    '        * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+                    '           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))'
+                    '        * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)'
+                    '           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))',
+                    6)}
+           END AS skewness
+    FROM m
+"""
+
+
+# ------------------------------------------- intrinsic dimension (TwoNN)
+# Round 12: the Two-NN maximum-likelihood intrinsic-dimension estimate
+# (Facco, d'Errico, Rodriguez, Laio, Scientific Reports 2017) — the
+# number that says whether a 64-dim embedding column actually SPANS 64
+# dimensions or lives on a much lower-dimensional manifold (the
+# planning input for PQ codebook sizing, RP target dims, and IVF cell
+# counts). Only the two nearest neighbors per point enter:
+# μ_i = r₂/r₁ and d̂ = n / Σ ln μ_i. Distances come from the SAME
+# deterministic IVF kNN self-join the knn queries gate, via
+# r² = 2·(1 − cos): ln μ_i = ½·(ln(1−c₂) − ln(1−c₁)) — each ln takes
+# an exact 6-dp rational argument (cos_sim is pround(6)), is
+# nano-snapped, and the Hill-style sum is an exact integer; d̂ is one
+# half-up micros rational on DECIMAL(38,0). Queries with c₁ ≥ 1
+# (exact-duplicate neighbor, r₁ = 0) or a missing second neighbor
+# (under-filled probe set) are excluded and REPORTED via n_valid;
+# Σ = 0 (all tied) degenerates to NULL, not ∞. Scale: one pass over
+# the n·k kNN relation, one aggregate row out.
+
+
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    knn = knn_join_embeddings(spark, sf_dir)
+    top2 = knn.filter(F.col("rank") <= 2).groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cos_sim"))).alias("c2"),
+    )
+    valid = (F.col("c1") < 1.0) & F.col("c2").isNotNull() & (F.col("c2") < 1.0)
+    agg = top2.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+        F.sum(
+            F.when(
+                valid,
+                iunits(F.log(F.lit(1.0) - F.col("c2")), 9)
+                - iunits(F.log(F.lit(1.0) - F.col("c1")), 9),
+            )
+        ).alias("s"),
+    )
+    return agg.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_valid").cast("long").alias("n_valid"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("sum_lnmu2_nanos"),
+        F.when(
+            (F.col("n_valid") == 0) | (F.coalesce(F.col("s"), F.lit(0)) <= 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            ratio_units_dec("CAST(2000000000 AS BIGINT) * n_valid", "s")
+        )
+        .alias("d_micros"),
+    )
+
+
+QUERIES["embedding_intrinsic_dim"] = embedding_intrinsic_dim
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_twonn,
+    sql_ratio_units_dec as _sql_rud_twonn,
+)
+
+ORACLES["embedding_intrinsic_dim"] = f"""
+    WITH knn AS ({ORACLES['knn_join_embeddings']}),
+    top2 AS (
+        SELECT query_id,
+               max(CASE WHEN rank = 1 THEN cos_sim END) AS c1,
+               max(CASE WHEN rank = 2 THEN cos_sim END) AS c2
+        FROM knn WHERE rank <= 2 GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN c1 < 1.0 AND c2 IS NOT NULL AND c2 < 1.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(coalesce(sum(CASE WHEN c1 < 1.0 AND c2 IS NOT NULL
+                                       AND c2 < 1.0
+                             THEN {_sql_iu_twonn('ln(1.0 - c2)', 9)}
+                                - {_sql_iu_twonn('ln(1.0 - c1)', 9)}
+                             END), 0) AS BIGINT) AS s
+        FROM top2
+    )
+    SELECT n_queries, n_valid, s AS sum_lnmu2_nanos,
+           CASE WHEN n_valid = 0 OR s <= 0 THEN NULL
+                ELSE {_sql_rud_twonn('CAST(2000000000 AS BIGINT) * n_valid',
+                                     's')}
+           END AS d_micros
+    FROM agg
+"""

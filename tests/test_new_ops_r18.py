@@ -1,0 +1,170 @@
+"""Round-12 semantics tests, batch 6: the cohesion-family closer
+(global transitivity) and the two kNN-graph diagnostics (hubness
+skew, Two-NN intrinsic dimension) — each replayed against a plain
+third reference so a mistake shared with the DuckDB oracle cannot
+hide (the skewness lesson from SCALE.md round 11)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES[name]
+
+
+def _snap9(x: float) -> int:
+    return math.floor(x * 1e9 + 0.5)
+
+
+def _half_up(num: int, den: int, mult: int = 1_000_000) -> int:
+    return (2 * mult * num + den) // (2 * den)
+
+
+# ------------------------------------------------- graph_transitivity
+
+
+def test_transitivity_invariants_vs_family(spark):
+    """3Δ = Σ_v T(v), W = Σ_v C(d_v, 2) from the (oracle-gated)
+    clustering-coefficient relation, Δ matches triangle_suppliers,
+    and the micros rational replays exactly."""
+    row = _q("graph_transitivity")(spark, SF_SMOKE).collect()[0]
+    tri = _q("triangle_suppliers")(spark, SF_SMOKE).collect()[0]
+    lc = _q("graph_clustering_coefficient")(spark, SF_SMOKE).collect()
+
+    assert row.n_triangles == tri.n_triangles
+    assert row.n_nodes == len(lc)
+    assert row.n_edges == sum(r.degree for r in lc) // 2
+    assert row.n_wedges == sum(r.degree * (r.degree - 1) // 2 for r in lc)
+    # every triangle has three corners
+    assert sum(r.n_triangles for r in lc) == 3 * row.n_triangles
+    assert 3 * row.n_triangles <= row.n_wedges
+    if row.n_wedges == 0:
+        assert row.transitivity_micros is None
+    else:
+        assert row.transitivity_micros == _half_up(
+            3 * row.n_triangles, row.n_wedges
+        )
+        assert 0 <= row.transitivity_micros <= 1_000_000
+
+
+def test_transitivity_not_mean_lc(spark):
+    """C is the wedge-weighted ratio, NOT the average of lc(v) — on
+    the skewed fixture graph the two must be computed differently
+    (guards against silently aliasing one to the other)."""
+    row = _q("graph_transitivity")(spark, SF_SMOKE).collect()[0]
+    lc = [
+        r.lc_micros
+        for r in _q("graph_clustering_coefficient")(spark, SF_SMOKE).collect()
+        if r.lc_micros is not None
+    ]
+    assert lc and row.transitivity_micros is not None
+    mean_lc = sum(lc) / len(lc)
+    # same scale, but no accidental equality at micros precision
+    assert abs(row.transitivity_micros - mean_lc) >= 1
+
+
+# --------------------------------------------------- embedding_hubness
+
+
+def test_hubness_python_reference(spark):
+    """k-occurrence tallies and exact-moment skewness replayed in
+    plain Python from the gated kNN relation."""
+    from multithreaded_map_reduce_spark.queries.similarity import KNN_K
+
+    knn = _q("knn_join_embeddings")(spark, SF_SMOKE).collect()
+    all_ids = [
+        r.vec_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    ]
+    occ: dict[int, int] = {v: 0 for v in all_ids}
+    for r in knn:
+        occ[r.neighbor_id] += 1
+    counts = list(occ.values())
+    row = _q("embedding_hubness")(spark, SF_SMOKE).collect()[0]
+
+    assert row.n == len(counts)
+    assert row.k == KNN_K
+    assert row.n_antihubs == sum(1 for c in counts if c == 0)
+    assert row.n_hubs == sum(1 for c in counts if c > 2 * KNN_K)
+    assert row.max_k_occurrence == max(counts)
+
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    s3 = sum(c * c * c for c in counts)
+    assert s1 == len(knn)  # every kNN row lands in exactly one tally
+    if n * s2 == s1 * s1:
+        assert row.skewness is None
+    else:
+        m2n2 = float(n * s2 - s1 * s1)
+        m3n3 = float(n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3)
+        want = math.floor(m3n3 / math.sqrt(m2n2**3) * 1e6 + 0.5) / 1e6
+        assert row.skewness == want
+
+
+def test_hubness_antihubs_are_absent_neighbors(spark):
+    """The antihub tally equals the vec_ids that never appear as a
+    neighbor — a direct set check, no moments involved."""
+    knn = _q("knn_join_embeddings")(spark, SF_SMOKE)
+    n_total = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    )
+    n_seen = knn.select("neighbor_id").distinct().count()
+    row = _q("embedding_hubness")(spark, SF_SMOKE).collect()[0]
+    assert row.n_antihubs == n_total - n_seen
+
+
+# --------------------------------------------- embedding_intrinsic_dim
+
+
+def test_intrinsic_dim_python_reference(spark):
+    """Two-NN estimator replayed in plain Python from the gated kNN
+    relation: per-query (c1, c2), validity mask, nano-snapped log
+    ratios, half-up micros quotient."""
+    knn = _q("knn_join_embeddings")(spark, SF_SMOKE).collect()
+    per: dict[int, dict[int, float]] = {}
+    for r in knn:
+        if r.rank <= 2:
+            per.setdefault(r.query_id, {})[r.rank] = r.cos_sim
+    row = _q("embedding_intrinsic_dim")(spark, SF_SMOKE).collect()[0]
+
+    assert row.n_queries == len(per)
+    s = 0
+    n_valid = 0
+    for ranks in per.values():
+        c1, c2 = ranks.get(1), ranks.get(2)
+        if c1 is not None and c1 < 1.0 and c2 is not None and c2 < 1.0:
+            n_valid += 1
+            s += _snap9(math.log(1.0 - c2)) - _snap9(math.log(1.0 - c1))
+    assert row.n_valid == n_valid
+    assert row.sum_lnmu2_nanos == s
+    if n_valid == 0 or s <= 0:
+        assert row.d_micros is None
+    else:
+        assert row.d_micros == _half_up(2_000_000_000 * n_valid, s)
+        # the manifold estimate cannot exceed the ambient dimension by
+        # much at fixture scale — sanity-bound it
+        assert 0 < row.d_micros / 1e6 < 128
+
+
+def test_intrinsic_dim_ratio_ordering(spark):
+    """c2 ≤ c1 for every query (rank orders by cos desc), so every
+    nano-snapped log-ratio term is ≥ 0 and the sum is monotone in the
+    valid set — the non-negativity the NULL guard relies on."""
+    knn = _q("knn_join_embeddings")(spark, SF_SMOKE).collect()
+    per: dict[int, dict[int, float]] = {}
+    for r in knn:
+        if r.rank <= 2:
+            per.setdefault(r.query_id, {})[r.rank] = r.cos_sim
+    for ranks in per.values():
+        if 1 in ranks and 2 in ranks:
+            assert ranks[2] <= ranks[1]
