@@ -305,6 +305,19 @@ _NEW_THIS_ROUND: list[str] = [
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
+    # round 12 FIRST — the triangle-family re-plan (VERDICT r11 item 1)
+    # CHANGED THE ORACLE (support-filtered, degree-capped projection):
+    # both r11-green rows describe a retired query; the family also
+    # gained a session-shared build-once projection artifact (plan
+    # change) in the same round:
+    "triangle_suppliers",
+    "graph_clustering_coefficient",
+    # round 12 ADVICE re-pairs — Ljung-Box now snaps r̂_k before
+    # squaring (c₀ enters linearly; oracle text changed), McNemar now
+    # pairs the distilled logreg against the Gopher rule it distills
+    # (both discordant cells live; oracle changed):
+    "timeseries_ljung_box",
+    "quality_mcnemar",
     # round 11 FIRST — the rank-statistic family moved off single-task
     # global sorts onto the value-grain / distributed-bucket rail
     # (VERDICT r10 item 1). Statistics are tie-invariant and

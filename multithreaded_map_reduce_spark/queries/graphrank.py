@@ -119,6 +119,9 @@ ORACLES = {"pagerank_nations": _pagerank_sql()}
 #: O(n·cap²) no matter how dense the raw projection gets.
 TRI_DEGREE_CAP = 50
 
+#: (session id, sf_dir) -> lazily localCheckpoint-ed shared projection.
+_COGRAPH_CACHE: dict[str, DataFrame] = {}
+
 
 def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-filtered, degree-capped supplier co-shipment graph —
@@ -135,9 +138,23 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-shaped fact table is near-COMPLETE (at sf0.1 all C(1000,2)
     supplier pairs co-occur), so unfiltered triangle work is Θ(n³)
     under ANY join strategy — sparsify first, enumerate after
-    (VERDICT r11 item 1c)."""
+    (VERDICT r11 item 1c).
+
+    Build-once shared artifact (the _IVFPQ_INDEX_CACHE /
+    _LR_WEIGHTS_CACHE pattern): FIVE registry queries ride this
+    projection (triangles, lc, k-truss, rich-club, transitivity) and
+    its pair build — 12.5M raw co-occurrence pairs into the weighted
+    groupBy at sf0.1 — is the measured ~4 s floor for each of them.
+    One lazy localCheckpoint per (session, fixture dir) pays the build
+    once; localCheckpoint (not persist) keeps it out of the
+    CacheManager so sharing cannot leak into unrelated queries' plans.
+    Keyed by session id so a restarted session rebuilds (checkpointed
+    blocks die with their SparkContext)."""
     from ..operators.graph import degree_cap_edges, support_filter_edges
 
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _COGRAPH_CACHE:
+        return _COGRAPH_CACHE[key]
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     sc = (
@@ -151,7 +168,11 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    return degree_cap_edges(support_filter_edges(pairs), TRI_DEGREE_CAP)
+    capped = degree_cap_edges(
+        support_filter_edges(pairs), TRI_DEGREE_CAP
+    ).localCheckpoint(eager=False)
+    _COGRAPH_CACHE[key] = capped
+    return capped
 
 
 def _cograph_sql_ctes() -> str:
@@ -1796,15 +1817,26 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_oriented_triangles
 
     tris, deg = degree_oriented_triangles(_supplier_cograph(spark, sf_dir))
-    t = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    w = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
+    # ONE aggregation job over the tagged union — two separate 1-row
+    # aggregates crossJoined re-materialized the (lazily
+    # checkpointed) enumeration once per side, tripling warm time
+    parts = tris.select(
+        F.lit(1).alias("is_tri"), F.lit(None).cast("long").alias("d")
+    ).unionByName(
+        deg.select(F.lit(0).alias("is_tri"), F.col("d").cast("long"))
+    )
+    w = parts.agg(
+        F.sum("is_tri").alias("n_triangles"),
+        F.sum(F.when(F.col("is_tri") == 0, 1).otherwise(0)).alias("n_nodes"),
+        F.expr("sum(coalesce(d, 0)) div 2").cast("long").alias("n_edges"),
         F.sum(
-            F.expr("(CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2")
+            F.expr(
+                "(CAST(coalesce(d, 0) AS DECIMAL(38,0))"
+                " * (coalesce(d, 0) - 1)) div 2"
+            )
         ).alias("n_wedges"),
     )
-    return w.crossJoin(F.broadcast(t)).select(
+    return w.select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         "n_edges",
         F.col("n_triangles").cast("long").alias("n_triangles"),
