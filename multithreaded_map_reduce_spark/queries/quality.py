@@ -2790,3 +2790,122 @@ ORACLES["quality_cramers_v"] = f"""
            END AS cramers_v
     FROM s CROSS JOIN tot
 """
+
+
+# ------------------------------------------- delta-method ratio CI
+# Round 12: the CI every experimentation platform needs for RATIO
+# metrics (revenue per event, CTR, items per order) where the naive
+# per-row variance is wrong because numerator and denominator are
+# correlated within user — the classic linearization (delta method /
+# Fieller regime, e.g. Deng et al. KDD'18 "Applying the Delta Method
+# in Metric Analytics"): with per-user (xᵢ, yᵢ) and R̂ = Σx/Σy,
+# Var(R̂) ≈ n·(Sxx − 2R̂·Sxy + R̂²·Syy) / ((n−1)·Sy²) — the residuals
+# dᵢ = xᵢ − R̂yᵢ are zero-mean BY CONSTRUCTION (Σd = 0), so raw
+# moment sums suffice, no centering pass. Here: revenue (purchase
+# cents) per event across all users. Exactness: per-user cents/counts
+# are exact integers, the five moment sums ride DECIMAL(38,0)/HUGEINT,
+# R̂ is an exact micros rational; only the final se/CI touch doubles —
+# one fixed expression + single sqrt + pround(6) (the Wilson
+# discipline). Scale: one events scan → user-grain aggregate → one
+# 5-sum reduce; nothing data-grain after the first groupBy.
+
+
+def quality_delta_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround, ratio_units_dec
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", iunits(F.col("value"), 2)
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((d(F.col("x")) * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((d(F.col("y")) * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((d(F.col("x")) * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = sx / sy
+    var = (
+        n * (sxx - 2 * r * sxy + r * r * syy) / ((n - 1) * sy * sy)
+    )
+    se = F.sqrt(var)
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("sum_cents"),
+        F.col("sy").cast("long").alias("sum_events"),
+        ratio_units_dec("sx", "sy").alias("ratio_micros"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(pround(se, 6))
+        .alias("se_cents"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(pround(r - 1.96 * se, 6))
+        .alias("ci_lo_cents"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(pround(r + 1.96 * se, 6))
+        .alias("ci_hi_cents"),
+    )
+
+
+QUERIES["quality_delta_ratio_ci"] = quality_delta_ratio_ci
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_dr,
+    sql_pround as _sql_pr_dr,
+    sql_ratio_units_dec as _sql_rud_dr,
+)
+
+_DR = (
+    "(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE)"
+    " - 2 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    "   * CAST(sxy AS DOUBLE)"
+    " + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    "   * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    "   * CAST(syy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) - 1)"
+    "    * CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+ORACLES["quality_delta_ratio_ci"] = f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN {_sql_iu_dr('CAST(value AS DOUBLE)', 2)} END), 0)
+                   AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM per
+    )
+    SELECT n AS n_users, sx AS sum_cents, sy AS sum_events,
+           {_sql_rud_dr('sx', 'sy')} AS ratio_micros,
+           CASE WHEN n < 2 THEN NULL
+                ELSE {_sql_pr_dr(f'sqrt({_DR})', 6)} END AS se_cents,
+           CASE WHEN n < 2 THEN NULL
+                ELSE {_sql_pr_dr(
+                    'CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)'
+                    f' - 1.96 * sqrt({_DR})', 6)} END AS ci_lo_cents,
+           CASE WHEN n < 2 THEN NULL
+                ELSE {_sql_pr_dr(
+                    'CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)'
+                    f' + 1.96 * sqrt({_DR})', 6)} END AS ci_hi_cents
+    FROM m
+"""

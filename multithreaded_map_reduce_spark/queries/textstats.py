@@ -4916,3 +4916,113 @@ ORACLES["quality_wilson_interval"] = (
     .replace("{MINA}", str(GR_MIN_ALPHA))
     .replace("{MINSTOP}", str(GR_MIN_STOP))
 )
+
+
+# ----------------------------------------------------- Gwet's AC1
+# Round 12: the paradox-robust twin of quality_kappa_model_rule on
+# the SAME model-vs-rule pairing (distilled logreg @ 0.5 vs the
+# incumbent Gopher keep rule). Cohen's κ collapses toward 0 under
+# skewed prevalence even at high raw agreement (the "kappa paradox",
+# Feinstein & Cicchetti 1990); Gwet's AC1 (2008) replaces the
+# chance-agreement model with e(γ) = 2π(1−π), π = (p₁+p₂)/2, which
+# stays stable — a curation dashboard that gates on κ alone flags
+# healthy skewed slices, so ship both numbers off one contingency
+# pass. Closed form on the exact 2×2 cells:
+# AC1 = [2n(tp+tn) − m(2n−m)] / [2n² − m(2n−m)], m = 2·tp+fp+fn —
+# numerator signed (offset-shifted DECIMAL rational), denominator
+# n² + (n−m)² > 0 for n > 0. One aggregate over the shared per-doc
+# logreg artifact; the oracle replays the identical cells and
+# rational off the nested per-doc CTE.
+
+
+def quality_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    scored = zfeat.crossJoin(F.broadcast(w)).select(
+        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+        F.col("keep"),
+    )
+    pa = (F.col("p") >= F.lit(MCN_THR)).cast("long")
+    y = F.col("keep").cast("long")
+    cm = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pa * y).alias("tp"),
+        F.sum(pa * (1 - y)).alias("fp"),
+        F.sum((1 - pa) * y).alias("fn"),
+        F.sum((1 - pa) * (1 - y)).alias("tn"),
+    )
+    m = "(2 * tp + fp + fn)"
+    return cm.select(
+        F.col("n").alias("n_docs"),
+        (F.col("tp") + F.col("tn")).alias("n_agree"),
+        F.expr(m).cast("long").alias("m_pos_marginals"),
+        ratio_units_dec("tp + tn", "n").alias("po_micros"),
+        ratio_units_dec(
+            f"CAST({m} AS DECIMAL(38,0)) * (2 * n - {m})",
+            "2 * CAST(n AS DECIMAL(38,0)) * n",
+        ).alias("pe_gamma_micros"),
+        F.when(F.col("n") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed(
+                f"2 * CAST(n AS DECIMAL(38,0)) * (tp + tn)"
+                f" - CAST({m} AS DECIMAL(38,0)) * (2 * n - {m})",
+                f"2 * CAST(n AS DECIMAL(38,0)) * n"
+                f" - CAST({m} AS DECIMAL(38,0)) * (2 * n - {m})",
+                off=16,
+            )
+        )
+        .alias("ac1_micros"),
+    )
+
+
+QUERIES["quality_gwet_ac1"] = quality_gwet_ac1
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_ac1,
+    sql_ratio_units_dec_signed as _sql_ruds_ac1,
+)
+
+_AC1_M = "(2 * tp + fp + fn)"
+
+ORACLES["quality_gwet_ac1"] = f"""
+    WITH perdoc AS ({{_PD}}),
+    cm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p >= {MCN_THR} AND keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p >= {MCN_THR} AND keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p < {MCN_THR} AND keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN p < {MCN_THR} AND keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM (SELECT CAST(score_units AS DOUBLE) / 1000000000.0 AS p,
+                     keep
+              FROM perdoc)
+    )
+    SELECT n AS n_docs,
+           CAST(tp + tn AS BIGINT) AS n_agree,
+           CAST({_AC1_M} AS BIGINT) AS m_pos_marginals,
+           {_sql_rud_ac1('tp + tn', 'n')} AS po_micros,
+           {_sql_rud_ac1(
+               f'CAST({_AC1_M} AS HUGEINT) * (2 * n - {_AC1_M})',
+               '2 * CAST(n AS HUGEINT) * n')} AS pe_gamma_micros,
+           CASE WHEN n = 0 THEN NULL
+                ELSE {_sql_ruds_ac1(
+                    f'2 * CAST(n AS HUGEINT) * (tp + tn)'
+                    f' - CAST({_AC1_M} AS HUGEINT) * (2 * n - {_AC1_M})',
+                    f'2 * CAST(n AS HUGEINT) * n'
+                    f' - CAST({_AC1_M} AS HUGEINT) * (2 * n - {_AC1_M})',
+                    off=16)}
+           END AS ac1_micros
+    FROM cm
+"""
+
+ORACLES["quality_gwet_ac1"] = ORACLES["quality_gwet_ac1"].replace(
+    "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
+)

@@ -2564,3 +2564,132 @@ ORACLES["timeseries_variance_ratio"] = f"""
            END AS vr_micros
     FROM m
 """
+
+
+# --------------------------------------------------- AR(1) half-life
+# Round 12: the mean-reversion SPEED readout next to the whiteness
+# (Ljung-Box), randomness (runs), memory (Hurst) and random-walk
+# (variance-ratio) panels: fit AR(1) by Yule-Walker on daily event
+# counts — φ̂ = c₁/c₀ on the demeaned series — and report the
+# half-life H = ln2 / (−ln φ̂) days, the number a capacity planner
+# actually uses ("how long until a load shock decays by half").
+# Same integer rail as Ljung-Box: u_i = n·x_i − S (exact scaled
+# deviations), c₀ = Σu², c₁ = Σu_iu_{i+1} on a day-adjacency
+# equi-join — no window, gap days simply drop pairs. φ̂ is a signed
+# DECIMAL micros rational; for 0 < φ̂ < 1 the half-life divides the
+# nano-snapped ln 2 by ln c₀ − ln c₁ (each ln takes an exact positive
+# integer, nano-snapped — c₀ enters linearly, the ADVICE r11
+# discipline), one half-up micros rational; φ̂ ≤ 0 (oscillating /
+# white) and φ̂ ≥ 1 (non-stationary — includes the snapped-ratio
+# degenerate L₀ = L₁) report NULL, not ∞. Scale: calendar-grain
+# (≤ n_days rows) after one events scan.
+
+LN2_NANOS = 693_147_181  # floor(ln(2)·1e9 + 0.5)
+
+
+def timeseries_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import (
+        iunits,
+        ratio_units,
+        ratio_units_dec_signed,
+    )
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day", "n", (d(F.col("n")) * F.col("x") - F.col("s")).alias("u")
+    )
+    nxt = u.select((F.col("day") - 1).alias("day"), F.col("u").alias("u1"))
+    m = (
+        u.join(nxt, "day", "left")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("u") * F.col("u")).alias("c0"),
+            F.sum(F.col("u") * F.col("u1")).alias("c1"),
+            F.sum(F.when(F.col("u1").isNotNull(), 1).otherwise(0)).alias(
+                "n_pairs"
+            ),
+        )
+    )
+    phi_ok = (F.col("c0") > 0) & (F.col("c1") > 0) & (F.col("c1") < F.col("c0"))
+    base = m.select(
+        "n",
+        "n_pairs",
+        "c0",
+        "c1",
+        F.when(
+            F.col("c0") > 0, iunits(F.log(F.col("c0").cast("double")), 9)
+        ).alias("l0"),
+        F.when(
+            F.col("c1") > 0, iunits(F.log(F.col("c1").cast("double")), 9)
+        ).alias("l1"),
+    )
+    return base.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(F.col("c0") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed("CAST(c1 AS DECIMAL(38,0))", "c0", off=16)
+        )
+        .alias("phi_micros"),
+        F.when(~phi_ok | (F.col("l0") <= F.col("l1")), F.lit(None).cast("long"))
+        .otherwise(ratio_units(str(LN2_NANOS), "l0 - l1"))
+        .alias("halflife_days_micros"),
+    )
+
+
+QUERIES["timeseries_ar1_halflife"] = timeseries_ar1_halflife
+
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_ar1,
+    sql_ratio_units as _sql_ru_ar1,
+    sql_ratio_units_dec_signed as _sql_ruds_ar1,
+)
+
+ORACLES["timeseries_ar1_halflife"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        FROM ser
+    ), u AS (
+        SELECT day, n, CAST(n AS HUGEINT) * x - s AS u
+        FROM ser CROSS JOIN tot
+    ), m AS (
+        SELECT max(a.n) AS n,
+               CAST(sum(a.u * a.u) AS HUGEINT) AS c0,
+               CAST(sum(a.u * b.u) AS HUGEINT) AS c1,
+               CAST(sum(CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs
+        FROM u a LEFT JOIN u b ON b.day = a.day + 1
+    ), base AS (
+        SELECT n, n_pairs, c0, c1,
+               CASE WHEN c0 > 0
+                    THEN {_sql_iu_ar1('ln(CAST(c0 AS DOUBLE))', 9)} END AS l0,
+               CASE WHEN c1 > 0
+                    THEN {_sql_iu_ar1('ln(CAST(c1 AS DOUBLE))', 9)} END AS l1
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, n_pairs,
+           CASE WHEN c0 = 0 THEN NULL
+                ELSE {_sql_ruds_ar1('c1', 'c0', off=16)}
+           END AS phi_micros,
+           CASE WHEN c0 <= 0 OR c1 <= 0 OR c1 >= c0 OR l0 <= l1 THEN NULL
+                ELSE {_sql_ru_ar1(str(LN2_NANOS), 'l0 - l1')}
+           END AS halflife_days_micros
+    FROM base
+"""

