@@ -872,3 +872,46 @@ def audio_energy_ratio(
         "media_id long, n_active long, n_inactive long,"
         " act_energy long, inact_energy long",
     )
+
+
+def audio_level_stats(media: DataFrame) -> DataFrame:
+    """Per-media level statistics over the WAV decode rail (round 12):
+    the mastering/QA numbers a speech pipeline gates ingest on — peak,
+    rail-sample count (hard-clipped samples at the uint8 rails 0/255),
+    and the exact integer sums behind DC offset and crest factor.
+    Pure integer arithmetic on decoded bytes so the oracle replays it
+    from the raw hex; one row per media."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_samples": [],
+                "peak": [],
+                "n_rail": [],
+                "sum_s": [],
+                "sum_s2": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(int(arr.size))
+                out["peak"].append(int(arr.max()) if arr.size else 0)
+                out["n_rail"].append(
+                    int(((arr == 0) | (arr == 255)).sum())
+                )
+                out["sum_s"].append(int(arr.sum()))
+                out["sum_s2"].append(int((arr * arr).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_samples long, peak long, n_rail long,"
+        " sum_s long, sum_s2 long",
+    )

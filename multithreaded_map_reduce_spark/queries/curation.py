@@ -2584,3 +2584,193 @@ ORACLES["curation_quality_pareto"] = f"""
 ORACLES["curation_quality_pareto"] = ORACLES["curation_quality_pareto"].replace(
     "{_PD}", _sql_lr_qp(mode="per_doc", score_where="TRUE")
 )
+
+
+# ------------------------------------------- perplexity-band filter
+# Round 12: the CCNet/RedPajama-style perplexity gate as a CURATION
+# decision (Wenzek et al. 2020 filter "middle" perplexity; the tails
+# are junk — too-surprising docs are noise/garbled, too-predictable
+# ones are boilerplate): score every document under the corpus's own
+# add-one bigram LM (the text_bigram_lm_perplexity model, self-scored
+# — the standard bootstrap when no external LM is shippable), then
+# keep docs whose per-doc average NLL sits within a SCALE-FREE band
+# around the corpus average A: PPL_LO/PPL_DEN·A ≤ avg_d ≤
+# PPL_HI/PPL_DEN·A, evaluated as exact cross-multiplied integer
+# inequalities (no quantile pass, no doubles — the band adapts to
+# corpus scale automatically). The band is a DIAL: ±2% here because
+# the synthetic corpus is near-homogeneous (per-doc avg NLL spans
+# 0.96–1.06× the mean at sf0.001); a production deployment on web
+# text would widen it or swap in CCNet's per-language percentile
+# cuts via the exact-quantile rail. Docs with
+# no bigram (≤ 1 token) are unscorable and reported, not silently
+# kept. Output is the per-source curation report: doc counts, keep
+# rate (micros rational), and the kept-mass average NLL (total-ratio,
+# not mean-of-ratios — exact). Scale: the LM params are the
+# vocabulary-grain relations the perplexity query already builds; the
+# per-doc pass is one bigram explode + two vocab-grain equi-joins +
+# one doc-grain aggregate — the same shape at any corpus size.
+
+
+PPL_LO, PPL_HI, PPL_DEN = 49, 51, 50
+
+
+def curation_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units
+    from ..functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    k = F.greatest(F.size("tk") - 1, F.lit(0))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, k),
+                F.slice("tk", 2, k),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    db = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    gb = db.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    vt = uni.agg(F.count(F.lit(1)).alias("v"))
+    per_doc = (
+        db.join(gb, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("nd"),
+            F.sum(
+                F.col("n")
+                * (
+                    iunits(F.log(F.col("c1") + F.col("v")), 9)
+                    - iunits(F.log(F.col("c2") + F.lit(1)), 9)
+                )
+            ).alias("ld"),
+        )
+    )
+    tot = per_doc.agg(
+        F.sum("nd").alias("sn"), F.sum("ld").alias("sl")
+    )
+    dec = "decimal(38,0)"
+    scored = (
+        toks.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    keep = (
+        F.col("nd").isNotNull()
+        & (
+            F.lit(PPL_LO).cast(dec) * F.col("nd") * F.col("sl")
+            <= F.lit(PPL_DEN).cast(dec) * F.col("ld") * F.col("sn")
+        )
+        & (
+            F.lit(PPL_DEN).cast(dec) * F.col("ld") * F.col("sn")
+            <= F.lit(PPL_HI).cast(dec) * F.col("nd") * F.col("sl")
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("nd").isNull(), 1).otherwise(0)).alias(
+            "n_unscorable"
+        ),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("nd"))).alias("kept_bigrams"),
+        F.sum(F.when(keep, F.col("ld"))).alias("kept_nll"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unscorable").cast("long").alias("n_unscorable"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        ratio_units("n_kept", "n_docs").alias("keep_rate_micros"),
+        F.when(F.coalesce(F.col("kept_bigrams"), F.lit(0)) == 0,
+               F.lit(None).cast("long"))
+        .otherwise(ratio_units("kept_nll", "kept_bigrams", 1))
+        .alias("kept_avg_nll_nanos"),
+    ).orderBy("source")
+
+
+QUERIES["curation_perplexity_filter"] = curation_perplexity_filter
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_ppl,
+    sql_ratio_units as _sql_ru_ppl,
+)
+
+ORACLES["curation_perplexity_filter"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS tk FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(tk[1:len(tk) - 1]) AS w1,
+               unnest(tk[2:len(tk)]) AS w2
+        FROM t
+    ), db AS (
+        SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM bi GROUP BY 1, 2, 3
+    ), gb AS (
+        SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2
+    ), uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+            SELECT unnest(tk) AS w FROM t
+        ) GROUP BY 1
+    ), vt AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS nd,
+               CAST(sum(n * ({_sql_iu_ppl('ln(c1 + v)', 9)}
+                    - {_sql_iu_ppl('ln(c2 + 1)', 9)})) AS BIGINT) AS ld
+        FROM db
+        JOIN gb USING (w1, w2)
+        JOIN uni ON db.w1 = uni.w
+        CROSS JOIN vt
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(nd) AS BIGINT) AS sn,
+               CAST(sum(ld) AS BIGINT) AS sl
+        FROM per_doc
+    ), scored AS (
+        SELECT t.doc_id, t.source, p.nd, p.ld, sn, sl,
+               (p.nd IS NOT NULL
+                AND 49 * CAST(p.nd AS HUGEINT) * sl
+                    <= 50 * CAST(p.ld AS HUGEINT) * sn
+                AND 50 * CAST(p.ld AS HUGEINT) * sn
+                    <= 51 * CAST(p.nd AS HUGEINT) * sl) AS keep
+        FROM t
+        LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        CROSS JOIN tot
+    ), rep AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN nd IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unscorable,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN nd END) AS BIGINT)
+                   AS kept_bigrams,
+               CAST(sum(CASE WHEN keep THEN ld END) AS BIGINT) AS kept_nll
+        FROM scored GROUP BY 1
+    )
+    SELECT source, n_docs, n_unscorable, n_kept,
+           {_sql_ru_ppl('n_kept', 'n_docs')} AS keep_rate_micros,
+           CASE WHEN coalesce(kept_bigrams, 0) = 0 THEN NULL
+                ELSE {_sql_ru_ppl('kept_nll', 'kept_bigrams', 1)}
+           END AS kept_avg_nll_nanos
+    FROM rep
+    ORDER BY source
+"""

@@ -1323,3 +1323,95 @@ ORACLES["multimodal_audio_snr"] = f"""
            END AS snr_micros
     FROM split
 """
+
+
+# ------------------------------------------------ audio level audit
+# Round 12: the mastering/ingest-QA readout next to the SNR economics
+# (multimodal_audio_snr) — three numbers a speech pipeline gates on
+# BEFORE spending decode/ASR budget: hard-clip evidence (samples at
+# the uint8 rails 0/255 — loudness-war limiting or a broken gain
+# stage), DC offset (mean − 128 midpoint — a miswired ADC shifts the
+# whole waveform), and crest factor (peak over RMS — over-compressed
+# audio collapses toward 1). Integer-exact: per-media (n, peak,
+# n_rail, Σs, Σs²) come off the strict WAV decode rail
+# (operators/multimodal.py audio_level_stats); DC offset is a SIGNED
+# micros rational (Σs − 128n)/n, crest² = n·peak²/Σs² a DECIMAL
+# micros rational (squares avoid the sqrt — monotone equivalent).
+# The oracle replays samples from raw hex (text bytes cycled to
+# n_samples, the documents_as_wav_audio contract).
+
+
+def multimodal_audio_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
+    from ..operators.multimodal import audio_level_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = audio_level_stats(documents_as_wav_audio(docs))
+    return per.select(
+        "media_id",
+        "n_samples",
+        "peak",
+        "n_rail",
+        F.when(F.col("n_samples") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed(
+                "CAST(sum_s AS DECIMAL(38,0)) - 128 * CAST(n_samples AS DECIMAL(38,0))",
+                "n_samples",
+                off=256,
+            )
+        )
+        .alias("dc_offset_micros"),
+        F.when(F.col("sum_s2") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                "CAST(n_samples AS DECIMAL(38,0)) * peak * peak", "sum_s2"
+            )
+        )
+        .alias("crest2_micros"),
+    )
+
+
+QUERIES["multimodal_audio_levels"] = multimodal_audio_levels
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_lv,
+    sql_ratio_units_dec_signed as _sql_ruds_lv,
+)
+
+ORACLES["multimodal_audio_levels"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), samp AS (
+        SELECT doc_id AS media_id, n_samples,
+               list_transform(range(0, CAST(n_samples AS INTEGER)),
+                              j -> {_byte_at('j % _tb')}) AS s
+        FROM sized
+    ), agg AS (
+        SELECT media_id,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(list_aggregate(s, 'max') AS BIGINT) AS peak,
+               CAST(len(list_filter(s, x -> x = 0 OR x = 255))
+                    AS BIGINT) AS n_rail,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), s),
+                    (x, y) -> x + y) AS BIGINT) AS sum_s,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(s, x -> x * x)),
+                    (x, y) -> x + y) AS BIGINT) AS sum_s2
+        FROM samp
+    )
+    SELECT media_id, n_samples, peak, n_rail,
+           CASE WHEN n_samples = 0 THEN NULL
+                ELSE {_sql_ruds_lv(
+                    'CAST(sum_s AS HUGEINT) - 128 * CAST(n_samples AS HUGEINT)',
+                    'n_samples', off=256)}
+           END AS dc_offset_micros,
+           CASE WHEN sum_s2 = 0 THEN NULL
+                ELSE {_sql_rud_lv(
+                    'CAST(n_samples AS HUGEINT) * peak * peak', 'sum_s2')}
+           END AS crest2_micros
+    FROM agg
+"""

@@ -1966,3 +1966,121 @@ ORACLES["streaming_digit_drift"] = f"""
     LEFT JOIN tot t ON s.digit = t.digit
     CROSS JOIN nt
 """
+
+
+# ------------------------------------------------ streaming CUSUM alert
+# Round 12: the SMALL-SHIFT drift gate completing the streaming control
+# panel — the SPC p-chart (streaming_spc_alert) catches single
+# out-of-control days, the digit gate (streaming_digit_drift) catches
+# value-mix changes; Page's one-sided CUSUM (Page 1954) catches the
+# sustained small shift both miss, because it ACCUMULATES deviations:
+# S_t = max(0, S_{t−1} + (x_t − μ − k)). The recursion has the exact
+# closed form S_t = M_t − min(0, min_{j≤t} M_j) (drawup from the
+# clamped running minimum of the partial sums), so it rides two
+# calendar-grain windows instead of per-row state. Exact integers:
+# with D days, total T, per-day n_t, the slack-adjusted deviation is
+# v_t = 20·(D·n_t − T) − T (slack k = 5% of the mean, exactly), and
+# the h = 5σ alert is the cross-multiplied square
+# S_t² > 10000·(D·Σn² − T²) (S_t ≥ 0, σ_u² = D·Σn² − T² the scaled
+# population variance). Bounded state: ONE streaming groupBy(day)
+# (calendar-grain); partial sums, running min and the alert all run
+# post-sink on the ≤ n_days materialized relation. The oracle replays
+# the identical windows; a plain-Python recursion replay
+# (max(0, S+v) form) checks the closed form itself in the tests.
+
+
+def streaming_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_micros
+    from ..streaming.events import run_stream_to_memory, stream_events
+
+    stream = stream_events(spark, sf_dir)
+    daily = (
+        stream.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = _sink("st_cusum")
+    run_stream_to_memory(daily, name)
+    sunk = spark.table(name)
+
+    dec = "decimal(38,0)"
+    tot = sunk.agg(
+        F.count(F.lit(1)).alias("dd"),
+        F.sum("n").alias("tt"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).alias("ss"),
+    )
+    v = sunk.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "dd",
+        "tt",
+        "ss",
+        (
+            F.lit(20).cast(dec)
+            * (F.col("dd").cast(dec) * F.col("n") - F.col("tt"))
+            - F.col("tt")
+        ).alias("v"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    m = v.withColumn("m", F.sum("v").over(w)).withColumn(
+        "runmin", F.min("m").over(w)
+    )
+    s = F.col("m") - F.least(F.lit(0).cast(dec), F.col("runmin"))
+    return m.select(
+        "day",
+        "n",
+        s.cast("long").alias("cusum_pos_scaled"),
+        (
+            s * s
+            > F.lit(10_000).cast(dec)
+            * (F.col("dd").cast(dec) * F.col("ss") - F.col("tt").cast(dec) * F.col("tt"))
+        )
+        .cast("int")
+        .alias("alert"),
+    )
+
+
+QUERIES["streaming_cusum_alert"] = streaming_cusum_alert
+
+ORACLES["streaming_cusum_alert"] = """
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS dd,
+               CAST(sum(n) AS BIGINT) AS tt,
+               CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+        FROM daily
+    ), v AS (
+        SELECT day, n, dd, tt, ss,
+               20 * (CAST(dd AS HUGEINT) * n - tt) - tt AS v
+        FROM daily CROSS JOIN tot
+    ), m1 AS (
+        SELECT day, n, dd, tt, ss,
+               sum(v) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM v
+    ), m AS (
+        SELECT day, n, dd, tt, ss, m,
+               min(m) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS runmin
+        FROM m1
+    )
+    SELECT day, n,
+           CAST(m - least(CAST(0 AS HUGEINT), runmin) AS BIGINT)
+               AS cusum_pos_scaled,
+           CAST((m - least(CAST(0 AS HUGEINT), runmin))
+                * (m - least(CAST(0 AS HUGEINT), runmin))
+                > 10000 * (CAST(dd AS HUGEINT) * ss
+                           - CAST(tt AS HUGEINT) * tt)
+                AS INTEGER) AS alert
+    FROM m
+"""

@@ -307,3 +307,156 @@ def test_ar1_phi_matches_acf_direction(spark):
     row = _q("timeseries_ar1_halflife")(spark, SF_SMOKE).collect()[0]
     assert row.phi_micros is not None
     assert -1_000_000 <= row.phi_micros <= 1_000_000
+
+
+# --------------------------------------------- streaming_cusum_alert
+
+
+def test_streaming_cusum_recursion_replay(spark):
+    """The closed form S_t = M_t − min(0, min_{j≤t} M_j) must equal
+    Page's recursion S_t = max(0, S_{t−1} + v_t) replayed in plain
+    Python from the raw events — the property the windowed plan
+    relies on — and the 5σ alert must match the cross-multiplied
+    square."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    dd = len(days)
+    tt = sum(days.values())
+    ss = sum(n * n for n in days.values())
+
+    s_val = 0
+    expect = {}
+    for day in sorted(days):
+        v = 20 * (dd * days[day] - tt) - tt
+        s_val = max(0, s_val + v)
+        expect[day] = s_val
+
+    rows = {r.day: r for r in _q("streaming_cusum_alert")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(expect)
+    var_term = 10_000 * (dd * ss - tt * tt)
+    for day, want in expect.items():
+        got = rows[day]
+        assert got.n == days[day]
+        assert got.cusum_pos_scaled == want
+        assert got.alert == int(want * want > var_term)
+    # the slack drains the statistic: an in-control series must not
+    # end pinned at its maximum (catches a sign slip in v)
+    last = expect[max(expect)]
+    assert last <= max(expect.values())
+
+
+# --------------------------------------------- multimodal_audio_levels
+
+
+def test_audio_levels_python_reference(spark):
+    """Per-media sample stats replayed from the text-bytes-cycled WAV
+    contract; DC offset and crest-squared rationals replayed exactly."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    rows = {r.media_id: r for r in _q("multimodal_audio_levels")(spark, SF_SMOKE).collect()}
+
+    def _signed_half_up(num: int, den: int, off: int) -> int:
+        mult = 1_000_000
+        shifted = (2 * mult * (num + off * den) + den) // (2 * den)
+        return shifted - off * mult
+
+    checked = 0
+    for doc in docs:
+        if not doc.text:
+            continue
+        tb = doc.text.encode("utf-8")
+        need = doc.doc_id % 500 + 100
+        s = (tb * (need // len(tb) + 1))[:need]
+        row = rows[doc.doc_id]
+        assert row.n_samples == need
+        assert row.peak == max(s)
+        assert row.n_rail == sum(1 for x in s if x in (0, 255))
+        sum_s = sum(s)
+        sum_s2 = sum(x * x for x in s)
+        assert row.dc_offset_micros == _signed_half_up(
+            sum_s - 128 * need, need, 256
+        )
+        assert row.crest2_micros == _half_up(need * max(s) ** 2, sum_s2)
+        # crest factor >= 1 by Cauchy-Schwarz (peak^2 >= mean square)
+        assert row.crest2_micros >= 1_000_000
+        checked += 1
+    assert checked == len(rows) > 0
+
+
+# ---------------------------------------- curation_perplexity_filter
+
+
+def test_perplexity_filter_python_reference(spark):
+    """Per-doc add-one bigram NLL and the cross-multiplied band
+    decision replayed in plain Python (shares only the tokenizer);
+    per-source tallies and the kept-mass average NLL must match."""
+    from collections import Counter
+
+    from multithreaded_map_reduce_spark.functions.text import tokenize
+    from multithreaded_map_reduce_spark.queries.curation import (
+        PPL_DEN,
+        PPL_HI,
+        PPL_LO,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = docs.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("tk")
+    ).collect()
+    uni, big = Counter(), Counter()
+    for r in rows:
+        uni.update(r.tk)
+        for a, b in zip(r.tk, r.tk[1:]):
+            big[(a, b)] += 1
+    v = len(uni)
+
+    per_doc = {}
+    for r in rows:
+        pairs = list(zip(r.tk, r.tk[1:]))
+        if not pairs:
+            per_doc[r.doc_id] = (r.source, None, None)
+            continue
+        nd = len(pairs)
+        ld = sum(
+            _snap9(math.log(uni[w1] + v)) - _snap9(math.log(big[(w1, w2)] + 1))
+            for w1, w2 in pairs
+        )
+        per_doc[r.doc_id] = (r.source, nd, ld)
+
+    sn = sum(nd for _, nd, _ in per_doc.values() if nd)
+    sl = sum(ld for _, _, ld in per_doc.values() if ld)
+    src: dict[str, list[int]] = {}
+    for source, nd, ld in per_doc.values():
+        agg = src.setdefault(source, [0, 0, 0, 0, 0])
+        agg[0] += 1
+        if nd is None:
+            agg[1] += 1
+            continue
+        keep = (
+            PPL_LO * nd * sl <= PPL_DEN * ld * sn
+            and PPL_DEN * ld * sn <= PPL_HI * nd * sl
+        )
+        if keep:
+            agg[2] += 1
+            agg[3] += nd
+            agg[4] += ld
+
+    got = {r.source: r for r in _q("curation_perplexity_filter")(spark, SF_SMOKE).collect()}
+    assert set(got) == set(src)
+    kept_total = dropped_total = 0
+    for source, (n_docs, n_un, n_kept, kb, kl) in src.items():
+        row = got[source]
+        assert row.n_docs == n_docs
+        assert row.n_unscorable == n_un
+        assert row.n_kept == n_kept
+        assert row.keep_rate_micros == _half_up(n_kept, n_docs)
+        if kb == 0:
+            assert row.kept_avg_nll_nanos is None
+        else:
+            assert row.kept_avg_nll_nanos == (2 * kl + kb) // (2 * kb)
+        kept_total += n_kept
+        dropped_total += n_docs - n_un - n_kept
+    # the ±2% band must exercise BOTH branches on the fixture
+    assert kept_total > 0 and dropped_total > 0

@@ -87,10 +87,12 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "class); two post-TakeOrdered rank stamps (pmi/lift top-K)",
     ),
     "queries/streaming_gate.py": (
-        2,
+        4,
         "calendar-grain: tx-log version axis tail (bounded) + "
         "value-grain: the quantile-router threshold build runs on "
-        "distinct purchase cents (the c_less rail)",
+        "distinct purchase cents (the c_less rail) + the CUSUM "
+        "partial-sum and running-min pair over the post-sink "
+        "groupBy(day) relation (≤ n_days rows)",
     ),
     "queries/graphrank.py": (
         1,
