@@ -2472,3 +2472,170 @@ ORACLES["events_hill_tail_index"] = f"""
            END AS alpha_micros
     FROM agg
 """
+
+
+# ------------------------------------------- retention decay fit
+# Round 12: the one-number summary ON TOP of the events_retention
+# table — product analytics fits an exponential decay r_k ≈ r₀·e^(−λk)
+# to the pooled retention curve and plans around its HALF-LIFE (how
+# many days until half the retained mass is gone). Pooled curve with
+# right-censoring handled by construction: only cohorts observed for
+# the full RET_DECAY_K days enter (cohort_date ≤ max_date − K), so
+# every offset k ∈ 1..K has the same denominator population. Fit:
+# OLS of y_k = ln r_k on k — with r_k = num_k/den (exact integer
+# counts), y_k = snap9(ln num_k) − snap9(ln den) (two-stage snap, the
+# ar1/Heaps discipline; both logs take exact integers), slope
+# λ̂ = −(m·Σky − Σk·Σy)/(m·Σk² − (Σk)²) in nano-units/day on exact
+# integer sums over ≤ K points, and half-life ln2/λ̂ one DECIMAL
+# micros rational. Offsets with zero retained users cannot enter the
+# log — they are dropped and REPORTED via n_terms (m < 2 or a
+# non-positive slope → NULL half-life, not ∞). Scale: rides the same
+# two user-grain aggregations as events_retention; the fit itself is
+# K-bounded arithmetic.
+
+RET_DECAY_K = 14
+
+
+def events_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units_dec_signed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    days = ev.distinct().localCheckpoint(eager=False)
+    maxd = days.agg(F.max("d").alias("maxd"))
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    eligible = (
+        cohort.crossJoin(F.broadcast(maxd))
+        .filter(
+            F.datediff(F.col("maxd"), F.col("cohort_date")) >= RET_DECAY_K
+        )
+        .select("user_id", "cohort_date")
+        .localCheckpoint(eager=False)
+    )
+    den = eligible.agg(F.count(F.lit(1)).alias("den"))
+    # retained users at offset k: days is (user, day)-distinct, so a
+    # row count at k IS the distinct-user count active on cohort day k
+    ret = (
+        days.join(eligible, "user_id")
+        .select(F.datediff("d", "cohort_date").alias("k"))
+        .filter((F.col("k") >= 1) & (F.col("k") <= RET_DECAY_K))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("num"))
+    )
+    y = ret.crossJoin(F.broadcast(den)).select(
+        "k",
+        "num",
+        "den",
+        (
+            iunits(F.log(F.col("num").cast("double")), 9)
+            - iunits(F.log(F.col("den").cast("double")), 9)
+        ).alias("y"),
+    )
+    s = y.filter(F.col("num") > 0).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("skk"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("y")).alias("sky"),
+        F.max("den").alias("n_eligible"),
+    )
+    lam_num = "(CAST(m AS DECIMAL(38,0)) * sky - CAST(sk AS DECIMAL(38,0)) * sy)"
+    lam_den = "(CAST(m AS DECIMAL(38,0)) * skk - CAST(sk AS DECIMAL(38,0)) * sk)"
+    base = s.select(
+        F.lit(RET_DECAY_K).cast("int").alias("k_max"),
+        F.col("m").cast("long").alias("n_terms"),
+        F.col("n_eligible").cast("long").alias("n_eligible"),
+        F.when(F.col("m") < 2, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed(f"-{lam_num}", lam_den, mult=1, off=10**10)
+        )
+        .alias("lambda_nanos_per_day"),
+    )
+    return base.select(
+        "k_max",
+        "n_terms",
+        "n_eligible",
+        "lambda_nanos_per_day",
+        F.when(
+            F.col("lambda_nanos_per_day").isNull()
+            | (F.col("lambda_nanos_per_day") <= 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "(2 * 1000000 * CAST(693147181 AS DECIMAL(38,0))"
+                " + lambda_nanos_per_day)"
+                " div (2 * CAST(lambda_nanos_per_day AS DECIMAL(38,0)))"
+            ).cast("long")
+        )
+        .alias("halflife_days_micros"),
+    )
+
+
+QUERIES["events_retention_decay"] = events_retention_decay
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_rd,
+)
+
+ORACLES["events_retention_decay"] = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), maxd AS (
+        SELECT max(d) AS maxd FROM days
+    ), cohort AS (
+        SELECT user_id, min(d) AS cohort_date FROM days GROUP BY 1
+    ), eligible AS (
+        SELECT user_id, cohort_date
+        FROM cohort CROSS JOIN maxd
+        WHERE date_diff('day', cohort_date, maxd) >= {RET_DECAY_K}
+    ), den AS (
+        SELECT CAST(count(*) AS BIGINT) AS den FROM eligible
+    ), ret AS (
+        SELECT date_diff('day', cohort_date, d) AS k,
+               CAST(count(*) AS BIGINT) AS num
+        FROM days JOIN eligible USING (user_id)
+        WHERE date_diff('day', cohort_date, d) BETWEEN 1 AND {RET_DECAY_K}
+        GROUP BY 1
+    ), y AS (
+        SELECT k, num, den,
+               {_sql_iu_rd('ln(CAST(num AS DOUBLE))', 9)}
+               - {_sql_iu_rd('ln(CAST(den AS DOUBLE))', 9)} AS y
+        FROM ret CROSS JOIN den
+        WHERE num > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(k) AS BIGINT) AS sk,
+               CAST(sum(CAST(k AS HUGEINT) * k) AS HUGEINT) AS skk,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(CAST(k AS HUGEINT) * y) AS HUGEINT) AS sky,
+               CAST(max(den) AS BIGINT) AS n_eligible
+        FROM y
+    ), base AS (
+        SELECT CAST({RET_DECAY_K} AS INTEGER) AS k_max,
+               m AS n_terms, n_eligible,
+               CASE WHEN m < 2 THEN NULL ELSE
+                   CAST((2 * 1 * (-(CAST(m AS HUGEINT) * sky
+                                    - CAST(sk AS HUGEINT) * sy)
+                         + CAST(10000000000 AS HUGEINT)
+                           * (CAST(m AS HUGEINT) * skk
+                              - CAST(sk AS HUGEINT) * sk))
+                        + (CAST(m AS HUGEINT) * skk
+                           - CAST(sk AS HUGEINT) * sk))
+                       // (2 * (CAST(m AS HUGEINT) * skk
+                                - CAST(sk AS HUGEINT) * sk))
+                       - 10000000000 AS BIGINT)
+               END AS lambda_nanos_per_day
+        FROM s
+    )
+    SELECT k_max, n_terms, n_eligible, lambda_nanos_per_day,
+           CASE WHEN lambda_nanos_per_day IS NULL
+                  OR lambda_nanos_per_day <= 0 THEN NULL
+                ELSE CAST((2 * 1000000 * CAST(693147181 AS HUGEINT)
+                           + lambda_nanos_per_day)
+                          // (2 * CAST(lambda_nanos_per_day AS HUGEINT))
+                          AS BIGINT)
+           END AS halflife_days_micros
+    FROM base
+"""

@@ -2909,3 +2909,119 @@ ORACLES["quality_delta_ratio_ci"] = f"""
                     f' + 1.96 * sqrt({_DR})', 6)} END AS ci_hi_cents
     FROM m
 """
+
+
+# --------------------------------------------- Anderson-Darling (2-sample)
+# Round 12: the tail-weighted EDF companion to quality_ks_test — KS
+# reads the single largest CDF gap (center-dominated); the two-sample
+# Anderson–Darling statistic (Pettitt 1976; Scholz–Stephens 1987,
+# tie-adjusted discrete form) weights gaps by 1/(F(1−F)), so
+# distribution shifts hiding in the TAILS (exactly where junk-doc
+# scores and price outliers live) move AD long before they move KS.
+# With distinct pooled values j (mass ℓ_j, pooled cum B_j, sample-a
+# cum M_j) and D_j = N·M_j − n_a·B_j (the same integer gap relation
+# the KS rail computes):
+#   A² = (1/(n_a·n_b)) · Σ_{B_j<N} ℓ_j · D_j² / (B_j·(N−B_j)).
+# Exactness: every factor is an exact integer on the value-grain
+# rail; each term snaps to nano-units via one DECIMAL(38,0) rational
+# (per-term half-up — deterministic and engine-identical; with V
+# distinct values the accumulated rounding is ≤ V/2 nanos, ~3e-5 on
+# this fixture's A², and the DIFFERENTIAL compare is exact
+# regardless), and A² is reported in micros. Overflow ceiling: D_j²
+# ≤ N⁴/4 must fit DECIMAL(38,0)/HUGEINT ⇒ exact to N ≈ 4e9 pooled
+# rows per comparison; beyond that, pre-bucket the value axis (the
+# histogram-quantile rail) before the EDF pass. Same scan shape as
+# KS: one value-grain groupBy + one cumulative window + one reduce.
+
+
+def quality_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import iunits, ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    per_v = (
+        li.select(
+            iunits(F.col("l_extendedprice"), 2).alias("v"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("a"),
+            F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("b"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("na_v"), F.sum("b").alias("nb_v"))
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        (F.col("na_v") + F.col("nb_v")).alias("l"),
+        F.sum("na_v").over(w).alias("ma"),
+        (F.sum("na_v").over(w) + F.sum("nb_v").over(w)).alias("bb"),
+    )
+    totals = per_v.agg(F.sum("na_v").alias("na"), F.sum("nb_v").alias("nb"))
+    dec = "decimal(38,0)"
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("bb") < F.col("na") + F.col("nb"))
+        .select(
+            "na",
+            "nb",
+            ratio_units_dec(
+                f"CAST(l AS {dec})"
+                f" * (CAST(na + nb AS {dec}) * ma - CAST(na AS {dec}) * bb)"
+                f" * (CAST(na + nb AS {dec}) * ma - CAST(na AS {dec}) * bb)",
+                f"CAST(na AS {dec}) * nb * bb * (na + nb - bb)",
+                1_000_000_000,
+            ).alias("t_nanos"),
+        )
+    )
+    out = terms.groupBy("na", "nb").agg(F.sum("t_nanos").alias("a2_nanos"))
+    return out.select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("a2_nanos").cast("long").alias("a2_nanos"),
+        F.expr("(2 * a2_nanos + 1000) div 2000").cast("long").alias("a2_micros"),
+    )
+
+
+QUERIES["quality_anderson_darling"] = quality_anderson_darling
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_ad,
+    sql_ratio_units_dec as _sql_rud_ad,
+)
+
+ORACLES["quality_anderson_darling"] = f"""
+    WITH per_v AS (
+        SELECT {_sql_iu_ad('l_extendedprice', 2)} AS v,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na_v,
+               sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nb_v
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY 1
+    ), cum AS (
+        SELECT CAST(na_v + nb_v AS BIGINT) AS l,
+               CAST(sum(na_v) OVER w AS BIGINT) AS ma,
+               CAST(sum(na_v + nb_v) OVER w AS BIGINT) AS bb
+        FROM per_v WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), t AS (
+        SELECT CAST(sum(na_v) AS BIGINT) AS na,
+               CAST(sum(nb_v) AS BIGINT) AS nb
+        FROM per_v
+    ), terms AS (
+        SELECT na, nb,
+               {_sql_rud_ad(
+                   'CAST(l AS HUGEINT)'
+                   ' * (CAST(na + nb AS HUGEINT) * ma'
+                   '    - CAST(na AS HUGEINT) * bb)'
+                   ' * (CAST(na + nb AS HUGEINT) * ma'
+                   '    - CAST(na AS HUGEINT) * bb)',
+                   'CAST(na AS HUGEINT) * nb * bb * (na + nb - bb)',
+                   1_000_000_000)} AS t_nanos
+        FROM cum, t
+        WHERE bb < na + nb
+    )
+    SELECT na, nb,
+           CAST(sum(t_nanos) AS BIGINT) AS a2_nanos,
+           CAST((2 * sum(t_nanos) + 1000) // 2000 AS BIGINT) AS a2_micros
+    FROM terms
+    GROUP BY na, nb
+"""

@@ -1019,3 +1019,143 @@ ORACLES["sketch_linear_counting"] = f"""
            END AS estimate_micros
     FROM staged
 """
+
+
+# ------------------------------------------------- bloom FPR audit
+# Round 12: the MEASUREMENT loop for the bloom-pruning family —
+# bloom_prune_orders trusts a filter; this query audits one, the way
+# a production pipeline validates its pruning index after each build:
+# construct a k=3 bloom over the members (customers WITH orders),
+# probe it with GUARANTEED non-members — the sign-mirrored key space
+# −key−1 (members are non-negative custkeys, so the mirror is
+# disjoint by construction; the affine hash is sign-safe via pmod on
+# both engines), and report observed FPR next to the fill-based
+# prediction
+# p̂ = (filled/m)^k (the empirical-fill form of (1−e^{−kn/m})^k —
+# exact integer rational, no exp). A probe is a false positive iff
+# ALL its (distinct) bits are set — self-colliding hashes are handled
+# by comparing distinct-bit counts, not row counts. Everything is
+# exact integers: minstd affine hashes mod POLY_MOD mod m (the
+# linear-counting discipline), bit sets via distinct, counts via
+# joins; both FPR columns are micros rationals. Scale: members and
+# probes shuffle once on key, bits are ≤ m rows (broadcast); the
+# audit costs two scans + one bounded join.
+
+BF_M = 8192
+BF_HASHES = [(48_271, 11), (16_807, 7), (69_621, 3)]
+
+
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import ratio_units, ratio_units_dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    mem = orders.select(F.col("o_custkey").alias("key")).distinct()
+    mem = mem.localCheckpoint(eager=False)  # feeds bits AND the anti-join
+
+    def hbit(a: int, b: int):
+        return F.pmod(
+            F.pmod(F.col("key").cast("long"), F.lit(POLY_MOD)) * F.lit(a)
+            + F.lit(b),
+            F.lit(POLY_MOD),
+        ) % F.lit(BF_M)
+
+    harr = F.array(*[hbit(a, b) for a, b in BF_HASHES])
+    bits = (
+        mem.select(F.explode(harr).alias("bit")).distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = cust.select((-F.col("c_custkey") - 1).alias("key"))
+    pb = probes.select("key", F.explode(harr).alias("bit")).distinct()
+    per = (
+        pb.join(F.broadcast(bits), "bit", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.coalesce("present", F.lit(0))).alias("nh"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("nb") == F.col("nh"), 1).otherwise(0)).alias(
+            "n_fp"
+        ),
+    ).crossJoin(
+        F.broadcast(mem.agg(F.count(F.lit(1)).alias("n_members")))
+    ).crossJoin(
+        F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_filled")))
+    )
+    return agg.select(
+        F.lit(BF_M).cast("long").alias("m"),
+        F.lit(len(BF_HASHES)).cast("int").alias("k"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        F.col("n_probes").cast("long").alias("n_probes"),
+        F.col("n_fp").cast("long").alias("n_fp"),
+        F.when(F.col("n_probes") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units("n_fp", "n_probes"))
+        .alias("fpr_observed_micros"),
+        ratio_units_dec(
+            "CAST(n_filled AS DECIMAL(38,0)) * n_filled * n_filled",
+            f"CAST({BF_M} AS DECIMAL(38,0)) * {BF_M} * {BF_M}",
+        ).alias("fpr_fill_micros"),
+    )
+
+
+QUERIES["sketch_bloom_fpr"] = sketch_bloom_fpr
+
+from ..functions.hashing import POLY_MOD as _BF_MOD  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units as _sql_ru_bf,
+    sql_ratio_units_dec as _sql_rud_bf,
+)
+
+
+def _bf_sql() -> str:
+    hash_exprs = ", ".join(
+        f"(((key % {_BF_MOD} + {_BF_MOD}) % {_BF_MOD}) * {a} + {b})"
+        f" % {_BF_MOD} % {BF_M}"
+        for a, b in BF_HASHES
+    )
+    return f"""
+    WITH mem AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+    ), bits AS (
+        SELECT DISTINCT unnest([{hash_exprs}]) AS bit FROM mem
+    ), probes AS (
+        SELECT -c_custkey - 1 AS key FROM customer
+    ), pb AS (
+        SELECT DISTINCT key, unnest([{hash_exprs}]) AS bit
+        FROM (SELECT key FROM probes) _p
+    ), per AS (
+        SELECT pb.key,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nh
+        FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+        GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN nb = nh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fp
+        FROM per
+    ), stat AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+               (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_filled
+    )
+    SELECT CAST({BF_M} AS BIGINT) AS m,
+           CAST({len(BF_HASHES)} AS INTEGER) AS k,
+           n_members, n_filled, n_probes, n_fp,
+           CASE WHEN n_probes = 0 THEN NULL
+                ELSE {_sql_ru_bf('n_fp', 'n_probes')}
+           END AS fpr_observed_micros,
+           {_sql_rud_bf(
+               'CAST(n_filled AS HUGEINT) * n_filled * n_filled',
+               f'CAST({BF_M} AS HUGEINT) * {BF_M} * {BF_M}')}
+               AS fpr_fill_micros
+    FROM agg CROSS JOIN stat
+"""
+
+
+ORACLES["sketch_bloom_fpr"] = _bf_sql()

@@ -460,3 +460,166 @@ def test_perplexity_filter_python_reference(spark):
         dropped_total += n_docs - n_un - n_kept
     # the ±2% band must exercise BOTH branches on the fixture
     assert kept_total > 0 and dropped_total > 0
+
+
+# ----------------------------------------- quality_anderson_darling
+
+
+def test_anderson_darling_python_reference(spark):
+    """Tie-adjusted two-sample A² replayed in plain Python from the
+    raw lineitem rows: value-grain masses, cumulative gaps, per-term
+    nano rationals, micros output."""
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    vals: dict[int, list[int]] = {}
+    for r in rows:
+        if r.l_returnflag not in ("R", "N"):
+            continue
+        v = math.floor(r.l_extendedprice * 100 + 0.5)
+        a = vals.setdefault(v, [0, 0])
+        a[0 if r.l_returnflag == "R" else 1] += 1
+    na = sum(a for a, _ in vals.values())
+    nb = sum(b for _, b in vals.values())
+    n = na + nb
+
+    ma = bb = 0
+    a2 = 0
+    for v in sorted(vals):
+        av, bv = vals[v]
+        l = av + bv
+        ma += av
+        bb += l
+        if bb >= n:
+            continue
+        num = l * (n * ma - na * bb) ** 2
+        den = na * nb * bb * (n - bb)
+        a2 += (2 * 1_000_000_000 * num + den) // (2 * den)
+
+    row = _q("quality_anderson_darling")(spark, SF_SMOKE).collect()[0]
+    assert row.na == na and row.nb == nb
+    assert row.a2_nanos == a2
+    assert row.a2_micros == (2 * a2 + 1000) // 2000
+    assert row.a2_nanos >= 0
+
+
+def test_anderson_darling_tail_sensitivity_vs_ks(spark):
+    """AD and KS run on the same pair of samples — both must see the
+    same totals (shared rail), and A² must be positive whenever KS's
+    max gap is (a zero-gap pair would zero both)."""
+    ad = _q("quality_anderson_darling")(spark, SF_SMOKE).collect()[0]
+    ks = _q("quality_ks_test")(spark, SF_SMOKE).collect()[0]
+    assert (ad.na, ad.nb) == (ks.na, ks.nb)
+    assert (ad.a2_nanos > 0) == (ks.d_num > 0)
+
+
+# ----------------------------------------- events_retention_decay
+
+
+def test_retention_decay_python_reference(spark):
+    """Eligible cohorts, pooled retention counts, snapped-log OLS
+    slope and half-life replayed in plain Python."""
+    from multithreaded_map_reduce_spark.queries.events import RET_DECAY_K
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, set] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, set()).add(r.d)
+    maxd = max(d for ds in by_user.values() for d in ds)
+    eligible = {
+        u: min(ds)
+        for u, ds in by_user.items()
+        if (maxd - min(ds)).days >= RET_DECAY_K
+    }
+    den = len(eligible)
+    num: dict[int, int] = {}
+    for u, c0 in eligible.items():
+        for d in by_user[u]:
+            k = (d - c0).days
+            if 1 <= k <= RET_DECAY_K:
+                num[k] = num.get(k, 0) + 1
+
+    ys = {
+        k: _snap9(math.log(v)) - _snap9(math.log(den))
+        for k, v in num.items()
+        if v > 0
+    }
+    m = len(ys)
+    row = _q("events_retention_decay")(spark, SF_SMOKE).collect()[0]
+    assert row.k_max == RET_DECAY_K
+    assert row.n_terms == m
+    assert row.n_eligible == den
+
+    if m < 2:
+        assert row.lambda_nanos_per_day is None
+        return
+    sk = sum(ys)
+    skk = sum(k * k for k in ys)
+    sy = sum(ys.values())
+    sky = sum(k * y for k, y in ys.items())
+    lam_num = -(m * sky - sk * sy)
+    lam_den = m * skk - sk * sk
+    off = 10**10
+    want_lam = (2 * (lam_num + off * lam_den) + lam_den) // (2 * lam_den) - off
+    assert row.lambda_nanos_per_day == want_lam
+    if want_lam <= 0:
+        assert row.halflife_days_micros is None
+    else:
+        assert row.halflife_days_micros == _half_up(693_147_181, want_lam)
+
+
+# --------------------------------------------------- sketch_bloom_fpr
+
+
+def test_bloom_fpr_python_reference(spark):
+    """Bitmap build, sign-mirrored probes and both FPR rationals
+    replayed in plain Python with the same affine hashes."""
+    from multithreaded_map_reduce_spark.functions.hashing import POLY_MOD
+    from multithreaded_map_reduce_spark.queries.sketches import (
+        BF_HASHES,
+        BF_M,
+    )
+
+    members = {
+        r.o_custkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .collect()
+    }
+    custs = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+
+    def bits(key: int) -> set:
+        return {
+            ((key % POLY_MOD + POLY_MOD) % POLY_MOD * a + b)
+            % POLY_MOD
+            % BF_M
+            for a, b in BF_HASHES
+        }
+
+    filled = set()
+    for k in members:
+        filled |= bits(k)
+    n_fp = sum(1 for c in custs if bits(-c - 1) <= filled)
+
+    row = _q("sketch_bloom_fpr")(spark, SF_SMOKE).collect()[0]
+    assert row.m == BF_M and row.k == len(BF_HASHES)
+    assert row.n_members == len(members)
+    assert row.n_filled == len(filled)
+    assert row.n_probes == len(custs)
+    assert row.n_fp == n_fp
+    assert row.fpr_observed_micros == _half_up(n_fp, len(custs))
+    assert row.fpr_fill_micros == _half_up(len(filled) ** 3, BF_M**3)
+    # mirrored probe keys can never be members
+    assert all(-c - 1 not in members for c in custs)

@@ -75,10 +75,12 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "calendar-grain: tx-log version axis (bounded by log length)",
     ),
     "queries/quality.py": (
-        8,
+        9,
         "value-grain c_less rails (spearman rank maps, mannwhitney, "
-        "kruskal, wilcoxon — distinct metric values) + calendar-grain "
-        "day windows + the post-limit mahalanobis stamp (line ~529)",
+        "kruskal, wilcoxon — distinct metric values; + the "
+        "anderson-darling EDF cumulative, same distinct-cents axis as "
+        "ks_test) + calendar-grain day windows + the post-limit "
+        "mahalanobis stamp (line ~529)",
     ),
     "queries/mining.py": (
         3,
