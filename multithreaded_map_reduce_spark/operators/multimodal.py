@@ -915,3 +915,47 @@ def audio_level_stats(media: DataFrame) -> DataFrame:
         "media_id long, n_samples long, peak long, n_rail long,"
         " sum_s long, sum_s2 long",
     )
+
+
+def image_color_stats(media: DataFrame) -> DataFrame:
+    """Per-image opponent-channel moment sums over the strict PPM
+    decode rail (round 12): rg = R−G and yb2 = R+G−2B (twice the
+    Hasler–Süsstrunk yellow-blue channel, kept integer) with their
+    exact sums and sums of squares — the inputs to the colorfulness
+    metric, computed JVM-side-equivalently in one Arrow pass. Exact
+    BIGINT outputs so the oracle replays them from raw hex."""
+    import pandas as pd
+
+    from .codecs import decode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_pix": [],
+                "sum_rg": [],
+                "sum_rg2": [],
+                "sum_yb2": [],
+                "sum_yb22": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _w, _h, _maxv, raster = decode_ppm(bytes(blob))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                px = arr.reshape(-1, 3)
+                rg = px[:, 0] - px[:, 1]
+                yb2 = px[:, 0] + px[:, 1] - 2 * px[:, 2]
+                out["media_id"].append(mid)
+                out["n_pix"].append(int(px.shape[0]))
+                out["sum_rg"].append(int(rg.sum()))
+                out["sum_rg2"].append(int((rg * rg).sum()))
+                out["sum_yb2"].append(int(yb2.sum()))
+                out["sum_yb22"].append(int((yb2 * yb2).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_pix long, sum_rg long, sum_rg2 long,"
+        " sum_yb2 long, sum_yb22 long",
+    )

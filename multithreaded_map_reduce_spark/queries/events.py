@@ -2639,3 +2639,111 @@ ORACLES["events_retention_decay"] = f"""
            END AS halflife_days_micros
     FROM base
 """
+
+
+# --------------------------------------------- Poisson dispersion index
+# Round 12: the overdispersion check that decides WHICH control chart
+# is valid — the SPC p-chart and CUSUM gates assume near-Poisson
+# daily counts; real event streams are usually overdispersed (bursty
+# users, campaigns), and applying Poisson limits to an overdispersed
+# series fires false alarms daily. Fisher's index of dispersion on
+# daily counts: I = s²/x̄, with the χ² form (d−1)·I = (d·Σx² − T²)/T
+# on exact integer moment sums. The 3σ overdispersion flag uses the
+# normal approximation of χ²(d−1) in exact cross-multiplied integers:
+# flag ⟺ NUM − (d−1)·T > 0 ∧ (NUM − (d−1)·T)² > 18·(d−1)·T², where
+# NUM = d·Σx² − T² (both sides DECIMAL/HUGEINT — no doubles anywhere).
+# Calendar-grain after one events scan.
+
+
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dec = "decimal(38,0)"
+    m = ser.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    num = f"(CAST(d AS {dec}) * sxx - CAST(t AS {dec}) * t)"
+    excess = f"({num} - (CAST(d AS {dec}) - 1) * t)"
+    return m.select(
+        F.col("d").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("total"),
+        F.when(
+            (F.col("d") < 2) | (F.col("t") == 0), F.lit(None).cast("long")
+        )
+        .otherwise(
+            ratio_units_dec(num, f"(CAST(d AS {dec}) - 1) * t")
+        )
+        .alias("dispersion_micros"),
+        F.when(
+            (F.col("d") < 2) | (F.col("t") == 0), F.lit(None).cast("long")
+        )
+        .otherwise(ratio_units_dec(num, "t"))
+        .alias("chi2_micros"),
+        F.when(
+            (F.col("d") < 2) | (F.col("t") == 0), F.lit(None).cast("int")
+        )
+        .otherwise(
+            (
+                (F.expr(excess) > 0)
+                & (
+                    F.expr(f"{excess} * {excess}")
+                    > F.lit(18).cast(dec)
+                    * (F.col("d").cast(dec) - 1)
+                    * F.col("t").cast(dec)
+                    * F.col("t")
+                )
+            ).cast("int")
+        )
+        .alias("overdispersed_3sigma"),
+    )
+
+
+QUERIES["events_poisson_dispersion"] = events_poisson_dispersion
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_pd,
+)
+
+_PD_NUM = "(CAST(d AS HUGEINT) * sxx - CAST(t AS HUGEINT) * t)"
+_PD_EXC = f"({_PD_NUM} - (CAST(d AS HUGEINT) - 1) * t)"
+
+ORACLES["events_poisson_dispersion"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(x) AS BIGINT) AS t,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM ser
+    )
+    SELECT d AS n_days, t AS total,
+           CASE WHEN d < 2 OR t = 0 THEN NULL
+                ELSE {_sql_rud_pd(_PD_NUM,
+                                  '(CAST(d AS HUGEINT) - 1) * t')}
+           END AS dispersion_micros,
+           CASE WHEN d < 2 OR t = 0 THEN NULL
+                ELSE {_sql_rud_pd(_PD_NUM, 't')}
+           END AS chi2_micros,
+           CASE WHEN d < 2 OR t = 0 THEN NULL
+                ELSE CAST(({_PD_EXC} > 0
+                      AND {_PD_EXC} * {_PD_EXC}
+                          > 18 * (CAST(d AS HUGEINT) - 1) * t * t)
+                     AS INTEGER)
+           END AS overdispersed_3sigma
+    FROM m
+"""

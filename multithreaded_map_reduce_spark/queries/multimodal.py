@@ -1415,3 +1415,118 @@ ORACLES["multimodal_audio_levels"] = f"""
            END AS crest2_micros
     FROM agg
 """
+
+
+# ------------------------------------------------ image colorfulness
+# Round 12: the Hasler–Süsstrunk (2003) colorfulness metric — the
+# standard one-number screen for grayscale/duotone/synthetic-flat
+# images a vision-data pipeline drops before training: with opponent
+# channels rg = R−G and yb = (R+G)/2 − B,
+# C = sqrt(σ²_rg + σ²_yb) + 0.3·sqrt(μ²_rg + μ²_yb). Integer rail:
+# keep yb doubled (yb2 = R+G−2B) so every moment sum is an exact
+# BIGINT off the strict PPM decode (operators/multimodal.py
+# image_color_stats); then C = (1/(2n))·[√(4(nΣrg²−(Σrg)²) +
+# (nΣyb2²−(Σyb2)²)) + 0.3·√(4(Σrg)² + (Σyb2)²)] — the two sqrt
+# arguments are exact integers emitted as audit columns, and C is
+# one fixed double expression + pround(6) (the Wilson discipline).
+# The oracle replays pixels arithmetically from doc_id + text bytes.
+
+
+def multimodal_image_colorfulness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.rounding import pround
+    from ..operators.multimodal import image_color_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = image_color_stats(documents_as_ppm_images(docs))
+    dec = "decimal(38,0)"
+    var_num = (
+        f"(4 * (CAST(n_pix AS {dec}) * sum_rg2"
+        f" - CAST(sum_rg AS {dec}) * sum_rg)"
+        f" + (CAST(n_pix AS {dec}) * sum_yb22"
+        f" - CAST(sum_yb2 AS {dec}) * sum_yb2))"
+    )
+    mu_num = (
+        f"(4 * CAST(sum_rg AS {dec}) * sum_rg"
+        f" + CAST(sum_yb2 AS {dec}) * sum_yb2)"
+    )
+    base = per.select(
+        "media_id",
+        "n_pix",
+        F.expr(var_num).cast("long").alias("var_num"),
+        F.expr(mu_num).cast("long").alias("mu_num"),
+    )
+    c = (
+        F.sqrt(F.col("var_num").cast("double"))
+        + F.lit(0.3) * F.sqrt(F.col("mu_num").cast("double"))
+    ) / (F.lit(2.0) * F.col("n_pix").cast("double"))
+    return base.select(
+        "media_id",
+        "n_pix",
+        "var_num",
+        "mu_num",
+        F.when(F.col("n_pix") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(c, 6))
+        .alias("colorfulness"),
+    )
+
+
+QUERIES["multimodal_image_colorfulness"] = multimodal_image_colorfulness
+
+from ..functions.rounding import sql_pround as _sql_pr_cf  # noqa: E402
+
+ORACLES["multimodal_image_colorfulness"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        FROM documents WHERE length(text) > 0
+    ), px AS (
+        SELECT doc_id,
+               w * h AS n_pix,
+               list_transform(range(0, CAST(w * h AS INTEGER)),
+                   p -> {_byte_at('(3 * p) % _tb')}
+                        - {_byte_at('(3 * p + 1) % _tb')}) AS rg,
+               list_transform(range(0, CAST(w * h AS INTEGER)),
+                   p -> {_byte_at('(3 * p) % _tb')}
+                        + {_byte_at('(3 * p + 1) % _tb')}
+                        - 2 * {_byte_at('(3 * p + 2) % _tb')}) AS yb2
+        FROM sized
+    ), agg AS (
+        SELECT doc_id AS media_id,
+               CAST(n_pix AS BIGINT) AS n_pix,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), rg),
+                    (x, y) -> x + y) AS BIGINT) AS sum_rg,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(rg, x -> x * x)),
+                    (x, y) -> x + y) AS BIGINT) AS sum_rg2,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), yb2),
+                    (x, y) -> x + y) AS BIGINT) AS sum_yb2,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(yb2, x -> x * x)),
+                    (x, y) -> x + y) AS BIGINT) AS sum_yb22
+        FROM px
+    ), nums AS (
+        SELECT media_id, n_pix,
+               CAST(4 * (CAST(n_pix AS HUGEINT) * sum_rg2
+                         - CAST(sum_rg AS HUGEINT) * sum_rg)
+                    + (CAST(n_pix AS HUGEINT) * sum_yb22
+                       - CAST(sum_yb2 AS HUGEINT) * sum_yb2)
+                    AS BIGINT) AS var_num,
+               CAST(4 * CAST(sum_rg AS HUGEINT) * sum_rg
+                    + CAST(sum_yb2 AS HUGEINT) * sum_yb2
+                    AS BIGINT) AS mu_num
+        FROM agg
+    )
+    SELECT media_id, n_pix, var_num, mu_num,
+           CASE WHEN n_pix = 0 THEN NULL
+                ELSE {_sql_pr_cf(
+                    '(sqrt(CAST(var_num AS DOUBLE))'
+                    ' + 0.3 * sqrt(CAST(mu_num AS DOUBLE)))'
+                    ' / (2.0 * CAST(n_pix AS DOUBLE))', 6)}
+           END AS colorfulness
+    FROM nums
+"""

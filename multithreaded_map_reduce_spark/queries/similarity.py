@@ -2416,3 +2416,139 @@ ORACLES["embedding_intrinsic_dim"] = f"""
            END AS d_micros
     FROM agg
 """
+
+
+# ------------------------------------- nearest-centroid classification
+# Round 12: the SUPERVISED eval the embeddings fixture's label column
+# was missing — kmeans reads unsupervised structure, label-spread
+# reads semi-supervised propagation; the nearest-centroid (Rocchio)
+# classifier is the standard "are these embeddings linearly usable"
+# probe a pipeline runs before spending on a trained head. Mean
+# inner-product form: assign v to argmax_l ⟨v, μ_l⟩ (the MIPS
+# classifier — appropriate for near-unit-norm embeddings; document,
+# don't hide, that vectors score against centroids that include
+# themselves — the plain resubstitution eval). Exactness: vectors
+# quantize to MILLI-units (the label_spread discipline — micro-unit
+# dots would overflow), centroid SUMS are exact BIGINT dim-sums,
+# ⟨v, S_l⟩ is an exact BIGINT, and the argmax over labels compares
+# the exact rational ⟨v,S_l⟩/n_l via a DECIMAL(38,0) fixed-point
+# quotient (×10¹²) with label-ascending tie-break — deterministic in
+# both engines. Output: the (true_label, pred_label) confusion
+# relation. Scale: one posexplode pass for the centroid sums
+# (n·d rows, label-grain out), one broadcast of L centroid arrays,
+# and an n×L score relation — never n².
+
+
+def embedding_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    pe = qv.select(
+        "true_label", F.posexplode("q").alias("pos", "x")
+    )
+    cent = (
+        pe.groupBy("true_label", "pos")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("true_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t.s,
+            ).alias("cq")
+        )
+        .join(
+            qv.groupBy("true_label").agg(F.count(F.lit(1)).alias("nl")),
+            "true_label",
+        )
+        .select(
+            F.col("true_label").alias("cand_label"),
+            "cq",
+            "nl",
+        )
+    )
+    dot = (
+        "aggregate(zip_with(q, cq, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (s, t) -> s + t)"
+    )
+    scores = qv.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "true_label",
+        "cand_label",
+        # offset shift: |dot/nl| <= 64e6 mathematically, so +1e8
+        # makes the rational positive BEFORE the fixed-point quotient
+        # — Spark div truncates toward zero while DuckDB // floors,
+        # and they only agree on non-negatives (the signed-ratio
+        # discipline); the shift is order-preserving
+        F.expr(
+            f"((CAST(({dot}) AS DECIMAL(38,0))"
+            " + CAST(100000000 AS DECIMAL(38,0)) * nl)"
+            " * CAST(1000000000000 AS DECIMAL(38,0)))"
+            " div CAST(nl AS DECIMAL(38,0))"
+        ).alias("key"),
+    )
+    rw = W.partitionBy("vec_id").orderBy(
+        F.desc("key"), F.asc("cand_label")
+    )
+    pred = scores.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("true_label", F.col("cand_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+QUERIES["embedding_centroid_classify"] = embedding_centroid_classify
+
+ORACLES["embedding_centroid_classify"] = f"""
+    WITH qv AS (
+        SELECT vec_id, label AS true_label,
+               list_transform({sql_as_double('embedding')},
+                   v -> CAST(floor(v * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ), dims AS (
+        SELECT vec_id, true_label,
+               CAST(r.range AS INTEGER) AS pos,
+               q[CAST(r.range AS INTEGER) + 1] AS x
+        FROM qv, range({DIM}) r
+    ), cent AS (
+        SELECT true_label AS cand_label, pos,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM dims GROUP BY 1, 2
+    ), nl AS (
+        SELECT true_label AS cand_label,
+               CAST(count(*) AS BIGINT) AS nl
+        FROM qv GROUP BY 1
+    ), scores AS (
+        SELECT d.vec_id, d.true_label, c.cand_label,
+               ((CAST(sum(d.x * c.s) AS HUGEINT)
+                 + CAST(100000000 AS HUGEINT) * max(nl.nl))
+                * CAST(1000000000000 AS HUGEINT))
+               // CAST(max(nl.nl) AS HUGEINT) AS key
+        FROM dims d
+        JOIN cent c ON d.pos = c.pos
+        JOIN nl ON nl.cand_label = c.cand_label
+        GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT vec_id, true_label, cand_label,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY key DESC, cand_label ASC
+               ) AS rn
+        FROM scores
+    )
+    SELECT true_label, cand_label AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

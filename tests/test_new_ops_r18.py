@@ -623,3 +623,119 @@ def test_bloom_fpr_python_reference(spark):
     assert row.fpr_fill_micros == _half_up(len(filled) ** 3, BF_M**3)
     # mirrored probe keys can never be members
     assert all(-c - 1 not in members for c in custs)
+
+
+# ----------------------------------------- embedding_centroid_classify
+
+
+def test_centroid_classify_python_reference(spark):
+    """Milli-quantized vectors, per-label centroid sums, exact
+    inner-product argmax with the offset fixed-point key, and the
+    confusion tallies replayed in plain Python."""
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    qv = {
+        r.vec_id: (
+            r.label,
+            [math.floor(float(x) * 1000 + 0.5) for x in r.embedding],
+        )
+        for r in rows
+    }
+    dim = len(next(iter(qv.values()))[1])
+    cent: dict[int, list[int]] = {}
+    nl: dict[int, int] = {}
+    for lab, q in qv.values():
+        c = cent.setdefault(lab, [0] * dim)
+        for i, x in enumerate(q):
+            c[i] += x
+        nl[lab] = nl.get(lab, 0) + 1
+
+    conf: dict[tuple, int] = {}
+    off = 100_000_000
+    for lab, q in qv.values():
+        best = None
+        for cand in sorted(cent):
+            dot = sum(x * s for x, s in zip(q, cent[cand]))
+            key = (dot + off * nl[cand]) * 10**12 // nl[cand]
+            if best is None or key > best[0]:
+                best = (key, cand)
+        conf[(lab, best[1])] = conf.get((lab, best[1]), 0) + 1
+
+    got = {
+        (r.true_label, r.pred_label): r.n_vecs
+        for r in _q("embedding_centroid_classify")(spark, SF_SMOKE).collect()
+    }
+    assert got == conf
+    # resubstitution accuracy of a linearly-usable fixture must beat
+    # the 1/|labels| chance rate
+    n = sum(conf.values())
+    acc = sum(v for (t, p), v in conf.items() if t == p) / n
+    assert acc > 1.0 / len(cent)
+
+
+# ----------------------------------------- events_poisson_dispersion
+
+
+def test_poisson_dispersion_python_reference(spark):
+    """Daily counts, both rationals and the cross-multiplied 3-sigma
+    flag replayed in plain Python."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    dd = len(days)
+    t = sum(days.values())
+    sxx = sum(x * x for x in days.values())
+    num = dd * sxx - t * t
+
+    row = _q("events_poisson_dispersion")(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == dd and row.total == t
+    assert row.dispersion_micros == _half_up(num, (dd - 1) * t)
+    assert row.chi2_micros == _half_up(num, t)
+    exc = num - (dd - 1) * t
+    assert row.overdispersed_3sigma == int(
+        exc > 0 and exc * exc > 18 * (dd - 1) * t * t
+    )
+    # dispersion index of real per-user-bursty data should exceed 1
+    assert row.dispersion_micros > 0
+
+
+# -------------------------------------- multimodal_image_colorfulness
+
+
+def test_colorfulness_python_reference(spark):
+    """Opponent-channel sums from the text-bytes-cycled PPM contract
+    and the Hasler-Susstrunk formula replayed in plain Python."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    got = {
+        r.media_id: r
+        for r in _q("multimodal_image_colorfulness")(spark, SF_SMOKE).collect()
+    }
+    checked = 0
+    for doc in docs:
+        if not doc.text:
+            continue
+        tb = doc.text.encode("utf-8")
+        w, h = doc.doc_id % 16 + 1, doc.doc_id % 12 + 1
+        need = w * h * 3
+        raster = (tb * (need // len(tb) + 1))[:need]
+        px = [
+            (raster[3 * p], raster[3 * p + 1], raster[3 * p + 2])
+            for p in range(w * h)
+        ]
+        rg = [r - g for r, g, _ in px]
+        yb2 = [r + g - 2 * b for r, g, b in px]
+        n = len(px)
+        srg, srg2 = sum(rg), sum(x * x for x in rg)
+        syb, syb2 = sum(yb2), sum(x * x for x in yb2)
+        var_num = 4 * (n * srg2 - srg * srg) + (n * syb2 - syb * syb)
+        mu_num = 4 * srg * srg + syb * syb
+        row = got[doc.doc_id]
+        assert row.n_pix == n
+        assert row.var_num == var_num
+        assert row.mu_num == mu_num
+        want = (math.sqrt(var_num) + 0.3 * math.sqrt(mu_num)) / (2.0 * n)
+        assert abs(row.colorfulness - want) < 2e-6
+        assert row.var_num >= 0  # variance numerators are PSD
+        checked += 1
+    assert checked == len(got) > 0
