@@ -2747,3 +2747,125 @@ ORACLES["events_poisson_dispersion"] = f"""
            END AS overdispersed_3sigma
     FROM m
 """
+
+
+# --------------------------------------------- transition entropy rate
+# Round 12: the one-number predictability readout over the clickstream
+# transition matrix (events_transitions = the counts; this = how
+# DETERMINISTIC the chain is): empirical conditional entropy
+# H(next | current) = −Σ_ij (n_ij/N)·ln(n_ij/n_i·), the entropy-rate
+# estimate of the behavior Markov chain. H ≈ 0 means scripted/bot
+# traffic (every state determines the next); H near ln(k) means
+# uniform wandering — both ends are ingest-QA signals. Exact:
+# transition counts are integers off the per-user lead pass; each
+# term is n_ij·(snap9(ln n_i·) − snap9(ln n_ij)) — logs of exact
+# positive integers, nano-snapped, summed exactly; the average is
+# one integer rational (nanos), and the normalized share divides by
+# snap9(ln k) (k = observed state count, > 1 guarded). Scale: the
+# transition relation is k²-bounded after one data-grain window pass
+# events_transitions already pays.
+
+
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units, ratio_units_dec
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = tr.groupBy("event_type").agg(F.sum("n").alias("ni"))
+    terms = tr.join(row_tot, "event_type").select(
+        "n",
+        (
+            F.col("n")
+            * (
+                iunits(F.log(F.col("ni").cast("double")), 9)
+                - iunits(F.log(F.col("n").cast("double")), 9)
+            )
+        ).alias("t_nanos"),
+    )
+    k = tr.select("event_type").distinct().count()
+    agg = terms.agg(
+        F.sum("n").alias("n_transitions"),
+        F.sum("t_nanos").alias("h_sum"),
+    )
+    lnk = None
+    if k > 1:
+        import math as _m
+
+        lnk = _m.floor(_m.log(k) * 1e9 + 0.5)
+    return agg.select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.lit(k).cast("int").alias("n_states"),
+        ratio_units("h_sum", "n_transitions", 1).alias("h_cond_nanos"),
+        (
+            ratio_units_dec(
+                "CAST(h_sum AS DECIMAL(38,0))",
+                f"CAST(n_transitions AS DECIMAL(38,0)) * {lnk}",
+            )
+            if lnk
+            else F.lit(None).cast("long")
+        ).alias("normalized_micros"),
+    )
+
+
+QUERIES["events_transition_entropy"] = events_transition_entropy
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_te,
+    sql_ratio_units as _sql_ru_te,
+    sql_ratio_units_dec as _sql_rud_te,
+)
+
+
+def _te_sql() -> str:
+    # n_states and ln(k) enter as exact integers computed inside the
+    # query on both sides; the Spark side pins k via a bounded count()
+    # (k is a plan literal for the ln table), the oracle re-derives it
+    return f"""
+    WITH tr AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ) WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), row_tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS ni FROM tr GROUP BY 1
+    ), terms AS (
+        SELECT tr.n,
+               tr.n * ({_sql_iu_te('ln(ni)', 9)}
+                       - {_sql_iu_te('ln(tr.n)', 9)}) AS t_nanos
+        FROM tr JOIN row_tot USING (event_type)
+    ), k AS (
+        SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM tr
+    ), agg AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+               CAST(sum(t_nanos) AS BIGINT) AS h_sum
+        FROM terms
+    )
+    SELECT n_transitions,
+           CAST(k AS INTEGER) AS n_states,
+           {_sql_ru_te('h_sum', 'n_transitions', 1)} AS h_cond_nanos,
+           CASE WHEN k <= 1 THEN NULL
+                ELSE {_sql_rud_te('CAST(h_sum AS HUGEINT)',
+                                  'CAST(n_transitions AS HUGEINT)'
+                                  f" * {_sql_iu_te('ln(k)', 9)}")}
+           END AS normalized_micros
+    FROM agg CROSS JOIN k
+"""
+
+
+ORACLES["events_transition_entropy"] = _te_sql()

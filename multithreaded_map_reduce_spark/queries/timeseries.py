@@ -2693,3 +2693,168 @@ ORACLES["timeseries_ar1_halflife"] = f"""
            END AS halflife_days_micros
     FROM base
 """
+
+
+# ------------------------------------------------ seasonal periodogram
+# Round 12: an EXACT-integer Fourier periodogram at the calendar's
+# candidate seasonal frequencies — seasonal_strength answers "how
+# much variance is weekly", this answers WHICH of the candidate
+# periods {7, 14, 30} carries the energy (the dial a rollup/forecast
+# pipeline needs before choosing its season length). The trick that
+# keeps it on the integer rail: at period p the DFT only ever
+# evaluates cos/sin at the p phases 2πk/p, so both bases enter as
+# FIXED micro-snapped integer tables (module literals shared with the
+# oracle text — no runtime trig in either engine); with the u-rail's
+# exact scaled deviations u_t = d·x_t − T, the Fourier sums
+# A_p = Σ u_t·c_p[t mod p], B_p = Σ u_t·s_p[t mod p] are exact
+# BIGINTs, power A²+B² rides DECIMAL, and each period's energy share
+# is a micros rational. Phase uses the absolute epoch-day mod p —
+# power is phase-invariant, so no min-day pass. Dominant period =
+# max power, period-asc tie-break, decided on exact integers.
+
+PG_PERIODS = [7, 14, 30]
+
+
+def _pg_tables() -> dict[int, tuple[list[int], list[int]]]:
+    import math as _m
+
+    out = {}
+    for p in PG_PERIODS:
+        cs = [
+            _m.floor(_m.cos(2 * _m.pi * k / p) * 1e6 + 0.5) for k in range(p)
+        ]
+        sn = [
+            _m.floor(_m.sin(2 * _m.pi * k / p) * 1e6 + 0.5) for k in range(p)
+        ]
+        out[p] = (cs, sn)
+    return out
+
+
+PG_TABLES = _pg_tables()
+
+
+def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
+    dec = "decimal(38,0)"
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("d").cast(dec) * F.col("x") - F.col("t")).alias("u"),
+    )
+    aggs = []
+    for p in PG_PERIODS:
+        cs, sn = PG_TABLES[p]
+        carr = f"array({', '.join(f'CAST({c} AS BIGINT)' for c in cs)})"
+        sarr = f"array({', '.join(f'CAST({s} AS BIGINT)' for s in sn)})"
+        aggs.append(
+            F.sum(
+                F.col("u") * F.expr(f"element_at({carr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"a_{p}")
+        )
+        aggs.append(
+            F.sum(
+                F.col("u") * F.expr(f"element_at({sarr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"b_{p}")
+        )
+    m = u.agg(*aggs)
+    rows = m.selectExpr(
+        "stack("
+        + str(len(PG_PERIODS))
+        + ", "
+        + ", ".join(f"{p}, a_{p}, b_{p}" for p in PG_PERIODS)
+        + ") AS (period, a, b)"
+    ).select(
+        "period",
+        F.col("a").cast("long").alias("a_units"),
+        F.col("b").cast("long").alias("b_units"),
+        (
+            F.col("a").cast(dec) * F.col("a")
+            + F.col("b").cast(dec) * F.col("b")
+        ).alias("power"),
+    )
+    tp = rows.agg(F.sum("power").alias("ptot"))
+    scored = rows.crossJoin(F.broadcast(tp))
+    from pyspark.sql import Window as W
+
+    rw = W.orderBy(F.desc("power"), F.asc("period"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .select(
+            F.col("period").cast("int").alias("period"),
+            "a_units",
+            "b_units",
+            F.when(F.col("ptot") == 0, F.lit(None).cast("long"))
+            .otherwise(ratio_units_dec("power", "ptot"))
+            .alias("power_share_micros"),
+            (F.col("rn") == 1).cast("int").alias("is_dominant"),
+        )
+        .orderBy("period")
+    )
+
+
+QUERIES["timeseries_periodogram"] = timeseries_periodogram
+
+from ..functions.rounding import sql_ratio_units_dec as _sql_rud_pg  # noqa: E402
+
+
+def _pg_sql() -> str:
+    pieces = []
+    for p in PG_PERIODS:
+        cs, sn = PG_TABLES[p]
+        clist = "[" + ", ".join(str(c) for c in cs) + "]"
+        slist = "[" + ", ".join(str(s) for s in sn) + "]"
+        pieces.append(
+            f"""SELECT {p} AS period,
+               CAST(sum(u * ({clist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS a,
+               CAST(sum(u * ({slist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS b
+            FROM u"""
+        )
+    body = " UNION ALL ".join(pieces)
+    return f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS t
+        FROM ser
+    ), u AS (
+        SELECT day, CAST(d AS HUGEINT) * x - t AS u
+        FROM ser CROSS JOIN tot
+    ), rows_ AS (
+        SELECT period, a, b,
+               CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b AS power
+        FROM ({body})
+    ), tp AS (
+        SELECT CAST(sum(power) AS HUGEINT) AS ptot FROM rows_
+    ), ranked AS (
+        SELECT period, a, b, power, ptot,
+               row_number() OVER (ORDER BY power DESC, period ASC) AS rn
+        FROM rows_ CROSS JOIN tp
+    )
+    SELECT CAST(period AS INTEGER) AS period,
+           a AS a_units, b AS b_units,
+           CASE WHEN ptot = 0 THEN NULL
+                ELSE {_sql_rud_pg('power', 'ptot')}
+           END AS power_share_micros,
+           CAST(rn = 1 AS INTEGER) AS is_dominant
+    FROM ranked
+    ORDER BY period
+"""
+
+
+ORACLES["timeseries_periodogram"] = _pg_sql()

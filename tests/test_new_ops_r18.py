@@ -739,3 +739,103 @@ def test_colorfulness_python_reference(spark):
         assert row.var_num >= 0  # variance numerators are PSD
         checked += 1
     assert checked == len(got) > 0
+
+
+# ------------------------------------------------ timeseries_periodogram
+
+
+def test_periodogram_python_reference(spark):
+    """Fourier sums at the fixed phase tables replayed in plain
+    Python; power shares and the dominant flag replayed exactly."""
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        PG_PERIODS,
+        PG_TABLES,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    dd = len(days)
+    tt = sum(days.values())
+    u = {d: dd * x - tt for d, x in days.items()}
+
+    powers = {}
+    ab = {}
+    for p in PG_PERIODS:
+        cs, sn = PG_TABLES[p]
+        a = sum(v * cs[d % p] for d, v in u.items())
+        b = sum(v * sn[d % p] for d, v in u.items())
+        ab[p] = (a, b)
+        powers[p] = a * a + b * b
+    ptot = sum(powers.values())
+    dom = min(powers, key=lambda p: (-powers[p], p))
+
+    rows = {r.period: r for r in _q("timeseries_periodogram")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(PG_PERIODS)
+    for p in PG_PERIODS:
+        row = rows[p]
+        assert (row.a_units, row.b_units) == ab[p]
+        if ptot == 0:
+            assert row.power_share_micros is None
+        else:
+            assert row.power_share_micros == _half_up(powers[p], ptot)
+        assert row.is_dominant == int(p == dom)
+    if ptot > 0:
+        assert sum(r.power_share_micros for r in rows.values()) in range(
+            999_998, 1_000_003
+        )
+
+
+def test_periodogram_tables_are_unit_circle(spark):
+    """The embedded trig tables must satisfy c² + s² ≈ 1e12 at every
+    phase — a corruption guard on the literal tables both engines
+    share."""
+    from multithreaded_map_reduce_spark.queries.timeseries import PG_TABLES
+
+    for p, (cs, sn) in PG_TABLES.items():
+        assert len(cs) == len(sn) == p
+        assert cs[0] == 1_000_000 and sn[0] == 0
+        for c, s in zip(cs, sn):
+            assert abs(c * c + s * s - 10**12) < 3_000_000
+
+
+# --------------------------------------------- events_transition_entropy
+
+
+def test_transition_entropy_python_reference(spark):
+    """Transition counts from a per-user ordered walk, per-term
+    snapped logs, average and normalized rationals replayed in plain
+    Python."""
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    tr: dict[tuple, int] = {}
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            tr[(a.event_type, b.event_type)] = (
+                tr.get((a.event_type, b.event_type), 0) + 1
+            )
+    ni: dict[str, int] = {}
+    for (f_, _), n in tr.items():
+        ni[f_] = ni.get(f_, 0) + n
+    h_sum = sum(
+        n * (_snap9(math.log(ni[f_])) - _snap9(math.log(n)))
+        for (f_, _), n in tr.items()
+    )
+    n_tr = sum(tr.values())
+    k = len({f_ for f_, _ in tr})
+
+    row = _q("events_transition_entropy")(spark, SF_SMOKE).collect()[0]
+    assert row.n_transitions == n_tr
+    assert row.n_states == k
+    assert row.h_cond_nanos == (2 * h_sum + n_tr) // (2 * n_tr)
+    if k > 1:
+        lnk = _snap9(math.log(k))
+        assert row.normalized_micros == _half_up(h_sum, n_tr * lnk)
+        # conditional entropy cannot exceed ln(k)
+        assert 0 <= row.normalized_micros <= 1_000_100
