@@ -959,3 +959,35 @@ def image_color_stats(media: DataFrame) -> DataFrame:
         "media_id long, n_pix long, sum_rg long, sum_rg2 long,"
         " sum_yb2 long, sum_yb22 long",
     )
+
+
+def audio_frame_energies(media: DataFrame, frame: int = 8) -> DataFrame:
+    """Per-media frame-energy VECTOR over the WAV decode rail (round
+    12): the raw uint8 frame sums as an array<long>, for consumers
+    that need the whole envelope (periodicity, tempo) rather than the
+    masses (audio_energy_ratio) or the sign bits (fingerprint). Exact
+    integers; oracle replays from raw hex."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "e": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                nf = len(arr) // frame
+                e = (
+                    arr[: nf * frame]
+                    .reshape(nf, frame)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                out["media_id"].append(mid)
+                out["e"].append([int(x) for x in e])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, "media_id long, e array<long>")

@@ -1530,3 +1530,152 @@ ORACLES["multimodal_image_colorfulness"] = f"""
            END AS colorfulness
     FROM nums
 """
+
+
+# ------------------------------------------------ audio periodicity
+# Round 12: the envelope-autocorrelation periodicity probe (the
+# tempo/hum detector of classic audio QA — a strong peak at lag ℓ
+# means the energy envelope repeats every ℓ frames: machine hum,
+# loops, metronomic speech): over the exact frame-energy vector
+# (operators/multimodal.py audio_frame_energies, the fingerprint
+# rail's envelope), demean exactly (u_t = nf·e_t − Σe), and take
+# R(ℓ) = Σ u_t·u_{t+ℓ} for ℓ ∈ 2..16 — every R an exact BIGINT.
+# best_lag = argmax R(ℓ) (lag-asc tie-break, decided on integers);
+# strength = R(ℓ*)/R(0) as a SIGNED micros rational (offset-shifted
+# DECIMAL — autocorrelation is in [−1, 1]). Lags with fewer than 2
+# overlapping frames are excluded; media too short for any lag (or
+# a flat envelope, R(0)=0) report NULL. Scale: per-media arrays are
+# ≤ ⌈500/8⌉ entries; the lag expansion is a 15-row broadcast.
+
+AP_MIN_LAG = 2
+AP_MAX_LAG = 16
+
+
+def multimodal_audio_periodicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec_signed
+    from ..operators.multimodal import audio_frame_energies
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = audio_frame_energies(
+        documents_as_wav_audio(docs), frame=_FP_FRAME
+    )
+    u = per.select(
+        "media_id",
+        F.size("e").alias("nf"),
+        F.expr(
+            "transform(e, x -> CAST(size(e) AS BIGINT) * x"
+            " - aggregate(e, CAST(0 AS BIGINT), (a, b) -> a + b))"
+        ).alias("u"),
+    ).localCheckpoint(eager=False)
+    r0 = u.select(
+        "media_id",
+        "nf",
+        F.expr(
+            "aggregate(zip_with(u, u, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("r0"),
+    )
+    lags = spark.range(AP_MIN_LAG, AP_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    rl = (
+        u.crossJoin(F.broadcast(lags))
+        .filter(F.col("nf") - F.col("lag") >= 2)
+        .select(
+            "media_id",
+            "lag",
+            F.expr(
+                "aggregate(zip_with(slice(u, 1, size(u) - lag),"
+                " slice(u, lag + 1, size(u) - lag), (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("r"),
+        )
+    )
+    rw = W.partitionBy("media_id").orderBy(F.desc("r"), F.asc("lag"))
+    best = rl.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        r0.join(best.select("media_id", "lag", "r"), "media_id", "left")
+        .select(
+            "media_id",
+            F.col("nf").cast("long").alias("n_frames"),
+            F.col("lag").cast("int").alias("best_lag"),
+            F.when(
+                F.col("r0").isNull()
+                | (F.col("r0") == 0)
+                | F.col("r").isNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                ratio_units_dec_signed(
+                    "CAST(r AS DECIMAL(38,0))", "r0", off=16
+                )
+            )
+            .alias("strength_micros"),
+        )
+        .orderBy("media_id")
+    )
+
+
+QUERIES["multimodal_audio_periodicity"] = multimodal_audio_periodicity
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec_signed as _sql_ruds_ap,
+)
+
+ORACLES["multimodal_audio_periodicity"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), framed AS (
+        SELECT doc_id AS media_id, {_FP_ENERGY} AS e
+        FROM sized
+    ), uu AS (
+        SELECT media_id,
+               CAST(len(e) AS BIGINT) AS nf,
+               list_transform(e, x -> CAST(len(e) AS BIGINT) * x
+                   - list_reduce(list_prepend(CAST(0 AS BIGINT), e),
+                                 (a, b) -> a + b)) AS u
+        FROM framed
+    ), r0 AS (
+        SELECT media_id, nf,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(u, x -> x * x)),
+                    (a, b) -> a + b) AS BIGINT) AS r0
+        FROM uu
+    ), rl AS (
+        SELECT media_id, CAST(l.range AS INTEGER) AS lag,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                        range(0, CAST(nf - l.range AS INTEGER)),
+                        i -> u[CAST(i AS INTEGER) + 1]
+                             * u[CAST(i + l.range AS INTEGER) + 1])),
+                    (a, b) -> a + b) AS BIGINT) AS r
+        FROM uu, range({AP_MIN_LAG}, {AP_MAX_LAG + 1}) l
+        WHERE nf - l.range >= 2
+    ), best AS (
+        SELECT media_id, lag, r,
+               row_number() OVER (
+                   PARTITION BY media_id ORDER BY r DESC, lag ASC
+               ) AS rn
+        FROM rl
+    )
+    SELECT r0.media_id,
+           CAST(r0.nf AS BIGINT) AS n_frames,
+           CAST(b.lag AS INTEGER) AS best_lag,
+           CASE WHEN r0.r0 IS NULL OR r0.r0 = 0 OR b.r IS NULL THEN NULL
+                ELSE {_sql_ruds_ap('b.r', 'r0.r0', off=16)}
+           END AS strength_micros
+    FROM r0
+    LEFT JOIN (SELECT media_id, lag, r FROM best WHERE rn = 1) b
+        USING (media_id)
+    ORDER BY media_id
+"""

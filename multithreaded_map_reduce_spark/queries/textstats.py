@@ -5026,3 +5026,176 @@ ORACLES["quality_gwet_ac1"] = f"""
 ORACLES["quality_gwet_ac1"] = ORACLES["quality_gwet_ac1"].replace(
     "{_PD}", _sql_logreg(mode="per_doc", score_where="TRUE")
 )
+
+
+# --------------------------------------- Cochran–Armitage trend test
+# Round 12: the ORDERED-groups companion to the crosstab χ² — the
+# curation dashboard question is rarely "do keep rates differ by
+# slice" (quality_crosstab_chisq) but "does keep rate TREND with
+# document length" (too-short and too-long docs fail Gopher for
+# different reasons); the Cochran–Armitage test (1954/1955) scores
+# ordered buckets s = 0..B−1 and tests the linear component:
+# z² = N·(N·Σsx − X·Σsn)² / (X(N−X)(N·Σs²n − (Σsn)²)) — every factor
+# an exact integer on the (bucket, kept, total) cells (length bucket
+# = min(n_chars div 1000, 4)). z² is a DECIMAL micros rational, the
+# trend direction the exact sign of N·Σsx − X·Σsn, and the 5% flag
+# the cross-multiplied 10⁶·num² ·N > 3841459·den inequality (χ²(1)
+# 0.95 = 3.841459) — no doubles anywhere. Overflow ceiling: num² ≤
+# ~16·N⁴ must fit DECIMAL(38,0) ⇒ exact to N ≈ 2e8 docs per slice;
+# beyond that, run per-shard and Stouffer-combine. One per-doc pass
+# (the Gopher flag) + one 5-row cell aggregate.
+
+CA_BUCKET_CHARS = 120
+CA_MAX_BUCKET = 4
+CA_CHI2_5PCT_MICROS = 3_841_459
+
+
+def quality_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = _lr_features(docs, extra=("n_chars",))
+    cells = feat.groupBy(
+        F.least(
+            F.expr(f"n_chars div {CA_BUCKET_CHARS}"),
+            F.lit(CA_MAX_BUCKET),
+        ).alias("s")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("keep").alias("x"))
+    dec = "decimal(38,0)"
+    m = cells.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        F.sum(F.col("s").cast(dec) * F.col("x")).alias("sx"),
+        F.sum(F.col("s").cast(dec) * F.col("n")).alias("sn"),
+        F.sum(
+            (F.col("s").cast(dec) * F.col("s") * F.col("n")).cast(dec)
+        ).alias("ssn"),
+    )
+    num = f"(CAST(nn AS {dec}) * sx - CAST(xx AS {dec}) * sn)"
+    den = (
+        f"(CAST(xx AS {dec}) * (nn - xx)"
+        f" * (CAST(nn AS {dec}) * ssn - CAST(sn AS {dec}) * sn))"
+    )
+    degenerate = (
+        (F.col("xx") == 0)
+        | (F.col("xx") == F.col("nn"))
+        | (F.expr(f"CAST(nn AS {dec}) * ssn - CAST(sn AS {dec}) * sn") == 0)
+    )
+    return m.select(
+        F.col("n_buckets").cast("int").alias("n_buckets"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.col("xx").cast("long").alias("n_kept"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(F.expr(f"CAST(sign({num}) AS INT)"))
+        .alias("trend_sign"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(f"CAST(nn AS {dec}) * {num} * {num}", den)
+        )
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr(
+                    f"1000000 * CAST(nn AS {dec}) * {num} * {num}"
+                )
+                > F.expr(f"{CA_CHI2_5PCT_MICROS} * {den}")
+            ).cast("int")
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["quality_cochran_armitage"] = quality_cochran_armitage
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_ca,
+)
+
+
+def _ca_sql() -> str:
+    mwl = sql_pround(
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> CAST(len(x) AS BIGINT))), "
+        "(a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1)", 6)
+    sym = sql_pround(
+        "CAST((len(text) - len(replace(text, '#', ''))) "
+        "+ (len(text) - len(replace(text, '...', ''))) / 3 "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    alpha = sql_pround(
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+        "AS DOUBLE) / greatest(len(toks), 1)", 6)
+    num = "(CAST(nn AS HUGEINT) * sx - CAST(xx AS HUGEINT) * sn)"
+    den = (
+        "(CAST(xx AS HUGEINT) * (nn - xx)"
+        " * (CAST(nn AS HUGEINT) * ssn - CAST(sn AS HUGEINT) * sn))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT n_chars, text, {{TOKS}} AS toks FROM documents
+    ), m0 AS (
+        SELECT n_chars,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               {mwl} AS mean_word_len,
+               {sym} AS symbol_ratio,
+               {alpha} AS alpha_frac,
+               CAST(len(list_filter(toks, x -> x IN ({{STOPS}})))
+                    AS BIGINT) AS n_stopwords
+        FROM t
+    ), perdoc AS (
+        SELECT least(n_chars // {CA_BUCKET_CHARS}, {CA_MAX_BUCKET}) AS s,
+               CAST(n_words BETWEEN {{MINW}} AND {{MAXW}}
+                    AND mean_word_len BETWEEN {{MINM}} AND {{MAXM}}
+                    AND symbol_ratio <= {{MAXS}}
+                    AND alpha_frac >= {{MINA}}
+                    AND n_stopwords >= {{MINSTOP}} AS INTEGER) AS keep
+        FROM m0
+    ), cells AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(keep) AS BIGINT) AS x
+        FROM perdoc GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(x) AS BIGINT) AS xx,
+               CAST(sum(CAST(s AS HUGEINT) * x) AS HUGEINT) AS sx,
+               CAST(sum(CAST(s AS HUGEINT) * n) AS HUGEINT) AS sn,
+               CAST(sum(CAST(s AS HUGEINT) * s * n) AS HUGEINT) AS ssn
+        FROM cells
+    )
+    SELECT CAST(n_buckets AS INTEGER) AS n_buckets,
+           nn AS n_docs, xx AS n_kept,
+           CASE WHEN xx = 0 OR xx = nn
+                  OR CAST(nn AS HUGEINT) * ssn
+                     - CAST(sn AS HUGEINT) * sn = 0 THEN NULL
+                ELSE CAST(sign({num}) AS INTEGER)
+           END AS trend_sign,
+           CASE WHEN xx = 0 OR xx = nn
+                  OR CAST(nn AS HUGEINT) * ssn
+                     - CAST(sn AS HUGEINT) * sn = 0 THEN NULL
+                ELSE {_sql_rud_ca(f'CAST(nn AS HUGEINT) * {num} * {num}',
+                                  den)}
+           END AS z2_micros,
+           CASE WHEN xx = 0 OR xx = nn
+                  OR CAST(nn AS HUGEINT) * ssn
+                     - CAST(sn AS HUGEINT) * sn = 0 THEN NULL
+                ELSE CAST(1000000 * CAST(nn AS HUGEINT) * {num} * {num}
+                          > {CA_CHI2_5PCT_MICROS} * {den} AS INTEGER)
+           END AS significant_5pct
+    FROM m
+"""
+
+
+ORACLES["quality_cochran_armitage"] = (
+    _ca_sql()
+    .replace("{TOKS}", sql_tokens("text"))
+    .replace("{STOPS}", _GR_STOPLIST_SQL)
+    .replace("{MINW}", str(GR_MIN_WORDS))
+    .replace("{MAXW}", str(GR_MAX_WORDS))
+    .replace("{MINM}", str(GR_MIN_MWL))
+    .replace("{MAXM}", str(GR_MAX_MWL))
+    .replace("{MAXS}", str(GR_MAX_SYMBOL))
+    .replace("{MINA}", str(GR_MIN_ALPHA))
+    .replace("{MINSTOP}", str(GR_MIN_STOP))
+)

@@ -839,3 +839,115 @@ def test_transition_entropy_python_reference(spark):
         assert row.normalized_micros == _half_up(h_sum, n_tr * lnk)
         # conditional entropy cannot exceed ln(k)
         assert 0 <= row.normalized_micros <= 1_000_100
+
+
+# ----------------------------------------- quality_cochran_armitage
+
+
+def test_cochran_armitage_python_reference(spark):
+    """Per-doc Gopher keep flag via the package's own feature fn, then
+    buckets, moment sums, z² rational, sign and 5% flag replayed in
+    plain Python integers."""
+    from multithreaded_map_reduce_spark.queries.textstats import (
+        CA_BUCKET_CHARS,
+        CA_CHI2_5PCT_MICROS,
+        CA_MAX_BUCKET,
+        _lr_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    feat = _lr_features(docs, extra=("n_chars",)).select(
+        "n_chars", "keep"
+    ).collect()
+    cells: dict[int, list[int]] = {}
+    for r in feat:
+        s = min(r.n_chars // CA_BUCKET_CHARS, CA_MAX_BUCKET)
+        c = cells.setdefault(s, [0, 0])
+        c[0] += 1
+        c[1] += r.keep
+    nn = sum(c[0] for c in cells.values())
+    xx = sum(c[1] for c in cells.values())
+    sx = sum(s * c[1] for s, c in cells.items())
+    sn = sum(s * c[0] for s, c in cells.items())
+    ssn = sum(s * s * c[0] for s, c in cells.items())
+
+    row = _q("quality_cochran_armitage")(spark, SF_SMOKE).collect()[0]
+    assert row.n_buckets == len(cells)
+    assert row.n_docs == nn and row.n_kept == xx
+    var_core = nn * ssn - sn * sn
+    if xx == 0 or xx == nn or var_core == 0:
+        assert row.z2_micros is None
+        return
+    num = nn * sx - xx * sn
+    den = xx * (nn - xx) * var_core
+    assert row.trend_sign == (num > 0) - (num < 0)
+    assert row.z2_micros == _half_up(nn * num * num, den)
+    assert row.significant_5pct == int(
+        1_000_000 * nn * num * num > CA_CHI2_5PCT_MICROS * den
+    )
+    # fixture has a real positive length trend; the test pins that the
+    # statistic actually sees it (all five buckets occupied)
+    assert row.n_buckets == CA_MAX_BUCKET + 1
+
+
+# -------------------------------------- multimodal_audio_periodicity
+
+
+def test_audio_periodicity_python_reference(spark):
+    """Envelope autocorrelation replayed in plain Python from the
+    WAV contract: exact demeaned frame energies, per-lag integer
+    sums, argmax with lag-asc tie-break, signed strength rational."""
+    from multithreaded_map_reduce_spark.queries.multimodal import (
+        AP_MAX_LAG,
+        AP_MIN_LAG,
+        _FP_FRAME,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    got = {
+        r.media_id: r
+        for r in _q("multimodal_audio_periodicity")(spark, SF_SMOKE).collect()
+    }
+
+    def _signed_half_up(num: int, den: int, off: int = 16) -> int:
+        mult = 1_000_000
+        shifted = (2 * mult * (num + off * den) + den) // (2 * den)
+        return shifted - off * mult
+
+    checked = strong = 0
+    for doc in docs:
+        if not doc.text:
+            continue
+        tb = doc.text.encode("utf-8")
+        need = doc.doc_id % 500 + 100
+        s = (tb * (need // len(tb) + 1))[:need]
+        nf = need // _FP_FRAME
+        e = [
+            sum(s[t * _FP_FRAME : (t + 1) * _FP_FRAME])
+            for t in range(nf)
+        ]
+        tot = sum(e)
+        u = [nf * x - tot for x in e]
+        r0 = sum(x * x for x in u)
+        best = None
+        for lag in range(AP_MIN_LAG, AP_MAX_LAG + 1):
+            if nf - lag < 2:
+                continue
+            r = sum(u[i] * u[i + lag] for i in range(nf - lag))
+            if best is None or r > best[1]:
+                best = (lag, r)
+        row = got[doc.media_id if hasattr(doc, "media_id") else doc.doc_id]
+        assert row.n_frames == nf
+        if best is None or r0 == 0:
+            assert row.strength_micros is None
+        else:
+            assert row.best_lag == best[0]
+            assert row.strength_micros == _signed_half_up(best[1], r0)
+            assert -1_000_100 <= row.strength_micros <= 1_000_100
+            if row.strength_micros > 300_000:
+                strong += 1
+        checked += 1
+    assert checked == len(got) > 0
+    # cycled-text PCM is periodic by construction — some media must
+    # show a strong envelope peak (the probe actually detects)
+    assert strong > 0
