@@ -300,6 +300,37 @@ HEADLINE = [
     # curve on the shared sparsified projection
     "streaming_digit_drift",
     "graph_richclub",
+    # round-12 batch 6: cohesion-family closer + kNN-graph diagnostics
+    "graph_transitivity",
+    "embedding_hubness",
+    "embedding_intrinsic_dim",
+    # round-12 batch 7: agreement/ratio-CI/mean-reversion readouts
+    "quality_gwet_ac1",
+    "quality_delta_ratio_ci",
+    "timeseries_ar1_halflife",
+    # round-12 batch 8: streaming CUSUM, audio level audit,
+    # perplexity-band curation filter
+    "streaming_cusum_alert",
+    "multimodal_audio_levels",
+    "curation_perplexity_filter",
+    # round-12 batch 9: tail-weighted EDF, retention decay, bloom audit
+    "quality_anderson_darling",
+    "events_retention_decay",
+    "sketch_bloom_fpr",
+    # round-12 batch 10: supervised centroid probe, dispersion index,
+    # colorfulness
+    "embedding_centroid_classify",
+    "events_poisson_dispersion",
+    "multimodal_image_colorfulness",
+    # round-12 batch 11: exact-integer periodogram, transition entropy
+    "timeseries_periodogram",
+    "events_transition_entropy",
+    # round-12 batch 12: ordered-trend test, envelope periodicity
+    "quality_cochran_armitage",
+    "multimodal_audio_periodicity",
+    # round-12 batch 13: Mann-Kendall trend test, TOST equivalence
+    "timeseries_mann_kendall",
+    "quality_tost_equivalence",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -3025,3 +3025,191 @@ ORACLES["quality_anderson_darling"] = f"""
     FROM terms
     GROUP BY na, nb
 """
+
+
+# ------------------------------------------------ TOST equivalence
+# Round 12: the experimentation decision the significance battery
+# cannot make — SRM/mann-whitney/CUPED all test "is there a
+# difference"; a migration/refactor ship decision needs "are these
+# PROVABLY similar", which is the two-one-sided-tests procedure
+# (Schuirmann 1987): equivalence at margin δ iff BOTH
+# t_lower = (d+δ)/se > z_{0.95} AND t_upper = (δ−d)/se > z_{0.95}
+# (90% TOST ⟺ the 90% CI of d lies inside ±δ). Units here: per-user
+# purchase cents split by the deterministic user-parity assignment
+# (the SRM fixture convention), δ = 2% of the pooled mean. Exactness:
+# group moment sums are DECIMAL integers; d and δ are exact signed
+# micros rationals; the Welch se and both t statistics are one fixed
+# double expression + single sqrt + pround(6) (Wilson discipline),
+# and the equivalence DECISION compares nano-snapped t values against
+# the 1.645 threshold as integers (the logreg PR/MCC threshold-snap
+# precedent — a boundary flip requires |t − 1.645| < 1e-9).
+# Scale: user-grain aggregate → one 6-sum reduce → 1 row.
+
+
+def quality_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import (
+        iunits,
+        pround,
+        ratio_units_dec,
+        ratio_units_dec_signed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", iunits(F.col("value"), 2)
+            ).otherwise(F.lit(0))
+        ).alias("x")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = per.groupBy((F.col("user_id") % 2).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((d(F.col("x")) * F.col("x")).cast("decimal(38,0)")).alias("q"),
+    )
+    m = g.groupBy().pivot("g", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"), F.first("q").alias("q")
+    )
+    # pivot emits columns 0_n, 0_s, 0_q, 1_n, 1_s, 1_q
+    n0, s0, q0 = F.col("`0_n`"), F.col("`0_s`"), F.col("`0_q`")
+    n1, s1, q1 = F.col("`1_n`"), F.col("`1_s`"), F.col("`1_q`")
+    nn0 = n0.cast("double")
+    nn1 = n1.cast("double")
+    ss0 = s0.cast("double")
+    ss1 = s1.cast("double")
+    qq0 = q0.cast("double")
+    qq1 = q1.cast("double")
+    v0 = (nn0 * qq0 - ss0 * ss0) / (nn0 * (nn0 - 1))
+    v1 = (nn1 * qq1 - ss1 * ss1) / (nn1 * (nn1 - 1))
+    se = F.sqrt(v0 / nn0 + v1 / nn1)
+    diff = ss0 / nn0 - ss1 / nn1
+    delta = (ss0 + ss1) / (F.lit(50.0) * (nn0 + nn1))
+    t_lower = (diff + delta) / se
+    t_upper = (delta - diff) / se
+    bad = (
+        n0.isNull() | n1.isNull() | (n0 < 2) | (n1 < 2)
+        | (v0 + v1 <= 0)
+    )
+    base = m.select(
+        n0.cast("long").alias("n_a"),
+        n1.cast("long").alias("n_b"),
+        ratio_units_dec_signed(
+            "CAST(`0_s` AS DECIMAL(38,0)) * `1_n`"
+            " - CAST(`1_s` AS DECIMAL(38,0)) * `0_n`",
+            "CAST(`0_n` AS DECIMAL(38,0)) * `1_n`",
+            off=10**6,
+        ).alias("diff_cents_micros"),
+        ratio_units_dec(
+            "CAST(`0_s` AS DECIMAL(38,0)) + `1_s`",
+            "50 * (CAST(`0_n` AS DECIMAL(38,0)) + `1_n`)",
+        ).alias("delta_cents_micros"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(pround(t_lower, 6))
+        .alias("t_lower"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(pround(t_upper, 6))
+        .alias("t_upper"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(iunits(t_lower, 9))
+        .alias("_tl9"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(iunits(t_upper, 9))
+        .alias("_tu9"),
+    )
+    return base.select(
+        "n_a",
+        "n_b",
+        "diff_cents_micros",
+        "delta_cents_micros",
+        "t_lower",
+        "t_upper",
+        F.when(
+            F.col("_tl9").isNull(), F.lit(None).cast("int")
+        )
+        .otherwise(
+            (
+                (F.col("_tl9") > 1_645_000_000)
+                & (F.col("_tu9") > 1_645_000_000)
+            ).cast("int")
+        )
+        .alias("equivalent_90tost"),
+    )
+
+
+QUERIES["quality_tost_equivalence"] = quality_tost_equivalence
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_tost,
+    sql_pround as _sql_pr_tost,
+    sql_ratio_units_dec as _sql_rud_tost,
+    sql_ratio_units_dec_signed as _sql_ruds_tost,
+)
+
+_TOST_V = (
+    "((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))"
+    " / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1))"
+    " / CAST(n0 AS DOUBLE)"
+    " + (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))"
+    " / CAST(n1 AS DOUBLE))"
+)
+_TOST_DIFF = (
+    "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+)
+_TOST_DELTA = (
+    "((CAST(s0 AS DOUBLE) + CAST(s1 AS DOUBLE))"
+    " / (50.0 * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))))"
+)
+_TOST_TL = f"(({_TOST_DIFF} + {_TOST_DELTA}) / sqrt({_TOST_V}))"
+_TOST_TU = f"(({_TOST_DELTA} - {_TOST_DIFF}) / sqrt({_TOST_V}))"
+_TOST_BAD = (
+    "(n0 IS NULL OR n1 IS NULL OR n0 < 2 OR n1 < 2"
+    f" OR {_TOST_V} <= 0)"
+)
+
+ORACLES["quality_tost_equivalence"] = f"""
+    WITH per AS (
+        SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN {_sql_iu_tost('CAST(value AS DOUBLE)', 2)} END), 0)
+                   AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT user_id % 2 AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM per GROUP BY 1
+    ), m AS (
+        SELECT max(CASE WHEN g = 0 THEN n END) AS n0,
+               max(CASE WHEN g = 0 THEN s END) AS s0,
+               max(CASE WHEN g = 0 THEN q END) AS q0,
+               max(CASE WHEN g = 1 THEN n END) AS n1,
+               max(CASE WHEN g = 1 THEN s END) AS s1,
+               max(CASE WHEN g = 1 THEN q END) AS q1
+        FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a,
+           CAST(n1 AS BIGINT) AS n_b,
+           {_sql_ruds_tost(
+               'CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0',
+               'CAST(n0 AS HUGEINT) * n1', off=10**6)}
+               AS diff_cents_micros,
+           {_sql_rud_tost('CAST(s0 AS HUGEINT) + s1',
+                          '50 * (CAST(n0 AS HUGEINT) + n1)')}
+               AS delta_cents_micros,
+           CASE WHEN {_TOST_BAD} THEN NULL
+                ELSE {_sql_pr_tost(_TOST_TL, 6)} END AS t_lower,
+           CASE WHEN {_TOST_BAD} THEN NULL
+                ELSE {_sql_pr_tost(_TOST_TU, 6)} END AS t_upper,
+           CASE WHEN {_TOST_BAD} THEN NULL
+                ELSE CAST({_sql_iu_tost(_TOST_TL, 9)} > 1645000000
+                          AND {_sql_iu_tost(_TOST_TU, 9)} > 1645000000
+                          AS INTEGER)
+           END AS equivalent_90tost
+    FROM m
+"""

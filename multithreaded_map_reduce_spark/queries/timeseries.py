@@ -2858,3 +2858,130 @@ def _pg_sql() -> str:
 
 
 ORACLES["timeseries_periodogram"] = _pg_sql()
+
+
+# --------------------------------------------- Mann–Kendall trend test
+# Round 12: the nonparametric SIGNIFICANCE companion to Theil–Sen —
+# theil_sen reports the robust slope, Mann–Kendall (1945/1975) says
+# whether a monotone trend exists at all, from nothing but pairwise
+# sign comparisons: S = Σ_{i<j} sign(x_j − x_i) over the daily
+# series, with the tie-corrected variance
+# 18·Var(S) = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5) and the
+# continuity-corrected z² = 18·(|S|−1)²/(18·Var) — every quantity an
+# exact integer, the 5% decision the cross-multiplied
+# 10⁶·18·(|S|−1)² > 3841459·(18·Var) inequality. No doubles, no
+# ranks, no windows: one day-grain self-join (≤ n_days² pairs — the
+# calendar axis is bounded) + one value-grain tie tally.
+
+MK_CHI2_5PCT_MICROS = 3_841_459
+
+
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    s_rel = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast(
+                    "long"
+                )
+            ).alias("s")
+        )
+    )
+    ties = (
+        ser.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"
+                )
+            ).alias("tie_term"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = s_rel.crossJoin(F.broadcast(ties))
+    var18 = (
+        f"(CAST(n AS {dec}) * (n - 1) * (2 * n + 5) - tie_term)"
+    )
+    num = f"(18 * CAST((abs(s) - 1) AS {dec}) * (abs(s) - 1))"
+    degenerate = (F.col("n") < 2) | (F.expr(var18) <= 0) | (F.col("s") == 0)
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.expr(var18).cast("long").alias("var_s_x18"),
+        F.when(F.col("s") == 0, F.lit(0))
+        .otherwise(F.expr("CAST(sign(s) AS INT)"))
+        .alias("trend_sign"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec(num, var18))
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr(f"1000000 * {num}")
+                > F.expr(f"{MK_CHI2_5PCT_MICROS} * {var18}")
+            ).cast("int")
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["timeseries_mann_kendall"] = timeseries_mann_kendall
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_mk,
+)
+
+_MK_VAR18 = "(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_term)"
+_MK_NUM = "(18 * CAST((abs(s) - 1) AS HUGEINT) * (abs(s) - 1))"
+
+ORACLES["timeseries_mann_kendall"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), s_rel AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM ser a JOIN ser b ON a.day < b.day
+    ), ties AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS HUGEINT) AS tie_term
+        FROM (SELECT x, CAST(count(*) AS BIGINT) AS t
+              FROM ser GROUP BY 1)
+    )
+    SELECT n AS n_days,
+           s AS s_stat,
+           CAST({_MK_VAR18} AS BIGINT) AS var_s_x18,
+           CASE WHEN s = 0 THEN 0
+                ELSE CAST(sign(s) AS INTEGER) END AS trend_sign,
+           CASE WHEN n < 2 OR {_MK_VAR18} <= 0 OR s = 0 THEN NULL
+                ELSE {_sql_rud_mk(_MK_NUM, _MK_VAR18)}
+           END AS z2_micros,
+           CASE WHEN n < 2 OR {_MK_VAR18} <= 0 OR s = 0 THEN NULL
+                ELSE CAST(1000000 * {_MK_NUM}
+                          > {MK_CHI2_5PCT_MICROS} * {_MK_VAR18}
+                          AS INTEGER)
+           END AS significant_5pct
+    FROM s_rel CROSS JOIN ties
+"""

@@ -951,3 +951,128 @@ def test_audio_periodicity_python_reference(spark):
     # cycled-text PCM is periodic by construction — some media must
     # show a strong envelope peak (the probe actually detects)
     assert strong > 0
+
+
+# ------------------------------------------------ timeseries_mann_kendall
+
+
+def test_mann_kendall_python_reference(spark):
+    """S from all day pairs, tie-corrected 18·Var, z² rational and
+    the 5% decision replayed in plain Python integers."""
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        MK_CHI2_5PCT_MICROS,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    xs = [days[d] for d in sorted(days)]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+
+    row = _q("timeseries_mann_kendall")(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n
+    assert row.s_stat == s
+    assert row.var_s_x18 == var18
+    assert row.trend_sign == (s > 0) - (s < 0)
+    if n < 2 or var18 <= 0 or s == 0:
+        assert row.z2_micros is None
+    else:
+        num = 18 * (abs(s) - 1) ** 2
+        assert row.z2_micros == _half_up(num, var18)
+        assert row.significant_5pct == int(
+            1_000_000 * num > MK_CHI2_5PCT_MICROS * var18
+        )
+
+
+def test_mann_kendall_agrees_with_theil_sen_direction(spark):
+    """When MK flags a significant trend, its sign must agree with
+    the Theil-Sen slope's sign on the same daily series (shared-rail
+    consistency)."""
+    mk = _q("timeseries_mann_kendall")(spark, SF_SMOKE).collect()[0]
+    ts_rows = _q("timeseries_theil_sen")(spark, SF_SMOKE).collect()
+    if mk.significant_5pct and len(ts_rows) == 1:
+        slope_cols = [c for c in ts_rows[0].asDict() if "slope" in c]
+        if slope_cols:
+            slope = ts_rows[0][slope_cols[0]]
+            if slope is not None and slope != 0:
+                assert (slope > 0) == (mk.trend_sign > 0)
+
+
+# ------------------------------------------------ quality_tost_equivalence
+
+
+def test_tost_python_reference(spark):
+    """Group moments from the parity split, exact diff/margin
+    rationals, Welch t statistics and the snapped-threshold decision
+    replayed in plain Python."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    per: dict[int, int] = {}
+    for r in ev:
+        per.setdefault(r.user_id, 0)
+        if r.event_type == "purchase":
+            per[r.user_id] += math.floor(r.value * 100 + 0.5)
+    gs = {0: [], 1: []}
+    for u, x in per.items():
+        gs[u % 2].append(x)
+    n0, n1 = len(gs[0]), len(gs[1])
+    s0, s1 = sum(gs[0]), sum(gs[1])
+    q0, q1 = sum(x * x for x in gs[0]), sum(x * x for x in gs[1])
+
+    row = _q("quality_tost_equivalence")(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (n0, n1)
+
+    def _signed_half_up(num: int, den: int, off: int) -> int:
+        mult = 1_000_000
+        shifted = (2 * mult * (num + off * den) + den) // (2 * den)
+        return shifted - off * mult
+
+    assert row.diff_cents_micros == _signed_half_up(
+        s0 * n1 - s1 * n0, n0 * n1, 10**6
+    )
+    assert row.delta_cents_micros == _half_up(s0 + s1, 50 * (n0 + n1))
+
+    v = (n0 * q0 - s0 * s0) / (n0 * (n0 - 1)) / n0 + (
+        n1 * q1 - s1 * s1
+    ) / (n1 * (n1 - 1)) / n1
+    if n0 < 2 or n1 < 2 or v <= 0:
+        assert row.t_lower is None
+        return
+    se = math.sqrt(v)
+    diff = s0 / n0 - s1 / n1
+    delta = (s0 + s1) / (50 * (n0 + n1))
+    tl, tu = (diff + delta) / se, (delta - diff) / se
+    assert abs(row.t_lower - tl) < 2e-6
+    assert abs(row.t_upper - tu) < 2e-6
+    want = int(_snap9(tl) > 1_645_000_000 and _snap9(tu) > 1_645_000_000)
+    assert row.equivalent_90tost == want
+    # TOST on 15 underpowered users must NOT claim equivalence
+    assert row.equivalent_90tost == 0
+
+
+def test_tost_decision_logic_synthetic():
+    """The equivalence branch itself (both snapped t above 1.645),
+    exercised with constructed values since the fixture is either
+    underpowered or genuinely different at every SF."""
+    for tl, tu, want in [
+        (1.646, 1.646, 1),
+        (1.644999999, 1.7, 0),
+        (1.645000001, 1.645000002, 1),
+        (-0.3, 0.5, 0),
+    ]:
+        got = int(
+            _snap9(tl) > 1_645_000_000 and _snap9(tu) > 1_645_000_000
+        )
+        assert got == want
