@@ -331,6 +331,9 @@ HEADLINE = [
     # round-12 batch 13: Mann-Kendall trend test, TOST equivalence
     "timeseries_mann_kendall",
     "quality_tost_equivalence",
+    # round-12 batch 14: gaps-and-islands, relational division
+    "window_gap_islands",
+    "relational_division",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

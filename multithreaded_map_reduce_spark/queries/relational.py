@@ -602,3 +602,77 @@ ORACLES["join_null_safe"] = """
     SELECT o_orderkey, prio, n_same_prio
     FROM o JOIN counts ON o.prio IS NOT DISTINCT FROM counts.cprio
 """
+
+
+# ------------------------------------------------ relational division
+# Round 12: the textbook operator the join family was missing —
+# relational DIVISION ("which customers bought from suppliers in ALL
+# regions") is the universal-quantifier query that trips naive SQL
+# (NOT EXISTS (... NOT EXISTS ...)); the scalable form is the
+# count-distinct-vs-universe comparison: per customer, the distinct
+# supplier regions touched by their lineitems, compared to the region
+# universe count. Output is the full coverage distribution
+# (n_regions_covered → customer count) rather than only the divisor
+# set, so the relation is non-degenerate at every SF and the
+# "qualifies" bucket is simply the top row. Scale: one fact-table
+# join shuffled on suppkey, one (customer, region)-distinct
+# aggregate, one 5-row reduce; the universe count is a broadcast
+# scalar.
+
+
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    universe = n.select("n_regionkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_regions_total")
+    )
+    cr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("o_custkey").alias("c"), F.col("n_regionkey").alias("r"))
+        .distinct()
+    )
+    per = cr.groupBy("c").agg(F.count(F.lit(1)).alias("n_regions_covered"))
+    return (
+        per.groupBy("n_regions_covered")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(F.broadcast(universe))
+        .select(
+            "n_regions_covered",
+            "n_customers",
+            (F.col("n_regions_covered") == F.col("n_regions_total"))
+            .cast("int")
+            .alias("covers_all"),
+        )
+        .orderBy("n_regions_covered")
+    )
+
+
+QUERIES["relational_division"] = relational_division
+
+ORACLES["relational_division"] = """
+    WITH universe AS (
+        SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT)
+            AS n_regions_total
+        FROM nation
+    ), cr AS (
+        SELECT DISTINCT o_custkey AS c, n_regionkey AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+    ), per AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS n_regions_covered
+        FROM cr GROUP BY 1
+    )
+    SELECT n_regions_covered,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(n_regions_covered = n_regions_total AS INTEGER)
+               AS covers_all
+    FROM per CROSS JOIN universe
+    GROUP BY 1, n_regions_total
+    ORDER BY 1
+"""

@@ -353,3 +353,65 @@ ORACLES["window_median_sliding"] = f"""
                AS median_7d_cents
     FROM daily
 """
+
+
+# ------------------------------------------------- gaps and islands
+# Round 12: the canonical gaps-and-islands pattern (Itzik Ben-Gan's
+# classic) — the SQL-surface idiom behind streak detection, coverage
+# gap audits, and contiguous-segment compaction: per customer, the
+# runs of CONSECUTIVE active months collapse under the
+# row_number-difference trick (month_idx − rn is constant within a
+# run), then one aggregate per island. Grain discipline: the window
+# partitions by customer (never global); months are exact integers
+# (year·12 + month — no date arithmetic ambiguity); output is the
+# island-length distribution plus streak extremes, stable at any SF.
+
+
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        F.col("o_custkey").alias("c"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("m"),
+    ).distinct()
+    w = W.partitionBy("c").orderBy("m")
+    anchored = months.withColumn(
+        "anchor", F.col("m") - F.row_number().over(w)
+    )
+    islands = anchored.groupBy("c", "anchor").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return (
+        islands.groupBy("island_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.countDistinct("c").alias("n_customers"),
+        )
+        .orderBy("island_len")
+    )
+
+
+QUERIES["window_gap_islands"] = window_gap_islands
+
+ORACLES["window_gap_islands"] = """
+    WITH months AS (
+        SELECT DISTINCT o_custkey AS c,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS m
+        FROM orders
+    ), anchored AS (
+        SELECT c, m,
+               m - row_number() OVER (PARTITION BY c ORDER BY m) AS anchor
+        FROM months
+    ), islands AS (
+        SELECT c, anchor, CAST(count(*) AS BIGINT) AS island_len
+        FROM anchored GROUP BY 1, 2
+    )
+    SELECT island_len,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_customers
+    FROM islands
+    GROUP BY 1
+    ORDER BY 1
+"""

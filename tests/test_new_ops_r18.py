@@ -1076,3 +1076,82 @@ def test_tost_decision_logic_synthetic():
             _snap9(tl) > 1_645_000_000 and _snap9(tu) > 1_645_000_000
         )
         assert got == want
+
+
+# ---------------------------------------------------- window_gap_islands
+
+
+def test_gap_islands_python_reference(spark):
+    """Consecutive-month islands per customer replayed in plain
+    Python; the distribution and mass identities must match."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    per: dict[int, set] = {}
+    for r in o:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        per.setdefault(r.o_custkey, set()).add(m)
+    dist: dict[int, list] = {}
+    for c, months in per.items():
+        ms = sorted(months)
+        runs = []
+        start = prev = ms[0]
+        for m in ms[1:]:
+            if m == prev + 1:
+                prev = m
+                continue
+            runs.append(prev - start + 1)
+            start = prev = m
+        runs.append(prev - start + 1)
+        for ln in runs:
+            d = dist.setdefault(ln, [0, set()])
+            d[0] += 1
+            d[1].add(c)
+
+    rows = {r.island_len: r for r in _q("window_gap_islands")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(dist)
+    for ln, (n_isl, custs) in dist.items():
+        assert rows[ln].n_islands == n_isl
+        assert rows[ln].n_customers == len(custs)
+    # mass identity: islands weighted by length cover every distinct
+    # (customer, month) exactly once
+    assert sum(ln * r.n_islands for ln, r in rows.items()) == sum(
+        len(m) for m in per.values()
+    )
+
+
+# ---------------------------------------------------- relational_division
+
+
+def test_relational_division_python_reference(spark):
+    """Coverage distribution replayed from raw joins in plain Python;
+    the covers_all bucket is the exact division result."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_regionkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/nation.parquet").collect()
+    }
+    universe = len(set(nat.values()))
+    cov: dict[int, set] = {}
+    for r in li:
+        c = orders[r.l_orderkey]
+        reg = nat[supp[r.l_suppkey]]
+        cov.setdefault(c, set()).add(reg)
+    dist: dict[int, int] = {}
+    for regions in cov.values():
+        dist[len(regions)] = dist.get(len(regions), 0) + 1
+
+    rows = {r.n_regions_covered: r for r in _q("relational_division")(spark, SF_SMOKE).collect()}
+    assert {k: v.n_customers for k, v in rows.items()} == dist
+    for k, r in rows.items():
+        assert r.covers_all == int(k == universe)
+    # every ordering customer appears in exactly one bucket
+    assert sum(dist.values()) == len(cov)
