@@ -334,6 +334,9 @@ HEADLINE = [
     # round-12 batch 14: gaps-and-islands, relational division
     "window_gap_islands",
     "relational_division",
+    # round-12 batch 15: anonymity-class histogram, CR-k concentration
+    "privacy_anonymity_histogram",
+    "stats_concentration_ratio",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

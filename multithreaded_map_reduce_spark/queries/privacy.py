@@ -458,3 +458,67 @@ def _t_closeness_oracle() -> str:
 
 
 ORACLES["privacy_t_closeness"] = _t_closeness_oracle()
+
+
+# ---------------------------------------- anonymity-class histogram
+# Round 12: the DISTRIBUTION view under privacy_k_anonymity's pass/
+# fail report — a release decision needs "how much of the population
+# sits in classes of size 1, 2, ..." (sample uniques are the
+# re-identification budget; El Emam's risk models key on exactly
+# this histogram), not just which classes fail k=5. Over the same
+# (nation, segment) quasi-identifier: one row per equivalence-class
+# SIZE with class and row tallies, the suppressed-row mass under
+# k = K_ANON, and each size's share of the population as an exact
+# micros rational. Scale: one groupBy to class-grain, one to
+# size-grain — the histogram axis is bounded by max class size.
+
+
+def privacy_anonymity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    tot = c.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        classes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("size").cast("long").alias("class_size"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            (F.col("size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows_in_size"),
+            (F.col("size") < K_ANON).cast("int").alias("suppressed_under_k"),
+            ratio_units("size * n_classes", "n_rows").alias(
+                "population_share_micros"
+            ),
+        )
+        .orderBy("class_size")
+    )
+
+
+QUERIES["privacy_anonymity_histogram"] = privacy_anonymity_histogram
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_ah  # noqa: E402
+
+ORACLES["privacy_anonymity_histogram"] = f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS size
+        FROM customer GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer
+    )
+    SELECT size AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(size * count(*) AS BIGINT) AS n_rows_in_size,
+           CAST(size < {K_ANON} AS INTEGER) AS suppressed_under_k,
+           {_sql_ru_ah('size * count(*)', 'max(n_rows)')}
+               AS population_share_micros
+    FROM classes CROSS JOIN tot
+    GROUP BY size
+    ORDER BY size
+"""

@@ -892,3 +892,113 @@ ORACLES["stats_skewness_kurtosis"] = f"""
                AS excess_kurtosis
     FROM m
 """
+
+
+# ------------------------------------------- concentration ratios CR-k
+# Round 12: the FOURTH concentration lens — Gini (rank), Theil
+# (entropy), HHI (sum of squares) all summarize the whole
+# distribution; the CR-k family (CR1/CR4/CR8, the industrial-
+# organization standard next to HHI) reads the TOP of it: the
+# revenue share of the k largest suppliers, the number a procurement
+# risk review quotes ("our top 4 vendors are X% of spend"). Exact:
+# supplier revenue in cents (DECIMAL money rail), the top-8 selected
+# via TakeOrdered (k-bounded, the Hill discipline) with a post-limit
+# rank stamp, each CR an exact micros rational of cents sums. Scale:
+# one fact-scan aggregate to supplier grain, then an 8-row driver-
+# side-free reduce; k is a query constant.
+
+CR_KS = [1, 4, 8]
+
+
+def stats_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(iunits(F.col("l_extendedprice"), 2)).alias("x")
+    )
+    rev = rev.localCheckpoint(eager=False)  # top-k AND the total
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n_suppliers"), F.sum("x").alias("total")
+    )
+    top = rev.orderBy(F.desc("x"), F.asc("l_suppkey")).limit(max(CR_KS))
+    stamped = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("x"), F.asc("l_suppkey")))
+    )
+    aggs = [
+        F.sum(F.when(F.col("r") <= k, F.col("x"))).alias(f"top{k}")
+        for k in CR_KS
+    ]
+    m = stamped.agg(*aggs).crossJoin(F.broadcast(tot))
+    rows = m.selectExpr(
+        "n_suppliers",
+        "total",
+        "stack("
+        + str(len(CR_KS))
+        + ", "
+        + ", ".join(f"{k}, top{k}" for k in CR_KS)
+        + ") AS (k, top_cents)"
+    )
+    return rows.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("top_cents").cast("long").alias("top_cents"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.when(F.col("total") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec("CAST(top_cents AS DECIMAL(38,0))", "total")
+        )
+        .alias("cr_micros"),
+    ).orderBy("k")
+
+
+QUERIES["stats_concentration_ratio"] = stats_concentration_ratio
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_cr,
+    sql_ratio_units_dec as _sql_rud_cr,
+)
+
+
+def _cr_sql() -> str:
+    stack = " UNION ALL ".join(
+        f"SELECT {k} AS k, top{k} AS top_cents FROM m" for k in CR_KS
+    )
+    tops = ",\n               ".join(
+        f"CAST(sum(CASE WHEN r <= {k} THEN x END) AS BIGINT) AS top{k}"
+        for k in CR_KS
+    )
+    return f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum({_sql_iu_cr('l_extendedprice', 2)}) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(x) AS BIGINT) AS total
+        FROM rev
+    ), top AS (
+        SELECT x, row_number() OVER (ORDER BY x DESC, l_suppkey ASC) AS r
+        FROM (
+            SELECT l_suppkey, x FROM rev
+            ORDER BY x DESC, l_suppkey ASC LIMIT {max(CR_KS)}
+        )
+    ), m AS (
+        SELECT {tops}
+        FROM top
+    )
+    SELECT CAST(k AS INTEGER) AS k,
+           n_suppliers,
+           top_cents,
+           total AS total_cents,
+           CASE WHEN total = 0 THEN NULL
+                ELSE {_sql_rud_cr('CAST(top_cents AS HUGEINT)', 'total')}
+           END AS cr_micros
+    FROM ({stack}) CROSS JOIN tot
+    ORDER BY k
+"""
+
+
+ORACLES["stats_concentration_ratio"] = _cr_sql()

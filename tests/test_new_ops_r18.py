@@ -1155,3 +1155,73 @@ def test_relational_division_python_reference(spark):
         assert r.covers_all == int(k == universe)
     # every ordering customer appears in exactly one bucket
     assert sum(dist.values()) == len(cov)
+
+
+# ---------------------------------------- privacy_anonymity_histogram
+
+
+def test_anonymity_histogram_python_reference(spark):
+    """Equivalence-class sizes over the (nation, segment) QI replayed
+    in plain Python; shares and the k-suppression flag exact; mass
+    identities asserted."""
+    from multithreaded_map_reduce_spark.queries.privacy import K_ANON
+
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    classes: dict[tuple, int] = {}
+    for r in c:
+        k = (r.c_nationkey, r.c_mktsegment)
+        classes[k] = classes.get(k, 0) + 1
+    dist: dict[int, int] = {}
+    for size in classes.values():
+        dist[size] = dist.get(size, 0) + 1
+
+    rows = {r.class_size: r for r in _q("privacy_anonymity_histogram")(spark, SF_SMOKE).collect()}
+    assert {k: v.n_classes for k, v in rows.items()} == dist
+    n_rows = len(c)
+    for size, r in rows.items():
+        assert r.n_rows_in_size == size * dist[size]
+        assert r.suppressed_under_k == int(size < K_ANON)
+        assert r.population_share_micros == _half_up(
+            size * dist[size], n_rows
+        )
+    assert sum(r.n_rows_in_size for r in rows.values()) == n_rows
+    # consistency with the pass/fail report on the same QI
+    ka = _q("privacy_k_anonymity")(spark, SF_SMOKE).collect()
+    assert sum(1 for r in ka if r.suppress) == sum(
+        v.n_classes for v in rows.values() if v.suppressed_under_k
+    )
+
+
+# ------------------------------------------ stats_concentration_ratio
+
+
+def test_concentration_ratio_python_reference(spark):
+    """Supplier revenue cents, top-k order statistics and all three
+    CR rationals replayed in plain Python; CR monotone in k and
+    consistent with HHI's grain."""
+    from multithreaded_map_reduce_spark.queries.profiling import CR_KS
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice"
+    ).collect()
+    rev: dict[int, int] = {}
+    for r in li:
+        rev[r.l_suppkey] = rev.get(r.l_suppkey, 0) + math.floor(
+            r.l_extendedprice * 100 + 0.5
+        )
+    ordered = sorted(rev.items(), key=lambda t: (-t[1], t[0]))
+    total = sum(rev.values())
+
+    rows = {r.k: r for r in _q("stats_concentration_ratio")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(CR_KS)
+    prev = -1
+    for k in sorted(CR_KS):
+        row = rows[k]
+        topk = sum(x for _, x in ordered[:k])
+        assert row.n_suppliers == len(rev)
+        assert row.top_cents == topk
+        assert row.total_cents == total
+        assert row.cr_micros == _half_up(topk, total)
+        assert row.cr_micros >= prev  # CR monotone non-decreasing in k
+        prev = row.cr_micros
+        assert 0 < row.cr_micros <= 1_000_000

@@ -123,6 +123,12 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         1,
         "k-bounded: Misra-Gries candidate rank (≤ MG_K rows)",
     ),
+    "queries/profiling.py": (
+        1,
+        "post-limit: the CR-k rank stamp over the TakeOrdered top-8 "
+        "supplier relation (k is a query constant — the Hill "
+        "discipline)",
+    ),
     "queries/retrieval.py": (
         2,
         "k-bounded: rank stamps over per-query candidate pools",
