@@ -337,6 +337,9 @@ HEADLINE = [
     # round-12 batch 15: anonymity-class histogram, CR-k concentration
     "privacy_anonymity_histogram",
     "stats_concentration_ratio",
+    # round-12 batch 16: circular hour profile, SES model selection
+    "events_circadian_profile",
+    "timeseries_ses_gridsearch",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

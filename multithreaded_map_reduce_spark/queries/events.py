@@ -2869,3 +2869,108 @@ def _te_sql() -> str:
 
 
 ORACLES["events_transition_entropy"] = _te_sql()
+
+
+# --------------------------------------------- circadian profile
+# Round 12: CIRCULAR statistics over the hour-of-day axis — the
+# linear battery (mean/variance/quantiles) is wrong for a cyclic
+# variable (23:00 and 01:00 are 2 h apart, not 22), and an ingest
+# monitor that alarms on "mean event hour" gets burned at midnight.
+# The circular resultant R̄ = |Σ e^{iθ_h}|/N (Mardia) is the correct
+# concentration number: ≈0 for uniform around the clock, →1 for a
+# single rush hour. Exact rail: the 24 phase angles 2πh/24 enter as
+# micro-snapped integer cos/sin literal tables (the periodogram
+# discipline — no runtime trig); C = Σ n_h·c_h and S = Σ n_h·s_h are
+# exact BIGINTs; R̄² = (C²+S²)/(N·10⁶)² is one DECIMAL micros
+# rational (squared form — sqrt-free). Peak hour is the exact argmax
+# with hour-asc tie-break. Calendar-grain: 24 cells after one scan.
+
+import math as _math_cc
+
+CC_COS = [
+    _math_cc.floor(_math_cc.cos(2 * _math_cc.pi * h / 24) * 1e6 + 0.5)
+    for h in range(24)
+]
+CC_SIN = [
+    _math_cc.floor(_math_cc.sin(2 * _math_cc.pi * h / 24) * 1e6 + 0.5)
+    for h in range(24)
+]
+
+
+def events_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.select(
+            ((epoch_micros(F.col("ts")) / F.lit(3_600_000_000)) % 24)
+            .cast("int")
+            .alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    carr = f"array({', '.join(f'CAST({c} AS BIGINT)' for c in CC_COS)})"
+    sarr = f"array({', '.join(f'CAST({s} AS BIGINT)' for s in CC_SIN)})"
+    m = hours.agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") * F.expr(f"element_at({carr}, h + 1)")).alias("c"),
+        F.sum(F.col("n") * F.expr(f"element_at({sarr}, h + 1)")).alias("s"),
+        F.max(F.struct(F.col("n"), (-F.col("h")).alias("nh"))).alias("pk"),
+    )
+    dec = "decimal(38,0)"
+    return m.select(
+        F.col("n_events").cast("long").alias("n_events"),
+        (-F.col("pk.nh")).cast("int").alias("peak_hour"),
+        F.col("pk.n").cast("long").alias("peak_count"),
+        ratio_units("pk.n", "n_events").alias("peak_share_micros"),
+        F.when(F.col("n_events") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(
+                f"CAST(c AS {dec}) * c + CAST(s AS {dec}) * s",
+                f"CAST(n_events AS {dec}) * n_events * 1000000000000",
+            )
+        )
+        .alias("resultant2_micros"),
+    )
+
+
+QUERIES["events_circadian_profile"] = events_circadian_profile
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units as _sql_ru_cc,
+    sql_ratio_units_dec as _sql_rud_cc,
+)
+
+
+def _cc_sql() -> str:
+    clist = "[" + ", ".join(str(c) for c in CC_COS) + "]"
+    slist = "[" + ", ".join(str(s) for s in CC_SIN) + "]"
+    return f"""
+    WITH hours AS (
+        SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(n * ({clist}::BIGINT[])[h + 1]) AS BIGINT) AS c,
+               CAST(sum(n * ({slist}::BIGINT[])[h + 1]) AS BIGINT) AS s,
+               max(struct_pack(n := n, nh := -h)) AS pk
+        FROM hours
+    )
+    SELECT n_events,
+           CAST(-pk.nh AS INTEGER) AS peak_hour,
+           CAST(pk.n AS BIGINT) AS peak_count,
+           {_sql_ru_cc('pk.n', 'n_events')} AS peak_share_micros,
+           CASE WHEN n_events = 0 THEN NULL
+                ELSE {_sql_rud_cc(
+                    'CAST(c AS HUGEINT) * c + CAST(s AS HUGEINT) * s',
+                    'CAST(n_events AS HUGEINT) * n_events'
+                    ' * 1000000000000')}
+           END AS resultant2_micros
+    FROM m
+"""
+
+
+ORACLES["events_circadian_profile"] = _cc_sql()

@@ -2985,3 +2985,158 @@ ORACLES["timeseries_mann_kendall"] = f"""
            END AS significant_5pct
     FROM s_rel CROSS JOIN ties
 """
+
+
+# ------------------------------------------ SES grid model selection
+# Round 12: the MODEL-SELECTION layer the smoothing family was
+# missing — ewma/holt/holt_winters run at fixed α; a forecasting
+# pipeline picks α by backtest SSE (the "optimize smoothing
+# parameters" loop every ETS library runs). Deterministic grid:
+# α ∈ {0.2, 0.5, 0.8}, each as a TRUNCATED (8-tap), RENORMALIZED
+# linear filter whose weights are micro-snapped integer literals
+# shared with the oracle (the periodogram discipline) — renormalizing
+# Σw = 1 removes the truncation-mass bias that would otherwise rig
+# the comparison toward large α. One-step-ahead forecast
+# x̂_t = Σ_j W_α[j]·x_{t−1−j} over days with ALL 8 lags present
+# (exact micro-unit integers); SSE_α = Σ(10⁶·x_t − x̂_t)² rides
+# DECIMAL and is reported div 10¹² (counts² scale); the winner is
+# the exact integer argmin with α-asc tie-break. Scale:
+# calendar-grain lag equi-joins (8-row broadcast), never a window.
+
+SES_ALPHAS = [0.2, 0.5, 0.8]
+SES_TAPS = 8
+
+
+def _ses_weights() -> dict[int, list[int]]:
+    import math as _m
+
+    out = {}
+    for a in SES_ALPHAS:
+        raw = [a * (1 - a) ** j for j in range(SES_TAPS)]
+        tot = sum(raw)
+        out[int(a * 1_000_000)] = [
+            _m.floor(w / tot * 1e6 + 0.5) for w in raw
+        ]
+    return out
+
+
+SES_WEIGHTS = _ses_weights()
+
+
+def timeseries_ses_gridsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    offs = spark.range(1, SES_TAPS + 1).select(
+        F.col("id").cast("int").alias("j")
+    )
+    contrib = ser.crossJoin(F.broadcast(offs)).select(
+        (F.col("day") + F.col("j")).alias("t"), "j", F.col("x").alias("xl")
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n_lags")]
+    for am, ws in SES_WEIGHTS.items():
+        arr = f"array({', '.join(f'CAST({w} AS BIGINT)' for w in ws)})"
+        aggs.append(
+            F.sum(
+                F.col("xl") * F.expr(f"element_at({arr}, j)")
+            ).alias(f"f_{am}")
+        )
+    fc = contrib.groupBy("t").agg(*aggs).filter(
+        F.col("n_lags") == SES_TAPS
+    )
+    joined = fc.join(ser.select(F.col("day").alias("t"), "x"), "t")
+    sses = []
+    for am in SES_WEIGHTS:
+        r = f"(CAST(x AS {dec}) * 1000000 - f_{am})"
+        sses.append(
+            F.sum(F.expr(f"{r} * {r}")).alias(f"sse_{am}")
+        )
+    m = joined.agg(F.count(F.lit(1)).alias("n_scored"), *sses)
+    rows = m.selectExpr(
+        "n_scored",
+        "stack("
+        + str(len(SES_WEIGHTS))
+        + ", "
+        + ", ".join(f"{am}, sse_{am}" for am in SES_WEIGHTS)
+        + ") AS (alpha_micros, sse)"
+    )
+    rw = W.orderBy(F.asc("sse"), F.asc("alpha_micros"))
+    return (
+        rows.withColumn("rn", F.row_number().over(rw))
+        .select(
+            F.col("alpha_micros").cast("long").alias("alpha_micros"),
+            F.col("n_scored").cast("long").alias("n_scored"),
+            F.expr("sse div 1000000000000").cast("long").alias("sse_units"),
+            (F.col("rn") == 1).cast("int").alias("is_best"),
+        )
+        .orderBy("alpha_micros")
+    )
+
+
+QUERIES["timeseries_ses_gridsearch"] = timeseries_ses_gridsearch
+
+
+def _ses_sql() -> str:
+    alpha_rows = []
+    for am, ws in SES_WEIGHTS.items():
+        wlist = "[" + ", ".join(str(w) for w in ws) + "]"
+        alpha_rows.append(
+            f"""SELECT {am} AS alpha_micros,
+               CAST(sum(r * r) AS HUGEINT) AS sse,
+               CAST(count(*) AS BIGINT) AS n_scored
+            FROM (
+                SELECT CAST(x AS HUGEINT) * 1000000
+                       - CAST(f AS HUGEINT) AS r
+                FROM (
+                    SELECT t,
+                           CAST(sum(xl * ({wlist}::BIGINT[])[j])
+                                AS BIGINT) AS f,
+                           CAST(count(*) AS BIGINT) AS n_lags
+                    FROM contrib GROUP BY t
+                ) fc
+                JOIN ser ON ser.day = fc.t
+                WHERE n_lags = {SES_TAPS}
+            )"""
+        )
+    body = " UNION ALL ".join(alpha_rows)
+    return f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), contrib AS (
+        SELECT day + CAST(o.range AS INTEGER) AS t,
+               CAST(o.range AS INTEGER) AS j,
+               x AS xl
+        FROM ser, range(1, {SES_TAPS + 1}) o
+    ), grid AS ({body}),
+    ranked AS (
+        SELECT alpha_micros, n_scored, sse,
+               row_number() OVER (
+                   ORDER BY sse ASC, alpha_micros ASC
+               ) AS rn
+        FROM grid
+    )
+    SELECT CAST(alpha_micros AS BIGINT) AS alpha_micros,
+           n_scored,
+           CAST(sse // 1000000000000 AS BIGINT) AS sse_units,
+           CAST(rn = 1 AS INTEGER) AS is_best
+    FROM ranked
+    ORDER BY alpha_micros
+"""
+
+
+ORACLES["timeseries_ses_gridsearch"] = _ses_sql()

@@ -1225,3 +1225,83 @@ def test_concentration_ratio_python_reference(spark):
         assert row.cr_micros >= prev  # CR monotone non-decreasing in k
         prev = row.cr_micros
         assert 0 < row.cr_micros <= 1_000_000
+
+
+# ----------------------------------------- events_circadian_profile
+
+
+def test_circadian_python_reference(spark):
+    """Hour histogram, trig-table resultant and peak replayed in plain
+    Python; the literal tables unit-circle-guarded."""
+    from multithreaded_map_reduce_spark.queries.events import CC_COS, CC_SIN
+
+    assert len(CC_COS) == len(CC_SIN) == 24
+    for c, s in zip(CC_COS, CC_SIN):
+        assert abs(c * c + s * s - 10**12) < 3_000_000
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    hours: dict[int, int] = {}
+    for r in ev:
+        h = (int(r.ts.timestamp() * 1_000_000) // 3_600_000_000) % 24
+        hours[h] = hours.get(h, 0) + 1
+    n = sum(hours.values())
+    c = sum(v * CC_COS[h] for h, v in hours.items())
+    s = sum(v * CC_SIN[h] for h, v in hours.items())
+    peak = min(hours, key=lambda h: (-hours[h], h))
+
+    row = _q("events_circadian_profile")(spark, SF_SMOKE).collect()[0]
+    assert row.n_events == n
+    assert row.peak_hour == peak
+    assert row.peak_count == hours[peak]
+    assert row.peak_share_micros == _half_up(hours[peak], n)
+    assert row.resultant2_micros == _half_up(
+        c * c + s * s, n * n * 10**12
+    )
+    assert 0 <= row.resultant2_micros <= 1_000_000
+
+
+# ----------------------------------------- timeseries_ses_gridsearch
+
+
+def test_ses_gridsearch_python_reference(spark):
+    """Renormalized truncated filters, per-alpha SSE and the argmin
+    replayed in plain Python; weight tables sum to ~1e6."""
+    from multithreaded_map_reduce_spark.queries.timeseries import (
+        SES_TAPS,
+        SES_WEIGHTS,
+    )
+
+    for ws in SES_WEIGHTS.values():
+        assert len(ws) == SES_TAPS
+        assert abs(sum(ws) - 10**6) <= SES_TAPS  # renormalized
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    days: dict[int, int] = {}
+    for r in ev:
+        d = int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+
+    sses = {}
+    n_scored = None
+    for am, ws in SES_WEIGHTS.items():
+        sse = 0
+        cnt = 0
+        for t, x in days.items():
+            lags = [days.get(t - 1 - j) for j in range(SES_TAPS)]
+            if any(v is None for v in lags):
+                continue
+            f = sum(w * v for w, v in zip(ws, lags))
+            r = 10**6 * x - f
+            sse += r * r
+            cnt += 1
+        sses[am] = sse
+        n_scored = cnt
+    best = min(sses, key=lambda a: (sses[a], a))
+
+    rows = {r.alpha_micros: r for r in _q("timeseries_ses_gridsearch")(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(sses)
+    for am, r in rows.items():
+        assert r.n_scored == n_scored
+        assert r.sse_units == sses[am] // 10**12
+        assert r.is_best == int(am == best)
+    assert sum(r.is_best for r in rows.values()) == 1

@@ -57,12 +57,13 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "lists (ANNP/k dial)",
     ),
     "queries/timeseries.py": (
-        9,
+        10,
         "calendar-grain: day-axis cumulative/row_number windows on "
         "groupBy(day) relations (incl. the runs-test sign walk and "
         "hurst's day-index stamp); the `b` window runs over the "
         "bounded seasonal-block axis; the periodogram dominant-period "
-        "rank runs over |PG_PERIODS| = 3 rows",
+        "rank runs over |PG_PERIODS| = 3 rows and the SES-grid argmin "
+        "over |SES_ALPHAS| = 3 rows",
     ),
     "queries/textstats.py": (
         7,
