@@ -340,6 +340,9 @@ HEADLINE = [
     # round-12 batch 16: circular hour profile, SES model selection
     "events_circadian_profile",
     "timeseries_ses_gridsearch",
+    # round-12 batch 17: char-level entropy rate, bag-semantics setops
+    "text_char_entropy_rate",
+    "setop_all_variants",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

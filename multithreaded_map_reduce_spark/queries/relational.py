@@ -676,3 +676,76 @@ ORACLES["relational_division"] = """
     GROUP BY 1, n_regions_total
     ORDER BY 1
 """
+
+
+# ------------------------------------------------ multiset set ops
+# Round 12: the BAG-semantics twins the set-op family was missing —
+# setop_except/intersect run DISTINCT semantics; EXCEPT ALL and
+# INTERSECT ALL preserve multiplicity (ANSI bag semantics: a value
+# occurring m times left and n times right survives max(m−n, 0) /
+# min(m, n) times), which is what reconciliation actually needs ("we
+# shipped 4, they invoiced 3 — one missing" — DISTINCT hides it).
+# Exercises Spark's dedicated ExceptAll/IntersectAll physical
+# operators (multisets: R-flag vs N-flag ship months); the surviving
+# multiset is then aggregated to (month, multiplicity) for a
+# deterministic relation, and the oracle replays the same bag
+# algebra with DuckDB's EXCEPT ALL / INTERSECT ALL. The multiplicity
+# identities (m_except = max(m−n, 0), m_intersect = min(m, n)) are
+# third-referenced in the tests. Scale: both operators hash on the
+# value — one shuffle each, no windows.
+
+
+def _ship_months(spark: SparkSession, sf_dir: str, flag: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == flag).select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("m")
+    )
+
+
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _ship_months(spark, sf_dir, "R")
+    b = _ship_months(spark, sf_dir, "N")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(ix).select("op", "m", "multiplicity").orderBy(
+        "op", "m"
+    )
+
+
+QUERIES["setop_all_variants"] = setop_all_variants
+
+ORACLES["setop_all_variants"] = """
+    WITH a AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS m
+        FROM lineitem WHERE l_returnflag = 'R'
+    ), b AS (
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS m
+        FROM lineitem WHERE l_returnflag = 'N'
+    ), ex AS (
+        SELECT m FROM a EXCEPT ALL SELECT m FROM b
+    ), ix AS (
+        SELECT m FROM a INTERSECT ALL SELECT m FROM b
+    )
+    SELECT 'except_all' AS op, m,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM ex GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, m,
+           CAST(count(*) AS BIGINT) AS multiplicity
+    FROM ix GROUP BY 2
+    ORDER BY op, m
+"""

@@ -5199,3 +5199,145 @@ ORACLES["quality_cochran_armitage"] = (
     .replace("{MINA}", str(GR_MIN_ALPHA))
     .replace("{MINSTOP}", str(GR_MIN_STOP))
 )
+
+
+# ------------------------------------------ character entropy rate
+# Round 12: the CHARACTER-level compressibility ladder — the classic
+# "compression ratio" junk filter (CCNet/RedPajama gate on it) without
+# shipping zlib into the engine: Shannon's H₁ (char unigram entropy)
+# and the conditional H₂ = H(c_t | c_{t−1}) (bigram entropy rate)
+# bound any order-2 compressor's bits-per-char; gibberish and
+# key-mash text read HIGH on both, template/boilerplate reads LOW on
+# H₂ long before H₁ moves (repetitive structure is a bigram
+# phenomenon). Corpus-level per source: char n-gram counts are exact
+# integers off a substring explode; each entropy term is
+# n·(snap9(ln N) − snap9(ln n)) (H₁) or n_ab·(snap9(ln n_a·) −
+# snap9(ln n_ab)) (H₂, the transition-entropy identity) — logs of
+# exact positive integers, nano-snapped, averaged as one integer
+# rational in nanos. Scale: vocabulary-grain after one explode pass
+# (char alphabet × alphabet is tiny); never a window.
+
+
+def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units
+
+    docs = load_table(spark, sf_dir, "documents")
+    # split-based char array: per-index substring() is O(i) on UTF8
+    # strings, making the naive sequence+substring explode QUADRATIC
+    # per document (measured 9 s warm at sf0.1 before this rewrite;
+    # 3.5 s after); zip_with pads the shifted slice with NULL for the
+    # final char, which is exactly the "no successor" marker H2 needs
+    docs = docs.withColumn(
+        "cs", F.expr("filter(split(text, ''), x -> x != '')")
+    )
+    chars = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(cs, slice(cs, 2, greatest(size(cs) - 1, 0)),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p"),
+    ).select("source", "p.a", "p.b").localCheckpoint(eager=False)
+    uni = chars.groupBy("source", "a").agg(F.count(F.lit(1)).alias("n"))
+    n_tot = uni.groupBy("source").agg(F.sum("n").alias("nn"))
+    h1 = (
+        uni.join(n_tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("nn").alias("n_chars"),
+            F.sum(
+                F.col("n")
+                * (
+                    iunits(F.log(F.col("nn").cast("double")), 9)
+                    - iunits(F.log(F.col("n").cast("double")), 9)
+                )
+            ).alias("h1_sum"),
+        )
+    )
+    bi = (
+        chars.filter(F.col("b").isNotNull())
+        .groupBy("source", "a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    ctx = bi.groupBy("source", "a").agg(F.sum("nab").alias("na"))
+    h2 = (
+        bi.join(ctx, ["source", "a"])
+        .groupBy("source")
+        .agg(
+            F.sum("nab").alias("n_bigrams"),
+            F.sum(
+                F.col("nab")
+                * (
+                    iunits(F.log(F.col("na").cast("double")), 9)
+                    - iunits(F.log(F.col("nab").cast("double")), 9)
+                )
+            ).alias("h2_sum"),
+        )
+    )
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            ratio_units("h1_sum", "n_chars", 1).alias("h1_nanos"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            ratio_units("h2_sum", "n_bigrams", 1).alias("h2_cond_nanos"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_char_entropy_rate"] = text_char_entropy_rate
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_ce,
+    sql_ratio_units as _sql_ru_ce,
+)
+
+ORACLES["text_char_entropy_rate"] = f"""
+    WITH chars AS (
+        SELECT source,
+               substring(text, CAST(i AS INTEGER), 1) AS a,
+               CASE WHEN i < length(text)
+                    THEN substring(text, CAST(i AS INTEGER) + 1, 1)
+               END AS b
+        FROM (
+            SELECT source, text,
+                   unnest(range(1, length(text) + 1)) AS i
+            FROM documents
+        )
+    ), uni AS (
+        SELECT source, a, CAST(count(*) AS BIGINT) AS n
+        FROM chars GROUP BY 1, 2
+    ), n_tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS nn FROM uni GROUP BY 1
+    ), h1 AS (
+        SELECT uni.source,
+               max(nn) AS n_chars,
+               CAST(sum(n * ({_sql_iu_ce('ln(nn)', 9)}
+                    - {_sql_iu_ce('ln(n)', 9)})) AS BIGINT) AS h1_sum
+        FROM uni JOIN n_tot ON uni.source = n_tot.source
+        GROUP BY 1
+    ), bi AS (
+        SELECT source, a, b, CAST(count(*) AS BIGINT) AS nab
+        FROM chars WHERE b IS NOT NULL GROUP BY 1, 2, 3
+    ), ctx AS (
+        SELECT source, a, CAST(sum(nab) AS BIGINT) AS na
+        FROM bi GROUP BY 1, 2
+    ), h2 AS (
+        SELECT bi.source,
+               CAST(sum(nab) AS BIGINT) AS n_bigrams,
+               CAST(sum(nab * ({_sql_iu_ce('ln(na)', 9)}
+                    - {_sql_iu_ce('ln(nab)', 9)})) AS BIGINT) AS h2_sum
+        FROM bi JOIN ctx ON bi.source = ctx.source AND bi.a = ctx.a
+        GROUP BY 1
+    )
+    SELECT h1.source AS source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           {_sql_ru_ce('h1_sum', 'n_chars', 1)} AS h1_nanos,
+           n_bigrams,
+           {_sql_ru_ce('h2_sum', 'n_bigrams', 1)} AS h2_cond_nanos
+    FROM h1 JOIN h2 ON h1.source = h2.source
+    ORDER BY h1.source
+"""

@@ -1305,3 +1305,82 @@ def test_ses_gridsearch_python_reference(spark):
         assert r.sse_units == sses[am] // 10**12
         assert r.is_best == int(am == best)
     assert sum(r.is_best for r in rows.values()) == 1
+
+
+# ------------------------------------------------ text_char_entropy_rate
+
+
+def test_char_entropy_python_reference(spark):
+    """Char unigram/bigram tallies per source, snapped-log entropy
+    sums and rationals replayed in plain Python; H2 <= H1 (conditioning
+    reduces entropy) asserted per source."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    uni: dict[str, Counter] = {}
+    bi: dict[str, Counter] = {}
+    for d in docs:
+        u = uni.setdefault(d.source, Counter())
+        b = bi.setdefault(d.source, Counter())
+        t = d.text
+        u.update(t)
+        for i in range(len(t) - 1):
+            b[(t[i], t[i + 1])] += 1
+
+    rows = {r.source: r for r in _q("text_char_entropy_rate")(spark, SF_SMOKE).collect()}
+    assert set(rows) == {s for s in uni if sum(uni[s].values())}
+    for src, r in rows.items():
+        n = sum(uni[src].values())
+        h1 = sum(
+            c * (_snap9(math.log(n)) - _snap9(math.log(c)))
+            for c in uni[src].values()
+        )
+        assert r.n_chars == n
+        assert r.h1_nanos == (2 * h1 + n) // (2 * n)
+        nb = sum(bi[src].values())
+        ctx = Counter()
+        for (a, _), c in bi[src].items():
+            ctx[a] += c
+        h2 = sum(
+            c * (_snap9(math.log(ctx[a])) - _snap9(math.log(c)))
+            for (a, _), c in bi[src].items()
+        )
+        assert r.n_bigrams == nb
+        assert r.h2_cond_nanos == (2 * h2 + nb) // (2 * nb)
+        # conditioning can only reduce entropy (up to rounding)
+        assert r.h2_cond_nanos <= r.h1_nanos + 2
+
+
+# ---------------------------------------------------- setop_all_variants
+
+
+def test_setop_all_python_reference(spark):
+    """Bag-algebra identities replayed from raw multiplicities:
+    EXCEPT ALL keeps max(m−n, 0), INTERSECT ALL keeps min(m, n)."""
+    from collections import Counter
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag", "l_shipdate"
+    ).collect()
+    a, b = Counter(), Counter()
+    for r in li:
+        m = r.l_shipdate.year * 12 + r.l_shipdate.month - 1
+        if r.l_returnflag == "R":
+            a[m] += 1
+        elif r.l_returnflag == "N":
+            b[m] += 1
+
+    rows = _q("setop_all_variants")(spark, SF_SMOKE).collect()
+    got_ex = {r.m: r.multiplicity for r in rows if r.op == "except_all"}
+    got_ix = {r.m: r.multiplicity for r in rows if r.op == "intersect_all"}
+    want_ex = {
+        m: a[m] - b.get(m, 0) for m in a if a[m] - b.get(m, 0) > 0
+    }
+    want_ix = {
+        m: min(a[m], b[m]) for m in a if m in b and min(a[m], b[m]) > 0
+    }
+    assert got_ex == want_ex
+    assert got_ix == want_ix
+    # bag identity: except + intersect partitions the left multiset
+    for m in a:
+        assert got_ex.get(m, 0) + got_ix.get(m, 0) == a[m]
