@@ -343,6 +343,9 @@ HEADLINE = [
     # round-12 batch 17: char-level entropy rate, bag-semantics setops
     "text_char_entropy_rate",
     "setop_all_variants",
+    # round-12 batch 18: dimension-variance screen, cross-field dq
+    "embedding_dim_variance",
+    "dq_lineitem_dates",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -3213,3 +3213,90 @@ ORACLES["quality_tost_equivalence"] = f"""
            END AS equivalent_90tost
     FROM m
 """
+
+
+# ------------------------------------------- lineitem cross-field dq
+# Round 12: the CROSS-FIELD constraint rows the dq family was
+# missing — dq_orders_constraints validates single columns; real
+# ingest bugs live BETWEEN columns and BETWEEN tables (a swapped
+# date pair passes every single-column range check). Three lifecycle
+# invariants over lineitem ⋈ orders: ship-after-order, a 1-year
+# shipping horizon, and the unit-price floor
+# l_extendedprice ≥ l_quantity (unit price ≥ $1 — a quantity/price
+# column swap inverts it). The fixture's synthetic dates are
+# INDEPENDENT, so the date constraints report real violation mass —
+# which is exactly the point of a dq report (it surfaces, never
+# silently filters); the test pins the violation counts against a
+# plain-Python replay rather than assuming zero. One fact scan +
+# one order-date join, conditional counts (the
+# dq_orders_constraints single-pass shape).
+
+
+def dq_lineitem_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    one = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("_ship_before_order"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365),
+                1,
+            ).otherwise(0)
+        ).alias("_ship_horizon"),
+        F.sum(
+            F.when(
+                F.col("l_extendedprice") < F.col("l_quantity"), 1
+            ).otherwise(0)
+        ).alias("_unit_price_floor"),
+    )
+    rows = one.selectExpr(
+        """stack(3,
+            'order:l_shipdate>=o_orderdate', _ship_before_order,
+            'horizon:l_shipdate<=o_orderdate+365d', _ship_horizon,
+            'band:l_extendedprice>=l_quantity', _unit_price_floor
+        ) AS (constraint, violations)""",
+        "_n AS total",
+    )
+    return rows.select(
+        "constraint",
+        F.col("total").cast("long").alias("total"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).cast("int").alias("passed"),
+    ).orderBy("constraint")
+
+
+QUERIES["dq_lineitem_dates"] = dq_lineitem_dates
+
+ORACLES["dq_lineitem_dates"] = """
+    WITH j AS (
+        SELECT l_shipdate, o_orderdate, l_extendedprice, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), one AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN l_shipdate < o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(sum(CASE WHEN l_shipdate
+                                  > o_orderdate + INTERVAL 365 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(sum(CASE WHEN l_extendedprice < l_quantity
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        FROM j
+    )
+    SELECT "constraint", total, violations,
+           CAST(violations = 0 AS INTEGER) AS passed
+    FROM (
+        SELECT 'order:l_shipdate>=o_orderdate' AS "constraint",
+               total, v1 AS violations FROM one
+        UNION ALL
+        SELECT 'horizon:l_shipdate<=o_orderdate+365d', total, v2 FROM one
+        UNION ALL
+        SELECT 'band:l_extendedprice>=l_quantity', total, v3 FROM one
+    )
+    ORDER BY "constraint"
+"""

@@ -2552,3 +2552,107 @@ ORACLES["embedding_centroid_classify"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------- per-dimension variance
+# Round 12: the PCA-lite dimension screen — before spending on PQ
+# codebooks or Matryoshka truncation, a pipeline asks WHICH of the 64
+# dimensions carry variance at all (dead dims waste code budget;
+# near-constant dims should be pruned before IVF routing). Per
+# dimension: exact MILLI-unit moment sums (the label_spread overflow
+# discipline), population variance as one DECIMAL micros rational
+# (n·Σx² − (Σx)²)/n², a rank by exact variance (dim-asc tie-break)
+# and each dim's share of total variance. Scale: one posexplode pass
+# to (dim)-grain — 64 rows out regardless of corpus size; the rank
+# window runs over those 64 rows (dim-bounded).
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d)"
+                " AS BIGINT))"
+            )
+        ).alias("dim", "x")
+    )
+    dec = "decimal(38,0)"
+    per = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("ss"),
+    )
+    var_num = f"(CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s)"
+    scored = per.select(
+        "dim",
+        "n",
+        F.expr(var_num).alias("vnum"),
+        F.expr(f"CAST(n AS {dec}) * n").alias("vden"),
+    )
+    tot = scored.agg(F.sum(F.expr("vnum div vden")).alias("vtot"))
+    rw = W.orderBy(F.desc("vnum"), F.asc("dim"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("n").cast("long").alias("n_vectors"),
+            ratio_units_dec("vnum", "vden").alias("variance_micros"),
+            F.col("rank").cast("int").alias("variance_rank"),
+            F.when(F.col("vtot") == 0, F.lit(None).cast("long"))
+            .otherwise(ratio_units_dec("vnum div vden", "vtot"))
+            .alias("variance_share_micros"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES["embedding_dim_variance"] = embedding_dim_variance
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_dv,
+)
+
+ORACLES["embedding_dim_variance"] = f"""
+    WITH q AS (
+        SELECT CAST(i AS INTEGER) - 1 AS dim,
+               CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS x
+        FROM (
+            SELECT unnest({sql_as_double('embedding')}) AS v,
+                   generate_subscripts({sql_as_double('embedding')}, 1) AS i
+            FROM embeddings
+        )
+    ), per AS (
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM q GROUP BY 1
+    ), scored AS (
+        SELECT dim, n,
+               CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS vnum,
+               CAST(n AS HUGEINT) * n AS vden
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(vnum // vden) AS HUGEINT) AS vtot FROM scored
+    ), ranked AS (
+        SELECT dim, n, vnum, vden,
+               row_number() OVER (ORDER BY vnum DESC, dim ASC) AS rank
+        FROM scored
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           n AS n_vectors,
+           {_sql_rud_dv('vnum', 'vden')} AS variance_micros,
+           CAST(rank AS INTEGER) AS variance_rank,
+           CASE WHEN vtot = 0 THEN NULL
+                ELSE {_sql_rud_dv('vnum // vden', 'vtot')}
+           END AS variance_share_micros
+    FROM ranked CROSS JOIN tot
+    ORDER BY dim
+"""

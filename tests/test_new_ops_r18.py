@@ -1384,3 +1384,81 @@ def test_setop_all_python_reference(spark):
     # bag identity: except + intersect partitions the left multiset
     for m in a:
         assert got_ex.get(m, 0) + got_ix.get(m, 0) == a[m]
+
+
+# ---------------------------------------------- embedding_dim_variance
+
+
+def test_dim_variance_python_reference(spark):
+    """Per-dimension milli-quantized moments, variance rationals,
+    ranks and shares replayed in plain Python."""
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    dim = len(rows[0].embedding)
+    n = len(rows)
+    s = [0] * dim
+    ss = [0] * dim
+    for r in rows:
+        for i, v in enumerate(r.embedding):
+            x = math.floor(float(v) * 1000 + 0.5)
+            s[i] += x
+            ss[i] += x * x
+    vnum = [n * ss[i] - s[i] * s[i] for i in range(dim)]
+    vden = n * n
+    order = sorted(range(dim), key=lambda i: (-vnum[i], i))
+    rank = {d: r + 1 for r, d in enumerate(order)}
+    vtot = sum(v // vden for v in vnum)
+
+    got = {r.dim: r for r in _q("embedding_dim_variance")(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(dim))
+    for i in range(dim):
+        r = got[i]
+        assert r.n_vectors == n
+        assert r.variance_micros == _half_up(vnum[i], vden)
+        assert r.variance_rank == rank[i]
+        if vtot == 0:
+            assert r.variance_share_micros is None
+        else:
+            assert r.variance_share_micros == _half_up(vnum[i] // vden, vtot)
+        assert r.variance_micros >= 0
+    # ranks are a permutation of 1..dim
+    assert sorted(r.variance_rank for r in got.values()) == list(
+        range(1, dim + 1)
+    )
+
+
+# -------------------------------------------------- dq_lineitem_dates
+
+
+def test_dq_lineitem_dates_python_reference(spark):
+    """Violation counts replayed from the raw join in plain Python —
+    the synthetic fixture's independent dates REALLY violate the
+    order/horizon constraints (the report must surface, not assume
+    zero), while the unit-price floor holds."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).collect()
+    odates = {
+        r.o_orderkey: r.o_orderdate
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    }
+    import datetime
+
+    v1 = v2 = v3 = 0
+    for r in li:
+        od = odates[r.l_orderkey]
+        if r.l_shipdate < od:
+            v1 += 1
+        if r.l_shipdate > od + datetime.timedelta(days=365):
+            v2 += 1
+        if r.l_extendedprice < r.l_quantity:
+            v3 += 1
+
+    rows = {r.constraint: r for r in _q("dq_lineitem_dates")(spark, SF_SMOKE).collect()}
+    assert rows["order:l_shipdate>=o_orderdate"].violations == v1
+    assert rows["horizon:l_shipdate<=o_orderdate+365d"].violations == v2
+    assert rows["band:l_extendedprice>=l_quantity"].violations == v3
+    for r in rows.values():
+        assert r.total == len(li)
+        assert r.passed == int(r.violations == 0)
+    # the fixture's independent dates make the date rows REPORT mass
+    assert v1 > 0 and rows["band:l_extendedprice>=l_quantity"].passed == 1

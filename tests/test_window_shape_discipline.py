@@ -116,9 +116,10 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "(k is a query constant)",
     ),
     "queries/similarity.py": (
-        1,
+        2,
         "k-bounded: matryoshka report rung/rank stamp over the "
-        "k-bounded eval relation",
+        "k-bounded eval relation; dim-bounded: the dim-variance rank "
+        "runs over the 64-row per-dimension relation",
     ),
     "queries/sketches.py": (
         1,
