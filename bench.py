@@ -346,6 +346,9 @@ HEADLINE = [
     # round-12 batch 18: dimension-variance screen, cross-field dq
     "embedding_dim_variance",
     "dq_lineitem_dates",
+    # round-12 batch 19: MR secondary sort, hash uniformity audit
+    "mr_secondary_sort",
+    "sketch_hash_uniformity",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -122,3 +122,63 @@ def register_program(program: MapReduce) -> MapReduce:
 
 def get_program(name: str) -> MapReduce:
     return PROGRAMS[name]
+
+
+def run_secondary_sort(
+    df: DataFrame,
+    key_col: str,
+    sort_cols: list[str],
+    value_col: str,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """The canonical MapReduce SECONDARY SORT pattern (round 12) —
+    values arrive at the reducer already ordered, so the reduce can
+    STREAM instead of buffering-and-sorting. The reference's API
+    cannot express this at all: its reducer receives an unordered
+    ``vector<string>`` (``include/MapReduceMaster.h:75-112``), so any
+    order-sensitive reduction must sort per key in reducer memory —
+    the pattern Hadoop users solve with composite keys + grouping
+    comparators, and Spark solves with
+    ``repartitionAndSortWithinPartitions``: partition by the GROUPING
+    key only, sort partitions by the COMPOSITE (key, sort...) tuple,
+    then walk each partition grouping consecutive same-key runs.
+
+    One shuffle total; the sort rides the shuffle's spillable
+    sort-merge machinery (disk-backed — a hot key never has to fit
+    its values in reducer memory during the sort, unlike the
+    reference's in-core vector). Output: one row per key with the
+    values joined in sorted order.
+    """
+    from pyspark.rdd import portable_hash
+
+    spark = df.sparkSession
+    n = num_partitions
+
+    rdd = df.select(key_col, *sort_cols, value_col).rdd.map(
+        lambda r: (tuple(r), None)
+    )
+    parted = rdd.repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=lambda k: portable_hash(k[0]) % n
+    )
+
+    def walk(it):
+        cur_key = None
+        vals: list[str] = []
+        for (row, _none) in it:
+            k, v = row[0], row[-1]
+            if k != cur_key:
+                if cur_key is not None:
+                    yield (str(cur_key), ",".join(vals))
+                cur_key, vals = k, []
+            vals.append(str(v))
+        if cur_key is not None:
+            yield (str(cur_key), ",".join(vals))
+
+    out = parted.mapPartitions(walk)
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("ordered_values", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

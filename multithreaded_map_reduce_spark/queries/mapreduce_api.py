@@ -75,3 +75,30 @@ ORACLES["mr_grep"] = """
 """.replace(
     "{P}", GREP_PATTERN
 )
+
+
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort through the MapReduce surface (round 12): per
+    event_type, the event_ids in exact (ts, event_id) order — the
+    order-sensitive reduction (sessionization, time-series assembly)
+    the reference's unordered reducer vector cannot express without
+    an in-core sort per key. One shuffle; values arrive at the
+    reducer pre-sorted via repartitionAndSortWithinPartitions
+    (operators/mapreduce.py run_secondary_sort)."""
+    from ..operators.mapreduce import run_secondary_sort
+
+    ev = load_table(spark, sf_dir, "events")
+    return run_secondary_sort(
+        ev, "event_type", ["ts", "event_id"], "event_id"
+    )
+
+
+QUERIES["mr_secondary_sort"] = mr_secondary_sort
+
+ORACLES["mr_secondary_sort"] = """
+    SELECT event_type AS key,
+           string_agg(CAST(event_id AS VARCHAR), ','
+                      ORDER BY ts, event_id) AS ordered_values
+    FROM events
+    GROUP BY event_type
+"""

@@ -1159,3 +1159,139 @@ def _bf_sql() -> str:
 
 
 ORACLES["sketch_bloom_fpr"] = _bf_sql()
+
+
+# ---------------------------------------------- hash uniformity audit
+# Round 12: the audit UNDER every sketch in this file — KMV, HLL,
+# linear counting, CMS and the bloom FPR all assume the house affine
+# hash ((k mod M)·A + B) mod M spreads keys uniformly; a biased hash
+# silently corrupts every estimate while each sketch's own gate still
+# passes (the estimators are deterministic either way). One-sample
+# χ² goodness-of-fit of the hashed bucket occupancy against uniform
+# over HU_BINS buckets, on DISTINCT keys (duplicates would test the
+# workload, not the hash): χ² = (B·Σc² − n²)/n in exact integers
+# (the algebraic collapse of Σ(c−n/B)²/(n/B)), plus max/min bucket
+# loads. The 3σ flag uses the normal approximation of χ²(B−1) fully
+# cross-multiplied: (NUM−(B−1)·n)² > 18·(B−1)·n² with NUM = B·Σc²−n²,
+# and the SYMMETRIC under-dispersion flag (χ² far BELOW its df)
+# catches the other failure: an affine hash over near-consecutive
+# keys is lattice-REGULAR, not random-like — harmless for count
+# sketches, fatal for sampling/splitting — and the fixture's
+# sequential partkeys trip exactly this flag (χ² ≈ 5 on 255 df),
+# which is the honest readout, not a bug.
+# Scale: bucket-grain after one distinct pass; B is a dial.
+
+HU_BINS = 256
+HU_A = 48_271
+HU_B = 11
+
+
+def sketch_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import POLY_MOD
+    from ..functions.rounding import ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").alias("k")).distinct()
+    h = F.pmod(
+        F.pmod(F.col("k").cast("long"), F.lit(POLY_MOD)) * F.lit(HU_A)
+        + F.lit(HU_B),
+        F.lit(POLY_MOD),
+    )
+    buckets = keys.select((h % F.lit(HU_BINS)).alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(38,0)"
+    m = buckets.agg(
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c").cast(dec) * F.col("c")).cast(dec)).alias("cc"),
+        F.max("c").alias("max_load"),
+        F.min("c").alias("min_load"),
+    )
+    num = f"(CAST({HU_BINS} AS {dec}) * cc - CAST(n AS {dec}) * n)"
+    exc = f"({num} - (CAST({HU_BINS} AS {dec}) - 1) * n)"
+    return m.select(
+        F.lit(HU_BINS).cast("int").alias("n_bins"),
+        F.col("n_occupied").cast("long").alias("n_occupied"),
+        F.col("n").cast("long").alias("n_keys"),
+        F.col("max_load").cast("long").alias("max_load"),
+        F.col("min_load").cast("long").alias("min_load"),
+        F.when(F.col("n") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec(num, "n"))
+        .alias("chi2_micros"),
+        F.when(F.col("n") == 0, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                (F.expr(exc) > 0)
+                & (
+                    F.expr(f"{exc} * {exc}")
+                    > F.lit(18).cast(dec)
+                    * (F.lit(HU_BINS).cast(dec) - 1)
+                    * F.col("n").cast(dec)
+                    * F.col("n")
+                )
+            ).cast("int")
+        )
+        .alias("biased_3sigma"),
+        F.when(F.col("n") == 0, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                (F.expr(exc) < 0)
+                & (
+                    F.expr(f"{exc} * {exc}")
+                    > F.lit(18).cast(dec)
+                    * (F.lit(HU_BINS).cast(dec) - 1)
+                    * F.col("n").cast(dec)
+                    * F.col("n")
+                )
+            ).cast("int")
+        )
+        .alias("too_regular_3sigma"),
+    )
+
+
+QUERIES["sketch_hash_uniformity"] = sketch_hash_uniformity
+
+from ..functions.hashing import POLY_MOD as _HU_MOD  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_hu,
+)
+
+_HU_NUM = f"(CAST({HU_BINS} AS HUGEINT) * cc - CAST(n AS HUGEINT) * n)"
+_HU_EXC = f"({_HU_NUM} - (CAST({HU_BINS} AS HUGEINT) - 1) * n)"
+
+ORACLES["sketch_hash_uniformity"] = f"""
+    WITH keys AS (
+        SELECT DISTINCT l_partkey AS k FROM lineitem
+    ), buckets AS (
+        SELECT ((k % {_HU_MOD}) * {HU_A} + {HU_B}) % {_HU_MOD}
+                   % {HU_BINS} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM keys GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS cc,
+               CAST(max(c) AS BIGINT) AS max_load,
+               CAST(min(c) AS BIGINT) AS min_load
+        FROM buckets
+    )
+    SELECT CAST({HU_BINS} AS INTEGER) AS n_bins,
+           n_occupied, n AS n_keys, max_load, min_load,
+           CASE WHEN n = 0 THEN NULL
+                ELSE {_sql_rud_hu(_HU_NUM, 'n')}
+           END AS chi2_micros,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST(({_HU_EXC} > 0
+                      AND {_HU_EXC} * {_HU_EXC}
+                          > 18 * (CAST({HU_BINS} AS HUGEINT) - 1) * n * n)
+                     AS INTEGER)
+           END AS biased_3sigma,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST(({_HU_EXC} < 0
+                      AND {_HU_EXC} * {_HU_EXC}
+                          > 18 * (CAST({HU_BINS} AS HUGEINT) - 1) * n * n)
+                     AS INTEGER)
+           END AS too_regular_3sigma
+    FROM m
+"""

@@ -1462,3 +1462,85 @@ def test_dq_lineitem_dates_python_reference(spark):
         assert r.passed == int(r.violations == 0)
     # the fixture's independent dates make the date rows REPORT mass
     assert v1 > 0 and rows["band:l_extendedprice>=l_quantity"].passed == 1
+
+
+# ------------------------------------------------ mr_secondary_sort
+
+
+def test_secondary_sort_python_reference(spark):
+    """Per-key ordered value strings replayed by a plain Python sort
+    over the raw events — and the order must be (ts, event_id), not
+    arrival order."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "ts", "event_id"
+    ).collect()
+    want: dict[str, list] = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        want.setdefault(r.event_type, []).append(str(r.event_id))
+
+    rows = {r.key: r.ordered_values for r in _q("mr_secondary_sort")(spark, SF_SMOKE).collect()}
+    assert rows == {k: ",".join(v) for k, v in want.items()}
+
+
+def test_secondary_sort_operator_streams_sorted_runs(spark):
+    """The operator contract on a constructed frame: grouping key
+    partitions, composite sort within, consecutive-run walk — a key
+    split across input partitions must still come out as ONE row."""
+    from multithreaded_map_reduce_spark.operators.mapreduce import (
+        run_secondary_sort,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3, "x3"), ("b", 1, "y1"), ("a", 1, "x1"), ("a", 2, "x2"),
+         ("b", 2, "y2")],
+        "k string, s long, v string",
+    ).repartition(4)
+    out = {
+        r.key: r.ordered_values
+        for r in run_secondary_sort(df, "k", ["s"], "v", num_partitions=3).collect()
+    }
+    assert out == {"a": "x1,x2,x3", "b": "y1,y2"}
+
+
+# --------------------------------------------- sketch_hash_uniformity
+
+
+def test_hash_uniformity_python_reference(spark):
+    """Bucket loads, χ² rational and BOTH dispersion flags replayed in
+    plain Python; the fixture's sequential keys must trip the
+    too-regular flag (the lattice signature), not the biased one."""
+    from multithreaded_map_reduce_spark.functions.hashing import POLY_MOD
+    from multithreaded_map_reduce_spark.queries.sketches import (
+        HU_A,
+        HU_B,
+        HU_BINS,
+    )
+
+    keys = {
+        r.l_partkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey")
+        .collect()
+    }
+    loads: dict[int, int] = {}
+    for k in keys:
+        b = ((k % POLY_MOD) * HU_A + HU_B) % POLY_MOD % HU_BINS
+        loads[b] = loads.get(b, 0) + 1
+    n = len(keys)
+    cc = sum(c * c for c in loads.values())
+    num = HU_BINS * cc - n * n
+    exc = num - (HU_BINS - 1) * n
+
+    row = _q("sketch_hash_uniformity")(spark, SF_SMOKE).collect()[0]
+    assert row.n_bins == HU_BINS
+    assert row.n_occupied == len(loads)
+    assert row.n_keys == n
+    assert row.max_load == max(loads.values())
+    assert row.min_load == min(loads.values())
+    assert row.chi2_micros == _half_up(num, n)
+    thresh = 18 * (HU_BINS - 1) * n * n
+    assert row.biased_3sigma == int(exc > 0 and exc * exc > thresh)
+    assert row.too_regular_3sigma == int(exc < 0 and exc * exc > thresh)
+    # sequential partkeys through an affine hash stratify near-
+    # perfectly: under-dispersed, never over-dispersed
+    assert row.biased_3sigma == 0 and row.too_regular_3sigma == 1
