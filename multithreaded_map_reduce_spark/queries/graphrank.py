@@ -155,6 +155,19 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{id(spark)}:{sf_dir}"
     if key in _COGRAPH_CACHE:
         return _COGRAPH_CACHE[key]
+    capped = _build_supplier_cograph(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    _COGRAPH_CACHE[key] = capped
+    return capped
+
+
+def _build_supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED projection build — plan contracts inspect this
+    (the cached artifact's lineage truncates to an ExistingRDD scan
+    once materialized, by design)."""
+    from ..operators.graph import degree_cap_edges, support_filter_edges
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     sc = (
@@ -168,11 +181,7 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    capped = degree_cap_edges(
-        support_filter_edges(pairs), TRI_DEGREE_CAP
-    ).localCheckpoint(eager=False)
-    _COGRAPH_CACHE[key] = capped
-    return capped
+    return degree_cap_edges(support_filter_edges(pairs), TRI_DEGREE_CAP)
 
 
 def _cograph_sql_ctes() -> str:

@@ -149,10 +149,10 @@ def test_triangle_projection_plan_degree_capped(spark):
         plan_report,
     )
     from multithreaded_map_reduce_spark.queries.graphrank import (
-        _supplier_cograph,
+        _build_supplier_cograph,
     )
 
-    df = _supplier_cograph(spark, SF_SMOKE)
+    df = _build_supplier_cograph(spark, SF_SMOKE)
     text = explain_formatted(df)
     assert "__dc_rn" in text, "degree-cap window missing from plan"
     rep = plan_report(df)
