@@ -2378,7 +2378,12 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long"),
         )
         .otherwise(
-            ratio_units_dec("CAST(2000000000 AS BIGINT) * n_valid", "s")
+            # DECIMAL-first product: a BIGINT 2e9·n_valid pre-product
+            # would wrap silently in Spark at n_valid > 4.6e9 while
+            # DuckDB raises — the ADVICE r11 divergent-failure class
+            ratio_units_dec(
+                "CAST(2000000000 AS DECIMAL(38,0)) * n_valid", "s"
+            )
         )
         .alias("d_micros"),
     )
@@ -2411,8 +2416,8 @@ ORACLES["embedding_intrinsic_dim"] = f"""
     )
     SELECT n_queries, n_valid, s AS sum_lnmu2_nanos,
            CASE WHEN n_valid = 0 OR s <= 0 THEN NULL
-                ELSE {_sql_rud_twonn('CAST(2000000000 AS BIGINT) * n_valid',
-                                     's')}
+                ELSE {_sql_rud_twonn(
+                    'CAST(2000000000 AS HUGEINT) * n_valid', 's')}
            END AS d_micros
     FROM agg
 """
