@@ -35,7 +35,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from multithreaded_map_reduce_spark.queries import ALL_QUERIES  # noqa: E402
+from multithreaded_map_reduce_spark.queries import (  # noqa: E402
+    ALL_QUERIES,
+    ARTIFACT_BUILDERS,
+)
 from multithreaded_map_reduce_spark.session import get_spark  # noqa: E402
 
 # Headline set: grown as operators land. Names must exist in ALL_QUERIES.
@@ -453,20 +456,48 @@ def main() -> None:
     # against host speed (round 6: every plan-UNCHANGED "regression"
     # traced to a uniformly slower host, confirmed by fresh-session
     # spot checks — this records that context IN the bench output).
-    canary_reps = []
-    for _ in range(3):
+    def _canary() -> float:
+        canary_reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id % 1000)").collect()
+            canary_reps.append(time.perf_counter() - t0)
+        return round(statistics.median(canary_reps), 3)
+
+    canary = _canary()
+
+    # Shared artifacts (persisted indexes, checkpointed projections,
+    # trained weights) are built and TIMED here, before the query loop,
+    # so a rider query's cold row measures the probe against a ready
+    # artifact instead of bundling a once-per-day build into whichever
+    # rider happens to run first (VERDICT r12 item 3). The builds are
+    # visible both in stdout's JSON line ("artifact_build") and in
+    # BENCH_DETAIL's artifact_build_sec.
+    headline_set = {n for n in HEADLINE if n in ALL_QUERIES}
+    artifact_build: dict[str, float] = {}
+    for art, (build, riders) in ARTIFACT_BUILDERS.items():
+        if not headline_set.intersection(riders):
+            continue
         t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id % 1000)").collect()
-        canary_reps.append(time.perf_counter() - t0)
-    canary = round(statistics.median(canary_reps), 3)
+        build(spark, sf_dir)
+        artifact_build[art] = round(time.perf_counter() - t0, 3)
+        shared = ", ".join(sorted(headline_set.intersection(riders)))
+        print(
+            f"ARTIFACT-BUILD: {art} {artifact_build[art]}s "
+            f"(shared by {shared})",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
+    position: dict[str, int] = {}
     plan_hashes: dict[str, str] = {}
-    for name in HEADLINE:
+    for pos, name in enumerate(HEADLINE):
         if name not in ALL_QUERIES:
             continue
         fn = ALL_QUERIES[name]
+        position[name] = pos
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -477,12 +508,23 @@ def main() -> None:
         # 5 reps, median: single-JVM JIT/GC state makes 3-rep medians
         # swing up to ~2x run-to-run on the heavy generated-SQL queries
         # (measured on dedup_simhash); 5 reps cuts that to ~±30%.
+        # The MIN rep is recorded too (VERDICT r12 item 2): a warm
+        # median far above its own min means intermittent session
+        # effects (GC/JIT landing mid-rep); median ≈ min means the
+        # plan itself costs that much — the two need different fixes.
         reps = []
         for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
         warm[name] = round(statistics.median(reps), 3)
+        warm_min[name] = round(min(reps), 3)
+
+    # Session-end canary (VERDICT r12 item 2, the quality_logreg_mcc
+    # 2x-at-position-~190 question): if a late-session query is slow
+    # with an unchanged plan, canary_end vs canary says whether the
+    # WHOLE session degraded (heap/JIT pressure) or just that query.
+    canary_end = _canary()
 
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw else sf_dir
@@ -537,8 +579,17 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "warm_n_reps": 5,
+        "queries_warm_min": warm_min,
+        "position": position,
         "plan_hash": plan_hashes,
         "canary_sec": canary,
+        "canary_end_sec": canary_end,
+        "artifact_build_sec": artifact_build,
+        "artifact_note": (
+            "shared artifacts are built+timed BEFORE the query loop; "
+            "rider queries' cold rows measure the probe against a ready "
+            "artifact (VERDICT r12 item 3)"
+        ),
         "sf": sf,
     }
     if prev is not None:
@@ -564,6 +615,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "warm_total": detail["warm_total"],
         "canary_sec": canary,
+        "canary_end_sec": canary_end,
+        "artifact_build": {k: round(v, 2) for k, v in artifact_build.items()},
         "sf": sf,
     }
     if prev is not None:

@@ -148,30 +148,44 @@ def run_secondary_sort(
     its values in reducer memory during the sort, unlike the
     reference's in-core vector). Output: one row per key with the
     values joined in sorted order.
+
+    Ordering contract: the composite sort key is (key, *sort_cols)
+    ONLY — the value column is payload, never a tiebreak (ADVICE
+    r12). NULLs in the key or sort columns order FIRST via a
+    (non-null?, value) sentinel pair, so a NULL can never raise
+    TypeError mid-shuffle; each column must still be homogeneously
+    typed across rows (mixed int/str in one column is undefined under
+    Python ordering and raises).
     """
     from pyspark.rdd import portable_hash
 
     spark = df.sparkSession
     n = num_partitions
+    ns = len(sort_cols)
+
+    def composite(r):
+        # ((non-null?, key), (non-null?, s1), ...) — NULLs first.
+        return tuple((v is not None, v) for v in (r[0], *r[1 : 1 + ns]))
 
     rdd = df.select(key_col, *sort_cols, value_col).rdd.map(
-        lambda r: (tuple(r), None)
+        lambda r: (composite(r), (r[0], r[-1]))
     )
     parted = rdd.repartitionAndSortWithinPartitions(
         numPartitions=n, partitionFunc=lambda k: portable_hash(k[0]) % n
     )
 
+    _SENTINEL = object()
+
     def walk(it):
-        cur_key = None
+        cur_key = _SENTINEL
         vals: list[str] = []
-        for (row, _none) in it:
-            k, v = row[0], row[-1]
+        for (_sk, (k, v)) in it:
             if k != cur_key:
-                if cur_key is not None:
+                if cur_key is not _SENTINEL:
                     yield (str(cur_key), ",".join(vals))
                 cur_key, vals = k, []
             vals.append(str(v))
-        if cur_key is not None:
+        if cur_key is not _SENTINEL:
             yield (str(cur_key), ",".join(vals))
 
     out = parted.mapPartitions(walk)

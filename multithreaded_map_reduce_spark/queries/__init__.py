@@ -86,6 +86,107 @@ _register(connectors)
 _register(mining)
 _register(retrieval)
 
+
+# ------------------------------------------------------- shared artifacts
+# Build-once session artifacts (persisted parquet indexes, checkpointed
+# shared relations, trained weight vectors) that multiple registry
+# queries ride. bench.py times each build SEPARATELY before the query
+# loop, so an artifact-backed query's cold row measures the PROBE
+# against a ready artifact instead of silently bundling a once-per-day
+# index build into one rider's number (VERDICT r12 item 3). Each entry:
+# artifact name -> (force-build fn, rider query names). Builders are
+# idempotent — they hit the same per-session caches the queries use.
+
+
+def _force_shingle_index(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _shared_ranked_shingles
+
+    _shared_ranked_shingles(spark, sf_dir).count()
+
+
+def _force_minhash_index_day1(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _minhash_index_path
+
+    _minhash_index_path(spark, sf_dir, "corpus")
+
+
+def _force_minhash_index_full(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _minhash_index_path
+
+    _minhash_index_path(spark, sf_dir, "full")
+
+
+def _force_ivfpq_index(spark: SparkSession, sf_dir: str) -> None:
+    from .similarity import _shared_ivfpq_index
+
+    for rel in _shared_ivfpq_index(spark, sf_dir):
+        rel.count()
+
+
+def _force_supplier_cograph(spark: SparkSession, sf_dir: str) -> None:
+    from .graphrank import _supplier_cograph
+
+    _supplier_cograph(spark, sf_dir).count()
+
+
+def _force_lr_weights(spark: SparkSession, sf_dir: str) -> None:
+    from .textstats import _lr_trained_weights
+
+    _lr_trained_weights(spark, sf_dir)
+
+
+ArtifactBuilder = Callable[[SparkSession, str], None]
+
+ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
+    "shingle_index": (
+        _force_shingle_index,
+        (
+            "dedup_jaccard_prefix",
+            "dedup_containment",
+            "dedup_minhash_accuracy",
+            "dedup_minhash_lsh",
+            "dedup_minhash_bbit",
+            "dedup_cross_source_matrix",
+        ),
+    ),
+    "minhash_index_day1": (
+        _force_minhash_index_day1,
+        ("dedup_incremental_day2", "dedup_incremental_keep"),
+    ),
+    "minhash_index_full": (
+        _force_minhash_index_full,
+        ("curation_split_persisted", "curation_pipeline_report"),
+    ),
+    "ivfpq_index": (
+        _force_ivfpq_index,
+        ("sim_topk_ivfpq", "sim_topk_ivfpq_rerank"),
+    ),
+    "supplier_cograph": (
+        _force_supplier_cograph,
+        (
+            "graph_clustering_coefficient",
+            "graph_ktruss",
+            "graph_richclub",
+            "graph_transitivity",
+            "triangle_suppliers",
+        ),
+    ),
+    "logreg_weights": (
+        _force_lr_weights,
+        (
+            "quality_logreg",
+            "quality_logreg_pr",
+            "quality_logreg_auc",
+            "quality_logreg_mcc",
+            "quality_logreg_calibration",
+            "quality_mcnemar",
+            "quality_brier_score",
+            "quality_gwet_ac1",
+            "quality_kappa_model_rule",
+        ),
+    ),
+}
+
 # The driver's correctness gate verifies the registry in registration order
 # and caps the number of queries per round (~50 of the registry). Re-rank so the
 # highest-signal rows come first:

@@ -77,16 +77,19 @@ _SHINGLE_ROWS_CACHE: dict[str, DataFrame] = {}
 
 
 def _shared_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _SHINGLE_ROWS_CACHE:
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _SHINGLE_ROWS_CACHE:
         from ..operators.dedup import shingle_hash_rows
 
         docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_ROWS_CACHE[sf_dir] = (
+        _SHINGLE_ROWS_CACHE[key] = (
             shingle_hash_rows(docs, "doc_id", "text", n=2)
             .distinct()
             .localCheckpoint(eager=False)
         )
-    return _SHINGLE_ROWS_CACHE[sf_dir]
+    return _SHINGLE_ROWS_CACHE[key]
 
 
 # The df-ranked shingle-array relation (id, ordered, sz) both
@@ -99,11 +102,14 @@ _RANKED_SHINGLES_CACHE: dict[str, DataFrame] = {}
 
 
 def _shared_ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _RANKED_SHINGLES_CACHE:
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _RANKED_SHINGLES_CACHE:
         rows = _shared_shingle_rows(spark, sf_dir)
         docs = load_table(spark, sf_dir, "documents")
         dfreq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        _RANKED_SHINGLES_CACHE[sf_dir] = (
+        _RANKED_SHINGLES_CACHE[key] = (
             rows.join(dfreq, "h")
             .groupBy("id")
             .agg(
@@ -121,7 +127,7 @@ def _shared_ranked_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
             .localCheckpoint(eager=False)
         )
-    return _RANKED_SHINGLES_CACHE[sf_dir]
+    return _RANKED_SHINGLES_CACHE[key]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,11 +148,12 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     One lazy localCheckpoint per (session, fixture dir) pays the build
     once; localCheckpoint (not persist) keeps it out of the
     CacheManager so sharing cannot leak into unrelated queries' plans.
-    Keyed by session id so a restarted session rebuilds (checkpointed
-    blocks die with their SparkContext)."""
-    from ..operators.graph import degree_cap_edges, support_filter_edges
+    Keyed by applicationId (not recyclable ``id(spark)`` — ADVICE r12)
+    so a restarted session rebuilds (checkpointed blocks die with
+    their SparkContext)."""
+    from ..session import artifact_cache_key
 
-    key = f"{id(spark)}:{sf_dir}"
+    key = artifact_cache_key(spark, sf_dir)
     if key in _COGRAPH_CACHE:
         return _COGRAPH_CACHE[key]
     capped = _build_supplier_cograph(spark, sf_dir).localCheckpoint(

@@ -2927,11 +2927,19 @@ ORACLES["quality_delta_ratio_ci"] = f"""
 # (per-term half-up — deterministic and engine-identical; with V
 # distinct values the accumulated rounding is ≤ V/2 nanos, ~3e-5 on
 # this fixture's A², and the DIFFERENTIAL compare is exact
-# regardless), and A² is reported in micros. Overflow ceiling: D_j²
-# ≤ N⁴/4 must fit DECIMAL(38,0)/HUGEINT ⇒ exact to N ≈ 4e9 pooled
-# rows per comparison; beyond that, pre-bucket the value axis (the
-# histogram-quantile rail) before the EDF pass. Same scan shape as
-# KS: one value-grain groupBy + one cumulative window + one reduce.
+# regardless), and A² is reported in micros. Overflow ceiling
+# (ADVICE r12 recompute): the quantity that must fit DECIMAL(38,0)/
+# HUGEINT is the rounding helper's FULL numerator 2·mult·ℓ_j·D_j²
+# = 2·10⁹·ℓ_j·D_j², not D_j² alone. |D_j| ≤ n_a·n_b ≤ N²/4, so with
+# modest per-value mass ℓ_j the binding term is 2·10⁹·(N²/4)² ≤ 10³⁸
+# ⇒ exact to N ≈ 3·10⁷ pooled rows; the adversarial single-value
+# corner (ℓ_j ~ N) lowers that to N ≈ 10⁶. Past the ceiling Spark
+# DECIMAL silently NULLs while DuckDB HUGEINT raises — divergent
+# failure — so at larger N drop mult to micros (buys ~√10·) and
+# rescale D by a common power of 10 pre-square, or move the per-term
+# rational to one identical double expression on both engines. Same
+# scan shape as KS: one value-grain groupBy + one cumulative window
+# + one reduce.
 
 
 def quality_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3082,14 +3090,20 @@ def quality_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq1 = q1.cast("double")
     v0 = (nn0 * qq0 - ss0 * ss0) / (nn0 * (nn0 - 1))
     v1 = (nn1 * qq1 - ss1 * ss1) / (nn1 * (nn1 - 1))
-    se = F.sqrt(v0 / nn0 + v1 / nn1)
+    welch = v0 / nn0 + v1 / nn1
+    se = F.sqrt(welch)
     diff = ss0 / nn0 - ss1 / nn1
     delta = (ss0 + ss1) / (F.lit(50.0) * (nn0 + nn1))
     t_lower = (diff + delta) / se
     t_upper = (delta - diff) / se
+    # Degenerate guard on the IDENTICAL double expression the oracle's
+    # _TOST_BAD tests (the Welch term v0/n0 + v1/n1, same association
+    # order) — guarding on v0 + v1 instead can round to a different
+    # sign than the oracle's term on a zero-variance slice and flip
+    # NULL vs value cross-engine (ADVICE r12).
     bad = (
         n0.isNull() | n1.isNull() | (n0 < 2) | (n1 < 2)
-        | (v0 + v1 <= 0)
+        | (welch <= 0)
     )
     base = m.select(
         n0.cast("long").alias("n_a"),

@@ -56,19 +56,22 @@ _IVFPQ_INDEX_CACHE: dict[str, tuple] = {}
 
 
 def _shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
-    if sf_dir not in _IVFPQ_INDEX_CACHE:
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
         from ..operators.similarity import ivfpq_index
 
         _, c = _split(spark, sf_dir)
         cents, codebook, codes = ivfpq_index(
             c, "vec_id", "embedding", n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM
         )
-        _IVFPQ_INDEX_CACHE[sf_dir] = (
+        _IVFPQ_INDEX_CACHE[key] = (
             cents.localCheckpoint(eager=False),
             codebook.localCheckpoint(eager=False),
             codes.localCheckpoint(eager=False),
         )
-    return _IVFPQ_INDEX_CACHE[sf_dir]
+    return _IVFPQ_INDEX_CACHE[key]
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,13 +813,15 @@ def _knn_cells(n: int) -> int:
 #: (VERDICT r11 item 6): a production deployment reads it from the
 #: table's persisted stats; here the fixture parquet is immutable for
 #: a session's lifetime, so one metadata-count per (session, dir) is
-#: the same contract. Keyed by session id so a restarted session
-#: re-reads.
+#: the same contract. Keyed by applicationId (not recyclable
+#: ``id(spark)`` — ADVICE r12) so a restarted session re-reads.
 _EMB_N_CACHE: dict[str, int] = {}
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
-    key = f"{id(spark)}:{sf_dir}"
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
     if key not in _EMB_N_CACHE:
         _EMB_N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
     return _EMB_N_CACHE[key]

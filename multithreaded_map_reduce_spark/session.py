@@ -55,3 +55,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def artifact_cache_key(spark: SparkSession, sf_dir: str) -> str:
+    """Cache key for session-scoped shared artifacts (checkpointed
+    DataFrames, metadata counts): ``applicationId + fixture dir``.
+
+    ``applicationId`` is minted by the SparkContext at startup and is
+    unique per context for the life of the process, so a RESTARTED
+    session (whose predecessor's localCheckpoint blocks died with its
+    context) can never collide with a stale entry. ``id(spark)`` is
+    NOT a safe substitute — CPython recycles addresses after GC, so a
+    new session allocated where a dead one lived would be handed a
+    relation whose blocks are gone (ADVICE r12). ``sf_dir`` alone is
+    worse: deterministic staleness on any restart. Entries for dead
+    sessions are retired lazily by the caller dicts (bounded: one
+    artifact per (app, fixture dir); tests are the only multi-app
+    processes)."""
+    return f"{spark.sparkContext.applicationId}:{sf_dir}"

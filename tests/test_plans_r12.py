@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _q(name):
@@ -36,7 +36,7 @@ def test_cograph_cache_is_session_shared(spark):
     b = _supplier_cograph(spark, SF_SMOKE)
     assert a is b
     # and a different dir gets a different artifact
-    c = _supplier_cograph(spark, "/root/testdata/sf0.01")
+    c = _supplier_cograph(spark, SF_CORRECT)
     assert c is not a
 
 
