@@ -352,6 +352,14 @@ HEADLINE = [
     # round-12 batch 19: MR secondary sort, hash uniformity audit
     "mr_secondary_sort",
     "sketch_hash_uniformity",
+    # round 13 (ann_mrr_map_report is HEADLINE-exempt like its
+    # recall/ndcg siblings — it re-runs the five already-timed rungs)
+    "timeseries_spectral_entropy",
+    "timeseries_turning_points",
+    "timeseries_cox_stuart",
+    "sketch_theta_intersection",
+    "privacy_generalization",
+    "events_nelson_aalen",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -227,6 +227,15 @@ def _driver_verified() -> set[str]:
 # backlog above them, but ranked AFTER it so the driver's ~50-sample
 # round drains the oldest evidence gap first.
 _NEW_THIS_ROUND: list[str] = [
+    # round 13 — spectral/trend randomness tier, rank-quality metrics,
+    # sketch set algebra, survival hazard, generalization ladder:
+    "timeseries_spectral_entropy",
+    "timeseries_turning_points",
+    "timeseries_cox_stuart",
+    "ann_mrr_map_report",
+    "sketch_theta_intersection",
+    "privacy_generalization",
+    "events_nelson_aalen",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",
@@ -406,6 +415,12 @@ _NEW_THIS_ROUND: list[str] = [
 # Changed since their last green driver row. r4 verified linkage_customers;
 # the rest of the r4 list carries over, plus the round-5 edits:
 _CHANGED_SINCE_GREEN = [
+    # round 13 ADVICE fixes — the TOST degenerate guard now tests the
+    # oracle's exact Welch-term expression (cross-engine guard parity);
+    # the secondary-sort operator re-keyed its composite sort
+    # (key, sort...) with NULL-safe sentinels:
+    "quality_tost_equivalence",
+    "mr_secondary_sort",
     # round 12 FIRST — the triangle-family re-plan (VERDICT r11 item 1)
     # CHANGED THE ORACLE (support-filtered, degree-capped projection):
     # both r11-green rows describe a retired query; the family also

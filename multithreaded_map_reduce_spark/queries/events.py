@@ -2974,3 +2974,149 @@ def _cc_sql() -> str:
 
 
 ORACLES["events_circadian_profile"] = _cc_sql()
+
+
+# ------------------------------------- Nelson–Aalen cumulative hazard
+# Round 13: the OTHER classical survival estimator next to
+# events_survival_km — Nelson (1972) / Aalen (1978) estimate the
+# cumulative hazard H(t) = Σ_{s ≤ t} d_s / n_s directly instead of
+# the product-limit survival, and its variance Σ d_s(n_s − d_s)/n_s³;
+# H is what hazard-regression (Cox) pipelines consume, and unlike
+# KM's ln-product it is a SUM OF EXACT RATIONALS — each step's hazard
+# snaps once to integer micros (house half-up rational, no ln, no
+# doubles anywhere) and the cumulative is a pure BIGINT window sum,
+# strictly tighter determinism than the KM ln-snap next door. Same
+# session-duration subject and censoring contract as KM (10-minute
+# gap sessions; a session ending within one gap of stream end is
+# censored), so the two estimators are directly comparable rows.
+# Scale: identical to KM — session agg, duration agg, two windows on
+# the bounded |durations| relation.
+
+
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units, ratio_units_dec
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("gmax_us"))
+    sw = F.session_window("ts", f"{KM_GAP_MIN} minutes")
+    sess = ev.groupBy(sw, "user_id").agg(
+        F.max(epoch_micros(F.col("ts"))).alias("last_us"),
+        F.min(epoch_micros(F.col("ts"))).alias("first_us"),
+    )
+    marked = sess.crossJoin(F.broadcast(g)).select(
+        F.expr("(last_us - first_us) div 60000000").alias("t"),
+        (
+            F.col("last_us")
+            < F.col("gmax_us") - F.lit(KM_GAP_MIN * 60_000_000)
+        )
+        .cast("long")
+        .alias("death"),
+    )
+    days = marked.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_exit"),
+        F.sum("death").alias("n_deaths"),
+    )
+    w_suffix = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    risk = days.select(
+        "t",
+        "n_deaths",
+        F.sum("n_exit").over(w_suffix).alias("n_risk"),
+    )
+    dec = "decimal(38,0)"
+    hz = ratio_units("n_deaths", "n_risk")
+    var_term = ratio_units_dec(
+        f"CAST(n_deaths AS {dec}) * (n_risk - n_deaths)",
+        f"CAST(n_risk AS {dec}) * n_risk * n_risk",
+        1_000_000_000,
+    )
+    terms = risk.select(
+        "t",
+        "n_risk",
+        "n_deaths",
+        hz.alias("hazard_micros"),
+        var_term.alias("_v"),
+    )
+    return (
+        terms.select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_deaths").cast("long").alias("n_deaths"),
+            F.col("hazard_micros").cast("long").alias("hazard_micros"),
+            F.sum("hazard_micros").over(w_cum).cast("long").alias(
+                "cum_hazard_micros"
+            ),
+            F.sum("_v").over(w_cum).cast("long").alias("cum_var_nanos"),
+        )
+        .filter(F.col("n_deaths") > 0)
+    )
+
+
+QUERIES["events_nelson_aalen"] = events_nelson_aalen
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units as _sql_ru_na,
+    sql_ratio_units_dec as _sql_rud_na,
+)
+
+ORACLES["events_nelson_aalen"] = f"""
+    WITH g AS (
+        SELECT max(epoch_us(ts)) AS gmax_us FROM events
+    ), ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL '{KM_GAP_MIN} minutes'
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, sid,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM numbered GROUP BY 1, 2
+    ), marked AS (
+        SELECT (last_us - first_us) // 60000000 AS t,
+               CASE WHEN last_us < gmax_us - {KM_GAP_MIN * 60_000_000}
+                    THEN 1 ELSE 0 END AS death
+        FROM sess, g
+    ), days AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_exit,
+               CAST(sum(death) AS BIGINT) AS n_deaths
+        FROM marked GROUP BY 1
+    ), risk AS (
+        SELECT t, n_deaths,
+               CAST(sum(n_exit) OVER (
+                   ORDER BY t DESC ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS n_risk
+        FROM days
+    ), terms AS (
+        SELECT t, n_risk, n_deaths,
+               {_sql_ru_na('n_deaths', 'n_risk')} AS hazard_micros,
+               {_sql_rud_na(
+                   'CAST(n_deaths AS HUGEINT) * (n_risk - n_deaths)',
+                   'CAST(n_risk AS HUGEINT) * n_risk * n_risk',
+                   1_000_000_000)} AS _v
+        FROM risk
+    )
+    SELECT t, n_risk, n_deaths, hazard_micros,
+           CAST(sum(hazard_micros) OVER (
+               ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_hazard_micros,
+           CAST(sum(_v) OVER (
+               ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_var_nanos
+    FROM terms
+    QUALIFY n_deaths > 0
+"""

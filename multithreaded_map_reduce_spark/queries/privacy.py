@@ -522,3 +522,113 @@ ORACLES["privacy_anonymity_histogram"] = f"""
     GROUP BY size
     ORDER BY size
 """
+
+
+# ------------------------------------------- generalization tradeoff
+# Round 13: the MISSING half of the k-anonymity story — k_anonymity
+# and anonymity_histogram REPORT class sizes for one fixed
+# quasi-identifier; a real release pipeline must CHOOSE how much to
+# generalize (Sweeney 2002; the Datafly/Incognito lattice walk). This
+# query evaluates the generalization LADDER for the numeric
+# quasi-identifier c_acctbal: at each band width w the QI becomes
+# (nation, segment, floor(acctbal_cents / (100·w))), and the report
+# gives per-rung class counts, the minimum class size, how many rows a
+# k=5 suppression policy would withhold, and the suppression rate in
+# micros — the utility-vs-privacy curve a release pipeline reads to
+# pick the cheapest rung that clears its k. Determinism: acctbal
+# enters as exact integer CENTS (the money rail), so band membership
+# is integer division — no float bucketing; floor division of the
+# possibly-negative cents is written floor-style on BOTH engines
+# (Spark `div` truncates toward zero, so the Spark side uses an
+# explicit floor adjustment to match DuckDB's flooring `//`).
+# Scale: |rungs| grouped counts over the customer dim — one scan per
+# rung of a ladder of fixed depth, each a partial-agg groupBy.
+
+GEN_BANDS_W = [1, 100, 1000, 5000]  # band width in whole dollars
+
+
+def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # exact cents (the money rail); acctbal can be negative
+        F.expr(
+            "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    out = None
+    for w in GEN_BANDS_W:
+        d = 100 * w
+        band = F.expr(
+            f"CAST(CASE WHEN cents >= 0 THEN cents div {d}"
+            f" ELSE - ((- cents + {d} - 1) div {d}) END AS BIGINT)"
+        )
+        classes = (
+            c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+            .groupBy("c_nationkey", "c_mktsegment", "band")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        rep = classes.agg(
+            F.lit(w).cast("int").alias("band_dollars"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("sz").alias("min_class_size"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
+                "n_suppressed"
+            ),
+        ).select(
+            "band_dollars",
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("min_class_size").cast("long").alias("min_class_size"),
+            F.col("n_suppressed").cast("long").alias("n_suppressed"),
+            ratio_units("n_suppressed", "n_rows").alias(
+                "suppressed_share_micros"
+            ),
+            (F.col("min_class_size") >= K_ANON)
+            .cast("int")
+            .alias("k5_clear"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["privacy_generalization"] = privacy_generalization
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_gen  # noqa: E402
+
+
+def _gen_sql() -> str:
+    rungs = []
+    for w in GEN_BANDS_W:
+        d = 100 * w
+        rungs.append(
+            f"""
+    SELECT CAST({w} AS INTEGER) AS band_dollars,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+               AS n_suppressed,
+           {_sql_ru_gen(
+               'sum(CASE WHEN sz < ' + str(K_ANON) + ' THEN sz ELSE 0 END)',
+               'sum(sz)')} AS suppressed_share_micros,
+           CAST(min(sz) >= {K_ANON} AS INTEGER) AS k5_clear
+    FROM (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN cents >= 0 THEN cents // {d}
+                    ELSE - ((- cents + {d} - 1) // {d}) END AS band,
+               CAST(count(*) AS BIGINT) AS sz
+        FROM (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5)
+                        AS BIGINT) AS cents
+            FROM customer
+        )
+        GROUP BY 1, 2, 3
+    )"""
+        )
+    return " UNION ALL ".join(rungs)
+
+
+ORACLES["privacy_generalization"] = _gen_sql()

@@ -2666,3 +2666,125 @@ ORACLES["embedding_dim_variance"] = f"""
     FROM ranked CROSS JOIN tot
     ORDER BY dim
 """
+
+
+# -------------------------------------------------- MRR / MAP rank quality
+# Round 13: the two remaining classical rank-quality metrics next to
+# recall (ann_recall_report) and NDCG (ann_ndcg_report) — MRR reads
+# "how early is the FIRST true neighbor" (the navigational metric),
+# MAP the mean of precision-at-each-hit (the rank-sensitive recall).
+# Same report shape as the siblings: every ANN rung judged per query
+# against the exact brute-force top-K truth.
+#
+# Exactness rail: with K = 5 every AP denominator divides LCM(1..5)·K
+# = 300, so AP = (1/K)·Σ_hits (hits≤r)/r becomes the exact BIGINT sum
+# Σ c_i·(60/r_i) over 300 — a pure integer rational, no doubles; RR is
+# round(1e6/first_rank). Both engines rank hits with the identical
+# row_number over (query, rank asc), so c_i (number of true hits at or
+# before the i-th hit's rank) is the window's row_number itself.
+# Scale: per rung one (query_id, neighbor_id) hash join against bf +
+# one K-row-per-query window — the report costs K rows per query per
+# rung beyond the rungs themselves (which ride the shared IVFPQ
+# artifact).
+
+_RQ_RUNGS: list[str] = ["lsh", "ivf2", "pq", "ivfpq", "ivfpq_rerank"]
+_RQ_LCM: int = 60  # lcm(1..K) for K = 5
+_RQ_APDEN: int = _RQ_LCM * K  # 300
+
+
+def ann_mrr_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_micros
+
+    rung_fns = {
+        "lsh": sim_topk_lsh,
+        "ivf2": sim_topk_ivf2,
+        "pq": sim_topk_pq,
+        "ivfpq": sim_topk_ivfpq,
+        "ivfpq_rerank": sim_topk_ivfpq_rerank,
+    }
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    base = bf.select("query_id").distinct()
+    out = None
+    for rung in _RQ_RUNGS:
+        ap = rung_fns[rung](spark, sf_dir).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        hits = ap.join(bf, ["query_id", "neighbor_id"])
+        hw = W.partitionBy("query_id").orderBy("rank")
+        scored = hits.withColumn("c", F.row_number().over(hw)).groupBy(
+            "query_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.min("rank").alias("first_hit_rank"),
+            F.sum(F.col("c") * F.expr(f"{_RQ_LCM} div rank"))
+            .alias("ap_units"),
+        )
+        rep = base.join(scored, "query_id", "left").select(
+            F.lit(rung).alias("rung"),
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.coalesce("first_hit_rank", F.lit(0))
+            .cast("int")
+            .alias("first_hit_rank"),
+            F.when(F.col("first_hit_rank").isNull(), F.lit(0))
+            .otherwise(ratio_micros("1", "first_hit_rank"))
+            .cast("long")
+            .alias("rr_micros"),
+            ratio_micros("coalesce(ap_units, 0)", str(_RQ_APDEN))
+            .cast("long")
+            .alias("ap_micros"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["ann_mrr_map_report"] = ann_mrr_map_report
+
+from ..functions.rounding import sql_ratio_micros as _sql_rm_rq  # noqa: E402
+
+
+def _mrr_map_oracle() -> str:
+    rung_ctes = ",\n".join(
+        f"""rqa_{rung} AS ({ORACLES['sim_topk_' + rung]}),
+    rqs_{rung} AS (
+        SELECT query_id,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               CAST(min(rank) AS INTEGER) AS first_hit_rank,
+               CAST(sum(c * ({_RQ_LCM} // rank)) AS BIGINT) AS ap_units
+        FROM (
+            SELECT a.query_id, a.rank,
+                   row_number() OVER (
+                       PARTITION BY a.query_id ORDER BY a.rank
+                   ) AS c
+            FROM rqa_{rung} a
+            JOIN bf ON bf.query_id = a.query_id
+                   AND bf.neighbor_id = a.neighbor_id
+        )
+        GROUP BY 1
+    )"""
+        for rung in _RQ_RUNGS
+    )
+    per_rung = "\nUNION ALL\n".join(
+        f"""
+    SELECT '{rung}' AS rung, q.query_id,
+           CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(s.first_hit_rank, 0) AS INTEGER) AS first_hit_rank,
+           CAST(CASE WHEN s.first_hit_rank IS NULL THEN 0
+                ELSE {_sql_rm_rq('1', 's.first_hit_rank')} END
+                AS BIGINT) AS rr_micros,
+           CAST({_sql_rm_rq('coalesce(s.ap_units, 0)', str(_RQ_APDEN))}
+                AS BIGINT) AS ap_micros
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN rqs_{rung} s ON q.query_id = s.query_id"""
+        for rung in _RQ_RUNGS
+    )
+    return f"""
+    WITH bf AS ({ORACLES['sim_topk_bruteforce']}),
+    {rung_ctes}
+    {per_rung}
+"""
+
+
+ORACLES["ann_mrr_map_report"] = _mrr_map_oracle()

@@ -1295,3 +1295,176 @@ ORACLES["sketch_hash_uniformity"] = f"""
            END AS too_regular_3sigma
     FROM m
 """
+
+
+# ------------------------------------------------ theta-sketch intersection
+# Round 13: set-OPERATION cardinality from sketches — the Theta-sketch
+# estimate (Dasu et al. 2002 KMV; the Apache DataSketches theta
+# algebra) of |A ∩ B| where A/B are the distinct user sets of the
+# first/second half of the event span (week-over-week retained users —
+# the audience-overlap question every analytics deployment answers
+# from sketches because the exact distinct-intersection needs both full
+# sets). Estimator: keep each side's k smallest distinct hash values
+# (KMV); θ = min(θ_A, θ_B) (the k-th minimum per side); every common
+# hash below θ is a uniform sample of A ∩ B at sampling rate θ/M, so
+# est = round(common · M / θ). Deterministic: token_hash is the same
+# md5-derived integer in both engines, so sketch membership, θ, and the
+# estimate are all exact integers under the differential gate (the
+# kmv_distinct discipline); the exact intersection is computed
+# alongside as the accuracy audit (the lsh_recall / bloom_fpr shape).
+# Sides with fewer than k distinct hashes carry their sketch whole
+# (θ = M), collapsing the estimator to the exact common count.
+# Scale: per-side TakeOrdered-k on distinct hashes (no global sort),
+# one k-row broadcast join — the exact audit's distinct-join is the
+# only data-sized cost and exists only because the gate demands truth.
+
+THETA_K = 128
+THETA_M = 2_147_483_647  # token_hash range: POLY_MOD (2^31 - 1)
+
+
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import token_hash
+    from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    span = days.agg(
+        ((F.min("day") + F.max("day") + 1) / 2).cast("long").alias("mid")
+    )
+    sided = days.crossJoin(F.broadcast(span)).select(
+        (F.col("day") >= F.col("mid")).cast("int").alias("side"),
+        token_hash(F.col("user_id").cast("string")).alias("h"),
+        "user_id",
+    )
+    dh = sided.select("side", "h").distinct().localCheckpoint(eager=False)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("side").orderBy("h")
+    kmv = dh.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= THETA_K
+    )
+    thetas = kmv.groupBy("side").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")
+    )
+    # theta per side: M when the sketch is not full (estimate = exact)
+    th = thetas.select(
+        "side",
+        F.when(F.col("nk") < THETA_K, F.lit(THETA_M))
+        .otherwise(F.col("hk"))
+        .alias("theta_side"),
+    )
+    theta = th.agg(F.min("theta_side").alias("theta"))
+    a = kmv.filter(F.col("side") == 0).select(F.col("h").alias("ha"))
+    b = kmv.filter(F.col("side") == 1).select(F.col("h").alias("hb"))
+    common = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ha") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        sided.filter(F.col("side") == 0)
+        .select("user_id")
+        .distinct()
+        .intersect(
+            sided.filter(F.col("side") == 1).select("user_id").distinct()
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    dec = "decimal(38,0)"
+    m = (
+        common.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+    )
+    est = ratio_units_dec(
+        f"CAST(n_common AS {dec}) * {THETA_M}", "theta", 1
+    )
+    return m.select(
+        F.lit(THETA_K).cast("int").alias("k"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("n_common").cast("long").alias("n_common"),
+        est.alias("est_intersection"),
+        F.col("inter_exact").cast("long").alias("inter_exact"),
+        F.when(F.col("inter_exact") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed(
+                f"(CAST(n_common AS {dec}) * {THETA_M}"
+                f" - CAST(theta AS {dec}) * inter_exact)",
+                f"CAST(theta AS {dec}) * inter_exact",
+            )
+        )
+        .alias("err_micros"),
+    )
+
+
+QUERIES["sketch_theta_intersection"] = sketch_theta_intersection
+
+from ..functions.hashing import sql_token_hash as _sql_th_ti  # noqa: E402
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_ti,
+    sql_ratio_units_dec_signed as _sql_ruds_ti,
+)
+
+ORACLES["sketch_theta_intersection"] = f"""
+    WITH days AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+    ), span AS (
+        SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS mid
+        FROM days
+    ), sided AS (
+        SELECT CAST(day >= mid AS INTEGER) AS side,
+               {_sql_th_ti('CAST(user_id AS VARCHAR)')} AS h,
+               user_id
+        FROM days CROSS JOIN span
+    ), dh AS (
+        SELECT DISTINCT side, h FROM sided
+    ), kmv AS (
+        SELECT side, h
+        FROM (
+            SELECT side, h,
+                   row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+            FROM dh
+        )
+        WHERE rn <= {THETA_K}
+    ), thetas AS (
+        SELECT side, CAST(count(*) AS BIGINT) AS nk,
+               CAST(max(h) AS BIGINT) AS hk
+        FROM kmv GROUP BY 1
+    ), theta AS (
+        SELECT CAST(min(CASE WHEN nk < {THETA_K} THEN {THETA_M}
+                             ELSE hk END) AS BIGINT) AS theta
+        FROM thetas
+    ), common AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common
+        FROM kmv a JOIN kmv b
+          ON a.side = 0 AND b.side = 1 AND a.h = b.h
+        CROSS JOIN theta
+        WHERE a.h < theta
+    ), exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS inter_exact
+        FROM (
+            SELECT DISTINCT user_id FROM sided WHERE side = 0
+            INTERSECT
+            SELECT DISTINCT user_id FROM sided WHERE side = 1
+        )
+    )
+    SELECT CAST({THETA_K} AS INTEGER) AS k,
+           theta,
+           n_common,
+           {_sql_rud_ti(f'CAST(n_common AS HUGEINT) * {THETA_M}',
+                        'theta', 1)} AS est_intersection,
+           inter_exact,
+           CASE WHEN inter_exact = 0 THEN NULL
+                ELSE {_sql_ruds_ti(
+                    f'(CAST(n_common AS HUGEINT) * {THETA_M}'
+                    f' - CAST(theta AS HUGEINT) * inter_exact)',
+                    'CAST(theta AS HUGEINT) * inter_exact')}
+           END AS err_micros
+    FROM common CROSS JOIN theta CROSS JOIN exact
+"""

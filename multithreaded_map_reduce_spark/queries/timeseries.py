@@ -3140,3 +3140,464 @@ def _ses_sql() -> str:
 
 
 ORACLES["timeseries_ses_gridsearch"] = _ses_sql()
+
+
+# -------------------------------------------- spectral entropy / flatness
+# Round 13: the periodogram's single-number summary — Shannon entropy
+# of the seasonal energy distribution over candidate periods 2..30
+# (the "is there ANY calendar structure" dial: white noise spreads
+# energy flat, entropy -> ln(29); one strong season concentrates it,
+# entropy -> 0). Same exact-integer rail as timeseries_periodogram:
+# micro-snapped module-literal trig tables (no runtime trig), exact
+# BIGINT Fourier sums over the u-deviation rail, DECIMAL powers, and
+# per-period energy SHARES as exact micros rationals. The entropy is
+# then computed over the SNAPPED shares (identical integers in both
+# engines): H_nanos = -Σ s_p · lnunits(s_p/1e6) div 1e6 — the
+# text_entropy_by_lang c·ln(c) discipline, products and sum exact
+# BIGINT, one ln-snap per period. Flatness = H / ln(|P|) as a micros
+# rational against a PYTHON-precomputed ln(29) nano literal.
+# Scale: day-grain series (bounded by span), one aggregate pass with
+# 2·29 conditional sums, one 29-row reduce.
+
+SE_PERIODS = list(range(2, 31))
+
+
+def _se_tables() -> dict[int, tuple[list[int], list[int]]]:
+    import math as _m
+
+    out = {}
+    for p in SE_PERIODS:
+        cs = [
+            _m.floor(_m.cos(2 * _m.pi * k / p) * 1e6 + 0.5) for k in range(p)
+        ]
+        sn = [
+            _m.floor(_m.sin(2 * _m.pi * k / p) * 1e6 + 0.5) for k in range(p)
+        ]
+        out[p] = (cs, sn)
+    return out
+
+
+SE_TABLES = _se_tables()
+# floor(ln(29)*1e9 + 0.5): ln(29) = 3.367295829986474...
+SE_LN_NP_NANOS = 3367295830
+
+
+def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, ratio_units, ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
+    dec = "decimal(38,0)"
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("d").cast(dec) * F.col("x") - F.col("t")).alias("u"),
+    )
+    aggs = []
+    for p in SE_PERIODS:
+        cs, sn = SE_TABLES[p]
+        carr = f"array({', '.join(f'CAST({c} AS BIGINT)' for c in cs)})"
+        sarr = f"array({', '.join(f'CAST({s} AS BIGINT)' for s in sn)})"
+        aggs.append(
+            F.sum(
+                F.col("u")
+                * F.expr(f"element_at({carr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"a_{p}")
+        )
+        aggs.append(
+            F.sum(
+                F.col("u")
+                * F.expr(f"element_at({sarr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"b_{p}")
+        )
+    m = u.agg(*aggs)
+    rows = m.selectExpr(
+        "stack("
+        + str(len(SE_PERIODS))
+        + ", "
+        + ", ".join(f"{p}, a_{p}, b_{p}" for p in SE_PERIODS)
+        + ") AS (period, a, b)"
+    ).select(
+        "period",
+        (
+            F.col("a").cast(dec) * F.col("a")
+            + F.col("b").cast(dec) * F.col("b")
+        ).alias("power"),
+    )
+    tp = rows.agg(
+        F.sum("power").alias("ptot"), F.count(F.lit(1)).alias("np")
+    )
+    shares = rows.crossJoin(F.broadcast(tp)).select(
+        "period",
+        "power",
+        F.when(F.col("ptot") <= 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec("power", "ptot"))
+        .alias("s"),
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.orderBy(F.desc("power"), F.asc("period"))
+    ranked = shares.withColumn("rn", F.row_number().over(rw))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.max(F.when(F.col("rn") == 1, F.col("period"))).alias(
+            "dominant_period"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("s"))).alias(
+            "dominant_share_micros"
+        ),
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.col("s")
+                * iunits(
+                    F.log(F.col("s").cast("double") / F.lit(1000000.0)), 9
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("_slns"),
+        F.max(F.col("s").isNull().cast("int")).alias("_degen"),
+    )
+    ent = F.expr("(- _slns) div 1000000")
+    return agg.select(
+        F.col("n_periods").cast("long").alias("n_periods"),
+        F.when(F.col("_degen") == 1, F.lit(None).cast("int"))
+        .otherwise(F.col("dominant_period").cast("int"))
+        .alias("dominant_period"),
+        F.col("dominant_share_micros").cast("long").alias(
+            "dominant_share_micros"
+        ),
+        F.when(F.col("_degen") == 1, F.lit(None).cast("long"))
+        .otherwise(ent.cast("long"))
+        .alias("spectral_entropy_nanos"),
+        F.when(F.col("_degen") == 1, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units(f"(- _slns) div 1000000", str(SE_LN_NP_NANOS))
+        )
+        .alias("flatness_micros"),
+    )
+
+
+QUERIES["timeseries_spectral_entropy"] = timeseries_spectral_entropy
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_se,
+    sql_ratio_units as _sql_ru_se,
+    sql_ratio_units_dec as _sql_rud_se,
+)
+
+
+def _se_sql() -> str:
+    pieces = []
+    for p in SE_PERIODS:
+        cs, sn = SE_TABLES[p]
+        clist = "[" + ", ".join(str(c) for c in cs) + "]"
+        slist = "[" + ", ".join(str(s) for s in sn) + "]"
+        pieces.append(
+            f"""SELECT {p} AS period,
+               CAST(sum(u * ({clist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS a,
+               CAST(sum(u * ({slist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS b
+            FROM u"""
+        )
+    body = " UNION ALL ".join(pieces)
+    lns = _sql_iu_se("ln(CAST(s AS DOUBLE) / 1000000.0)", 9)
+    return f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS t
+        FROM ser
+    ), u AS (
+        SELECT day, CAST(d AS HUGEINT) * x - t AS u
+        FROM ser CROSS JOIN tot
+    ), rows_ AS (
+        SELECT period,
+               CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b AS power
+        FROM ({body})
+    ), tp AS (
+        SELECT CAST(sum(power) AS HUGEINT) AS ptot,
+               CAST(count(*) AS BIGINT) AS np
+        FROM rows_
+    ), shares AS (
+        SELECT period, power,
+               CASE WHEN ptot <= 0 THEN NULL
+                    ELSE {_sql_rud_se('power', 'ptot')} END AS s
+        FROM rows_ CROSS JOIN tp
+    ), ranked AS (
+        SELECT period, power, s,
+               row_number() OVER (ORDER BY power DESC, period ASC) AS rn
+        FROM shares
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_periods,
+               max(CASE WHEN rn = 1 THEN period END) AS dominant_period,
+               max(CASE WHEN rn = 1 THEN s END) AS dominant_share_micros,
+               CAST(sum(CASE WHEN s > 0 THEN s * {lns} ELSE 0 END)
+                    AS BIGINT) AS _slns,
+               max(CAST(s IS NULL AS INTEGER)) AS _degen
+        FROM ranked
+    )
+    SELECT n_periods,
+           CASE WHEN _degen = 1 THEN NULL
+                ELSE CAST(dominant_period AS INTEGER) END AS dominant_period,
+           CAST(dominant_share_micros AS BIGINT) AS dominant_share_micros,
+           CASE WHEN _degen = 1 THEN NULL
+                ELSE CAST((- _slns) // 1000000 AS BIGINT)
+           END AS spectral_entropy_nanos,
+           CASE WHEN _degen = 1 THEN NULL
+                ELSE {_sql_ru_se('(- _slns) // 1000000', str(SE_LN_NP_NANOS))}
+           END AS flatness_micros
+    FROM agg
+"""
+
+
+ORACLES["timeseries_spectral_entropy"] = _se_sql()
+
+
+# --------------------------------------------- turning-point randomness
+# Round 13: the classical turning-point test (Kendall 1973) on the
+# daily event-count series — the cheapest "is this series just noise"
+# check: an i.i.d. sequence has E[T] = 2(n-2)/3 interior local extrema;
+# a trending or oversmoothed series has too few, an oscillating one
+# too many. Complements runs_test (signs vs median) by reading
+# LOCAL shape. Ties (x equal to a neighbor) count as no turning point
+# — deterministic, and both engines decide on the same exact BIGINTs.
+# Exactness: T, n are integers; z² = (3T - 2(n-2))² · 10 / (16n - 29)
+# clears the /3 and /90 denominators symbolically, so the statistic is
+# one exact micros rational; the 5% decision compares integers against
+# the chi-square(1) micros literal (the Mann-Kendall discipline).
+# Scale: day-grain (bounded by span); one ordered window pass.
+
+TP_CHI2_5PCT_MICROS = 3_841_459  # chi-square(1) 95th pct, micros
+
+
+def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = W.orderBy("day")
+    marked = ser.select(
+        "x",
+        F.lag("x", 1).over(w).alias("xp"),
+        F.lead("x", 1).over(w).alias("xn"),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("xp").isNotNull()
+                & F.col("xn").isNotNull()
+                & (
+                    ((F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")))
+                    | ((F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn")))
+                )
+            ).cast("long")
+        ).alias("t"),
+    )
+    dec = "decimal(38,0)"
+    num = f"(10 * CAST((3 * t - 2 * (n - 2)) AS {dec}) * (3 * t - 2 * (n - 2)))"
+    den = "(16 * n - 29)"
+    degenerate = F.col("n") < 3
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("n_turning"),
+        (2 * (F.col("n") - 2)).cast("long").alias("expected_x3"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec(num, den))
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr(f"1000000 * {num}")
+                > F.expr(f"CAST({TP_CHI2_5PCT_MICROS} AS decimal(38,0)) * {den}")
+            ).cast("int")
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["timeseries_turning_points"] = timeseries_turning_points
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_tp,
+)
+
+_TP_NUM = "(10 * CAST((3 * t - 2 * (n - 2)) AS HUGEINT) * (3 * t - 2 * (n - 2)))"
+_TP_DEN = "(16 * n - 29)"
+
+ORACLES["timeseries_turning_points"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), marked AS (
+        SELECT x,
+               lag(x, 1) OVER (ORDER BY day) AS xp,
+               lead(x, 1) OVER (ORDER BY day) AS xn
+        FROM ser
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+                              AND ((x > xp AND x > xn)
+                                   OR (x < xp AND x < xn))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS t
+        FROM marked
+    )
+    SELECT n AS n_days,
+           t AS n_turning,
+           CAST(2 * (n - 2) AS BIGINT) AS expected_x3,
+           CASE WHEN n < 3 THEN NULL
+                ELSE {_sql_rud_tp(_TP_NUM, _TP_DEN)}
+           END AS z2_micros,
+           CASE WHEN n < 3 THEN NULL
+                ELSE CAST(1000000 * {_TP_NUM}
+                          > CAST({TP_CHI2_5PCT_MICROS} AS HUGEINT) * {_TP_DEN}
+                          AS INTEGER)
+           END AS significant_5pct
+    FROM agg
+"""
+
+
+# --------------------------------------------------- Cox-Stuart trend
+# Round 13: the Cox-Stuart sign test (1955) — the third, assumption-
+# lightest member of the trend family (theil_sen: robust slope;
+# mann_kendall: all-pairs monotone rank trend; cox_stuart: just
+# FIRST-HALF vs SECOND-HALF paired signs, n/2 comparisons instead of
+# n²/2, the one you run when even the O(n²) day-grain pair join is
+# too much). Pair the i-th observation with the (i + ceil(n/2))-th by
+# day RANK (the middle observation drops out when n is odd), count
+# strictly-positive and strictly-negative differences (ties drop),
+# and test S⁺ against Binomial(n', 1/2): continuity-corrected
+# z² = (max(|2S⁺ - n'| - 1, 0))² / n' — an exact micros rational on
+# integer counts, decided against the chi-square(1) literal.
+# Scale: day-grain rank + one self-join on rank offset — O(n) rows.
+
+
+def timeseries_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = W.orderBy("day")
+    ranked = ser.select(
+        "x", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(tot))
+        .join(
+            b,
+            F.col("b.rn")
+            == F.col("a.rn") + F.expr("CAST((n + 1) div 2 AS INT)"),
+        )
+        .agg(
+            F.sum((F.col("b.x") > F.col("a.x")).cast("long")).alias("s_plus"),
+            F.sum((F.col("b.x") < F.col("a.x")).cast("long")).alias(
+                "s_minus"
+            ),
+        )
+    )
+    m = pairs.crossJoin(F.broadcast(tot))
+    nprime = "(s_plus + s_minus)"
+    dev = f"greatest(abs(2 * s_plus - {nprime}) - 1, 0)"
+    degenerate = F.expr(nprime) <= 0
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_plus").cast("long").alias("s_plus"),
+        F.col("s_minus").cast("long").alias("s_minus"),
+        F.when(
+            F.col("s_plus") > F.col("s_minus"), F.lit(1)
+        )
+        .when(F.col("s_plus") < F.col("s_minus"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("trend_sign"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(ratio_units(f"{dev} * {dev}", nprime))
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr(f"1000000 * {dev} * {dev}")
+                > F.expr(f"{TP_CHI2_5PCT_MICROS} * {nprime}")
+            ).cast("int")
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["timeseries_cox_stuart"] = timeseries_cox_stuart
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units as _sql_ru_cs,
+)
+
+_CS_NP = "(s_plus + s_minus)"
+_CS_DEV = f"greatest(abs(2 * s_plus - {_CS_NP}) - 1, 0)"
+
+ORACLES["timeseries_cox_stuart"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT x, row_number() OVER (ORDER BY day) AS rn
+        FROM ser
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM ranked
+    ), pairs AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_plus,
+               CAST(sum(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_minus
+        FROM ranked a CROSS JOIN tot
+        JOIN ranked b ON b.rn = a.rn + CAST((n + 1) // 2 AS BIGINT)
+    )
+    SELECT n AS n_days,
+           s_plus, s_minus,
+           CASE WHEN s_plus > s_minus THEN 1
+                WHEN s_plus < s_minus THEN -1 ELSE 0 END AS trend_sign,
+           CASE WHEN {_CS_NP} <= 0 THEN NULL
+                ELSE {_sql_ru_cs(f'{_CS_DEV} * {_CS_DEV}', _CS_NP)}
+           END AS z2_micros,
+           CASE WHEN {_CS_NP} <= 0 THEN NULL
+                ELSE CAST(1000000 * {_CS_DEV} * {_CS_DEV}
+                          > {TP_CHI2_5PCT_MICROS} * {_CS_NP} AS INTEGER)
+           END AS significant_5pct
+    FROM pairs CROSS JOIN tot
+"""
