@@ -360,6 +360,12 @@ HEADLINE = [
     "sketch_theta_intersection",
     "privacy_generalization",
     "events_nelson_aalen",
+    "multimodal_audio_zcr",
+    "quality_gk_gamma",
+    "quality_bartlett",
+    "timeseries_kpss",
+    "stats_weighted_quantiles",
+    "quality_fleiss_kappa",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

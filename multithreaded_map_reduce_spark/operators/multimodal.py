@@ -991,3 +991,42 @@ def audio_frame_energies(media: DataFrame, frame: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, "media_id long, e array<long>")
+
+
+def audio_zcr_stats(media: DataFrame) -> DataFrame:
+    """Per-media zero-crossing counts over the WAV decode rail (round
+    13): the classical voiced/unvoiced + noisiness discriminator a
+    speech pipeline reads before VAD — a crossing is a sign change of
+    the CENTERED signal, i.e. consecutive uint8 samples straddling the
+    128 midpoint. Pure integer counting on decoded bytes (n_samples,
+    samples >= midpoint, crossings), so the DuckDB oracle replays it
+    from the raw hex; one row per media."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "n_samples": [],
+                "n_above": [],
+                "n_zc": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                hi = arr >= 128
+                out["media_id"].append(mid)
+                out["n_samples"].append(int(arr.size))
+                out["n_above"].append(int(hi.sum()))
+                out["n_zc"].append(
+                    int((hi[1:] != hi[:-1]).sum()) if arr.size > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, n_samples long, n_above long, n_zc long"
+    )

@@ -236,6 +236,15 @@ _NEW_THIS_ROUND: list[str] = [
     "sketch_theta_intersection",
     "privacy_generalization",
     "events_nelson_aalen",
+    # round 13 batch 2 — audio ZCR, ordinal association, variance
+    # homogeneity, KPSS stationarity, weighted quantiles, multi-rater
+    # agreement:
+    "multimodal_audio_zcr",
+    "quality_gk_gamma",
+    "quality_bartlett",
+    "timeseries_kpss",
+    "stats_weighted_quantiles",
+    "quality_fleiss_kappa",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",

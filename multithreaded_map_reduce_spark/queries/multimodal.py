@@ -1679,3 +1679,78 @@ ORACLES["multimodal_audio_periodicity"] = f"""
         USING (media_id)
     ORDER BY media_id
 """
+
+
+# -------------------------------------------------- audio zero crossings
+# Round 13: zero-crossing rate — the third classical time-domain audio
+# screen next to levels (DC/crest) and periodicity (autocorrelation):
+# ZCR separates voiced speech (low) from fricatives/noise (high) and
+# is the cheapest VAD feature there is. A crossing = consecutive
+# samples straddling the uint8 midpoint 128 on the decoded PCM; the
+# operator (operators/multimodal.py audio_zcr_stats) emits pure
+# integer counts over the WAV decode rail, the query adds the ZCR and
+# high-side share as exact micros rationals, and the oracle replays
+# the crossings from raw hex with a shifted-pair list comparison —
+# per-sample semantics fully under the differential gate.
+# Scale: one Arrow mapInPandas pass, counts only; per-media work is
+# linear in samples.
+
+
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+    from ..operators.multimodal import audio_zcr_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = audio_zcr_stats(documents_as_wav_audio(docs))
+    return per.select(
+        "media_id",
+        "n_samples",
+        "n_above",
+        "n_zc",
+        F.when(F.col("n_samples") <= 1, F.lit(None).cast("long"))
+        .otherwise(ratio_units("n_zc", "n_samples - 1"))
+        .alias("zcr_micros"),
+        F.when(F.col("n_samples") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units("n_above", "n_samples"))
+        .alias("above_share_micros"),
+    )
+
+
+QUERIES["multimodal_audio_zcr"] = multimodal_audio_zcr
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_zcr  # noqa: E402
+
+ORACLES["multimodal_audio_zcr"] = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 500 + 100 AS BIGINT) AS n_samples
+        FROM documents WHERE length(text) > 0
+    ), samp AS (
+        SELECT doc_id AS media_id, n_samples,
+               list_transform(range(0, CAST(n_samples AS INTEGER)),
+                              j -> CAST({_byte_at('j % _tb')} >= 128
+                                   AS INTEGER)) AS hi
+        FROM sized
+    ), agg AS (
+        SELECT media_id,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hi),
+                    (x, y) -> x + y) AS BIGINT) AS n_above,
+               CAST(CASE WHEN n_samples <= 1 THEN 0 ELSE
+                    len(list_filter(
+                        range(1, CAST(n_samples AS INTEGER)),
+                        j -> hi[j] != hi[j + 1]))
+               END AS BIGINT) AS n_zc
+        FROM samp
+    )
+    SELECT media_id, n_samples, n_above, n_zc,
+           CASE WHEN n_samples <= 1 THEN NULL
+                ELSE {_sql_ru_zcr('n_zc', 'n_samples - 1')}
+           END AS zcr_micros,
+           CASE WHEN n_samples = 0 THEN NULL
+                ELSE {_sql_ru_zcr('n_above', 'n_samples')}
+           END AS above_share_micros
+    FROM agg
+"""

@@ -1002,3 +1002,82 @@ def _cr_sql() -> str:
 
 
 ORACLES["stats_concentration_ratio"] = _cr_sql()
+
+
+# ------------------------------------------------ weighted quantiles
+# Round 13: the WEIGHTED median/quartiles next to stats_quantiles_exact
+# (which weights every row equally) — "the price below which half the
+# SHIPPED VOLUME sits" is a volume-weighted quantile, the form pricing
+# and capacity analyses actually need (a thousand 1-unit orders must
+# not outvote one 1000-unit order). Exact rail: prices enter as exact
+# cents, weights as exact integer quantity units; one value-grain
+# groupBy, one cumulative-weight window over the bounded distinct-
+# price relation, and each quantile is the SMALLEST price whose
+# doubled cumulative weight clears 2·q·W — the lower weighted
+# quantile, a pure integer decision (no interpolation, no doubles).
+# Scale: the window runs on distinct prices (bounded domain), not
+# rows; the scan is one partial-agg groupBy.
+
+
+def stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.select(
+            F.expr(
+                "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = vals.agg(F.sum("w").alias("tw"))
+    w_cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cum = vals.select(
+        "cents", F.sum("w").over(w_cum).alias("cw")
+    ).crossJoin(F.broadcast(tot))
+    qs = []
+    for name, num, den in (
+        ("wp25_cents", 1, 4),
+        ("wp50_cents", 1, 2),
+        ("wp75_cents", 3, 4),
+    ):
+        qs.append(
+            F.min(
+                F.when(
+                    F.col("cw") * (2 * den) >= F.col("tw") * (2 * num),
+                    F.col("cents"),
+                )
+            ).alias(name)
+        )
+    return cum.agg(
+        F.max("tw").cast("long").alias("total_weight"), *qs
+    )
+
+
+QUERIES["stats_weighted_quantiles"] = stats_weighted_quantiles
+
+ORACLES["stats_weighted_quantiles"] = """
+    WITH vals AS (
+        SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS tw FROM vals
+    ), cum AS (
+        SELECT cents,
+               CAST(sum(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               tw
+        FROM vals CROSS JOIN tot
+    )
+    SELECT max(tw) AS total_weight,
+           min(CASE WHEN cw * 8 >= tw * 2 THEN cents END) AS wp25_cents,
+           min(CASE WHEN cw * 4 >= tw * 2 THEN cents END) AS wp50_cents,
+           min(CASE WHEN cw * 8 >= tw * 6 THEN cents END) AS wp75_cents
+    FROM cum
+"""

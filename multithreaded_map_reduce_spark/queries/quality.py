@@ -3314,3 +3314,382 @@ ORACLES["dq_lineitem_dates"] = """
     )
     ORDER BY "constraint"
 """
+
+
+# ------------------------------------------- Goodman-Kruskal gamma
+# Round 13: the ordinal-association member of the correlation family —
+# spearman/xi read continuous ranks, cramers_v reads NOMINAL
+# contingency; Goodman-Kruskal gamma (1954) is the statistic for two
+# ORDERED categoricals, here order priority (its leading digit is the
+# ordinal) vs order-value band ($50k steps on the exact cents rail):
+# gamma = (C - D)/(C + D) over concordant/discordant pairs, ties
+# dropped — the "do expensive orders run urgent" dial. The pair count
+# never touches row pairs: both variables are low-cardinality, so C
+# and D come from the CELL-PAIR cross join of the contingency table
+# (|cells|² ≈ 10⁴ integer products — constant, corpus-size-free),
+# with every count an exact BIGINT and gamma one signed micros
+# rational. Scale: one grouped count over orders + a broadcast-size
+# cell self-join.
+
+
+def quality_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec_signed
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.expr(
+                "CAST(substring(o_orderpriority, 1, 1) AS INT)"
+            ).alias("pri"),
+            F.expr(
+                "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)"
+                " AS BIGINT) div 5000000"
+            ).alias("band"),
+        )
+        .groupBy("pri", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dec = "decimal(38,0)"
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("b.pri") > F.col("a.pri"))
+                & (F.col("b.band") > F.col("a.band")),
+                F.col("a.n").cast(dec) * F.col("b.n"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("c2"),
+        F.sum(
+            F.when(
+                (F.col("b.pri") > F.col("a.pri"))
+                & (F.col("b.band") < F.col("a.band")),
+                F.col("a.n").cast(dec) * F.col("b.n"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("d2"),
+    )
+    # c2/d2 each count ordered (a,b) pairs once: concordant pairs have
+    # exactly one (lower-pri, higher-pri) orientation, so no /2.
+    return pairs.select(
+        F.col("c2").cast("long").alias("concordant"),
+        F.col("d2").cast("long").alias("discordant"),
+        F.when(F.col("c2") + F.col("d2") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec_signed("c2 - d2", "c2 + d2")
+        )
+        .alias("gamma_micros"),
+    )
+
+
+QUERIES["quality_gk_gamma"] = quality_gk_gamma
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec_signed as _sql_ruds_gk,
+)
+
+ORACLES["quality_gk_gamma"] = f"""
+    WITH cells AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pri,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) // 5000000 AS band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), pairs AS (
+        SELECT CAST(sum(CASE WHEN b.pri > a.pri AND b.band > a.band
+                             THEN CAST(a.n AS HUGEINT) * b.n
+                             ELSE 0 END) AS HUGEINT) AS c2,
+               CAST(sum(CASE WHEN b.pri > a.pri AND b.band < a.band
+                             THEN CAST(a.n AS HUGEINT) * b.n
+                             ELSE 0 END) AS HUGEINT) AS d2
+        FROM cells a CROSS JOIN cells b
+    )
+    SELECT CAST(c2 AS BIGINT) AS concordant,
+           CAST(d2 AS BIGINT) AS discordant,
+           CASE WHEN c2 + d2 = 0 THEN NULL
+                ELSE {_sql_ruds_gk('c2 - d2', 'c2 + d2')}
+           END AS gamma_micros
+    FROM pairs
+"""
+
+
+# --------------------------------------------------- Bartlett's test
+# Round 13: the parametric variance-homogeneity twin of
+# quality_levene — Bartlett (1937) is the MORE powerful test when
+# normality roughly holds, and the standard pre-flight before pooled-
+# variance ANOVA (quality_anova_sources): χ² = [(N-k)·ln(Sp²) −
+# Σ(nᵢ−1)·ln(Sᵢ²)] / C with the Bartlett correction
+# C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), over n_chars by source.
+# Exactness rail: all moments are exact integers; each per-group
+# ln(Sᵢ²) snaps ONCE to nanos and enters the sum weighted by the
+# exact (nᵢ−1) — integer products, order-free BIGINT sum (the
+# text_entropy c·ln c discipline); the harmonic Σ 1/(nᵢ−1) snaps
+# per-group to an exact nano rational. The closing statistic is one
+# double expression over those integers, pround(6), with the 5%
+# decision made on the snapped χ² against the chi-square(k−1)
+# critical literal in micros. Degenerate slices (any nᵢ < 2 or a
+# zero variance, where ln is undefined) emit NULL via the same
+# integer predicate on both engines.
+# Scale: one grouped-moments pass + one k-row reduce.
+
+# chi-square 95th percentile, micros, by df (k ≤ 7 sources)
+_BART_CHI2_5PCT_MICROS = {
+    1: 3_841_459,
+    2: 5_991_465,
+    3: 7_814_728,
+    4: 9_487_729,
+    5: 11_070_498,
+    6: 12_591_587,
+}
+
+
+def quality_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import (
+        iunits,
+        pround,
+        ratio_units,
+        ratio_units_dec,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("s"),
+        F.sum(
+            (F.col("n_chars").cast(dec) * F.col("n_chars")).cast(dec)
+        ).alias("q"),
+    )
+    # per-group sample variance as ONE double expression (identical in
+    # the oracle); ln-snap to nanos, weighted by the exact (n-1)
+    v_dbl = (
+        "(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))"
+    )
+    per = g.select(
+        "n",
+        "s",
+        "q",
+        ((F.col("n").cast(dec) * F.col("q") - F.col("s").cast(dec) * F.col("s")))
+        .alias("vnum"),
+        F.expr(f"ln({v_dbl})").alias("_lnv"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum((F.col("n") - 1) * iunits(F.col("_lnv"), 9)).alias("wlnv"),
+        F.sum(ratio_units("1", "n - 1", 1_000_000_000)).alias("hsum"),
+        F.max((F.col("n") < 2).cast("int")).alias("_small"),
+        F.max((F.col("vnum") <= 0).cast("int")).alias("_zerovar"),
+        # pooled within-group sum of squared deviations, exact:
+        # SSW·N' where each group's contribution is vnum/n ... keep the
+        # exact DECIMAL pair (sum of vnum/n as one rational per group
+        # is not integral; pool on the raw moments instead)
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            ratio_units_dec("vnum", "CAST(n AS DECIMAL(38,0))", 1_000)
+        ).alias("ssw_milli"),
+    )
+    # Sp² = SSW/(N-k) where SSW = Σᵢ vnumᵢ/nᵢ (exact milli-snap per
+    # group, order-free BIGINT sum)
+    sp2 = (
+        "(CAST(ssw_milli AS DOUBLE) / 1000.0)"
+        " / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))"
+    )
+    chi = (
+        f"((CAST(nn AS DOUBLE) - k) * ln({sp2})"
+        " - CAST(wlnv AS DOUBLE) / 1e9)"
+        " / (1.0 + ((CAST(hsum AS DOUBLE) / 1e9)"
+        " - 1.0 / (CAST(nn AS DOUBLE) - k)) / (3.0 * (k - 1)))"
+    )
+    crit = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN k - 1 = {df} THEN {c}"
+            for df, c in _BART_CHI2_5PCT_MICROS.items()
+        )
+        + " ELSE NULL END"
+    )
+    degenerate = (
+        (F.col("k") < 2)
+        | (F.col("_small") == 1)
+        | (F.col("_zerovar") == 1)
+        | (F.col("nn") <= F.col("k"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_docs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(pround(F.expr(chi), 6))
+        .alias("bartlett_chi2"),
+        F.when(degenerate | crit.isNull(), F.lit(None).cast("int"))
+        .otherwise((iunits(F.expr(chi), 6) > crit).cast("int"))
+        .alias("heteroscedastic_5pct"),
+    )
+
+
+QUERIES["quality_bartlett"] = quality_bartlett
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_bart,
+    sql_pround as _sql_pr_bart,
+    sql_ratio_units as _sql_ru_bart,
+)
+
+_BART_V = (
+    "(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))"
+)
+_BART_SP2 = (
+    "(CAST(ssw_milli AS DOUBLE) / 1000.0)"
+    " / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))"
+)
+_BART_CHI = (
+    f"((CAST(nn AS DOUBLE) - k) * ln({_BART_SP2})"
+    " - CAST(wlnv AS DOUBLE) / 1e9)"
+    " / (1.0 + ((CAST(hsum AS DOUBLE) / 1e9)"
+    " - 1.0 / (CAST(nn AS DOUBLE) - k)) / (3.0 * (k - 1)))"
+)
+_BART_CRIT = (
+    "CASE "
+    + " ".join(
+        f"WHEN k - 1 = {df} THEN {c}"
+        for df, c in _BART_CHI2_5PCT_MICROS.items()
+    )
+    + " ELSE NULL END"
+)
+_BART_BAD = "(k < 2 OR _small = 1 OR _zerovar = 1 OR nn <= k)"
+
+ORACLES["quality_bartlett"] = f"""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+        FROM documents GROUP BY 1
+    ), per AS (
+        SELECT n, s, q,
+               CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS vnum,
+               ln({_BART_V}) AS _lnv
+        FROM g
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum((n - 1) * {_sql_iu_bart('_lnv', 9)}) AS BIGINT)
+                   AS wlnv,
+               CAST(sum({_sql_ru_bart('1', 'n - 1', 1_000_000_000)})
+                    AS BIGINT) AS hsum,
+               max(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS _small,
+               max(CASE WHEN vnum <= 0 THEN 1 ELSE 0 END) AS _zerovar,
+               CAST(sum(CASE WHEN vnum = 0 THEN 0 ELSE
+                    (2 * 1000 * vnum + CAST(n AS HUGEINT))
+                    // (2 * CAST(n AS HUGEINT)) END) AS BIGINT)
+                   AS ssw_milli
+        FROM per
+    )
+    SELECT k AS k_groups,
+           nn AS n_docs,
+           CASE WHEN {_BART_BAD} THEN NULL
+                ELSE {_sql_pr_bart(_BART_CHI, 6)} END AS bartlett_chi2,
+           CASE WHEN {_BART_BAD} OR ({_BART_CRIT}) IS NULL THEN NULL
+                ELSE CAST({_sql_iu_bart(_BART_CHI, 6)} > ({_BART_CRIT})
+                          AS INTEGER)
+           END AS heteroscedastic_5pct
+    FROM agg
+"""
+
+
+# ---------------------------------------------------- Fleiss' kappa
+# Round 13: MULTI-rater chance-corrected agreement — cohens_kappa and
+# gwet_ac1 read TWO raters; Fleiss (1971) is the statistic for a
+# rating panel, which in a data pipeline is an ensemble of quality
+# heuristics voting per document. Raters here are three deterministic
+# integer rules (n_chars length floor; whitespace-token floor via
+# space count; sentence floor via '.' count — each a pure string/int
+# expression identical in both engines). With N subjects, n = 3
+# raters, 2 categories and g_i = good votes on doc i:
+#   Σ_j n_ij² = g_i² + (3−g_i)²,  P̄ = (A − 3N)/(6N),
+#   p_good = G/(3N),  P̄_e = (G² + (3N−G)²)/(9N²),
+#   κ = (P̄ − P̄_e)/(1 − P̄_e)
+# — every quantity an exact integer; clearing the common 18N² gives κ
+# as ONE signed micros rational:
+#   κ = [3N(A − 3N) − 2E] / (2·(9N² − E)),  E = G² + (3N−G)²
+# computed directly from the exact A, G, N sums below (the Python
+# replay test independently re-derives κ from P̄/P̄e to pin the
+# algebra — a factor slip here passes the differential gate because
+# both engines share the expression). Scale: one document scan, three
+# comparisons per row, one reduce.
+
+_FK_R1 = "CAST(n_chars >= 500 AS INT)"
+_FK_R2 = "CAST(length(text) - length(replace(text, ' ', '')) >= 80 AS INT)"
+_FK_R3 = "CAST(length(text) - length(replace(text, '.', '')) >= 3 AS INT)"
+
+
+def quality_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec_signed
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        (F.expr(_FK_R1) + F.expr(_FK_R2) + F.expr(_FK_R3)).alias("g")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("g").alias("gg"),
+        F.sum(
+            F.col("g").cast("long") * F.col("g")
+            + (3 - F.col("g").cast("long")) * (3 - F.col("g"))
+        ).alias("a"),
+    )
+    dec = "decimal(38,0)"
+    # with E = G² + (3N−G)²:  P̄ = (A−3N)/(6N), P̄e = E/(9N²)
+    # κ = (P̄−P̄e)/(1−P̄e) = (3N(A−3N)·9N² − 6N·E·3N) / (6N·(9N²−E)·3N)
+    #   = (3N·(A−3N)·... ) — cleared: num = 3N(A−3N) − 2E·? … computed
+    # as the direct cross-multiplied rational below (exact DECIMAL):
+    # κ = (P̄−P̄e)/(1−P̄e) = [3N(A−3N) − 2E] / (2·(9N² − E)) after
+    # clearing the common 18N² (derivation in the header comment)
+    e = f"(CAST(gg AS {dec}) * gg + CAST(3 * nn - gg AS {dec}) * (3 * nn - gg))"
+    num = f"(CAST(3 AS {dec}) * nn * (a - 3 * nn) - 2 * {e})"
+    den = f"(2 * (CAST(9 AS {dec}) * nn * nn - {e}))"
+    return agg.select(
+        F.col("nn").cast("long").alias("n_docs"),
+        F.col("gg").cast("long").alias("n_good_votes"),
+        F.col("a").cast("long").alias("a_sum"),
+        F.when(F.expr(den) <= 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec_signed(num, den))
+        .alias("fleiss_kappa_micros"),
+    )
+
+
+QUERIES["quality_fleiss_kappa"] = quality_fleiss_kappa
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec_signed as _sql_ruds_fk,
+)
+
+_FK_E = "(CAST(gg AS HUGEINT) * gg + CAST(3 * nn - gg AS HUGEINT) * (3 * nn - gg))"
+_FK_NUM = f"(CAST(3 AS HUGEINT) * nn * (a - 3 * nn) - 2 * {_FK_E})"
+_FK_DEN = f"(2 * (CAST(9 AS HUGEINT) * nn * nn - {_FK_E}))"
+
+ORACLES["quality_fleiss_kappa"] = f"""
+    WITH per AS (
+        SELECT ({_FK_R1.replace('AS INT', 'AS INTEGER')})
+             + ({_FK_R2.replace('AS INT', 'AS INTEGER')})
+             + ({_FK_R3.replace('AS INT', 'AS INTEGER')}) AS g
+        FROM documents
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(g) AS BIGINT) AS gg,
+               CAST(sum(CAST(g AS BIGINT) * g + (3 - g) * (3 - CAST(g AS BIGINT)))
+                    AS BIGINT) AS a
+        FROM per
+    )
+    SELECT nn AS n_docs,
+           gg AS n_good_votes,
+           a AS a_sum,
+           CASE WHEN {_FK_DEN} <= 0 THEN NULL
+                ELSE {_sql_ruds_fk(_FK_NUM, _FK_DEN)}
+           END AS fleiss_kappa_micros
+    FROM agg
+"""

@@ -3601,3 +3601,117 @@ ORACLES["timeseries_cox_stuart"] = f"""
            END AS significant_5pct
     FROM pairs CROSS JOIN tot
 """
+
+
+# ----------------------------------------------------- KPSS (level)
+# Round 13: the stationarity test read from the OTHER side — runs /
+# turning-point / Mann-Kendall test for structure against a null of
+# randomness; KPSS (Kwiatkowski-Phillips-Schmidt-Shin 1992) tests
+# level-stationarity as the NULL, which is the orientation a forecast
+# pipeline wants before trusting a fixed-mean model (SES grid, Holt).
+# Short-run variance flavor (lag-0 denominator, the textbook LM
+# statistic; the HAC-bandwidth long-run variant changes only the
+# denominator): with deviations e_t = x_t − x̄ and partial sums
+# S_t = Σ_{s≤t} e_s,  η = Σ S_t² / (n² Σ e_t²/n).  On the exact
+# u-rail (u_t = n·x_t − T = n·e_t, partial sums U_t = n·S_t) the whole
+# statistic collapses to the single integer rational
+# η = Σ U_t² / (n · Σ u_t²) — no doubles anywhere; the 5% decision
+# compares micros against the published 0.463 critical value.
+# Scale: day-grain; one cumulative window + one reduce.
+
+KPSS_CRIT_5PCT_MICROS = 463_000
+
+
+def timeseries_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("t"))
+    dec = "decimal(38,0)"
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n").cast(dec) * F.col("x") - F.col("t")).alias("u"),
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    parts = u.select(
+        "n",
+        "u",
+        F.sum("u").over(w_cum).alias("cu"),
+    )
+    agg = parts.groupBy("n").agg(
+        F.sum((F.col("cu").cast(dec) * F.col("cu")).cast(dec)).alias("su2"),
+        F.sum((F.col("u").cast(dec) * F.col("u")).cast(dec)).alias("uu"),
+    )
+    degenerate = (F.col("n") < 2) | (F.col("uu") <= 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec("su2", f"CAST(n AS {dec}) * uu")
+        )
+        .alias("eta_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr("1000000 * su2")
+                <= F.expr(
+                    f"CAST({KPSS_CRIT_5PCT_MICROS} AS decimal(38,0)) * n * uu"
+                )
+            ).cast("int")
+        )
+        .alias("level_stationary_5pct"),
+    )
+
+
+QUERIES["timeseries_kpss"] = timeseries_kpss
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_kpss,
+)
+
+ORACLES["timeseries_kpss"] = f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+        FROM ser
+    ), u AS (
+        SELECT day, n, CAST(n AS HUGEINT) * x - t AS u
+        FROM ser CROSS JOIN tot
+    ), parts AS (
+        SELECT n, u,
+               CAST(sum(u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS HUGEINT) AS cu
+        FROM u
+    ), agg AS (
+        SELECT n,
+               CAST(sum(CAST(cu AS HUGEINT) * cu) AS HUGEINT) AS su2,
+               CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS uu
+        FROM parts GROUP BY 1
+    )
+    SELECT n AS n_days,
+           CASE WHEN n < 2 OR uu <= 0 THEN NULL
+                ELSE {_sql_rud_kpss('su2', 'CAST(n AS HUGEINT) * uu')}
+           END AS eta_micros,
+           CASE WHEN n < 2 OR uu <= 0 THEN NULL
+                ELSE CAST(1000000 * su2
+                          <= CAST({KPSS_CRIT_5PCT_MICROS} AS HUGEINT) * n * uu
+                          AS INTEGER)
+           END AS level_stationary_5pct
+    FROM agg
+"""
