@@ -366,6 +366,9 @@ HEADLINE = [
     "timeseries_kpss",
     "stats_weighted_quantiles",
     "quality_fleiss_kappa",
+    "sql_try_arithmetic",
+    "events_peak_concurrency",
+    "timeseries_cum_periodogram",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

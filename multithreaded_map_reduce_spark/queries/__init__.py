@@ -245,6 +245,11 @@ _NEW_THIS_ROUND: list[str] = [
     "timeseries_kpss",
     "stats_weighted_quantiles",
     "quality_fleiss_kappa",
+    # round 13 batch 3 — ANSI-safe try_* surface, sweep-line peak
+    # concurrency, cumulative-periodogram whiteness:
+    "sql_try_arithmetic",
+    "events_peak_concurrency",
+    "timeseries_cum_periodogram",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",

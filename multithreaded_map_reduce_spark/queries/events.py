@@ -3120,3 +3120,138 @@ ORACLES["events_nelson_aalen"] = f"""
     FROM terms
     QUALIFY n_deaths > 0
 """
+
+
+# ------------------------------------------- peak session concurrency
+# Round 13: the capacity-planning number — the maximum number of
+# SIMULTANEOUSLY open sessions and when it happened (what "provision
+# for peak" actually means; dau/retention read daily grain and miss
+# it). Classic sweep-line on the session intervals of the 10-minute
+# gap contract: +1 at session start, −1 just after session end,
+# running sum, max. The running sum is NOT one global window at scale
+# — the sweep is day-partitioned two-pass (the de-facto distributed
+# prefix-sum): per-day cumulative over the day's deltas (bounded
+# partition), plus a day-grain offset window over per-day totals
+# (bounded by span); concurrency = day offset + intra-day cumulative.
+# Arrivals order before departures at the same microsecond (delta
+# DESC tie-break) so a back-to-back handoff counts both sessions —
+# deterministic on both engines. Peak tie-break: earliest time.
+# Scale: session-grain deltas, windows bounded by day and span.
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{KM_GAP_MIN} minutes")
+    sess = ev.groupBy(sw, "user_id").agg(
+        F.min(epoch_micros(F.col("ts"))).alias("first_us"),
+        F.max(epoch_micros(F.col("ts"))).alias("last_us"),
+    )
+    deltas = sess.select(
+        F.col("first_us").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select((F.col("last_us") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    deltas = deltas.select(
+        "t", "d", F.expr("t div 86400000000").alias("day")
+    )
+    w_intra = (
+        W.partitionBy("day")
+        .orderBy("t", F.desc("d"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    intra = deltas.select(
+        "day", "t", "d", F.sum("d").over(w_intra).alias("cum_intra")
+    )
+    day_tot = deltas.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    w_days = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("off")
+    )
+    conc = intra.join(offsets, "day").select(
+        "t", (F.col("off") + F.col("cum_intra")).alias("c")
+    )
+    n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    peak = conc.agg(F.max("c").alias("peak_concurrency"))
+    at = (
+        conc.join(
+            F.broadcast(peak),
+            conc["c"] == peak["peak_concurrency"],
+        )
+        .agg(F.min("t").alias("peak_at_us"))
+    )
+    return (
+        n_sess.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            F.col("peak_at_us").cast("long").alias("peak_at_us"),
+        )
+    )
+
+
+QUERIES["events_peak_concurrency"] = events_peak_concurrency
+
+ORACLES["events_peak_concurrency"] = f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL '{KM_GAP_MIN} minutes'
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+               THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, sid,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM numbered GROUP BY 1, 2
+    ), deltas AS (
+        SELECT first_us AS t, 1 AS d, first_us // 86400000000 AS day
+        FROM sess
+        UNION ALL
+        SELECT last_us + 1 AS t, -1 AS d,
+               (last_us + 1) // 86400000000 AS day
+        FROM sess
+    ), intra AS (
+        SELECT day, t, d,
+               CAST(sum(d) OVER (
+                   PARTITION BY day ORDER BY t, d DESC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_intra
+        FROM deltas
+    ), day_tot AS (
+        SELECT day, CAST(sum(d) AS BIGINT) AS day_sum
+        FROM deltas GROUP BY 1
+    ), offsets AS (
+        SELECT day,
+               CAST(coalesce(sum(day_sum) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING
+               ), 0) AS BIGINT) AS off
+        FROM day_tot
+    ), conc AS (
+        SELECT i.t, o.off + i.cum_intra AS c
+        FROM intra i JOIN offsets o ON i.day = o.day
+    ), peak AS (
+        SELECT CAST(max(c) AS BIGINT) AS peak_concurrency FROM conc
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+           peak.peak_concurrency,
+           (SELECT CAST(min(t) AS BIGINT) FROM conc, peak
+            WHERE c = peak_concurrency) AS peak_at_us
+    FROM peak
+"""

@@ -397,3 +397,64 @@ ORACLES["sql_udtf_installments"] = """
     FROM orders, unnest(generate_series(1, 3)) AS t(i)
     WHERE o_orderpriority = '1-URGENT'
 """
+
+
+# ----------------------------------------------- try_* error-safe family
+# Round 13: Spark's ANSI-mode escape hatches — try_divide / try_mod /
+# try_cast return NULL where strict ANSI raises (divide-by-zero,
+# overflow, malformed cast). A 100 TB ingest job runs ANSI-on for
+# correctness but wraps UNTRUSTED arithmetic in try_* so one poisoned
+# row degrades to NULL instead of killing a 6-hour stage — this query
+# exercises all three against adversarial expressions built from the
+# fixture (zero denominators every 7th row, and a cast over a mixed
+# digit/letter string where only the o_orderkey%3=0 slice parses). DuckDB has no try_*, so the oracle
+# spells the identical semantics with CASE guards — which is precisely
+# the check that try_*'s NULL contract matches the portable SQL
+# meaning. Scale: one scan, row-local expressions, fully codegen'd.
+
+
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(try_divide(o_totalprice, o_custkey % 7)) AS BIGINT)
+                AS n_div_ok,
+            CAST(sum(CASE WHEN try_divide(o_totalprice, o_custkey % 7)
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_div_null,
+            CAST(count(try_mod(o_orderkey, o_custkey % 5)) AS BIGINT)
+                AS n_mod_ok,
+            CAST(count(try_cast(CASE WHEN o_orderkey % 3 = 0
+                                     THEN substring(o_orderpriority, 1, 1)
+                                     ELSE o_orderstatus END AS BIGINT))
+                 AS BIGINT) AS n_cast_ok,
+            CAST(sum(coalesce(try_cast(CASE WHEN o_orderkey % 3 = 0
+                                       THEN substring(o_orderpriority, 1, 1)
+                                       ELSE o_orderstatus END AS BIGINT),
+                              0)) AS BIGINT) AS cast_sum
+        FROM orders
+        """,
+    )
+
+
+QUERIES["sql_try_arithmetic"] = sql_try_arithmetic
+
+ORACLES["sql_try_arithmetic"] = """
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CASE WHEN o_custkey % 7 <> 0
+                        THEN 1 END) AS BIGINT) AS n_div_ok,
+        CAST(sum(CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_div_null,
+        CAST(count(CASE WHEN o_custkey % 5 <> 0 THEN 1 END) AS BIGINT)
+            AS n_mod_ok,
+        CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT)
+            AS n_cast_ok,
+        CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                      THEN CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS cast_sum
+    FROM orders
+"""

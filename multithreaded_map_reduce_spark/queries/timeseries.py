@@ -3715,3 +3715,180 @@ ORACLES["timeseries_kpss"] = f"""
            END AS level_stationary_5pct
     FROM agg
 """
+
+
+# ------------------------------------- cumulative periodogram (Bartlett)
+# Round 13: Bartlett's Kolmogorov-style white-noise test applied to
+# the candidate-period energy profile — spectral_entropy summarizes
+# HOW SPREAD the energy is; this one makes the accept/reject call: a
+# white series accumulates energy LINEARLY across the ordered
+# components, so D = max_j |C_j/P − j/m| (C_j = cumulative power over
+# the period axis, P total, m components) exceeding ~1.358/√m rejects
+# whiteness at 5%. Shares the exact rail end-to-end: powers are
+# DECIMAL integers from the module-literal trig tables, the deviation
+# clears denominators as |m·C_j − j·P| (exact DECIMAL), D is one
+# micros rational against m·P, and the decision compares against a
+# PYTHON-precomputed critical literal. (Classical Bartlett orders the
+# full Fourier frequencies; this is the same statistic on the 2..30
+# candidate-period profile — stated, not hidden.)
+# Scale: rides the SE aggregate — one pass + a 29-row window.
+
+CPG_CRIT_5PCT_MICROS = 252_174  # floor(1.358/sqrt(29)*1e6+0.5)
+
+
+def timeseries_cum_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
+    dec = "decimal(38,0)"
+    u = ser.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("d").cast(dec) * F.col("x") - F.col("t")).alias("u"),
+    )
+    aggs = []
+    for p in SE_PERIODS:
+        cs, sn = SE_TABLES[p]
+        carr = f"array({', '.join(f'CAST({c} AS BIGINT)' for c in cs)})"
+        sarr = f"array({', '.join(f'CAST({s} AS BIGINT)' for s in sn)})"
+        aggs.append(
+            F.sum(
+                F.col("u")
+                * F.expr(f"element_at({carr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"a_{p}")
+        )
+        aggs.append(
+            F.sum(
+                F.col("u")
+                * F.expr(f"element_at({sarr}, CAST(pmod(day, {p}) AS INT) + 1)")
+            ).alias(f"b_{p}")
+        )
+    m = u.agg(*aggs)
+    rows = m.selectExpr(
+        "stack("
+        + str(len(SE_PERIODS))
+        + ", "
+        + ", ".join(f"{p}, a_{p}, b_{p}" for p in SE_PERIODS)
+        + ") AS (period, a, b)"
+    ).select(
+        "period",
+        (
+            F.col("a").cast(dec) * F.col("a")
+            + F.col("b").cast(dec) * F.col("b")
+        ).alias("power"),
+    )
+    np_ = len(SE_PERIODS)
+    w_cum = W.orderBy("period").rowsBetween(W.unboundedPreceding, 0)
+    w_j = W.orderBy("period")
+    tp = rows.agg(F.sum("power").alias("ptot"))
+    dev = (
+        rows.withColumn("cp", F.sum("power").over(w_cum))
+        .withColumn("j", F.row_number().over(w_j))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.expr(
+                f"abs(CAST({np_} AS decimal(38,0)) * cp - CAST(j AS decimal(38,0)) * ptot)"
+            ).alias("dj"),
+            "ptot",
+        )
+    )
+    agg = dev.groupBy("ptot").agg(F.max("dj").alias("dmax"))
+    degenerate = F.col("ptot") <= 0
+    return agg.select(
+        F.lit(np_).cast("int").alias("n_periods"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec("dmax", f"CAST({np_} AS decimal(38,0)) * ptot")
+        )
+        .alias("d_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr("1000000 * dmax")
+                <= F.expr(
+                    f"CAST({CPG_CRIT_5PCT_MICROS} AS decimal(38,0)) * {np_} * ptot"
+                )
+            ).cast("int")
+        )
+        .alias("white_noise_5pct"),
+    )
+
+
+QUERIES["timeseries_cum_periodogram"] = timeseries_cum_periodogram
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_cpg,
+)
+
+
+def _cpg_sql() -> str:
+    np_ = len(SE_PERIODS)
+    pieces = []
+    for p in SE_PERIODS:
+        cs, sn = SE_TABLES[p]
+        clist = "[" + ", ".join(str(c) for c in cs) + "]"
+        slist = "[" + ", ".join(str(s) for s in sn) + "]"
+        pieces.append(
+            f"""SELECT {p} AS period,
+               CAST(sum(u * ({clist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS a,
+               CAST(sum(u * ({slist}::BIGINT[])
+                    [CAST(day % {p} AS INTEGER) + 1]) AS BIGINT) AS b
+            FROM u"""
+        )
+    body = " UNION ALL ".join(pieces)
+    return f"""
+    WITH ser AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS t
+        FROM ser
+    ), u AS (
+        SELECT day, CAST(d AS HUGEINT) * x - t AS u
+        FROM ser CROSS JOIN tot
+    ), rows_ AS (
+        SELECT period,
+               CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b AS power
+        FROM ({body})
+    ), tp AS (
+        SELECT CAST(sum(power) AS HUGEINT) AS ptot FROM rows_
+    ), dev AS (
+        SELECT abs(CAST({np_} AS HUGEINT)
+                   * sum(power) OVER (ORDER BY period
+                                      ROWS UNBOUNDED PRECEDING)
+                   - CAST(row_number() OVER (ORDER BY period) AS HUGEINT)
+                     * ptot) AS dj,
+               ptot
+        FROM rows_ CROSS JOIN tp
+    ), agg AS (
+        SELECT ptot, CAST(max(dj) AS HUGEINT) AS dmax
+        FROM dev GROUP BY 1
+    )
+    SELECT CAST({np_} AS INTEGER) AS n_periods,
+           CASE WHEN ptot <= 0 THEN NULL
+                ELSE {_sql_rud_cpg('dmax', f'CAST({np_} AS HUGEINT) * ptot')}
+           END AS d_micros,
+           CASE WHEN ptot <= 0 THEN NULL
+                ELSE CAST(1000000 * dmax
+                          <= CAST({CPG_CRIT_5PCT_MICROS} AS HUGEINT)
+                             * {np_} * ptot AS INTEGER)
+           END AS white_noise_5pct
+    FROM agg
+"""
+
+
+ORACLES["timeseries_cum_periodogram"] = _cpg_sql()
