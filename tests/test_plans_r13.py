@@ -1,0 +1,104 @@
+"""Round-13 plan contracts: no-runtime-trig for the new spectral pair,
+day-partitioned sweep window for peak concurrency, artifact-builder
+registry integrity, and the secondary-sort NULL-ordering contract
+(ADVICE r12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from multithreaded_map_reduce_spark.queries import ALL_QUERIES
+
+    return ALL_QUERIES[name]
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spectral_entropy_plan_has_no_runtime_trig(spark):
+    plan = _final_plan(_q("timeseries_spectral_entropy")(spark, SF_SMOKE))
+    up = plan.upper().replace("ELEMENT_AT", "")
+    assert "COS(" not in up and "SIN(" not in up
+
+
+def test_cum_periodogram_plan_has_no_runtime_trig(spark):
+    plan = _final_plan(_q("timeseries_cum_periodogram")(spark, SF_SMOKE))
+    up = plan.upper().replace("ELEMENT_AT", "")
+    assert "COS(" not in up and "SIN(" not in up
+
+
+def test_peak_concurrency_sweep_window_is_partitioned(spark):
+    """The session-grain running sum must be the day-partitioned
+    two-pass form: at least one Window partitions by day, and any
+    UNPARTITIONED Window in the plan may only run on the day-grain
+    offsets relation (which aggregates first). Heuristic: every
+    Window missing a partition spec must sit above an Aggregate in
+    its subtree dump (the per-day totals)."""
+    import re
+
+    plan = _final_plan(_q("events_peak_concurrency")(spark, SF_SMOKE))
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert specs, plan
+    assert any(s.strip() for s in specs), (
+        "no partitioned Window at all — the sweep lost its day "
+        "partitioning\n" + plan
+    )
+
+
+def test_artifact_builders_registry_integrity(spark):
+    """Every rider named in ARTIFACT_BUILDERS must exist in the
+    registry (a renamed query would silently stop being pre-built in
+    bench), and the cograph builder must be idempotent per session
+    (second call returns the identical cached object)."""
+    from multithreaded_map_reduce_spark.queries import (
+        ALL_QUERIES,
+        ARTIFACT_BUILDERS,
+    )
+
+    for art, (build, riders) in ARTIFACT_BUILDERS.items():
+        assert callable(build)
+        missing = [r for r in riders if r not in ALL_QUERIES]
+        assert not missing, f"{art}: riders not in registry: {missing}"
+    from multithreaded_map_reduce_spark.queries.graphrank import (
+        _supplier_cograph,
+    )
+
+    ARTIFACT_BUILDERS["supplier_cograph"][0](spark, SF_SMOKE)
+    a = _supplier_cograph(spark, SF_SMOKE)
+    ARTIFACT_BUILDERS["supplier_cograph"][0](spark, SF_SMOKE)
+    assert _supplier_cograph(spark, SF_SMOKE) is a
+
+
+def test_secondary_sort_null_and_order_contract(spark):
+    """ADVICE r12: NULL sort values must not kill the job (they order
+    FIRST via the sentinel pair), and the value column must never act
+    as a tiebreak — two rows with equal (key, sort) keep a stable
+    sorted-by-nothing-else order decided by the composite only."""
+    from multithreaded_map_reduce_spark.operators.mapreduce import (
+        run_secondary_sort,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, "v_null"),
+            ("a", 2, "v2"),
+            ("a", 1, "v1"),
+            ("b", 3, "w3"),
+            (None, 1, "n1"),
+        ],
+        "k string, s int, v string",
+    ).repartition(3)
+    out = {
+        r.key: r.ordered_values
+        for r in run_secondary_sort(df, "k", ["s"], "v", 2).collect()
+    }
+    # NULL sort value first within its key; NULL key becomes its own group
+    assert out["a"] == "v_null,v1,v2"
+    assert out["b"] == "w3"
+    assert out["None"] == "n1"

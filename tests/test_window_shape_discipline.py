@@ -57,12 +57,15 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "lists (ANNP/k dial)",
     ),
     "queries/timeseries.py": (
-        10,
+        16,
         "calendar-grain: day-axis cumulative/row_number windows on "
         "groupBy(day) relations (incl. the runs-test sign walk and "
         "hurst's day-index stamp); the `b` window runs over the "
         "bounded seasonal-block axis; the periodogram dominant-period "
-        "rank runs over |PG_PERIODS| = 3 rows and the SES-grid argmin "
+        "rank runs over |PG_PERIODS| = 3 rows / |SE_PERIODS| = 29 rows "
+        "(spectral entropy + cumulative periodogram rank/cum/j stamps), "
+        "the r13 turning-point lag/lead + Cox-Stuart rank + KPSS "
+        "partial-sum windows are all day-axis, and the SES-grid argmin "
         "over |SES_ALPHAS| = 3 rows",
     ),
     "queries/textstats.py": (
@@ -109,11 +112,14 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "relations (≤ tens of rows)",
     ),
     "queries/events.py": (
-        5,
+        8,
         "calendar-grain: day-axis growth-accounting + KM survival "
         "day-grain suffix/cumulative windows; post-TakeOrdered path "
         "rank stamp; post-limit Hill top-(k+1) order-statistic stamp "
-        "(k is a query constant)",
+        "(k is a query constant); r13 Nelson-Aalen suffix/cumulative "
+        "over the bounded session-duration grain and the peak-"
+        "concurrency DAY-GRAIN offset window (the session-grain sweep "
+        "itself is day-partitioned)",
     ),
     "queries/similarity.py": (
         2,
@@ -126,10 +132,11 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "k-bounded: Misra-Gries candidate rank (≤ MG_K rows)",
     ),
     "queries/profiling.py": (
-        1,
+        2,
         "post-limit: the CR-k rank stamp over the TakeOrdered top-8 "
         "supplier relation (k is a query constant — the Hill "
-        "discipline)",
+        "discipline); r13 weighted-quantile cumulative weights over "
+        "the bounded distinct-price domain",
     ),
     "queries/retrieval.py": (
         2,
