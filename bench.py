@@ -369,6 +369,9 @@ HEADLINE = [
     "sql_try_arithmetic",
     "events_peak_concurrency",
     "timeseries_cum_periodogram",
+    "dedup_capture_recapture",
+    "timeseries_seasonal_mann_kendall",
+    "quality_cohens_d",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -250,6 +250,11 @@ _NEW_THIS_ROUND: list[str] = [
     "sql_try_arithmetic",
     "events_peak_concurrency",
     "timeseries_cum_periodogram",
+    # round 13 batch 4 — two-detector dedup completeness audit,
+    # cycle-robust trend, effect size:
+    "dedup_capture_recapture",
+    "timeseries_seasonal_mann_kendall",
+    "quality_cohens_d",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",

@@ -1720,3 +1720,96 @@ ORACLES["dedup_minhash_bbit"] = f"""
            CAST(max(eb) AS BIGINT) AS bbit_max_err_micros
     FROM per
 """
+
+
+# --------------------------------------- capture-recapture dup audit
+# Round 13: HOW MANY near-dup pairs does the corpus actually contain,
+# beyond what any single detector finds? Classic ecology answer
+# (Lincoln-Petersen; Chapman 1951 bias-corrected), applied to two
+# INDEPENDENT detectors as the two "captures" of the same underlying
+# duplicate population: minhash-LSH (lexical shingles, n1 pairs) and
+# simhash (weighted token fingerprint, n2 pairs) overlap in m pairs ⇒
+# population ≈ n1·n2/m, and each detector's coverage is its share of
+# that estimate — the dedup-pipeline completeness audit (am I missing
+# half the dups?) that deployments run before trusting a single
+# detector's recall. Both inputs are already-gated pair relations
+# riding the shared shingle artifact; the estimates are exact
+# integer rationals (Chapman: (n1+1)(n2+1)/(m+1) − 1, exact without
+# a zero-overlap guard). Independence is an assumption, stated — the
+# audit reports the inputs alongside so a correlated-detector bias is
+# visible, not hidden.
+# Scale: one hash join of two bounded pair relations + counts.
+
+
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units, ratio_units_dec
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    sh = dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    n1 = mh.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = sh.agg(F.count(F.lit(1)).alias("n2"))
+    m = mh.join(sh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    rel = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    chapman = ratio_units_dec(
+        f"(CAST(n1 AS {dec}) + 1) * (n2 + 1)", "m + 1", 1
+    )
+    return rel.select(
+        F.col("n1").cast("long").alias("n_minhash_pairs"),
+        F.col("n2").cast("long").alias("n_simhash_pairs"),
+        F.col("m").cast("long").alias("n_both"),
+        F.when(F.col("m") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_units_dec(f"CAST(n1 AS {dec}) * n2", "m", 1)
+        )
+        .alias("lp_population_est"),
+        (chapman - 1).cast("long").alias("chapman_population_est"),
+        F.when(F.col("m") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units("m", "n2"))
+        .alias("minhash_coverage_micros"),
+        F.when(F.col("m") == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_units("m", "n1"))
+        .alias("simhash_coverage_micros"),
+    )
+
+
+QUERIES["dedup_capture_recapture"] = dedup_capture_recapture
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units as _sql_ru_cr,
+    sql_ratio_units_dec as _sql_rud_cr,
+)
+
+
+def _capture_recapture_sql() -> str:
+    return f"""
+    WITH mh AS (
+        SELECT id_a, id_b FROM ({ORACLES['dedup_minhash_lsh']})
+    ), sh AS (
+        SELECT id_a, id_b FROM ({ORACLES['dedup_simhash']})
+    ), counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM mh JOIN sh USING (id_a, id_b)) AS m
+    )
+    SELECT n1 AS n_minhash_pairs,
+           n2 AS n_simhash_pairs,
+           m AS n_both,
+           CASE WHEN m = 0 THEN NULL
+                ELSE {_sql_rud_cr('CAST(n1 AS HUGEINT) * n2', 'm', 1)}
+           END AS lp_population_est,
+           CAST({_sql_rud_cr('(CAST(n1 AS HUGEINT) + 1) * (n2 + 1)',
+                             'm + 1', 1)} - 1 AS BIGINT)
+               AS chapman_population_est,
+           CASE WHEN m = 0 THEN NULL
+                ELSE {_sql_ru_cr('m', 'n2')}
+           END AS minhash_coverage_micros,
+           CASE WHEN m = 0 THEN NULL
+                ELSE {_sql_ru_cr('m', 'n1')}
+           END AS simhash_coverage_micros
+    FROM counts
+"""
+
+
+ORACLES["dedup_capture_recapture"] = _capture_recapture_sql()

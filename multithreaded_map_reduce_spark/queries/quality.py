@@ -3693,3 +3693,140 @@ ORACLES["quality_fleiss_kappa"] = f"""
            END AS fleiss_kappa_micros
     FROM agg
 """
+
+
+# --------------------------------------------------- Cohen's d / Hedges g
+# Round 13: the EFFECT SIZE the significance family was missing —
+# mde_power plans one prospectively and tost tests equivalence, but
+# nothing reported "how big is the difference actually" for the
+# returned-vs-normal price gap: Cohen's d = (x̄₁−x̄₂)/s_pooled with
+# Hedges' small-sample correction g = J·d,
+# J = 1 − 3/(4·df − 1), df = n₁+n₂−2. All moments ride the exact
+# cents rail; d is one double expression over exact integers + a
+# single sqrt, pround(6); J is an exact micros rational so g = J·d
+# is reproducible from the emitted columns. Magnitude class
+# (negligible/small/medium/large at the 0.2/0.5/0.8 thresholds) is
+# decided on the micros-snapped |d| — integer comparisons, no
+# boundary doubles. Scale: one grouped-moments pass + one reduce.
+
+
+def quality_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import iunits, pround, ratio_units_dec
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    dec = "decimal(38,0)"
+    per = li.select(
+        F.when(F.col("l_returnflag") == "R", 0).otherwise(1).alias("g"),
+        F.expr(
+            "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    g = per.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents").cast(dec) * F.col("cents")).cast(dec)).alias(
+            "q"
+        ),
+    )
+    m = g.groupBy().pivot("g", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"), F.first("q").alias("q")
+    )
+    n0, n1 = F.col("`0_n`"), F.col("`1_n`")
+    d_expr = (
+        "(CAST(`0_s` AS DOUBLE) / CAST(`0_n` AS DOUBLE)"
+        " - CAST(`1_s` AS DOUBLE) / CAST(`1_n` AS DOUBLE))"
+        " / sqrt(((CAST(`0_q` AS DOUBLE)"
+        " - CAST(`0_s` AS DOUBLE) * CAST(`0_s` AS DOUBLE)"
+        " / CAST(`0_n` AS DOUBLE))"
+        " + (CAST(`1_q` AS DOUBLE)"
+        " - CAST(`1_s` AS DOUBLE) * CAST(`1_s` AS DOUBLE)"
+        " / CAST(`1_n` AS DOUBLE)))"
+        " / (CAST(`0_n` AS DOUBLE) + CAST(`1_n` AS DOUBLE) - 2))"
+    )
+    degenerate = (
+        n0.isNull() | n1.isNull() | (n0 + n1 < 3)
+    )
+    j = ratio_units_dec(
+        "4 * (CAST(`0_n` AS decimal(38,0)) + `1_n` - 2) - 4",
+        "4 * (CAST(`0_n` AS decimal(38,0)) + `1_n` - 2) - 1",
+    )
+    d_abs6 = F.abs(iunits(F.expr(d_expr), 6))
+    return m.select(
+        n0.cast("long").alias("n_returned"),
+        n1.cast("long").alias("n_normal"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(pround(F.expr(d_expr), 6))
+        .alias("cohens_d"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(j)
+        .alias("hedges_j_micros"),
+        F.when(degenerate, F.lit(None).cast("string"))
+        .otherwise(
+            F.when(d_abs6 < 200_000, F.lit("negligible"))
+            .when(d_abs6 < 500_000, F.lit("small"))
+            .when(d_abs6 < 800_000, F.lit("medium"))
+            .otherwise(F.lit("large"))
+        )
+        .alias("magnitude"),
+    )
+
+
+QUERIES["quality_cohens_d"] = quality_cohens_d
+
+from ..functions.rounding import (  # noqa: E402
+    sql_iunits as _sql_iu_cd,
+    sql_pround as _sql_pr_cd,
+    sql_ratio_units_dec as _sql_rud_cd,
+)
+
+_CD_D = (
+    "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / sqrt(((CAST(q0 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " + (CAST(q1 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))"
+    " / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2))"
+)
+_CD_BAD = "(n0 IS NULL OR n1 IS NULL OR n0 + n1 < 3)"
+
+ORACLES["quality_cohens_d"] = f"""
+    WITH per AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS g,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), gm AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+        FROM per GROUP BY 1
+    ), m AS (
+        SELECT max(CASE WHEN g = 0 THEN n END) AS n0,
+               max(CASE WHEN g = 0 THEN s END) AS s0,
+               max(CASE WHEN g = 0 THEN q END) AS q0,
+               max(CASE WHEN g = 1 THEN n END) AS n1,
+               max(CASE WHEN g = 1 THEN s END) AS s1,
+               max(CASE WHEN g = 1 THEN q END) AS q1
+        FROM gm
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_returned,
+           CAST(n1 AS BIGINT) AS n_normal,
+           CASE WHEN {_CD_BAD} THEN NULL
+                ELSE {_sql_pr_cd(_CD_D, 6)} END AS cohens_d,
+           CASE WHEN {_CD_BAD} THEN NULL
+                ELSE {_sql_rud_cd(
+                    '4 * (CAST(n0 AS HUGEINT) + n1 - 2) - 4',
+                    '4 * (CAST(n0 AS HUGEINT) + n1 - 2) - 1')}
+           END AS hedges_j_micros,
+           CASE WHEN {_CD_BAD} THEN NULL
+                WHEN abs({_sql_iu_cd(_CD_D, 6)}) < 200000 THEN 'negligible'
+                WHEN abs({_sql_iu_cd(_CD_D, 6)}) < 500000 THEN 'small'
+                WHEN abs({_sql_iu_cd(_CD_D, 6)}) < 800000 THEN 'medium'
+                ELSE 'large'
+           END AS magnitude
+    FROM m
+"""

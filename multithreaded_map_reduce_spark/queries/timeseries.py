@@ -3892,3 +3892,145 @@ def _cpg_sql() -> str:
 
 
 ORACLES["timeseries_cum_periodogram"] = _cpg_sql()
+
+
+# ------------------------------------------ seasonal Mann-Kendall
+# Round 13: Hirsch-Slack (1984) — the seasonal variant of
+# timeseries_mann_kendall: a strong weekly cycle can drown a real
+# monotone drift in the plain MK (Monday-vs-Sunday pairs carry cycle,
+# not trend), so the seasonal test compares days only WITHIN the same
+# day-of-week subseries and sums: S = Σ_s S_s, Var = Σ_s Var_s (the
+# per-season tie-corrected MK variance), continuity-corrected
+# z² = 18(|S|−1)²/(18·Var) decided on exact integers against the
+# chi-square(1) literal — the identical rails as the parent query,
+# just partitioned by season. Scale: day-grain; the pair join is
+# within-season only (7 × (n/7)²/2 pairs, ~n²/14 — below the parent's
+# n²/2 — and still span-bounded).
+
+
+def timeseries_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select("day", "x", F.expr("pmod(day, 7)").alias("dow"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    s_rel = (
+        a.join(
+            b,
+            (F.col("a.dow") == F.col("b.dow"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .agg(
+            F.sum(
+                F.signum((F.col("b.x") - F.col("a.x")).cast("double")).cast(
+                    "long"
+                )
+            ).alias("s")
+        )
+    )
+    ties = (
+        ser.groupBy("dow", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("dow")
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(
+                F.expr(
+                    "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
+                    " - tie_term"
+                )
+            ).alias("var18"),
+        )
+    )
+    dec = "decimal(38,0)"
+    m = s_rel.crossJoin(F.broadcast(ties))
+    num = f"(18 * CAST((abs(s) - 1) AS {dec}) * (abs(s) - 1))"
+    degenerate = (F.col("n") < 2) | (F.col("var18") <= 0) | (F.col("s") == 0)
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var_s_x18"),
+        F.when(F.col("s") == 0, F.lit(0))
+        .otherwise(F.expr("CAST(sign(s) AS INT)"))
+        .alias("trend_sign"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec(num, "var18"))
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                F.expr(f"1000000 * {num}")
+                > F.expr(f"{MK_CHI2_5PCT_MICROS} * var18")
+            ).cast("int")
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["timeseries_seasonal_mann_kendall"] = timeseries_seasonal_mann_kendall
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_smk,
+)
+
+_SMK_NUM = "(18 * CAST((abs(s) - 1) AS HUGEINT) * (abs(s) - 1))"
+
+ORACLES["timeseries_seasonal_mann_kendall"] = f"""
+    WITH ser AS (
+        SELECT day, x, day % 7 AS dow
+        FROM (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        )
+    ), s_rel AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM ser a JOIN ser b ON a.dow = b.dow AND a.day < b.day
+    ), per_season AS (
+        SELECT dow, CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS HUGEINT) AS tie_term
+        FROM (SELECT dow, x, CAST(count(*) AS BIGINT) AS t
+              FROM ser GROUP BY 1, 2)
+        GROUP BY 1
+    ), ties AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                        - tie_term) AS HUGEINT) AS var18
+        FROM per_season
+    )
+    SELECT n AS n_days,
+           s AS s_stat,
+           CAST(var18 AS BIGINT) AS var_s_x18,
+           CASE WHEN s = 0 THEN 0
+                ELSE CAST(sign(s) AS INTEGER) END AS trend_sign,
+           CASE WHEN n < 2 OR var18 <= 0 OR s = 0 THEN NULL
+                ELSE {_sql_rud_smk(_SMK_NUM, 'var18')}
+           END AS z2_micros,
+           CASE WHEN n < 2 OR var18 <= 0 OR s = 0 THEN NULL
+                ELSE CAST(1000000 * {_SMK_NUM}
+                          > {MK_CHI2_5PCT_MICROS} * var18 AS INTEGER)
+           END AS significant_5pct
+    FROM s_rel CROSS JOIN ties
+"""
