@@ -372,6 +372,8 @@ HEADLINE = [
     "dedup_capture_recapture",
     "timeseries_seasonal_mann_kendall",
     "quality_cohens_d",
+    "dedup_cluster_histogram",
+    "embedding_covariance_audit",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

@@ -255,6 +255,9 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_capture_recapture",
     "timeseries_seasonal_mann_kendall",
     "quality_cohens_d",
+    # round 13 batch 5 — dup-graph health, PQ-independence audit:
+    "dedup_cluster_histogram",
+    "embedding_covariance_audit",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",

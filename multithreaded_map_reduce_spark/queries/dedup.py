@@ -1813,3 +1813,94 @@ def _capture_recapture_sql() -> str:
 
 
 ORACLES["dedup_capture_recapture"] = _capture_recapture_sql()
+
+
+# ------------------------------------------- dup-cluster size profile
+# Round 13: the anonymity-histogram view of the DUPLICATE graph —
+# dedup_clusters labels every doc with its component; this query
+# reads corpus health off the component-size distribution: how many
+# docs sit in dup clusters at all, how big the clusters run, and the
+# removal rate exact dedup would apply (all-but-one per cluster).
+# Docs touched by no pair are singletons by definition and enter the
+# size-1 row via the total-docs complement — no join against the
+# full corpus needed beyond one count. Exact integers + micros
+# shares; oracle extends the recursive-CTE closure of
+# dedup_clusters. Scale: rides the pair relation + one two-level
+# groupBy on component grain.
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    clustered = comp.agg(F.count(F.lit(1)).alias("n_clustered"))
+    one = (
+        hist.crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(clustered))
+    )
+    # singleton row: docs in no pair at all (size-1 components never
+    # materialize in the pair-edge closure)
+    singleton = (
+        n_docs.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("sz"),
+            (F.col("n_docs") - F.col("n_clustered")).alias("n_clusters"),
+            F.col("n_docs").alias("n_docs"),
+            F.col("n_clustered").alias("n_clustered"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    rows = one.select(
+        F.col("sz").cast("long").alias("sz"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        "n_docs",
+        "n_clustered",
+    ).unionByName(singleton)
+    return rows.select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs_in"),
+        ratio_units("sz * n_clusters", "n_docs").alias("doc_share_micros"),
+        F.when(F.col("sz") == 1, F.lit(0))
+        .otherwise((F.col("sz") - 1) * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_removable"),
+    ).orderBy("cluster_size")
+
+
+QUERIES["dedup_cluster_histogram"] = dedup_cluster_histogram
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_ch  # noqa: E402
+
+ORACLES["dedup_cluster_histogram"] = f"""
+    WITH comp AS ({ORACLES['dedup_clusters']}),
+    n_docs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), clustered AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clustered FROM comp
+    ), sizes AS (
+        SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+        FROM comp GROUP BY 1
+    ), hist AS (
+        SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY 1
+        UNION ALL
+        SELECT 1 AS sz, n_docs - n_clustered AS n_clusters
+        FROM n_docs CROSS JOIN clustered
+        WHERE n_docs - n_clustered > 0
+    )
+    SELECT sz AS cluster_size,
+           n_clusters,
+           CAST(sz * n_clusters AS BIGINT) AS n_docs_in,
+           {_sql_ru_ch('sz * n_clusters', 'n_docs')} AS doc_share_micros,
+           CAST(CASE WHEN sz = 1 THEN 0
+                ELSE (sz - 1) * n_clusters END AS BIGINT) AS n_removable
+    FROM hist CROSS JOIN n_docs
+    ORDER BY cluster_size
+"""

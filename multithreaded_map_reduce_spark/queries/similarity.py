@@ -2788,3 +2788,179 @@ def _mrr_map_oracle() -> str:
 
 
 ORACLES["ann_mrr_map_report"] = _mrr_map_oracle()
+
+
+# ------------------------------------------- dimension covariance audit
+# Round 13: the PAIRWISE companion to embedding_dim_variance — dead
+# dims waste code budget, but REDUNDANT dims (pairs moving together)
+# waste it twice and break PQ's subspace-independence assumption, so
+# the pre-quantization audit asks: which dimension PAIRS are most
+# correlated? Exact rail end-to-end: milli-snapped values, per-pair
+# covariance numerator n·Σxy − Σx·Σy as signed DECIMAL, and the
+# squared correlation corr² = covnum²/(vnum_a·vnum_b) as one micros
+# rational (squares avoid the sqrt — the crest²/audio discipline),
+# sign emitted alongside. Output: the top-10 most correlated pairs
+# (exact-integer ordering, (corr², dims) tie-break).
+# Scale: the pair expansion is O(n·d²/2) rows with d = 64 fixed —
+# linear in corpus size; at d in the thousands, switch to a Gram
+# matrix per partition via mapInArrow and tree-aggregate (noted, not
+# needed at d = 64). Top-k is TakeOrdered; the rank stamp runs over
+# the 10 surviving rows.
+
+COV_TOPK = 10
+
+
+def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import ratio_units_dec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d)"
+                " AS BIGINT))"
+            )
+        ).alias("dim", "x"),
+    ).localCheckpoint(eager=False)
+    dec = "decimal(38,0)"
+    per = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("ss"),
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") < F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("da"), F.col("b.dim").alias("db")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.x").cast(dec) * F.col("b.x")).cast(dec)
+            ).alias("sxy")
+        )
+    )
+    pa = per.select(
+        F.col("dim").alias("da"),
+        F.col("n").alias("n"),
+        F.col("s").alias("sa"),
+        F.expr(f"CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s").alias("va"),
+    )
+    pb = per.select(
+        F.col("dim").alias("db"),
+        F.col("s").alias("sb"),
+        F.expr(f"CAST(n AS {dec}) * ss - CAST(s AS {dec}) * s").alias("vb"),
+    )
+    scored = (
+        pair.join(F.broadcast(pa), "da")
+        .join(F.broadcast(pb), "db")
+        .select(
+            "da",
+            "db",
+            "n",
+            F.expr(
+                f"CAST(n AS {dec}) * sxy - CAST(sa AS {dec}) * sb"
+            ).alias("covnum"),
+            "va",
+            "vb",
+        )
+    )
+    ranked = (
+        scored.select(
+            "da",
+            "db",
+            "n",
+            F.expr("CAST(sign(covnum) AS INT)").alias("corr_sign"),
+            F.when(
+                (F.col("va") <= 0) | (F.col("vb") <= 0),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                ratio_units_dec(
+                    f"CAST(covnum AS {dec}) * covnum",
+                    f"CAST(va AS {dec}) * vb",
+                )
+            )
+            .alias("corr2_micros"),
+        )
+        .orderBy(F.desc("corr2_micros"), F.asc("da"), F.asc("db"))
+        .limit(COV_TOPK)
+    )
+    rw = W.orderBy(F.desc("corr2_micros"), F.asc("da"), F.asc("db"))
+    return ranked.withColumn("rank", F.row_number().over(rw)).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("da").cast("int").alias("dim_a"),
+        F.col("db").cast("int").alias("dim_b"),
+        F.col("n").cast("long").alias("n_vectors"),
+        "corr_sign",
+        "corr2_micros",
+    )
+
+
+QUERIES["embedding_covariance_audit"] = embedding_covariance_audit
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_cov,
+)
+
+ORACLES["embedding_covariance_audit"] = f"""
+    WITH vals AS (
+        SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+               CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS x
+        FROM (
+            SELECT vec_id, unnest({sql_as_double('embedding')}) AS v,
+                   generate_subscripts({sql_as_double('embedding')}, 1) AS i
+            FROM embeddings
+        )
+    ), per AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM vals GROUP BY 1
+    ), pair AS (
+        SELECT a.dim AS da, b.dim AS db,
+               CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy
+        FROM vals a JOIN vals b
+          ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.da, p.db, pa.n,
+               CAST(pa.n AS HUGEINT) * p.sxy
+                   - CAST(pa.s AS HUGEINT) * pb.s AS covnum,
+               CAST(pa.n AS HUGEINT) * pa.ss
+                   - CAST(pa.s AS HUGEINT) * pa.s AS va,
+               CAST(pb.n AS HUGEINT) * pb.ss
+                   - CAST(pb.s AS HUGEINT) * pb.s AS vb
+        FROM pair p
+        JOIN per pa ON p.da = pa.dim
+        JOIN per pb ON p.db = pb.dim
+    ), ranked AS (
+        SELECT da, db, n,
+               CAST(sign(covnum) AS INTEGER) AS corr_sign,
+               CASE WHEN va <= 0 OR vb <= 0 THEN NULL
+                    ELSE {_sql_rud_cov(
+                        'CAST(covnum AS HUGEINT) * covnum',
+                        'CAST(va AS HUGEINT) * vb')}
+               END AS corr2_micros
+        FROM scored
+        ORDER BY corr2_micros DESC, da ASC, db ASC
+        LIMIT {COV_TOPK}
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY corr2_micros DESC, da ASC, db ASC
+           ) AS INTEGER) AS rank,
+           CAST(da AS INTEGER) AS dim_a,
+           CAST(db AS INTEGER) AS dim_b,
+           n AS n_vectors,
+           corr_sign,
+           corr2_micros
+    FROM ranked
+"""

@@ -122,10 +122,11 @@ _WINDOW_BUDGET: dict[str, tuple[int, str]] = {
         "itself is day-partitioned)",
     ),
     "queries/similarity.py": (
-        2,
+        3,
         "k-bounded: matryoshka report rung/rank stamp over the "
         "k-bounded eval relation; dim-bounded: the dim-variance rank "
-        "runs over the 64-row per-dimension relation",
+        "runs over the 64-row per-dimension relation and the r13 "
+        "covariance-audit rank stamp over its post-limit top-10 rows",
     ),
     "queries/sketches.py": (
         1,
