@@ -374,6 +374,9 @@ HEADLINE = [
     "quality_cohens_d",
     "dedup_cluster_histogram",
     "embedding_covariance_audit",
+    "quality_jonckheere",
+    "multimodal_image_borders",
+    "events_session_sensitivity",
 ]
 
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring

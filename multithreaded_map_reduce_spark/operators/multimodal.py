@@ -1030,3 +1030,61 @@ def audio_zcr_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         batches, "media_id long, n_samples long, n_above long, n_zc long"
     )
+
+
+def image_border_stats(media: DataFrame) -> DataFrame:
+    """Per-image uniform-border geometry over the strict PPM decode
+    rail (round 13): the letterbox/pillarbox screen a vision pipeline
+    runs before cropping — counts of consecutive rows from the top/
+    bottom (columns from the left/right) in which EVERY pixel equals
+    that edge's corner pixel. Pure integer comparisons on decoded
+    bytes; the oracle replays the same prefix counts from raw hex."""
+    import pandas as pd
+
+    from .codecs import decode_ppm
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [],
+                "w": [],
+                "h": [],
+                "top_rows": [],
+                "bottom_rows": [],
+                "left_cols": [],
+                "right_cols": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, _maxval, raster = decode_ppm(bytes(blob))
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+                def prefix_uniform(arr2d, corner):
+                    n = 0
+                    for sl in arr2d:
+                        if (sl == corner).all():
+                            n += 1
+                        else:
+                            break
+                    return n
+
+                out["media_id"].append(mid)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["top_rows"].append(prefix_uniform(px, px[0, 0]))
+                out["bottom_rows"].append(
+                    prefix_uniform(px[::-1], px[-1, 0])
+                )
+                lr = px.transpose(1, 0, 2)
+                out["left_cols"].append(prefix_uniform(lr, px[0, 0]))
+                out["right_cols"].append(
+                    prefix_uniform(lr[::-1], px[0, -1])
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, w int, h int, top_rows int, bottom_rows int,"
+        " left_cols int, right_cols int",
+    )

@@ -258,6 +258,11 @@ _NEW_THIS_ROUND: list[str] = [
     # round 13 batch 5 — dup-graph health, PQ-independence audit:
     "dedup_cluster_histogram",
     "embedding_covariance_audit",
+    # round 13 batch 6 — ordered-alternative rank trend, letterbox
+    # screen, session-definition sensitivity:
+    "quality_jonckheere",
+    "multimodal_image_borders",
+    "events_session_sensitivity",
     "dedup_incremental_day2",
     "curation_split_persisted",
     "text_gopher_repetition",

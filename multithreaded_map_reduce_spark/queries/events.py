@@ -3255,3 +3255,98 @@ ORACLES["events_peak_concurrency"] = f"""
             WHERE c = peak_concurrency) AS peak_at_us
     FROM peak
 """
+
+
+# --------------------------------------- session-gap sensitivity sweep
+# Round 13: every sessionized metric in this registry inherits the
+# 10-minute gap constant — this query measures how much that CHOICE
+# matters (the parameter-sensitivity audit a pipeline runs before
+# trusting session counts): the same sessionization at 5/10/30-minute
+# gaps, reporting session count, single-event (bounce) sessions and
+# share, and mean events per session — if the 5-vs-30 rows differ
+# wildly, downstream session metrics are definition-driven, not
+# behavior-driven. One session_window aggregation per rung (the gap
+# is a structural parameter, not a filter — three bounded passes,
+# not one pass re-used); all outputs exact integers + micros
+# rationals. Scale: user×gap-keyed session aggregation, counts only.
+
+GAP_SWEEP_MIN = [5, 10, 30]
+
+
+def events_session_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units
+
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for gap in GAP_SWEEP_MIN:
+        sess = ev.groupBy(
+            F.session_window("ts", f"{gap} minutes"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        rep = sess.agg(
+            F.lit(gap).cast("int").alias("gap_minutes"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                (F.col("n_events") == 1).cast("long")
+            ).alias("n_bounce"),
+            F.sum("n_events").alias("n_events_total"),
+        ).select(
+            "gap_minutes",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_bounce").cast("long").alias("n_bounce"),
+            ratio_units("n_bounce", "n_sessions").alias(
+                "bounce_share_micros"
+            ),
+            ratio_units("n_events_total", "n_sessions", 1_000).alias(
+                "events_per_session_milli"
+            ),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+QUERIES["events_session_sensitivity"] = events_session_sensitivity
+
+from ..functions.rounding import sql_ratio_units as _sql_ru_ss  # noqa: E402
+
+
+def _session_sweep_sql() -> str:
+    rungs = []
+    for gap in GAP_SWEEP_MIN:
+        rungs.append(
+            f"""
+    SELECT CAST({gap} AS INTEGER) AS gap_minutes,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           {_sql_ru_ss(
+               'sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)',
+               'count(*)')} AS bounce_share_micros,
+           {_sql_ru_ss('sum(n_events)', 'count(*)', 1_000)}
+               AS events_per_session_milli
+    FROM (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL '{gap} minutes'
+                            OR lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS is_start
+                FROM events
+            )
+        )
+        GROUP BY 1, 2
+    )"""
+        )
+    return " UNION ALL ".join(rungs)
+
+
+ORACLES["events_session_sensitivity"] = _session_sweep_sql()

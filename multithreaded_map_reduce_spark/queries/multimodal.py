@@ -1754,3 +1754,111 @@ ORACLES["multimodal_audio_zcr"] = f"""
            END AS above_share_micros
     FROM agg
 """
+
+
+# ----------------------------------------------- image border geometry
+# Round 13: the letterbox/pillarbox screen — scraped images routinely
+# carry uniform padding bars that waste pixels and poison crop-based
+# augmentation, so a vision-data pipeline counts uniform border rows/
+# columns before deciding to crop. Per image over the strict PPM
+# decode rail (operators/multimodal.py image_border_stats): counts of
+# consecutive rows from the top/bottom (columns from left/right)
+# whose every pixel equals that edge's corner pixel — pure integer
+# prefix counts, replayed by the oracle from raw hex with nested
+# list lambdas (per-row/column all-bytes-match flags, then the
+# first-zero prefix position). Scale: one Arrow mapInPandas pass,
+# per-image work linear in pixels.
+
+
+def multimodal_image_borders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        documents_as_ppm_images,
+        image_border_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = image_border_stats(documents_as_ppm_images(docs))
+    return per.select(
+        "media_id",
+        "w",
+        "h",
+        "top_rows",
+        "bottom_rows",
+        "left_cols",
+        "right_cols",
+        (
+            (F.col("top_rows") > 0)
+            | (F.col("bottom_rows") > 0)
+            | (F.col("left_cols") > 0)
+            | (F.col("right_cols") > 0)
+        )
+        .cast("int")
+        .alias("has_border"),
+    )
+
+
+QUERIES["multimodal_image_borders"] = multimodal_image_borders
+
+
+def _border_sql() -> str:
+    # per-row flag: every byte of row r equals the corner pixel's
+    # channel byte; prefix length = position of the first non-uniform
+    # row (h when all rows are uniform)
+    def rowflag(row_idx: str, corner_ch: str) -> str:
+        return (
+            f"CASE WHEN len(list_filter(range(0, 3 * w), k ->"
+            f" {_byte_at(f'(({row_idx}) * 3 * w + k) % _tb')}"
+            f" != {_byte_at(f'({corner_ch}) % _tb')})) = 0"
+            f" THEN 1 ELSE 0 END"
+        )
+
+    def colflag(col_idx: str, corner_base: str) -> str:
+        return (
+            f"CASE WHEN len(list_filter(range(0, 3 * h), j ->"
+            f" {_byte_at(f'(((j // 3) * w + ({col_idx})) * 3 + (j % 3)) % _tb')}"
+            f" != {_byte_at(f'(({corner_base}) + (j % 3)) % _tb')})) = 0"
+            f" THEN 1 ELSE 0 END"
+        )
+
+    # DuckDB list_position returns 0 (not NULL) when the element is
+    # absent — nullif maps the all-uniform case to the full extent
+    top = (
+        f"coalesce(nullif(list_position(list_transform(range(0, h),"
+        f" r -> {rowflag('r', 'k % 3')}), 0), 0) - 1, h)"
+    )
+    bottom = (
+        f"coalesce(nullif(list_position(list_transform(range(0, h),"
+        f" r -> {rowflag('h - 1 - r', '(h - 1) * 3 * w + (k % 3)')}), 0), 0)"
+        f" - 1, h)"
+    )
+    left = (
+        f"coalesce(nullif(list_position(list_transform(range(0, w),"
+        f" c -> {colflag('c', '0')}), 0), 0) - 1, w)"
+    )
+    right = (
+        f"coalesce(nullif(list_position(list_transform(range(0, w),"
+        f" c -> {colflag('w - 1 - c', '(w - 1) * 3')}), 0), 0) - 1, w)"
+    )
+    return f"""
+    WITH sized AS (
+        SELECT doc_id,
+               hex(encode(text)) AS _hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS _tb,
+               CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+               CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS w,
+           CAST(h AS INTEGER) AS h,
+           CAST({top} AS INTEGER) AS top_rows,
+           CAST({bottom} AS INTEGER) AS bottom_rows,
+           CAST({left} AS INTEGER) AS left_cols,
+           CAST({right} AS INTEGER) AS right_cols,
+           CAST({top} > 0 OR {bottom} > 0 OR {left} > 0 OR {right} > 0
+                AS INTEGER) AS has_border
+    FROM sized
+"""
+
+
+ORACLES["multimodal_image_borders"] = _border_sql()

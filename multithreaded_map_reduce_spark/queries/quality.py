@@ -3830,3 +3830,181 @@ ORACLES["quality_cohens_d"] = f"""
            END AS magnitude
     FROM m
 """
+
+
+# ------------------------------------------- Jonckheere-Terpstra test
+# Round 13: the ORDERED-alternative k-group test closing the rank
+# family — kruskal_wallis asks "are the k groups different at all";
+# Jonckheere-Terpstra (1954) asks the sharper question a priority
+# system implies: do order values rise MONOTONICALLY with priority
+# class? J = Σ_{g<g'} U(g,g') over the 5 ordered priority groups with
+# order value bucketed to $1000 steps (buckets make ties real, and
+# the tie-corrected variance below is exact about them). Integer
+# rails throughout: J2 = 2J = Σ (2·#{x<y} + #{x=y}) from the
+# contingency CELL self-join (cells = (group, bucket, n) — pair work
+# is |cells|², corpus-size-free); E4 = 4·E[J] = N² − Σ n_g²; and the
+# Hollander-Wolfe tie-corrected variance cleared over the common
+# denominator 72·N(N−1)(N−2):
+#   72·N(N−1)(N−2)·Var = A·N(N−1)(N−2) + 2·B + 9·C·(N−2)
+#   A = N(N−1)(2N+5) − Σ_g n(n−1)(2n+5) − Σ_u t(t−1)(2t+5)
+#   B = [Σ_g n(n−1)(n−2)]·[Σ_u t(t−1)(t−2)],  C = [Σ_g n(n−1)]·[Σ_u t(t−1)]
+# so z² = 9·(2·J2 − E4)²·N(N−1)(N−2) / (2·(A·N(N−1)(N−2) + 2B + 9C(N−2)))
+# is ONE exact micros rational. Overflow ceiling (stated, the AD
+# convention): the numerator ~ 9·N⁴·N³ hits DECIMAL(38) around
+# N ≈ 3·10⁵ rows; beyond, divide the cleared identity through by
+# N(N−1) first or move the closing ratio to one identical double.
+# Scale: one grouped count to cells + a bounded cell self-join.
+
+
+def quality_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import ratio_units_dec
+
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cells = (
+        o.select(
+            F.expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").alias(
+                "g"
+            ),
+            F.expr(
+                "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)"
+                " AS BIGINT) div 100000"
+            ).alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    a, c2 = cells.alias("a"), cells.alias("c2")
+    j2 = a.join(c2, F.col("a.g") < F.col("c2.g")).agg(
+        F.sum(
+            F.when(
+                F.col("a.b") < F.col("c2.b"),
+                2 * F.col("a.n").cast(dec) * F.col("c2.n"),
+            )
+            .when(
+                F.col("a.b") == F.col("c2.b"),
+                F.col("a.n").cast(dec) * F.col("c2.n"),
+            )
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("j2")
+    )
+    gsum = (
+        cells.groupBy("g")
+        .agg(F.sum("n").alias("n"))
+        .agg(
+            F.sum("n").alias("nn"),
+            F.sum((F.col("n").cast(dec) * F.col("n")).cast(dec)).alias("sn2"),
+            F.sum(
+                F.expr(
+                    f"CAST(n AS {dec}) * (n - 1) * (2 * n + 5)"
+                )
+            ).alias("ga"),
+            F.sum(
+                F.expr(f"CAST(n AS {dec}) * (n - 1) * (n - 2)")
+            ).alias("gb"),
+            F.sum(F.expr(f"CAST(n AS {dec}) * (n - 1)")).alias("gc"),
+        )
+    )
+    usum = (
+        cells.groupBy("b")
+        .agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(t AS {dec}) * (t - 1) * (2 * t + 5)"
+                )
+            ).alias("ua"),
+            F.sum(
+                F.expr(f"CAST(t AS {dec}) * (t - 1) * (t - 2)")
+            ).alias("ub"),
+            F.sum(F.expr(f"CAST(t AS {dec}) * (t - 1)")).alias("uc"),
+        )
+    )
+    m = j2.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(usum))
+    e4 = f"(CAST(nn AS {dec}) * nn - sn2)"
+    aa = f"(CAST(nn AS {dec}) * (nn - 1) * (2 * nn + 5) - ga - ua)"
+    nnn = f"(CAST(nn AS {dec}) * (nn - 1) * (nn - 2))"
+    var72 = f"({aa} * {nnn} + 2 * gb * ub + 9 * gc * uc * (nn - 2))"
+    num = f"(9 * (2 * j2 - {e4}) * (2 * j2 - {e4}) * {nnn})"
+    den = f"(2 * {var72})"
+    degenerate = (F.col("nn") < 3) | (F.expr(var72) <= 0)
+    return m.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("j2").cast("long").alias("j_x2"),
+        F.expr(e4).cast("long").alias("expected_j_x4"),
+        F.when(F.col("j2") * 2 > F.expr(e4), F.lit(1))
+        .when(F.col("j2") * 2 < F.expr(e4), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("trend_sign"),
+        F.when(degenerate, F.lit(None).cast("long"))
+        .otherwise(ratio_units_dec(num, den))
+        .alias("z2_micros"),
+        F.when(degenerate, F.lit(None).cast("int"))
+        .otherwise(
+            (F.expr(f"1000000 * {num}") > F.expr(f"3841459 * {den}")).cast(
+                "int"
+            )
+        )
+        .alias("significant_5pct"),
+    )
+
+
+QUERIES["quality_jonckheere"] = quality_jonckheere
+
+from ..functions.rounding import (  # noqa: E402
+    sql_ratio_units_dec as _sql_rud_jt,
+)
+
+_JT_E4 = "(CAST(nn AS HUGEINT) * nn - sn2)"
+_JT_A = "(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5) - ga - ua)"
+_JT_N3 = "(CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2))"
+_JT_VAR72 = f"({_JT_A} * {_JT_N3} + 2 * gb * ub + 9 * gc * uc * (nn - 2))"
+_JT_NUM = f"(9 * (2 * j2 - {_JT_E4}) * (2 * j2 - {_JT_E4}) * {_JT_N3})"
+_JT_DEN = f"(2 * {_JT_VAR72})"
+
+ORACLES["quality_jonckheere"] = f"""
+    WITH cells AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS g,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                    AS BIGINT) // 100000 AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), j AS (
+        SELECT CAST(sum(CASE WHEN a.b < c2.b
+                             THEN 2 * CAST(a.n AS HUGEINT) * c2.n
+                             WHEN a.b = c2.b
+                             THEN CAST(a.n AS HUGEINT) * c2.n
+                             ELSE 0 END) AS HUGEINT) AS j2
+        FROM cells a JOIN cells c2 ON a.g < c2.g
+    ), gsum AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+               CAST(sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+                    AS HUGEINT) AS ga,
+               CAST(sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+                    AS HUGEINT) AS gb,
+               CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS gc
+        FROM (SELECT g, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY 1)
+    ), usum AS (
+        SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                    AS HUGEINT) AS ua,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+                    AS HUGEINT) AS ub,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS uc
+        FROM (SELECT b, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1)
+    )
+    SELECT nn AS n_orders,
+           CAST(j2 AS BIGINT) AS j_x2,
+           CAST({_JT_E4} AS BIGINT) AS expected_j_x4,
+           CASE WHEN j2 * 2 > {_JT_E4} THEN 1
+                WHEN j2 * 2 < {_JT_E4} THEN -1 ELSE 0 END AS trend_sign,
+           CASE WHEN nn < 3 OR {_JT_VAR72} <= 0 THEN NULL
+                ELSE {_sql_rud_jt(_JT_NUM, _JT_DEN)}
+           END AS z2_micros,
+           CASE WHEN nn < 3 OR {_JT_VAR72} <= 0 THEN NULL
+                ELSE CAST(1000000 * {_JT_NUM} > 3841459 * {_JT_DEN}
+                          AS INTEGER)
+           END AS significant_5pct
+    FROM j CROSS JOIN gsum CROSS JOIN usum
+"""
