@@ -3843,17 +3843,20 @@ ORACLES["quality_cohens_d"] = f"""
 # rails throughout: J2 = 2J = Σ (2·#{x<y} + #{x=y}) from the
 # contingency CELL self-join (cells = (group, bucket, n) — pair work
 # is |cells|², corpus-size-free); E4 = 4·E[J] = N² − Σ n_g²; and the
-# Hollander-Wolfe tie-corrected variance cleared over the common
-# denominator 72·N(N−1)(N−2):
-#   72·N(N−1)(N−2)·Var = A·N(N−1)(N−2) + 2·B + 9·C·(N−2)
+# Hollander-Wolfe tie-corrected variance
+#   Var = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
 #   A = N(N−1)(2N+5) − Σ_g n(n−1)(2n+5) − Σ_u t(t−1)(2t+5)
 #   B = [Σ_g n(n−1)(n−2)]·[Σ_u t(t−1)(t−2)],  C = [Σ_g n(n−1)]·[Σ_u t(t−1)]
-# so z² = 9·(2·J2 − E4)²·N(N−1)(N−2) / (2·(A·N(N−1)(N−2) + 2B + 9C(N−2)))
-# is ONE exact micros rational. Overflow ceiling (stated, the AD
-# convention): the numerator ~ 9·N⁴·N³ hits DECIMAL(38) around
-# N ≈ 3·10⁵ rows; beyond, divide the cleared identity through by
-# N(N−1) first or move the closing ratio to one identical double.
-# Scale: one grouped count to cells + a bounded cell self-join.
+# with z² = (J − E[J])²/Var. Every moment (J2, E4, A, B, C, N) is an
+# exact integer; the CLOSING ratio is one identical double expression
+# on both engines + a micros snap (the Bartlett discipline) — the
+# fully-cleared DECIMAL rational was tried first and overflows 10³⁸
+# near N ≈ 10⁵ (the sf0.1 bench run caught it: Spark ANSI raises
+# where DuckDB HUGEINT would keep going — the divergent-failure
+# class), so the snapped-double close is the scale-free form. The
+# Fraction re-derivation test bounds the double-vs-exact gap at one
+# micro. Scale: one grouped count to cells + a bounded cell
+# self-join.
 
 
 def quality_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3923,12 +3926,26 @@ def quality_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = j2.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(usum))
     e4 = f"(CAST(nn AS {dec}) * nn - sn2)"
-    aa = f"(CAST(nn AS {dec}) * (nn - 1) * (2 * nn + 5) - ga - ua)"
-    nnn = f"(CAST(nn AS {dec}) * (nn - 1) * (nn - 2))"
-    var72 = f"({aa} * {nnn} + 2 * gb * ub + 9 * gc * uc * (nn - 2))"
-    num = f"(9 * (2 * j2 - {e4}) * (2 * j2 - {e4}) * {nnn})"
-    den = f"(2 * {var72})"
-    degenerate = (F.col("nn") < 3) | (F.expr(var72) <= 0)
+    # Closing ratio in ONE identical double expression over the exact
+    # integer columns (the Bartlett discipline): the fully-cleared
+    # DECIMAL rational overflows 10^38 near N ≈ 10^5 (the sf0.1 bench
+    # caught exactly that — var72·2·10^6 hit 1.7e38), so Var is
+    # evaluated as the textbook three-term sum in doubles; every input
+    # (j2, e4, A, B, C, N) is still an exact integer, so both engines
+    # see bit-identical doubles.
+    var_d = (
+        "((CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)"
+        " - CAST(ga AS DOUBLE) - CAST(ua AS DOUBLE)) / 72.0"
+        " + (CAST(gb AS DOUBLE) * CAST(ub AS DOUBLE))"
+        " / (36.0 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))"
+        " + (CAST(gc AS DOUBLE) * CAST(uc AS DOUBLE))"
+        " / (8.0 * CAST(nn AS DOUBLE) * (nn - 1)))"
+    )
+    dev_d = f"((2 * CAST(j2 AS DOUBLE) - CAST({e4} AS DOUBLE)) / 4.0)"
+    z2_d = f"({dev_d} * {dev_d} / {var_d})"
+    degenerate = (F.col("nn") < 3) | (F.expr(f"{var_d} <= 0"))
+    from ..functions.rounding import iunits
+
     return m.select(
         F.col("nn").cast("long").alias("n_orders"),
         F.col("j2").cast("long").alias("j_x2"),
@@ -3938,14 +3955,10 @@ def quality_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("trend_sign"),
         F.when(degenerate, F.lit(None).cast("long"))
-        .otherwise(ratio_units_dec(num, den))
+        .otherwise(iunits(F.expr(z2_d), 6))
         .alias("z2_micros"),
         F.when(degenerate, F.lit(None).cast("int"))
-        .otherwise(
-            (F.expr(f"1000000 * {num}") > F.expr(f"3841459 * {den}")).cast(
-                "int"
-            )
-        )
+        .otherwise((iunits(F.expr(z2_d), 6) > 3_841_459).cast("int"))
         .alias("significant_5pct"),
     )
 
@@ -3953,15 +3966,20 @@ def quality_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["quality_jonckheere"] = quality_jonckheere
 
 from ..functions.rounding import (  # noqa: E402
-    sql_ratio_units_dec as _sql_rud_jt,
+    sql_iunits as _sql_iu_jt,
 )
 
 _JT_E4 = "(CAST(nn AS HUGEINT) * nn - sn2)"
-_JT_A = "(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5) - ga - ua)"
-_JT_N3 = "(CAST(nn AS HUGEINT) * (nn - 1) * (nn - 2))"
-_JT_VAR72 = f"({_JT_A} * {_JT_N3} + 2 * gb * ub + 9 * gc * uc * (nn - 2))"
-_JT_NUM = f"(9 * (2 * j2 - {_JT_E4}) * (2 * j2 - {_JT_E4}) * {_JT_N3})"
-_JT_DEN = f"(2 * {_JT_VAR72})"
+_JT_VAR_D = (
+    "((CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)"
+    " - CAST(ga AS DOUBLE) - CAST(ua AS DOUBLE)) / 72.0"
+    " + (CAST(gb AS DOUBLE) * CAST(ub AS DOUBLE))"
+    " / (36.0 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))"
+    " + (CAST(gc AS DOUBLE) * CAST(uc AS DOUBLE))"
+    " / (8.0 * CAST(nn AS DOUBLE) * (nn - 1)))"
+)
+_JT_DEV_D = f"((2 * CAST(j2 AS DOUBLE) - CAST({_JT_E4} AS DOUBLE)) / 4.0)"
+_JT_Z2_D = f"({_JT_DEV_D} * {_JT_DEV_D} / {_JT_VAR_D})"
 
 ORACLES["quality_jonckheere"] = f"""
     WITH cells AS (
@@ -3999,12 +4017,11 @@ ORACLES["quality_jonckheere"] = f"""
            CAST({_JT_E4} AS BIGINT) AS expected_j_x4,
            CASE WHEN j2 * 2 > {_JT_E4} THEN 1
                 WHEN j2 * 2 < {_JT_E4} THEN -1 ELSE 0 END AS trend_sign,
-           CASE WHEN nn < 3 OR {_JT_VAR72} <= 0 THEN NULL
-                ELSE {_sql_rud_jt(_JT_NUM, _JT_DEN)}
+           CASE WHEN nn < 3 OR {_JT_VAR_D} <= 0 THEN NULL
+                ELSE {_sql_iu_jt(_JT_Z2_D, 6)}
            END AS z2_micros,
-           CASE WHEN nn < 3 OR {_JT_VAR72} <= 0 THEN NULL
-                ELSE CAST(1000000 * {_JT_NUM} > 3841459 * {_JT_DEN}
-                          AS INTEGER)
+           CASE WHEN nn < 3 OR {_JT_VAR_D} <= 0 THEN NULL
+                ELSE CAST({_sql_iu_jt(_JT_Z2_D, 6)} > 3841459 AS INTEGER)
            END AS significant_5pct
     FROM j CROSS JOIN gsum CROSS JOIN usum
 """

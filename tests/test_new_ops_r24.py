@@ -72,12 +72,32 @@ def test_jonckheere_fraction_rederivation(spark):
         + Fraction(b_term, 36 * nn * (nn - 1) * (nn - 2))
         + Fraction(c_term, 8 * nn * (nn - 1))
     )
-    z2 = (Fraction(j2, 2) - e_j) ** 2 / var
+    z2_exact = (Fraction(j2, 2) - e_j) ** 2 / var
+    # the query closes in ONE double expression (the DECIMAL clearing
+    # overflows at sf0.1) — replay the identical double formula AND
+    # bound it against the exact Fraction (the algebra check)
+    e4 = nn * nn - sum(len(v) ** 2 for v in by_g.values())
+    var_d = (
+        (nn * (nn - 1) * (2 * nn + 5) - float(
+            sum(len(v) * (len(v) - 1) * (2 * len(v) + 5) for v in by_g.values())
+        ) - float(sum(t * (t - 1) * (2 * t + 5) for t in ties.values()))) / 72.0
+        + (float(sum(len(v) * (len(v) - 1) * (len(v) - 2) for v in by_g.values()))
+           * float(sum(t * (t - 1) * (t - 2) for t in ties.values())))
+        / (36.0 * nn * (nn - 1) * (nn - 2))
+        + (float(sum(len(v) * (len(v) - 1) for v in by_g.values()))
+           * float(sum(t * (t - 1) for t in ties.values())))
+        / (8.0 * nn * (nn - 1))
+    )
+    dev_d = (2 * float(j2) - float(e4)) / 4.0
+    z2_d = dev_d * dev_d / var_d
     row = _q("quality_jonckheere")(spark, SF_SMOKE).collect()[0]
     assert row.n_orders == nn
     assert row.j_x2 == j2
     assert row.expected_j_x4 == 4 * e_j
-    assert row.z2_micros == _half_up(z2.numerator, z2.denominator)
+    assert row.z2_micros == math.floor(z2_d * 1e6 + 0.5)
+    # double close within one micro of the exact Fraction value
+    assert abs(row.z2_micros - _half_up(z2_exact.numerator,
+                                        z2_exact.denominator)) <= 1
     assert row.trend_sign == (
         1 if Fraction(j2, 2) > e_j else (-1 if Fraction(j2, 2) < e_j else 0)
     )
