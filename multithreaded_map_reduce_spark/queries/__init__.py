@@ -147,6 +147,7 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
             "dedup_minhash_lsh",
             "dedup_minhash_bbit",
             "dedup_cross_source_matrix",
+            "dedup_capture_recapture",
         ),
     ),
     "minhash_index_day1": (
@@ -159,7 +160,7 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
     ),
     "ivfpq_index": (
         _force_ivfpq_index,
-        ("sim_topk_ivfpq", "sim_topk_ivfpq_rerank"),
+        ("sim_topk_ivfpq", "sim_topk_ivfpq_rerank", "ann_mrr_map_report"),
     ),
     "supplier_cograph": (
         _force_supplier_cograph,
