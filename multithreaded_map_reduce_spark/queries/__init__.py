@@ -129,10 +129,24 @@ def _force_supplier_cograph(spark: SparkSession, sf_dir: str) -> None:
     _supplier_cograph(spark, sf_dir).count()
 
 
-def _force_lr_weights(spark: SparkSession, sf_dir: str) -> None:
-    from .textstats import _lr_trained_weights
+def _force_knn_graph(spark: SparkSession, sf_dir: str) -> None:
+    from .similarity import _knn_graph
 
-    _lr_trained_weights(spark, sf_dir)
+    _knn_graph(spark, sf_dir).count()
+
+
+def _force_dup_components(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _dup_components
+
+    _dup_components(spark, sf_dir).count()
+
+
+def _force_lr_weights(spark: SparkSession, sf_dir: str) -> None:
+    # weights (collected floats) + the score-once checkpointed corpus
+    # relation every readout rider aggregates (r13 OPT)
+    from .textstats import _lr_scored
+
+    _lr_scored(spark, sf_dir).count()
 
 
 ArtifactBuilder = Callable[[SparkSession, str], None]
@@ -162,6 +176,23 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
         _force_ivfpq_index,
         ("sim_topk_ivfpq", "sim_topk_ivfpq_rerank", "ann_mrr_map_report"),
     ),
+    "dup_components": (
+        _force_dup_components,
+        (
+            "dedup_cluster_histogram",
+            "curation_split_leakproof",
+            "curation_pipeline_report",
+            "dedup_pipeline_summary",
+        ),
+    ),
+    "knn_graph": (
+        _force_knn_graph,
+        (
+            "embedding_hubness",
+            "embedding_intrinsic_dim",
+            "embedding_knn_outliers",
+        ),
+    ),
     "supplier_cograph": (
         _force_supplier_cograph,
         (
@@ -184,6 +215,7 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
             "quality_brier_score",
             "quality_gwet_ac1",
             "quality_kappa_model_rule",
+            "curation_quality_pareto",
         ),
     ),
 }

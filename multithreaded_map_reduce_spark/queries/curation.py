@@ -639,14 +639,16 @@ ORACLES["curation_cluster_balanced"] = _cb_oracle()
 
 
 def curation_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_dedup_pairs_sql
-    from ..operators.graph import connected_components
+    # r13 OPT: the near-dup labeling is the IDENTICAL pairs→closure
+    # chain dedup_clusters runs (same shingle/band/threshold params) —
+    # ride the shared _dup_components artifact instead of re-running
+    # the full minhash + iterative closure per call
+    from .dedup import _dup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs_sql(
-        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    cc = _dup_components(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("canonical_id").alias("root")
     )
-    cc = connected_components(pairs.select("id_a", "id_b"))
     labeled = (
         docs.select("doc_id")
         .join(cc, docs.doc_id == cc.id, "left")
@@ -842,8 +844,7 @@ PIPE_QUALITY_MIN = 0.5
 
 def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
-    from ..operators.dedup import minhash_dedup_pairs_sql
-    from ..operators.graph import connected_components
+    from .dedup import _dup_components
     from .textstats import _PUNCT_RE, _ALL_STOPS, _stop_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -869,10 +870,11 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_q") >= PIPE_QUALITY_MIN
     )
 
-    pairs = minhash_dedup_pairs_sql(
-        docs, "doc_id", "text", n=2, bands=8, rows=4, threshold=0.5
+    # r13 OPT: ride the shared _dup_components artifact (the identical
+    # dedup_clusters chain) instead of re-running pairs + closure
+    cc = _dup_components(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("canonical_id").alias("root")
     )
-    cc = connected_components(pairs.select("id_a", "id_b"))
     labeled = filtered.join(cc, filtered.doc_id == cc.id, "left").select(
         "doc_id",
         "text",
@@ -2514,26 +2516,15 @@ ORACLES["curation_temperature_mixture"] = f"""
 def curation_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
     from ..operators.ranks import range_bucket, with_global_order
-    from .textstats import (
-        _lr_apply_stats,
-        _lr_features,
-        _lr_p,
-        _lr_stats,
-        _lr_trained_weights,
-        _lr_z,
-    )
-    from ..functions.rounding import iunits
+    from .textstats import _lr_scored
 
     docs = load_table(spark, sf_dir, "documents")
-    feat = _lr_features(docs, extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
     )
     scored = (
-        zfeat.crossJoin(F.broadcast(w))
-        .select("doc_id", iunits(_lr_p(_lr_z()), 9).alias("score_units"))
+        _lr_scored(spark, sf_dir)
+        .select("doc_id", "score_units")
         .join(toks, "doc_id")
     )
     sg = scored.groupBy("score_units").agg(F.min("n_tokens").alias("mt"))

@@ -735,8 +735,15 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokenize(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
+    # r13 OPT: three consumers referenced the tokenize scan (the vocab
+    # count inside pagerank(), the node checkpoint, and the pair
+    # build), so the corpus was tokenized THREE times per call.
+    # Materialize the tokenized relation and the 200-row vocab once —
+    # localCheckpoint(eager=False), CacheManager-free.
+    toks = (
+        docs.select(tokenize(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+        .localCheckpoint(eager=False)
     )
     words = toks.select(F.explode("t").alias("w"))
     vocab = (
@@ -745,6 +752,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(TR_VOCAB)
         .select("w")
+        .localCheckpoint(eager=False)
     )
     # adjacent pairs via the zip-at-explode idiom (no window, no HOF)
     pairs = (

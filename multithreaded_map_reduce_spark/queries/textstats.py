@@ -2141,48 +2141,82 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _finalize_logreg(spark: SparkSession, out: DataFrame, zfeat: DataFrame) -> DataFrame:
-    """Materialize the tiny final aggregate (≤ len(thresholds) rows),
-    then UNPERSIST the feature relation in a finally — the bench runs
-    ~290 queries in one session and a leaked MEMORY_AND_DISK relation
-    holds executor storage for the rest of the process (ADVICE r6;
-    ``logreg_model_path`` below is the pattern). The handful of result
-    rows come back as a local DataFrame with the identical schema."""
-    try:
-        rows = out.collect()
-    finally:
-        zfeat.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+#: (applicationId, sf_dir) -> lazily localCheckpoint-ed scored corpus.
+_LR_SCORED_CACHE: dict[str, DataFrame] = {}
+
+
+def _build_lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED score-once relation ``(doc_id, keep, score_units)``
+    — one full standardize+score pass over documents with the shared
+    trained weights. ``score_units = round(p · 1e9)`` is the exact
+    integer every logreg rider already snapped to (ADVICE r10: snap
+    BEFORE thresholding), so each rider's former per-call ``p`` /
+    ``p_units`` expression is reproduced bit-identically as
+    ``score_units / 1e9`` / ``score_units``. Plan contracts inspect
+    this builder (the cached artifact's lineage truncates to an
+    ExistingRDD scan once materialized, by design)."""
+    from ..functions.rounding import iunits
+
+    feat = _lr_features(
+        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
+    )
+    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
+    w = _lr_trained_weights(spark, sf_dir)
+    return zfeat.crossJoin(F.broadcast(w)).select(
+        "doc_id",
+        "keep",
+        iunits(_lr_p(_lr_z()), 9).alias("score_units"),
+    )
+
+
+def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-once shared artifact for the NINE logreg readout queries
+    (r13 OPT: each rider re-ran the identical tokenize+standardize+
+    score corpus scan TWICE per call — once for the moment stats, once
+    for scoring — to reduce a ≤|corpus|-row relation that every rider
+    then aggregates a different way). One lazy localCheckpoint per
+    (session, fixture dir) pays the scan once; riders become one
+    aggregate over (doc_id, keep, score_units). Same keying and
+    staleness contract as ``_supplier_cograph`` (applicationId, not
+    recyclable ``id(spark)`` — ADVICE r12)."""
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _LR_SCORED_CACHE:
+        _LR_SCORED_CACHE[key] = _build_lr_scored(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _LR_SCORED_CACHE[key]
 
 
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-
-    from ..functions.rounding import iunits
-
-    # scoring is now the only zfeat consumer (weights come from the
-    # shared train-once artifact) — no persist needed for a single pass
-    zfeat = _lr_standardize(
-        _lr_features(load_table(spark, sf_dir, "documents"))
-    )
+    # One aggregate over the score-once artifact. p was already the
+    # 1e-9-snapped double score_units/1e9 (``_lr_p`` ends in
+    # from_iunits(iunits(·,9),9)), so p >= 0.5 ⟺ score_units >= 5e8
+    # and Σ iunits(p,9) ≡ Σ score_units — bit-identical readout.
+    scored = _lr_scored(spark, sf_dir)
     w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep",
-        *[F.col(f"w{j}") for j in range(_LR_NX + 1)],
-        _lr_p(_lr_z()).alias("p"),
-    )
     out = scored.groupBy(
-        "keep", (F.col("p") >= F.lit(0.5)).cast("int").alias("pred_keep")
+        "keep",
+        (F.col("score_units") >= F.lit(500_000_000)).cast("int").alias(
+            "pred_keep"
+        ),
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         pround(
-            F.sum(iunits(F.col("p"), 9)).cast("double")
+            F.sum("score_units").cast("double")
             / F.lit(1e9)
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("avg_score"),
-        *[pround(F.first(f"w{j}"), 6).alias(f"w{j}") for j in range(_LR_NX + 1)],
     )
-    return _finalize_logreg(spark, out, zfeat)
+    return out.crossJoin(F.broadcast(w)).select(
+        "keep",
+        "pred_keep",
+        "n_docs",
+        "avg_score",
+        *[pround(F.col(f"w{j}"), 6).alias(f"w{j}") for j in range(_LR_NX + 1)],
+    )
 
 
 QUERIES["quality_logreg"] = quality_logreg
@@ -2375,15 +2409,12 @@ LOGREG_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7]
 
 def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
-    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    # nano-snap BEFORE thresholding (ADVICE r10): the oracle compares
-    # score_units/1e9, so an unsnapped p within 0.5e-9 of a threshold
-    # would classify differently across engines
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
+    # nano-snap BEFORE thresholding (ADVICE r10): the artifact stores
+    # the snapped integer score_units, so p = score_units/1e9 is the
+    # identical double the per-call chain produced
+    scored = _lr_scored(spark, sf_dir).select(
         "keep",
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+        (F.col("score_units").cast("double") / F.lit(1e9)).alias("p"),
     )
     thr = F.explode(
         F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])
@@ -2419,7 +2450,7 @@ def quality_logreg_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
-    return _finalize_logreg(spark, out, zfeat)
+    return out
 
 
 QUERIES["quality_logreg_pr"] = quality_logreg_pr
@@ -2468,14 +2499,9 @@ def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere past the model itself. Scale: one aggregate over the
     scored relation, 10 output rows."""
 
-    from ..functions.rounding import iunits, ratio_units
+    from ..functions.rounding import ratio_units
 
-    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
-    )
+    scored = _lr_scored(spark, sf_dir).select("keep", "score_units")
     binned = scored.select(
         "keep",
         "score_units",
@@ -2505,7 +2531,7 @@ def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_units("_sum_units", "1000 * n", 1).alias("mean_score_micros"),
         )
     )
-    return _finalize_logreg(spark, out, zfeat)
+    return out
 
 
 QUERIES["quality_logreg_calibration"] = quality_logreg_calibration
@@ -2702,14 +2728,7 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-sized is map-side-combined aggregation."""
     from pyspark.sql import Window as W
 
-    from ..functions.rounding import iunits
-
-    feat = _lr_features(load_table(spark, sf_dir, "documents"), extra=("doc_id",))
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep", iunits(_lr_p(_lr_z()), 9).alias("score_units")
-    )
+    scored = _lr_scored(spark, sf_dir).select("keep", "score_units")
     groups = scored.groupBy("score_units").agg(
         F.count(F.lit(1)).alias("n"), F.sum("keep").alias("n_pos")
     )
@@ -2740,7 +2759,7 @@ def quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (2 * (2 * {n1d} * {n0d}))"
         ).alias("auc_micros"),
     )
-    return _finalize_logreg(spark, out, zfeat)
+    return out
 
 
 QUERIES["quality_logreg_auc"] = quality_logreg_auc
@@ -4088,15 +4107,11 @@ def quality_logreg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact confusion factor and one sqrt under pround."""
     from ..functions.rounding import ratio_micros
 
-    feat = _lr_features(
-        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
-    )
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    # nano-snap BEFORE thresholding (ADVICE r10) — the logreg_pr rail
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
+    # nano-snap BEFORE thresholding (ADVICE r10) — the logreg_pr rail,
+    # read off the score-once artifact
+    scored = _lr_scored(spark, sf_dir).select(
         "keep",
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+        (F.col("score_units").cast("double") / F.lit(1e9)).alias("p"),
     )
     thr = F.explode(
         F.array(*[F.lit(t) for t in LOGREG_THRESHOLDS])
@@ -4346,13 +4361,8 @@ MCN_THR = 0.5
 def quality_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
 
-    feat = _lr_features(
-        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
-    )
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+    scored = _lr_scored(spark, sf_dir).select(
+        (F.col("score_units").cast("double") / F.lit(1e9)).alias("p"),
         F.col("keep"),
     )
     pa = (F.col("p") >= F.lit(MCN_THR)).cast("int")  # the student model
@@ -4436,13 +4446,8 @@ ORACLES["quality_mcnemar"] = ORACLES["quality_mcnemar"].replace(
 def quality_kappa_model_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
 
-    feat = _lr_features(
-        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
-    )
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+    scored = _lr_scored(spark, sf_dir).select(
+        (F.col("score_units").cast("double") / F.lit(1e9)).alias("p"),
         F.col("keep"),
     )
     pa = (F.col("p") >= F.lit(MCN_THR)).cast("long")
@@ -4547,13 +4552,8 @@ ORACLES["quality_kappa_model_rule"] = ORACLES["quality_kappa_model_rule"].replac
 def quality_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
 
-    feat = _lr_features(
-        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
-    )
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        "keep", iunits(_lr_p(_lr_z()), 9).alias("p_units")
+    scored = _lr_scored(spark, sf_dir).select(
+        "keep", F.col("score_units").alias("p_units")
     )
     dec = "decimal(38,0)"
     agg = scored.agg(
@@ -4938,13 +4938,8 @@ ORACLES["quality_wilson_interval"] = (
 def quality_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
 
-    feat = _lr_features(
-        load_table(spark, sf_dir, "documents"), extra=("doc_id",)
-    )
-    zfeat = _lr_apply_stats(feat, _lr_stats(feat), extra=("doc_id",))
-    w = _lr_trained_weights(spark, sf_dir)
-    scored = zfeat.crossJoin(F.broadcast(w)).select(
-        (iunits(_lr_p(_lr_z()), 9).cast("double") / F.lit(1e9)).alias("p"),
+    scored = _lr_scored(spark, sf_dir).select(
+        (F.col("score_units").cast("double") / F.lit(1e9)).alias("p"),
         F.col("keep"),
     )
     pa = (F.col("p") >= F.lit(MCN_THR)).cast("long")
@@ -5238,8 +5233,21 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> struct(x AS a, y AS b))"
             )
         ).alias("p"),
-    ).select("source", "p.a", "p.b").localCheckpoint(eager=False)
-    uni = chars.groupBy("source", "a").agg(F.count(F.lit(1)).alias("n"))
+    ).select("source", "p.a", "p.b")
+    # r13 OPT: aggregate to (source, a, b) grain in ONE explode pass
+    # (map-side partial agg; the old char-grain localCheckpoint
+    # materialized every character of the corpus just so two consumers
+    # could re-aggregate it). The unigram counts are recoverable
+    # exactly: every char appears as ``a`` in exactly one zip_with
+    # pair (the final char with b = NULL), so n(source, a) = Σ_b nab
+    # including the NULL-b rows. The checkpointed relation is now
+    # alphabet²-bounded, not corpus-bounded.
+    bi_all = (
+        chars.groupBy("source", "a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .localCheckpoint(eager=False)
+    )
+    uni = bi_all.groupBy("source", "a").agg(F.sum("nab").alias("n"))
     n_tot = uni.groupBy("source").agg(F.sum("n").alias("nn"))
     h1 = (
         uni.join(n_tot, "source")
@@ -5255,11 +5263,7 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h1_sum"),
         )
     )
-    bi = (
-        chars.filter(F.col("b").isNotNull())
-        .groupBy("source", "a", "b")
-        .agg(F.count(F.lit(1)).alias("nab"))
-    )
+    bi = bi_all.filter(F.col("b").isNotNull())
     ctx = bi.groupBy("source", "a").agg(F.sum("nab").alias("na"))
     h2 = (
         bi.join(ctx, ["source", "a"])

@@ -361,8 +361,12 @@ def test_knn_join_no_cartesian_and_salted(spark):
     must be part of the join keys (parallelism rail — see
     operators/similarity.knn_join_ivf)."""
     from multithreaded_map_reduce_spark.plans import explain_formatted, plan_report
+    from multithreaded_map_reduce_spark.queries.similarity import _build_knn_graph
 
-    df = _q("knn_join_embeddings")(spark, SF_SMOKE)
+    # the registered query returns the shared checkpointed artifact
+    # (lineage truncates to an ExistingRDD scan) — the contract is on
+    # the UNCACHED builder, the cograph pattern
+    df = _build_knn_graph(spark, SF_SMOKE)
     rep = plan_report(df)
     assert not rep.cartesian
     txt = explain_formatted(df)
