@@ -141,6 +141,24 @@ def _force_dup_components(spark: SparkSession, sf_dir: str) -> None:
     _dup_components(spark, sf_dir).count()
 
 
+def _force_trade_edges(spark: SparkSession, sf_dir: str) -> None:
+    from .graphrank import _trade_edges
+
+    _trade_edges(spark, sf_dir).count()
+
+
+def _force_copurchase_edges(spark: SparkSession, sf_dir: str) -> None:
+    from .mining import _copurchase_pairs_shared
+
+    _copurchase_pairs_shared(spark, sf_dir).count()
+
+
+def _force_daily_event_counts(spark: SparkSession, sf_dir: str) -> None:
+    from .timeseries import _daily_event_counts
+
+    _daily_event_counts(spark, sf_dir).count()
+
+
 def _force_lr_weights(spark: SparkSession, sf_dir: str) -> None:
     # weights (collected floats) + the score-once checkpointed corpus
     # relation every readout rider aggregates (r13 OPT)
@@ -191,6 +209,44 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
             "embedding_hubness",
             "embedding_intrinsic_dim",
             "embedding_knn_outliers",
+        ),
+    ),
+    "daily_event_counts": (
+        _force_daily_event_counts,
+        (
+            "timeseries_ljung_box",
+            "timeseries_runs_test",
+            "timeseries_hurst_rs",
+            "timeseries_variance_ratio",
+            "timeseries_ar1_halflife",
+            "timeseries_periodogram",
+            "timeseries_mann_kendall",
+            "timeseries_seasonal_mann_kendall",
+            "timeseries_ses_gridsearch",
+            "timeseries_spectral_entropy",
+            "timeseries_turning_points",
+            "timeseries_cox_stuart",
+            "timeseries_kpss",
+            "timeseries_cum_periodogram",
+        ),
+    ),
+    "copurchase_edges": (
+        _force_copurchase_edges,
+        (
+            "copurchase_rules",
+            "graph_link_prediction",
+            "graph_modularity",
+        ),
+    ),
+    "trade_edges": (
+        _force_trade_edges,
+        (
+            "pagerank_nations",
+            "ppr_region_nations",
+            "sssp_nations",
+            "closeness_nations",
+            "graph_hits_nations",
+            "graph_labelprop_communities",
         ),
     ),
     "supplier_cograph": (

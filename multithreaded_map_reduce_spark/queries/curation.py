@@ -1028,12 +1028,23 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(tokenize(F.col("text"))).alias("tok"),
     ).select("doc_id", "source", b.alias("b"))
+    # r13 OPT: THREE consumers (target LM, non-target LM, per-doc
+    # weight sum) each re-ran the tokenize explode. One (doc, source,
+    # bucket)-grain count aggregate feeds all three exactly: bucket
+    # counts are Σc, token totals are Σc, and the per-doc log-weight
+    # Σ lr over occurrences equals Σ c·lr over buckets (integer
+    # multiply — bit-identical).
+    docb = (
+        terms.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
 
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
 
     def bucket_lm(t: DataFrame, name: str) -> DataFrame:
-        cnt = t.groupBy("b").agg(F.count("*").alias("c"))
-        tot = t.select(F.count("*").alias("n"))
+        cnt = t.groupBy("b").agg(F.sum("c").alias("c"))
+        tot = t.select(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
         return (
             spine.join(cnt, "b", "left")
             .crossJoin(tot)
@@ -1046,17 +1057,20 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    p = bucket_lm(terms.filter(F.col("source") == DSIR_TARGET_SRC), "lp")
-    q = bucket_lm(terms.filter(F.col("source") != DSIR_TARGET_SRC), "lq")
+    p = bucket_lm(docb.filter(F.col("source") == DSIR_TARGET_SRC), "lp")
+    q = bucket_lm(docb.filter(F.col("source") != DSIR_TARGET_SRC), "lq")
     ratio = p.join(q, "b").select(
         "b", iunits(F.col("lp") - F.col("lq"), 9).alias("lr_units")
     )
 
-    raw_terms = terms.filter(F.col("source") != DSIR_TARGET_SRC)
+    raw_terms = docb.filter(F.col("source") != DSIR_TARGET_SRC)
     logw = (
         raw_terms.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
-        .agg(F.sum("lr_units").alias("logw_units"), F.count("*").alias("n_tokens"))
+        .agg(
+            F.sum(F.col("c") * F.col("lr_units")).alias("logw_units"),
+            F.sum("c").alias("n_tokens"),
+        )
     )
     u = (token_hash(F.concat(F.lit("dsir"), F.col("doc_id").cast("string"))) + F.lit(1)).cast(
         "double"

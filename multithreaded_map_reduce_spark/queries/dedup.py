@@ -1101,6 +1101,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         alldocs.withColumn("_rk", F.row_number().over(rk))
         .filter(F.col("_rk") <= LSH_EVAL_N)
         .drop("_rk")
+        # r13 OPT: two consumers (the shingle build and the lang
+        # re-attach join) re-ran the full-corpus rank window
+        .localCheckpoint(eager=False)
     )
     # sampled-relation shingles, two consumers (signatures + verify
     # sets) — localCheckpoint: CacheManager-free (plan determinism),

@@ -3147,7 +3147,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev.groupBy(sw, "user_id").agg(
         F.min(epoch_micros(F.col("ts"))).alias("first_us"),
         F.max(epoch_micros(F.col("ts"))).alias("last_us"),
-    )
+    # r13 OPT: three consumers (the two delta selects and the session
+    # count) re-ran the session_window aggregation — materialize once
+    ).localCheckpoint(eager=False)
     deltas = sess.select(
         F.col("first_us").alias("t"), F.lit(1).alias("d")
     ).unionByName(
@@ -3173,7 +3175,8 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conc = intra.join(offsets, "day").select(
         "t", (F.col("off") + F.col("cum_intra")).alias("c")
-    )
+    # r13 OPT: two consumers (the max and the argmin-at-peak join)
+    ).localCheckpoint(eager=False)
     n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     peak = conc.agg(F.max("c").alias("peak_concurrency"))
     at = (

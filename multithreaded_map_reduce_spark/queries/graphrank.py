@@ -31,7 +31,10 @@ N_NATIONS = 25
 NUM_ITER = 10
 
 
-def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED nation trade-graph fold — plan contracts inspect
+    this (the cached artifact's lineage truncates to an ExistingRDD
+    scan once materialized, by design)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -45,6 +48,29 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
+
+
+#: (applicationId, sf_dir) -> lazily localCheckpoint-ed trade graph.
+_TRADE_EDGES_CACHE: dict[str, DataFrame] = {}
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once shared trade-graph artifact (r13 OPT, the
+    _supplier_cograph pattern): FIVE iterative-ranking queries
+    (pagerank, PPR, SSSP, closeness, HITS) fold the identical
+    lineitem⋈orders⋈supplier⋈customer relation down to the ≤625-row
+    nation graph, and each previously re-ran the full fact-table fold
+    per call (~1-1.5 s at sf0.1) before its cheap 25-node iteration.
+    Keyed by applicationId (ADVICE r12) so a restarted session
+    rebuilds."""
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _TRADE_EDGES_CACHE:
+        _TRADE_EDGES_CACHE[key] = _build_trade_edges(
+            spark, sf_dir
+        ).localCheckpoint(eager=False)
+    return _TRADE_EDGES_CACHE[key]
 
 
 def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,41 +922,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_micros
-    from .mining import MAX_BASKET, MIN_SUPPORT
+    from .mining import _copurchase_pairs_shared
 
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    small = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") <= MAX_BASKET)
-        .select("l_orderkey")
-    )
-    opc = op.join(small, "l_orderkey")
-    pa, pb = opc.alias("pa"), opc.alias("pb")
-    e = (
-        pa.join(
-            pb,
-            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
-            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
-        )
-        .groupBy(
-            F.col("pa.l_partkey").alias("a"),
-            F.col("pb.l_partkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= MIN_SUPPORT)
-        .select("a", "b")
-        # the support-filtered edge set is SMALL (support starves as
-        # the catalog grows — ~3.5k rows at sf0.1) but referenced by
-        # FIVE consumers (adj×2, deg, wedges×2, anti-join): without a
-        # checkpoint each re-executes the full basket pair join — the
-        # 36-scan plan the round-9 audit caught. localCheckpoint cuts
-        # it to one (plan-asserted).
-        .localCheckpoint()
+    # r13 OPT: the support-filtered edge set is the IDENTICAL
+    # copurchase_pairs build (distinct → basket cap → self-join →
+    # support filter) — ride the shared artifact instead of re-running
+    # the basket pair join per call. It is SMALL (~3.5k rows at sf0.1:
+    # support starves as the catalog grows) but referenced by FIVE
+    # consumers here (adj×2, deg, wedges×2, anti-join), which is why
+    # the artifact (a materialized LogicalRDD) matters — without it
+    # each consumer re-executes the full pair join (the 36-scan plan
+    # the round-9 audit caught).
+    e = _copurchase_pairs_shared(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -1134,37 +1138,12 @@ ORACLES["graph_degree_assortativity"] = """
 # |brands|-row aggregate.
 
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .mining import MAX_BASKET, MIN_SUPPORT
+    from .mining import _copurchase_pairs_shared
 
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    small = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") <= MAX_BASKET)
-        .select("l_orderkey")
-    )
-    opc = op.join(small, "l_orderkey")
-    pa, pb = opc.alias("pa"), opc.alias("pb")
-    e = (
-        pa.join(
-            pb,
-            (F.col("pa.l_orderkey") == F.col("pb.l_orderkey"))
-            & (F.col("pa.l_partkey") < F.col("pb.l_partkey")),
-        )
-        .groupBy(
-            F.col("pa.l_partkey").alias("a"),
-            F.col("pb.l_partkey").alias("b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= MIN_SUPPORT)
-        .select("a", "b")
-        # three consumers (brand join ×2 via adj + m count) — one
-        # materialization, CacheManager-free (the r10 discipline)
-        .localCheckpoint(eager=False)
+    # r13 OPT: the identical copurchase_pairs build — ride the shared
+    # artifact (three consumers here: brand join ×2 via adj + m count)
+    e = _copurchase_pairs_shared(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     brand = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand")

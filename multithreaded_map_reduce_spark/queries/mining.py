@@ -70,6 +70,29 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> lazily localCheckpoint-ed pair relation.
+_COPURCHASE_CACHE: dict[str, DataFrame] = {}
+
+
+def _copurchase_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once shared co-purchase edge artifact (r13 OPT, the
+    _supplier_cograph pattern): the association-rule, link-prediction
+    and modularity queries each re-ran the identical distinct→basket-
+    cap→self-join→support-filter pair build per call (the dominant
+    cost of each). ``copurchase_pairs`` itself (the primary pair
+    query) deliberately does NOT ride the cache — its bench row keeps
+    measuring the build. Keyed by applicationId (ADVICE r12) so a
+    restarted session rebuilds."""
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _COPURCHASE_CACHE:
+        _COPURCHASE_CACHE[key] = copurchase_pairs(
+            spark, sf_dir
+        ).localCheckpoint(eager=False)
+    return _COPURCHASE_CACHE[key]
+
+
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance near-dup pairs inside deterministic blocks.
 
@@ -1158,7 +1181,8 @@ def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     opc = op.join(small, "l_orderkey")
-    pairs = copurchase_pairs(spark, sf_dir)
+    # r13 OPT: ride the shared pair artifact (identical build)
+    pairs = _copurchase_pairs_shared(spark, sf_dir)
     both = pairs.unionByName(
         pairs.select(
             F.col("part_b").alias("part_a"),

@@ -605,6 +605,9 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("v")
         .agg(F.sum("a").alias("na_v"), F.sum("b").alias("nb_v"))
+        # r13 OPT: two consumers (the cumulative window and the totals
+        # aggregate) re-ran the value-grain groupBy -- materialize once
+        .localCheckpoint(eager=False)
     )
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     cum = per_v.select(
@@ -1037,12 +1040,16 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = load_table(spark, sf_dir, parent_t).select(
             F.col(pk).alias("_pk")
         )
+        # r13 OPT (guide §2.3 — aggregate before you shuffle): orphan
+        # ROWS are counted at FK-VALUE grain (map-side partial agg),
+        # so the anti-join moves distinct keys, not the fact table
         rep = (
-            child.select(F.col(fk).alias("_fk"))
+            child.groupBy(F.col(fk).alias("_fk"))
+            .agg(F.count(F.lit(1)).alias("_n"))
             .join(parent, F.col("_fk") == F.col("_pk"), "left_anti")
             .agg(
                 F.lit(name).alias("relationship"),
-                F.count(F.lit(1)).alias("n_orphans"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphans"),
             )
         )
         out = rep if out is None else out.unionByName(rep)
@@ -2958,6 +2965,9 @@ def quality_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("v")
         .agg(F.sum("a").alias("na_v"), F.sum("b").alias("nb_v"))
+        # r13 OPT: two consumers (the cumulative window and the totals
+        # aggregate) re-ran the value-grain groupBy -- materialize once
+        .localCheckpoint(eager=False)
     )
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     cum = per_v.select(

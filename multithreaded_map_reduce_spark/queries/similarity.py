@@ -2096,7 +2096,14 @@ def sim_matryoshka_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import pround as _pr
 
     q, c = _split(spark, sf_dir)
-    full = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # r13 OPT: the full-dim truth relation is referenced by EVERY rung
+    # (|MRL_DIMS| intersects) plus the query spine — without a
+    # materialization the full brute-force scan re-runs per rung
+    full = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     base = full.select("query_id").distinct()
     out = None
     for d in MRL_DIMS:
@@ -2850,37 +2857,45 @@ def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
 
     emb = load_table(spark, sf_dir, "embeddings")
+    snapped = F.expr(
+        "transform(embedding,"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d)"
+        " AS BIGINT))"
+    )
     vals = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(embedding,"
-                " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d)"
-                " AS BIGINT))"
-            )
-        ).alias("dim", "x"),
-    ).localCheckpoint(eager=False)
+        "vec_id", F.posexplode(snapped).alias("dim", "x")
+    )
     dec = "decimal(38,0)"
     per = vals.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
         F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("ss"),
-    )
-    a, b = vals.alias("a"), vals.alias("b")
+    # r13 OPT: the d-row moment relation feeds BOTH broadcast sides of
+    # the correlation attach — materialize once
+    ).localCheckpoint(eager=False)
+    # r13 OPT (guide §3: don't explode INTO a join): the old plan
+    # self-joined the (vec_id, dim, x) explode on vec_id to form the
+    # d(d−1)/2 products — n·64 rows shuffled twice and n·2016 joined
+    # rows materialized. The products need no join at all: unfold the
+    # upper triangle of each row's outer product directly from the
+    # array (one generate, map-side partial aggregation, the only
+    # shuffle is the 2016-group final agg). DECIMAL sums are exact and
+    # order-free, so the result is bit-identical.
     pair = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") < F.col("b.dim")),
+        emb.select(snapped.alias("xs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(xs) - 2),"
+                    " i -> transform(sequence(i + 1, size(xs) - 1),"
+                    " j -> struct(i AS da, j AS db,"
+                    " CAST(CAST(xs[i] AS DECIMAL(38,0)) * xs[j]"
+                    "      AS DECIMAL(38,0)) AS p))))"
+                )
+            ).alias("e")
         )
-        .groupBy(
-            F.col("a.dim").alias("da"), F.col("b.dim").alias("db")
-        )
-        .agg(
-            F.sum(
-                (F.col("a.x").cast(dec) * F.col("b.x")).cast(dec)
-            ).alias("sxy")
-        )
+        .groupBy(F.col("e.da").alias("da"), F.col("e.db").alias("db"))
+        .agg(F.sum("e.p").alias("sxy"))
     )
     pa = per.select(
         F.col("dim").alias("da"),

@@ -3370,9 +3370,11 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 OPT: three consumers (expansion terms, doc lengths, expanded
+    # tf) re-ran the tokenize explode — materialize once
     terms = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     orig = bm25_scored(docs).localCheckpoint()
     fb = (
         orig.orderBy(F.desc("bm25"), F.asc("doc_id"))

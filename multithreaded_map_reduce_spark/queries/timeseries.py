@@ -19,10 +19,54 @@ from ..functions.rounding import (
     sql_pround,
     sql_ratio_units,
 )
+from ..functions.time import epoch_micros
 from ..operators.timeseries import resample_gapfill
 from ..sources.catalog import load_table
 
 STEP_US = 3600 * 1_000_000  # 1-hour buckets
+
+#: (applicationId, sf_dir) -> lazily localCheckpoint-ed day-grain series.
+_DAILY_COUNTS_CACHE: dict[str, DataFrame] = {}
+
+
+def _build_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED day-grain event-count series — plan contracts
+    inspect this (the cached artifact's lineage truncates to an
+    ExistingRDD scan once materialized, by design)."""
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def _daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once shared day-grain series (r13 OPT, the
+    _supplier_cograph pattern): THIRTEEN time-series diagnostics
+    (Ljung-Box, runs, Hurst, variance ratio, AR(1), periodogram,
+    Mann-Kendall + seasonal, SES grid, spectral entropy, turning
+    points, Cox-Stuart, KPSS, cumulative periodogram) all start from
+    the identical (day, count) relation — each previously re-ran the
+    events scan + groupBy per call (and several re-ran it per
+    CONSUMER inside one call). One lazy localCheckpoint per (session,
+    fixture dir); the relation is day-grain (~365 rows at any SF), so
+    the artifact is tiny while the saved scans are corpus-sized.
+    Keyed by applicationId (ADVICE r12) so a restarted session
+    rebuilds."""
+    from ..session import artifact_cache_key
+
+    key = artifact_cache_key(spark, sf_dir)
+    if key not in _DAILY_COUNTS_CACHE:
+        _DAILY_COUNTS_CACHE[key] = _build_daily_event_counts(
+            spark, sf_dir
+        ).localCheckpoint(eager=False)
+    return _DAILY_COUNTS_CACHE[key]
 
 
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,7 +106,6 @@ def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     b = (
         ev.select(
@@ -257,7 +300,6 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     b = (
@@ -419,7 +461,6 @@ ORACLES["interval_overlap_orders"] = f"""
 
 def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, pround
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     us = epoch_micros(F.col("ts"))
@@ -497,8 +538,6 @@ ORACLES["timeseries_seasonal_profile"] = f"""
 
 def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
-
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -592,7 +631,6 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     weights, den = _holt_int_weights()
     ev = load_table(spark, sf_dir, "events")
@@ -668,7 +706,6 @@ ACF_LAGS = 6
 
 def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     ser = (
@@ -758,7 +795,6 @@ ORACLES["timeseries_acf"] = f"""
 
 def timeseries_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     DAY_US = 86_400_000_000
     ev = load_table(spark, sf_dir, "events")
@@ -841,7 +877,6 @@ def timeseries_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.rounding import iunits, ratio_units_dec
-    from ..functions.time import epoch_micros
 
     weights, den = _holt_int_weights()
     ev = load_table(spark, sf_dir, "events")
@@ -967,7 +1002,6 @@ ORACLES["timeseries_backtest_mase"] = _mase_oracle()
 
 def timeseries_deseasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, ratio_units
-    from ..functions.time import epoch_micros
 
     DAY_US = 86_400_000_000
     ev = load_table(spark, sf_dir, "events")
@@ -1145,7 +1179,6 @@ ORACLES["timeseries_theil_sen"] = """
 
 def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, ratio_units_dec
-    from ..functions.time import epoch_micros
 
     DAY_US = 86_400_000_000
     ev = load_table(spark, sf_dir, "events")
@@ -1249,7 +1282,6 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_micros, ratio_units_dec
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -1413,8 +1445,6 @@ def _hw_int_weights(taps: int = HW_TAPS, m: int = HW_SEASON) -> tuple[list[int],
 def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.time import epoch_micros
-
     weights, den = _hw_int_weights()
     ev = load_table(spark, sf_dir, "events")
     cnt = (
@@ -1515,7 +1545,6 @@ ORACLES["timeseries_holt_winters"] = _hw_oracle()
 
 def timeseries_kendall_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -1753,7 +1782,6 @@ def timeseries_changepoint2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -1890,7 +1918,6 @@ def timeseries_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) moments, one double conversion per exact factor,
     portable rounding)."""
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     ser = (
@@ -2005,18 +2032,10 @@ LB_CHI2_5PCT_MICROS = 14_067_140  # χ²(7, 0.95) = 14.067140...
 
 def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
@@ -2139,18 +2158,10 @@ def timeseries_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     med = ser.agg(
         F.element_at(
             F.sort_array(F.collect_list("x")),
@@ -2285,18 +2296,10 @@ def timeseries_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import iunits
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     idx = ser.select(
         (F.row_number().over(W.orderBy("day")) - 1).alias("i"), "x"
     )
@@ -2478,19 +2481,11 @@ VR_Q = 5
 
 def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .localCheckpoint(eager=False)  # four consumers (both diff joins)
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact (already a
+    # materialized LogicalRDD, so multi-consumer reuse is free)
+    ser = _daily_event_counts(spark, sf_dir)
 
     def diffs(lag: int) -> DataFrame:
         a, b = ser.alias("a"), ser.alias("b")
@@ -2593,18 +2588,10 @@ def timeseries_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_units,
         ratio_units_dec_signed,
     )
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     u = ser.crossJoin(F.broadcast(tot)).select(
@@ -2735,18 +2722,10 @@ PG_TABLES = _pg_tables()
 
 def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
     dec = "decimal(38,0)"
     u = ser.crossJoin(F.broadcast(tot)).select(
@@ -2878,19 +2857,11 @@ MK_CHI2_5PCT_MICROS = 3_841_459
 
 def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .localCheckpoint(eager=False)
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact (already a
+    # materialized LogicalRDD, so multi-consumer reuse is free)
+    ser = _daily_event_counts(spark, sf_dir)
     a, b = ser.alias("a"), ser.alias("b")
     s_rel = (
         a.join(b, F.col("a.day") < F.col("b.day"))
@@ -3026,19 +2997,10 @@ SES_WEIGHTS = _ses_weights()
 def timeseries_ses_gridsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..functions.time import epoch_micros
-
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .localCheckpoint(eager=False)
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact (already a
+    # materialized LogicalRDD, so multi-consumer reuse is free)
+    ser = _daily_event_counts(spark, sf_dir)
     offs = spark.range(1, SES_TAPS + 1).select(
         F.col("id").cast("int").alias("j")
     )
@@ -3184,18 +3146,10 @@ SE_LN_NP_NANOS = 3367295830
 
 def timeseries_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import iunits, ratio_units, ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
     dec = "decimal(38,0)"
     u = ser.crossJoin(F.broadcast(tot)).select(
@@ -3386,18 +3340,10 @@ def timeseries_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     w = W.orderBy("day")
     marked = ser.select(
         "x",
@@ -3500,18 +3446,10 @@ def timeseries_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     w = W.orderBy("day")
     ranked = ser.select(
         "x", F.row_number().over(w).alias("rn")
@@ -3626,18 +3564,10 @@ def timeseries_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("t"))
     dec = "decimal(38,0)"
     u = ser.crossJoin(F.broadcast(tot)).select(
@@ -3740,18 +3670,10 @@ def timeseries_cum_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    # r13 OPT: the day-grain count series is the identical relation in
+    # a dozen registry queries -- ride the shared artifact
+    ser = _daily_event_counts(spark, sf_dir)
     tot = ser.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
     dec = "decimal(38,0)"
     u = ser.crossJoin(F.broadcast(tot)).select(
@@ -3788,7 +3710,10 @@ def timeseries_cum_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").cast(dec) * F.col("a")
             + F.col("b").cast(dec) * F.col("b")
         ).alias("power"),
-    )
+    # r13 OPT: two consumers (total power + the cumulative walk) re-ran
+    # the phase-table aggregate (the codegen-heavy stage) — materialize
+    # the |periods|-row relation once
+    ).localCheckpoint(eager=False)
     np_ = len(SE_PERIODS)
     w_cum = W.orderBy("period").rowsBetween(W.unboundedPreceding, 0)
     w_j = W.orderBy("period")
@@ -3912,19 +3837,10 @@ def timeseries_seasonal_mann_kendall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
-    from ..functions.time import epoch_micros
 
-    ev = load_table(spark, sf_dir, "events")
-    ser = (
-        ev.select(
-            (epoch_micros(F.col("ts")) / F.lit(86_400_000_000))
-            .cast("long")
-            .alias("day")
-        )
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .select("day", "x", F.expr("pmod(day, 7)").alias("dow"))
-        .localCheckpoint(eager=False)
+    # r13 OPT: ride the shared day-grain artifact
+    ser = _daily_event_counts(spark, sf_dir).select(
+        "day", "x", F.expr("pmod(day, 7)").alias("dow")
     )
     a, b = ser.alias("a"), ser.alias("b")
     s_rel = (
