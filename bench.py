@@ -379,6 +379,64 @@ HEADLINE = [
     "events_session_sensitivity",
 ]
 
+# Fixed common core for the PRINTED line (VERDICT r13 item 2): r13's
+# pure signal-ranked rotation left consecutive rounds' printed subsets
+# with a 6-query intersection and the driver's scaling block empty.
+# These names are ALWAYS emitted (the rotation only fills the budget
+# that remains), so PERF_r{N} and the 32-vs-8-core scaling comparison
+# always have a guaranteed common set. Composition: 37 of the 41
+# queries of r13's printed line (round-over-round continuity; the four
+# 0.2s rows dropped for budget) plus the 3 most expensive warm rows of
+# BENCH_DETAIL r13 (where the optimization story lives). 40 names plus
+# the 5-entry regression cap fit the 1900-char budget with every other
+# field at its observed worst case (measured: 1871 chars at 42 names).
+# Append-only — removing a name breaks the guarantee.
+CORE_PRINTED = [
+    # r13 printed line (BENCH_r13.json "queries")
+    "curation_pipeline_report",
+    "curation_quality_pareto",
+    "curation_split_leakproof",
+    "dedup_capture_recapture",
+    "dedup_cluster_histogram",
+    "embedding_covariance_audit",
+    "embedding_hubness",
+    "embedding_intrinsic_dim",
+    "events_nelson_aalen",
+    "events_peak_concurrency",
+    "events_session_sensitivity",
+    "graph_link_prediction",
+    "graph_modularity",
+    "multimodal_audio_zcr",
+    "multimodal_image_borders",
+    "privacy_generalization",
+    "quality_anderson_darling",
+    "quality_bartlett",
+    "quality_cohens_d",
+    "quality_fleiss_kappa",
+    "quality_gk_gamma",
+    "quality_gwet_ac1",
+    "quality_jonckheere",
+    "quality_logreg",
+    "quality_logreg_mcc",
+    "setop_all_variants",
+    "sketch_theta_intersection",
+    "sql_try_arithmetic",
+    "stats_weighted_quantiles",
+    "text_char_entropy_rate",
+    "timeseries_ar1_halflife",
+    "timeseries_cum_periodogram",
+    "timeseries_hurst_rs",
+    "timeseries_ljung_box",
+    "timeseries_periodogram",
+    "timeseries_runs_test",
+    "timeseries_seasonal_mann_kendall",
+    "timeseries_spectral_entropy",
+    # top warm rows of BENCH_DETAIL r13 not already above
+    "quality_xi_correlation",
+    "dedup_banding_sweep",
+    "knn_join_embeddings",
+]
+
 # flag when a query slows > 1.3x vs the newest BENCH_r{N}.json, ignoring
 # sub-300ms queries where scheduler noise dominates. 1.5 let r4's
 # dedup_minhash_lsh +46% creep through unflagged (VERDICT r4 item 2);
@@ -386,22 +444,79 @@ HEADLINE = [
 REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.3
 
+# Version of the plan-shape normalization below. Bumped to 2 in r14:
+# v1 hashes embedded (a) fan_out's ``Repartition <defaultParallelism>``
+# literal, so the SAME code hashed differently at 8 vs 32 cores (the
+# r13 text_winnowing "plan CHANGED" flag was exactly this), and (b) the
+# RewriteDistinctAggregates Expand/gid assignment order, which follows
+# session-global expression ids, so multi-countDistinct plans hashed
+# differently depending on how many expressions earlier queries
+# allocated (the r13 curation_dataset_card flag). Hashes from a
+# different version are NOT comparable — the regression report says so
+# instead of claiming plan CHANGED/UNCHANGED.
+PLAN_HASH_VERSION = 2
 
-def _plan_hash(df) -> str | None:
-    """12-hex fingerprint of the OPTIMIZED plan shape, with run-varying
-    noise (expression ids ``#123``, uuid fixture paths, /tmp dirs,
-    cached-plan object addresses) normalized away. A time regression
-    with an UNCHANGED plan hash is JIT/scheduler noise; with a changed
-    hash it's a plan change — BENCH_r{N} records which (VERDICT r4
-    item 7). Falls back to None where the private JVM handle is
-    unavailable (Spark Connect)."""
-    import hashlib
+
+def _sort_bracket_lists(line: str) -> str:
+    """Sort the top-level comma-separated items of every ``[...]``
+    group in one plan line (recursively for nested groups).
+
+    Catalyst emits several semantically ORDER-FREE lists in an order
+    that follows expression-id allocation: RewriteDistinctAggregates
+    orders its Expand projections and grouping keys by the distinct
+    columns' expression ids, so ``Aggregate [lang#, source#, gid#]``
+    vs ``Aggregate [source#, lang#, gid#]`` are the same plan planned
+    in sessions with different id watermarks. Sorting inside brackets
+    makes the fingerprint insensitive to list order while keeping the
+    node structure, expression text and nesting intact."""
+    n = len(line)
+
+    def parse_group(i: int) -> tuple[str, int]:
+        # line[i] == '['; returns (normalized text, index past ']')
+        depth_paren = 0
+        items: list[str] = []
+        buf: list[str] = []
+        j = i + 1
+        while j < n:
+            c = line[j]
+            if c == "[":
+                sub, j = parse_group(j)
+                buf.append(sub)
+                continue
+            if c == "]" and depth_paren == 0:
+                items.append("".join(buf).strip())
+                return "[" + ", ".join(sorted(items)) + "]", j + 1
+            if c == "(":
+                depth_paren += 1
+            elif c == ")":
+                depth_paren = max(0, depth_paren - 1)
+            if c == "," and depth_paren == 0:
+                items.append("".join(buf).strip())
+                buf = []
+                j += 1
+                continue
+            buf.append(c)
+            j += 1
+        items.append("".join(buf).strip())
+        return "[" + ", ".join(sorted(items)) + "]", j
+
+    out: list[str] = []
+    i = 0
+    while i < n:
+        if line[i] == "[":
+            sub, i = parse_group(i)
+            out.append(sub)
+        else:
+            out.append(line[i])
+            i += 1
+    return "".join(out)
+
+
+def _normalize_plan(plan: str) -> str:
+    """Normalize an optimizedPlan() dump to its session/core-count
+    independent shape (see _plan_hash)."""
     import re
 
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        return None
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"[0-9a-f]{16,}", "<hex>", plan)
     plan = re.sub(r"/tmp/\S+", "<tmp>", plan)
@@ -423,12 +538,51 @@ def _plan_hash(df) -> str | None:
     # source of past cross-round "plan CHANGED" false positives).
     plan = re.sub(r"\blambda [A-Za-z]+_\d+", "lambda <v>", plan)
     plan = re.sub(r"\b[A-Za-z]+_\d+#", "<v>#", plan)
-    return hashlib.sha256(plan.encode()).hexdigest()[:12]
+    # v2: fan_out repartitions to defaultParallelism, so the partition
+    # count literal tracks $SPARK_GRAFT_CPUS — the SAME code must hash
+    # the same at 8 and 32 cores (the driver benches both).
+    plan = re.sub(
+        r"\b(Repartition|RebalancePartitions) \d+",
+        r"\1 <n>",
+        plan,
+    )
+    plan = re.sub(r"\b(RepartitionByExpression \[[^\]]*\]), \d+", r"\1, <n>", plan)
+    # v2: RewriteDistinctAggregates tags each distinct column with a
+    # gid whose VALUE follows expression-id order; the Expand node also
+    # carries those literals. Mask the literals, then sort bracket
+    # lists line-wise so the projection order can't leak either.
+    plan = re.sub(r"\bgid# = \d+", "gid# = <g>", plan)
+    lines = []
+    for line in plan.splitlines():
+        node = line.lstrip(" +:-")
+        if node.startswith("Expand"):
+            line = re.sub(r"(?<![\w<])\d+(?![\w>])", "<n>", line)
+        lines.append(_sort_bracket_lists(line))
+    return "\n".join(lines)
 
 
-def _previous_bench(sf: float | str):
+def _plan_hash(df) -> str | None:
+    """12-hex fingerprint of the OPTIMIZED plan shape, with run-varying
+    noise (expression ids ``#123``, uuid fixture paths, /tmp dirs,
+    cached-plan object addresses, core-count-derived repartition
+    literals, distinct-aggregate gid order) normalized away. A time
+    regression with an UNCHANGED plan hash is JIT/scheduler noise; with
+    a changed hash it's a plan change — BENCH_r{N} records which
+    (VERDICT r4 item 7). Falls back to None where the private JVM
+    handle is unavailable (Spark Connect)."""
+    import hashlib
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    return hashlib.sha256(_normalize_plan(plan).encode()).hexdigest()[:12]
+
+
+def _previous_bench(sf: float | str, cpus: int | None = None):
     """Newest round-stamped bench record at the SAME scale factor →
-    (filename, cold per-query sec, warm per-query sec, plan hashes).
+    (filename, cold per-query sec, warm per-query sec, plan hashes,
+    canary, plan-hash version).
 
     Scans BENCH_DETAIL_r{N}.json (full per-query detail, written by this
     script and round-snapshotted) alongside the driver's BENCH_r{N}.json.
@@ -437,7 +591,12 @@ def _previous_bench(sf: float | str):
     lives in a side file and the printed line is kept compact.
 
     Records at a different sf are skipped — comparing a 0.1 run against
-    a 0.01 baseline emits spurious REGRESSION lines (ADVICE r2)."""
+    a 0.01 baseline emits spurious REGRESSION lines (ADVICE r2). r14:
+    records at a different CORE COUNT are skipped the same way — the
+    driver benches at 32 and 8 cores, and an 8-core warm median read
+    against a 32-core baseline is a ~1.5-3x phantom regression on every
+    CPU-bound query (r13's flag list was exactly this). Records that
+    never stamped "cpus" predate the field and are accepted as before."""
     here = Path(__file__).resolve().parent
     recs = sorted(
         list(here.glob("BENCH_r*.json")) + list(here.glob("BENCH_DETAIL_r*.json")),
@@ -452,6 +611,9 @@ def _previous_bench(sf: float | str):
         parsed = data.get("parsed") or data
         if parsed.get("sf") != sf:
             continue
+        rec_cpus = parsed.get("cpus") or data.get("cpus")
+        if cpus is not None and rec_cpus is not None and rec_cpus != cpus:
+            continue
         queries = parsed.get("queries")
         if isinstance(queries, dict):
             return (
@@ -460,6 +622,7 @@ def _previous_bench(sf: float | str):
                 parsed.get("queries_warm") or {},
                 parsed.get("plan_hash") or {},
                 parsed.get("canary_sec"),
+                parsed.get("plan_hash_version", 1),
             )
     return None
 
@@ -554,12 +717,14 @@ def main() -> None:
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw else sf_dir
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     regressions: dict[str, float] = {}
     basis = None
     host_ratio = 1.0
-    prev = _previous_bench(sf)
+    prev_version = PLAN_HASH_VERSION
+    prev = _previous_bench(sf, cpus)
     if prev is not None:
-        prev_name, prev_cold, prev_warm, prev_hashes, prev_canary = prev
+        prev_name, prev_cold, prev_warm, prev_hashes, prev_canary, prev_version = prev
         # warm median vs warm median is the trustworthy signal; fall back
         # to cold-vs-cold only for baselines that never recorded warm.
         # The emitted JSON NAMES this basis (VERDICT r5 item 8: r4's
@@ -584,7 +749,12 @@ def main() -> None:
                 regressions[name] = round(sec / base / host_ratio, 2)
         for name, ratio in sorted(regressions.items(), key=lambda kv: -kv[1]):
             old_h, new_h = prev_hashes.get(name), plan_hashes.get(name)
-            if old_h is None or new_h is None:
+            if prev_version != PLAN_HASH_VERSION:
+                kind = (
+                    f"plan-hash normalization changed (v{prev_version} -> "
+                    f"v{PLAN_HASH_VERSION}) -> hash comparison unavailable"
+                )
+            elif old_h is None or new_h is None:
                 kind = "plan-hash unavailable"
             elif old_h == new_h:
                 kind = "plan UNCHANGED -> likely JIT/scheduler noise"
@@ -600,6 +770,9 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "total_with_artifacts": round(
+            sum(timings.values()) + sum(artifact_build.values()), 3
+        ),
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
@@ -607,14 +780,18 @@ def main() -> None:
         "queries_warm_min": warm_min,
         "position": position,
         "plan_hash": plan_hashes,
+        "plan_hash_version": PLAN_HASH_VERSION,
         "canary_sec": canary,
         "canary_end_sec": canary_end,
         "artifact_build_sec": artifact_build,
         "artifact_note": (
             "shared artifacts are built+timed BEFORE the query loop; "
             "rider queries' cold rows measure the probe against a ready "
-            "artifact (VERDICT r12 item 3)"
+            "artifact (VERDICT r12 item 3); total_with_artifacts = value "
+            "+ sum(artifact_build) for cross-round totals comparability "
+            "(VERDICT r13 item 3)"
         ),
+        "cpus": cpus,
         "sf": sf,
     }
     if prev is not None:
@@ -637,11 +814,13 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": detail["value"],
         "unit": "sec",
+        "total_with_artifacts": detail["total_with_artifacts"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "warm_total": detail["warm_total"],
         "canary_sec": canary,
         "canary_end_sec": canary_end,
         "artifact_build": {k: round(v, 2) for k, v in artifact_build.items()},
+        "cpus": cpus,
         "sf": sf,
     }
     if prev is not None:
@@ -650,7 +829,9 @@ def main() -> None:
         out["host_speed_ratio"] = round(host_ratio, 2)
         # printed line budget: keep only the worst offenders here — the
         # full dict is in BENCH_DETAIL.json
-        worst = dict(sorted(regressions.items(), key=lambda kv: -kv[1])[:8])
+        # 5, not 8: 40-name CORE_PRINTED + 5 regressions is the measured
+        # worst-case fit; the full dict is in BENCH_DETAIL.json
+        worst = dict(sorted(regressions.items(), key=lambda kv: -kv[1])[:5])
         out["regressions"] = worst
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # still over with 2dp: drop to 1dp
@@ -659,18 +840,22 @@ def main() -> None:
     if len(line) > 1900:
         # round 9: the headline grew past what 1dp can fit — keep the
         # line PARSEABLE (r8's BENCH record was "parsed": null because
-        # the full dict overflowed the tail). VERDICT r10 item 5: a
-        # FIXED top-by-cost subset gave the same 55 queries driver-side
-        # visibility every round while the other 95 depended on the
-        # side file. Rank by round-over-round SIGNAL instead: queries
-        # with no previous record (first driver sighting), then
-        # plan-CHANGED queries, then largest |warm delta| normalized by
-        # host speed, then cost. The emitted subset rotates as deltas
-        # move; the complete dict is always in BENCH_DETAIL.json.
+        # the full dict overflowed the tail). r13's pure signal-ranked
+        # rotation starved the driver's analytics (PERF_r13 had 6
+        # common queries and an EMPTY scaling block — VERDICT r13 item
+        # 2): consecutive rounds' printed subsets barely intersected.
+        # r14: a FIXED COMMON CORE (CORE_PRINTED below) is ALWAYS
+        # emitted, so round-over-round and 32-vs-8-core printed lines
+        # are guaranteed a large intersection; remaining budget is
+        # filled by round-over-round signal — queries with no previous
+        # record (first driver sighting), then plan-CHANGED queries,
+        # then largest |warm delta| normalized by host speed, then
+        # cost. The complete dict is always in BENCH_DETAIL.json.
         import math
 
         pw = prev[2] or prev[1] if prev is not None else {}
         ph_prev = prev[3] if prev is not None else {}
+        hashes_comparable = prev_version == PLAN_HASH_VERSION
 
         def _prio(kv):
             name, cold = kv
@@ -678,7 +863,8 @@ def main() -> None:
             if base is None:
                 return (2, 0.0, cold)  # new: always emit first
             changed = (
-                name in ph_prev
+                hashes_comparable
+                and name in ph_prev
                 and name in plan_hashes
                 and ph_prev[name] != plan_hashes[name]
             )
@@ -686,17 +872,36 @@ def main() -> None:
             delta = abs(math.log(max(cur, 0.05) / max(base * host_ratio, 0.05)))
             return (1 if changed else 0, delta, cold)
 
-        ranked = sorted(timings.items(), key=_prio, reverse=True)
-        keep = len(ranked)
-        while keep > 0:
+        core = {n: timings[n] for n in CORE_PRINTED if n in timings}
+        extras = sorted(
+            ((k, v) for k, v in timings.items() if k not in core),
+            key=_prio,
+            reverse=True,
+        )
+        fitted = False
+        for keep in [*range(len(extras), 0, -5), 0]:
+            emitted = dict(core)
+            emitted.update(extras[:keep])
             out["queries"] = {
-                k: round(v, 1) for k, v in sorted(ranked[:keep])
+                k: round(v, 1) for k, v in sorted(emitted.items())
             }
-            out["queries_omitted"] = len(ranked) - keep
+            out["queries_omitted"] = len(timings) - len(emitted)
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:
+                fitted = True
                 break
-            keep -= 5
+        if not fitted:
+            # even the bare core overflows (future growth): shed core
+            # entries from the cheap end rather than emit a bad line
+            core_ranked = sorted(core.items(), key=lambda kv: -kv[1])
+            for keep in range(len(core_ranked), 0, -5):
+                out["queries"] = {
+                    k: round(v, 1) for k, v in sorted(core_ranked[:keep])
+                }
+                out["queries_omitted"] = len(timings) - keep
+                line = json.dumps(out, separators=(",", ":"))
+                if len(line) <= 1900:
+                    break
     print(line)
     spark.stop()
 

@@ -33,16 +33,23 @@ def test_cum_periodogram_plan_has_no_runtime_trig(spark):
     assert "COS(" not in up and "SIN(" not in up
 
 
-def test_peak_concurrency_sweep_window_is_partitioned(spark):
+def test_peak_concurrency_sweep_window_is_partitioned(spark, monkeypatch):
     """The session-grain running sum must be the day-partitioned
-    two-pass form: at least one Window partitions by day, and any
-    UNPARTITIONED Window in the plan may only run on the day-grain
-    offsets relation (which aggregates first). Heuristic: every
-    Window missing a partition spec must sit above an Aggregate in
-    its subtree dump (the per-day totals)."""
+    two-pass form: at least one Window partitions by day. The r13
+    localCheckpoint hides the sweep subtree behind a Scan ExistingRDD
+    in the final plan, so bypass checkpointing (identity) and read the
+    optimized LOGICAL plan of the real query code path instead."""
     import re
 
-    plan = _final_plan(_q("events_peak_concurrency")(spark, SF_SMOKE))
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which overrides localCheckpoint — patch the concrete class.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    df = _q("events_peak_concurrency")(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
     specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert specs, plan
     assert any(s.strip() for s in specs), (
@@ -113,8 +120,12 @@ def test_setop_all_variants_plan_has_no_replicate_rows(spark):
     (materialize max(m−n,0) copies, then re-count) must be gone, and
     only one lineitem scan may remain."""
     plan = _final_plan(_q("setop_all_variants")(spark, SF_SMOKE))
-    assert "ReplicateRows" not in plan
-    assert plan.count("lineitem") <= 1, plan
+    # Spark 4.1.2 prints the expression lowercase (replicaterows) and
+    # appends "== Initial Plan ==" to executedPlan().toString(); check
+    # case-insensitively and count scans in the Final Plan only.
+    assert "replicaterows" not in plan.lower()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("lineitem") <= 1, final
 
 
 def test_exceptall_intersectall_physical_operators_still_covered(spark):
@@ -130,9 +141,12 @@ def test_exceptall_intersectall_physical_operators_still_covered(spark):
     assert sorted(r.m for r in ex.collect()) == [1, 1, 2]
     assert sorted(r.m for r in ix.collect()) == [1]
     # physical operators present (Spark plans these via union+aggregate
-    # + Generate(ReplicateRows) — assert the generation node survives)
-    assert "ReplicateRows" in ex._jdf.queryExecution().executedPlan().toString()
-    assert "ReplicateRows" in ix._jdf.queryExecution().executedPlan().toString()
+    # + Generate(replicaterows) — assert the generation node survives;
+    # 4.1.2 prints the expression lowercase, so match case-insensitively)
+    ex_plan = ex._jdf.queryExecution().executedPlan().toString().lower()
+    ix_plan = ix._jdf.queryExecution().executedPlan().toString().lower()
+    assert "replicaterows" in ex_plan
+    assert "replicaterows" in ix_plan
 
 
 def test_r13_shared_artifacts_are_session_shared(spark):
