@@ -49,13 +49,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("root", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # candidate label per node: min over (own label, neighbors' labels)
@@ -68,7 +68,7 @@ def connected_components(
             .unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("root").alias("root"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -134,13 +134,13 @@ def connected_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         sym.select(F.col("a").alias("id"))
         .unionByName(sym.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     cur = sym
@@ -172,7 +172,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp = _fingerprint(small)
         cur = small
@@ -399,11 +399,11 @@ def shortest_paths(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(cost_col).cast("long").alias("cost"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dist = (
         e.sparkSession.range(1)
         .select(F.lit(source).cast("long").alias("id"), F.lit(0).cast("long").alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = (
@@ -414,7 +414,7 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -442,7 +442,7 @@ def multi_source_shortest_paths(
         F.col(src_col).alias("esrc"),
         F.col(dst_col).alias("edst"),
         F.col(cost_col).cast("long").alias("cost"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("esrc").alias("id"))
         .unionByName(e.select(F.col("edst").alias("id")))
@@ -450,7 +450,7 @@ def multi_source_shortest_paths(
     )
     dist = nodes.select(
         F.col("id").alias("src"), "id", F.lit(0).cast("long").alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         relaxed = (
             e.join(dist.withColumnRenamed("id", "esrc"), "esrc")
@@ -460,6 +460,6 @@ def multi_source_shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("src", "id")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist

@@ -112,7 +112,7 @@ def kmeans_centroids(
             # truncate lineage per round (graph.py discipline): without
             # this, round t's plan recomputes rounds 1..t-1 — O(rounds²)
             # work and an ever-deeper plan
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return centroids
 

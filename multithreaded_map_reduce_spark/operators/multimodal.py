@@ -529,7 +529,8 @@ def extract_bmp_histogram(media: DataFrame, n_buckets: int = 8) -> DataFrame:
 
 
 def audio_activity_segments(
-    media: DataFrame, frame: int = 8, thresh: int = 900
+    media: DataFrame, frame: int = 8, thresh: int = 900,
+    pcm_col: str | None = None,
 ) -> DataFrame:
     """Energy-gated activity segmentation (VAD-lite, round 9): decode
     each WAV, frame the PCM into ``frame``-sample windows, mark frames
@@ -554,8 +555,7 @@ def audio_activity_segments(
                 "n_segments": [],
                 "longest_run": [],
             }
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
                 arr = np.frombuffer(pcm, dtype=np.uint8)
                 nf = len(arr) // frame
                 e = (
@@ -825,8 +825,47 @@ def select_bmp_keyframes(media: DataFrame, thresh: int = 0) -> DataFrame:
     )
 
 
+def decoded_audio_pcm(media: DataFrame) -> DataFrame:
+    """Decode the WAV rail ONCE into raw uint8 PCM bytes (r14 OPT,
+    VERDICT r13 item 6): every audio statistic below is a pure
+    function of the PCM samples, yet each query re-ran synth + RIFF
+    chunk-walk per call. Queries checkpoint this relation per session
+    and pass it to the feature operators via ``pcm_col`` so the
+    decode appears once per session instead of once per query. The
+    geometry fields (rate/channels/bits) stay with the fresh decode
+    queries — the riders never read them."""
+    import pandas as pd
+
+    from .codecs import decode_wav
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            pcm = [
+                decode_wav(bytes(blob))[3] for blob in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "pcm": pd.Series(pcm, dtype=object)}
+            )
+
+    return media.mapInPandas(batches, "media_id long, pcm binary")
+
+
+def _pcm_iter(pdf, pcm_col):
+    """Yield (media_id, uint8 pcm bytes) from either rail form: the
+    decoded artifact (``pcm_col``) or raw WAV blobs (decode here)."""
+    from .codecs import decode_wav
+
+    if pcm_col is not None:
+        for mid, pcm in zip(pdf["media_id"], pdf[pcm_col]):
+            yield mid, bytes(pcm)
+    else:
+        for mid, blob in zip(pdf["media_id"], pdf["media"]):
+            yield mid, decode_wav(bytes(blob))[3]
+
+
 def audio_energy_ratio(
-    media: DataFrame, frame: int = 8, thresh: int = 900
+    media: DataFrame, frame: int = 8, thresh: int = 900,
+    pcm_col: str | None = None,
 ) -> DataFrame:
     """Active/inactive energy split over the WAV decode rail (round
     12): the SNR-style readout next to audio_activity_segments' run
@@ -849,8 +888,7 @@ def audio_energy_ratio(
                 "act_energy": [],
                 "inact_energy": [],
             }
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
                 arr = np.frombuffer(pcm, dtype=np.uint8)
                 nf = len(arr) // frame
                 e = (
@@ -874,7 +912,9 @@ def audio_energy_ratio(
     )
 
 
-def audio_level_stats(media: DataFrame) -> DataFrame:
+def audio_level_stats(
+    media: DataFrame, pcm_col: str | None = None
+) -> DataFrame:
     """Per-media level statistics over the WAV decode rail (round 12):
     the mastering/QA numbers a speech pipeline gates ingest on — peak,
     rail-sample count (hard-clipped samples at the uint8 rails 0/255),
@@ -897,8 +937,7 @@ def audio_level_stats(media: DataFrame) -> DataFrame:
                 "sum_s": [],
                 "sum_s2": [],
             }
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
                 arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
                 out["media_id"].append(mid)
                 out["n_samples"].append(int(arr.size))
@@ -961,7 +1000,9 @@ def image_color_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_frame_energies(media: DataFrame, frame: int = 8) -> DataFrame:
+def audio_frame_energies(
+    media: DataFrame, frame: int = 8, pcm_col: str | None = None
+) -> DataFrame:
     """Per-media frame-energy VECTOR over the WAV decode rail (round
     12): the raw uint8 frame sums as an array<long>, for consumers
     that need the whole envelope (periodicity, tempo) rather than the
@@ -976,8 +1017,7 @@ def audio_frame_energies(media: DataFrame, frame: int = 8) -> DataFrame:
 
         for pdf in it:
             out = {"media_id": [], "e": []}
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
                 arr = np.frombuffer(pcm, dtype=np.uint8)
                 nf = len(arr) // frame
                 e = (
@@ -993,7 +1033,65 @@ def audio_frame_energies(media: DataFrame, frame: int = 8) -> DataFrame:
     return media.mapInPandas(batches, "media_id long, e array<long>")
 
 
-def audio_zcr_stats(media: DataFrame) -> DataFrame:
+def audio_periodicity_stats(
+    media: DataFrame,
+    frame: int = 8,
+    min_lag: int = 2,
+    max_lag: int = 16,
+    pcm_col: str | None = None,
+) -> DataFrame:
+    """Per-media frame-energy autocorrelation sweep (r14 OPT): the
+    centered-energy dot products r_l = Σ u_i·u_{i+l} for every lag in
+    [min_lag, max_lag] and the argmax (ties → smallest lag), in ONE
+    NumPy pass. Replaces a 15-way crossJoin of interpreted
+    aggregate(zip_with(slice…)) lambdas plus a per-media rank window —
+    identical integers: u = nf·e − Σe with e ≤ frame·255 and nf
+    bounded by the WAV synth contract (≤ 600 samples ⇒ nf ≤ 75), so
+    |u| < 2^25 and every r_l < 2^56 — int64-exact. Lags with fewer
+    than 2 overlapping terms are skipped (the nf − lag ≥ 2 gate);
+    media where no lag qualifies report NULL lag/r."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "nf": [], "r0": [], "lag": [], "r": []}
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
+                arr = np.frombuffer(pcm, dtype=np.uint8)
+                nf = len(arr) // frame
+                e = (
+                    arr[: nf * frame]
+                    .reshape(nf, frame)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                u = nf * e - e.sum()
+                best_lag, best_r = None, None
+                for lag in range(min_lag, max_lag + 1):
+                    if nf - lag < 2:
+                        break
+                    r = int(np.dot(u[: nf - lag], u[lag:]))
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                out["media_id"].append(mid)
+                out["nf"].append(nf)
+                out["r0"].append(int(np.dot(u, u)))
+                out["lag"].append(best_lag)
+                out["r"].append(best_r)
+            yield pd.DataFrame(out).astype(
+                {"lag": "Int32", "r": "Int64"}
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, nf long, r0 long, lag int, r long",
+    )
+
+
+def audio_zcr_stats(
+    media: DataFrame, pcm_col: str | None = None
+) -> DataFrame:
     """Per-media zero-crossing counts over the WAV decode rail (round
     13): the classical voiced/unvoiced + noisiness discriminator a
     speech pipeline reads before VAD — a crossing is a sign change of
@@ -1015,8 +1113,7 @@ def audio_zcr_stats(media: DataFrame) -> DataFrame:
                 "n_above": [],
                 "n_zc": [],
             }
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                _rate, _ch, _bits, pcm = decode_wav(bytes(blob))
+            for mid, pcm in _pcm_iter(pdf, pcm_col):
                 arr = np.frombuffer(pcm, dtype=np.uint8)
                 hi = arr >= 128
                 out["media_id"].append(mid)

@@ -63,11 +63,11 @@ def pagerank(
         )
     base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * n)
 
-    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint()
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank", F.lit(SCALE // n).cast("long"))
     for _ in range(num_iter):
@@ -93,7 +93,7 @@ def pagerank(
                     f"div {DAMPING_DEN}"
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.col("rank").alias("rank_units"))
 
@@ -128,17 +128,17 @@ def personalized_pagerank(
     the raw input would let duplicate ids inflate ``s``, deflating the
     teleport base + dangling redistribution and leaking rank mass,
     since membership below is ``distinct()``-based)."""
-    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
     rset = restart.select(F.col(id_col).alias("id")).distinct()
     s = n_restart if n_restart is not None else rset.count()
     base = (SCALE * (DAMPING_DEN - DAMPING_NUM)) // (DAMPING_DEN * s)
     flagged = nodes.join(
         F.broadcast(rset.withColumn("_is_r", F.lit(1))), "id", "left"
-    ).select("id", F.coalesce("_is_r", F.lit(0)).alias("is_r")).localCheckpoint()
+    ).select("id", F.coalesce("_is_r", F.lit(0)).alias("is_r")).localCheckpoint(eager=False)
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint()
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(eager=False)
 
     ranks = flagged.select(
         "id", (F.col("is_r") * F.lit(SCALE // s)).cast("long").alias("rank")
@@ -166,7 +166,7 @@ def personalized_pagerank(
                     f" + is_r * dm) div {DAMPING_DEN}"
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.col("rank").alias("rank_units"))
 
@@ -198,10 +198,10 @@ def hits(
     Scale: per round, one O(edges) join+groupBy per direction plus a
     1-row broadcast total; lineage truncated per round with
     localCheckpoint."""
-    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    nodes = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n = nodes.count()
     dec = "decimal(38,0)"
 
@@ -238,13 +238,13 @@ def hits(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum((F.col("h") * F.col("w")).cast(dec)).alias("a"))
         )
-        auths = _normalize(a_raw, "a").localCheckpoint()
+        auths = _normalize(a_raw, "a").localCheckpoint(eager=False)
         h_raw = (
             edges.join(auths, edges.dst == auths.id)
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum((F.col("a") * F.col("w")).cast(dec)).alias("h"))
         )
-        hubs = _normalize(h_raw, "h").localCheckpoint()
+        hubs = _normalize(h_raw, "h").localCheckpoint(eager=False)
     return (
         auths.join(hubs, "id")
         .select(

@@ -98,7 +98,7 @@ def power_iteration(
                     lambda s: s.getField("v"),
                 ).alias("varr")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return v_df.select(F.posexplode("varr").alias("dim_idx", "component"))
 
@@ -188,7 +188,7 @@ def power_iteration2(
                 lambda s: s.getField("component"),
             ).alias("v1arr")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vecs = emb.select(
         F.col(id_col).alias("id"),
@@ -251,7 +251,7 @@ def power_iteration2(
                     lambda s: s.getField("v"),
                 ).alias("warr")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     pc2 = w_df.select(F.posexplode("warr").alias("dim_idx", "component"))
     return v1.select(

@@ -159,6 +159,35 @@ def _force_daily_event_counts(spark: SparkSession, sf_dir: str) -> None:
     _daily_event_counts(spark, sf_dir).count()
 
 
+def _force_lsh_eval(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _lsh_eval_artifacts
+
+    sigs, truth = _lsh_eval_artifacts(spark, sf_dir)
+    sigs.count()
+    truth.count()
+
+
+def _force_mh_eval(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _mh_eval_relations
+
+    cand, side = _mh_eval_relations(spark, sf_dir)
+    cand.count()
+    side.count()
+
+
+def _force_detector_pairs(spark: SparkSession, sf_dir: str) -> None:
+    from .dedup import _shared_minhash_pairs, _shared_simhash_pairs
+
+    _shared_minhash_pairs(spark, sf_dir).count()
+    _shared_simhash_pairs(spark, sf_dir).count()
+
+
+def _force_audio_pcm(spark: SparkSession, sf_dir: str) -> None:
+    from .multimodal import _shared_audio_pcm
+
+    _shared_audio_pcm(spark, sf_dir).count()
+
+
 def _force_lr_weights(spark: SparkSession, sf_dir: str) -> None:
     # weights (collected floats) + the score-once checkpointed corpus
     # relation every readout rider aggregates (r13 OPT)
@@ -273,6 +302,28 @@ ARTIFACT_BUILDERS: dict[str, tuple[ArtifactBuilder, tuple[str, ...]]] = {
             "quality_kappa_model_rule",
             "curation_quality_pareto",
         ),
+    ),
+    "audio_pcm": (
+        _force_audio_pcm,
+        (
+            "multimodal_audio_levels",
+            "multimodal_audio_zcr",
+            "multimodal_audio_snr",
+            "multimodal_audio_periodicity",
+            "multimodal_audio_segments",
+        ),
+    ),
+    "lsh_eval": (
+        _force_lsh_eval,
+        ("dedup_lsh_recall", "dedup_banding_sweep"),
+    ),
+    "detector_pairs": (
+        _force_detector_pairs,
+        ("dedup_capture_recapture",),
+    ),
+    "mh_eval_side": (
+        _force_mh_eval,
+        ("dedup_minhash_accuracy", "dedup_minhash_bbit"),
     ),
 }
 

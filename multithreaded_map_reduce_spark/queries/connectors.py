@@ -587,14 +587,17 @@ def connector_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"py_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    from ..streaming.events import pinned_stream_state
+
+    with pinned_stream_state(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         "user_bucket",
         F.col("n").cast("long").alias("n"),

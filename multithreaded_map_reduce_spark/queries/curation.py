@@ -1275,8 +1275,9 @@ def _dsir_lm_path(spark: SparkSession, sf_dir: str) -> str:
     from .connectors import _fixture_path
     from ..functions.rounding import iunits
     from ..functions.text import tokenize
+    from ..session import path_cached
 
-    if sf_dir not in _DSIR_LM_PATHS:
+    def build() -> str:
         path = _fixture_path("dsir_lm")
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
         b = token_hash(F.col("tok")) % F.lit(DSIR_BUCKETS)
@@ -1305,8 +1306,9 @@ def _dsir_lm_path(spark: SparkSession, sf_dir: str) -> str:
         p.join(q, "b").select(
             "b", iunits(F.col("lp") - F.col("lq"), 9).alias("lr_units")
         ).write.mode("overwrite").parquet(path)
-        _DSIR_LM_PATHS[sf_dir] = path
-    return _DSIR_LM_PATHS[sf_dir]
+        return path
+
+    return path_cached(_DSIR_LM_PATHS, sf_dir, build)
 
 
 # ------------------------------------------ deterministic training order

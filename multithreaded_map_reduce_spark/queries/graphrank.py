@@ -63,14 +63,14 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per call (~1-1.5 s at sf0.1) before its cheap 25-node iteration.
     Keyed by applicationId (ADVICE r12) so a restarted session
     rebuilds."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _TRADE_EDGES_CACHE:
-        _TRADE_EDGES_CACHE[key] = _build_trade_edges(
-            spark, sf_dir
-        ).localCheckpoint(eager=False)
-    return _TRADE_EDGES_CACHE[key]
+    return artifact_cached(
+        _TRADE_EDGES_CACHE,
+        spark,
+        sf_dir,
+        lambda: _build_trade_edges(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,16 +177,16 @@ def _supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keyed by applicationId (not recyclable ``id(spark)`` — ADVICE r12)
     so a restarted session rebuilds (checkpointed blocks die with
     their SparkContext)."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key in _COGRAPH_CACHE:
-        return _COGRAPH_CACHE[key]
-    capped = _build_supplier_cograph(spark, sf_dir).localCheckpoint(
-        eager=False
+    return artifact_cached(
+        _COGRAPH_CACHE,
+        spark,
+        sf_dir,
+        lambda: _build_supplier_cograph(spark, sf_dir).localCheckpoint(
+            eager=False
+        ),
     )
-    _COGRAPH_CACHE[key] = capped
-    return capped
 
 
 def _build_supplier_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:

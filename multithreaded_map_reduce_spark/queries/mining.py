@@ -83,14 +83,14 @@ def _copurchase_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     query) deliberately does NOT ride the cache — its bench row keeps
     measuring the build. Keyed by applicationId (ADVICE r12) so a
     restarted session rebuilds."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _COPURCHASE_CACHE:
-        _COPURCHASE_CACHE[key] = copurchase_pairs(
-            spark, sf_dir
-        ).localCheckpoint(eager=False)
-    return _COPURCHASE_CACHE[key]
+    return artifact_cached(
+        _COPURCHASE_CACHE,
+        spark,
+        sf_dir,
+        lambda: copurchase_pairs(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +578,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start",
             token_hash(F.expr(f"substring(text, start, {SPAN_K})")).alias("gh"),
         )
+        # r14 OPT: two consumers (the duplicate-gram aggregate and the
+        # flagging join). AQE only reuses the gh exchange when the join
+        # stays sort-merge; once the small dup side broadcasts, the
+        # text-scan+substring+hash pipeline ran TWICE per call —
+        # materialize the narrow gram relation once.
+        .localCheckpoint(eager=False)
     )
     dup = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= 2

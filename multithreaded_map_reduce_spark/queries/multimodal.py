@@ -532,6 +532,31 @@ ORACLES["multimodal_phash_clusters"] = f"""
 _FP_FRAME = 8
 _FP_BITS = 32
 
+#: (applicationId, sf_dir) -> lazily localCheckpoint-ed decoded PCM.
+_AUDIO_PCM_CACHE: dict[str, DataFrame] = {}
+
+
+def _shared_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once decoded-PCM rail artifact (r14 OPT, VERDICT r13
+    item 6): five audio statistics queries each re-ran documents scan →
+    WAV synth → RIFF chunk-walk decode per call before their own cheap
+    NumPy pass. One checkpointed (media_id, pcm) relation per session
+    replaces all of that; each rider keeps its own measured statistic
+    fresh. ``multimodal_audio_fingerprint`` / ``multimodal_audio`` (the
+    decode primaries) deliberately do NOT ride the cache — their bench
+    rows keep measuring the synth+decode. Keyed by applicationId
+    (ADVICE r12) so a restarted session rebuilds."""
+    from ..operators.multimodal import decoded_audio_pcm
+    from ..session import artifact_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return decoded_audio_pcm(
+            documents_as_wav_audio(docs)
+        ).localCheckpoint(eager=False)
+
+    return artifact_cached(_AUDIO_PCM_CACHE, spark, sf_dir, build)
+
 
 def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_fingerprint_features
@@ -692,9 +717,11 @@ _VAD_THRESH = 900
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_activity_segments
 
-    docs = load_table(spark, sf_dir, "documents")
     return audio_activity_segments(
-        documents_as_wav_audio(docs), frame=_FP_FRAME, thresh=_VAD_THRESH
+        _shared_audio_pcm(spark, sf_dir),
+        frame=_FP_FRAME,
+        thresh=_VAD_THRESH,
+        pcm_col="pcm",
     )
 
 
@@ -1258,9 +1285,11 @@ def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec
     from ..operators.multimodal import audio_energy_ratio
 
-    docs = load_table(spark, sf_dir, "documents")
     per = audio_energy_ratio(
-        documents_as_wav_audio(docs), frame=_FP_FRAME, thresh=_VAD_THRESH
+        _shared_audio_pcm(spark, sf_dir),
+        frame=_FP_FRAME,
+        thresh=_VAD_THRESH,
+        pcm_col="pcm",
     )
     return per.select(
         "media_id",
@@ -1345,8 +1374,7 @@ def multimodal_audio_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units_dec, ratio_units_dec_signed
     from ..operators.multimodal import audio_level_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    per = audio_level_stats(documents_as_wav_audio(docs))
+    per = audio_level_stats(_shared_audio_pcm(spark, sf_dir), pcm_col="pcm")
     return per.select(
         "media_id",
         "n_samples",
@@ -1554,54 +1582,23 @@ AP_MAX_LAG = 16
 def multimodal_audio_periodicity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..functions.rounding import ratio_units_dec_signed
-    from ..operators.multimodal import audio_frame_energies
+    from ..operators.multimodal import audio_periodicity_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    per = audio_frame_energies(
-        documents_as_wav_audio(docs), frame=_FP_FRAME
-    )
-    u = per.select(
-        "media_id",
-        F.size("e").alias("nf"),
-        F.expr(
-            "transform(e, x -> CAST(size(e) AS BIGINT) * x"
-            " - aggregate(e, CAST(0 AS BIGINT), (a, b) -> a + b))"
-        ).alias("u"),
-    ).localCheckpoint(eager=False)
-    r0 = u.select(
-        "media_id",
-        "nf",
-        F.expr(
-            "aggregate(zip_with(u, u, (x, y) -> x * y),"
-            " CAST(0 AS BIGINT), (a, b) -> a + b)"
-        ).alias("r0"),
-    )
-    lags = spark.range(AP_MIN_LAG, AP_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    rl = (
-        u.crossJoin(F.broadcast(lags))
-        .filter(F.col("nf") - F.col("lag") >= 2)
-        .select(
-            "media_id",
-            "lag",
-            F.expr(
-                "aggregate(zip_with(slice(u, 1, size(u) - lag),"
-                " slice(u, lag + 1, size(u) - lag), (x, y) -> x * y),"
-                " CAST(0 AS BIGINT), (a, b) -> a + b)"
-            ).alias("r"),
-        )
-    )
-    rw = W.partitionBy("media_id").orderBy(F.desc("r"), F.asc("lag"))
-    best = rl.withColumn("rn", F.row_number().over(rw)).filter(
-        F.col("rn") == 1
+    # r14 OPT (guide §4.2): the lag sweep + argmax run inside the NumPy
+    # rider over the shared PCM artifact — the old form crossJoined 15
+    # broadcast lags and evaluated an interpreted aggregate(zip_with(
+    # slice…)) lambda per (media, lag) plus a per-media rank window.
+    # Same integers, same NULL gating (no qualifying lag → NULL).
+    per = audio_periodicity_stats(
+        _shared_audio_pcm(spark, sf_dir),
+        frame=_FP_FRAME,
+        min_lag=AP_MIN_LAG,
+        max_lag=AP_MAX_LAG,
+        pcm_col="pcm",
     )
     return (
-        r0.join(best.select("media_id", "lag", "r"), "media_id", "left")
-        .select(
+        per.select(
             "media_id",
             F.col("nf").cast("long").alias("n_frames"),
             F.col("lag").cast("int").alias("best_lag"),
@@ -1700,8 +1697,7 @@ def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import ratio_units
     from ..operators.multimodal import audio_zcr_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    per = audio_zcr_stats(documents_as_wav_audio(docs))
+    per = audio_zcr_stats(_shared_audio_pcm(spark, sf_dir), pcm_col="pcm")
     return per.select(
         "media_id",
         "n_samples",

@@ -56,22 +56,22 @@ _IVFPQ_INDEX_CACHE: dict[str, tuple] = {}
 
 
 def _shared_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _IVFPQ_INDEX_CACHE:
+    def build() -> tuple:
         from ..operators.similarity import ivfpq_index
 
         _, c = _split(spark, sf_dir)
         cents, codebook, codes = ivfpq_index(
             c, "vec_id", "embedding", n_cells=N_CELLS, m=PQ_M, ksub=PQ_KSUB, dim=DIM
         )
-        _IVFPQ_INDEX_CACHE[key] = (
+        return (
             cents.localCheckpoint(eager=False),
             codebook.localCheckpoint(eager=False),
             codes.localCheckpoint(eager=False),
         )
-    return _IVFPQ_INDEX_CACHE[key]
+
+    return artifact_cached(_IVFPQ_INDEX_CACHE, spark, sf_dir, build)
 
 
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,12 +819,14 @@ _EMB_N_CACHE: dict[str, int] = {}
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _EMB_N_CACHE:
-        _EMB_N_CACHE[key] = load_table(spark, sf_dir, "embeddings").count()
-    return _EMB_N_CACHE[key]
+    return artifact_cached(
+        _EMB_N_CACHE,
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings").count(),
+    )
 
 
 #: (applicationId, sf_dir) -> lazily localCheckpoint-ed kNN relation.
@@ -862,14 +864,14 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench row keeps measuring the search, not a checkpoint scan.
     Keyed by applicationId (not recyclable ``id(spark)`` — ADVICE
     r12) so a restarted session rebuilds."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _KNN_GRAPH_CACHE:
-        _KNN_GRAPH_CACHE[key] = _build_knn_graph(spark, sf_dir).localCheckpoint(
-            eager=False
-        )
-    return _KNN_GRAPH_CACHE[key]
+    return artifact_cached(
+        _KNN_GRAPH_CACHE,
+        spark,
+        sf_dir,
+        lambda: _build_knn_graph(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,48 +1678,52 @@ ANNP_K = 3
 
 
 def ann_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    if sf_dir not in _ANN_INDEX_PATHS:
-        from pyspark.sql import Window as W
+    from ..session import path_cached
 
-        from ..functions.vectors import as_double, cosine, norm_sq
-        from .connectors import _fixture_path
+    return path_cached(_ANN_INDEX_PATHS, sf_dir, lambda: _build_ann_index(spark, sf_dir))
 
-        cent_path = _fixture_path("ann_centroids")
-        idx_path = _fixture_path("ann_index")
-        # norm² > 0 filter: a zero-norm vector makes cosine 0/0, which
-        # is NaN in Spark (sorts FIRST under desc) but NULL in DuckDB
-        # (sorts LAST under DESC) — such a vector would land in the
-        # OPPOSITE cell per engine. Excluding degenerate vectors on
-        # both sides makes the argmax ordering key total and
-        # engine-identical (embedding_norm_stats is the audit that
-        # counts them).
-        corpus = (
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") % 10 != 0)
-            .select("vec_id", as_double("embedding").alias("cv"))
-            .filter(norm_sq(F.col("cv")) > 0)
+
+def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import as_double, cosine, norm_sq
+    from .connectors import _fixture_path
+
+    cent_path = _fixture_path("ann_centroids")
+    idx_path = _fixture_path("ann_index")
+    # norm² > 0 filter: a zero-norm vector makes cosine 0/0, which
+    # is NaN in Spark (sorts FIRST under desc) but NULL in DuckDB
+    # (sorts LAST under DESC) — such a vector would land in the
+    # OPPOSITE cell per engine. Excluding degenerate vectors on
+    # both sides makes the argmax ordering key total and
+    # engine-identical (embedding_norm_stats is the audit that
+    # counts them).
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", as_double("embedding").alias("cv"))
+        .filter(norm_sq(F.col("cv")) > 0)
+    )
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(ANNP_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
+    )
+    cents.write.mode("overwrite").parquet(cent_path)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(
+            F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
         )
-        cents = (
-            corpus.orderBy("vec_id")
-            .limit(ANNP_CELLS)
-            .select(F.col("vec_id").alias("cid"), F.col("cv").alias("centroid"))
-        )
-        cents.write.mode("overwrite").parquet(cent_path)
-        rn = F.row_number().over(
-            W.partitionBy("vec_id").orderBy(
-                F.desc(cosine(F.col("cv"), F.col("centroid"))), F.asc("cid")
-            )
-        )
-        (
-            corpus.crossJoin(F.broadcast(cents))
-            .withColumn("_rn", rn)
-            .filter(F.col("_rn") == 1)
-            .select("cid", F.col("vec_id").alias("neighbor_id"), "cv")
-            .write.mode("overwrite")
-            .parquet(idx_path)
-        )
-        _ANN_INDEX_PATHS[sf_dir] = (cent_path, idx_path)
-    return _ANN_INDEX_PATHS[sf_dir]
+    )
+    (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("cid", F.col("vec_id").alias("neighbor_id"), "cv")
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
+    return (cent_path, idx_path)
 
 
 # ---------------------------------------------------------- NDCG report
@@ -1967,7 +1973,9 @@ _IVFPQ_PARQUET_PATHS: dict[str, tuple[str, str, str]] = {}
 
 
 def ivfpq_parquet_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
-    if sf_dir not in _IVFPQ_PARQUET_PATHS:
+    from ..session import path_cached
+
+    def build() -> tuple[str, str, str]:
         from ..operators.similarity import ivfpq_index
         from .connectors import _fixture_path
 
@@ -1983,8 +1991,9 @@ def ivfpq_parquet_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str, str
         cents.write.mode("overwrite").parquet(paths[0])
         codebook.write.mode("overwrite").parquet(paths[1])
         codes.write.mode("overwrite").parquet(paths[2])
-        _IVFPQ_PARQUET_PATHS[sf_dir] = paths
-    return _IVFPQ_PARQUET_PATHS[sf_dir]
+        return paths
+
+    return path_cached(_IVFPQ_PARQUET_PATHS, sf_dir, build)
 
 
 def sim_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2842,13 +2851,113 @@ ORACLES["ann_mrr_map_report"] = _mrr_map_oracle()
 # rational (squares avoid the sqrt — the crest²/audio discipline),
 # sign emitted alongside. Output: the top-10 most correlated pairs
 # (exact-integer ordering, (corr², dims) tie-break).
-# Scale: the pair expansion is O(n·d²/2) rows with d = 64 fixed —
-# linear in corpus size; at d in the thousands, switch to a Gram
-# matrix per partition via mapInArrow and tree-aggregate (noted, not
-# needed at d = 64). Top-k is TakeOrdered; the rank stamp runs over
-# the 10 surviving rows.
+# Scale: one mapInArrow pass accumulates an exact integer Gram matrix
+# plus column moments per partition (O(n·d²) multiply-adds inside
+# NumPy, O(d²) rows emitted per partition), so bytes shuffled are
+# d²·n_partitions regardless of corpus size. Top-k is TakeOrdered; the
+# rank stamp runs over the 10 surviving rows.
 
 COV_TOPK = 10
+
+
+def _cov_gram_partials(batches):
+    """mapInArrow worker (guide §4.2, VERDICT r13 item 4): per-partition
+    EXACT integer moment partials of the snapped embedding matrix.
+
+    Replaces the r13 per-row upper-triangle Generate unfold (2016
+    structs per row — the most expensive bench row at 4.5 s warm): one
+    ``X.T @ X`` per Arrow batch in native NumPy int64, accumulated into
+    an arbitrary-precision object matrix across batches, emitted once
+    per partition as (da, db, v) rows:
+
+    - ``da = -2``: v = number of rows having dimension db (the
+      posexplode count);
+    - ``da = -1``: v = sum of x over rows at dimension db;
+    - ``da >= 0, da <= db``: v = sum of x_da·x_db (diagonal = sum x²).
+
+    Exactness: per-chunk products are bounded so int64 cannot wrap
+    (chunk rows by 2^62 / max|x|²), cross-batch accumulation is Python
+    big-int, and the partials leave as DECIMAL(38,0) — Spark's final
+    sum over decimals is exact and order-free, so the downstream
+    correlation arithmetic is bit-identical to the unfold it replaces.
+    Variable-width rows are grouped by width (a width-w row contributes
+    to exactly the dims/pairs under w), matching posexplode semantics
+    for degenerate arrays (ADVICE r13 item 1 is moot here: width < 2
+    simply contributes no pairs)."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    width_rows: dict[int, int] = {}
+    colsum = np.zeros(0, dtype=object)
+    gram = np.zeros((0, 0), dtype=object)
+
+    def grow(w: int) -> None:
+        nonlocal colsum, gram
+        if w <= colsum.shape[0]:
+            return
+        cs = np.zeros(w, dtype=object)
+        g = np.zeros((w, w), dtype=object)
+        old = colsum.shape[0]
+        if old:
+            cs[:old] += colsum
+            g[:old, :old] += gram
+        colsum, gram = cs, g
+
+    for batch in batches:
+        arr = batch.column(0)
+        offsets = arr.offsets.to_numpy()
+        values = arr.values.to_numpy()
+        widths = np.diff(offsets)
+        if arr.null_count:
+            # a NULL array posexplodes to zero rows — treat as width 0
+            valid = np.asarray(arr.is_valid())
+            widths = np.where(valid, widths, 0)
+        for w in np.unique(widths):
+            w = int(w)
+            idx = np.nonzero(widths == w)[0]
+            width_rows[w] = width_rows.get(w, 0) + len(idx)
+            if w == 0:
+                continue
+            grow(w)
+            if len(idx) == len(widths):
+                X = values[offsets[0]: offsets[-1]].reshape(-1, w)
+            else:
+                X = np.stack([values[offsets[k]: offsets[k] + w] for k in idx])
+            max_abs = int(np.abs(X).max()) if X.size else 0
+            chunk = max(1, int(2**62 // max(1, max_abs * max_abs * w)))
+            for lo in range(0, X.shape[0], chunk):
+                part = X[lo: lo + chunk]
+                colsum[:w] += part.sum(axis=0, dtype=np.int64).astype(object)
+                gram[:w, :w] += (part.T @ part).astype(object)
+
+    W = colsum.shape[0]
+    ns = [0] * W
+    for w, c in width_rows.items():
+        for i in range(min(w, W)):
+            ns[i] += c
+    das, dbs, vs = [], [], []
+    for i in range(W):
+        if not ns[i]:
+            continue
+        das += [-2, -1]
+        dbs += [i, i]
+        vs += [ns[i], int(colsum[i])]
+        for j in range(i, W):
+            if ns[j]:
+                das.append(i)
+                dbs.append(j)
+                vs.append(int(gram[i, j]))
+    if das:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(das, pa.int32()),
+                pa.array(dbs, pa.int32()),
+                pa.array([Decimal(v) for v in vs], pa.decimal128(38, 0)),
+            ],
+            names=["da", "db", "v"],
+        )
 
 
 def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2862,40 +2971,44 @@ def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0d + 0.5d)"
         " AS BIGINT))"
     )
-    vals = emb.select(
-        "vec_id", F.posexplode(snapped).alias("dim", "x")
-    )
     dec = "decimal(38,0)"
-    per = vals.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("ss"),
-    # r13 OPT: the d-row moment relation feeds BOTH broadcast sides of
-    # the correlation attach — materialize once
-    ).localCheckpoint(eager=False)
-    # r13 OPT (guide §3: don't explode INTO a join): the old plan
-    # self-joined the (vec_id, dim, x) explode on vec_id to form the
-    # d(d−1)/2 products — n·64 rows shuffled twice and n·2016 joined
-    # rows materialized. The products need no join at all: unfold the
-    # upper triangle of each row's outer product directly from the
-    # array (one generate, map-side partial aggregation, the only
-    # shuffle is the 2016-group final agg). DECIMAL sums are exact and
-    # order-free, so the result is bit-identical.
-    pair = (
+    # r14 OPT (guide §4.2): snap in the JVM, ship ONLY the 64-long
+    # array across the Arrow boundary (explicit select — opaque
+    # functions defeat column pruning otherwise, guide §4.1), and
+    # accumulate the exact Gram/moment partials per partition in
+    # native NumPy. All three relations (count, column sums, product
+    # sums) come out of the ONE scan; the only shuffle is the ~2145-
+    # group final sum of per-partition partials.
+    g = (
         emb.select(snapped.alias("xs"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(xs) - 2),"
-                    " i -> transform(sequence(i + 1, size(xs) - 1),"
-                    " j -> struct(i AS da, j AS db,"
-                    " CAST(CAST(xs[i] AS DECIMAL(38,0)) * xs[j]"
-                    "      AS DECIMAL(38,0)) AS p))))"
-                )
-            ).alias("e")
+        .mapInArrow(_cov_gram_partials, "da int, db int, v decimal(38,0)")
+        .groupBy("da", "db")
+        .agg(F.sum("v").alias("v"))
+        # feeds the per-dim moments (3 slices) AND the pair relation —
+        # materialize once
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        g.filter("da = -2")
+        .select(F.col("db").alias("dim"), F.col("v").cast("long").alias("n"))
+        .join(
+            g.filter("da = -1").select(
+                F.col("db").alias("dim"), F.col("v").cast("long").alias("s")
+            ),
+            "dim",
         )
-        .groupBy(F.col("e.da").alias("da"), F.col("e.db").alias("db"))
-        .agg(F.sum("e.p").alias("sxy"))
+        .join(
+            g.filter("da >= 0 AND da = db").select(
+                F.col("da").alias("dim"), F.col("v").alias("ss")
+            ),
+            "dim",
+        )
+        # the d-row moment relation feeds BOTH broadcast sides of the
+        # correlation attach — materialize once (r13 OPT, kept)
+        .localCheckpoint(eager=False)
+    )
+    pair = g.filter("da >= 0 AND da < db").select(
+        "da", "db", F.col("v").alias("sxy")
     )
     pa = per.select(
         F.col("dim").alias("da"),

@@ -302,14 +302,17 @@ def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(f"{path}/batch={batch_id}")
         )
 
-    q = (
-        stream_events(spark, sf_dir)
-        .select("user_id", "value")
-        .writeStream.foreachBatch(sink)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    from ..streaming.events import pinned_stream_state
+
+    with pinned_stream_state(spark):
+        q = (
+            stream_events(spark, sf_dir)
+            .select("user_id", "value")
+            .writeStream.foreachBatch(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     partials = spark.read.parquet(path)
     return partials.groupBy("user_id").agg(
         F.sum("n").alias("n_events"),
@@ -457,16 +460,19 @@ def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ev.schema
 
     def _run_once() -> None:
-        q = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .load(src)
-            .writeStream.option("checkpointLocation", ckpt)
-            .foreachBatch(sink)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        from ..streaming.events import pinned_stream_state
+
+        with pinned_stream_state(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .format("parquet")
+                .load(src)
+                .writeStream.option("checkpointLocation", ckpt)
+                .foreachBatch(sink)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
 
     _land(ev.filter(F.col("user_id") % 2 == 0), "phase1")
     _run_once()  # phase 1 only
@@ -541,11 +547,14 @@ def streaming_latedata_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("window.start").alias("win_start"), "n_events", "total_micros")
     )
-    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()  # phase 1 + no-data batch: closed windows emit
-    _land(ev.filter(epoch_micros("ts") < mid_us), "late")
-    q.processAllAvailable()  # phase 2: all below watermark -> dropped
-    q.stop()
+    from ..streaming.events import pinned_stream_state
+
+    with pinned_stream_state(spark):
+        q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()  # phase 1 + no-data batch: closed windows emit
+        _land(ev.filter(epoch_micros("ts") < mid_us), "late")
+        q.processAllAvailable()  # phase 2: all below watermark -> dropped
+        q.stop()
     return _ntz(spark.table(name))
 
 
@@ -828,7 +837,9 @@ def _drift_baseline_path(spark: SparkSession, sf_dir: str) -> str:
     from ..functions.text import tokenize
     from .connectors import _fixture_path
 
-    if sf_dir not in _DRIFT_BASE_PATHS:
+    from ..session import path_cached
+
+    def build() -> str:
         path = _fixture_path("drift_base")
         docs = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
@@ -844,8 +855,9 @@ def _drift_baseline_path(spark: SparkSession, sf_dir: str) -> str:
         spine.join(counts, "b", "left").select(
             "b", F.coalesce("cb", F.lit(0)).cast("long").alias("cb")
         ).write.mode("overwrite").parquet(path)
-        _DRIFT_BASE_PATHS[sf_dir] = path
-    return _DRIFT_BASE_PATHS[sf_dir]
+        return path
+
+    return path_cached(_DRIFT_BASE_PATHS, sf_dir, build)
 
 
 _DRIFT_BASE_PATHS: dict[str, str] = {}
@@ -1336,7 +1348,9 @@ _SEMD_INDEX_PATHS: dict[str, tuple[str, str]] = {}
 
 
 def semdedup_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    if sf_dir not in _SEMD_INDEX_PATHS:
+    from ..session import path_cached
+
+    def build() -> tuple[str, str]:
         from pyspark.sql import Window as W
 
         from ..functions.rounding import iunits
@@ -1389,8 +1403,9 @@ def semdedup_index_paths(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .write.mode("overwrite")
             .parquet(kept_path)
         )
-        _SEMD_INDEX_PATHS[sf_dir] = (cent_path, kept_path)
-    return _SEMD_INDEX_PATHS[sf_dir]
+        return (cent_path, kept_path)
+
+    return path_cached(_SEMD_INDEX_PATHS, sf_dir, build)
 
 
 def streaming_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,10 +1634,20 @@ def _txlog_fixture(spark: SparkSession, sf_dir: str) -> str:
     JSON before tailing them — input setup, not the measured stream.
     Land it once per fixture dir; every call still runs the full
     stream replay against it."""
+    import os
+
     from ..functions.rounding import iunits
+    from ..session import path_cached
     from .connectors import _fixture_path
 
-    if sf_dir not in _TXLOG_PATHS:
+    # ADVICE r13: unlike the session-keyed caches, this path outlives
+    # sessions on purpose (landed JSON survives a restart) — but only
+    # while the files actually exist; re-land if scratch was cleaned.
+    cached = _TXLOG_PATHS.get(sf_dir)
+    if cached is not None and not os.path.exists(cached):
+        del _TXLOG_PATHS[sf_dir]
+
+    def build() -> str:
         o = load_table(spark, sf_dir, "orders")
         base = o.select(
             F.col("o_orderkey").alias("file_id"),
@@ -1644,8 +1669,9 @@ def _txlog_fixture(spark: SparkSession, sf_dir: str) -> str:
         )
         path = _fixture_path("txlog_stream")
         adds.unionByName(removes).write.mode("overwrite").json(path)
-        _TXLOG_PATHS[sf_dir] = path
-    return _TXLOG_PATHS[sf_dir]
+        return path
+
+    return path_cached(_TXLOG_PATHS, sf_dir, build)
 
 
 def streaming_txlog_tail(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -325,7 +325,9 @@ _WINNOW_INDEX_PATHS: dict[str, str] = {}
 
 
 def _winnow_index_path(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _WINNOW_INDEX_PATHS:
+    from ..session import path_cached
+
+    def build() -> str:
         from .connectors import _fixture_path
 
         path = _fixture_path("winnow_index")
@@ -338,8 +340,9 @@ def _winnow_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         sizes = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_nb"))
         ex.join(sizes, "fp").write.mode("overwrite").parquet(path)
-        _WINNOW_INDEX_PATHS[sf_dir] = path
-    return _WINNOW_INDEX_PATHS[sf_dir]
+        return path
+
+    return path_cached(_WINNOW_INDEX_PATHS, sf_dir, build)
 
 
 def _sql_winnow_cte(where: str = "TRUE") -> str:
@@ -2115,7 +2118,9 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     3×LOGREG_ITERS corpus passes. Same staleness contract as
     ``_LOGREG_MODEL_PATHS``: keyed by immutable fixture dir for the
     process lifetime."""
-    if sf_dir not in _LR_WEIGHTS_CACHE:
+    from ..session import path_cached
+
+    def build() -> tuple[float, ...]:
         from pyspark import StorageLevel
 
         zfeat = _lr_standardize(
@@ -2130,14 +2135,11 @@ def _lr_trained_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             row = w.collect()[0]  # exactly ONE row: the weight vector
         finally:
             zfeat.unpersist()
-        _LR_WEIGHTS_CACHE[sf_dir] = tuple(
-            float(row[f"w{j}"]) for j in range(_LR_NX + 1)
-        )
+        return tuple(float(row[f"w{j}"]) for j in range(_LR_NX + 1))
+
+    weights = path_cached(_LR_WEIGHTS_CACHE, sf_dir, build)
     return spark.range(1).select(
-        *[
-            F.lit(v).alias(f"w{j}")
-            for j, v in enumerate(_LR_WEIGHTS_CACHE[sf_dir])
-        ]
+        *[F.lit(v).alias(f"w{j}") for j, v in enumerate(weights)]
     )
 
 
@@ -2179,14 +2181,14 @@ def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over (doc_id, keep, score_units). Same keying and
     staleness contract as ``_supplier_cograph`` (applicationId, not
     recyclable ``id(spark)`` — ADVICE r12)."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _LR_SCORED_CACHE:
-        _LR_SCORED_CACHE[key] = _build_lr_scored(spark, sf_dir).localCheckpoint(
-            eager=False
-        )
-    return _LR_SCORED_CACHE[key]
+    return artifact_cached(
+        _LR_SCORED_CACHE,
+        spark,
+        sf_dir,
+        lambda: _build_lr_scored(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,7 +2234,9 @@ _LOGREG_MODEL_PATHS: dict[str, str] = {}
 
 
 def logreg_model_path(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _LOGREG_MODEL_PATHS:
+    from ..session import path_cached
+
+    def build() -> str:
         from pyspark import StorageLevel
 
         from .connectors import _fixture_path
@@ -2253,8 +2257,9 @@ def logreg_model_path(spark: SparkSession, sf_dir: str) -> str:
             w.crossJoin(stats).write.mode("overwrite").parquet(path)
         finally:
             feat.unpersist()
-        _LOGREG_MODEL_PATHS[sf_dir] = path
-    return _LOGREG_MODEL_PATHS[sf_dir]
+        return path
+
+    return path_cached(_LOGREG_MODEL_PATHS, sf_dir, build)
 
 
 def _sql_logreg(
@@ -2877,7 +2882,9 @@ _NOVELTY_INDEX_PATHS: dict[str, str] = {}
 
 
 def _novelty_index_path(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _NOVELTY_INDEX_PATHS:
+    from ..session import path_cached
+
+    def build() -> str:
         from ..operators.dedup import shingle_hash_rows
         from .connectors import _fixture_path
 
@@ -2888,8 +2895,9 @@ def _novelty_index_path(spark: SparkSession, sf_dir: str) -> str:
         shingle_hash_rows(docs, "doc_id", "text", 2).select(
             F.col("h").alias("g")
         ).distinct().write.mode("overwrite").parquet(path)
-        _NOVELTY_INDEX_PATHS[sf_dir] = path
-    return _NOVELTY_INDEX_PATHS[sf_dir]
+        return path
+
+    return path_cached(_NOVELTY_INDEX_PATHS, sf_dir, build)
 
 
 # ------------------------------------------------- encoding quality
@@ -3371,10 +3379,20 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # r13 OPT: three consumers (expansion terms, doc lengths, expanded
-    # tf) re-ran the tokenize explode — materialize once
-    terms = docs.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
-    ).localCheckpoint(eager=False)
+    # tf) re-ran the tokenize explode — materialize once. r14 OPT
+    # (ADVICE r13): checkpoint the (doc_id, term, c) COUNT aggregate
+    # instead of the raw occurrence rows — every consumer is
+    # count-shaped (occurrence sums), so the persisted blocks shrink
+    # from corpus grain to doc×vocabulary grain, exactly like the
+    # char-entropy rewrite.
+    tcnt = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     orig = bm25_scored(docs).localCheckpoint()
     fb = (
         orig.orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -3382,21 +3400,19 @@ def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     exp = (
-        terms.join(F.broadcast(fb), "doc_id")
+        tcnt.join(F.broadcast(fb), "doc_id")
         .filter(~F.col("term").isin(*BM25_QUERY))
         .filter(F.length("term") >= 3)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.sum("c").alias("w"))
         .orderBy(F.desc("w"), F.asc("term"))
         .limit(PRF_EXP)
         .select("term")
         .localCheckpoint()
     )
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    etf = (
-        terms.join(F.broadcast(exp), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    dl = tcnt.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    etf = tcnt.join(F.broadcast(exp), "term").select(
+        "doc_id", "term", F.col("c").alias("tf")
     )
     edf = etf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))

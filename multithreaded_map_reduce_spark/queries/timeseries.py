@@ -59,14 +59,16 @@ def _daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the artifact is tiny while the saved scans are corpus-sized.
     Keyed by applicationId (ADVICE r12) so a restarted session
     rebuilds."""
-    from ..session import artifact_cache_key
+    from ..session import artifact_cached
 
-    key = artifact_cache_key(spark, sf_dir)
-    if key not in _DAILY_COUNTS_CACHE:
-        _DAILY_COUNTS_CACHE[key] = _build_daily_event_counts(
-            spark, sf_dir
-        ).localCheckpoint(eager=False)
-    return _DAILY_COUNTS_CACHE[key]
+    return artifact_cached(
+        _DAILY_COUNTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _build_daily_event_counts(spark, sf_dir).localCheckpoint(
+            eager=False
+        ),
+    )
 
 
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:

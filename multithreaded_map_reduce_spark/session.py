@@ -18,6 +18,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -85,3 +86,39 @@ def artifact_cache_key(spark: SparkSession, sf_dir: str) -> str:
     artifact per (app, fixture dir); tests are the only multi-app
     processes)."""
     return f"{spark.sparkContext.applicationId}:{sf_dir}"
+
+
+#: One process-wide lock guards EVERY module-level artifact cache
+#: (ADVICE r13): the caches were unsynchronized check-then-set, fine
+#: for the serial bench/gate but a dogpile (two builds, two different
+#: DataFrame objects) if queries are ever planned from driver threads
+#: — which the plan-lint test now does. Reentrant because one
+#: artifact's build may consult another cached artifact.
+_ARTIFACT_LOCK = threading.RLock()
+
+
+def artifact_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Thread-safe check-then-set for an ``applicationId:sf_dir``-keyed
+    artifact cache. Also retires entries of dead applications (ADVICE
+    r13): only one SparkContext is live per process, so any key with a
+    different applicationId prefix belongs to a stopped session whose
+    checkpoint blocks are gone."""
+    key = artifact_cache_key(spark, sf_dir)
+    with _ARTIFACT_LOCK:
+        if key not in cache:
+            prefix = spark.sparkContext.applicationId + ":"
+            for stale in [k for k in cache if not k.startswith(prefix)]:
+                del cache[stale]
+            cache[key] = build()
+        return cache[key]
+
+
+def path_cached(cache: dict, key, build):
+    """Thread-safe check-then-set for the fixture-dir-keyed landed-file
+    caches (index parquets, model weights): entries outlive sessions by
+    design (the files are on disk), so no eviction — just dogpile
+    protection under the shared artifact lock."""
+    with _ARTIFACT_LOCK:
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]

@@ -167,18 +167,60 @@ def stream_stream_click_purchase_join(
     ).select("event_id", "user_id", "purchase_ts", "click_ts")
 
 
+#: Streaming-state partition dial (r14 OPT). Every stateful stream in
+#: this engine keeps DOMAIN-BOUNDED keyed state (log versions, quantile
+#: bands, drift buckets, SPC rules — tens to hundreds of keys), yet the
+#: state stage inherited the session's shuffle-partition count, so at
+#: local[32] each micro-batch committed 32 state stores for ~10 keys of
+#: state (driver-measured: streaming_txlog_tail 10.2 s warm at 32 cores
+#: vs 0.6 s at 8 — pure per-partition state-commit overhead). State
+#: partitioning should track STATE CARDINALITY, not cluster size: the
+#: pre-shuffle input stages keep the source's full parallelism at any
+#: scale, and 8 partitions comfortably hold hundreds of keys.
+#: Env-overridable for streams with genuinely large key domains.
+import os as _os
+import threading as _threading
+
+STREAM_STATE_PARTITIONS = int(
+    _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+_STREAM_CONF_LOCK = _threading.RLock()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def pinned_stream_state(spark: SparkSession):
+    """Pin the session's shuffle-partition conf to
+    ``STREAM_STATE_PARTITIONS`` while a stream runs (every stream here
+    starts from a fresh checkpoint, so the pin is deterministic and
+    leak-free; the lock keeps concurrent driver threads — the plan-lint
+    test — from interleaving set/restore)."""
+    with _STREAM_CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to completion into an in-memory table;
     returns the stopped query. Caller reads ``spark.sql(SELECT * FROM
-    name)``."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    name)``. State partitioning pinned — see ``pinned_stream_state``."""
+    with pinned_stream_state(df.sparkSession):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return q
 
 

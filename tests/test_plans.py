@@ -61,14 +61,24 @@ def test_bruteforce_topk_broadcasts_queries(spark):
 def test_no_cartesian_anywhere(spark):
     """Plan lint over the ENTIRE registry: no query may plan a
     CartesianProduct (the brute-force similarity crossJoin must resolve
-    to a broadcast nested-loop, never a shuffle cartesian)."""
+    to a broadcast nested-loop, never a shuffle cartesian).
+
+    Planned from a small driver thread pool (guide §2.6): the 489
+    constructions+plannings are independent JVM work behind py4j, and
+    serially this one test dominated the whole suite (563 s of 2727 s).
+    The shared artifact caches are lock-protected (session.py), so
+    concurrent planning cannot dogpile a build."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from multithreaded_map_reduce_spark.plans import plan_report
     from multithreaded_map_reduce_spark.queries import ALL_QUERIES
 
-    offenders = []
-    for name, fn in sorted(ALL_QUERIES.items()):
-        if plan_report(fn(spark, SF_SMOKE)).cartesian:
-            offenders.append(name)
+    def cartesian(item):
+        name, fn = item
+        return name if plan_report(fn(spark, SF_SMOKE)).cartesian else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [n for n in pool.map(cartesian, sorted(ALL_QUERIES.items())) if n]
     assert not offenders, f"cartesian products in: {offenders}"
 
 

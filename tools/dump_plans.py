@@ -20,13 +20,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
-    rnd, tag, *names = sys.argv[1:]
+    args = sys.argv[1:]
+    # --full: bypass localCheckpoint truncation so the dump shows the
+    # real subtree instead of Scan ExistingRDD (checkpointed relations
+    # replace their lineage with a LogicalRDD at construction time).
+    full = "--full" in args
+    if full:
+        args.remove("--full")
+    rnd, tag, *names = args
     out_dir = Path(__file__).resolve().parents[1] / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from multithreaded_map_reduce_spark.queries import ALL_QUERIES
     from multithreaded_map_reduce_spark.session import get_spark
+
+    if full:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        _CDF.localCheckpoint = lambda self, eager=True: self
+        tag = tag + "_full"
 
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     for name in names:
