@@ -93,7 +93,7 @@ def pagerank(
                     f"div {DAMPING_DEN}"
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return ranks.select("id", F.col("rank").alias("rank_units"))
 
